@@ -12,7 +12,9 @@ import graft.operators._
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    RelationalQueries.all
+    RelationalQueries.all ++ SetOpQueries.all ++ AggQueries.all ++
+      WindowQueries.all ++ EventsQueries.all ++ FuncQueries.all ++
+      TypedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

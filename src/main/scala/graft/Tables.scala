@@ -23,7 +23,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long
+    * via the legacy conf, then convert to TimestampType (µs). The
+    * conversion uses integer `div` — ns-since-epoch (~1.7e18) exceeds
+    * double's 2^53 exact range, so a floating divide would corrupt
+    * timestamps.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-stream analytics over the `events` table, batch-mode. The same
+  * logical queries run under Structured Streaming (see
+  * graft.streaming.EventStreams + its spec); the reference's streaming
+  * layer adds nothing beyond stock DStreams (SURVEY §1.3), so stock
+  * Structured Streaming is a superset.
+  */
+object EventsQueries {
+
+  /** countByValue parity (RDD.scala:1415-1426). */
+  val q26CountByValue = QueryDef(
+    "q26_count_by_value",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n FROM events
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Tumbling 1-hour window aggregation — the batch shape of a streaming
+    * windowed agg. Uses Spark's window() operator; oracle uses
+    * date_trunc which is equivalent for tumbling windows aligned to the
+    * hour.
+    */
+  val q28EventsHourly = QueryDef(
+    "q28_events_hourly",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+    Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+           |  count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin))
+
+  /** Sessionization: 30-minute-gap session windows per user, then session
+    * counts. Spark session_window ≡ gaps-and-islands SQL (a new session
+    * starts when the gap since the previous event is >= the gap duration,
+    * since Spark's session interval is [ts, ts+gap) ).
+    */
+  val q37Sessionize = QueryDef(
+    "q37_sessionize",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, count(*) AS n_sessions,
+           |  cast(sum(cnt) AS BIGINT) AS n_events FROM (
+           |  SELECT user_id, count(*) AS cnt FROM (
+           |    SELECT user_id, ts,
+           |      sum(CASE WHEN prev_ts IS NULL
+           |               OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+           |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+           |    FROM (SELECT user_id, event_id, ts,
+           |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           |          FROM events))
+           |  GROUP BY user_id, session_id)
+           |GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** JSON extraction from the props column.
+    * get_json_object ≡ DuckDB json_extract_string.
+    */
+  val q29JsonExtract = QueryDef(
+    "q29_json_extract",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, cast(json_extract_string(props, '$.k') AS BIGINT) AS k
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  def all: Seq[QueryDef] =
+    Seq(q26CountByValue, q28EventsHourly, q29JsonExtract, q37Sessionize)
+}

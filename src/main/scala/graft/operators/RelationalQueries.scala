@@ -156,6 +156,123 @@ object RelationalQueries {
            |GROUP BY n_name
            |ORDER BY revenue DESC, n_name""".stripMargin))
 
+  /** Right outer join: parts with zero lineitems survive.
+    * Reference: rightOuterJoin (PairRDDFunctions.scala:575-583).
+    */
+  val q06RightJoin = QueryDef(
+    "q06_right_join",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      l.join(p, col("l_partkey") === col("p_partkey"), "right")
+        .groupBy(col("p_partkey"))
+        .agg(count(col("l_orderkey")).as("n_items"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey, count(l_orderkey) AS n_items
+           |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin))
+
+  /** Full outer join of two pre-aggregated sides.
+    * Reference: fullOuterJoin (PairRDDFunctions.scala:594-600).
+    */
+  val q07FullOuterJoin = QueryDef(
+    "q07_full_outer_join",
+    (s, d) => {
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = Tables.supplier(s, d).groupBy(col("s_nationkey").as("sk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("ck") === col("sk"), "full")
+        .select(
+          coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""SELECT coalesce(c.ck, s.sk) AS nationkey,
+           |  coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+           |FROM (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer GROUP BY 1) c
+           |FULL JOIN (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+           |  ON c.ck = s.sk
+           |ORDER BY nationkey""".stripMargin))
+
+  /** Left semi join (EXISTS). Reference: rewritten intersection/cogroup
+    * patterns (RDD.scala:783-821); Catalyst plans a LeftSemi hash join.
+    */
+  val q08SemiJoin = QueryDef(
+    "q08_semi_join",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** Left anti join (NOT EXISTS). Reference: subtract/subtractByKey
+    * (RDD.scala:1179-1213; PairRDDFunctions.scala:916-936).
+    */
+  val q09AntiJoin = QueryDef(
+    "q09_anti_join",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** Cartesian product (small×small only — at scale this is a guarded op).
+    * Reference: cartesian (RDD.scala:837-839; CartesianRDD.scala:78-81).
+    */
+  val q14CrossJoin = QueryDef(
+    "q14_cross_join",
+    (s, d) => {
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+           |ORDER BY r_name, n_name""".stripMargin))
+
+  /** Multi-column global sort + limit. Reference: sortBy/sortByKey + take
+    * (OrderedRDDFunctions.scala:61-66; RDD.scala:1541) — Catalyst plans
+    * TakeOrderedAndProject (no full sort materialization).
+    */
+  val q15SortLimit = QueryDef(
+    "q15_sort_limit",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+           |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin))
+
+  /** Top-k. Reference: top/takeOrdered (RDD.scala:1608,1631 — bounded
+    * priority queue per partition + merge; Catalyst does the same).
+    */
+  val q16TopK = QueryDef(
+    "q16_topk_orders",
+    (s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
-    q01PricingSummary, q02FilterProject, q03JoinAgg, q04LeftJoin, q05NationRevenue)
+    q01PricingSummary, q02FilterProject, q03JoinAgg, q04LeftJoin, q05NationRevenue,
+    q06RightJoin, q07FullOuterJoin, q08SemiJoin, q09AntiJoin, q14CrossJoin,
+    q15SortLimit, q16TopK)
 }
