@@ -1,0 +1,83 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.prov._
+
+/** End-to-end provenance showcase exposed through the driver contract.
+  * Each query builds a provenance-tracked pipeline over the testdata,
+  * closes the session (flushing the parquet provenance store), then
+  * answers a SURVEY §3.3 query over the store. Not SQL-expressible →
+  * rows-only checks (element ids are freshly minted per run).
+  */
+object ProvShowcaseQueries {
+
+  /** Run a small tracked pipeline (source → mapValues → reduceByKey) over
+    * order statuses and return (store, session, reduce-task id).
+    */
+  private def trackedPipeline(s: org.apache.spark.sql.SparkSession,
+                              d: String): (String, ProvSession, String) = {
+    val spark = s
+    import spark.implicits._
+    val store = Files.createTempDirectory("provshowcase").toString
+    val sess = ProvSession.create(s, "showcase", store)
+    val statuses = Tables.orders(s, d)
+      .select(col("o_orderstatus")).as[String]
+      .limit(500).collect().toSeq
+    val src = sess.parallelize(statuses, "order statuses")
+    val pairs = src.map(st => (st, 1), "to pairs")
+    val counts = pairs.reduceByKey(_ + _, "count per status")
+    counts.collect()
+    sess.close()
+    (store, sess, counts.taskId)
+  }
+
+  /** Full retrospective graph (reference: DataElementAPICtrl.kt:41-103). */
+  val provFullGraph = QueryDef(
+    "prov_full_graph",
+    (s, d) => {
+      val (store, sess, _) = trackedPipeline(s, d)
+      new ProvenanceQueries(s, store).fullGraph(sess.executionId)
+    },
+    None)
+
+  /** Prospective task graph (reference: TaskAPICtrl.kt:22-36). */
+  val provTaskGraph = QueryDef(
+    "prov_task_graph",
+    (s, d) => {
+      val (store, sess, _) = trackedPipeline(s, d)
+      new ProvenanceQueries(s, store).taskGraph(sess.executionId)
+    },
+    None)
+
+  /** Value table of the aggregation task
+    * (reference: DataElementAPICtrl.kt:181-233).
+    */
+  val provValueTable = QueryDef(
+    "prov_value_table",
+    (s, d) => {
+      val (store, sess, tid) = trackedPipeline(s, d)
+      new ProvenanceQueries(s, store).valueTable(sess.executionId, tid)
+        .select(col("element_id"),
+                concat_ws(",", col("schema_fields")).as("header"),
+                concat_ws(",", col("row_values")).as("row"))
+    },
+    None)
+
+  /** Multi-hop lineage closure of one aggregated element. */
+  val provLineage = QueryDef(
+    "prov_lineage",
+    (s, d) => {
+      val (store, sess, tid) = trackedPipeline(s, d)
+      val q = new ProvenanceQueries(s, store)
+      val anElement = q.producedBy(sess.executionId, tid)
+        .select(col("element_id")).head().getString(0)
+      q.lineageOf(sess.executionId, anElement)
+    },
+    None)
+
+  def all: Seq[QueryDef] =
+    Seq(provFullGraph, provTaskGraph, provValueTable, provLineage)
+}

@@ -1,0 +1,221 @@
+package graft.prov
+
+import java.sql.Timestamp
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Driver-side mutable state for one provenance task node
+  * (reference: Task.scala:12-53 + RDD.scala:157-197). Tasks are created
+  * eagerly when a transformation is declared (lazy execution, eager DAG —
+  * same as the reference) and persisted at flush.
+  */
+final class TaskState(
+    val id: String,
+    var ttype: String,
+    var description: String,
+    val parents: Seq[String],
+    var schemaFields: Seq[String] = Seq("Value"),
+    var usingDefaultSchema: Boolean = true,
+    var ignored: Boolean = false,
+    var hasDataInRepository: Boolean = false,
+    var group: Option[GroupState] = None,
+    /** builds this task's element rows; None for pass-through tasks
+      * (union/sort/repartition create no elements — reference:
+      * UnionRDD.scala:108)
+      */
+    var elementThunk: Option[() => Dataset[ElementRow]] = None,
+    var flushed: Boolean = false)
+
+/** Open transformation group (reference: TransformationGroup.scala:6-33,
+  * TransformationGroupManager.scala:5-74). Invariants enforced: a task
+  * joins at most one group; a group is finished exactly once.
+  */
+final class GroupState(val id: String, val name: String) {
+  val initTasks: mutable.LinkedHashSet[String] = mutable.LinkedHashSet()
+  val intermediaryTasks: mutable.LinkedHashSet[String] = mutable.LinkedHashSet()
+  var finishTask: Option[String] = None
+  def isOpen: Boolean = finishTask.isEmpty
+}
+
+object ProvSession {
+  implicit val elementRowEnc: Encoder[ElementRow] = Encoders.product[ElementRow]
+
+  /** Open a provenance session over a stock SparkSession — the analogue of
+    * `new SparkContext(conf)` with provenance enabled (reference:
+    * SparkContext.scala:382-390). Nothing is forked: this is a library
+    * object holding a task DAG + a parquet sink location.
+    */
+  def create(spark: SparkSession, appName: String, storeDir: String,
+             captureEnabled: Boolean = true,
+             captureDropped: Boolean = false): ProvSession =
+    new ProvSession(spark, appName, storeDir, captureEnabled, captureDropped)
+}
+
+/** One provenance-tracked execution (reference: Execution.scala +
+  * DataflowProvenance.scala lifecycle).
+  *
+  * Scale design (SURVEY §7): provenance rows are written THROUGH Spark as
+  * batched parquet appends partitioned by execution_id — there is no
+  * executor-side connection to any store (the reference async-inserts to
+  * Cassandra from every executor thread, DataSource.scala:28-45). Each
+  * tracked Dataset is persisted (MEMORY_AND_DISK) so the lineage dump
+  * computes every stage once, not O(n²).
+  */
+final class ProvSession private[prov] (
+    val spark: SparkSession,
+    val appName: String,
+    val storeDir: String,
+    val captureEnabled: Boolean,
+    val captureDropped: Boolean) {
+
+  import ProvSession._
+
+  val executionId: String = ProvIds.newId()
+  private val startTime = new Timestamp(System.currentTimeMillis())
+  private var endTime: Option[Timestamp] = None
+  private val tasks = mutable.LinkedHashMap[String, TaskState]()
+  private val groups = mutable.ListBuffer[GroupState]()
+  private val cached = mutable.ListBuffer[Dataset[_]]()
+  private val fileGroupRefs = mutable.ListBuffer[FileGroupReferenceRow]()
+
+  private[prov] def newTask(ttype: String, parents: Seq[String],
+                            description: String): TaskState = {
+    val t = new TaskState(ProvIds.newId(), ttype, description, parents)
+    tasks(t.id) = t
+    // group propagation (reference: TransformationGroupManager.scala:50-70):
+    // a child of a task inside an open group joins that group as an
+    // intermediary unless it explicitly finishes it.
+    val parentGroups = parents.flatMap(p => tasks.get(p)).flatMap(_.group)
+      .filter(_.isOpen).distinct
+    require(parentGroups.size <= 1,
+      s"task has parents in ${parentGroups.size} distinct open groups; " +
+        "a lineage can have at most one open transformation group")
+    parentGroups.headOption.foreach { g =>
+      t.group = Some(g)
+      g.intermediaryTasks += t.id
+    }
+    t
+  }
+
+  private[prov] def track(ds: Dataset[_]): Unit = if (captureEnabled) {
+    ds.persist(StorageLevel.MEMORY_AND_DISK)
+    cached += ds
+  }
+
+  private[prov] def newGroup(name: String): GroupState = {
+    val g = new GroupState(ProvIds.newId(), name)
+    groups += g
+    g
+  }
+
+  private[prov] def addFileGroupRef(elementId: String, folder: String): Unit =
+    fileGroupRefs += FileGroupReferenceRow(executionId, elementId, folder)
+
+  def taskById(id: String): Option[TaskState] = tasks.get(id)
+  def allTasks: Seq[TaskState] = tasks.values.toSeq
+
+  // ---- sources ------------------------------------------------------
+
+  /** parallelize: each element becomes a fresh root DataElement
+    * (reference: SparkContext.scala:737; ParallelCollectionRDD.scala:40-46).
+    */
+  def parallelize[T](data: Seq[T], description: String = "parallelize")(
+      implicit et: Encoder[T], ep: Encoder[ProvRecord[T]]): ProvDataset[T] = {
+    val task = newTask(TransformationType.RANGE, Nil, description)
+    val ds = spark.createDataset(data).map(v => ProvRecord(ProvIds.newId(), Seq.empty[String], v))
+    ProvDataset.create(ds, task, this)
+  }
+
+  /** textFile with source-file lineage: each input FILE is itself a data
+    * element, and every record depends on its file (reference:
+    * HadoopRDD.scala:223-227,318). File element ids are deterministic
+    * (name-UUID of executionId+path) so no join is needed to wire record→
+    * file edges — each record computes its file's id locally.
+    */
+  def textFile(path: String, description: String = "textFile"): ProvDataset[String] = {
+    import spark.implicits._
+    val task = newTask(TransformationType.MAP, Nil, s"$description: $path")
+    val execId = executionId
+    val ds = spark.read.textFile(path)
+      .select(org.apache.spark.sql.functions.col("value"),
+              org.apache.spark.sql.functions.input_file_name().as("_file"))
+      .as[(String, String)]
+      .map { case (line, file) =>
+        ProvRecord(ProvIds.newId(), Seq(ProvSinkUtil.fileElementId(execId, file)), line)
+      }
+    val pd = ProvDataset.create(ds, task, this)
+    // file-level elements are emitted alongside the records at flush
+    if (captureEnabled) {
+      val base = pd.elementRowsThunk
+      val tid = task.id // capture only strings in executor closures
+      task.elementThunk = Some(() => {
+        val files = spark.read.textFile(path)
+          .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+          .distinct().as[String]
+          .map(f => ElementRow(execId, tid, ProvSinkUtil.fileElementId(execId, f),
+            Seq(Seq(f)), Seq.empty[String]))
+        base().unionByName(files)
+      })
+    }
+    pd
+  }
+
+  // ---- lifecycle ----------------------------------------------------
+
+  /** Persist all pending provenance (tasks + element rows) — the analogue
+    * of checkAndPersistProvenance on action (reference: RDD.scala:1143-1147),
+    * but batched: one distributed parquet append for all unflushed tasks.
+    */
+  def flush(): Unit = if (captureEnabled) {
+    val pending = tasks.values.filter(t => !t.flushed && !t.ignored && t.elementThunk.nonEmpty).toSeq
+    if (pending.nonEmpty) {
+      val all = pending.map(_.elementThunk.get.apply()).reduce(_ unionByName _)
+      all.write.mode("append").partitionBy("execution_id")
+        .parquet(s"$storeDir/data_elements")
+      pending.foreach(_.flushed = true)
+    }
+  }
+
+  /** Finish the execution: flush elements, write the driver-side tables
+    * (executions, tasks, transformation_groups, file_group_references),
+    * release caches (reference: SparkContext.scala:1975-1976 →
+    * DataflowProvenance.finish).
+    */
+  def close(): Unit = {
+    endTime = Some(new Timestamp(System.currentTimeMillis()))
+    if (captureEnabled) {
+      flush()
+      import spark.implicits._
+      Seq(ExecutionRow(executionId, appName, startTime, endTime)).toDS()
+        .write.mode("append").partitionBy("execution_id")
+        .parquet(s"$storeDir/executions")
+      val taskRows = tasks.values.map(t => TaskRow(
+        executionId, t.id, t.description, t.ttype, t.usingDefaultSchema,
+        t.schemaFields, t.hasDataInRepository, t.ignored, t.parents)).toSeq
+      taskRows.toDS().write.mode("append").partitionBy("execution_id")
+        .parquet(s"$storeDir/tasks")
+      if (groups.nonEmpty) {
+        groups.map(g => TransformationGroupRow(executionId, g.id, g.name,
+          g.initTasks.toSeq, g.intermediaryTasks.toSeq,
+          g.finishTask.getOrElse(""))).toSeq.toDS()
+          .write.mode("append").partitionBy("execution_id")
+          .parquet(s"$storeDir/transformation_groups")
+      }
+      if (fileGroupRefs.nonEmpty) {
+        fileGroupRefs.toSeq.toDS().write.mode("append")
+          .partitionBy("execution_id")
+          .parquet(s"$storeDir/file_group_references")
+      }
+    }
+    cached.foreach(_.unpersist())
+    cached.clear()
+  }
+}
+
+private[prov] object ProvSinkUtil {
+  /** Deterministic v3-style id for a source file element. */
+  def fileElementId(executionId: String, path: String): String =
+    java.util.UUID.nameUUIDFromBytes(s"$executionId|$path".getBytes("UTF-8")).toString
+}

@@ -1,0 +1,145 @@
+package graft.prov
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's query surface (SURVEY §3.3 — the Kotlin/Spring web
+  * app's endpoints over Cassandra, DataElementAPICtrl.kt /
+  * TaskAPICtrl.kt / ExecutionAPICtrl.kt) re-expressed as plain Spark SQL
+  * over the parquet provenance store. Each method returns a DataFrame —
+  * 1-hop graph expansions are joins; multi-hop lineage is an iterative
+  * join closure.
+  */
+final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
+
+  private def table(name: String): DataFrame =
+    spark.read.parquet(s"$storeDir/$name")
+
+  def executions: DataFrame = table("executions")
+
+  def tasks(executionId: String): DataFrame =
+    table("tasks").filter(col("execution_id") === executionId)
+
+  def elements(executionId: String): DataFrame =
+    table("data_elements").filter(col("execution_id") === executionId)
+
+  /** Task-level dependency edges — the reference's `DependenciesOfTask`
+    * table as a view over tasks.dependencies
+    * (CassandraDatabaseScript.cql:49-54).
+    */
+  def taskDependencies(executionId: String): DataFrame =
+    tasks(executionId)
+      .select(col("task_id").as("target"), explode(col("dependencies")).as("source"))
+
+  /** Record-level lineage edges — the reference's
+    * `DependenciesOfDataElement` (cql:56-62) as a view.
+    */
+  def elementDependencies(executionId: String): DataFrame =
+    elements(executionId)
+      .select(col("task_id"), col("element_id").as("target"),
+              explode(col("deps")).as("source"))
+
+  /** Prospective (task) dataflow graph: nodes + edges
+    * (reference: TaskAPICtrl.kt:22-36).
+    */
+  def taskGraph(executionId: String): DataFrame = {
+    val nodes = tasks(executionId)
+      .select(col("task_id").as("id"), col("description"),
+              col("transformation_type"), lit("task").as("kind"),
+              lit(null: String).as("source"))
+    val edges = taskDependencies(executionId)
+      .select(col("target").as("id"), lit(null: String).as("description"),
+              lit(null: String).as("transformation_type"), lit("edge").as("kind"),
+              col("source"))
+    nodes.unionByName(edges)
+  }
+
+  /** Full retrospective graph: every data element (colored per task) +
+    * record-level edges (reference: DataElementAPICtrl.kt:41-103).
+    */
+  def fullGraph(executionId: String): DataFrame = {
+    val nodes = elements(executionId)
+      .select(col("element_id").as("id"), col("task_id"),
+              to_json(col("values")).as("label"), lit("element").as("kind"),
+              lit(null: String).as("source"))
+    val edges = elementDependencies(executionId)
+      .select(col("target").as("id"), col("task_id"),
+              lit(null: String).as("label"), lit("edge").as("kind"), col("source"))
+    nodes.unionByName(edges)
+  }
+
+  /** Elements produced by one task, optionally with their consumed
+    * sources (reference: DataElementAPICtrl.kt:105-179).
+    */
+  def producedBy(executionId: String, taskId: String): DataFrame =
+    elements(executionId).filter(col("task_id") === taskId)
+      .select(col("element_id"), col("values"), col("deps"))
+
+  /** Record value table: header from Task.schema_fields + the value grid
+    * (reference: DataElementAPICtrl.kt:181-233).
+    */
+  def valueTable(executionId: String, taskId: String): DataFrame = {
+    val header = tasks(executionId).filter(col("task_id") === taskId)
+      .select(col("task_id"), col("schema_fields"))
+    producedBy(executionId, taskId)
+      .select(lit(taskId).as("task_id"), col("element_id"),
+              explode(col("values")).as("row_values"))
+      .join(broadcast(header), "task_id")
+      .select(col("element_id"), col("schema_fields"), col("row_values"))
+  }
+
+  /** Multi-hop lineage closure of one element (ancestors), via iterative
+    * join — each iteration is one distributed hop, so depth-k lineage is
+    * k joins, never a driver-side walk.
+    */
+  def lineageOf(executionId: String, elementId: String, maxHops: Int = 20): DataFrame = {
+    val edges = elementDependencies(executionId)
+      .select(col("target"), col("source")).persist()
+    var frontier = edges.filter(col("target") === elementId)
+      .select(col("source").as("id"), lit(1).as("hop"))
+    var acc = frontier
+    var hop = 1
+    var continue = !frontier.isEmpty
+    while (continue && hop < maxHops) {
+      hop += 1
+      val next = frontier.join(edges, frontier("id") === edges("target"))
+        .select(col("source").as("id"), lit(hop).as("hop"))
+      frontier = next.join(acc.select(col("id").as("seen")),
+          col("id") === col("seen"), "left_anti")
+        .distinct()
+      continue = !frontier.isEmpty
+      if (continue) acc = acc.unionByName(frontier)
+    }
+    edges.unpersist()
+    acc.distinct()
+  }
+
+  /** Transformation groups (reference: TransformationGroup queries). */
+  def transformationGroups(executionId: String): DataFrame =
+    table("transformation_groups").filter(col("execution_id") === executionId)
+
+  /** JSON graph export `{nodes, links}` — parity with the reference's
+    * driver-side exportFile (DataflowProvenance.scala:106-132).
+    */
+  def exportJson(executionId: String, file: String): Unit = {
+    val nodes = elements(executionId)
+      .select(col("element_id").as("id"), col("task_id").as("group"),
+              to_json(col("values")).as("label")).collect()
+      .map(r => s"""{"id":${jstr(r.getString(0))},"group":${jstr(r.getString(1))},"label":${jstr(r.getString(2))}}""")
+    val links = elementDependencies(executionId)
+      .select(col("source"), col("target")).collect()
+      .map(r => s"""{"source":${jstr(r.getString(0))},"target":${jstr(r.getString(1))}}""")
+    val json =
+      s"""{"nodes":[${nodes.mkString(",")}],"links":[${links.mkString(",")}]}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(file), json)
+  }
+
+  private def jstr(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

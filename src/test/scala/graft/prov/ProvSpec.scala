@@ -1,0 +1,368 @@
+package graft.prov
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Provenance-semantics assertions mirroring FIXTURES.md §2/§4 — edge
+  * counts and dep sets per operator family, ignore-splicing, group
+  * invariants, and the §3.3 query set.
+  */
+class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("prov-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def newStore(): String =
+    Files.createTempDirectory("provstore").toString
+
+  import spark.implicits._
+
+  private def elementsOf(store: String, execId: String, taskId: String) =
+    spark.read.parquet(s"$store/data_elements")
+      .filter($"execution_id" === execId && $"task_id" === taskId)
+      .collect()
+      .map(r => (r.getAs[String]("element_id"),
+                 r.getAs[scala.collection.Seq[scala.collection.Seq[String]]]("values").map(_.toSeq).toSeq,
+                 r.getAs[scala.collection.Seq[String]]("deps").toSeq))
+
+  test("map: 1->1 lineage edges") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val src = s.parallelize(Seq(1, 2, 3, 4, 5))
+    val mapped = src.map(_ * 2)
+    assert(mapped.collect().sorted == Seq(2, 4, 6, 8, 10))
+    s.close()
+    val srcEls = elementsOf(store, s.executionId, src.task.id)
+    val mapEls = elementsOf(store, s.executionId, mapped.task.id)
+    assert(srcEls.length == 5 && srcEls.forall(_._3.isEmpty))
+    assert(mapEls.length == 5 && mapEls.forall(_._3.length == 1))
+    val srcIds = srcEls.map(_._1).toSet
+    assert(mapEls.flatMap(_._3).toSet == srcIds)
+    // value correspondence: element valued "4" depends on element valued "2"
+    val srcById = srcEls.map(e => e._1 -> e._2.head.head).toMap
+    mapEls.foreach { case (_, v, deps) =>
+      assert(srcById(deps.head).toInt * 2 == v.head.head.toInt)
+    }
+  }
+
+  test("flatMap: 1->N lineage") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val src = s.parallelize(Seq("a b", "c"))
+    val words = src.flatMap(_.split(" ").toSeq)
+    assert(words.collect().sorted == Seq("a", "b", "c"))
+    s.close()
+    val srcEls = elementsOf(store, s.executionId, src.task.id)
+    val wEls = elementsOf(store, s.executionId, words.task.id)
+    assert(wEls.length == 3)
+    val abId = srcEls.find(_._2.head.head == "a b").get._1
+    assert(wEls.count(_._3 == Seq(abId)) == 2)
+  }
+
+  test("filter keeps lineage; dropped records feed don't-pass elements") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store, captureDropped = true)
+    val src = s.parallelize(Seq(1, 2, 3, 4))
+    val even = src.filter(v => v % 2 == 0, "evens")
+    assert(even.collect().sorted == Seq(2, 4))
+    s.close()
+    val srcEls = elementsOf(store, s.executionId, src.task.id)
+    val fEls = elementsOf(store, s.executionId, even.task.id)
+    val (dontPass, kept) = fEls.partition(_._2.head.head.startsWith("don't-pass"))
+    assert(kept.length == 2)
+    assert(dontPass.nonEmpty)
+    val droppedIds = srcEls.filter(e => e._2.head.head.toInt % 2 == 1).map(_._1).toSet
+    assert(dontPass.flatMap(_._3).toSet == droppedIds)
+  }
+
+  test("reduceByKey: merged element depends on every input of its key") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val src = s.parallelize(Seq(("a", 1), ("a", 2), ("b", 3)))
+    val red = src.reduceByKey(_ + _)
+    assert(red.collect().toMap == Map("a" -> 3, "b" -> 3))
+    s.close()
+    val srcEls = elementsOf(store, s.executionId, src.task.id)
+    val redEls = elementsOf(store, s.executionId, red.task.id)
+    val aSrc = srcEls.filter(_._2.head.head == "a").map(_._1).toSet
+    val aRed = redEls.find(_._2.head.head == "a").get
+    assert(aRed._3.toSet == aSrc && aSrc.size == 2)
+    val bRed = redEls.find(_._2.head.head == "b").get
+    assert(bRed._3.length == 1)
+  }
+
+  test("aggregateByKey and groupByKey merge deps and values") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val src = s.parallelize(Seq(("k", 1), ("k", 2), ("k", 3)))
+    val agg = src.aggregateByKey(0)(_ + _, _ + _)
+    val grp = src.groupByKey()
+    assert(agg.collect() == Seq(("k", 6)))
+    assert(grp.collect().head._2.sorted == Seq(1, 2, 3))
+    s.close()
+    val aggEls = elementsOf(store, s.executionId, agg.task.id)
+    assert(aggEls.head._3.length == 3)
+    val grpEls = elementsOf(store, s.executionId, grp.task.id)
+    assert(grpEls.head._3.length == 3)
+  }
+
+  test("ignoreIt splices dependencies through ignored tasks") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val src = s.parallelize(Seq(1, 2))
+    val mid = src.map(_ + 10).ignoreIt()
+    val end = mid.map(_ * 2)
+    assert(end.collect().sorted == Seq(22, 24))
+    s.close()
+    val srcIds = elementsOf(store, s.executionId, src.task.id).map(_._1).toSet
+    val endEls = elementsOf(store, s.executionId, end.task.id)
+    // mid task persisted nothing
+    assert(elementsOf(store, s.executionId, mid.task.id).isEmpty)
+    // end elements depend directly on src elements
+    assert(endEls.flatMap(_._3).toSet == srcIds)
+  }
+
+  test("join: output depends on exactly its two input elements") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val l = s.parallelize(Seq((1, "x"), (2, "y")))
+    val r = s.parallelize(Seq((1, "X"), (3, "Z")))
+    val j = l.join(r)
+    assert(j.collect() == Seq((1, ("x", "X"))))
+    s.close()
+    val jEls = elementsOf(store, s.executionId, j.task.id)
+    assert(jEls.length == 1 && jEls.head._3.length == 2)
+    val lIds = elementsOf(store, s.executionId, l.task.id)
+      .filter(_._2.head == Seq("1", "x")).map(_._1)
+    val rIds = elementsOf(store, s.executionId, r.task.id)
+      .filter(_._2.head == Seq("1", "X")).map(_._1)
+    assert(jEls.head._3.toSet == (lIds ++ rIds).toSet)
+  }
+
+  test("outer joins keep unmatched sides with single-parent deps") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val l = s.parallelize(Seq((1, "x"), (2, "y")))
+    val r = s.parallelize(Seq((1, "X")))
+    val lo = l.leftOuterJoin(r)
+    val fo = l.fullOuterJoin(r)
+    assert(lo.collect().toMap == Map(1 -> ("x", Some("X")), 2 -> ("y", None)))
+    assert(fo.collect().toMap == Map(1 -> (Some("x"), Some("X")), 2 -> (Some("y"), None)))
+    s.close()
+    val loEls = elementsOf(store, s.executionId, lo.task.id)
+    assert(loEls.map(_._3.length).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("cartesian: each pair depends on both inputs") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val a = s.parallelize(Seq(1, 2))
+    val b = s.parallelize(Seq("x"))
+    val c = a.cartesian(b)
+    assert(c.collect().toSet == Set((1, "x"), (2, "x")))
+    s.close()
+    val cEls = elementsOf(store, s.executionId, c.task.id)
+    assert(cEls.length == 2 && cEls.forall(_._3.length == 2))
+  }
+
+  test("union is pass-through; downstream sees both parents' elements") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val a = s.parallelize(Seq(1))
+    val b = s.parallelize(Seq(2))
+    val u = a.union(b)
+    val m = u.map(_ * 10)
+    assert(m.collect().sorted == Seq(10, 20))
+    s.close()
+    assert(elementsOf(store, s.executionId, u.task.id).isEmpty)
+    val mDeps = elementsOf(store, s.executionId, m.task.id).flatMap(_._3).toSet
+    val roots = (elementsOf(store, s.executionId, a.task.id) ++
+      elementsOf(store, s.executionId, b.task.id)).map(_._1).toSet
+    assert(mDeps == roots)
+  }
+
+  test("distinct merges duplicate elements' deps") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val src = s.parallelize(Seq(7, 7, 8))
+    val d = src.distinct()
+    assert(d.collect().sorted == Seq(7, 8))
+    s.close()
+    val dEls = elementsOf(store, s.executionId, d.task.id)
+    assert(dEls.find(_._2.head.head == "7").get._3.length == 2)
+    assert(dEls.find(_._2.head.head == "8").get._3.length == 1)
+  }
+
+  test("subtract / intersection / subtractByKey semantics") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val a = s.parallelize(Seq(1, 2, 2, 3))
+    val b = s.parallelize(Seq(3, 4))
+    assert(a.subtract(b).collect().sorted == Seq(1, 2, 2))
+    assert(a.intersection(b).collect() == Seq(3))
+    val pa = s.parallelize(Seq((1, "a"), (2, "b")))
+    val pb = s.parallelize(Seq((2, "z")))
+    assert(pa.subtractByKey(pb).collect() == Seq((1, "a")))
+    s.close()
+  }
+
+  test("cogroup groups both sides per key with full dep set") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val l = s.parallelize(Seq((1, "a"), (1, "b")))
+    val r = s.parallelize(Seq((1, "X"), (2, "Y")))
+    val cg = l.cogroup(r)
+    val m = cg.collect().toMap
+    assert(m(1)._1.sorted == Seq("a", "b") && m(1)._2 == Seq("X"))
+    assert(m(2)._1.isEmpty && m(2)._2 == Seq("Y"))
+    s.close()
+    val els = elementsOf(store, s.executionId, cg.task.id)
+    assert(els.map(_._3.length).sorted.toSeq == Seq(1, 3))
+  }
+
+  test("zip, zipWithIndex, sortBy, sortByKey, glom, mapPartitions") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val a = s.parallelize(Seq(1, 2, 3))
+    val b = s.parallelize(Seq("x", "y", "z"))
+    assert(a.zip(b).collect().toSet == Set((1, "x"), (2, "y"), (3, "z")))
+    val zi = a.zipWithIndex().collect().toMap
+    assert(zi.values.toSet == Set(0L, 1L, 2L))
+    assert(a.sortBy(v => -v).collect() == Seq(3, 2, 1))
+    val p = s.parallelize(Seq((3, "c"), (1, "a"), (2, "b")))
+    assert(p.sortByKey().collect().map(_._1) == Seq(1, 2, 3))
+    val g = a.glom().collect()
+    assert(g.flatten.sorted == Seq(1, 2, 3))
+    val mp = a.mapPartitions(it => Iterator(it.sum))
+    assert(mp.collect().sum == 6)
+    s.close()
+  }
+
+  test("pipe: external process, all-to-all partition lineage") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val src = s.parallelize(Seq("hello", "world")).coalesce(1)
+    val piped = src.pipe(Seq("tr", "a-z", "A-Z"))
+    assert(piped.collect().sorted == Seq("HELLO", "WORLD"))
+    s.close()
+    val pEls = elementsOf(store, s.executionId, piped.task.id)
+    assert(pEls.length == 2 && pEls.forall(_._3.length == 2))
+  }
+
+  test("transformation groups: membership propagation + invariants") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val g = s.newGroup("composite")
+    val src = s.parallelize(Seq(1, 2))
+    val a = src.map(_ + 1).initTransformationGroup(g)
+    val bMid = a.map(_ * 2)
+    val fin = bMid.map(_ - 1).finishTransformationGroup(g)
+    assert(fin.collect().sorted == Seq(3, 5))
+    s.close()
+    assert(g.initTasks.toSeq == Seq(a.task.id))
+    assert(g.intermediaryTasks.toSeq == Seq(bMid.task.id))
+    assert(g.finishTask.contains(fin.task.id))
+    assertThrows[IllegalArgumentException] {
+      fin.map(identity[Int]).finishTransformationGroup(g)
+    }
+    val groups = spark.read.parquet(s"$store/transformation_groups")
+      .filter($"execution_id" === s.executionId).collect()
+    assert(groups.length == 1 && groups.head.getAs[String]("finish_task") == fin.task.id)
+  }
+
+  test("textFile: records depend on their source-file element") {
+    val store = newStore()
+    val dir = Files.createTempDirectory("txt")
+    Files.writeString(dir.resolve("in.txt"), "l1\nl2\n")
+    val s = ProvSession.create(spark, "t", store)
+    val tf = s.textFile(dir.toString)
+    assert(tf.collect().sorted == Seq("l1", "l2"))
+    s.close()
+    val els = elementsOf(store, s.executionId, tf.task.id)
+    val (fileEls, recEls) = els.partition(_._3.isEmpty)
+    assert(fileEls.length == 1 && fileEls.head._2.head.head.endsWith("in.txt"))
+    assert(recEls.length == 2 && recEls.forall(_._3 == Seq(fileEls.head._1)))
+  }
+
+  test("schemas: SingleLineSchema projects named columns; default pair schema") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val src = s.parallelize(Seq("v1;v2"))
+      .setSchema(new SingleLineSchema[String](";", "ColA", "ColB"))
+    src.count()
+    s.close()
+    val els = elementsOf(store, s.executionId, src.task.id)
+    assert(els.head._2 == Seq(Seq("v1", "v2")))
+    val taskRow = spark.read.parquet(s"$store/tasks")
+      .filter($"execution_id" === s.executionId && $"task_id" === src.task.id)
+      .collect().head
+    assert(taskRow.getAs[scala.collection.Seq[String]]("schema_fields").toSeq == Seq("ColA", "ColB"))
+    assert(!taskRow.getAs[Boolean]("using_default_schema"))
+  }
+
+  test("ProvenanceQueries: graphs, value table, lineage closure, JSON export") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val src = s.parallelize(Seq(("a", 1), ("a", 2), ("b", 5)))
+    val mapped = src.mapValues(_ * 10)
+    val red = mapped.reduceByKey(_ + _)
+    assert(red.collect().toMap == Map("a" -> 30, "b" -> 50))
+    s.close()
+
+    val q = new ProvenanceQueries(spark, store)
+    assert(q.executions.filter($"execution_id" === s.executionId).count() == 1)
+    assert(q.tasks(s.executionId).count() == 3)
+    assert(q.taskDependencies(s.executionId).count() == 2)
+    // 3 src + 3 mapped + 2 reduced elements; edges: 3 (map) + 3 (reduce)
+    assert(q.elements(s.executionId).count() == 8)
+    assert(q.elementDependencies(s.executionId).count() == 6)
+    assert(q.fullGraph(s.executionId).count() == 8 + 6)
+    assert(q.producedBy(s.executionId, red.task.id).count() == 2)
+    val vt = q.valueTable(s.executionId, red.task.id).collect()
+    assert(vt.length == 2 && vt.head.getAs[scala.collection.Seq[String]]("schema_fields").toSeq == Seq("Key", "Value"))
+
+    // lineage closure: "a"-sum element ← 2 mapped ← 2 src (4 ancestors)
+    val aRed = q.producedBy(s.executionId, red.task.id)
+      .collect().find(_.getAs[scala.collection.Seq[scala.collection.Seq[String]]]("values").head.head == "a").get
+      .getAs[String]("element_id")
+    assert(q.lineageOf(s.executionId, aRed).count() == 4)
+
+    val jsonFile = Files.createTempFile("graph", ".json")
+    q.exportJson(s.executionId, jsonFile.toString)
+    val txt = Files.readString(jsonFile)
+    assert(txt.contains("\"nodes\"") && txt.contains("\"links\""))
+  }
+
+  test("provenance disabled: ops run, nothing persisted") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store, captureEnabled = false)
+    val r = s.parallelize(Seq(1, 2, 3)).map(_ + 1).collect()
+    assert(r.sorted == Seq(2, 3, 4))
+    s.close()
+    assert(!new java.io.File(s"$store/data_elements").exists())
+  }
+
+  test("actions: reduce, take, top, countByKey, countByValue, lookup") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store, captureEnabled = false)
+    val a = s.parallelize(Seq(3, 1, 2))
+    assert(a.reduce(_ + _) == 6)
+    assert(a.takeOrdered(2) == Seq(1, 2))
+    assert(a.top(1) == Seq(3))
+    assert(a.countByValue() == Map(3 -> 1L, 1 -> 1L, 2 -> 1L))
+    val p = s.parallelize(Seq(("a", 1), ("a", 2)))
+    assert(p.countByKey() == Map("a" -> 2L))
+    assert(p.lookup("a").sorted == Seq(1, 2))
+    assert(p.collectAsMap() == Map("a" -> 2))
+    s.close()
+  }
+}
