@@ -14,7 +14,7 @@ object SparkEntry {
   private def registry: Seq[QueryDef] =
     RelationalQueries.all ++ SetOpQueries.all ++ AggQueries.all ++
       WindowQueries.all ++ EventsQueries.all ++ FuncQueries.all ++
-      TypedQueries.all ++ ProvShowcaseQueries.all
+      TypedQueries.all ++ ProvShowcaseQueries.all ++ FileGroupShowcaseQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

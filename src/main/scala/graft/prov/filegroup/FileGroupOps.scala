@@ -1,0 +1,237 @@
+package graft.prov.filegroup
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{Encoder, Encoders}
+
+import graft.prov._
+
+/** Black-box execution over FileGroup datasets — the Spark-native rebuild
+  * of the reference's FUSE-mounted pipeline (SURVEY §3.2):
+  * fileGroup → runScientificApplication/runCommand → saveFilesAt.
+  * The FUSE in-memory FS (vfs/MemoryFS.java) is replaced by a plain temp
+  * directory: write files, exec, diff the directory (content compare) to
+  * set `modified` — identical capability, no native mounts.
+  */
+object FileGroupOps {
+
+  implicit val fileGroupEnc: Encoder[FileGroup] = Encoders.product[FileGroup]
+  implicit val provFgEnc: Encoder[ProvRecord[FileGroup]] =
+    Encoders.product[ProvRecord[FileGroup]]
+
+  /** Load FileGroups, one per template, with per-file lineage: the group
+    * element depends on one element per source file (reference:
+    * SparkContext.scala:1339-1358 — binaryFiles → coalesce(1) → one
+    * FileGroup per template, tagged FILE_GROUP).
+    */
+  def fileGroup(session: ProvSession, templates: FileGroupTemplate*): ProvDataset[FileGroup] = {
+    val spark = session.spark
+    val task = session.newTask(TransformationType.FILE_GROUP, Nil,
+      s"fileGroup(${templates.map(_.name).mkString(", ")})")
+    task.schemaFields = Seq("Name", "Path", "Size")
+    val execId = session.executionId
+
+    // One row per template; files read through the binaryFile source so
+    // loading scales horizontally across templates.
+    val temps = templates.toSeq
+    val byTemplate: Seq[(FileGroupTemplate, Seq[(String, Array[Byte])])] =
+      temps.map { t =>
+        val df = spark.read.format("binaryFile").load(t.paths: _*)
+          .select("path", "content")
+        val contents = df.collect().map(r =>
+          (r.getString(0), r.getAs[Array[Byte]](1))).toSeq.sortBy(_._1)
+        (t, contents)
+      }
+    val groups: Seq[ProvRecord[FileGroup]] = byTemplate.map { case (t, files) =>
+      val els = files.map { case (uri, content) =>
+        val fname = uri.substring(uri.lastIndexOf('/') + 1)
+        FileElement("", fname, modified = false, content)
+      }
+      val deps = files.map { case (uri, _) =>
+        ProvSinkUtil.fileElementId(execId, uri)
+      }
+      ProvRecord(ProvIds.newId(), deps, FileGroup(t.name, t.extraInfo, els))
+    }
+    val ds = spark.createDataset(groups)
+    val pd = ProvDataset.create(ds, task, session)
+    pd.setSchema(new FileGroupSchema)
+    task.usingDefaultSchema = true // FileGroupSchema IS the default for this type
+    // per-file source elements accompany the group elements at flush
+    if (session.captureEnabled) {
+      val base = task.elementThunk.get
+      val tid = task.id
+      val fileEls = byTemplate.flatMap { case (t, files) =>
+        files.map { case (uri, _) =>
+          ElementRow(execId, tid, ProvSinkUtil.fileElementId(execId, uri),
+            Seq(Seq(uri)), Seq.empty)
+        }
+      }
+      task.elementThunk = Some(() =>
+        base().unionByName(spark.createDataset(fileEls)(ProvSession.elementRowEnc)))
+    }
+    pd
+  }
+
+  /** Ops over a provenance-tracked FileGroup dataset. */
+  implicit final class FileGroupDatasetOps(private val self: ProvDataset[FileGroup]) {
+
+    /** runCommand — execute a native command against each FileGroup's
+      * files in a scratch directory (reference:
+      * rdd/FileGroupRDDFunctions.scala:31-71; AdvancedPipeRDD.scala:30-121).
+      * Output = files kept by the planning filter; `modified` = created or
+      * content-changed; nonzero exit ⇒ exception. 1→1 lineage.
+      */
+    def runCommand(command: Seq[String],
+                   planning: ExecutionPlanning = ExecutionPlanning(),
+                   description: String = "runCommand"): ProvDataset[FileGroup] =
+      runInternal(_ => command, planning, s"$description: ${command.mkString(" ")}")
+
+    def runCommand(command: String): ProvDataset[FileGroup] =
+      runCommand(command.trim.split("\\s+").toSeq)
+
+    def runCommand(command: String, planning: ExecutionPlanning): ProvDataset[FileGroup] =
+      runCommand(command.trim.split("\\s+").toSeq, planning)
+
+    /** runScientificApplication — `{{VAR}}`-template the command line from
+      * the group's extraInfo, resolving the executable under `scriptDir`
+      * (reference: FileGroupRDDFunctions.scala:18-29, Jtwig templating,
+      * spark.sciSpark.internalScriptDir).
+      */
+    def runScientificApplication(commandTemplate: String,
+                                 scriptDir: String = "",
+                                 planning: ExecutionPlanning = ExecutionPlanning()): ProvDataset[FileGroup] = {
+      val dir = if (scriptDir.nonEmpty) scriptDir
+        else self.session.spark.conf.get("spark.graft.scriptDir", "")
+      runInternal({ g =>
+        val rendered = Templating.render(commandTemplate, g.extraInfo)
+        val tokens = rendered.trim.split("\\s+").toSeq
+        if (dir.nonEmpty) (s"$dir/${tokens.head}") +: tokens.tail else tokens
+      }, planning, s"runScientificApplication: $commandTemplate")
+    }
+
+    private def runInternal(mkCommand: FileGroup => Seq[String],
+                            planning: ExecutionPlanning,
+                            description: String): ProvDataset[FileGroup] =
+      self.map({ g =>
+        val work = Files.createTempDirectory("graft-blackbox")
+        try {
+          val inputHashes: Map[String, Int] = g.files.map { f =>
+            val p = work.resolve(f.relativePath)
+            Option(p.getParent).foreach(Files.createDirectories(_))
+            Files.write(p, f.content)
+            f.relativePath -> java.util.Arrays.hashCode(f.content)
+          }.toMap
+
+          val cmd = mkCommand(g)
+          val pb = new ProcessBuilder(cmd: _*)
+          pb.directory(work.toFile)
+          val proc = pb.start()
+          val outPump = pump(proc.getInputStream, planning.onReadLine)
+          val errPump = pump(proc.getErrorStream, planning.onReadErrorLine)
+          val code = proc.waitFor()
+          outPump.join(); errPump.join()
+          if (code != 0)
+            throw new RuntimeException(
+              s"black-box command exited with $code: ${cmd.mkString(" ")}")
+
+          // diff the scratch dir: anything created or content-changed is
+          // modified (reference: MemoryFS.toFileElementList, :265-287)
+          val outFiles = collectFiles(work).map { p =>
+            val rel = work.relativize(p).toString
+            val content = Files.readAllBytes(p)
+            val slash = rel.lastIndexOf('/')
+            val (dirPart, namePart) =
+              if (slash >= 0) (rel.substring(0, slash), rel.substring(slash + 1))
+              else ("", rel)
+            val modified = inputHashes.get(rel) match {
+              case Some(h) => h != java.util.Arrays.hashCode(content)
+              case None    => true
+            }
+            FileElement(dirPart, namePart, modified, content)
+          }.filter(planning.filterFilesForGeneratedRDD)
+
+          val extra = planning.getExtrasInfoForGeneratedRDD
+            .map(f => f(g)).getOrElse(g.extraInfo)
+          FileGroup(g.name, extra, outFiles)
+        } finally {
+          deleteRecursively(work)
+        }
+      }, description)(provFgEnc)
+        .setSchema(new FileGroupSchema)
+        .setTransformationType(TransformationType.PIPE)
+
+    /** Materialize each FileGroup's files under `dir/<elementUUID>/`
+      * (reference: rdd/FileGroupRDDFunctions.scala:73-87).
+      */
+    def saveFilesAt(dir: String): Unit = {
+      val base = dir
+      self.foreachWithDataElement { r =>
+        val root = Paths.get(base, r.id)
+        r.value.files.foreach { f =>
+          val p = root.resolve(f.relativePath)
+          Files.createDirectories(p.getParent)
+          Files.write(p, f.content)
+        }
+      }
+    }
+
+    /** Commit this dataset's FileGroups to the execution's branch in the
+      * session's git artifact repository; records FileGroupReference rows
+      * and marks the task (reference: RDD.scala:206-230,
+      * VersionControl.scala:85-129).
+      */
+    def persistFileGroupInGit(vc: GitVersionControl): ProvDataset[FileGroup] = {
+      val sess = self.session
+      val taskDesc = sess.taskById(self.taskId)
+        .map(_.description.replaceAll("[^A-Za-z0-9._-]+", "_").take(60))
+        .getOrElse("task")
+      val groups = self.collectWithProv()
+      groups.foreach { r =>
+        val folder = vc.writeFileGroup(sess.executionId, taskDesc, r.id, r.value)
+        sess.addFileGroupRef(r.id, folder)
+      }
+      sess.taskById(self.taskId).foreach(_.hasDataInRepository = true)
+      self
+    }
+  }
+
+  private def pump(in: java.io.InputStream, f: String => Unit): Thread = {
+    val t = new Thread(() =>
+      scala.io.Source.fromInputStream(in).getLines().foreach(f))
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  private def collectFiles(root: Path): Seq[Path] = {
+    val s = Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isRegularFile(_)).toVector.sortBy(_.toString)
+    } finally s.close()
+  }
+
+  private def deleteRecursively(root: Path): Unit = {
+    val s = Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.sorted(Comparator.reverseOrder[Path]()).iterator().asScala
+        .foreach(p => Files.deleteIfExists(p))
+    } finally s.close()
+  }
+}
+
+/** Minimal `{{VAR}}` substitutor — the reference used Jtwig
+  * (FileGroupRDDFunctions.scala:18-29); only variable interpolation is
+  * exercised by its workloads.
+  */
+object Templating {
+  private val Var = "\\{\\{\\s*([A-Za-z0-9_]+)\\s*\\}\\}".r
+  def render(template: String, vars: Map[String, String]): String =
+    Var.replaceAllIn(template, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        vars.getOrElse(m.group(1),
+          throw new IllegalArgumentException(
+            s"template variable ${m.group(1)} not found in extraInfo"))))
+}
