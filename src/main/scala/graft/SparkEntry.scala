@@ -14,7 +14,9 @@ object SparkEntry {
   private def registry: Seq[QueryDef] =
     RelationalQueries.all ++ SetOpQueries.all ++ AggQueries.all ++
       WindowQueries.all ++ EventsQueries.all ++ FuncQueries.all ++
-      TypedQueries.all ++ ProvShowcaseQueries.all ++ FileGroupShowcaseQueries.all
+      TypedQueries.all ++ ProvShowcaseQueries.all ++ FileGroupShowcaseQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ TextAnalysisQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor / similarity search over the
+  * `embeddings` table (Array[Float], 64-dim). Cosine is computed with
+  * codegen'd array expressions (zip_with + aggregate) in double
+  * precision — no UDFs.
+  */
+object SimilarityQueries {
+
+  /** embedding + its L2 norm, computed once. */
+  private def withNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(expr(
+        "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+        .as("norm"))
+
+  private val cosExpr =
+    expr("""aggregate(zip_with(a.embedding, b.embedding,
+           |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+           |  0D, (acc, v) -> acc + v)""".stripMargin)
+
+  /** Brute-force cosine top-k (k=10) for 5 query vectors — the exact
+    * baseline. The query side is tiny and broadcast; at scale this is one
+    * pass over the corpus per query batch (no shuffle of the corpus).
+    */
+  val e01KnnBruteForce = QueryDef(
+    "e01_knn_bruteforce",
+    (s, d) => {
+      val e = withNorm(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm"))
+      val scored = e.alias("b").join(broadcast(q.alias("a")),
+          col("a.query_id") =!= col("b.vec_id"))
+        .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"),
+          (expr("""aggregate(zip_with(a.q_emb, b.embedding,
+                 |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                 |  0D, (acc, v) -> acc + v)""".stripMargin)
+            / (col("a.q_norm") * col("b.norm"))).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // cosine computed in explicit DOUBLE: DuckDB's list_cosine_similarity
+    // works in float32 and disagrees at the 6th decimal
+    Some("""WITH scored AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    (list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum') / (sqrt(list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')) * sqrt(list_aggregate([CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')))) AS cos
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+
+  /** Cosine near-duplicate pairs (threshold 0.4) — embedding-space
+    * near-dup detection. All-pairs at sf scale; the LSH variant (e03) is
+    * the 100 TB path.
+    */
+  val e02CosineNearDup = QueryDef(
+    "e02_cosine_neardup",
+    (s, d) => {
+      val e = withNorm(s, d)
+      e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          (cosExpr / (col("a.norm") * col("b.norm"))).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("va"), col("vb"))
+    },
+    Some("""SELECT a.vec_id AS va, b.vec_id AS vb,
+           |  round((list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum') / (sqrt(list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')) * sqrt(list_aggregate([CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')))), 6) AS cos
+           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |WHERE (list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum') / (sqrt(list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')) * sqrt(list_aggregate([CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')))) >= 0.4
+           |ORDER BY va, vb""".stripMargin))
+
+  /** LSH-bucketed ANN: 12 random-hyperplane sign bits (fixed seed) →
+    * bucket; candidates meet only inside their bucket, then exact cosine
+    * ranks the top-3 per query. Approximate by construction → rows-only
+    * check. At 100 TB the corpus is hashed once and bucketed; queries
+    * probe one bucket each.
+    */
+  val e03AnnLsh = QueryDef(
+    "e03_ann_lsh",
+    (s, d) => {
+      val dim = 64
+      val planes = 12
+      val rnd = new scala.util.Random(42)
+      val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
+      val planeLits = (0 until planes).map { p =>
+        val terms = (0 until dim).map(i =>
+          col("embedding").getItem(i).cast("double") * hyper(p)(i))
+        when(terms.reduce(_ + _) >= 0, 1L << p).otherwise(0L)
+      }
+      val e = withNorm(s, d)
+        .withColumn("bucket", planeLits.reduce(_ bitwiseOR _))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm"), col("bucket"))
+      val scored = e.alias("b").join(broadcast(q.alias("a")),
+          col("a.bucket") === col("b.bucket") &&
+          col("a.query_id") =!= col("b.vec_id"))
+        .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"),
+          (expr("""aggregate(zip_with(a.q_emb, b.embedding,
+                 |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                 |  0D, (acc, v) -> acc + v)""".stripMargin)
+            / (col("a.q_norm") * col("b.norm"))).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
+  /** Centroid stats per label — the IVF building block (coarse quantizer
+    * assignment reduces to this aggregation shape at scale).
+    */
+  val e04LabelCentroids = QueryDef(
+    "e04_label_centroids",
+    (s, d) => {
+      val dim = 64
+      val e = Tables.embeddings(s, d)
+      val sums = (0 until dim).map(i =>
+        sum(col("embedding").getItem(i).cast("double")).as(s"s$i"))
+      e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("label"), col("n"), round(expr(
+          (0 until dim).map(i => s"pow(round(s$i / n, 6), 2)")
+            .mkString("sqrt(", " + ", ")")), 6).as("centroid_norm"))
+        .orderBy(col("label"))
+    },
+    Some("SELECT label, count(*) AS n, round(sqrt(" +
+      (0 until 64).map(i =>
+        s"pow(round(sum(embedding[${i + 1}]) / count(*), 6), 2)").mkString(" + ") +
+      "), 6) AS centroid_norm FROM embeddings GROUP BY label ORDER BY label"))
+
+  def all: Seq[QueryDef] = Seq(
+    e01KnnBruteForce, e02CosineNearDup, e03AnnLsh, e04LabelCentroids)
+}
