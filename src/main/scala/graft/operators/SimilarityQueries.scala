@@ -95,7 +95,9 @@ object SimilarityQueries {
     "e03_ann_lsh",
     (s, d) => {
       val dim = 64
-      val planes = 12
+      // 6 planes → 64 buckets: sized so buckets hold ~n/64 candidates;
+      // at larger corpora raise planes to keep bucket size ~constant
+      val planes = 6
       val rnd = new scala.util.Random(42)
       val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
       val planeLits = (0 until planes).map { p =>
