@@ -1,23 +1,58 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line on stdout for the driver
+  * (BENCH_r{N}.json). Times the headline queries at
+  * SPARK_GRAFT_SF_DIR with full materialization through the noop sink
+  * (count() would let Catalyst prune the very work being measured).
+  */
 object Bench {
+
+  /** Headline set: core joins/aggs, windows, events, dedup (exact +
+    * MinHash-LSH), ANN, fingerprinting — the operators whose cost
+    * dominates a real pipeline.
+    */
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_join_agg", "q05_nation_revenue",
+    "q17_window_rank", "q18_window_running", "q28_events_hourly",
+    "d01_exact_dedup", "d04_minhash_lsh", "e01_knn_bruteforce",
+    "t04_fingerprint")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+      } finally {
+        spark.catalog.clearCache()
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // warmup: absorb JVM/codegen/first-parquet-footer costs
+    runOnce("q01_pricing_summary")
+
+    val results = headline.map(n => n -> runOnce(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

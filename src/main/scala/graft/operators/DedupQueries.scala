@@ -127,8 +127,10 @@ object DedupQueries {
           hash((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
             .map(i => col(s"m$i")): _*).as("sig"))
       }
+      // cache: the bucket relation feeds both sides of the candidate
+      // self-join — without this the 64-hash signature pipeline runs twice
       val buckets = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bucket"))
+        explode(array(bandCols: _*)).as("bucket")).cache()
       val cand = buckets.alias("x")
         .join(buckets.alias("y"), col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
