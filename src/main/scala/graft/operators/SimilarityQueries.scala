@@ -4,25 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions.cosine_similarity
 
 /** Approximate-nearest-neighbor / similarity search over the
-  * `embeddings` table (Array[Float], 64-dim). Cosine is computed with
-  * codegen'd array expressions (zip_with + aggregate) in double
-  * precision — no UDFs.
+  * `embeddings` table (Array[Float], 64-dim). Cosine uses the native
+  * codegen'd CosineSimilarity expression (graft.functions) — double
+  * precision, single-pass, no intermediate arrays, no UDFs.
   */
 object SimilarityQueries {
-
-  /** embedding + its L2 norm, computed once. */
-  private def withNorm(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-      sqrt(expr(
-        "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
-        .as("norm"))
-
-  private val cosExpr =
-    expr("""aggregate(zip_with(a.embedding, b.embedding,
-           |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-           |  0D, (acc, v) -> acc + v)""".stripMargin)
 
   /** Brute-force cosine top-k (k=10) for 5 query vectors — the exact
     * baseline. The query side is tiny and broadcast; at scale this is one
@@ -31,17 +20,13 @@ object SimilarityQueries {
   val e01KnnBruteForce = QueryDef(
     "e01_knn_bruteforce",
     (s, d) => {
-      val e = withNorm(s, d)
+      val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("norm").as("q_norm"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       val scored = e.alias("b").join(broadcast(q.alias("a")),
           col("a.query_id") =!= col("b.vec_id"))
         .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"),
-          (expr("""aggregate(zip_with(a.q_emb, b.embedding,
-                 |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                 |  0D, (acc, v) -> acc + v)""".stripMargin)
-            / (col("a.q_norm") * col("b.norm"))).as("cos"))
+          cosine_similarity(col("a.q_emb"), col("b.embedding")).as("cos"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
@@ -71,10 +56,10 @@ object SimilarityQueries {
   val e02CosineNearDup = QueryDef(
     "e02_cosine_neardup",
     (s, d) => {
-      val e = withNorm(s, d)
+      val e = Tables.embeddings(s, d)
       e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-          (cosExpr / (col("a.norm") * col("b.norm"))).as("cos"))
+          cosine_similarity(col("a.embedding"), col("b.embedding")).as("cos"))
         .filter(col("cos") >= 0.4)
         .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
         .orderBy(col("va"), col("vb"))
@@ -105,19 +90,16 @@ object SimilarityQueries {
           col("embedding").getItem(i).cast("double") * hyper(p)(i))
         when(terms.reduce(_ + _) >= 0, 1L << p).otherwise(0L)
       }
-      val e = withNorm(s, d)
+      val e = Tables.embeddings(s, d)
         .withColumn("bucket", planeLits.reduce(_ bitwiseOR _))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("norm").as("q_norm"), col("bucket"))
+          col("bucket"))
       val scored = e.alias("b").join(broadcast(q.alias("a")),
           col("a.bucket") === col("b.bucket") &&
           col("a.query_id") =!= col("b.vec_id"))
         .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"),
-          (expr("""aggregate(zip_with(a.q_emb, b.embedding,
-                 |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                 |  0D, (acc, v) -> acc + v)""".stripMargin)
-            / (col("a.q_norm") * col("b.norm"))).as("cos"))
+          cosine_similarity(col("a.q_emb"), col("b.embedding")).as("cos"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface. The reference's streaming layer is stock
+  * DStreams with no provenance/window additions (SURVEY §1.3/§2.10), so
+  * stock Structured Streaming is a strict superset; these transforms are
+  * the streaming shapes a training-data pipeline needs — windowed
+  * aggregation with watermark, and custom keyed state — defined over any
+  * events-shaped input (batch OR stream: the same code plans both ways,
+  * which is the point of the unified Dataset API).
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class UserRunningCount(user_id: Long, n_events: Long,
+                                    total_value: Double)
+
+  /** Tumbling 1-hour windowed counts with a 10-minute watermark — late
+    * data beyond the watermark is dropped; state is bounded (the property
+    * that matters at scale).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Custom keyed state via mapGroupsWithState: running per-user counts.
+    * State is one small record per user — O(users) memory with timeout
+    * eviction available for unbounded key spaces.
+    */
+  def runningUserCounts(events: Dataset[Event]): Dataset[UserRunningCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunningCount, UserRunningCount](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserRunningCount]) =>
+          val prev = state.getOption.getOrElse(UserRunningCount(uid, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          batch.foreach { e => n += 1; total += e.value }
+          val next = UserRunningCount(uid, n,
+            math.round(total * 100).toDouble / 100)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Session windows (30-minute gap) per user — the streaming
+    * counterpart of q37_sessionize.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+}

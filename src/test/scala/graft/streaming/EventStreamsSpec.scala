@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.Tables
+import EventStreams._
+
+/** Streaming correctness: the streaming plans must agree with their
+  * batch equivalents on the same (fully delivered) data — the invariant
+  * the unified Dataset API promises.
+  */
+class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("streams-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def loadEvents(): Seq[Event] = {
+    val spark2 = spark
+    import spark2.implicits._
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event].collect().toSeq
+  }
+
+  test("streaming hourly windowed agg matches batch aggregation") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+
+    val stream = MemoryStream[Event]
+    val q = hourlyCounts(stream.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Complete())
+      .start()
+    stream.addData(events)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("hourly")
+      .select("hour", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"),
+        col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("mapGroupsWithState running counts match batch groupBy across two micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val (first, second) = events.splitAt(events.length / 2)
+
+    val stream = MemoryStream[Event]
+    val q = runningUserCounts(stream.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update())
+      .start()
+    stream.addData(first)
+    q.processAllAvailable()
+    stream.addData(second)
+    q.processAllAvailable()
+    q.stop()
+
+    // the LAST update per user must equal the batch totals
+    // counts only grow, so the max-count row per user is the last update
+    val finalStates = spark.table("running")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_value"))).as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        col("s.total_value").as("total_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (round(sum(col("value")) * 100) / 100).as("total_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(finalStates.map(t => (t._1, t._2)) == batch.map(t => (t._1, t._2)))
+    assert(finalStates.nonEmpty)
+  }
+
+  test("streaming session windows produce sessions per user") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+
+    val stream = MemoryStream[Event]
+    val q = sessionCounts(stream.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete())
+      .start()
+    stream.addData(events)
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sessions")
+    assert(sessions.count() > 0)
+    // per-user event totals conserved
+    val totals = sessions.groupBy("user_id")
+      .agg(sum("n_events").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchTotals = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(totals == batchTotals)
+  }
+}
