@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.prov._
+
+/** Provenance-overhead measurement (BASELINE.md: "measured and
+  * reported"): the same pipeline (parallelize → map → filter →
+  * reduceByKey → collect) with capture ON vs OFF.
+  * Prints one JSON line: {"off_sec":…,"on_sec":…,"overhead_factor":…}.
+  */
+object ProvBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(200000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val data = (0 until n).map(i => s"k${i % 1000};$i")
+
+    def pipeline(capture: Boolean): Double = {
+      val store = java.nio.file.Files.createTempDirectory("provbench").toString
+      val s = ProvSession.create(spark, "bench", store, captureEnabled = capture)
+      val t0 = System.nanoTime()
+      val out = s.parallelize(data)
+        .map { line => val p = line.split(";"); (p(0), p(1).toLong) }
+        .filter(_._2 % 3 != 0)
+        .reduceByKey(_ + _)
+        .collect()
+      s.close()
+      require(out.length == 1000)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    pipeline(capture = false) // warmup
+    val off = pipeline(capture = false)
+    val on = pipeline(capture = true)
+    println(f"""{"rows":$n,"off_sec":$off%.3f,"on_sec":$on%.3f,"overhead_factor":${on / off}%.2f}""")
+    spark.stop()
+  }
+}

@@ -367,6 +367,54 @@ final class ProvDataset[T] private[prov] (
     passThrough(ds.sample(fraction, seed), t, session)
   }
 
+  /** randomSplit: weighted disjoint samples, each provenance-ignored
+    * (reference: RDD.scala:659-669).
+    */
+  def randomSplit(weights: Seq[Double], seed: Long = 42L): Seq[ProvDataset[T]] =
+    ds.randomSplit(weights.toArray, seed).toSeq.zipWithIndex.map { case (part, i) =>
+      val t = session.newTask(TransformationType.UNKNOWN, Seq(task.id),
+        s"randomSplit[$i]")
+      t.ignored = true
+      passThrough(part, t, session)
+    }
+
+  /** takeSample action (reference: RDD.scala:708). */
+  def takeSample(withReplacement: Boolean, num: Int, seed: Long = 42L): Seq[T] = {
+    onAction()
+    implicit val ct: ClassTag[ProvRecord[T]] = anyRefTag
+    ds.rdd.takeSample(withReplacement, num, seed).toSeq.map(_.value)
+  }
+
+  /** repartitionAndSortWithinPartitions-shaped operator: range-partition
+    * by a key then sort inside partitions — pass-through, no new elements
+    * (reference: OrderedRDDFunctions.scala:76). Spark-native this is
+    * repartitionByRange + sortWithinPartitions, which Catalyst fuses into
+    * one range-shuffle.
+    */
+  def repartitionAndSortWithinPartitions(n: Int, keyCol: String = "value"): ProvDataset[T] = {
+    val t = session.newTask(TransformationType.SHUFFLED, Seq(task.id),
+      s"repartitionAndSortWithinPartitions($n)")
+    passThrough(
+      ds.repartitionByRange(n, org.apache.spark.sql.functions.col(keyCol))
+        .sortWithinPartitions(keyCol), t, session)
+  }
+
+  /** filterByRange on the record value (reference:
+    * OrderedRDDFunctions.scala:86 — partition pruning on the range
+    * partitioner; Catalyst prunes via the pushed predicate instead).
+    */
+  def filterByRange(lower: T, upper: T)(implicit ord: Ordering[T]): ProvDataset[T] =
+    filter(v => ord.gteq(v, lower) && ord.lteq(v, upper),
+      s"filterByRange($lower, $upper)")
+
+  /** countApproxDistinct via HyperLogLog++ (reference: RDD.scala:1460-1486). */
+  def countApproxDistinct(rsd: Double = 0.05): Long = {
+    onAction()
+    ds.select(org.apache.spark.sql.functions
+        .approx_count_distinct(org.apache.spark.sql.functions.col("value"), rsd))
+      .head().getLong(0)
+  }
+
   // ---- actions (SURVEY §2.8) ----------------------------------------
 
   private def onAction(): Unit = session.flush()
@@ -691,6 +739,49 @@ object ProvDataset {
     def lookup(key: K): Seq[V] = {
       session.flush()
       self.ds.filter(r => r.value._1 == key).collect().toSeq.map(_.value._2)
+    }
+  }
+
+  /** Double-stats actions (reference: DoubleRDDFunctions.scala:44-133). */
+  final case class StatSummary(count: Long, mean: Double, stdev: Double,
+                               variance: Double, min: Double, max: Double,
+                               sum: Double)
+
+  implicit final class ProvDoubleOps(private val self: ProvDataset[Double]) {
+    import org.apache.spark.sql.{functions => F}
+    import F.col
+
+    def stats(): StatSummary = {
+      self.session.flush()
+      val r = self.ds.select(
+        F.count(F.lit(1)), F.avg(col("value")), F.stddev_samp(col("value")),
+        F.var_samp(col("value")), F.min(col("value")), F.max(col("value")),
+        F.sum(col("value"))).head()
+      StatSummary(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    }
+
+    def sum(): Double = stats().sum
+    def mean(): Double = stats().mean
+    def variance(): Double = stats().variance
+    def stdev(): Double = stats().stdev
+
+    /** Fixed-bucket histogram over [min, max] (reference:
+      * DoubleRDDFunctions.scala:100-133): one agg for bounds + one
+      * map-side-combined groupBy on the bucket expression.
+      */
+    def histogram(buckets: Int): (Seq[Double], Seq[Long]) = {
+      self.session.flush()
+      val b = self.ds.select(F.min(col("value")), F.max(col("value"))).head()
+      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+      val width = (hi - lo) / buckets
+      val edges = (0 to buckets).map(i => lo + i * width)
+      val counts = self.ds.select(
+        F.least(F.floor((col("value") - lo) / width).cast("int"),
+          F.lit(buckets - 1)).as("bucket"))
+        .groupBy(col("bucket")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (edges, (0 until buckets).map(i => counts.getOrElse(i, 0L)))
     }
   }
 }

