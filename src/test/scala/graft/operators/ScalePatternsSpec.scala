@@ -1,0 +1,97 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Scale patterns asserted on plan shape, not just results: bucketing
+  * eliminates the join shuffle; salting spreads a skewed key. These are
+  * the 100 TB levers (SURVEY §4.2 / build guidance) proven at test scale.
+  */
+class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val warehouse = Files.createTempDirectory("warehouse").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    // AQE wraps plans in AdaptiveSparkPlanExec, hiding exchanges from
+    // plan-shape assertions; the AQE test re-enables it explicitly
+    .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def countShuffles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case _: ShuffleExchangeExec => 1
+    }.sum
+
+  test("bucketed tables co-locate the join: zero shuffle exchanges") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    l.write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+
+    val unbucketed = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).count()
+    val bucketed = spark.table("lineitem_b")
+      .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).count()
+
+    assert(countShuffles(unbucketed) >= 2,  // both sides shuffle on the key
+      "unbucketed join should shuffle both sides")
+    assert(countShuffles(bucketed) <= 1,    // only the final groupBy moves data
+      "bucketed join must not shuffle the join inputs")
+    // identical results
+    assert(bucketed.collect().map(_.toSeq).toSet ==
+      unbucketed.collect().map(_.toSeq).toSet)
+  }
+
+  test("salted join spreads a skewed key and preserves results") {
+    val spark2 = spark
+    import spark2.implicits._
+    val salt = 8
+    // skew: one key holds 90% of the fact side
+    val fact = (1 to 10000).map(i => (if (i <= 9000) 1L else i.toLong, i.toDouble))
+      .toDF("k", "v")
+    val dim = (1 to 10000).map(i => (i.toLong, s"name$i")).toDF("k", "name")
+
+    val plain = fact.join(dim, "k").groupBy("k").agg(sum("v").as("s"))
+
+    val saltedFact = fact.withColumn("salt",
+      (rand(42) * salt).cast("int"))
+    val explodedDim = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    val salted = saltedFact.join(explodedDim, Seq("k", "salt"))
+      .groupBy("k").agg(sum("v").as("s"))
+
+    assert(salted.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+    // the salted join key has `salt`× the distinct values on the hot key
+    val spread = saltedFact.filter($"k" === 1L)
+      .select(countDistinct($"salt")).head().getLong(0)
+    assert(spread > 1, "hot key must spread across salt partitions")
+  }
+
+  test("AQE coalesces small shuffle partitions") {
+    val before = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .groupBy("l_returnflag").count()
+      val n = df.rdd.getNumPartitions
+      assert(n <= 4, s"AQE should coalesce tiny shuffle output, got $n")
+      assert(df.count() == 3)
+    } finally before.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
+  }
+}
