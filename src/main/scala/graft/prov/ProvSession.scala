@@ -124,7 +124,14 @@ final class ProvSession private[prov] (
   def parallelize[T](data: Seq[T], description: String = "parallelize")(
       implicit et: Encoder[T], ep: Encoder[ProvRecord[T]]): ProvDataset[T] = {
     val task = newTask(TransformationType.RANGE, Nil, description)
-    val ds = spark.createDataset(data).map(v => ProvRecord(ProvIds.newId(), Seq.empty[String], v))
+    // distribute via sc.parallelize: createDataset(Seq) builds a
+    // LocalRelation that executes on a single thread, serializing every
+    // downstream stage of the pipeline
+    implicit val ct: scala.reflect.ClassTag[T] = ProvDataset.anyRefTag
+    val rdd = spark.sparkContext.parallelize(data,
+      spark.sparkContext.defaultParallelism)
+    val ds = spark.createDataset(rdd)
+      .map(v => ProvRecord(ProvIds.newId(), Seq.empty[String], v))
     ProvDataset.create(ds, task, this)
   }
 
@@ -171,10 +178,13 @@ final class ProvSession private[prov] (
   def flush(): Unit = if (captureEnabled) {
     val pending = tasks.values.filter(t => !t.flushed && !t.ignored && t.elementThunk.nonEmpty).toSeq
     if (pending.nonEmpty) {
+      val t0 = System.nanoTime()
       val all = pending.map(_.elementThunk.get.apply()).reduce(_ unionByName _)
       all.write.mode("append").partitionBy("execution_id")
         .parquet(s"$storeDir/data_elements")
       pending.foreach(_.flushed = true)
+      if (sys.env.contains("GRAFT_PROV_DEBUG"))
+        System.err.println(f"[prov] flushed ${pending.size} tasks in ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
   }
 
