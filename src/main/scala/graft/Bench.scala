@@ -26,6 +26,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // wide multi-agg plans (d04's 64 minhash columns) pay quadratic
+      // planning in constraint propagation; correctness is unaffected
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -111,24 +111,21 @@ object DedupQueries {
       val bands = 16
       val rowsPerBand = numHashes / bands
       val prime = 2038074743L
-      val rnd = new scala.util.Random(42)
-      val coefs = Seq.fill(numHashes)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong
-        -> rnd.nextInt(Int.MaxValue).toLong)
 
       val sh = shingles(s, d).cache()
       val hashed = sh.select(col("doc_id"),
         pmod(xxhash64(col("s")), lit(prime)).as("h"))
-      val minhashCols = coefs.zipWithIndex.map { case ((a, b), i) =>
-        min(pmod(col("h") * a + b, lit(prime))).as(s"m$i")
-      }
-      val sig = hashed.groupBy(col("doc_id")).agg(minhashCols.head, minhashCols.tail: _*)
+      // one native aggregate computes the whole signature (tight
+      // primitive loop, map-side combinable) — see functions.MinHashAgg
+      val sig = hashed.groupBy(col("doc_id"))
+        .agg(graft.functions.MinHashAgg.minhash(col("h"), numHashes, 42L, prime)
+          .as("sig"))
       val bandCols = (0 until bands).map { bnd =>
         struct(lit(bnd).as("band"),
-          hash((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
-            .map(i => col(s"m$i")): _*).as("sig"))
+          hash(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)).as("sig"))
       }
       // cache: the bucket relation feeds both sides of the candidate
-      // self-join — without this the 64-hash signature pipeline runs twice
+      // self-join — without this the signature pipeline runs twice
       val buckets = sig.select(col("doc_id"),
         explode(array(bandCols: _*)).as("bucket")).cache()
       val cand = buckets.alias("x")
