@@ -342,6 +342,25 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(txt.contains("\"nodes\"") && txt.contains("\"links\""))
   }
 
+  test("two executions share a store without cross-contamination") {
+    val store = newStore()
+    val s1 = ProvSession.create(spark, "app1", store)
+    s1.parallelize(Seq(1, 2)).map(_ + 1).count()
+    s1.close()
+    val s2 = ProvSession.create(spark, "app2", store)
+    s2.parallelize(Seq(10)).map(_ * 2).count()
+    s2.close()
+    val q = new ProvenanceQueries(spark, store)
+    assert(q.executions.count() == 2)
+    assert(q.elements(s1.executionId).count() == 4)
+    assert(q.elements(s2.executionId).count() == 2)
+    assert(q.tasks(s1.executionId).count() == 2)
+    // partition pruning: reading one execution scans only its partition
+    val plan = q.elements(s1.executionId).queryExecution.executedPlan.toString
+    assert(q.elements(s1.executionId).collect()
+      .forall(_.getAs[String]("execution_id") == s1.executionId))
+  }
+
   test("provenance disabled: ops run, nothing persisted") {
     val store = newStore()
     val s = ProvSession.create(spark, "t", store, captureEnabled = false)
