@@ -96,6 +96,31 @@ object WindowQueries {
     Some("""SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS idx, c_custkey
            |FROM customer ORDER BY idx""".stripMargin))
 
+  /** Top-3 suppliers per nation by acctbal via the CUSTOM TopKPerKey
+    * operator (graft.plans: LogicalPlan + Strategy + two-phase bounded-
+    * heap SparkPlan — no sort, O(keys·k) memory). Oracle is the window
+    * formulation, proving the custom physical operator computes the
+    * same relation.
+    */
+  val q42TopKPerKeyCustom = QueryDef(
+    "q42_topk_per_key_custom",
+    (s, d) => {
+      val su = Tables.supplier(s, d)
+      graft.plans.TopK.perKey(su, Seq("s_nationkey"),
+          struct(negate(col("s_acctbal")), col("s_suppkey")), k = 3)
+        .select(col("s_nationkey"), col("s_suppkey"),
+          round(col("s_acctbal"), 2).as("s_acctbal"))
+        .orderBy(col("s_nationkey"), col("s_suppkey"))
+    },
+    Some("""SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS s_acctbal
+           |FROM (
+           |  SELECT s_nationkey, s_suppkey, s_acctbal,
+           |    row_number() OVER (PARTITION BY s_nationkey
+           |      ORDER BY s_acctbal DESC, s_suppkey) AS rn
+           |  FROM supplier)
+           |WHERE rn <= 3 ORDER BY s_nationkey, s_suppkey""".stripMargin))
+
   def all: Seq[QueryDef] =
-    Seq(q17WindowRank, q18WindowRunning, q19WindowLagLead, q25ZipWithIndex)
+    Seq(q17WindowRank, q18WindowRunning, q19WindowLagLead, q25ZipWithIndex,
+      q42TopKPerKeyCustom)
 }
