@@ -453,6 +453,12 @@ final class ProvDataset[T] private[prov] (
     ds.groupByKey(_.value).count().collect().toMap
   }
 
+  def toLocalIterator(): Iterator[T] = {
+    onAction()
+    import scala.jdk.CollectionConverters._
+    ds.toLocalIterator().asScala.map(_.value)
+  }
+
   def saveAsTextFile(path: String): Unit = {
     onAction()
     ds.map(r => String.valueOf(r.value))(Encoders.STRING).write.text(path)

@@ -49,8 +49,15 @@ object ProvSession {
     */
   def create(spark: SparkSession, appName: String, storeDir: String,
              captureEnabled: Boolean = true,
-             captureDropped: Boolean = false): ProvSession =
-    new ProvSession(spark, appName, storeDir, captureEnabled, captureDropped)
+             captureDropped: Boolean = false,
+             versionControl: Option[graft.prov.filegroup.GitVersionControl] = None): ProvSession = {
+    val s = new ProvSession(spark, appName, storeDir, captureEnabled,
+      captureDropped, versionControl)
+    // reference lifecycle: execution branch created at context init
+    // (SparkContext.scala:389-390, GitServerManager.scala:90-128)
+    versionControl.foreach(_.initExecution(s.executionId))
+    s
+  }
 }
 
 /** One provenance-tracked execution (reference: Execution.scala +
@@ -68,7 +75,8 @@ final class ProvSession private[prov] (
     val appName: String,
     val storeDir: String,
     val captureEnabled: Boolean,
-    val captureDropped: Boolean) {
+    val captureDropped: Boolean,
+    val versionControl: Option[graft.prov.filegroup.GitVersionControl] = None) {
 
   import ProvSession._
 
@@ -219,6 +227,9 @@ final class ProvSession private[prov] (
           .parquet(s"$storeDir/file_group_references")
       }
     }
+    // reference: VersionControl.finish on sc.stop
+    // (SparkContext.scala:1975-1976, VersionControl.scala:134-157)
+    versionControl.foreach(_.finish(executionId))
     cached.foreach(_.unpersist())
     cached.clear()
   }

@@ -145,8 +145,7 @@ class FileGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val repo = Files.createTempDirectory("gitrepo").toString
     val vc = new GitVersionControl(repo)
     val store = newStore()
-    val s = ProvSession.create(spark, "fg", store)
-    vc.initExecution(s.executionId)
+    val s = ProvSession.create(spark, "fg", store, versionControl = Some(vc))
     val fg = fileGroup(s,
       FileGroupTemplate.ofFile(dir.resolve("ORTHOMCL1.fasta").toString),
       FileGroupTemplate.ofFile(dir.resolve("ORTHOMCL2.fasta").toString))
