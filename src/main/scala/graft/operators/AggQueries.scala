@@ -209,7 +209,31 @@ object AggQueries {
            |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** TPC-H Q13 shape: distribution of orders-per-customer — two stacked
+    * aggregations (left join → per-customer count → count-of-counts).
+    * The second groupBy input is already tiny; at scale only the first
+    * shuffle moves real data.
+    */
+  val q43CustDist = QueryDef(
+    "q43_custdist",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("n_orders"))
+    },
+    Some("""SELECT n_orders, count(*) AS n_cust FROM (
+           |  SELECT c_custkey, count(o_orderkey) AS n_orders
+           |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           |  GROUP BY c_custkey)
+           |GROUP BY n_orders ORDER BY n_orders""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     q20Cube, q21Rollup, q22CountDistinct, q23Stats, q24Histogram,
-    q31ScalarSubquery, q32Pivot, q35GlobalAgg, q36TreeAggregate, q39Percentiles)
+    q31ScalarSubquery, q32Pivot, q35GlobalAgg, q36TreeAggregate,
+    q39Percentiles, q43CustDist)
 }
