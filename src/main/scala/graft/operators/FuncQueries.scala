@@ -20,7 +20,7 @@ object FuncQueries {
           col("p_partkey"),
           upper(col("p_brand")).as("brand_u"),
           substring(col("p_name"), 1, 10).as("name10"),
-          length(col("p_name")).as("name_len"),
+          length(col("p_name")).cast("long").as("name_len"),
           concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"))
         .orderBy(col("p_partkey"))
     },
@@ -37,9 +37,9 @@ object FuncQueries {
       Tables.orders(s, d)
         .select(
           col("o_orderkey"),
-          year(col("o_orderdate")).as("yr"),
-          month(col("o_orderdate")).as("mo"),
-          dayofmonth(col("o_orderdate")).as("dom"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
           date_trunc("month", col("o_orderdate")).as("month_start"))
         .orderBy(col("o_orderkey"))
     },

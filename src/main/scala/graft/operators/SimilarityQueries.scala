@@ -30,7 +30,7 @@ object SimilarityQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 10)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"))
@@ -103,7 +103,7 @@ object SimilarityQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"))

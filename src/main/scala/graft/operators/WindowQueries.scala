@@ -20,8 +20,8 @@ object WindowQueries {
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
       Tables.customer(s, d)
-        .withColumn("rn", row_number().over(w))
-        .withColumn("rk", rank().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("rk", rank().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
                 col("rn"), col("rk"))
