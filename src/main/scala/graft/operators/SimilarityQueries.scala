@@ -133,6 +133,61 @@ object SimilarityQueries {
         s"pow(round(sum(embedding[${i + 1}]) / count(*), 6), 2)").mkString(" + ") +
       "), 6) AS centroid_norm FROM embeddings GROUP BY label ORDER BY label"))
 
+  /** IVF-style ANN: coarse centroids (label means — a deterministic
+    * stand-in for k-means training), every vector assigned to its
+    * nearest centroid cell, queries probe their 2 nearest cells, exact
+    * cosine ranks top-3 inside the probed cells. At 100 TB: centroids
+    * broadcast, the corpus partitions by cell once, and each query
+    * touches ~nprobe/ncells of the data. Approximate → rows-only check.
+    */
+  val e05AnnIvf = QueryDef(
+    "e05_ann_ivf",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      // "train": centroid per label (deterministic; e04 is this shape)
+      val dim = 64
+      val sums = (0 until dim).map(i =>
+        sum(col("embedding").getItem(i).cast("double")).as(s"s$i"))
+      val centroids = e.groupBy(col("label")).agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("label").as("cell"),
+          array((0 until dim).map(i => (col(s"s$i") / col("n")).cast("float")): _*)
+            .as("centroid"))
+      // assign: nearest cell per vector (centroids broadcast)
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("cs").desc, col("cell"))
+      val assigned = e.join(broadcast(centroids))
+        .withColumn("cs", cosine_similarity(col("embedding"), col("centroid")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      // queries probe their 2 nearest cells
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cs").desc, col("cell"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        .join(broadcast(centroids))
+        .withColumn("cs", cosine_similarity(col("q_emb"), col("centroid")))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("query_id"), col("q_emb"), col("cell"))
+      // exact search within probed cells only
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      assigned.alias("b").join(broadcast(probes.alias("a")),
+          col("a.cell") === col("b.cell") && col("a.query_id") =!= col("b.vec_id"))
+        .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"),
+          cosine_similarity(col("a.q_emb"), col("b.embedding")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
   def all: Seq[QueryDef] = Seq(
-    e01KnnBruteForce, e02CosineNearDup, e03AnnLsh, e04LabelCentroids)
+    e01KnnBruteForce, e02CosineNearDup, e03AnnLsh, e04LabelCentroids, e05AnnIvf)
 }
