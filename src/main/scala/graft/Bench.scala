@@ -13,11 +13,19 @@ object Bench {
     * MinHash-LSH), ANN, fingerprinting — the operators whose cost
     * dominates a real pipeline.
     */
-  val headline: Seq[String] = Seq(
+  val defaultHeadline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_join_agg", "q05_nation_revenue",
     "q17_window_rank", "q18_window_running", "q28_events_hourly",
     "d01_exact_dedup", "d04_minhash_lsh", "e01_knn_bruteforce",
     "t04_fingerprint")
+
+  /** Override with SPARK_GRAFT_BENCH_QUERIES=name1,name2 for ad-hoc runs;
+    * a name may repeat to measure warm-plan cost.
+    */
+  def headline: Seq[String] =
+    sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(defaultHeadline)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

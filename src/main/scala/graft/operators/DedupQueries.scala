@@ -116,18 +116,20 @@ object DedupQueries {
       val hashed = sh.select(col("doc_id"),
         pmod(xxhash64(col("s")), lit(prime)).as("h"))
       // one native aggregate computes the whole signature (tight
-      // primitive loop, map-side combinable) — see functions.MinHashAgg
+      // primitive loop, map-side combinable) — see functions.MinHashAgg;
+      // the shingle count rides in the same shuffle (cnt reuses sig,
+      // saving a full groupBy over the shingle table)
       val sig = hashed.groupBy(col("doc_id"))
         .agg(graft.functions.MinHashAgg.minhash(col("h"), numHashes, 42L, prime)
-          .as("sig"))
+          .as("sig"), count(lit(1)).as("n"))
+        .cache()
       val bandCols = (0 until bands).map { bnd =>
         struct(lit(bnd).as("band"),
           hash(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)).as("sig"))
       }
-      // cache: the bucket relation feeds both sides of the candidate
-      // self-join — without this the signature pipeline runs twice
+      // sig is cached: it feeds both self-join sides and the counts
       val buckets = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bucket")).cache()
+        explode(array(bandCols: _*)).as("bucket"))
       val cand = buckets.alias("x")
         .join(buckets.alias("y"), col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -135,7 +137,7 @@ object DedupQueries {
         .distinct()
 
       // exact-Jaccard verification of candidates
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val cnt = sig.select(col("doc_id"), col("n"))
       val a = sh.select(col("doc_id").as("da"), col("s"))
       val b = sh.select(col("doc_id").as("db"), col("s"))
       val common = cand.join(a, Seq("da")).join(b, Seq("db", "s"))
