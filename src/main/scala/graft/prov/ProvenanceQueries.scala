@@ -69,11 +69,33 @@ final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
   }
 
   /** Elements produced by one task, optionally with their consumed
-    * sources (reference: DataElementAPICtrl.kt:105-179).
+    * sources (reference: DataElementAPICtrl.kt:105-179). Pass-through
+    * tasks (UNION etc.) own no elements; like the reference's
+    * "UNION tasks expanded to parents", expandPassThrough walks up the
+    * task DAG until tasks with elements are found.
     */
-  def producedBy(executionId: String, taskId: String): DataFrame =
-    elements(executionId).filter(col("task_id") === taskId)
-      .select(col("element_id"), col("values"), col("deps"))
+  def producedBy(executionId: String, taskId: String,
+                 expandPassThrough: Boolean = false): DataFrame = {
+    def direct(tid: String) =
+      elements(executionId).filter(col("task_id") === tid)
+        .select(col("element_id"), col("values"), col("deps"))
+    if (!expandPassThrough) direct(taskId)
+    else {
+      val taskRows = tasks(executionId)
+        .select(col("task_id"), col("dependencies")).collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val withElements = elements(executionId)
+        .select(col("task_id")).distinct().collect().map(_.getString(0)).toSet
+      def expand(tid: String, seen: Set[String]): Seq[String] =
+        if (withElements.contains(tid)) Seq(tid)
+        else taskRows.getOrElse(tid, Seq.empty)
+          .filterNot(seen).flatMap(p => expand(p, seen + tid)).distinct
+      expand(taskId, Set.empty) match {
+        case Seq() => direct(taskId)
+        case tids  => tids.map(direct).reduce(_ unionByName _)
+      }
+    }
+  }
 
   /** Record value table: header from Task.schema_fields + the value grid
     * (reference: DataElementAPICtrl.kt:181-233).
@@ -104,6 +126,31 @@ final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
       hop += 1
       val next = frontier.join(edges, frontier("id") === edges("target"))
         .select(col("source").as("id"), lit(hop).as("hop"))
+      frontier = next.join(acc.select(col("id").as("seen")),
+          col("id") === col("seen"), "left_anti")
+        .distinct()
+      continue = !frontier.isEmpty
+      if (continue) acc = acc.unionByName(frontier)
+    }
+    edges.unpersist()
+    acc.distinct()
+  }
+
+  /** Forward closure: everything derived from one element (impact
+    * analysis — the symmetric query to lineageOf).
+    */
+  def descendantsOf(executionId: String, elementId: String, maxHops: Int = 20): DataFrame = {
+    val edges = elementDependencies(executionId)
+      .select(col("target"), col("source")).persist()
+    var frontier = edges.filter(col("source") === elementId)
+      .select(col("target").as("id"), lit(1).as("hop"))
+    var acc = frontier
+    var hop = 1
+    var continue = !frontier.isEmpty
+    while (continue && hop < maxHops) {
+      hop += 1
+      val next = frontier.join(edges, frontier("id") === edges("source"))
+        .select(col("target").as("id"), lit(hop).as("hop"))
       frontier = next.join(acc.select(col("id").as("seen")),
           col("id") === col("seen"), "left_anti")
         .distinct()

@@ -340,6 +340,25 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.exportJson(s.executionId, jsonFile.toString)
     val txt = Files.readString(jsonFile)
     assert(txt.contains("\"nodes\"") && txt.contains("\"links\""))
+
+    // forward closure: a src element flows into 1 mapped + 1 reduced
+    val aSrc = q.producedBy(s.executionId, src.task.id).collect()
+      .find(_.getAs[scala.collection.Seq[scala.collection.Seq[String]]]("values").head == Seq("a", "1"))
+      .get.getAs[String]("element_id")
+    assert(q.descendantsOf(s.executionId, aSrc).count() == 2)
+  }
+
+  test("producedBy expands pass-through (union) tasks to parents") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val a = s.parallelize(Seq(1))
+    val b = s.parallelize(Seq(2))
+    val u = a.union(b)
+    u.count()
+    s.close()
+    val q = new ProvenanceQueries(spark, store)
+    assert(q.producedBy(s.executionId, u.task.id).count() == 0)
+    assert(q.producedBy(s.executionId, u.task.id, expandPassThrough = true).count() == 2)
   }
 
   test("two executions share a store without cross-contamination") {
