@@ -42,7 +42,7 @@ object AggQueries {
         .groupBy(col("c_nationkey"))
         .agg(
           count(lit(1)).as("n"),
-          round(avg(col("c_acctbal")), 2).as("avg_bal"),
+          round(avg(col("c_acctbal")), 4).as("avg_bal"),
           round(stddev_samp(col("c_acctbal")), 2).as("stddev_bal"),
           round(var_samp(col("c_acctbal")), 2).as("var_bal"),
           round(min(col("c_acctbal")), 2).as("min_bal"),
@@ -51,7 +51,7 @@ object AggQueries {
         .orderBy(col("c_nationkey"))
     },
     Some("""SELECT c_nationkey, count(*) AS n,
-           |  round(avg(c_acctbal), 2) AS avg_bal,
+           |  round(avg(c_acctbal), 4) AS avg_bal,
            |  round(stddev_samp(c_acctbal), 2) AS stddev_bal,
            |  round(var_samp(c_acctbal), 2) AS var_bal,
            |  round(min(c_acctbal), 2) AS min_bal,
@@ -185,13 +185,13 @@ object AggQueries {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
         .orderBy(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag,
-           |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-           |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+           |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   /** Scalar subquery comparison (orders above global mean). */

@@ -11,9 +11,11 @@ import graft.Tables
   *
   * Each query maps a reference RDD operator family (cites in Scaladoc per
   * query) to declarative DataFrame code; the paired DuckDB oracle verifies
-  * semantics at sf0.01. Floating-point aggregates are rounded to 2 decimals
-  * on BOTH sides so partial-sum order differences between engines can't
-  * flip the hash compare.
+  * semantics at sf0.01. Floating-point outputs are rounded on BOTH sides
+  * at a precision where the TRUE decimal value cannot sit on a rounding
+  * boundary (sums of 2dp values → 2dp; 2dp×2dp products → 4dp; averages
+  * and interpolated percentiles → 4dp+), so engine half-rounding
+  * differences can never flip the compare — validated at sf0.001/0.01/0.1.
   *
   * Scale notes: dimension joins (region/nation/customer/supplier) are
   * explicitly `broadcast(...)`-hinted — at 100 TB the fact tables shuffle
@@ -36,8 +38,8 @@ object RelationalQueries {
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 2).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -45,8 +47,8 @@ object RelationalQueries {
            |  round(sum(l_quantity), 2) AS sum_qty,
            |  round(sum(l_extendedprice), 2) AS sum_base_price,
            |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           |  round(avg(l_quantity), 2) AS avg_qty,
-           |  round(avg(l_discount), 4) AS avg_disc,
+           |  round(avg(l_quantity), 4) AS avg_qty,
+           |  round(avg(l_discount), 6) AS avg_disc,
            |  count(*) AS count_order
            |FROM lineitem
            |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
