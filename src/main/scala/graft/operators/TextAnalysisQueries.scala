@@ -147,6 +147,77 @@ object TextAnalysisQueries {
            |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** Winnowing fingerprint (rolling-hash document fingerprinting, as in
+    * MOSS): character 8-gram hashes, sliding window of 4 positions keeps
+    * the window minimum, the distinct kept hashes are the document's
+    * fingerprint set. Portable across engines because the "hash" is the
+    * md5 hex string and the window minimum is lexicographic. One window
+    * pass per doc — scales as a partition-local windowed scan.
+    */
+  val t06Winnowing = QueryDef(
+    "t06_winnowing",
+    (s, d) => {
+      val g = 8 // shingle length
+      val win = 4 // winnowing window
+      val grams = Tables.documents(s, d)
+        .filter(length(col("text")) >= g)
+        .select(col("doc_id"),
+          explode(expr(s"transform(sequence(1, length(text) - ${g - 1}), " +
+            s"i -> struct(i AS pos, md5(substring(text, i, $g)) AS h))")).as("x"))
+        .select(col("doc_id"), col("x.pos").as("pos"), col("x.h").as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(-(win - 1), 0)
+      grams
+        .withColumn("wmin", min(col("h")).over(w))
+        .filter(col("pos") >= win) // only full windows
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("wmin")).as("n_fingerprints"),
+          min(col("wmin")).as("min_fp"), max(col("wmin")).as("max_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH grams AS (
+            |  SELECT doc_id, unnest(generate_series(1, length(text) - 7)) AS pos,
+            |    text FROM documents WHERE length(text) >= 8),
+            |hashed AS (
+            |  SELECT doc_id, pos, md5(substr(text, pos, 8)) AS h FROM grams),
+            |winmin AS (
+            |  SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+            |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+            |  FROM hashed)
+            |SELECT doc_id, count(DISTINCT wmin) AS n_fingerprints,
+            |  min(wmin) AS min_fp, max(wmin) AS max_fp
+            |FROM winmin WHERE pos >= 4
+            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** BPE-ish subword token counting: a GPT-2-style pre-tokenizer regex
+    * (letter runs | digit runs | single non-alphanumeric) counted per
+    * doc — the cheap token-budget estimator for training pipelines.
+    * Plain character classes keep Java-regex (Spark) and RE2-ish
+    * (DuckDB) semantics identical.
+    */
+  val t07BpeTokenCount = QueryDef(
+    "t07_bpe_token_count",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast("long").as("n_bpe_tokens"),
+          (length(col("text")).cast("double") /
+            greatest(size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")),
+              lit(1))).cast("double").as("chars_per_token"))
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          round(col("chars_per_token"), 4).as("chars_per_token"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+           |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+           |  round(length(text) * 1.0 /
+           |    greatest(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 1), 4)
+           |    AS chars_per_token
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
-    t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint, t05CorpusReport)
+    t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
+    t05CorpusReport, t06Winnowing, t07BpeTokenCount)
 }
