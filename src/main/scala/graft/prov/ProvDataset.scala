@@ -340,6 +340,15 @@ final class ProvDataset[T] private[prov] (
 
   // ---- partitioning / ordering (pass-through: no new elements) -------
 
+  /** persist/cache/checkpoint passthroughs (reference: RDD.scala:457-480
+    * — cached blocks hold the wrapped records; same here, the cached
+    * Dataset rows carry ProvRecord columns).
+    */
+  def persist(): this.type = { ds.persist(); this }
+  def cache(): this.type = persist()
+  def unpersist(): this.type = { ds.unpersist(); this }
+  def localCheckpoint(): this.type = { ds = ds.localCheckpoint(); this }
+
   def repartition(n: Int): ProvDataset[T] = {
     val t = session.newTask(TransformationType.SHUFFLED, Seq(task.id), s"repartition($n)")
     passThrough(ds.repartition(n), t, session)
@@ -721,6 +730,16 @@ object ProvDataset {
         else ls.map(r => ProvRecord(ProvIds.newId(), depsOf(r), r.value))
       }
       create(out, t, session)
+    }
+
+    /** partitionBy parity (PairRDDFunctions.scala:529): hash-partition by
+      * key; pass-through (no new elements, SHUFFLED task node).
+      */
+    def partitionByKey(n: Int): ProvDataset[(K, V)] = {
+      val t = session.newTask(TransformationType.SHUFFLED, Seq(task.id),
+        s"partitionBy($n)")
+      passThrough(self.ds.repartition(n,
+        org.apache.spark.sql.functions.col("value._1")), t, session)
     }
 
     def sortByKey(ascending: Boolean = true)(

@@ -400,6 +400,11 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.repartitionAndSortWithinPartitions(4).count() == 100)
     val approx = a.countApproxDistinct()
     assert(approx > 90 && approx < 110)
+    assert(a.cache().count() == 100)
+    assert(a.localCheckpoint().count() == 100)
+    a.unpersist()
+    val pp = s.parallelize(Seq((1, "a"), (2, "b"))).partitionByKey(2)
+    assert(pp.collect().toMap == Map(1 -> "a", 2 -> "b"))
     val d = s.parallelize((1 to 100).map(_.toDouble))
     val st = d.stats()
     assert(st.count == 100 && st.min == 1.0 && st.max == 100.0 && st.sum == 5050.0)
