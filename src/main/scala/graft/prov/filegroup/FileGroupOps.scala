@@ -25,50 +25,70 @@ object FileGroupOps {
     * SparkContext.scala:1339-1358 — binaryFiles → coalesce(1) → one
     * FileGroup per template, tagged FILE_GROUP).
     */
+  /** Normalize a Hadoop file URI (file:/x, file:///x) to a plain
+    * absolute path so element ids are stable across read paths.
+    */
+  private def normalizePath(uri: String): String =
+    uri.replaceFirst("^file:/+", "/")
+
   def fileGroup(session: ProvSession, templates: FileGroupTemplate*): ProvDataset[FileGroup] = {
     val spark = session.spark
+    import org.apache.spark.sql.functions.col
     val task = session.newTask(TransformationType.FILE_GROUP, Nil,
       s"fileGroup(${templates.map(_.name).mkString(", ")})")
     task.schemaFields = Seq("Name", "Path", "Size")
     val execId = session.executionId
 
-    // One row per template; files read through the binaryFile source so
-    // loading scales horizontally across templates.
+    // Fully distributed load: one binaryFile scan over every template's
+    // paths; contents never touch the driver (the reference likewise
+    // builds groups inside executors, SparkContext.scala:1339-1358).
+    // Only the path→template index (small) is captured in the closure.
     val temps = templates.toSeq
-    val byTemplate: Seq[(FileGroupTemplate, Seq[(String, Array[Byte])])] =
-      temps.map { t =>
-        val df = spark.read.format("binaryFile").load(t.paths: _*)
-          .select("path", "content")
-        val contents = df.collect().map(r =>
-          (r.getString(0), r.getAs[Array[Byte]](1))).toSeq.sortBy(_._1)
-        (t, contents)
-      }
-    val groups: Seq[ProvRecord[FileGroup]] = byTemplate.map { case (t, files) =>
-      val els = files.map { case (uri, content) =>
-        val fname = uri.substring(uri.lastIndexOf('/') + 1)
-        FileElement("", fname, modified = false, content)
-      }
-      val deps = files.map { case (uri, _) =>
-        ProvSinkUtil.fileElementId(execId, uri)
-      }
-      ProvRecord(ProvIds.newId(), deps, FileGroup(t.name, t.extraInfo, els))
-    }
-    val ds = spark.createDataset(groups)
+    val templateNames = temps.map(_.name)
+    val templateExtras = temps.map(_.extraInfo)
+    val byPath: Map[String, Int] = temps.zipWithIndex.flatMap { case (t, i) =>
+      t.paths.map(p => new java.io.File(p).getAbsolutePath -> i)
+    }.toMap
+    val allPaths = temps.flatMap(_.paths).distinct
+
+    val raw = spark.read.format("binaryFile").load(allPaths: _*)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])](
+        Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+    val ds = raw
+      .groupByKey { case (uri, _) => byPath(normalizePath(uri)) }(Encoders.scalaInt)
+      .mapGroups { (ti: Int, it: Iterator[(String, Array[Byte])]) =>
+        val files = it.toVector.sortBy(_._1)
+        val els = files.map { case (uri, content) =>
+          val p = normalizePath(uri)
+          FileElement("", p.substring(p.lastIndexOf('/') + 1),
+            modified = false, content)
+        }
+        val deps = files.map { case (uri, _) =>
+          ProvSinkUtil.fileElementId(execId, normalizePath(uri))
+        }
+        ProvRecord(ProvIds.newId(), deps,
+          FileGroup(templateNames(ti), templateExtras(ti), els))
+      }(provFgEnc)
+
     val pd = ProvDataset.create(ds, task, session)
     pd.setSchema(new FileGroupSchema)
     task.usingDefaultSchema = true // FileGroupSchema IS the default for this type
-    // per-file source elements accompany the group elements at flush
+    // per-file source elements accompany the group elements at flush;
+    // only paths are scanned (content column pruned by the reader)
     if (session.captureEnabled) {
       val base = task.elementThunk.get
       val tid = task.id
-      val fileEls = byTemplate.flatMap { case (t, files) =>
-        files.map { case (uri, _) =>
-          ElementRow(execId, tid, ProvSinkUtil.fileElementId(execId, uri),
-            Seq(Seq(uri)), Seq.empty)
-        }
-      }
       task.elementThunk = Some(() =>
-        base().unionByName(spark.createDataset(fileEls)(ProvSession.elementRowEnc)))
+        base().unionByName(
+          spark.read.format("binaryFile").load(allPaths: _*)
+            .select(col("path")).distinct()
+            .as[String](Encoders.STRING)
+            .map { uri =>
+              val p = normalizePath(uri)
+              ElementRow(execId, tid, ProvSinkUtil.fileElementId(execId, p),
+                Seq(Seq(p)), Seq.empty)
+            }(ProvSession.elementRowEnc)))
     }
     pd
   }
