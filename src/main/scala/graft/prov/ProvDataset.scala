@@ -416,6 +416,14 @@ final class ProvDataset[T] private[prov] (
     filter(v => ord.gteq(v, lower) && ord.lteq(v, upper),
       s"filterByRange($lower, $upper)")
 
+  /** countApprox: timeout-bounded approximate count
+    * (reference: RDD.scala:1386).
+    */
+  def countApprox(timeoutMs: Long, confidence: Double = 0.95): Double = {
+    implicit val ct: ClassTag[ProvRecord[T]] = anyRefTag
+    ds.rdd.countApprox(timeoutMs, confidence).getFinalValue().mean
+  }
+
   /** countApproxDistinct via HyperLogLog++ (reference: RDD.scala:1460-1486). */
   def countApproxDistinct(rsd: Double = 0.05): Long = {
     onAction()
@@ -801,12 +809,43 @@ object ProvDataset {
       val (lo, hi) = (b.getDouble(0), b.getDouble(1))
       val width = (hi - lo) / buckets
       val edges = (0 to buckets).map(i => lo + i * width)
-      val counts = self.ds.select(
-        F.least(F.floor((col("value") - lo) / width).cast("int"),
-          F.lit(buckets - 1)).as("bucket"))
+      (edges, histogram(edges))
+    }
+
+    /** Custom-edge histogram (reference: DoubleRDDFunctions.histogram
+      * (buckets: Array[Double])): counts per [edge_i, edge_i+1) interval,
+      * last interval closed.
+      */
+    def histogram(edges: Seq[Double]): Seq[Long] = {
+      require(edges.length >= 2 && edges == edges.sorted,
+        "edges must be sorted with at least two bounds")
+      val buckets = edges.length - 1
+      val cond = (0 until buckets).foldRight(F.lit(-1)) { (i, acc) =>
+        val upperOk =
+          if (i == buckets - 1) col("value") <= edges(i + 1)
+          else col("value") < edges(i + 1)
+        F.when(col("value") >= edges(i) && upperOk, F.lit(i)).otherwise(acc)
+      }
+      val counts = self.ds.select(cond.as("bucket"))
+        .filter(col("bucket") >= 0)
         .groupBy(col("bucket")).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      (edges, (0 until buckets).map(i => counts.getOrElse(i, 0L)))
+      (0 until buckets).map(i => counts.getOrElse(i, 0L))
+    }
+
+    /** meanApprox / sumApprox: timeout-bounded approximations
+      * (reference: DoubleRDDFunctions.scala:44-133).
+      */
+    def meanApprox(timeoutMs: Long, confidence: Double = 0.95): Double = {
+      implicit val ct: ClassTag[ProvRecord[Double]] = anyRefTag
+      self.ds.rdd.map(_.value).meanApprox(timeoutMs, confidence)
+        .getFinalValue().mean
+    }
+
+    def sumApprox(timeoutMs: Long, confidence: Double = 0.95): Double = {
+      implicit val ct: ClassTag[ProvRecord[Double]] = anyRefTag
+      self.ds.rdd.map(_.value).sumApprox(timeoutMs, confidence)
+        .getFinalValue().mean
     }
   }
 }

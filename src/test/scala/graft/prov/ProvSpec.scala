@@ -412,6 +412,10 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (edges, counts) = d.histogram(4)
     assert(edges.length == 5 && counts.sum == 100)
     assert(counts == Seq(25, 25, 25, 24) || counts.sum == 100)
+    assert(d.histogram(Seq(0.0, 50.0, 200.0)) == Seq(49, 51))
+    assert(math.abs(d.meanApprox(10000) - 50.5) < 1e-9)
+    assert(math.abs(d.sumApprox(10000) - 5050.0) < 1e-9)
+    assert(math.abs(a.countApprox(10000) - 100.0) < 1e-9)
     s.close()
   }
 
