@@ -56,6 +56,40 @@ object SetOpQueries {
     Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
            |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 
+  /** EXCEPT ALL — multiset difference (duplicates preserved), the
+    * bag-semantics cousin of q12.
+    */
+  val q48ExceptAll = QueryDef(
+    "q48_except_all",
+    (s, d) => {
+      val l = Tables.lineitem(s, d).select(col("l_suppkey").as("k"))
+      val su = Tables.supplier(s, d).select(col("s_suppkey").as("k"))
+      l.exceptAll(su)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    },
+    Some("""SELECT k, count(*) AS n FROM (
+           |  SELECT l_suppkey AS k FROM lineitem
+           |  EXCEPT ALL SELECT s_suppkey FROM supplier)
+           |GROUP BY k ORDER BY k""".stripMargin))
+
+  /** Sorted array aggregation (collect_list + sort, stringified so both
+    * engines compare as text).
+    */
+  val q49ArrayAgg = QueryDef(
+    "q49_array_agg",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(concat_ws(",",
+          array_sort(collect_set(col("l_linestatus")))).as("statuses"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+           |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   def all: Seq[QueryDef] =
-    Seq(q10UnionDistinct, q11Intersect, q12Except, q13Distinct)
+    Seq(q10UnionDistinct, q11Intersect, q12Except, q13Distinct,
+      q48ExceptAll, q49ArrayAgg)
 }
