@@ -198,6 +198,128 @@ object DedupQueries {
     },
     None)
 
+  /** Near-dup CLUSTERING: connected components over the Jaccard≥0.5 pair
+    * graph, each document mapped to its component's min doc_id (the
+    * canonical survivor — what a dedup pipeline actually emits).
+    * Implemented as iterative smallest-label propagation: each round is
+    * one distributed join; rounds = graph diameter (near-dup components
+    * are tiny, so 2-4 rounds). Oracle: recursive CTE closure.
+    */
+  val d06DedupClusters = QueryDef(
+    "d06_dedup_clusters",
+    (s, d) => {
+      val sh = shingles(s, d).cache()
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("da"), col("s"))
+      val b = sh.select(col("doc_id").as("db"), col("s"))
+      val pairs = a.join(b, Seq("s")).filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+        .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        .filter(round(col("c") / (col("na") + col("nb") - col("c")), 4) >= 0.5)
+        .select(col("da"), col("db")).cache()
+
+      // undirected edges + self-loops; iterate label = min(label of nbrs)
+      val edges = pairs
+        .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+      var labels = edges.select(col("da").as("doc_id"))
+        .union(edges.select(col("db").as("doc_id"))).distinct()
+        .withColumn("label", col("doc_id"))
+      var changed = true
+      var rounds = 0
+      while (changed && rounds < 20) {
+        rounds += 1
+        val nbrMin = edges
+          .join(labels, edges("db") === labels("doc_id"))
+          .groupBy(col("da")).agg(min(col("label")).as("nbr_label"))
+        val next = labels.join(nbrMin, labels("doc_id") === nbrMin("da"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .cache()
+        changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+          .filter(col("label") =!= col("old")).limit(1).count() > 0
+        labels = next
+      }
+      labels.select(col("doc_id"), col("label").as("canonical_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $shinglesSql,
+            |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+            |common AS (
+            |  SELECT a.doc_id da, b.doc_id db, count(*) c
+            |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |pairs AS (
+            |  SELECT da, db FROM common
+            |  JOIN cnt x ON da = x.doc_id JOIN cnt y ON db = y.doc_id
+            |  WHERE round(c * 1.0 / (x.n + y.n - c), 4) >= 0.5),
+            |edges AS (
+            |  SELECT da, db FROM pairs UNION SELECT db, da FROM pairs),
+            |reach(src, dst) AS (
+            |  SELECT da, db FROM edges
+            |  UNION
+            |  SELECT r.src, e.db FROM reach r JOIN edges e ON r.dst = e.da
+            |  WHERE r.src <> e.db)
+            |SELECT doc_id, least(doc_id, min(dst)) AS canonical_id FROM (
+            |  SELECT src AS doc_id, dst FROM reach)
+            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** The pipeline verdict: keep a document iff it is its cluster's
+    * canonical survivor AND clears the quality bar — the composition a
+    * training-data pipeline actually ships (dedup ∘ quality filter).
+    */
+  val d07KeepList = QueryDef(
+    "d07_keep_list",
+    (s, d) => {
+      val clusters = d06DedupClusters.fn(s, d)
+        .withColumnRenamed("doc_id", "cdoc")
+      val quality = Tables.documents(s, d)
+        .select(col("doc_id"),
+          ((length(col("text")).cast("double")
+            - size(split(col("text"), " ")) + 1)
+            / size(split(col("text"), " ")) * 0.2 +
+            size(array_distinct(split(col("text"), " "))).cast("double")
+              / size(split(col("text"), " ")) * 0.8).as("q"))
+      quality.join(clusters, quality("doc_id") === clusters("cdoc"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("canonical_id"), col("doc_id")) === col("doc_id") &&
+            col("q") >= 1.15).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $shinglesSql,
+            |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+            |common AS (
+            |  SELECT a.doc_id da, b.doc_id db, count(*) c
+            |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |pairs AS (
+            |  SELECT da, db FROM common
+            |  JOIN cnt x ON da = x.doc_id JOIN cnt y ON db = y.doc_id
+            |  WHERE round(c * 1.0 / (x.n + y.n - c), 4) >= 0.5),
+            |edges AS (
+            |  SELECT da, db FROM pairs UNION SELECT db, da FROM pairs),
+            |reach(src, dst) AS (
+            |  SELECT da, db FROM edges
+            |  UNION
+            |  SELECT r.src, e.db FROM reach r JOIN edges e ON r.dst = e.da
+            |  WHERE r.src <> e.db),
+            |canon AS (
+            |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+            |  FROM reach GROUP BY src),
+            |quality AS (
+            |  SELECT doc_id,
+            |    ((length(text) - len(string_split(text, ' ')) + 1.0)
+            |      / len(string_split(text, ' '))) * 0.2 +
+            |    (len(list_distinct(string_split(text, ' ')))
+            |      * 1.0 / len(string_split(text, ' '))) * 0.8 AS q
+            |  FROM documents)
+            |SELECT quality.doc_id,
+            |  (coalesce(canon.canonical_id, quality.doc_id) = quality.doc_id
+            |   AND q >= 1.15) AS keep
+            |FROM quality LEFT JOIN canon ON quality.doc_id = canon.doc_id
+            |ORDER BY quality.doc_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
-    d01ExactDedup, d02NormalizedDedup, d03NgramJaccard, d04MinHashLsh, d05SimHash)
+    d01ExactDedup, d02NormalizedDedup, d03NgramJaccard, d04MinHashLsh,
+    d05SimHash, d06DedupClusters, d07KeepList)
 }
