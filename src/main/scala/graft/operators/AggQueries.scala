@@ -232,8 +232,25 @@ object AggQueries {
            |  GROUP BY c_custkey)
            |GROUP BY n_orders ORDER BY n_orders""".stripMargin))
 
+  /** GROUP BY ... HAVING — post-aggregation filter. */
+  val q50Having = QueryDef(
+    "q50_having",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
+          count(lit(1)).as("n_items"))
+        .filter(col("total_qty") > 2000)
+        .orderBy(col("l_suppkey"))
+    },
+    Some("""SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty,
+           |  count(*) AS n_items
+           |FROM lineitem GROUP BY l_suppkey
+           |HAVING round(sum(l_quantity), 2) > 2000
+           |ORDER BY l_suppkey""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     q20Cube, q21Rollup, q22CountDistinct, q23Stats, q24Histogram,
     q31ScalarSubquery, q32Pivot, q35GlobalAgg, q36TreeAggregate,
-    q39Percentiles, q43CustDist)
+    q39Percentiles, q43CustDist, q50Having)
 }
