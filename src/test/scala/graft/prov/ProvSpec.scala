@@ -115,6 +115,26 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(grpEls.head._3.length == 3)
   }
 
+  test("foldByKey, combineByKey, keys/values, flatMapValues, mapPartitionsWithIndex") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store, captureEnabled = false)
+    val p = s.parallelize(Seq(("a", 1), ("a", 2), ("b", 5)))
+    assert(p.foldByKey(10)(_ + _).collect().toMap == Map("a" -> 23, "b" -> 15))
+    val combined = p.combineByKey[List[Int]](
+      v => List(v), (c, v) => v :: c, (c1, c2) => c1 ::: c2)
+    assert(combined.collect().toMap.view.mapValues(_.sorted).toMap ==
+      Map("a" -> List(1, 2), "b" -> List(5)))
+    assert(p.keys.collect().sorted == Seq("a", "a", "b"))
+    assert(p.valuesDs.collect().sorted == Seq(1, 2, 5))
+    assert(p.flatMapValues(v => Seq(v, v * 10)).collect().sorted ==
+      Seq(("a", 1), ("a", 2), ("a", 10), ("a", 20), ("b", 5), ("b", 50)).sorted)
+    val withIdx = s.parallelize(Seq(1, 2, 3, 4))
+      .mapPartitionsWithIndex((pid, it) => it.map(v => (pid, v)))
+    assert(withIdx.collect().map(_._2).sorted == Seq(1, 2, 3, 4))
+    assert(withIdx.collect().forall(_._1 >= 0))
+    s.close()
+  }
+
   test("ignoreIt splices dependencies through ignored tasks") {
     val store = newStore()
     val s = ProvSession.create(spark, "t", store)
