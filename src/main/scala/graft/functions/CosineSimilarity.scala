@@ -12,7 +12,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * norms in a single loop — no intermediate array, unlike the
   * zip_with+aggregate formulation). Accumulation order matches the
   * sequential semantics of `aggregate(...)` and DuckDB's list_aggregate,
-  * so results are bit-identical to the composed-expression form.
+  * so results are bit-identical to the composed-expression form; a
+  * dimension mismatch yields NULL (as the composed form does via
+  * zip_with's null padding) rather than a silently-truncated score.
   *
   * This is the preferred extension path from the build guidance: a
   * Catalyst `Expression` with `doGenCode` stays inside WholeStageCodegen,
@@ -35,13 +37,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def prettyName: String = "cosine_similarity"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null // dimension mismatch
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -68,19 +72,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |double $na = 0.0;
-         |double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
-         |  $dot += $x * $y;
-         |  $na += $x * $x;
-         |  $nb += $y * $y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0;
+         |  double $na = 0.0;
+         |  double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y;
+         |    $na += $x * $x;
+         |    $nb += $y * $y;
+         |  }
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |    ? 0.0 : $dot / (Math.sqrt($na) * Math.sqrt($nb));
          |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |  ? 0.0 : $dot / (Math.sqrt($na) * Math.sqrt($nb));
        """.stripMargin
     })
 

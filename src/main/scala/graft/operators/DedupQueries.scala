@@ -227,7 +227,8 @@ object DedupQueries {
         .withColumn("label", col("doc_id"))
       var changed = true
       var rounds = 0
-      while (changed && rounds < 20) {
+      val maxRounds = 50
+      while (changed && rounds < maxRounds) {
         rounds += 1
         val nbrMin = edges
           .join(labels, edges("db") === labels("doc_id"))
@@ -238,8 +239,13 @@ object DedupQueries {
           .cache()
         changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
           .filter(col("label") =!= col("old")).limit(1).count() > 0
+        labels.unpersist() // release the superseded round's cache
         labels = next
       }
+      // min-label propagation converges in O(component diameter) rounds;
+      // fail loudly rather than emit a partial closure
+      require(!changed,
+        s"dedup clustering did not converge within $maxRounds rounds")
       labels.select(col("doc_id"), col("label").as("canonical_id"))
         .orderBy(col("doc_id"))
     },

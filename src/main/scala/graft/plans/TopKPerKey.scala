@@ -64,8 +64,15 @@ final case class TopKPerKeyExec(
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       it.foreach { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[InternalRow](rowOrd))
+        // copy the key only on first insert — getOrElseUpdate would
+        // evaluate key.copy() per input row
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](rowOrd)
+            heaps.update(key.copy(), h)
+            h
+        }
         if (heap.size < kLocal) heap.enqueue(row.copy())
         else if (rowOrd.compare(row, heap.head) < 0) {
           heap.dequeue()

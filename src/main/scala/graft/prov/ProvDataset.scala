@@ -216,6 +216,13 @@ final class ProvDataset[T] private[prov] (
         os.close()
       })
       writer.start()
+      // drain stderr concurrently: a child filling the stderr pipe
+      // buffer would otherwise deadlock the task
+      val errDrain = new Thread(() =>
+        scala.io.Source.fromInputStream(proc.getErrorStream).getLines()
+          .foreach(_ => ()))
+      errDrain.setDaemon(true)
+      errDrain.start()
       val lines = scala.io.Source.fromInputStream(proc.getInputStream)
         .getLines().toVector
       writer.join()
@@ -307,8 +314,14 @@ final class ProvDataset[T] private[prov] (
     implicit val ctR: ClassTag[ProvRecord[U]] = anyRefTag
     val l = ds.rdd.zipWithIndex().map(_.swap)
     val r = other.ds.rdd.zipWithIndex().map(_.swap)
-    val joined = l.join(r).values.map { case (a, b) =>
-      ProvRecord(ProvIds.newId(), depsOf(a) ++ depsOf(b), (a.value, b.value))
+    // full outer join so a length mismatch FAILS like RDD.zip does,
+    // instead of silently truncating to the shorter side
+    val joined = l.fullOuterJoin(r).values.map {
+      case (Some(a), Some(b)) =>
+        ProvRecord(ProvIds.newId(), depsOf(a) ++ depsOf(b), (a.value, b.value))
+      case _ =>
+        throw new org.apache.spark.SparkException(
+          "Can only zip datasets with the same number of elements")
     }
     create(spark.createDataset(joined)(e), t, session)
   }
@@ -420,6 +433,7 @@ final class ProvDataset[T] private[prov] (
     * (reference: RDD.scala:1386).
     */
   def countApprox(timeoutMs: Long, confidence: Double = 0.95): Double = {
+    onAction()
     implicit val ct: ClassTag[ProvRecord[T]] = anyRefTag
     ds.rdd.countApprox(timeoutMs, confidence).getFinalValue().mean
   }
@@ -446,7 +460,7 @@ final class ProvDataset[T] private[prov] (
   def count(): Long = { onAction(); ds.count() }
   def take(n: Int): Seq[T] = { onAction(); ds.take(n).toSeq.map(_.value) }
   def first(): T = take(1).head
-  def isEmpty: Boolean = ds.isEmpty
+  def isEmpty: Boolean = { onAction(); ds.isEmpty }
   def foreach(f: T => Unit): Unit = { onAction(); ds.foreach(r => f(r.value)) }
   def foreachWithDataElement(f: ProvRecord[T] => Unit): Unit = {
     onAction(); ds.foreach(f)
@@ -499,6 +513,17 @@ object ProvDataset {
 
   private[prov] def create[T](ds: Dataset[ProvRecord[T]], task: TaskState,
                               session: ProvSession): ProvDataset[T] = {
+    // default-schema dispatch by static value type (reference dispatches
+    // by runtime ClassTag, RDD.scala:179-191): a tuple-shaped value gets
+    // the pair header so valueTable headers match the projected grid
+    if (task.usingDefaultSchema && task.schemaFields == Seq("Value")) {
+      ds.schema.find(_.name == "value").map(_.dataType) match {
+        case Some(st: org.apache.spark.sql.types.StructType)
+            if st.fieldNames.take(2).sameElements(Array("_1", "_2")) =>
+          task.schemaFields = DefaultSchemas.pairFieldNames
+        case _ =>
+      }
+    }
     val pd = new ProvDataset(ds, task, session)
     session.track(ds)
     if (session.captureEnabled && !task.ignored)
@@ -837,12 +862,14 @@ object ProvDataset {
       * (reference: DoubleRDDFunctions.scala:44-133).
       */
     def meanApprox(timeoutMs: Long, confidence: Double = 0.95): Double = {
+      self.session.flush()
       implicit val ct: ClassTag[ProvRecord[Double]] = anyRefTag
       self.ds.rdd.map(_.value).meanApprox(timeoutMs, confidence)
         .getFinalValue().mean
     }
 
     def sumApprox(timeoutMs: Long, confidence: Double = 0.95): Double = {
+      self.session.flush()
       implicit val ct: ClassTag[ProvRecord[Double]] = anyRefTag
       self.ds.rdd.map(_.value).sumApprox(timeoutMs, confidence)
         .getFinalValue().mean

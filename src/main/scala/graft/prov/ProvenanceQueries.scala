@@ -111,54 +111,61 @@ final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
   }
 
   /** Multi-hop lineage closure of one element (ancestors), via iterative
-    * join — each iteration is one distributed hop, so depth-k lineage is
-    * k joins, never a driver-side walk.
+    * join — each hop is one distributed join over the cached edge set,
+    * with every round's frontier materialized so the plan never grows.
     */
-  def lineageOf(executionId: String, elementId: String, maxHops: Int = 20): DataFrame = {
-    val edges = elementDependencies(executionId)
-      .select(col("target"), col("source")).persist()
-    var frontier = edges.filter(col("target") === elementId)
-      .select(col("source").as("id"), lit(1).as("hop"))
-    var acc = frontier
-    var hop = 1
-    var continue = !frontier.isEmpty
-    while (continue && hop < maxHops) {
-      hop += 1
-      val next = frontier.join(edges, frontier("id") === edges("target"))
-        .select(col("source").as("id"), lit(hop).as("hop"))
-      frontier = next.join(acc.select(col("id").as("seen")),
-          col("id") === col("seen"), "left_anti")
-        .distinct()
-      continue = !frontier.isEmpty
-      if (continue) acc = acc.unionByName(frontier)
-    }
-    edges.unpersist()
-    acc.distinct()
-  }
+  def lineageOf(executionId: String, elementId: String, maxHops: Int = 20): DataFrame =
+    closure(executionId, elementId, maxHops,
+      startCol = "target", followCol = "source")
 
   /** Forward closure: everything derived from one element (impact
     * analysis — the symmetric query to lineageOf).
     */
-  def descendantsOf(executionId: String, elementId: String, maxHops: Int = 20): DataFrame = {
+  def descendantsOf(executionId: String, elementId: String, maxHops: Int = 20): DataFrame =
+    closure(executionId, elementId, maxHops,
+      startCol = "source", followCol = "target")
+
+  /** Shared iterative BFS: start at `elementId` on `startCol`, follow
+    * edges emitting `followCol`. Each round's frontier and the
+    * accumulator are persisted and materialized (count) so round k+1
+    * joins against cached data instead of replaying k rounds of plan;
+    * the result is collected to a local relation before caches drop.
+    */
+  private def closure(executionId: String, elementId: String, maxHops: Int,
+                      startCol: String, followCol: String): DataFrame = {
     val edges = elementDependencies(executionId)
       .select(col("target"), col("source")).persist()
-    var frontier = edges.filter(col("source") === elementId)
-      .select(col("target").as("id"), lit(1).as("hop"))
+    var frontier = edges.filter(col(startCol) === elementId)
+      .select(col(followCol).as("id"), lit(1).as("hop"))
+      .distinct().persist()
     var acc = frontier
     var hop = 1
-    var continue = !frontier.isEmpty
+    var continue = frontier.count() > 0
     while (continue && hop < maxHops) {
       hop += 1
-      val next = frontier.join(edges, frontier("id") === edges("source"))
-        .select(col("target").as("id"), lit(hop).as("hop"))
-      frontier = next.join(acc.select(col("id").as("seen")),
+      val next = frontier.join(edges, frontier("id") === edges(startCol))
+        .select(col(followCol).as("id"), lit(hop).as("hop"))
+      val newFrontier = next.join(acc.select(col("id").as("seen")),
           col("id") === col("seen"), "left_anti")
-        .distinct()
-      continue = !frontier.isEmpty
-      if (continue) acc = acc.unionByName(frontier)
+        .distinct().persist()
+      continue = newFrontier.count() > 0
+      if (continue) {
+        val newAcc = acc.unionByName(newFrontier).persist()
+        newAcc.count()
+        acc.unpersist()
+        acc = newAcc
+      }
+      frontier.unpersist()
+      frontier = newFrontier
     }
+    // materialize before releasing caches so the returned frame does not
+    // recompute the iteration
+    val rows = acc.distinct().collect().toSeq
+    frontier.unpersist()
+    acc.unpersist()
     edges.unpersist()
-    acc.distinct()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), acc.schema)
   }
 
   /** Transformation groups (reference: TransformationGroup queries). */

@@ -46,9 +46,12 @@ object FileGroupOps {
     val temps = templates.toSeq
     val templateNames = temps.map(_.name)
     val templateExtras = temps.map(_.extraInfo)
-    val byPath: Map[String, Int] = temps.zipWithIndex.flatMap { case (t, i) =>
-      t.paths.map(p => new java.io.File(p).getAbsolutePath -> i)
-    }.toMap
+    // a path may belong to SEVERAL templates — map to all of them
+    val byPath: Map[String, Seq[Int]] = temps.zipWithIndex
+      .flatMap { case (t, i) =>
+        t.paths.map(p => new java.io.File(p).getAbsolutePath -> i)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val allPaths = temps.flatMap(_.paths).distinct
 
     val raw = spark.read.format("binaryFile").load(allPaths: _*)
@@ -56,8 +59,15 @@ object FileGroupOps {
       .as[(String, Array[Byte])](
         Encoders.tuple(Encoders.STRING, Encoders.BINARY))
     val ds = raw
-      .groupByKey { case (uri, _) => byPath(normalizePath(uri)) }(Encoders.scalaInt)
-      .mapGroups { (ti: Int, it: Iterator[(String, Array[Byte])]) =>
+      .flatMap { case (uri, content) =>
+        val p = normalizePath(uri)
+        byPath.getOrElse(p, throw new IllegalStateException(
+          s"file $p read by binaryFile matches no template path"))
+          .map(ti => (ti, uri, content))
+      }(Encoders.tuple(Encoders.scalaInt, Encoders.STRING, Encoders.BINARY))
+      .groupByKey(_._1)(Encoders.scalaInt)
+      .mapGroups { (ti: Int, rows: Iterator[(Int, String, Array[Byte])]) =>
+        val it = rows.map(r => (r._2, r._3))
         val files = it.toVector.sortBy(_._1)
         val els = files.map { case (uri, content) =>
           val p = normalizePath(uri)

@@ -42,15 +42,15 @@ class CosineSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(v - 1.0) < 1e-12)
   }
 
-  test("edge cases: zero vector and mismatched lengths") {
+  test("edge cases: zero vector -> 0, mismatched lengths -> null") {
     val spark2 = spark
     import spark2.implicits._
     val df = Seq(
       (Array(0f, 0f), Array(1f, 2f)),
       (Array(1f, 0f, 5f), Array(1f, 0f))).toDF("a", "b")
     val got = df.select(
-      GraftFunctions.cosine_similarity(col("a"), col("b"))).collect().map(_.getDouble(0))
-    assert(got(0) == 0.0)        // zero vector → 0
-    assert(math.abs(got(1) - 1.0) < 1e-12) // truncated to common prefix (1,0)·(1,0)
+      GraftFunctions.cosine_similarity(col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) == 0.0) // zero vector → 0
+    assert(got(1).isNullAt(0))         // dimension mismatch → null
   }
 }
