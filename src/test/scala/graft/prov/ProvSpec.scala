@@ -278,6 +278,46 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pEls.length == 2 && pEls.forall(_._3.length == 2))
   }
 
+  test("pipe survives a child that floods stderr (no pipe-buffer deadlock)") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store, captureEnabled = false)
+    val out = s.parallelize(Seq("hello")).coalesce(1)
+      .pipe(Seq("sh", "-c",
+        "tr a-z A-Z; yes e 2>/dev/null | head -c 200000 >&2"))
+      .collect()
+    assert(out == Seq("HELLO"))
+    s.close()
+  }
+
+  test("zip of unequal-length datasets fails like RDD.zip") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store, captureEnabled = false)
+    val a = s.parallelize(Seq(1, 2, 3))
+    val b = s.parallelize(Seq("x", "y"))
+    val ex = intercept[org.apache.spark.SparkException] { a.zip(b).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("same number of elements")))
+    s.close()
+  }
+
+  test("map producing pairs gets the Key/Value default header") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val pairs = s.parallelize(Seq("x")).map(v => (v, 1), "to pairs")
+    pairs.count()
+    s.close()
+    val taskRow = spark.read.parquet(s"$store/tasks")
+      .filter($"task_id" === pairs.task.id).collect().head
+    assert(taskRow.getAs[scala.collection.Seq[String]]("schema_fields").toSeq ==
+      Seq("Key", "Value"))
+    // header arity matches the projected grid
+    val q = new ProvenanceQueries(spark, store)
+    val vt = q.valueTable(s.executionId, pairs.task.id).collect().head
+    assert(vt.getAs[scala.collection.Seq[String]]("schema_fields").length ==
+      vt.getAs[scala.collection.Seq[String]]("row_values").length)
+  }
+
   test("transformation groups: membership propagation + invariants") {
     val store = newStore()
     val s = ProvSession.create(spark, "t", store)
