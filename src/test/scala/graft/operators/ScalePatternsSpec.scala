@@ -83,6 +83,23 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spread > 1, "hot key must spread across salt partitions")
   }
 
+  test("headline query plans keep their scale properties") {
+    val d = "/root/testdata/sf0.001"
+    // q01: filter pushed to the parquet scan, columns pruned
+    val q01 = graft.SparkEntry.queries("q01_pricing_summary")(spark, d)
+    val p01 = q01.queryExecution.executedPlan.toString
+    assert(p01.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"q01 must push the shipdate filter:\n$p01")
+    assert(!p01.contains("l_orderkey"), "q01 must prune unused columns")
+    // q05: the three HINTED dimension joins broadcast even with
+    // autoBroadcastJoinThreshold=-1 (this suite disables auto-broadcast);
+    // the fact⋈fact join is left to the planner, as it should be at scale
+    val q05 = graft.SparkEntry.queries("q05_nation_revenue")(spark, d)
+    val p05 = q05.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p05).size >= 3,
+      s"q05 must broadcast the three hinted dims:\n$p05")
+  }
+
   test("AQE coalesces small shuffle partitions") {
     val before = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
