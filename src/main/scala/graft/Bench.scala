@@ -17,7 +17,7 @@ object Bench {
     "q01_pricing_summary", "q03_join_agg", "q05_nation_revenue",
     "q17_window_rank", "q18_window_running", "q28_events_hourly",
     "d01_exact_dedup", "d04_minhash_lsh", "e01_knn_bruteforce",
-    "t04_fingerprint")
+    "t04_fingerprint", "q42_topk_per_key_custom")
 
   /** Override with SPARK_GRAFT_BENCH_QUERIES=name1,name2 for ad-hoc runs;
     * a name may repeat to measure warm-plan cost.

@@ -106,6 +106,56 @@ object SqlSurfaceQueries {
            |  ON o_totalprice >= lo AND o_totalprice < hi
            |GROUP BY band ORDER BY band""".stripMargin))
 
+  /** TPC-H Q11 shape: groups whose value exceeds a fraction of the
+    * global total — HAVING against a scalar subquery.
+    */
+  val q51ValueFraction = QueryDef(
+    "q51_value_fraction",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val l = Tables.lineitem(s, d)
+      val total = l.agg(sum(col("l_extendedprice")).as("t"))
+      l.groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice")).as("supp_value"))
+        .join(broadcast(total))
+        .filter(col("supp_value") > col("t") * 0.012)
+        .select(col("l_suppkey"), round(col("supp_value"), 2).as("supp_value"))
+        .orderBy(col("l_suppkey"))
+    },
+    Some("""SELECT l_suppkey, round(sum(l_extendedprice), 2) AS supp_value
+           |FROM lineitem GROUP BY l_suppkey
+           |HAVING sum(l_extendedprice) >
+           |  (SELECT sum(l_extendedprice) FROM lineitem) * 0.012
+           |ORDER BY l_suppkey""".stripMargin))
+
+  /** TPC-H Q22 shape: above-average-balance customers with no orders,
+    * rolled up by a name-prefix "country code" — scalar subquery +
+    * anti join + substring grouping in one query.
+    */
+  val q52GlobalSales = QueryDef(
+    "q52_lost_customers",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("ab"))
+      c.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(substring(col("c_name"), 1, 10).as("name_prefix"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("name_prefix"))
+    },
+    Some("""SELECT substr(c_name, 1, 10) AS name_prefix, count(*) AS n_cust,
+           |  round(sum(c_acctbal), 2) AS total_bal
+           |FROM customer
+           |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+           |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |GROUP BY 1 ORDER BY name_prefix""".stripMargin))
+
   def all: Seq[QueryDef] =
-    Seq(q44SqlSurface, q45MinPerGroup, q46OrderPriority, q47BandJoin)
+    Seq(q44SqlSurface, q45MinPerGroup, q46OrderPriority, q47BandJoin,
+      q51ValueFraction, q52GlobalSales)
 }
