@@ -325,7 +325,48 @@ object DedupQueries {
             |FROM quality LEFT JOIN canon ON quality.doc_id = canon.doc_id
             |ORDER BY quality.doc_id""".stripMargin))
 
+  /** Document-frequency-capped Jaccard: shingles occurring in more than
+    * `dfCap` documents are excluded from BOTH the index and the set
+    * sizes — the standard hot-key mitigation that bounds the inverted-
+    * index self-join fan-out at (dfCap choose 2) pairs per shingle,
+    * making the exact path survive corpus growth. The cap is mirrored in
+    * the oracle so semantics stay checkable.
+    */
+  val d08JaccardCapped = QueryDef(
+    "d08_jaccard_capped",
+    (s, d) => {
+      val dfCap = 100
+      val sh = shingles(s, d)
+      val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select(col("s"))
+      val shc = sh.join(rare, Seq("s")).cache()
+      val cnt = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = shc.select(col("doc_id").as("da"), col("s"))
+      val b = shc.select(col("doc_id").as("db"), col("s"))
+      val common = a.join(b, Seq("s")).filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+      common
+        .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("da"), col("db"), col("jaccard"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""WITH $shinglesSql,
+            |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+            |shc AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+            |cnt AS (SELECT doc_id, count(*) n FROM shc GROUP BY 1),
+            |common AS (
+            |  SELECT a.doc_id da, b.doc_id db, count(*) c
+            |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2)
+            |SELECT da, db, round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
+            |FROM common JOIN cnt x ON da = x.doc_id JOIN cnt y ON db = y.doc_id
+            |WHERE round(c * 1.0 / (x.n + y.n - c), 4) >= 0.5
+            |ORDER BY da, db""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     d01ExactDedup, d02NormalizedDedup, d03NgramJaccard, d04MinHashLsh,
-    d05SimHash, d06DedupClusters, d07KeepList)
+    d05SimHash, d06DedupClusters, d07KeepList, d08JaccardCapped)
 }
