@@ -188,6 +188,80 @@ object SimilarityQueries {
     },
     None)
 
+  /** IVF with TRUE k-means training: deterministic farthest-spread init
+    * (every 50th vector), 3 Lloyd iterations run as DataFrame jobs
+    * (assign = argmax cosine against broadcast centroid literals;
+    * recompute = 64-column mean agg collected to the driver — centroids
+    * are tiny, the corpus never leaves executors). Then 2-probe ANN as
+    * in e05. Approximate → rows-only check.
+    */
+  val e06AnnIvfKmeans = QueryDef(
+    "e06_ann_ivf_kmeans",
+    (s, d) => {
+      val dim = 64
+      val k = 10
+      val iters = 3
+      val e = Tables.embeddings(s, d).cache()
+
+      // deterministic init: spread over vec_id space
+      var centroids: Array[Array[Double]] = e
+        .filter(pmod(col("vec_id"), lit(50)) === 0).orderBy(col("vec_id"))
+        .limit(k).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+      def centroidLit(c: Array[Double]) =
+        array(c.map(v => lit(v.toFloat)): _*).cast("array<float>")
+      def cellExpr = {
+        val cosines = centroids.map(c =>
+          cosine_similarity(col("embedding"), centroidLit(c)))
+        val arr = array(cosines: _*)
+        (array_position(arr, array_max(arr)) - 1).cast("int").as("cell")
+      }
+
+      // Lloyd iterations: assign + recompute means
+      for (_ <- 1 to iters) {
+        val sums = (0 until dim).map(i =>
+          sum(col("embedding").getItem(i).cast("double")).as(s"s$i"))
+        val rows = e.select(col("embedding"), cellExpr)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"), sums: _*)
+          .collect()
+        val updated = centroids.clone()
+        rows.foreach { r =>
+          val cell = r.getInt(0)
+          val n = r.getLong(1).toDouble
+          updated(cell) = (0 until dim).map(i => r.getDouble(i + 2) / n).toArray
+        }
+        centroids = updated
+      }
+
+      // final assignment + 2-probe search for queries
+      val assigned = e.select(col("vec_id"), col("embedding"), cellExpr)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val probeCos = centroids.zipWithIndex.map { case (c, i) =>
+        struct(cosine_similarity(col("q_emb"), centroidLit(c)).as("cs"),
+          lit(i).as("cell"))
+      }
+      val probes = queries
+        .select(col("query_id"), col("q_emb"),
+          explode(slice(reverse(array_sort(array(probeCos: _*))), 1, 2)).as("p"))
+        .select(col("query_id"), col("q_emb"), col("p.cell").as("cell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      assigned.alias("b").join(broadcast(probes.alias("a")),
+          col("a.cell") === col("b.cell") && col("a.query_id") =!= col("b.vec_id"))
+        .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"),
+          cosine_similarity(col("a.q_emb"), col("b.embedding")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
   def all: Seq[QueryDef] = Seq(
-    e01KnnBruteForce, e02CosineNearDup, e03AnnLsh, e04LabelCentroids, e05AnnIvf)
+    e01KnnBruteForce, e02CosineNearDup, e03AnnLsh, e04LabelCentroids,
+    e05AnnIvf, e06AnnIvfKmeans)
 }
