@@ -78,6 +78,43 @@ object ProvShowcaseQueries {
     },
     None)
 
+  /** Documents pipeline under provenance with dropped-record capture ON:
+    * filter (short docs dropped → don't-pass lineage) → fingerprint map
+    * → distinct. Returns per-task element counts incl. the synthetic
+    * don't-pass elements — the full FilterMapPartitionsRDD semantics
+    * through the driver gate.
+    */
+  val provDocsPipeline = QueryDef(
+    "prov_docs_pipeline",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val store = Files.createTempDirectory("provdocs").toString
+      val sess = ProvSession.create(s, "docs-pipeline", store,
+        captureDropped = true)
+      val texts = Tables.documents(s, d)
+        .select(col("text")).as[String].limit(200).collect().toSeq
+      val src = sess.parallelize(texts, "documents")
+      val kept = src.filter(_.length >= 200, "drop short docs")
+      val prints = kept.map(t => t.split(" ").distinct.sorted.mkString("|").hashCode,
+        "fingerprint")
+      val uniq = prints.distinct()
+      uniq.count()
+      sess.close()
+      val q = new ProvenanceQueries(s, store)
+      q.elements(sess.executionId)
+        .withColumn("is_dont_pass",
+          col("values").getItem(0).getItem(0).startsWith("don't-pass"))
+        .groupBy(col("task_id"), col("is_dont_pass"))
+        .agg(count(lit(1)).as("n_elements"))
+        .join(q.tasks(sess.executionId).select(col("task_id"),
+          col("description")), "task_id")
+        .select(col("description"), col("is_dont_pass"), col("n_elements"))
+        .orderBy(col("description"), col("is_dont_pass"))
+    },
+    None)
+
   def all: Seq[QueryDef] =
-    Seq(provFullGraph, provTaskGraph, provValueTable, provLineage)
+    Seq(provFullGraph, provTaskGraph, provValueTable, provLineage,
+      provDocsPipeline)
 }
