@@ -37,9 +37,8 @@ object TopKBench {
 
     def windowRun(): Long = {
       val w = Window.partitionBy(col("c_nationkey"))
-        .orderBy(col("bal").desc, col("c_custkey"), col("rep_missing_ok"))
-      base.withColumn("rep_missing_ok", lit(0))
-        .withColumn("rn", row_number().over(w))
+        .orderBy(col("bal").desc, col("c_custkey"))
+      base.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3).count()
     }
 

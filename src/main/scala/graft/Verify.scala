@@ -20,6 +20,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        spark.catalog.clearCache() // queries cache subplans; don't accumulate
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

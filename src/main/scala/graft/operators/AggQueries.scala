@@ -201,12 +201,12 @@ object AggQueries {
       val o = Tables.orders(s, d)
       val avgPrice = o.agg(avg(col("o_totalprice")).as("a"))
       o.join(broadcast(avgPrice))
-        .filter(col("o_totalprice") > col("a"))
+        .filter(col("o_totalprice") > round(col("a"), 6))
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     },
     Some("""SELECT o_orderkey, o_totalprice FROM orders
-           |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+           |WHERE o_totalprice > round((SELECT avg(o_totalprice) FROM orders), 6)
            |ORDER BY o_orderkey""".stripMargin))
 
   /** TPC-H Q13 shape: distribution of orders-per-customer — two stacked

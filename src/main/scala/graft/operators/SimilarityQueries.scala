@@ -13,6 +13,30 @@ import graft.functions.GraftFunctions.cosine_similarity
   */
 object SimilarityQueries {
 
+  /** Per-dimension sum aggregates (shared by e04/e05/e06). */
+  private def dimSums(dim: Int) = (0 until dim).map(i =>
+    sum(col("embedding").getItem(i).cast("double")).as(s"s$i"))
+
+  /** Shared probe search: exact cosine rank of `assigned` corpus rows
+    * inside each query's probed cells, top-k per query (used by e05/e06
+    * so rank/tie-break/rounding semantics cannot drift between them).
+    */
+  private def probeAndRank(assigned: DataFrame, probes: DataFrame,
+                           k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.alias("b").join(broadcast(probes.alias("a")),
+        col("a.cell") === col("b.cell") && col("a.query_id") =!= col("b.vec_id"))
+      .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"),
+        cosine_similarity(col("a.q_emb"), col("b.embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Brute-force cosine top-k (k=10) for 5 query vectors — the exact
     * baseline. The query side is tiny and broadcast; at scale this is one
     * pass over the corpus per query batch (no shuffle of the corpus).
@@ -119,10 +143,8 @@ object SimilarityQueries {
     (s, d) => {
       val dim = 64
       val e = Tables.embeddings(s, d)
-      val sums = (0 until dim).map(i =>
-        sum(col("embedding").getItem(i).cast("double")).as(s"s$i"))
       e.groupBy(col("label"))
-        .agg(count(lit(1)).as("n"), sums: _*)
+        .agg(count(lit(1)).as("n"), dimSums(dim): _*)
         .select(col("label"), col("n"), round(expr(
           (0 until dim).map(i => s"pow(round(s$i / n, 6), 2)")
             .mkString("sqrt(", " + ", ")")), 6).as("centroid_norm"))
@@ -146,9 +168,7 @@ object SimilarityQueries {
       val e = Tables.embeddings(s, d)
       // "train": centroid per label (deterministic; e04 is this shape)
       val dim = 64
-      val sums = (0 until dim).map(i =>
-        sum(col("embedding").getItem(i).cast("double")).as(s"s$i"))
-      val centroids = e.groupBy(col("label")).agg(count(lit(1)).as("n"), sums: _*)
+      val centroids = e.groupBy(col("label")).agg(count(lit(1)).as("n"), dimSums(dim): _*)
         .select(col("label").as("cell"),
           array((0 until dim).map(i => (col(s"s$i") / col("n")).cast("float")): _*)
             .as("centroid"))
@@ -172,19 +192,7 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(wProbe))
         .filter(col("rn") <= 2)
         .select(col("query_id"), col("q_emb"), col("cell"))
-      // exact search within probed cells only
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      assigned.alias("b").join(broadcast(probes.alias("a")),
-          col("a.cell") === col("b.cell") && col("a.query_id") =!= col("b.vec_id"))
-        .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"),
-          cosine_similarity(col("a.q_emb"), col("b.embedding")).as("cos"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("cos"), 6).as("cos"))
-        .orderBy(col("query_id"), col("rank"))
+      probeAndRank(assigned, probes, k = 3)
     },
     None)
 
@@ -220,10 +228,8 @@ object SimilarityQueries {
 
       // Lloyd iterations: assign + recompute means
       for (_ <- 1 to iters) {
-        val sums = (0 until dim).map(i =>
-          sum(col("embedding").getItem(i).cast("double")).as(s"s$i"))
         val rows = e.select(col("embedding"), cellExpr)
-          .groupBy(col("cell")).agg(count(lit(1)).as("n"), sums: _*)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"), dimSums(dim): _*)
           .collect()
         val updated = centroids.clone()
         rows.foreach { r =>
@@ -246,18 +252,9 @@ object SimilarityQueries {
         .select(col("query_id"), col("q_emb"),
           explode(slice(reverse(array_sort(array(probeCos: _*))), 1, 2)).as("p"))
         .select(col("query_id"), col("q_emb"), col("p.cell").as("cell"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      assigned.alias("b").join(broadcast(probes.alias("a")),
-          col("a.cell") === col("b.cell") && col("a.query_id") =!= col("b.vec_id"))
-        .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"),
-          cosine_similarity(col("a.q_emb"), col("b.embedding")).as("cos"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("cos"), 6).as("cos"))
-        .orderBy(col("query_id"), col("rank"))
+      val out = probeAndRank(assigned, probes, k = 3)
+      e.unpersist()
+      out
     },
     None)
 

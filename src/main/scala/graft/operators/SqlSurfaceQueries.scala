@@ -118,21 +118,23 @@ object SqlSurfaceQueries {
       l.groupBy(col("l_suppkey"))
         .agg(sum(col("l_extendedprice")).as("supp_value"))
         .join(broadcast(total))
-        .filter(col("supp_value") > col("t") * 0.012)
+        // round both membership sides: raw double comparisons can flip
+        // boundary rows when partition order changes the summation ULPs
+        .filter(round(col("supp_value"), 2) > round(col("t") * 0.012, 6))
         .select(col("l_suppkey"), round(col("supp_value"), 2).as("supp_value"))
         .orderBy(col("l_suppkey"))
     },
     Some("""SELECT l_suppkey, round(sum(l_extendedprice), 2) AS supp_value
            |FROM lineitem GROUP BY l_suppkey
-           |HAVING sum(l_extendedprice) >
-           |  (SELECT sum(l_extendedprice) FROM lineitem) * 0.012
+           |HAVING round(sum(l_extendedprice), 2) >
+           |  round((SELECT sum(l_extendedprice) FROM lineitem) * 0.012, 6)
            |ORDER BY l_suppkey""".stripMargin))
 
   /** TPC-H Q22 shape: above-average-balance customers with no orders,
     * rolled up by a name-prefix "country code" — scalar subquery +
     * anti join + substring grouping in one query.
     */
-  val q52GlobalSales = QueryDef(
+  val q52LostCustomers = QueryDef(
     "q52_lost_customers",
     (s, d) => {
       import org.apache.spark.sql.functions._
@@ -141,7 +143,7 @@ object SqlSurfaceQueries {
       val avgBal = c.filter(col("c_acctbal") > 0)
         .agg(avg(col("c_acctbal")).as("ab"))
       c.join(broadcast(avgBal))
-        .filter(col("c_acctbal") > col("ab"))
+        .filter(col("c_acctbal") > round(col("ab"), 6))
         .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(substring(col("c_name"), 1, 10).as("name_prefix"))
         .agg(count(lit(1)).as("n_cust"),
@@ -151,11 +153,11 @@ object SqlSurfaceQueries {
     Some("""SELECT substr(c_name, 1, 10) AS name_prefix, count(*) AS n_cust,
            |  round(sum(c_acctbal), 2) AS total_bal
            |FROM customer
-           |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+           |WHERE c_acctbal > round((SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0), 6)
            |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
            |GROUP BY 1 ORDER BY name_prefix""".stripMargin))
 
   def all: Seq[QueryDef] =
     Seq(q44SqlSurface, q45MinPerGroup, q46OrderPriority, q47BandJoin,
-      q51ValueFraction, q52GlobalSales)
+      q51ValueFraction, q52LostCustomers)
 }
