@@ -1,0 +1,60 @@
+package graft.prov.filegroup
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.prov._
+import FileGroupOps._
+import ContentAddressedStore._
+
+class ContentAddressedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("identical contents deduplicate; manifests round-trip; refs recorded") {
+    val inputs = Files.createTempDirectory("cas-in")
+    Files.writeString(inputs.resolve("a.txt"), "same content\n")
+    Files.writeString(inputs.resolve("b.txt"), "same content\n") // dup bytes
+    Files.writeString(inputs.resolve("c.txt"), "different\n")
+    val storeDir = Files.createTempDirectory("cas-prov").toString
+    val cas = new ContentAddressedStore(
+      Files.createTempDirectory("cas-repo").toString)
+
+    val s = ProvSession.create(spark, "cas", storeDir)
+    val fg = fileGroup(s,
+      FileGroupTemplate.ofFiles(
+        Seq(inputs.resolve("a.txt").toString, inputs.resolve("b.txt").toString,
+          inputs.resolve("c.txt").toString), "grp"))
+      .persistFileGroupInStore(cas)
+    s.close()
+
+    // 3 files, 2 distinct contents → 2 objects
+    assert(cas.objectCount == 2)
+    val tree = cas.fileTree(s.executionId)
+    assert(tree.length == 3 && tree.exists(_.endsWith("a.txt")))
+    val elementId = spark.read.parquet(s"$storeDir/file_group_references")
+      .select("element_id").head().getString(0)
+    assert(new String(cas.readFile(s.executionId, elementId, "a.txt")) ==
+      "same content\n")
+    // idempotent re-write: object count unchanged
+    cas.putObject("same content\n".getBytes)
+    assert(cas.objectCount == 2)
+    // FileGroupReference points at the manifest
+    val folder = spark.read.parquet(s"$storeDir/file_group_references")
+      .select("folder_path").head().getString(0)
+    assert(folder.startsWith("manifests/"))
+    // task flagged like the git path
+    assert(spark.read.parquet(s"$storeDir/tasks")
+      .filter(org.apache.spark.sql.functions.col("task_id") === fg.taskId)
+      .head().getAs[Boolean]("has_data_in_repository"))
+  }
+}
