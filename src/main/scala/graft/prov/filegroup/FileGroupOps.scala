@@ -206,6 +206,16 @@ object FileGroupOps {
       }
     }
 
+    /** Async variant (reference: FileGroupRDDFunctions.saveFilesAtAsync,
+      * :80-87): fire the materialization on a background thread and
+      * return a Future the caller can await.
+      */
+    def saveFilesAtAsync(dir: String): scala.concurrent.Future[Unit] = {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      scala.concurrent.Future(saveFilesAt(dir))
+    }
+
     /** Commit this dataset's FileGroups to the execution's branch in the
       * session's git artifact repository; records FileGroupReference rows
       * and marks the task (reference: RDD.scala:206-230,

@@ -57,4 +57,19 @@ class ContentAddressedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(org.apache.spark.sql.functions.col("task_id") === fg.taskId)
       .head().getAs[Boolean]("has_data_in_repository"))
   }
+
+  test("concurrent writers of identical content stay idempotent") {
+    val cas = new ContentAddressedStore(
+      Files.createTempDirectory("cas-conc").toString)
+    val content = "racy content".getBytes
+    val threads = (1 to 8).map(_ => new Thread(() => {
+      (1 to 50).foreach(_ => cas.putObject(content))
+    }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(cas.objectCount == 1)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cas.rootDir, "objects",
+        cas.putObject(content)))) == "racy content")
+  }
 }
