@@ -120,7 +120,55 @@ object WindowQueries {
            |  FROM supplier)
            |WHERE rn <= 3 ORDER BY s_nationkey, s_suppkey""".stripMargin))
 
+  /** RANGE window frame: per customer, sum of order totals whose
+    * o_orderkey lies within 5 of the current row's key — value-based
+    * framing (vs q18's ROWS framing).
+    */
+  val q53RangeFrame = QueryDef(
+    "q53_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+        .rangeBetween(-5, 0)
+      Tables.orders(s, d)
+        .withColumn("nearby_total", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("nearby_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           |    ORDER BY o_orderkey
+           |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS nearby_total
+           |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  /** first_value / last_value / nth_value analytics over a full-partition
+    * frame.
+    */
+  val q54FirstLast = QueryDef(
+    "q54_first_last",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .withColumn("richest", first(col("c_custkey")).over(w))
+        .withColumn("poorest", last(col("c_custkey")).over(w))
+        .withColumn("second", nth_value(col("c_custkey"), 2).over(w))
+        .select(col("c_nationkey"), col("c_custkey"),
+          col("richest"), col("poorest"), col("second"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    },
+    Some("""SELECT c_nationkey, c_custkey,
+           |  first_value(c_custkey) OVER w AS richest,
+           |  last_value(c_custkey) OVER w AS poorest,
+           |  nth_value(c_custkey, 2) OVER w AS second
+           |FROM customer
+           |WINDOW w AS (PARTITION BY c_nationkey
+           |  ORDER BY c_acctbal DESC, c_custkey
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |ORDER BY c_nationkey, c_custkey""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q17WindowRank, q18WindowRunning, q19WindowLagLead, q25ZipWithIndex,
-      q42TopKPerKeyCustom)
+      q42TopKPerKeyCustom, q53RangeFrame, q54FirstLast)
 }
