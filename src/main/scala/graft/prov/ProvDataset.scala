@@ -789,6 +789,16 @@ object ProvDataset {
       self.ds.groupByKey(_.value._1).count().collect().toMap
     }
 
+    /** countByKeyApprox (reference: PairRDDFunctions.scala:389). */
+    def countByKeyApprox(timeoutMs: Long, confidence: Double = 0.95): Map[K, Long] = {
+      session.flush()
+      implicit val ct: ClassTag[(K, ProvRecord[(K, V)])] = anyRefTag
+      implicit val ctk: ClassTag[K] = anyRefTag
+      self.ds.rdd.map(r => (r.value._1, r))
+        .countByKeyApprox(timeoutMs, confidence)
+        .getFinalValue().map { case (k, b) => k -> math.round(b.mean) }.toMap
+    }
+
     def collectAsMap(): Map[K, V] = {
       session.flush()
       self.ds.collect().map(r => r.value._1 -> r.value._2).toMap

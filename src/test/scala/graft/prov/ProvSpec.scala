@@ -489,6 +489,7 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.countByValue() == Map(3 -> 1L, 1 -> 1L, 2 -> 1L))
     val p = s.parallelize(Seq(("a", 1), ("a", 2)))
     assert(p.countByKey() == Map("a" -> 2L))
+    assert(p.countByKeyApprox(10000) == Map("a" -> 2L))
     assert(p.lookup("a").sorted == Seq(1, 2))
     assert(p.collectAsMap() == Map("a" -> 2))
     s.close()
