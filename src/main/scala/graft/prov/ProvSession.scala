@@ -143,6 +143,18 @@ final class ProvSession private[prov] (
     ProvDataset.create(ds, task, this)
   }
 
+  /** range: generated-source parity (reference: SparkContext.range via
+    * ParallelCollectionRDD). Uses spark.range — rows are generated inside
+    * executors, nothing materializes on the driver.
+    */
+  def range(n: Long, description: String = "range")(
+      implicit ep: Encoder[ProvRecord[Long]]): ProvDataset[Long] = {
+    val task = newTask(TransformationType.RANGE, Nil, s"$description($n)")
+    val ds = spark.range(n)
+      .map(v => ProvRecord(ProvIds.newId(), Seq.empty[String], v))(ep)
+    ProvDataset.create(ds, task, this)
+  }
+
   /** textFile with source-file lineage: each input FILE is itself a data
     * element, and every record depends on its file (reference:
     * HadoopRDD.scala:223-227,318). File element ids are deterministic

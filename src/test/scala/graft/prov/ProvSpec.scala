@@ -452,6 +452,7 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("sampling, range ops, approx count, double stats, histogram") {
     val store = newStore()
     val s = ProvSession.create(spark, "t", store, captureEnabled = false)
+    assert(s.range(10).map(_ * 2).collect().sorted == (0L until 20L by 2).toSeq)
     val a = s.parallelize((1 to 100).toSeq)
     val parts = a.randomSplit(Seq(0.5, 0.5))
     assert(parts.map(_.count()).sum == 100)
