@@ -151,7 +151,8 @@ final class ProvSession private[prov] (
       implicit ep: Encoder[ProvRecord[Long]]): ProvDataset[Long] = {
     val task = newTask(TransformationType.RANGE, Nil, s"$description($n)")
     val ds = spark.range(n)
-      .map(v => ProvRecord(ProvIds.newId(), Seq.empty[String], v))(ep)
+      .map((v: java.lang.Long) =>
+        ProvRecord(ProvIds.newId(), Seq.empty[String], v.longValue()))(ep)
     ProvDataset.create(ds, task, this)
   }
 
