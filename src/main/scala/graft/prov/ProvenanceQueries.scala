@@ -168,6 +168,39 @@ final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
       spark.sparkContext.parallelize(rows, 1), acc.schema)
   }
 
+  /** Task detail + 1-hop neighborhood: the task row plus its parents and
+    * children (reference: TaskAPICtrl.kt:38-61).
+    */
+  def taskDetail(executionId: String, taskId: String): DataFrame = {
+    val all = tasks(executionId)
+    val self = all.filter(col("task_id") === taskId)
+      .withColumn("relation", lit("self"))
+    val parents = all.alias("t")
+      .join(self.select(explode(col("dependencies")).as("pid")),
+        col("t.task_id") === col("pid"))
+      .select(col("t.*")).withColumn("relation", lit("parent"))
+    val children = all.filter(array_contains(col("dependencies"), taskId))
+      .withColumn("relation", lit("child"))
+    self.unionByName(parents).unionByName(children)
+      .select(col("relation"), col("task_id"), col("description"),
+        col("transformation_type"))
+  }
+
+  /** Files belonging to one data element's FileGroup, resolved through
+    * its FileGroupReference folder in the artifact repository
+    * (reference: DataElementAPICtrl.kt:235-277,316-320).
+    */
+  def fileTreeOf(executionId: String, elementId: String,
+                 repoTree: Seq[String]): Seq[String] = {
+    val folder = table("file_group_references")
+      .filter(col("execution_id") === executionId &&
+        col("element_id") === elementId)
+      .select(col("folder_path")).collect().headOption
+      .map(_.getString(0))
+      .getOrElse(return Seq.empty)
+    repoTree.filter(_.startsWith(folder + "/"))
+  }
+
   /** Transformation groups (reference: TransformationGroup queries). */
   def transformationGroups(executionId: String): DataFrame =
     table("transformation_groups").filter(col("execution_id") === executionId)

@@ -171,6 +171,14 @@ class FileGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(org.apache.spark.sql.functions.col("task_id") === fg.taskId)
       .collect().head
     assert(taskRow.getAs[Boolean]("has_data_in_repository"))
+    // per-element file tree resolves through the FileGroupReference
+    val q = new ProvenanceQueries(spark, store)
+    val elId = refs.head.getAs[String]("element_id")
+    val files = q.fileTreeOf(s.executionId, elId, vc.fileTree(s.executionId))
+    assert(files.length == 1 && files.head.contains(elId))
+    // task 1-hop neighborhood
+    val detail = q.taskDetail(s.executionId, fg.taskId).collect()
+    assert(detail.exists(_.getAs[String]("relation") == "self"))
   }
 
   test("sciphy-shaped chain: two black-box steps compose with lineage") {
