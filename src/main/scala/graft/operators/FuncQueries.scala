@@ -79,6 +79,32 @@ object FuncQueries {
            |            ELSE 'low' END AS band, count(*) AS n
            |FROM orders GROUP BY 1 ORDER BY band""".stripMargin))
 
+  /** Date arithmetic: day-difference between order and ship dates,
+    * aggregated per priority (datediff ≡ date_diff on DATE-cast bounds).
+    */
+  val q55ShipLatency = QueryDef(
+    "q55_ship_latency",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")).as("lag_days"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("lag_days")), 4).as("avg_lag_days"),
+          max(col("lag_days")).cast("long").as("max_lag_days"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(avg(date_diff('day', CAST(o_orderdate AS DATE),
+           |                      CAST(l_shipdate AS DATE))), 4) AS avg_lag_days,
+           |  max(date_diff('day', CAST(o_orderdate AS DATE),
+           |                CAST(l_shipdate AS DATE))) AS max_lag_days
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   def all: Seq[QueryDef] =
-    Seq(q27StringFuncs, q30DateFuncs, q40Regex, q41CaseWhen)
+    Seq(q27StringFuncs, q30DateFuncs, q40Regex, q41CaseWhen, q55ShipLatency)
 }
