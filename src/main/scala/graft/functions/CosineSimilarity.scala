@@ -12,9 +12,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * norms in a single loop — no intermediate array, unlike the
   * zip_with+aggregate formulation). Accumulation order matches the
   * sequential semantics of `aggregate(...)` and DuckDB's list_aggregate,
-  * so results are bit-identical to the composed-expression form; a
-  * dimension mismatch yields NULL (as the composed form does via
-  * zip_with's null padding) rather than a silently-truncated score.
+  * so for vectors with nonzero norms results are bit-identical to the
+  * composed-expression form. Degenerate inputs diverge deliberately:
+  *  - a zero-norm vector yields 0.0 ("no similarity") by convention,
+  *    where the composed dot/(sqrt(na)*sqrt(nb)) form divides by zero
+  *    and yields NaN — queries comparing against a division-based oracle
+  *    must exclude zero vectors or mirror the convention;
+  *  - a dimension mismatch yields NULL (as the composed form does via
+  *    zip_with's null padding) rather than a silently-truncated score.
   *
   * This is the preferred extension path from the build guidance: a
   * Catalyst `Expression` with `doGenCode` stays inside WholeStageCodegen,

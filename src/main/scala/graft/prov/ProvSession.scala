@@ -88,8 +88,12 @@ final class ProvSession private[prov] (
   private val cached = mutable.ListBuffer[Dataset[_]]()
   private val fileGroupRefs = mutable.ListBuffer[FileGroupReferenceRow]()
 
+  // All task-DAG mutations and flush run under `this`-lock: actions may
+  // fire from concurrent driver threads (saveFilesAtAsync, parallel job
+  // submission), and LinkedHashMap iteration during an unsynchronized
+  // flush would race task registration (CME / double-append).
   private[prov] def newTask(ttype: String, parents: Seq[String],
-                            description: String): TaskState = {
+                            description: String): TaskState = synchronized {
     val t = new TaskState(ProvIds.newId(), ttype, description, parents)
     tasks(t.id) = t
     // group propagation (reference: TransformationGroupManager.scala:50-70):
@@ -107,22 +111,23 @@ final class ProvSession private[prov] (
     t
   }
 
-  private[prov] def track(ds: Dataset[_]): Unit = if (captureEnabled) {
+  private[prov] def track(ds: Dataset[_]): Unit = if (captureEnabled) synchronized {
     ds.persist(StorageLevel.MEMORY_AND_DISK)
     cached += ds
   }
 
-  private[prov] def newGroup(name: String): GroupState = {
+  private[prov] def newGroup(name: String): GroupState = synchronized {
     val g = new GroupState(ProvIds.newId(), name)
     groups += g
     g
   }
 
-  private[prov] def addFileGroupRef(elementId: String, folder: String): Unit =
+  private[prov] def addFileGroupRef(elementId: String, folder: String): Unit = synchronized {
     fileGroupRefs += FileGroupReferenceRow(executionId, elementId, folder)
+  }
 
-  def taskById(id: String): Option[TaskState] = tasks.get(id)
-  def allTasks: Seq[TaskState] = tasks.values.toSeq
+  def taskById(id: String): Option[TaskState] = synchronized { tasks.get(id) }
+  def allTasks: Seq[TaskState] = synchronized { tasks.values.toSeq }
 
   // ---- sources ------------------------------------------------------
 
@@ -196,7 +201,9 @@ final class ProvSession private[prov] (
     * of checkAndPersistProvenance on action (reference: RDD.scala:1143-1147),
     * but batched: one distributed parquet append for all unflushed tasks.
     */
-  def flush(): Unit = if (captureEnabled) {
+  def flush(): Unit = if (captureEnabled) synchronized {
+    // Under the lock a concurrent second flush sees flushed=true and
+    // appends nothing — concurrent actions are idempotent.
     val pending = tasks.values.filter(t => !t.flushed && !t.ignored && t.elementThunk.nonEmpty).toSeq
     if (pending.nonEmpty) {
       val t0 = System.nanoTime()
@@ -214,7 +221,7 @@ final class ProvSession private[prov] (
     * release caches (reference: SparkContext.scala:1975-1976 →
     * DataflowProvenance.finish).
     */
-  def close(): Unit = {
+  def close(): Unit = synchronized {
     endTime = Some(new Timestamp(System.currentTimeMillis()))
     if (captureEnabled) {
       flush()

@@ -3,6 +3,8 @@ package graft.prov.filegroup
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.security.MessageDigest
 
+import org.apache.spark.sql.Encoders
+
 import graft.prov._
 
 /** Content-addressed artifact store — the cluster-scale alternative to
@@ -36,6 +38,9 @@ final class ContentAddressedStore(val rootDir: String) extends Serializable {
     val sha = sha256(content)
     val target = objectsDir.resolve(sha)
     if (!Files.exists(target)) {
+      // executors deserialize this store without running the constructor;
+      // re-create lazily so the first write on a fresh node succeeds
+      Files.createDirectories(objectsDir)
       val tmp = Files.createTempFile(objectsDir, ".tmp", "")
       Files.write(tmp, content)
       try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
@@ -99,9 +104,14 @@ object ContentAddressedStore {
     def persistFileGroupInStore(store: ContentAddressedStore): ProvDataset[FileGroup] = {
       val sess = self.session
       val execId = sess.executionId
-      val refs = self.collectWithProv().map { r =>
-        r.id -> store.writeFileGroup(execId, r.id, r.value)
-      }
+      sess.flush() // same action semantics as foreachWithDataElement
+      // Writes run inside executors against the shared store (object
+      // writes are idempotent, manifests are per-element — no
+      // coordination needed); only (elementId, manifestPath) pairs come
+      // back to the driver, never file contents.
+      val refs = self.ds.mapPartitions { it =>
+        it.map(r => (r.id, store.writeFileGroup(execId, r.id, r.value)))
+      }(Encoders.tuple(Encoders.STRING, Encoders.STRING)).collect()
       refs.foreach { case (id, folder) => sess.addFileGroupRef(id, folder) }
       sess.taskById(self.taskId).foreach(_.hasDataInRepository = true)
       self

@@ -146,11 +146,14 @@ object FileGroupOps {
       self.map({ g =>
         val work = Files.createTempDirectory("graft-blackbox")
         try {
-          val inputHashes: Map[String, Int] = g.files.map { f =>
+          // keep the input bytes (already in memory via g.files) for an
+          // exact content diff — a 32-bit hash could collide and silently
+          // mark a changed output as unmodified
+          val inputContent: Map[String, Array[Byte]] = g.files.map { f =>
             val p = work.resolve(f.relativePath)
             Option(p.getParent).foreach(Files.createDirectories(_))
             Files.write(p, f.content)
-            f.relativePath -> java.util.Arrays.hashCode(f.content)
+            f.relativePath -> f.content
           }.toMap
 
           val cmd = mkCommand(g)
@@ -174,9 +177,9 @@ object FileGroupOps {
             val (dirPart, namePart) =
               if (slash >= 0) (rel.substring(0, slash), rel.substring(slash + 1))
               else ("", rel)
-            val modified = inputHashes.get(rel) match {
-              case Some(h) => h != java.util.Arrays.hashCode(content)
-              case None    => true
+            val modified = inputContent.get(rel) match {
+              case Some(in) => !java.util.Arrays.equals(in, content)
+              case None     => true
             }
             FileElement(dirPart, namePart, modified, content)
           }.filter(planning.filterFilesForGeneratedRDD)

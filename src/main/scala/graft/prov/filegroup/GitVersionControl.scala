@@ -1,6 +1,7 @@
 package graft.prov.filegroup
 
-import java.nio.file.{Files, Paths}
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /** Git-versioned artifact store — parity with the reference's embedded
   * Gitblit + per-execution branches (versioncontrol/VersionControl.scala,
@@ -12,24 +13,55 @@ import java.nio.file.{Files, Paths}
   * content-addressed artifact store is the right substrate, and the
   * single-writer discipline here mirrors the reference's serialized
   * commit executor (VersionControl.scala:96-129).
+  *
+  * The working tree is shared mutable state (`checkout` switches it), so
+  * every mutating section holds a REPO-level lock, not just a
+  * per-instance monitor: a `.graft.lock` file lock serializes writers
+  * across JVMs, and a JVM-wide monitor keyed by canonical repo path
+  * serializes instances/threads within one JVM (same-JVM overlapping
+  * `FileLock`s would throw rather than block). Two sessions sharing a
+  * repoDir therefore interleave at commit granularity — each commit
+  * lands on its own execution's branch with only its own files.
   */
 final class GitVersionControl(val repoDir: String) {
 
   private val gitBase = Seq("git", "-C", repoDir,
     "-c", "user.name=graft", "-c", "user.email=graft@localhost")
 
+  private val canonicalRepo =
+    Paths.get(repoDir).toAbsolutePath.normalize.toString
+
+  private def withRepoLock[T](body: => T): T = {
+    val monitor = GitVersionControl.jvmLocks
+      .computeIfAbsent(canonicalRepo, _ => new Object)
+    monitor.synchronized {
+      val ch = FileChannel.open(Paths.get(repoDir, ".graft.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock() // blocks until any other JVM releases
+        try body finally lk.release()
+      } finally ch.close()
+    }
+  }
+
   locally {
     Files.createDirectories(Paths.get(repoDir))
-    if (!Files.exists(Paths.get(repoDir, ".git"))) {
-      run(Seq("git", "-C", repoDir, "init", "-q", "-b", "main"))
-      run(gitBase ++ Seq("commit", "-q", "--allow-empty", "-m", "init"))
+    withRepoLock {
+      if (!Files.exists(Paths.get(repoDir, ".git"))) {
+        run(Seq("git", "-C", repoDir, "init", "-q", "-b", "main"))
+        // committed on main so every exec branch inherits it and
+        // `add -A` never stages the lock file
+        Files.writeString(Paths.get(repoDir, ".gitignore"), ".graft.lock\n")
+        run(gitBase ++ Seq("add", ".gitignore"))
+        run(gitBase ++ Seq("commit", "-q", "-m", "init"))
+      }
     }
   }
 
   private def branchOf(executionId: String) = s"exec_$executionId"
 
   /** Create the execution branch (reference: GitServerManager.scala:90-128). */
-  def initExecution(executionId: String): Unit = synchronized {
+  def initExecution(executionId: String): Unit = withRepoLock {
     run(gitBase ++ Seq("checkout", "-q", "-B", branchOf(executionId), "main"))
   }
 
@@ -38,7 +70,7 @@ final class GitVersionControl(val repoDir: String) {
     * reference: VersionControl.scala:99-118).
     */
   def writeFileGroup(executionId: String, taskDesc: String,
-                     elementId: String, group: FileGroup): String = synchronized {
+                     elementId: String, group: FileGroup): String = withRepoLock {
     run(gitBase ++ Seq("checkout", "-q", branchOf(executionId)))
     val folder = s"$taskDesc/$elementId"
     val root = Paths.get(repoDir, folder)
@@ -64,7 +96,7 @@ final class GitVersionControl(val repoDir: String) {
   /** Read one file's bytes at the branch head
     * (reference: DataElementAPICtrl.kt:279-314, JGit TreeWalk → blob).
     */
-  def readFile(executionId: String, path: String): Array[Byte] = synchronized {
+  def readFile(executionId: String, path: String): Array[Byte] = withRepoLock {
     val pb = new ProcessBuilder(
       (gitBase ++ Seq("show", s"${branchOf(executionId)}:$path")): _*)
     val proc = pb.start()
@@ -75,7 +107,7 @@ final class GitVersionControl(val repoDir: String) {
   }
 
   /** Final commit on execution end (reference: VersionControl.scala:134-157). */
-  def finish(executionId: String): Unit = synchronized {
+  def finish(executionId: String): Unit = withRepoLock {
     run(gitBase ++ Seq("checkout", "-q", branchOf(executionId)))
     run(gitBase ++ Seq("add", "-A"))
     run(gitBase ++ Seq("commit", "-q", "--allow-empty", "-m",
@@ -85,6 +117,14 @@ final class GitVersionControl(val repoDir: String) {
   def log(executionId: String): Seq[String] =
     run(gitBase ++ Seq("log", "--format=%s", branchOf(executionId)))
       .linesIterator.toSeq
+
+  private def run(cmd: Seq[String]): String = GitVersionControl.run(cmd)
+}
+
+object GitVersionControl {
+  /** One monitor per canonical repo path, JVM-wide — see class doc. */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def run(cmd: Seq[String]): String = {
     val pb = new ProcessBuilder(cmd: _*)
