@@ -100,9 +100,15 @@ object DedupQueries {
   /** MinHash + LSH near-dup pairs (threshold 0.8): 64 universal hashes
     * over a single xxhash64 base, banded 16×4 — candidate pairs only ever
     * meet inside a bucket (no all-pairs join), then exact Jaccard
-    * verifies. This is the scale path: work is proportional to bucket
-    * collisions, not n². Banding 16 bands × 4 rows gives >99.9% recall
-    * at J≥0.8 (1-(1-s⁴)¹⁶).
+    * verifies. Banding 16 bands × 4 rows gives >99.9% recall at J≥0.8
+    * (1-(1-s⁴)¹⁶).
+    *
+    * Scale shape: shingle sets ride as an array column, so signatures
+    * compute inside a single projection (functions.MinHashArray — zero
+    * shuffle, no exploded (doc,shingle) rows), the only shuffles are the
+    * band-bucket self-join and candidate distinct, and verification is a
+    * per-pair `array_intersect` instead of an inverted-index join — work
+    * stays proportional to bucket collisions, not corpus size².
     */
   val d04MinHashLsh = QueryDef(
     "d04_minhash_lsh",
@@ -112,23 +118,24 @@ object DedupQueries {
       val rowsPerBand = numHashes / bands
       val prime = 2038074743L
 
-      val sh = shingles(s, d).cache()
-      val hashed = sh.select(col("doc_id"),
-        pmod(xxhash64(col("s")), lit(prime)).as("h"))
-      // one native aggregate computes the whole signature (tight
-      // primitive loop, map-side combinable) — see functions.MinHashAgg;
-      // the shingle count rides in the same shuffle (cnt reuses sig,
-      // saving a full groupBy over the shingle table)
-      val sig = hashed.groupBy(col("doc_id"))
-        .agg(graft.functions.MinHashAgg.minhash(col("h"), numHashes, 42L, prime)
-          .as("sig"), count(lit(1)).as("n"))
+      // per-doc shingle array + count + signature, all in one pass
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+          .as("sh"))
+        .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
+          graft.functions.MinHashArray.minhash_array(
+            expr(s"transform(sh, x -> pmod(xxhash64(x), ${prime}L))"),
+            numHashes, 42L, prime).as("sig"))
         .cache()
+
       val bandCols = (0 until bands).map { bnd =>
         struct(lit(bnd).as("band"),
           hash(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)).as("sig"))
       }
-      // sig is cached: it feeds both self-join sides and the counts
-      val buckets = sig.select(col("doc_id"),
+      val buckets = docs.select(col("doc_id"),
         explode(array(bandCols: _*)).as("bucket"))
       val cand = buckets.alias("x")
         .join(buckets.alias("y"), col("x.bucket") === col("y.bucket") &&
@@ -136,15 +143,13 @@ object DedupQueries {
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
         .distinct()
 
-      // exact-Jaccard verification of candidates
-      val cnt = sig.select(col("doc_id"), col("n"))
-      val a = sh.select(col("doc_id").as("da"), col("s"))
-      val b = sh.select(col("doc_id").as("db"), col("s"))
-      val common = cand.join(a, Seq("da")).join(b, Seq("db", "s"))
-        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-      common
-        .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-        .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      // exact-Jaccard verification: fetch both shingle arrays, intersect
+      cand
+        .join(docs.select(col("doc_id").as("da"), col("sh").as("sha"),
+          col("n").as("na")), Seq("da"))
+        .join(docs.select(col("doc_id").as("db"), col("sh").as("shb"),
+          col("n").as("nb")), Seq("db"))
+        .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
         .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 4))
         .filter(col("jaccard") >= 0.8)
         .select(col("da"), col("db"), col("jaccard"))
