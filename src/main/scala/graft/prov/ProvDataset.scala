@@ -336,6 +336,43 @@ final class ProvDataset[T] private[prov] (
     create(spark.createDataset(out)(e), t, session)
   }
 
+  /** zipWithUniqueId: k-th item of partition p gets id k·numPartitions+p
+    * — no count job, ids not contiguous (reference: RDD.scala:1519).
+    */
+  def zipWithUniqueId(description: String = "zipWithUniqueId")(
+      implicit e: Encoder[ProvRecord[(T, Long)]]): ProvDataset[(T, Long)] = {
+    val t = session.newTask(TransformationType.ZIP, Seq(task.id), description)
+    implicit val ct: ClassTag[ProvRecord[T]] = anyRefTag
+    val out = ds.rdd.zipWithUniqueId().map { case (r, i) =>
+      ProvRecord(ProvIds.newId(), depsOf(r), (r.value, i))
+    }
+    create(spark.createDataset(out)(e), t, session)
+  }
+
+  /** zipPartitions: f sees both partitions' value iterators; every output
+    * depends on ALL inputs of both zipped partitions — the same
+    * all-to-all wiring as mapPartitions (reference: RDD.scala:1053-1111,
+    * ZippedPartitionsRDD.scala).
+    */
+  def zipPartitions[U, V](other: ProvDataset[U],
+                          description: String = "zipPartitions")(
+      f: (Iterator[T], Iterator[U]) => Iterator[V])(
+      implicit e: Encoder[ProvRecord[V]]): ProvDataset[V] = {
+    val t = session.newTask(TransformationType.ZIPPED_PARTITIONS_BASE_RDD,
+      Seq(task.id, other.task.id), description)
+    implicit val ctT: ClassTag[ProvRecord[T]] = anyRefTag
+    implicit val ctU: ClassTag[ProvRecord[U]] = anyRefTag
+    implicit val ctV: ClassTag[ProvRecord[V]] = anyRefTag
+    val out = ds.rdd.zipPartitions(other.ds.rdd) { (ita, itb) =>
+      val ra = ita.toVector
+      val rb = itb.toVector
+      val ids = (ra.flatMap(depsOf(_)) ++ rb.flatMap(depsOf(_))).distinct
+      f(ra.iterator.map(_.value), rb.iterator.map(_.value))
+        .map(v => ProvRecord(ProvIds.newId(), ids, v))
+    }
+    create(spark.createDataset(out)(e), t, session)
+  }
+
   /** distinct: duplicates merge; the surviving element depends on every
     * duplicate (reference: RDD.scala:534-550 — dep-union inside
     * ExternalAppendOnlyMap).
@@ -493,6 +530,16 @@ final class ProvDataset[T] private[prov] (
   def saveAsTextFile(path: String): Unit = {
     onAction()
     ds.map(r => String.valueOf(r.value))(Encoders.STRING).write.text(path)
+  }
+
+  /** saveAsObjectFile: Hadoop SequenceFile of java-serialized 10-element
+    * batches — the stock RDD format (reference: RDD.scala:1729), readable
+    * back with [[ProvSession.objectFile]] (which restores per-file
+    * lineage) or stock `sc.objectFile`.
+    */
+  def saveAsObjectFile(path: String): Unit = {
+    onAction()
+    ds.rdd.map(_.value)(anyRefTag[T]).saveAsObjectFile(path)
   }
 
   /** Escape hatch to the stock typed Dataset of values. */
@@ -802,6 +849,17 @@ object ProvDataset {
     def collectAsMap(): Map[K, V] = {
       session.flush()
       self.ds.collect().map(r => r.value._1 -> r.value._2).toMap
+    }
+
+    /** reduceByKeyLocally: distributed partial reduce, driver-side final
+      * merge into a Map (reference: PairRDDFunctions.scala:341-348 —
+      * an action over ignored intermediates, so no elements are minted).
+      */
+    def reduceByKeyLocally(f: (V, V) => V): Map[K, V] = {
+      session.flush()
+      implicit val ctk: ClassTag[K] = anyRefTag
+      implicit val ctv: ClassTag[V] = anyRefTag
+      self.ds.rdd.map(r => r.value).reduceByKey(f).collect().toMap
     }
 
     def lookup(key: K): Seq[V] = {

@@ -195,6 +195,74 @@ final class ProvSession private[prov] (
     pd
   }
 
+  /** objectFile: read SequenceFiles of java-serialized batches (the
+    * stock `saveAsObjectFile` format) with the same source-file lineage
+    * as textFile — each record depends on its file's element (reference:
+    * SparkContext.scala:1325 via HadoopRDD semantics). Uses
+    * HadoopRDD.mapPartitionsWithInputSplit so the file path is known
+    * per-record without a join.
+    */
+  def objectFile[T](path: String, description: String = "objectFile")(
+      implicit ep: Encoder[ProvRecord[T]]): ProvDataset[T] = {
+    import org.apache.hadoop.io.{BytesWritable, NullWritable}
+    import org.apache.hadoop.mapred.{FileSplit, SequenceFileInputFormat}
+    val task = newTask(TransformationType.MAP, Nil, s"$description: $path")
+    val execId = executionId
+    implicit val ct: scala.reflect.ClassTag[ProvRecord[T]] = ProvDataset.anyRefTag
+    def raw = spark.sparkContext.hadoopFile(path,
+      classOf[SequenceFileInputFormat[NullWritable, BytesWritable]],
+      classOf[NullWritable], classOf[BytesWritable],
+      spark.sparkContext.defaultParallelism)
+      .asInstanceOf[org.apache.spark.rdd.HadoopRDD[NullWritable, BytesWritable]]
+    val recs = raw.mapPartitionsWithInputSplit(
+      { (split: org.apache.hadoop.mapred.InputSplit,
+         it: Iterator[(NullWritable, BytesWritable)]) =>
+        val file = split.asInstanceOf[FileSplit].getPath.toString
+        val fid = ProvSinkUtil.fileElementId(execId, file)
+        it.flatMap { case (_, bw) =>
+          val ois = new java.io.ObjectInputStream(
+            new java.io.ByteArrayInputStream(bw.copyBytes()))
+          try ois.readObject().asInstanceOf[Array[_]].iterator
+            .map(v => ProvRecord(ProvIds.newId(), Seq(fid), v.asInstanceOf[T]))
+            .toVector
+          finally ois.close()
+        }
+      }, preservesPartitioning = false)
+    val pd = ProvDataset.create(spark.createDataset(recs)(ep), task, this)
+    if (captureEnabled) {
+      val base = task.elementThunk.get
+      val tid = task.id
+      task.elementThunk = Some(() => {
+        val files = spark.createDataset(
+          raw.mapPartitionsWithInputSplit(
+            { (split: org.apache.hadoop.mapred.InputSplit,
+               _: Iterator[(NullWritable, BytesWritable)]) =>
+              Iterator(split.asInstanceOf[FileSplit].getPath.toString)
+            }, preservesPartitioning = false).distinct())(Encoders.STRING)
+          .map(f => ElementRow(execId, tid, ProvSinkUtil.fileElementId(execId, f),
+            Seq(Seq(f)), Seq.empty[String]))(ProvSession.elementRowEnc)
+        base().unionByName(files)
+      })
+    }
+    pd
+  }
+
+  /** Bridge any stock RDD — sequenceFile, hadoopFile, newAPIHadoopFile,
+    * custom sources — into the provenance surface: each record becomes a
+    * fresh root element (per-file lineage needs a dedicated reader like
+    * [[textFile]]/[[objectFile]]; arbitrary InputFormats don't expose
+    * their file per-record).
+    */
+  def fromRDD[T](rdd: org.apache.spark.rdd.RDD[T],
+                 description: String = "fromRDD")(
+      implicit ep: Encoder[ProvRecord[T]]): ProvDataset[T] = {
+    val task = newTask(TransformationType.MAP, Nil, description)
+    implicit val ct: scala.reflect.ClassTag[ProvRecord[T]] = ProvDataset.anyRefTag
+    val ds = spark.createDataset(
+      rdd.map(v => ProvRecord(ProvIds.newId(), Seq.empty[String], v)))(ep)
+    ProvDataset.create(ds, task, this)
+  }
+
   // ---- lifecycle ----------------------------------------------------
 
   /** Persist all pending provenance (tasks + element rows) — the analogue

@@ -267,6 +267,51 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
     s.close()
   }
 
+  test("zipWithUniqueId, zipPartitions, reduceByKeyLocally") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val a = s.parallelize(Seq(1, 2, 3, 4))
+    val ids = a.zipWithUniqueId().collect().map(_._2)
+    assert(ids.distinct.length == 4) // unique, not necessarily contiguous
+    val b = s.parallelize(Seq(10, 20, 30, 40))
+    val zp = a.zipPartitions(b)((ia, ib) => ia.zip(ib).map { case (x, y) => x + y })
+    assert(zp.collect().sorted == Seq(11, 22, 33, 44))
+    val p = s.parallelize(Seq(("a", 1), ("b", 2), ("a", 3)))
+    assert(p.reduceByKeyLocally(_ + _) == Map("a" -> 4, "b" -> 2))
+    s.close()
+    // zipPartitions outputs depend on inputs of BOTH zipped partitions
+    val zpEls = elementsOf(store, s.executionId, zp.task.id)
+    assert(zpEls.nonEmpty && zpEls.forall(_._3.length >= 2))
+  }
+
+  test("saveAsObjectFile round-trips through objectFile with per-file lineage") {
+    val store = newStore()
+    val dir = Files.createTempDirectory("objfile").toString + "/out"
+    val s = ProvSession.create(spark, "t", store)
+    s.parallelize(Seq("alpha", "beta", "gamma")).saveAsObjectFile(dir)
+    val back = s.objectFile[String](dir)
+    assert(back.collect().sorted == Seq("alpha", "beta", "gamma"))
+    s.close()
+    // every record element depends on exactly its source-file element,
+    // and the file elements themselves exist under the same task
+    val els = elementsOf(store, s.executionId, back.task.id)
+    val (fileEls, recEls) = els.partition(_._3.isEmpty)
+    assert(recEls.length == 3 && fileEls.nonEmpty)
+    val fileIds = fileEls.map(_._1).toSet
+    assert(recEls.forall(e => e._3.length == 1 && fileIds.contains(e._3.head)))
+  }
+
+  test("fromRDD bridges a stock RDD as fresh provenance roots") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val rdd = spark.sparkContext.parallelize(Seq(7, 8, 9))
+    val pd = s.fromRDD(rdd, "sequenceFile-bridge")
+    assert(pd.map(_ * 2).collect().sorted == Seq(14, 16, 18))
+    s.close()
+    val els = elementsOf(store, s.executionId, pd.task.id)
+    assert(els.length == 3 && els.forall(_._3.isEmpty))
+  }
+
   test("pipe: external process, all-to-all partition lineage") {
     val store = newStore()
     val s = ProvSession.create(spark, "t", store)
