@@ -206,9 +206,11 @@ object DedupQueries {
   /** Near-dup CLUSTERING: connected components over the Jaccard≥0.5 pair
     * graph, each document mapped to its component's min doc_id (the
     * canonical survivor — what a dedup pipeline actually emits).
-    * Implemented as iterative smallest-label propagation: each round is
-    * one distributed join; rounds = graph diameter (near-dup components
-    * are tiny, so 2-4 rounds). Oracle: recursive CTE closure.
+    * Each round hooks every node to the min label among itself and its
+    * neighbors, then pointer-jumps (label ← label(label)) — the
+    * Shiloach-Vishkin shortcutting that converges in O(log n) distributed
+    * rounds even on long path-shaped components, where plain neighbor-min
+    * propagation needs O(diameter) rounds. Oracle: recursive CTE closure.
     */
   val d06DedupClusters = QueryDef(
     "d06_dedup_clusters",
@@ -224,34 +226,8 @@ object DedupQueries {
         .filter(round(col("c") / (col("na") + col("nb") - col("c")), 4) >= 0.5)
         .select(col("da"), col("db")).cache()
 
-      // undirected edges + self-loops; iterate label = min(label of nbrs)
-      val edges = pairs
-        .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
-      var labels = edges.select(col("da").as("doc_id"))
-        .union(edges.select(col("db").as("doc_id"))).distinct()
-        .withColumn("label", col("doc_id"))
-      var changed = true
-      var rounds = 0
-      val maxRounds = 50
-      while (changed && rounds < maxRounds) {
-        rounds += 1
-        val nbrMin = edges
-          .join(labels, edges("db") === labels("doc_id"))
-          .groupBy(col("da")).agg(min(col("label")).as("nbr_label"))
-        val next = labels.join(nbrMin, labels("doc_id") === nbrMin("da"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-          .cache()
-        changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-          .filter(col("label") =!= col("old")).limit(1).count() > 0
-        labels.unpersist() // release the superseded round's cache
-        labels = next
-      }
-      // min-label propagation converges in O(component diameter) rounds;
-      // fail loudly rather than emit a partial closure
-      require(!changed,
-        s"dedup clustering did not converge within $maxRounds rounds")
-      labels.select(col("doc_id"), col("label").as("canonical_id"))
+      ConnectedComponents.run(pairs).labels
+        .select(col("doc_id"), col("label").as("canonical_id"))
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH RECURSIVE $shinglesSql,

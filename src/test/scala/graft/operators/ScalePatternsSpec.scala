@@ -34,6 +34,25 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       case _: ShuffleExchangeExec => 1
     }.sum
 
+  test("connected components shortcut converges in O(log n) rounds on a chain") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a 257-node path: worst case for neighbor-min propagation, which
+    // would need ~256 rounds; hook+shortcut must stay logarithmic
+    val chain = (0 until 256).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("da", "db")
+    val r = ConnectedComponents.run(chain, maxRounds = 20)
+    assert(r.rounds <= 12, s"took ${r.rounds} rounds — shortcutting broken?")
+    val labels = r.labels.collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(labels.length == 257 && labels.forall(_._2 == 0L))
+    // two separate components keep distinct canonical labels
+    val two = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val l2 = ConnectedComponents.run(two).labels.collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(l2(1L) == 1L && l2(2L) == 1L && l2(3L) == 1L)
+    assert(l2(10L) == 10L && l2(11L) == 10L)
+  }
+
   test("bucketed tables co-locate the join: zero shuffle exchanges") {
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
