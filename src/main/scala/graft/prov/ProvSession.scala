@@ -276,8 +276,13 @@ final class ProvSession private[prov] (
     if (pending.nonEmpty) {
       val t0 = System.nanoTime()
       val all = pending.map(_.elementThunk.get.apply()).reduce(_ unionByName _)
-      all.write.mode("append").partitionBy("execution_id")
-        .parquet(s"$storeDir/data_elements")
+      // write straight into this execution's partition directory: the
+      // dynamic-partition writer (partitionBy) sorts every task's rows
+      // by a column that is constant here — path-embedding the single
+      // partition value skips that entirely; readers see the same
+      // execution_id=... layout via partition discovery
+      all.drop("execution_id").write.mode("append")
+        .parquet(s"$storeDir/data_elements/execution_id=$executionId")
       pending.foreach(_.flushed = true)
       if (sys.env.contains("GRAFT_PROV_DEBUG"))
         System.err.println(f"[prov] flushed ${pending.size} tasks in ${(System.nanoTime() - t0) / 1e9}%.2fs")
