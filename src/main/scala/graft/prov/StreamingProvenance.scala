@@ -1,0 +1,65 @@
+package graft.prov
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+
+/** Watermark-bounded streaming lineage — a capability the reference does
+  * not have (its streaming layer is stock DStreams with no provenance,
+  * SURVEY §1.3/§2.10). Design: per-RECORD deps across a stream are
+  * unbounded state, so the scalable unit of streaming provenance is the
+  * MICRO-BATCH — each triggered batch appends its updated aggregate rows
+  * as elements depending on a synthetic batch element. The store then
+  * answers "which batches fed this window aggregate", and state stays
+  * O(1) per batch: exactly the boundedness the watermark guarantees for
+  * the aggregation itself.
+  *
+  * Elements append from inside foreachBatch with the same path-embedded
+  * partition layout as [[ProvSession.flush]], so all §3.3 provenance
+  * queries work unchanged over streaming elements.
+  */
+object StreamingProvenance {
+
+  /** Wrap a streaming aggregate in per-micro-batch provenance capture.
+    *
+    * @param session     open provenance session (its store receives rows)
+    * @param agg         a streaming aggregate DataFrame (e.g.
+    *                    EventStreams.hourlyCounts of a readStream)
+    * @param queryName   task description in the provenance DAG
+    * @return a writer in Update mode; caller starts/stops it
+    */
+  def tracked(session: ProvSession, agg: DataFrame,
+              queryName: String = "streaming_agg"): DataStreamWriter[Row] = {
+    val task = session.newTask(TransformationType.MAP, Nil,
+      s"streaming: $queryName")
+    task.schemaFields = agg.schema.fieldNames.toSeq
+    // elements append per micro-batch below, not at flush
+    task.elementThunk = None
+    val execId = session.executionId
+    val tid = task.id
+    val store = session.storeDir
+    val capture = session.captureEnabled
+    agg.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (capture && !batch.isEmpty) {
+          // deterministic batch-element id: re-running a batch after
+          // failure recovery overwrites rather than duplicates lineage
+          val batchEl = ProvSinkUtil.fileElementId(execId, s"batch_$batchId")
+          val cols = batch.schema.fieldNames.toSeq
+          val els = batch
+            .select(array(cols.map(c => col(c).cast("string")): _*).as("vs"))
+            .as(Encoders.product[Tuple1[Seq[String]]])
+            .map { t => ElementRow(execId, tid, ProvIds.newId(),
+              Seq(t._1), Seq(batchEl))
+            }(ProvSession.elementRowEnc)
+          val spark = batch.sparkSession
+          val batchRow = spark.createDataset(Seq(ElementRow(
+            execId, tid, batchEl, Seq(Seq(s"batch_$batchId")),
+            Seq.empty[String])))(ProvSession.elementRowEnc)
+          els.unionByName(batchRow).drop("execution_id")
+            .write.mode("append")
+            .parquet(s"$store/data_elements/execution_id=$execId")
+        }
+      }
+  }
+}
