@@ -23,9 +23,10 @@ object ProvBench {
 
     val data = (0 until n).map(i => s"k${i % 1000};$i")
 
-    def pipeline(capture: Boolean): Double = {
+    def pipeline(capture: Boolean, async: Boolean = false): Double = {
       val store = java.nio.file.Files.createTempDirectory("provbench").toString
-      val s = ProvSession.create(spark, "bench", store, captureEnabled = capture)
+      val s = ProvSession.create(spark, "bench", store, captureEnabled = capture,
+        asyncFlush = async)
       val t0 = System.nanoTime()
       val out = s.parallelize(data)
         .map { line => val p = line.split(";"); (p(0), p(1).toLong) }
@@ -40,7 +41,8 @@ object ProvBench {
     pipeline(capture = false) // warmup
     val off = pipeline(capture = false)
     val on = pipeline(capture = true)
-    println(f"""{"rows":$n,"off_sec":$off%.3f,"on_sec":$on%.3f,"overhead_factor":${on / off}%.2f}""")
+    val onAsync = pipeline(capture = true, async = true)
+    println(f"""{"rows":$n,"off_sec":$off%.3f,"on_sec":$on%.3f,"on_async_sec":$onAsync%.3f,"overhead_factor":${on / off}%.2f,"async_overhead_factor":${onAsync / off}%.2f}""")
     spark.stop()
   }
 }

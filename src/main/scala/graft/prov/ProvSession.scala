@@ -50,9 +50,10 @@ object ProvSession {
   def create(spark: SparkSession, appName: String, storeDir: String,
              captureEnabled: Boolean = true,
              captureDropped: Boolean = false,
-             versionControl: Option[graft.prov.filegroup.GitVersionControl] = None): ProvSession = {
+             versionControl: Option[graft.prov.filegroup.GitVersionControl] = None,
+             asyncFlush: Boolean = false): ProvSession = {
     val s = new ProvSession(spark, appName, storeDir, captureEnabled,
-      captureDropped, versionControl)
+      captureDropped, versionControl, asyncFlush)
     // reference lifecycle: execution branch created at context init
     // (SparkContext.scala:389-390, GitServerManager.scala:90-128)
     versionControl.foreach(_.initExecution(s.executionId))
@@ -76,7 +77,15 @@ final class ProvSession private[prov] (
     val storeDir: String,
     val captureEnabled: Boolean,
     val captureDropped: Boolean,
-    val versionControl: Option[graft.prov.filegroup.GitVersionControl] = None) {
+    val versionControl: Option[graft.prov.filegroup.GitVersionControl] = None,
+    /** When true, element-row writes run on a background thread so the
+      * triggering action overlaps the provenance write (both pull the
+      * same persisted stage caches — the block manager computes each
+      * partition once and the late requester reuses it). Writes chain
+      * sequentially off-thread, so appends never interleave; the store
+      * is guaranteed complete only after [[close]], which awaits them.
+      */
+    val asyncFlush: Boolean = false) {
 
   import ProvSession._
 
@@ -269,24 +278,52 @@ final class ProvSession private[prov] (
     * of checkAndPersistProvenance on action (reference: RDD.scala:1143-1147),
     * but batched: one distributed parquet append for all unflushed tasks.
     */
-  def flush(): Unit = if (captureEnabled) synchronized {
-    // Under the lock a concurrent second flush sees flushed=true and
-    // appends nothing — concurrent actions are idempotent.
-    val pending = tasks.values.filter(t => !t.flushed && !t.ignored && t.elementThunk.nonEmpty).toSeq
-    if (pending.nonEmpty) {
-      val t0 = System.nanoTime()
-      val all = pending.map(_.elementThunk.get.apply()).reduce(_ unionByName _)
-      // write straight into this execution's partition directory: the
-      // dynamic-partition writer (partitionBy) sorts every task's rows
-      // by a column that is constant here — path-embedding the single
-      // partition value skips that entirely; readers see the same
-      // execution_id=... layout via partition discovery
-      all.drop("execution_id").write.mode("append")
-        .parquet(s"$storeDir/data_elements/execution_id=$executionId")
-      pending.foreach(_.flushed = true)
-      if (sys.env.contains("GRAFT_PROV_DEBUG"))
-        System.err.println(f"[prov] flushed ${pending.size} tasks in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+  // in-flight async element writes, chained so appends to the store
+  // directory never interleave
+  private var flushChain: scala.concurrent.Future[Unit] =
+    scala.concurrent.Future.unit
+
+  def flush(): Unit = if (captureEnabled) {
+    // Plan construction + flushed-marking run under the lock: a
+    // concurrent second flush sees flushed=true and appends nothing —
+    // concurrent actions are idempotent. The Spark write job itself runs
+    // outside the lock (inline, or chained off-thread when asyncFlush)
+    // so a long write doesn't block task registration.
+    val job: Option[() => Unit] = synchronized {
+      val pending = tasks.values
+        .filter(t => !t.flushed && !t.ignored && t.elementThunk.nonEmpty).toSeq
+      if (pending.isEmpty) None
+      else {
+        val all = pending.map(_.elementThunk.get.apply()).reduce(_ unionByName _)
+        pending.foreach(_.flushed = true)
+        val n = pending.size
+        Some(() => {
+          val t0 = System.nanoTime()
+          // write straight into this execution's partition directory: the
+          // dynamic-partition writer (partitionBy) sorts every task's rows
+          // by a column that is constant here — path-embedding the single
+          // partition value skips that entirely; readers see the same
+          // execution_id=... layout via partition discovery
+          all.drop("execution_id").write.mode("append")
+            .parquet(s"$storeDir/data_elements/execution_id=$executionId")
+          if (sys.env.contains("GRAFT_PROV_DEBUG"))
+            System.err.println(f"[prov] flushed $n tasks in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        })
+      }
     }
+    job.foreach { j =>
+      if (asyncFlush) synchronized {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        flushChain = flushChain.map(_ => j())
+      } else j()
+    }
+  }
+
+  /** Await all in-flight async element writes; rethrows their failures. */
+  def awaitFlushes(): Unit = {
+    val f = synchronized(flushChain)
+    scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
   }
 
   /** Finish the execution: flush elements, write the driver-side tables
@@ -294,10 +331,15 @@ final class ProvSession private[prov] (
     * release caches (reference: SparkContext.scala:1975-1976 →
     * DataflowProvenance.finish).
     */
-  def close(): Unit = synchronized {
+  def close(): Unit = {
+    flush()
+    awaitFlushes() // surface any async write failure before finishing
+    closeInternal()
+  }
+
+  private def closeInternal(): Unit = synchronized {
     endTime = Some(new Timestamp(System.currentTimeMillis()))
     if (captureEnabled) {
-      flush()
       import spark.implicits._
       Seq(ExecutionRow(executionId, appName, startTime, endTime)).toDS()
         .write.mode("append").partitionBy("execution_id")

@@ -301,6 +301,24 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recEls.forall(e => e._3.length == 1 && fileIds.contains(e._3.head)))
   }
 
+  test("asyncFlush: chained background writes, store complete after close") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store, asyncFlush = true)
+    val src = s.parallelize(Seq(1, 2, 3))
+    val m = src.map(_ + 1)
+    assert(m.collect().sorted == Seq(2, 3, 4)) // 1st flush (async)
+    val m2 = m.map(_ * 10)
+    assert(m2.collect().sorted == Seq(20, 30, 40)) // 2nd flush (chained)
+    s.close() // awaits both writes
+    val all = spark.read.parquet(s"$store/data_elements")
+      .filter($"execution_id" === s.executionId)
+    assert(all.count() == 9) // 3 roots + 3 map + 3 map
+    // lineage intact across async batches: m2's deps are m's ids
+    val mIds = elementsOf(store, s.executionId, m.task.id).map(_._1).toSet
+    val m2Els = elementsOf(store, s.executionId, m2.task.id)
+    assert(m2Els.length == 3 && m2Els.forall(e => mIds.contains(e._3.head)))
+  }
+
   test("fromRDD bridges a stock RDD as fresh provenance roots") {
     val store = newStore()
     val s = ProvSession.create(spark, "t", store)
