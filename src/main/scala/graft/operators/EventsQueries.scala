@@ -83,6 +83,35 @@ object EventsQueries {
     Some("""SELECT event_id, cast(json_extract_string(props, '$.k') AS BIGINT) AS k
            |FROM events ORDER BY event_id""".stripMargin))
 
+  /** As-of join (click attribution): for each purchase, the user's most
+    * recent click at or before the purchase — AsOfJoin's union-tag +
+    * carry-forward window, one shuffle, no range-pair explosion. The
+    * oracle is DuckDB's native ASOF JOIN, so the operator's semantics
+    * (greatest click_ts ≤ purchase ts, per user, NULL when none) are
+    * checked against an independent engine implementation.
+    */
+  val q56AsofAttribution = QueryDef(
+    "q56_asof_attribution",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.leftAsOf(purchases, clicks, "user_id", "ts",
+          carried = Seq("value"), prefix = "click_")
+        .select(col("event_id"), col("user_id"),
+          col("click_ts"), round(col("click_value"), 2).as("click_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT p.event_id, p.user_id, c.ts AS click_ts,
+           |  round(c.value, 2) AS click_value
+           |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           |  ON p.user_id = c.user_id AND p.ts >= c.ts
+           |ORDER BY p.event_id""".stripMargin))
+
   def all: Seq[QueryDef] =
-    Seq(q26CountByValue, q28EventsHourly, q29JsonExtract, q37Sessionize)
+    Seq(q26CountByValue, q28EventsHourly, q29JsonExtract, q37Sessionize,
+      q56AsofAttribution)
 }
