@@ -111,7 +111,41 @@ object EventsQueries {
            |  ON p.user_id = c.user_id AND p.ts >= c.ts
            |ORDER BY p.event_id""".stripMargin))
 
+  /** Interval/range join (error proximity): per purchase, how many
+    * errors the same user hit within ±10 minutes — RangeJoin's bucketed
+    * equi-join (pairs meet exactly once, exact |Δt| filter after the
+    * hash join), then a left join back so zero-error purchases keep
+    * n_errors = 0. Oracle is a plain SQL inequality join.
+    */
+  val q57RangeErrorProximity = QueryDef(
+    "q57_range_error_proximity",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"))
+      val counts = RangeJoin
+        .withinTolerance(purchases, errors, "user_id", "ts", "err_ts",
+          tolMicros = 10L * 60 * 1000000)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_errors"))
+      purchases.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT p.event_id, p.user_id, count(e.ts) AS n_errors
+           |FROM (SELECT event_id, user_id, ts FROM events
+           |      WHERE event_type = 'purchase') p
+           |LEFT JOIN (SELECT user_id, ts FROM events
+           |           WHERE event_type = 'error') e
+           |  ON p.user_id = e.user_id
+           | AND e.ts >= p.ts - INTERVAL 10 MINUTE
+           | AND e.ts <= p.ts + INTERVAL 10 MINUTE
+           |GROUP BY p.event_id, p.user_id
+           |ORDER BY p.event_id""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q26CountByValue, q28EventsHourly, q29JsonExtract, q37Sessionize,
-      q56AsofAttribution)
+      q56AsofAttribution, q57RangeErrorProximity)
 }
