@@ -16,7 +16,7 @@ object SparkEntry {
       WindowQueries.all ++ EventsQueries.all ++ FuncQueries.all ++
       TypedQueries.all ++ ProvShowcaseQueries.all ++ FileGroupShowcaseQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextAnalysisQueries.all ++
-      MultimodalQueries.all ++ SqlSurfaceQueries.all
+      MultimodalQueries.all ++ SqlSurfaceQueries.all ++ ScaleOpQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

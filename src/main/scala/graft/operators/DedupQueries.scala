@@ -169,39 +169,76 @@ object DedupQueries {
             |WHERE round(c * 1.0 / (x.n + y.n - c), 4) >= 0.8
             |ORDER BY da, db""".stripMargin))
 
-  /** SimHash near-dup pairs: 64-bit signature from token hashes (sign of
-    * per-bit weighted sums), 4×16-bit band blocking, Hamming ≤ 8 verify
-    * via bit_count(xor). Hash-function-specific → rows-only check.
+  /** SimHash near-dup pairs: 60-bit signature from token hashes (sign of
+    * per-bit term-frequency-weighted sums), 4×15-bit band blocking,
+    * Hamming ≤ 8 verify via bit_count(xor). The token hash is the top 60
+    * bits of md5 (`conv(substr(md5(tok),1,15),16,10)`), which DuckDB
+    * reproduces exactly (`('0x' || substr(md5(tok),1,15))::BIGINT`), so
+    * unlike an xxhash64-based signature this variant is fully
+    * oracle-gated; 60 bits also keeps every `1 << k` inside a signed
+    * BIGINT in both engines. The whole plan is one groupBy shuffle for
+    * the signatures + the band-bucket self-join — no all-pairs work.
     */
   val d05SimHash = QueryDef(
     "d05_simhash",
     (s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-      val bitSums = (0 until 64).map { k =>
-        sum(when(expr(s"(h >> $k) & 1") === 1, 1).otherwise(-1)).as(s"b$k")
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      val bitSums = (0 until 60).map { k =>
+        sum(when(expr(s"((h >> $k) & 1) = 1"), 1).otherwise(-1)).as(s"b$k")
       }
       val sig = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"),
-          (0 until 64).map(k =>
-            when(col(s"b$k") > 0, expr(s"CAST(1 AS BIGINT) << $k"))
-              .otherwise(0L)).reduce(_ bitwiseOR _).as("simhash"))
+          (0 until 60).map(k =>
+            when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L))
+            .reduce(_ bitwiseOR _).as("simhash"))
       val banded = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(bnd =>
           struct(lit(bnd).as("band"),
-            expr(s"(simhash >> ${bnd * 16}) & 65535").as("chunk"))): _*))
+            expr(s"(simhash >> ${bnd * 15}) & 32767").as("chunk"))): _*))
           .as("bucket"))
       banded.alias("x")
         .join(banded.alias("y"), col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-          expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+          expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 8)
         .orderBy(col("da"), col("db"))
     },
-    None)
+    Some {
+      val bitSumsSql = (0 until 60)
+        .map(k => s"sum(CASE WHEN ((h >> $k) & 1) = 1 THEN 1 ELSE -1 END) AS b$k")
+        .mkString(",\n    ")
+      val sigSql = (0 until 60)
+        .map(k => s"(CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END)")
+        .mkString(" +\n    ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)),
+         |bits AS (
+         |  SELECT doc_id,
+         |    $bitSumsSql
+         |  FROM toks GROUP BY doc_id),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigSql AS simhash
+         |  FROM bits),
+         |banded AS (
+         |  SELECT doc_id, simhash, band,
+         |    ((simhash >> (band * 15)) & 32767) AS chunk
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+         |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+         |SELECT da, db, hamming FROM cand
+         |WHERE hamming <= 8 ORDER BY da, db""".stripMargin
+    })
 
   /** Near-dup CLUSTERING: connected components over the Jaccard≥0.5 pair
     * graph, each document mapped to its component's min doc_id (the
