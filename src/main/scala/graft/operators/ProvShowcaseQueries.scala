@@ -114,7 +114,41 @@ object ProvShowcaseQueries {
     },
     None)
 
+  /** Relational-surface provenance (beyond reference parity — the
+    * reference's SQL layer has none, SURVEY §1.3): a DataFrame pipeline
+    * (scan → filter → join → agg) tracked through [[ProvFrame]], with
+    * deterministic element ids and lineage flowing as plan columns.
+    * Returns per-task element counts — deterministic because ids derive
+    * from data keys, not random UUIDs.
+    */
+  val provRelational = QueryDef(
+    "prov_relational",
+    (s, d) => {
+      val store = Files.createTempDirectory("provrel").toString
+      val sess = ProvSession.create(s, "relational", store)
+      val o = RelationalProvenance.table(sess, Tables.orders(s, d),
+        "orders", Seq("o_orderkey"))
+      val l = RelationalProvenance.table(sess, Tables.lineitem(s, d),
+        "lineitem", Seq("l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey", "l_extendedprice"))
+      val of = o.filter(col("o_orderstatus") === "F", "open orders")
+      val j = of.join(l, col("o_orderkey") === col("l_orderkey"),
+        "inner", "orders-lineitem")
+      val agg = j.groupByAgg(Seq(col("l_returnflag")),
+        Seq(count(lit(1)).as("n")), "per returnflag")
+      agg.result.collect()
+      sess.close()
+      val q = new ProvenanceQueries(s, store)
+      q.elements(sess.executionId)
+        .groupBy(col("task_id")).agg(count(lit(1)).as("n_elements"))
+        .join(q.tasks(sess.executionId)
+          .select(col("task_id"), col("description")), "task_id")
+        .select(col("description"), col("n_elements"))
+        .orderBy(col("description"))
+    },
+    None)
+
   def all: Seq[QueryDef] =
     Seq(provFullGraph, provTaskGraph, provValueTable, provLineage,
-      provDocsPipeline)
+      provDocsPipeline, provRelational)
 }

@@ -1,0 +1,258 @@
+package graft.prov
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Per-record provenance for the RELATIONAL surface — beyond reference
+  * parity: the reference's SQL layer gains no provenance at all (its
+  * `sql/` tree is only mechanically adapted; SparkPlan/codegen contain
+  * zero DataElement references — SURVEY §1.3). Here a DataFrame pipeline
+  * declared through [[ProvFrame]] combinators carries two extra columns,
+  * `_prov_id` and `_prov_deps`, through the ordinary Catalyst plan:
+  *
+  *  - element ids are DETERMINISTIC — `md5(execution | task | key)` —
+  *    not random UUIDs, so a recomputed partition mints identical ids
+  *    and NOTHING needs to be cached for lineage consistency. The typed
+  *    [[ProvDataset]] persists every stage because its ids are random
+  *    (reference semantics, DataElement.scala:78-86); at 100 TB that
+  *    cache pressure is the difference between lineage being free and
+  *    lineage pinning the working set. Call [[ProvFrame.materialize]]
+  *    only to avoid recomputing a long chain at flush time.
+  *  - provenance columns are ordinary projections, so Catalyst still
+  *    pushes user predicates into the scan and prunes unread columns
+  *    (asserted in RelationalProvenanceSpec) — the SURVEY §4.2 concern
+  *    ("keep `_prov` from blocking pushdown") holds by construction
+  *    because `_prov_id` references only the declared key columns.
+  *
+  * Lineage conventions match the typed layer: element-creating ops mint
+  * one element per output row with the input element ids in `deps`;
+  * union/sort/limit pass through (reference: UnionRDD.scala:108);
+  * `ignoreIt()` splices children through to the nearest non-ignored
+  * ancestors (reference: DataElement.scala:34-46). Flushing reuses the
+  * same [[ProvSession]] store, so every SURVEY §3.3 query
+  * ([[ProvenanceQueries]]: fullGraph, lineageOf, valueTable, …) works
+  * unchanged over relational lineage.
+  */
+object RelationalProvenance {
+
+  private[prov] val ID = "_prov_id"
+  private[prov] val DEPS = "_prov_deps"
+
+  /** Root frame over a source DataFrame. `keyCols` must uniquely identify
+    * a row (primary key); the element id derives from them, so lineage
+    * survives recomputation without caching. Keys beyond the projected
+    * columns cost nothing extra: they are read anyway or pruned together.
+    * Rows sharing a key value mint the SAME element id (their deps merge
+    * downstream) — verifying uniqueness is a full shuffle, so it is the
+    * caller's contract, not a runtime check.
+    */
+  def table(session: ProvSession, df: DataFrame, name: String,
+            keyCols: Seq[String]): ProvFrame = {
+    require(keyCols.nonEmpty, "keyCols must name a unique row key")
+    val task = session.newTask(TransformationType.MAP, Nil, s"table: $name")
+    val out = df
+      .withColumn(ID, mintId(session.executionId, task.id, keyCols.map(col)))
+      .withColumn(DEPS, array().cast("array<string>"))
+    attach(session, task, out)
+  }
+
+  /** Deterministic element id: md5 over execution, task, and the id
+    * parts, null-safe (a NULL part is distinguished from empty/absent).
+    */
+  private[prov] def mintId(executionId: String, taskId: String,
+                           parts: Seq[Column]): Column =
+    md5(concat_ws("\u0001",
+      (lit(executionId) +: lit(taskId) +: parts.map(p =>
+        coalesce(p.cast("string"), lit("")))): _*))
+
+  private[prov] def attach(session: ProvSession, task: TaskState,
+                           df: DataFrame,
+                           createsElements: Boolean = true): ProvFrame = {
+    val userCols = df.columns.filterNot(Set(ID, DEPS)).toSeq
+    task.schemaFields = userCols
+    task.usingDefaultSchema = false
+    val frame = new ProvFrame(df, task, session)
+    if (session.captureEnabled && createsElements && !task.ignored)
+      task.elementThunk = Some(() => frame.elementRows())
+    else if (!createsElements) task.elementThunk = None
+    frame
+  }
+}
+
+/** A DataFrame with per-row provenance columns. Obtain via
+  * [[RelationalProvenance.table]]; read results via [[result]].
+  */
+final class ProvFrame private[prov] (
+    private[prov] val df: DataFrame,
+    private[prov] val task: TaskState,
+    val session: ProvSession) {
+
+  import RelationalProvenance._
+
+  def taskId: String = task.id
+  private def spark = df.sparkSession
+  private def execId = session.executionId
+
+  /** User-visible columns (provenance columns stripped). */
+  def result: DataFrame = df.drop(ID, DEPS)
+
+  private def userCols: Seq[String] = df.columns.filterNot(Set(ID, DEPS)).toSeq
+
+  /** Element rows for the flush layout — values grid = one row of the
+    * user columns as strings (same shape the reference stores,
+    * DataElement.scala:146-155).
+    */
+  private[prov] def elementRows(): Dataset[ElementRow] = {
+    val cols = userCols
+    df.select(
+      lit(execId).as("execution_id"),
+      lit(task.id).as("task_id"),
+      col(ID).as("element_id"),
+      array(array(cols.map(c => col(c).cast("string")): _*)).as("values"),
+      col(DEPS).as("deps")
+    ).as[ElementRow](ProvSession.elementRowEnc)
+  }
+
+  /** (dep-array contribution, id-part) of this frame as a parent: an
+    * ignored parent contributes its own deps (splice-through) and a
+    * deterministic digest of them for child id minting.
+    */
+  private def asParent: (Column, Column) =
+    if (task.ignored)
+      (col(DEPS), array_join(array_sort(col(DEPS)), "\u0003"))
+    else (array(col(ID)), col(ID))
+
+  /** Exclude this frame from provenance; declare BEFORE children (same
+    * contract as [[ProvDataset.ignoreIt]]).
+    */
+  def ignoreIt(): this.type = {
+    task.ignored = true
+    task.elementThunk = None
+    this
+  }
+
+  /** Persist the provenance-carrying plan. Never needed for lineage
+    * correctness (ids are deterministic) — only to avoid recomputing a
+    * long chain once per task at flush.
+    */
+  def materialize(): this.type = { session.track(df); this }
+
+  // ---- element-creating ops -----------------------------------------
+
+  /** Projection (1→1 lineage). */
+  def select(description: String)(cols: Column*): ProvFrame = {
+    val t = session.newTask(TransformationType.MAP, Seq(task.id), description)
+    val (pdeps, pid) = asParent
+    val out = df
+      .withColumn("_prov_pd", pdeps).withColumn("_prov_pi", pid)
+      .select(cols :+ col("_prov_pd") :+ col("_prov_pi"): _*)
+      .withColumn(ID, mintId(execId, t.id, Seq(col("_prov_pi"))))
+      .withColumn(DEPS, col("_prov_pd"))
+      .drop("_prov_pd", "_prov_pi")
+    attach(session, t, out)
+  }
+
+  /** Filter (kept rows only; for dropped-record lineage use the typed
+    * layer's captureDropped — reference: MapPartitionsRDD.scala:102-125).
+    */
+  def filter(cond: Column, description: String = "filter"): ProvFrame = {
+    val t = session.newTask(TransformationType.FILTER, Seq(task.id),
+      s"$description: $cond")
+    val (pdeps, pid) = asParent
+    val out = df.filter(cond)
+      .withColumn("_prov_pd", pdeps).withColumn("_prov_pi", pid)
+      .withColumn(ID, mintId(execId, t.id, Seq(col("_prov_pi"))))
+      .withColumn(DEPS, col("_prov_pd"))
+      .drop("_prov_pd", "_prov_pi")
+    attach(session, t, out)
+  }
+
+  /** Equi-join on shared column names; each output row depends on both
+    * input rows (outer-side NULLs contribute no dep).
+    */
+  def join(other: ProvFrame, usingColumns: Seq[String],
+           joinType: String = "inner",
+           description: String = "join"): ProvFrame =
+    joinInternal(other, Left(usingColumns), joinType, description)
+
+  /** General-condition join (condition over the two frames' columns). */
+  def join(other: ProvFrame, cond: Column, joinType: String,
+           description: String): ProvFrame =
+    joinInternal(other, Right(cond), joinType, description)
+
+  private def joinInternal(other: ProvFrame,
+                           on: Either[Seq[String], Column],
+                           joinType: String,
+                           description: String): ProvFrame = {
+    val ttype = joinType.toLowerCase.replace("_", "") match {
+      case "inner"               => TransformationType.JOIN
+      case "left" | "leftouter"  => TransformationType.LEFT_OUTER_JOIN
+      case "right" | "rightouter" => TransformationType.RIGHT_OUTER_JOIN
+      case "full" | "fullouter" | "outer" => TransformationType.FULL_OUTER_JOIN
+      case "cross"               => TransformationType.CARTESIAN
+      case _                     => TransformationType.JOIN
+    }
+    val t = session.newTask(ttype, Seq(task.id, other.task.id), description)
+    val (ldeps, lid) = asParent
+    val (rdeps, rid) = other.asParent
+    val l = df.withColumn("_prov_ld", ldeps).withColumn("_prov_li", lid)
+      .drop(ID, DEPS)
+    val r = other.df.withColumn("_prov_rd", rdeps).withColumn("_prov_ri", rid)
+      .drop(ID, DEPS)
+    val joined = on match {
+      case Left(cols) => l.join(r, cols, joinType)
+      case Right(c)   => l.join(r, c, joinType)
+    }
+    val out = joined
+      .withColumn(ID, mintId(execId, t.id,
+        Seq(col("_prov_li"), col("_prov_ri"))))
+      .withColumn(DEPS, flatten(org.apache.spark.sql.functions.filter(
+        array(col("_prov_ld"), col("_prov_rd")), _.isNotNull)))
+      .drop("_prov_ld", "_prov_li", "_prov_rd", "_prov_ri")
+    attach(session, t, out)
+  }
+
+  /** Grouped aggregation: one element per group whose deps are ALL
+    * contributing input elements — the dep-unioning combiner semantics
+    * of the reference's shuffle path (ExternalSorter.scala:400-475)
+    * expressed as `collect_set` riding the SAME shuffle as the user
+    * aggregates (partial aggregation applies; no insert-then-delete).
+    * At extreme group sizes the dep set is the scale cost — groups are
+    * derivable from the group key, so wide pipelines can `ignoreIt()`
+    * upstream or aggregate from a keyed source instead.
+    */
+  def groupByAgg(keys: Seq[Column], aggs: Seq[Column],
+                 description: String = "groupByAgg"): ProvFrame = {
+    val t = session.newTask(TransformationType.AGGREGATE_BY_KEY,
+      Seq(task.id), description)
+    val (pdeps, pid) = asParent
+    val base = df.withColumn("_prov_pd", pdeps).withColumn("_prov_pi", pid)
+    val depAgg =
+      if (task.ignored) array_distinct(flatten(collect_list(col("_prov_pd"))))
+      else collect_set(col("_prov_pi"))
+    val grouped = base.groupBy(keys: _*)
+      .agg(aggs.head, (aggs.tail :+ depAgg.as(DEPS)): _*)
+    val keyNames = grouped.columns.take(keys.length).toSeq
+    val out = grouped
+      .withColumn(ID, mintId(execId, t.id, keyNames.map(col)))
+    attach(session, t, out)
+  }
+
+  // ---- pass-through ops (no elements; reference: UnionRDD.scala:108) --
+
+  def union(other: ProvFrame, description: String = "union"): ProvFrame = {
+    val t = session.newTask(TransformationType.UNION,
+      Seq(task.id, other.task.id), description)
+    attach(session, t, df.unionByName(other.df), createsElements = false)
+  }
+
+  def orderBy(cols: Column*): ProvFrame = {
+    val t = session.newTask(TransformationType.SORT_BY_KEY, Seq(task.id), "orderBy")
+    attach(session, t, df.orderBy(cols: _*), createsElements = false)
+  }
+
+  def limit(n: Int): ProvFrame = {
+    val t = session.newTask(TransformationType.COALESCED, Seq(task.id), s"limit($n)")
+    attach(session, t, df.limit(n), createsElements = false)
+  }
+}

@@ -1,0 +1,161 @@
+package graft.prov
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Relational (DataFrame-level) provenance: deterministic ids without
+  * caching, correct lineage through filter/join/agg, splice-through for
+  * ignored frames, and — the SURVEY §4.2 scale requirement — provenance
+  * columns that do NOT defeat predicate pushdown or column pruning.
+  */
+class RelationalProvenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def newSession(): (ProvSession, String) = {
+    val store = Files.createTempDirectory("relprov").toString
+    (ProvSession.create(spark, "relprov-test", store), store)
+  }
+
+  test("ids are deterministic across recomputation (no persist needed)") {
+    val (sess, _) = newSession()
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+    val f = RelationalProvenance.table(sess, orders, "orders", Seq("o_orderkey"))
+      .filter(col("o_orderstatus") === "F")
+    // two independent collections of an UNCACHED plan must mint equal ids
+    val ids1 = f.df.select(col(RelationalProvenance.ID)).collect().map(_.getString(0)).sorted
+    val ids2 = f.df.select(col(RelationalProvenance.ID)).collect().map(_.getString(0)).sorted
+    assert(ids1.nonEmpty && ids1.sameElements(ids2))
+    sess.close()
+  }
+
+  test("filter → join → agg lineage lands in the store and closes transitively") {
+    val (sess, store) = newSession()
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+    val lineitem = spark.read.parquet(s"$d/lineitem.parquet")
+
+    val o = RelationalProvenance.table(sess, orders, "orders", Seq("o_orderkey"))
+    // NB: (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+    // (6000 rows, 4599 distinct) — the key contract needs the wider set
+    val l = RelationalProvenance.table(sess, lineitem, "lineitem",
+      Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice"))
+    val of = o.filter(col("o_orderstatus") === "F", "open orders")
+    val j = of.join(l, col("o_orderkey") === col("l_orderkey"), "inner", "o⋈l")
+    val agg = j.groupByAgg(Seq(col("l_returnflag")),
+      Seq(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty")), "per flag")
+    val res = agg.result.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sess.flush()
+    sess.close()
+
+    val q = new ProvenanceQueries(spark, store)
+    val els = q.elements(sess.executionId)
+    // per-task element counts match the data
+    val byTask = els.groupBy(col("task_id")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTask(o.taskId) == orders.count())
+    assert(byTask(l.taskId) == lineitem.count())
+    assert(byTask(of.taskId) == orders.filter(col("o_orderstatus") === "F").count())
+    assert(byTask(agg.taskId) == res.size)
+
+    // each agg element's dep count equals its group's input rows
+    val aggEls = els.filter(col("task_id") === agg.taskId)
+      .select(col("values").getItem(0).getItem(0).as("flag"),
+        size(col("deps")).as("nd")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(aggEls == res.view.mapValues(_.toInt).toMap)
+
+    // multi-hop lineage from one agg element reaches BOTH source tables
+    val anAgg = els.filter(col("task_id") === agg.taskId)
+      .select(col("element_id")).head().getString(0)
+    val lineage = q.lineageOf(sess.executionId, anAgg) // (id, hop) ancestors
+    val tasksInLineage = lineage
+      .join(els, lineage("id") === els("element_id"))
+      .select(col("task_id")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(Set(o.taskId, l.taskId, of.taskId, j.taskId)
+      .subsetOf(tasksInLineage), s"lineage tasks: $tasksInLineage")
+  }
+
+  test("outer join: unmatched side contributes no dep") {
+    val (sess, _) = newSession()
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "va")
+    val b = Seq((1L, "z")).toDF("k", "vb")
+    val fa = RelationalProvenance.table(sess, a, "a", Seq("k"))
+    val fb = RelationalProvenance.table(sess, b, "b", Seq("k"))
+    val j = fa.join(fb, Seq("k"), "left", "a left b")
+    val rows = j.df.select(col("k"),
+      size(col(RelationalProvenance.DEPS)).as("nd")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows == Map(1L -> 2, 2L -> 1))
+    sess.close()
+  }
+
+  test("ignoreIt splices children through to the non-ignored ancestor") {
+    val (sess, store) = newSession()
+    import spark.implicits._
+    val src = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val t = RelationalProvenance.table(sess, src, "src", Seq("k"))
+    val mid = t.select("widen")(col("k"), (col("v") * 2).as("v2")).ignoreIt()
+    val leaf = mid.filter(col("v2") > 25.0, "big")
+    sess.close()
+
+    val q = new ProvenanceQueries(spark, store)
+    val els = q.elements(sess.executionId).collect()
+    // no elements for the ignored task
+    assert(!els.exists(_.getAs[String]("task_id") == mid.taskId))
+    // leaf deps point DIRECTLY at source element ids
+    val srcIds = els.filter(_.getAs[String]("task_id") == t.taskId)
+      .map(_.getAs[String]("element_id")).toSet
+    val leafDeps = els.filter(_.getAs[String]("task_id") == leaf.taskId)
+      .flatMap(r => r.getSeq[String](r.fieldIndex("deps"))).toSet
+    assert(leafDeps.nonEmpty && leafDeps.subsetOf(srcIds))
+  }
+
+  test("provenance columns do not defeat pushdown or pruning") {
+    val (sess, _) = newSession()
+    val lineitem = spark.read.parquet(s"$d/lineitem.parquet")
+    val f = RelationalProvenance
+      .table(sess, lineitem, "lineitem", Seq("l_orderkey", "l_linenumber"))
+      .filter(col("l_shipdate") <= "1998-09-02", "cutoff")
+      .select("narrow")(col("l_returnflag"), col("l_quantity"))
+    val plan = f.df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"user predicate must reach the scan:\n$plan")
+    // scan reads only: predicate col + projected cols + the id keys
+    assert(!plan.contains("l_extendedprice") && !plan.contains("l_partkey"),
+      s"unused columns must be pruned from the scan:\n$plan")
+    sess.close()
+  }
+
+  test("pass-through union/orderBy create no elements and keep ids") {
+    val (sess, store) = newSession()
+    import spark.implicits._
+    val a = Seq((1L, "a")).toDF("k", "v")
+    val b = Seq((2L, "b")).toDF("k", "v")
+    val fa = RelationalProvenance.table(sess, a, "a", Seq("k"))
+    val fb = RelationalProvenance.table(sess, b, "b", Seq("k"))
+    val u = fa.union(fb).orderBy(col("k"))
+    assert(u.df.select(col(RelationalProvenance.ID)).collect().length == 2)
+    sess.close()
+    val q = new ProvenanceQueries(spark, store)
+    val tasks = q.tasks(sess.executionId).collect()
+    val uRow = tasks.find(_.getAs[String]("task_id") == u.taskId)
+    assert(uRow.isDefined) // task node recorded even though no elements
+    val els = q.elements(sess.executionId)
+    assert(els.filter(col("task_id") === u.taskId).count() == 0)
+  }
+}
