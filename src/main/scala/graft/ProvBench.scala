@@ -42,7 +42,43 @@ object ProvBench {
     val off = pipeline(capture = false)
     val on = pipeline(capture = true)
     val onAsync = pipeline(capture = true, async = true)
-    println(f"""{"rows":$n,"off_sec":$off%.3f,"on_sec":$on%.3f,"on_async_sec":$onAsync%.3f,"overhead_factor":${on / off}%.2f,"async_overhead_factor":${onAsync / off}%.2f}""")
+
+    // relational layer: same logical pipeline (scan → project → filter →
+    // groupBy-agg) as ProvFrame combinators vs the bare DataFrame plan.
+    // Deterministic ids mean NO stage caching — the capture cost is the
+    // prov-column arithmetic + the flush job, nothing resident.
+    import org.apache.spark.sql.functions._
+    val src = data.map { line =>
+      val p = line.split(";"); (p(0), p(1).toLong)
+    }.toDF("k", "v")
+    src.write.mode("overwrite").parquet("/tmp/provbench_rel")
+    def relational(capture: Boolean, async: Boolean = false): Double = {
+      val store = java.nio.file.Files.createTempDirectory("provbenchrel").toString
+      val t0 = System.nanoTime()
+      val df = spark.read.parquet("/tmp/provbench_rel")
+      val out = if (capture) {
+        val s = ProvSession.create(spark, "bench-rel", store, asyncFlush = async)
+        val f = RelationalProvenance.table(s, df, "src", Seq("k", "v"))
+          .select("widen")(col("k"), col("v"), (col("v") * 2).as("v2"))
+          .filter(col("v") % 3 =!= 0)
+          .groupByAgg(Seq(col("k")), Seq(sum(col("v2")).as("s")))
+        val r = f.result.collect()
+        s.close()
+        r
+      } else {
+        df.select(col("k"), col("v"), (col("v") * 2).as("v2"))
+          .filter(col("v") % 3 =!= 0)
+          .groupBy(col("k")).agg(sum(col("v2")).as("s"))
+          .collect()
+      }
+      require(out.length == 1000)
+      (System.nanoTime() - t0) / 1e9
+    }
+    relational(capture = false) // warmup
+    val relOff = relational(capture = false)
+    val relOn = relational(capture = true)
+    val relOnAsync = relational(capture = true, async = true)
+    println(f"""{"rows":$n,"off_sec":$off%.3f,"on_sec":$on%.3f,"on_async_sec":$onAsync%.3f,"overhead_factor":${on / off}%.2f,"async_overhead_factor":${onAsync / off}%.2f,"rel_off_sec":$relOff%.3f,"rel_on_sec":$relOn%.3f,"rel_on_async_sec":$relOnAsync%.3f,"rel_overhead_factor":${relOn / relOff}%.2f,"rel_async_overhead_factor":${relOnAsync / relOff}%.2f}""")
     spark.stop()
   }
 }
