@@ -40,6 +40,9 @@ object MultimodalQueries {
     * — the same batch shape a Pandas-UDF/mapInPandas decode uses. The
     * per-record decode below is the STUB (deterministic pseudo-decode
     * from payload bytes: ??? → replaced by a real codec in production).
+    * Because the payloads are ASCII (byte value = code point), the stub
+    * arithmetic is mirrored exactly in DuckDB SQL — so even the stubbed
+    * pipeline is oracle-gated end to end, not just rows-checked.
     */
   val mm02DecodeFeatures = QueryDef(
     "mm02_decode_features",
@@ -69,7 +72,31 @@ object MultimodalQueries {
           round(expr("aggregate(features, 0D, (a, x) -> a + x)"), 2).as("feature_sum"))
         .orderBy(col("media_id"))
     },
-    None)
+    // the stub decode, re-expressed over code points (payload is ASCII):
+    // width = 1+(L*31 % 512); height = 1+(Σbyte % 512); 8 equal slices of
+    // size max(L/8,1), per-slice round(avg*100)/100, summed and rounded
+    Some("""WITH base AS (
+           |  SELECT doc_id AS media_id, text, length(text) AS L,
+           |         greatest(length(text) // 8, 1) AS s
+           |  FROM documents),
+           |chars AS (
+           |  SELECT media_id, s, L, i, unicode(substr(text, i, 1)) AS cp
+           |  FROM base, LATERAL unnest(generate_series(1, L)) AS t(i)),
+           |slice_avgs AS (
+           |  SELECT media_id, ((i - 1) // s) AS slice,
+           |         round(avg(cp) * 100) / 100 AS slice_avg
+           |  FROM chars WHERE ((i - 1) // s) < 8
+           |  GROUP BY media_id, ((i - 1) // s)),
+           |feats AS (
+           |  SELECT media_id, round(sum(slice_avg), 2) AS feature_sum
+           |  FROM slice_avgs GROUP BY media_id),
+           |hw AS (
+           |  SELECT media_id, 1 + ((max(L) * 31) % 512) AS width,
+           |         CAST(1 + (sum(cp) % 512) AS BIGINT) AS height
+           |  FROM chars GROUP BY media_id)
+           |SELECT f.media_id, hw.width, hw.height, f.feature_sum
+           |FROM feats f JOIN hw ON f.media_id = hw.media_id
+           |ORDER BY f.media_id""".stripMargin))
 
   /** Frame-sampling shape: explode K deterministic "frames" per media row
     * then aggregate per-frame stub features — the plumbing for video

@@ -157,7 +157,85 @@ object SqlSurfaceQueries {
            |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
            |GROUP BY 1 ORDER BY name_prefix""".stripMargin))
 
+  /** TPC-H Q21 shape ("suppliers who kept orders waiting"): the hardest
+    * correlated pattern in TPC-H — EXISTS(other supplier on the order)
+    * AND NOT EXISTS(other supplier ALSO late). The Spark plan decorrelates
+    * both subqueries into aggregates ("exactly one distinct late supplier"
+    * ∧ "≥2 distinct suppliers"), so the whole query is three shuffles on
+    * l_orderkey and no per-row probing; the oracle keeps the literal
+    * EXISTS/NOT EXISTS formulation — two independent derivations.
+    * "Late" = shipped >60 days after the order date.
+    */
+  val q60SoleLateSupplier = QueryDef(
+    "q60_sole_late_supplier",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val late = l.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > date_add(col("o_orderdate"), 60))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val soleLateOrders = late.groupBy(col("ok"))
+        .agg(count(lit(1)).as("n_late_supp"))
+        .filter(col("n_late_supp") === 1)
+        .select(col("ok"))
+      val multiSuppOrders = l
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("ns"))
+        .filter(col("ns") >= 2)
+        .select(col("ok"))
+      late.join(soleLateOrders, Seq("ok"))
+        .join(multiSuppOrders, Seq("ok"))
+        .groupBy(col("sk").as("s_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(20)
+    },
+    Some("""SELECT l1.l_suppkey AS s_suppkey,
+           |  count(DISTINCT l1.l_orderkey) AS numwait
+           |FROM lineitem l1 JOIN orders o ON l1.l_orderkey = o.o_orderkey
+           |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+           |  AND EXISTS (
+           |    SELECT 1 FROM lineitem l2
+           |    WHERE l2.l_orderkey = l1.l_orderkey
+           |      AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (
+           |    SELECT 1 FROM lineitem l3
+           |    JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+           |    WHERE l3.l_orderkey = l1.l_orderkey
+           |      AND l3.l_suppkey <> l1.l_suppkey
+           |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+           |GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin))
+
+  /** Relational division: customers who ordered in EVERY priority class.
+    * Spark decorrelates to a count-distinct equality against the global
+    * distinct count (two aggregates + a broadcast of one row — no nested
+    * probing); the oracle is the textbook double-NOT-EXISTS division.
+    */
+  val q61PriorityDivision = QueryDef(
+    "q61_priority_division",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val o = Tables.orders(s, d)
+      val total = o.select(
+        countDistinct(col("o_orderpriority")).as("tot"))
+      o.groupBy(col("o_custkey"))
+        .agg(countDistinct(col("o_orderpriority")).as("np"))
+        .join(broadcast(total), col("np") === col("tot"))
+        .select(col("o_custkey"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT DISTINCT c.o_custkey FROM orders c
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM (SELECT DISTINCT o_orderpriority AS p FROM orders) ps
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM orders o2
+           |    WHERE o2.o_custkey = c.o_custkey AND o2.o_orderpriority = ps.p))
+           |ORDER BY o_custkey""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q44SqlSurface, q45MinPerGroup, q46OrderPriority, q47BandJoin,
-      q51ValueFraction, q52LostCustomers)
+      q51ValueFraction, q52LostCustomers, q60SoleLateSupplier,
+      q61PriorityDivision)
 }
