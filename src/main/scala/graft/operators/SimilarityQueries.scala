@@ -100,18 +100,31 @@ object SimilarityQueries {
     * check. At 100 TB the corpus is hashed once and bucketed; queries
     * probe one bucket each.
     */
+  /** Rademacher (±1) hyperplane entries derived from md5 of a seed
+    * string — the SAME constants are inlined as literals into the Spark
+    * plan and the generated oracle SQL, so the bucketing (and therefore
+    * the whole ANN output) is engine-independent and fully gated.
+    * ±1 entries lose nothing vs Gaussian for sign-hash LSH (the sign of
+    * Σ±x_i is as good a random projection for cosine as a Gaussian one).
+    */
+  private val lshPlanes = 6
+  private val lshDim = 64
+  private lazy val lshSigns: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(lshPlanes, lshDim) { (p, i) =>
+      val h = md.digest(s"graft-lsh-$p-$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
   val e03AnnLsh = QueryDef(
     "e03_ann_lsh",
     (s, d) => {
-      val dim = 64
       // 6 planes → 64 buckets: sized so buckets hold ~n/64 candidates;
       // at larger corpora raise planes to keep bucket size ~constant
-      val planes = 6
-      val rnd = new scala.util.Random(42)
-      val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
-      val planeLits = (0 until planes).map { p =>
-        val terms = (0 until dim).map(i =>
-          col("embedding").getItem(i).cast("double") * hyper(p)(i))
+      val planeLits = (0 until lshPlanes).map { p =>
+        val terms = (0 until lshDim).map(i =>
+          col("embedding").getItem(i).cast("double") * lshSigns(p)(i))
         when(terms.reduce(_ + _) >= 0, 1L << p).otherwise(0L)
       }
       val e = Tables.embeddings(s, d)
@@ -133,7 +146,31 @@ object SimilarityQueries {
           round(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("rank"))
     },
-    None)
+    // the oracle replays the identical ±1 projections (same literals,
+    // same add order, DOUBLE arithmetic) so buckets match bit-for-bit,
+    // then ranks exactly like e01's gated oracle
+    Some {
+      val cosExpr =
+        "(list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum') / (sqrt(list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')) * sqrt(list_aggregate([CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum'))))"
+      val bucketSql = (0 until lshPlanes).map { p =>
+        val terms = (0 until lshDim).map(i =>
+          s"CAST(embedding[${i + 1}] AS DOUBLE)*${lshSigns(p)(i)}")
+          .mkString(" + ")
+        s"(CASE WHEN ($terms) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH bk AS (
+         |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosExpr AS cos
+         |  FROM bk a JOIN bk b
+         |    ON a.vec_id < 5 AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    })
 
   /** Centroid stats per label — the IVF building block (coarse quantizer
     * assignment reduces to this aggregation shape at scale).
