@@ -152,8 +152,12 @@ final class ProvFrame private[prov] (
     attach(session, t, out)
   }
 
-  /** Filter (kept rows only; for dropped-record lineage use the typed
-    * layer's captureDropped — reference: MapPartitionsRDD.scala:102-125).
+  /** Filter. With `ProvSession.captureDropped`, rejected rows feed
+    * synthetic per-partition "don't-pass" elements exactly like the
+    * typed layer (reference: MapPartitionsRDD.scala:102-125) — their
+    * ids are a digest of the sorted dropped ids, so they too are
+    * deterministic. A NULL predicate counts as dropped (SQL filter
+    * semantics).
     */
   def filter(cond: Column, description: String = "filter"): ProvFrame = {
     val t = session.newTask(TransformationType.FILTER, Seq(task.id),
@@ -164,6 +168,48 @@ final class ProvFrame private[prov] (
       .withColumn(ID, mintId(execId, t.id, Seq(col("_prov_pi"))))
       .withColumn(DEPS, col("_prov_pd"))
       .drop("_prov_pd", "_prov_pi")
+    val frame = attach(session, t, out)
+    if (session.captureEnabled && session.captureDropped) {
+      val eid = execId
+      val tid = t.id
+      val desc = description
+      val droppedDeps = df.filter(!coalesce(cond, lit(false)))
+        .select(pdeps.as("_prov_pd"), spark_partition_id().as("_prov_part"))
+      val base = t.elementThunk.get
+      t.elementThunk = Some(() => {
+        val synth = droppedDeps
+          .groupBy(col("_prov_part"))
+          .agg(array_sort(flatten(collect_list(col("_prov_pd")))).as("deps"))
+          .select(
+            lit(eid).as("execution_id"),
+            lit(tid).as("task_id"),
+            md5(concat_ws("", lit(tid),
+              array_join(col("deps"), ""))).as("element_id"),
+            array(array(lit(s"don't-pass: $desc"))).as("values"),
+            col("deps"))
+          .as[ElementRow](ProvSession.elementRowEnc)
+        base().unionByName(synth)
+      })
+    }
+    frame
+  }
+
+  /** distinct: one element per surviving row whose deps are ALL input
+    * elements carrying that value (same dep-merging semantics as the
+    * typed layer's distinct — reference: RDD.scala:534-550).
+    */
+  def distinct(description: String = "distinct"): ProvFrame = {
+    val t = session.newTask(TransformationType.DISTINCT, Seq(task.id),
+      description)
+    val (pdeps, pid) = asParent
+    val cols = userCols
+    val base = df.withColumn("_prov_pd", pdeps).withColumn("_prov_pi", pid)
+    val depAgg =
+      if (task.ignored) array_distinct(flatten(collect_list(col("_prov_pd"))))
+      else collect_set(col("_prov_pi"))
+    val out = base.groupBy(cols.map(col): _*)
+      .agg(depAgg.as(DEPS))
+      .withColumn(ID, mintId(execId, t.id, cols.map(col)))
     attach(session, t, out)
   }
 

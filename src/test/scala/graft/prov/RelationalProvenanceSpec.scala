@@ -141,6 +141,47 @@ class RelationalProvenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     sess.close()
   }
 
+  test("distinct merges deps of all rows carrying the value") {
+    val (sess, store) = newSession()
+    import spark.implicits._
+    val src = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "v")
+    val t = RelationalProvenance.table(sess, src, "src", Seq("k"))
+    val dd = t.select("just v")(col("v")).distinct()
+    assert(dd.result.collect().map(_.getString(0)).sorted.sameElements(Array("a", "b")))
+    sess.close()
+    val q = new ProvenanceQueries(spark, store)
+    val byVal = q.elements(sess.executionId)
+      .filter(col("task_id") === dd.taskId)
+      .select(col("values").getItem(0).getItem(0).as("v"),
+        size(col("deps")).as("nd")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(byVal == Map("a" -> 2, "b" -> 1))
+  }
+
+  test("captureDropped: rejected rows feed deterministic don't-pass elements") {
+    val store = Files.createTempDirectory("relprovdrop").toString
+    val sess = ProvSession.create(spark, "relprov-drop", store,
+      captureDropped = true)
+    import spark.implicits._
+    val src = Seq((1L, 5.0), (2L, 50.0), (3L, 7.0)).toDF("k", "v")
+    val t = RelationalProvenance.table(sess, src, "src", Seq("k"))
+    val f = t.filter(col("v") > 10.0, "big only")
+    assert(f.result.count() == 1)
+    sess.close()
+    val q = new ProvenanceQueries(spark, store)
+    val els = q.elements(sess.executionId)
+      .filter(col("task_id") === f.taskId).collect()
+    val (synth, kept) = els.partition(
+      _.getAs[Seq[Seq[String]]]("values").toString.contains("don't-pass"))
+    assert(kept.length == 1)
+    // the two dropped rows' source elements appear as synth deps
+    val srcIds = q.elements(sess.executionId)
+      .filter(col("task_id") === t.taskId).collect()
+      .map(_.getAs[String]("element_id")).toSet
+    val synthDeps = synth.flatMap(r => r.getSeq[String](r.fieldIndex("deps"))).toSet
+    assert(synthDeps.size == 2 && synthDeps.subsetOf(srcIds))
+  }
+
   test("pass-through union/orderBy create no elements and keep ids") {
     val (sess, store) = newSession()
     import spark.implicits._
