@@ -66,4 +66,27 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
+
+  /** Stream-stream interval join — the streaming counterpart of q57's
+    * range join: each purchase joined to the same user's clicks in the
+    * preceding 10 minutes. Watermarks on BOTH sides let Spark evict
+    * join state once the interval can no longer match (bounded state —
+    * the property that matters at scale); the same code joins two batch
+    * frames identically, which is what the spec asserts.
+    */
+  def purchaseClickPairs(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+  }
 }

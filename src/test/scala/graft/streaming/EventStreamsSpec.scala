@@ -128,6 +128,34 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == 1000) // all sf0.001 events counted exactly once
   }
 
+  test("stream-stream interval join matches the same join on batch frames") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+
+    val stream = MemoryStream[Event]
+    val q = purchaseClickPairs(stream.toDF())
+      .writeStream.format("memory").queryName("pc_pairs")
+      .outputMode(OutputMode.Append())
+      .start()
+    stream.addData(events)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("pc_pairs")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical code over batch frames is the ground truth
+    val batch = purchaseClickPairs(
+      Tables.events(spark, "/root/testdata/sf0.001")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming session windows produce sessions per user") {
     val spark2 = spark
     import spark2.implicits._
