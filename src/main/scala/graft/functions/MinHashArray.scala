@@ -56,14 +56,19 @@ case class MinHashArray(child: Expression, numHashes: Int, seed: Long,
     val n = hashes.numElements()
     var j = 0
     while (j < n) {
-      val h = hashes.getLong(j)
-      var i = 0
-      while (i < numHashes) {
-        val x = h * a(i) + b(i) // wraps like Spark long arithmetic
-        val m = x % prime
-        val pm = if (m < 0) m + prime else m
-        if (pm < buf(i)) buf(i) = pm
-        i += 1
+      // null slots are skipped (a null shingle hash is "absent", and the
+      // codegen path below must agree — reading a null slot's storage
+      // would fold an undefined 0 into the signature)
+      if (!hashes.isNullAt(j)) {
+        val h = hashes.getLong(j)
+        var i = 0
+        while (i < numHashes) {
+          val x = h * a(i) + b(i) // wraps like Spark long arithmetic
+          val m = x % prime
+          val pm = if (m < 0) m + prime else m
+          if (pm < buf(i)) buf(i) = pm
+          i += 1
+        }
       }
       j += 1
     }
@@ -88,6 +93,7 @@ case class MinHashArray(child: Expression, numHashes: Int, seed: Long,
          |long[] $buf = new long[$numHashes];
          |java.util.Arrays.fill($buf, Long.MAX_VALUE);
          |for (int $j = 0; $j < $n; $j++) {
+         |  if ($in.isNullAt($j)) continue; // skip null slots, like compute()
          |  long $h = $in.getLong($j);
          |  for (int $i = 0; $i < $numHashes; $i++) {
          |    long $x = $h * $aRef[$i] + $bRef[$i];

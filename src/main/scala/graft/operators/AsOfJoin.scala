@@ -32,13 +32,23 @@ object AsOfJoin {
   def leftAsOf(left: DataFrame, right: DataFrame, key: String, time: String,
                carried: Seq[String], prefix: String = "asof_"): DataFrame = {
     val payload = struct((time +: carried).map(col): _*)
-    val r2 = right.select(col(key), col(time), payload.as("_carry"),
-      lit(null).cast(structTypeOf(left)).as("_left"), lit(0).as("_side"))
+    // SQL equality never matches NULL = NULL: right rows with a NULL key
+    // (or NULL time — unordered) can match nothing and are dropped, so a
+    // NULL-key left row gets NULL outputs instead of adopting other
+    // NULL-key right rows as matches (they would otherwise share one
+    // window partition).
+    val r2 = right.filter(col(key).isNotNull && col(time).isNotNull)
+      .select(col(key), col(time), payload.as("_carry"),
+        lit(null).cast(structTypeOf(left)).as("_left"), lit(0).as("_side"))
     val l2 = left.select(col(key), col(time),
       lit(null).cast(payloadTypeOf(right, time, carried)).as("_carry"),
       struct(left.columns.map(col): _*).as("_left"), lit(1).as("_side"))
+    // `_carry` as the final sort key makes ties deterministic: among
+    // right rows equal on (time), last() picks the greatest payload —
+    // run-to-run stable where plain (time, _side) ordering would hand
+    // last() whichever tied row the sort emitted later.
     val w = Window.partitionBy(key)
-      .orderBy(col(time).asc, col("_side").asc)
+      .orderBy(col(time).asc, col("_side").asc, col("_carry").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val outCols: Seq[Column] =
       left.columns.map(c => col(s"_left.$c").as(c)).toSeq ++

@@ -13,17 +13,22 @@ import graft.Tables
   */
 object DedupQueries {
 
-  /** Word 3-gram shingle set per document (distinct).
-    * Guarded for <3-token docs on both sides.
+  /** Word 3-gram shingle SET per document as an array column — the one
+    * shingling definition every dedup operator derives from (d03/d06/
+    * d07/d08 explode it; d04 keeps the array form for per-row
+    * signatures; MinHashArraySpec reuses it). Guarded for <3-token docs.
     */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingleArrays(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-        .as("s"))
-      .distinct()
+        .as("sh"))
+
+  /** Exploded (doc_id, shingle) form of [[shingleArrays]]. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shingleArrays(s, d).select(col("doc_id"), explode(col("sh")).as("s"))
 
   private val shinglesSql =
     """words AS (SELECT doc_id, string_split(text, ' ') w
@@ -119,12 +124,7 @@ object DedupQueries {
       val prime = 2038074743L
 
       // per-doc shingle array + count + signature, all in one pass
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), array_distinct(expr(
-          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-          .as("sh"))
+      val docs = shingleArrays(s, d)
         .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
           graft.functions.MinHashArray.minhash_array(
             expr(s"transform(sh, x -> pmod(xxhash64(x), ${prime}L))"),

@@ -283,12 +283,16 @@ final class ProvSession private[prov] (
   private var flushChain: scala.concurrent.Future[Unit] =
     scala.concurrent.Future.unit
 
+  private val flushFailures = mutable.ListBuffer[Throwable]()
+
   def flush(): Unit = if (captureEnabled) {
     // Plan construction + flushed-marking run under the lock: a
     // concurrent second flush sees flushed=true and appends nothing —
     // concurrent actions are idempotent. The Spark write job itself runs
     // outside the lock (inline, or chained off-thread when asyncFlush)
-    // so a long write doesn't block task registration.
+    // so a long write doesn't block task registration. Marking is
+    // optimistic: a failed write UN-marks its tasks so a later flush
+    // retries them instead of silently dropping the batch.
     val job: Option[() => Unit] = synchronized {
       val pending = tasks.values
         .filter(t => !t.flushed && !t.ignored && t.elementThunk.nonEmpty).toSeq
@@ -299,13 +303,19 @@ final class ProvSession private[prov] (
         val n = pending.size
         Some(() => {
           val t0 = System.nanoTime()
-          // write straight into this execution's partition directory: the
-          // dynamic-partition writer (partitionBy) sorts every task's rows
-          // by a column that is constant here — path-embedding the single
-          // partition value skips that entirely; readers see the same
-          // execution_id=... layout via partition discovery
-          all.drop("execution_id").write.mode("append")
-            .parquet(s"$storeDir/data_elements/execution_id=$executionId")
+          try {
+            // write straight into this execution's partition directory: the
+            // dynamic-partition writer (partitionBy) sorts every task's rows
+            // by a column that is constant here — path-embedding the single
+            // partition value skips that entirely; readers see the same
+            // execution_id=... layout via partition discovery
+            all.drop("execution_id").write.mode("append")
+              .parquet(s"$storeDir/data_elements/execution_id=$executionId")
+          } catch {
+            case e: Throwable =>
+              synchronized { pending.foreach(_.flushed = false) }
+              throw e
+          }
           if (sys.env.contains("GRAFT_PROV_DEBUG"))
             System.err.println(f"[prov] flushed $n tasks in ${(System.nanoTime() - t0) / 1e9}%.2fs")
         })
@@ -315,15 +325,34 @@ final class ProvSession private[prov] (
       if (asyncFlush) synchronized {
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.global
-        flushChain = flushChain.map(_ => j())
+        // recover first: a failed earlier write must not skip THIS write
+        // (map on a failed Future never runs) — each job records its own
+        // failure and un-marks its tasks, so later flushes still happen
+        // and awaitFlushes/close still surface every error
+        flushChain = flushChain.recover { case _ => () }.map { _ =>
+          try j() catch {
+            case e: Throwable =>
+              synchronized { flushFailures += e }
+              throw e
+          }
+        }
       } else j()
     }
   }
 
-  /** Await all in-flight async element writes; rethrows their failures. */
+  /** Await all in-flight async element writes; rethrows their failures
+    * (all async write errors are preserved, not just the first).
+    */
   def awaitFlushes(): Unit = {
     val f = synchronized(flushChain)
-    scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+    scala.util.Try(
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    val failures = synchronized(flushFailures.toList)
+    failures.headOption.foreach { first =>
+      failures.drop(1).foreach(first.addSuppressed)
+      synchronized(flushFailures.clear())
+      throw first
+    }
   }
 
   /** Finish the execution: flush elements, write the driver-side tables

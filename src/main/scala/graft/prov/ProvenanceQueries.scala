@@ -20,8 +20,15 @@ final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
   def tasks(executionId: String): DataFrame =
     table("tasks").filter(col("execution_id") === executionId)
 
+  /** Element rows. The store is append-only and streaming capture is
+    * at-least-once (a replayed micro-batch re-appends byte-identical
+    * rows with deterministic ids — StreamingProvenance), so duplicates
+    * collapse here at read time on element_id; batch-captured ids are
+    * unique, for which this is a no-op.
+    */
   def elements(executionId: String): DataFrame =
     table("data_elements").filter(col("execution_id") === executionId)
+      .dropDuplicates("element_id")
 
   /** Task-level dependency edges — the reference's `DependenciesOfTask`
     * table as a view over tasks.dependencies

@@ -57,13 +57,16 @@ object RelationalProvenance {
   }
 
   /** Deterministic element id: md5 over execution, task, and the id
-    * parts, null-safe (a NULL part is distinguished from empty/absent).
+    * parts. Each part is hashed FIRST — parts become fixed-width tokens
+    * in the outer digest, so a NULL part (mapped to a non-hex sentinel
+    * no md5 can produce), an empty string, and any re-bracketing of
+    * neighboring parts all mint distinct ids.
     */
   private[prov] def mintId(executionId: String, taskId: String,
                            parts: Seq[Column]): Column =
-    md5(concat_ws("\u0001",
+    md5(concat_ws("",
       (lit(executionId) +: lit(taskId) +: parts.map(p =>
-        coalesce(p.cast("string"), lit("")))): _*))
+        when(p.isNull, lit("<null>")).otherwise(md5(p.cast("string"))))): _*))
 
   private[prov] def attach(session: ProvSession, task: TaskState,
                            df: DataFrame,

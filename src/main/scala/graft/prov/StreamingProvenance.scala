@@ -42,15 +42,21 @@ object StreamingProvenance {
     agg.writeStream.outputMode(OutputMode.Update())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (capture && !batch.isEmpty) {
-          // deterministic batch-element id: re-running a batch after
-          // failure recovery overwrites rather than duplicates lineage
+          // foreachBatch is at-least-once: a replayed batch re-appends its
+          // rows. EVERY id here is deterministic in (executionId, batchId,
+          // row values), so a replay appends byte-identical rows and the
+          // read side (ProvenanceQueries.elements dropDuplicates on
+          // element_id) collapses them — append-only store, idempotent
+          // effect, no cross-batch coordination.
           val batchEl = ProvSinkUtil.fileElementId(execId, s"batch_$batchId")
           val cols = batch.schema.fieldNames.toSeq
           val els = batch
             .select(array(cols.map(c => col(c).cast("string")): _*).as("vs"))
             .as(Encoders.product[Tuple1[Seq[String]]])
-            .map { t => ElementRow(execId, tid, ProvIds.newId(),
-              Seq(t._1), Seq(batchEl))
+            .map { t =>
+              val id = ProvSinkUtil.fileElementId(execId,
+                s"batch_${batchId}_row_${t._1.mkString("\u0001")}")
+              ElementRow(execId, tid, id, Seq(t._1), Seq(batchEl))
             }(ProvSession.elementRowEnc)
           val spark = batch.sparkSession
           val batchRow = spark.createDataset(Seq(ElementRow(

@@ -15,6 +15,15 @@ import graft.prov._
   * — unlike a git working tree — executors can persist concurrently with
   * no single-writer discipline; identical outputs across elements or
   * executions deduplicate to one object.
+  *
+  * REQUIREMENT: `rootDir` must be storage shared by the driver and every
+  * executor (NFS, a fuse-mounted object store, or local disk in
+  * local-mode) — writes happen inside executors
+  * ([[ContentAddressedStore.CasOps.persistFileGroupInStore]]), reads on
+  * the driver. On a cluster with only executor-local disks the manifests
+  * would scatter invisibly; there is no write-time error to catch, so
+  * this is a deployment contract, the same one any shared artifact
+  * directory carries.
   */
 final class ContentAddressedStore(val rootDir: String) extends Serializable {
 

@@ -54,6 +54,12 @@ final class GitVersionControl(val repoDir: String) {
         Files.writeString(Paths.get(repoDir, ".gitignore"), ".graft.lock\n")
         run(gitBase ++ Seq("add", ".gitignore"))
         run(gitBase ++ Seq("commit", "-q", "-m", "init"))
+      } else if (!Files.exists(Paths.get(repoDir, ".gitignore"))) {
+        // pre-existing repo initialized before the lock file existed:
+        // without this, `add -A` commits .graft.lock onto every branch
+        Files.writeString(Paths.get(repoDir, ".gitignore"), ".graft.lock\n")
+        run(gitBase ++ Seq("add", ".gitignore"))
+        run(gitBase ++ Seq("commit", "-q", "-m", "ignore lock file"))
       }
     }
   }

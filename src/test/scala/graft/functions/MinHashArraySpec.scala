@@ -18,13 +18,10 @@ class MinHashArraySpec extends AnyFunSuite with BeforeAndAfterAll {
   private val prime = 2038074743L
 
   test("per-row signature equals the MinHashAgg signature on real shingles") {
-    // same shingle pipeline as d04, both signature forms side by side
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-        .as("sh"))
+    // the ONE shingling definition (shared with d03-d08), both
+    // signature forms side by side
+    val docs = graft.operators.DedupQueries
+      .shingleArrays(spark, "/root/testdata/sf0.001")
     val perRow = docs.select(col("doc_id"),
       MinHashArray.minhash_array(
         expr(s"transform(sh, x -> pmod(xxhash64(x), ${prime}L))"),
