@@ -231,7 +231,48 @@ object SimilarityQueries {
         .select(col("query_id"), col("q_emb"), col("cell"))
       probeAndRank(assigned, probes, k = 3)
     },
-    None)
+    // the float cast on each centroid component absorbs double-sum
+    // ordering noise (a double sum differs across engines/partitionings
+    // by ~1 ulp; rounding to 24-bit float mantissa collapses both to the
+    // same value except vanishingly close to a float boundary), so the
+    // whole IVF pipeline — train, assign, probe, rank — gates exactly
+    Some {
+      def cos(a: String, b: String) =
+        s"(list_aggregate([CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in generate_series(1,64)],'sum')" +
+          s" / (sqrt(list_aggregate([CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE) for i in generate_series(1,64)],'sum'))" +
+          s" * sqrt(list_aggregate([CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in generate_series(1,64)],'sum'))))"
+      s"""WITH cent AS (
+         |  SELECT label AS cell, i,
+         |    CAST(sum(CAST(embedding[i] AS DOUBLE)) / count(*) AS FLOAT) AS c
+         |  FROM embeddings, LATERAL unnest(generate_series(1, 64)) t(i)
+         |  GROUP BY label, i),
+         |cent_arr AS (
+         |  SELECT cell, list(c ORDER BY i) AS centroid FROM cent GROUP BY cell),
+         |assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent_arr c)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent_arr c WHERE e.vec_id < 5)
+         |  WHERE rn <= 2),
+         |scored AS (
+         |  SELECT a.query_id, b.vec_id AS neighbor_id,
+         |    ${cos("a.q_emb", "b.embedding")} AS cos
+         |  FROM probes a JOIN assign b ON a.cell = b.cell AND a.query_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    })
 
   /** IVF with TRUE k-means training: deterministic farthest-spread init
     * (every 50th vector), 3 Lloyd iterations run as DataFrame jobs
@@ -293,7 +334,67 @@ object SimilarityQueries {
       e.unpersist()
       out
     },
-    None)
+    // full k-means replay in chained CTEs: the three Lloyd iterations
+    // unroll (assign → per-cell float-rounded means → coalesce empty
+    // cells), with the SAME float casts the Spark side applies each
+    // round — float rounding absorbs double-sum ordering noise, so even
+    // the trained-centroid pipeline gates exactly. Tie-break mirrors:
+    // assignment = first max cell (cell ASC), probe top-2 = reversed
+    // struct sort (cell DESC on cosine ties).
+    Some {
+      def cos(a: String, b: String) =
+        s"(list_aggregate([CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in generate_series(1,64)],'sum')" +
+          s" / (sqrt(list_aggregate([CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE) for i in generate_series(1,64)],'sum'))" +
+          s" * sqrt(list_aggregate([CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in generate_series(1,64)],'sum'))))"
+      def iteration(prev: String, n: Int): String =
+        s"""a$n AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+           |    FROM embeddings e CROSS JOIN $prev c)
+           |  WHERE rn = 1),
+           |u$n AS (
+           |  SELECT cell, list(c ORDER BY i) AS centroid FROM (
+           |    SELECT cell, i, CAST(sum(CAST(embedding[i] AS DOUBLE)) / count(*) AS FLOAT) AS c
+           |    FROM a$n, LATERAL unnest(generate_series(1, 64)) t(i)
+           |    GROUP BY cell, i)
+           |  GROUP BY cell),
+           |c${n}_arr AS (
+           |  SELECT p.cell, coalesce(u.centroid, p.centroid) AS centroid
+           |  FROM $prev p LEFT JOIN u$n u ON p.cell = u.cell)""".stripMargin
+      s"""WITH c0_arr AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS centroid
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+         |        ORDER BY vec_id LIMIT 10)),
+         |${iteration("c0_arr", 1)},
+         |${iteration("c1_arr", 2)},
+         |${iteration("c2_arr", 3)},
+         |assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN c3_arr c)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell DESC) AS rn
+         |    FROM embeddings e CROSS JOIN c3_arr c WHERE e.vec_id < 5)
+         |  WHERE rn <= 2),
+         |scored AS (
+         |  SELECT a.query_id, b.vec_id AS neighbor_id,
+         |    ${cos("a.q_emb", "b.embedding")} AS cos
+         |  FROM probes a JOIN assign b ON a.cell = b.cell AND a.query_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    })
 
   def all: Seq[QueryDef] = Seq(
     e01KnnBruteForce, e02CosineNearDup, e03AnnLsh, e04LabelCentroids,
