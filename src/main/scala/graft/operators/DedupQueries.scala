@@ -30,7 +30,7 @@ object DedupQueries {
   private def shingles(s: SparkSession, d: String): DataFrame =
     shingleArrays(s, d).select(col("doc_id"), explode(col("sh")).as("s"))
 
-  private val shinglesSql =
+  private[graft] val shinglesSql =
     """words AS (SELECT doc_id, string_split(text, ' ') w
       |          FROM documents WHERE len(string_split(text, ' ')) >= 3),
       |sh AS (SELECT DISTINCT doc_id,

@@ -217,7 +217,47 @@ object TextAnalysisQueries {
            |    AS chars_per_token
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Benchmark-contamination screening: training documents sharing ≥5
+    * word 3-grams with any held-out ("benchmark") document — here src0
+    * stands in for the eval set. Scale shape: the benchmark side is
+    * tiny relative to the corpus, so its shingle index BROADCASTS and
+    * the training corpus streams past it in one pass — no corpus-side
+    * shuffle, the same pattern as q59's bloom pre-filter but with exact
+    * shingle matching (contamination demands no false negatives).
+    */
+  val t08Contamination = QueryDef(
+    "t08_contamination",
+    (s, d) => {
+      import org.apache.spark.sql.functions.broadcast
+      val sh = DedupQueries.shingleArrays(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id")
+        .select(col("doc_id"), col("source"), explode(col("sh")).as("s"))
+      val bench = sh.filter(col("source") === "src0")
+        .select(col("doc_id").as("bench_doc"), col("s"))
+      val train = sh.filter(col("source") =!= "src0")
+        .select(col("doc_id").as("train_doc"), col("s"))
+      train.join(broadcast(bench), Seq("s"))
+        .groupBy(col("train_doc"), col("bench_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .orderBy(col("train_doc"), col("bench_doc"))
+    },
+    Some(s"""WITH ${DedupQueries.shinglesSql},
+            |tagged AS (
+            |  SELECT sh.doc_id, d.source, sh.s
+            |  FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+            |bench AS (
+            |  SELECT doc_id AS bench_doc, s FROM tagged WHERE source = 'src0'),
+            |train AS (
+            |  SELECT doc_id AS train_doc, s FROM tagged WHERE source <> 'src0')
+            |SELECT train_doc, bench_doc, count(*) AS n_shared
+            |FROM train JOIN bench USING (s)
+            |GROUP BY train_doc, bench_doc
+            |HAVING count(*) >= 5
+            |ORDER BY train_doc, bench_doc""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
-    t05CorpusReport, t06Winnowing, t07BpeTokenCount)
+    t05CorpusReport, t06Winnowing, t07BpeTokenCount, t08Contamination)
 }
