@@ -17,6 +17,48 @@ object SimilarityQueries {
   private def dimSums(dim: Int) = (0 until dim).map(i =>
     sum(col("embedding").getItem(i).cast("double")).as(s"s$i"))
 
+  /** THE DuckDB cosine protocol — explicit DOUBLE casts so the oracle
+    * matches the native expression bit-for-bit (DuckDB's own
+    * list_cosine_similarity works in float32 and disagrees at the 6th
+    * decimal). One definition for every similarity oracle (e01/e02/e03/
+    * e05/e06), mirroring how the Spark side shares cosine_similarity.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"(list_aggregate([CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in generate_series(1,64)],'sum')" +
+      s" / (sqrt(list_aggregate([CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE) for i in generate_series(1,64)],'sum'))" +
+      s" * sqrt(list_aggregate([CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in generate_series(1,64)],'sum'))))"
+
+  /** Shared oracle tail for the IVF variants: final assignment against
+    * `centArr`, 2-probe per query (tie-break direction differs between
+    * e05 and e06), exact in-cell ranking — the SQL mirror of
+    * [[probeAndRank]], shared for the same no-drift reason.
+    */
+  private def ivfSearchSql(centArr: String, probeCellTieBreak: String): String =
+    s"""assign AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN $centArr c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cell $probeCellTieBreak) AS rn
+       |    FROM embeddings e CROSS JOIN $centArr c WHERE e.vec_id < 5)
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT a.query_id, b.vec_id AS neighbor_id,
+       |    ${cosSql("a.q_emb", "b.embedding")} AS cos
+       |  FROM probes a JOIN assign b ON a.cell = b.cell AND a.query_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** Shared probe search: exact cosine rank of `assigned` corpus rows
     * inside each query's probed cells, top-k per query (used by e05/e06
     * so rank/tie-break/rounding semantics cannot drift between them).
@@ -60,18 +102,19 @@ object SimilarityQueries {
           round(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("rank"))
     },
-    // cosine computed in explicit DOUBLE: DuckDB's list_cosine_similarity
-    // works in float32 and disagrees at the 6th decimal
-    Some("""WITH scored AS (
-           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-           |    (list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum') / (sqrt(list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')) * sqrt(list_aggregate([CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')))) AS cos
-           |  FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
-           |ranked AS (
-           |  SELECT query_id, neighbor_id, cos,
-           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-           |  FROM scored)
-           |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
-           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+    // cosine via the shared cosSql protocol (explicit DOUBLE — DuckDB's
+    // list_cosine_similarity works in float32 and disagrees at the 6th
+    // decimal)
+    Some(s"""WITH scored AS (
+            |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            |    ${cosSql("a.embedding", "b.embedding")} AS cos
+            |  FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+            |ranked AS (
+            |  SELECT query_id, neighbor_id, cos,
+            |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            |  FROM scored)
+            |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+            |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
 
   /** Cosine near-duplicate pairs (threshold 0.4) — embedding-space
     * near-dup detection. All-pairs at sf scale; the LSH variant (e03) is
@@ -88,11 +131,11 @@ object SimilarityQueries {
         .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
         .orderBy(col("va"), col("vb"))
     },
-    Some("""SELECT a.vec_id AS va, b.vec_id AS vb,
-           |  round((list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum') / (sqrt(list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')) * sqrt(list_aggregate([CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')))), 6) AS cos
-           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-           |WHERE (list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum') / (sqrt(list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')) * sqrt(list_aggregate([CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')))) >= 0.4
-           |ORDER BY va, vb""".stripMargin))
+    Some(s"""SELECT a.vec_id AS va, b.vec_id AS vb,
+            |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+            |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
+            |ORDER BY va, vb""".stripMargin))
 
   /** LSH-bucketed ANN: 12 random-hyperplane sign bits (fixed seed) →
     * bucket; candidates meet only inside their bucket, then exact cosine
@@ -150,8 +193,6 @@ object SimilarityQueries {
     // same add order, DOUBLE arithmetic) so buckets match bit-for-bit,
     // then ranks exactly like e01's gated oracle
     Some {
-      val cosExpr =
-        "(list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum') / (sqrt(list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')) * sqrt(list_aggregate([CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum'))))"
       val bucketSql = (0 until lshPlanes).map { p =>
         val terms = (0 until lshDim).map(i =>
           s"CAST(embedding[${i + 1}] AS DOUBLE)*${lshSigns(p)(i)}")
@@ -161,7 +202,7 @@ object SimilarityQueries {
       s"""WITH bk AS (
          |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
          |scored AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosExpr AS cos
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${cosSql("a.embedding", "b.embedding")} AS cos
          |  FROM bk a JOIN bk b
          |    ON a.vec_id < 5 AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
          |ranked AS (
@@ -236,11 +277,7 @@ object SimilarityQueries {
     // by ~1 ulp; rounding to 24-bit float mantissa collapses both to the
     // same value except vanishingly close to a float boundary), so the
     // whole IVF pipeline — train, assign, probe, rank — gates exactly
-    Some {
-      def cos(a: String, b: String) =
-        s"(list_aggregate([CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in generate_series(1,64)],'sum')" +
-          s" / (sqrt(list_aggregate([CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE) for i in generate_series(1,64)],'sum'))" +
-          s" * sqrt(list_aggregate([CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in generate_series(1,64)],'sum'))))"
+    Some(
       s"""WITH cent AS (
          |  SELECT label AS cell, i,
          |    CAST(sum(CAST(embedding[i] AS DOUBLE)) / count(*) AS FLOAT) AS c
@@ -248,31 +285,7 @@ object SimilarityQueries {
          |  GROUP BY label, i),
          |cent_arr AS (
          |  SELECT cell, list(c ORDER BY i) AS centroid FROM cent GROUP BY cell),
-         |assign AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
-         |    FROM embeddings e CROSS JOIN cent_arr c)
-         |  WHERE rn = 1),
-         |probes AS (
-         |  SELECT vec_id AS query_id, embedding AS q_emb, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
-         |    FROM embeddings e CROSS JOIN cent_arr c WHERE e.vec_id < 5)
-         |  WHERE rn <= 2),
-         |scored AS (
-         |  SELECT a.query_id, b.vec_id AS neighbor_id,
-         |    ${cos("a.q_emb", "b.embedding")} AS cos
-         |  FROM probes a JOIN assign b ON a.cell = b.cell AND a.query_id <> b.vec_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-         |  FROM scored)
-         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
-         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-    })
+         |${ivfSearchSql("cent_arr", "ASC")}""".stripMargin))
 
   /** IVF with TRUE k-means training: deterministic farthest-spread init
     * (every 50th vector), 3 Lloyd iterations run as DataFrame jobs
@@ -342,16 +355,12 @@ object SimilarityQueries {
     // assignment = first max cell (cell ASC), probe top-2 = reversed
     // struct sort (cell DESC on cosine ties).
     Some {
-      def cos(a: String, b: String) =
-        s"(list_aggregate([CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in generate_series(1,64)],'sum')" +
-          s" / (sqrt(list_aggregate([CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE) for i in generate_series(1,64)],'sum'))" +
-          s" * sqrt(list_aggregate([CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in generate_series(1,64)],'sum'))))"
       def iteration(prev: String, n: Int): String =
         s"""a$n AS (
            |  SELECT vec_id, embedding, cell FROM (
            |    SELECT e.vec_id, e.embedding, c.cell,
            |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+           |        ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cell) AS rn
            |    FROM embeddings e CROSS JOIN $prev c)
            |  WHERE rn = 1),
            |u$n AS (
@@ -370,30 +379,7 @@ object SimilarityQueries {
          |${iteration("c0_arr", 1)},
          |${iteration("c1_arr", 2)},
          |${iteration("c2_arr", 3)},
-         |assign AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell) AS rn
-         |    FROM embeddings e CROSS JOIN c3_arr c)
-         |  WHERE rn = 1),
-         |probes AS (
-         |  SELECT vec_id AS query_id, embedding AS q_emb, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.cell DESC) AS rn
-         |    FROM embeddings e CROSS JOIN c3_arr c WHERE e.vec_id < 5)
-         |  WHERE rn <= 2),
-         |scored AS (
-         |  SELECT a.query_id, b.vec_id AS neighbor_id,
-         |    ${cos("a.q_emb", "b.embedding")} AS cos
-         |  FROM probes a JOIN assign b ON a.cell = b.cell AND a.query_id <> b.vec_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-         |  FROM scored)
-         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
-         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+         |${ivfSearchSql("c3_arr", "DESC")}""".stripMargin
     })
 
   def all: Seq[QueryDef] = Seq(

@@ -219,16 +219,18 @@ object TextAnalysisQueries {
 
   /** Benchmark-contamination screening: training documents sharing ≥5
     * word 3-grams with any held-out ("benchmark") document — here src0
-    * stands in for the eval set. Scale shape: the benchmark side is
-    * tiny relative to the corpus, so its shingle index BROADCASTS and
-    * the training corpus streams past it in one pass — no corpus-side
-    * shuffle, the same pattern as q59's bloom pre-filter but with exact
-    * shingle matching (contamination demands no false negatives).
+    * stands in for the eval set (1/20 of this corpus, far bigger than a
+    * real eval set). The join strategy is left to the planner: a real
+    * benchmark index fits a broadcast and the corpus streams past it;
+    * when it does not (as here at scale), the shingle equi-join shuffles
+    * both sides — forcing a broadcast would OOM instead. Exact matching
+    * throughout: contamination screening cannot tolerate false
+    * negatives, so the q59-style bloom trick applies only as a
+    * pre-filter, never as the verdict.
     */
   val t08Contamination = QueryDef(
     "t08_contamination",
     (s, d) => {
-      import org.apache.spark.sql.functions.broadcast
       val sh = DedupQueries.shingleArrays(s, d)
         .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
           "doc_id")
@@ -237,7 +239,7 @@ object TextAnalysisQueries {
         .select(col("doc_id").as("bench_doc"), col("s"))
       val train = sh.filter(col("source") =!= "src0")
         .select(col("doc_id").as("train_doc"), col("s"))
-      train.join(broadcast(bench), Seq("s"))
+      train.join(bench, Seq("s"))
         .groupBy(col("train_doc"), col("bench_doc"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 5)

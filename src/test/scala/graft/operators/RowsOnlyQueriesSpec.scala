@@ -7,9 +7,12 @@ import org.scalatest.BeforeAndAfterAll
 
 import graft.SparkEntry
 
-/** Semantic invariants for the queries WITHOUT a DuckDB oracle (the
-  * driver only rows-checks them): LSH/SimHash/ANN/multimodal outputs
-  * must still satisfy their defining properties.
+/** Semantic invariants for approximate/derived-output queries. Most of
+  * these have since been upgraded to full DuckDB gates (d05/mm02/e03/
+  * e05/e06 — engine-shared hashes, hyperplanes, unrolled k-means); the
+  * invariant assertions stay as EXTRA coverage of the defining
+  * properties (Hamming bounds, ranking shape, recall, determinism),
+  * which a hash-match alone does not articulate.
   */
 class RowsOnlyQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
