@@ -287,6 +287,42 @@ final class ProvFrame private[prov] (
     attach(session, t, out)
   }
 
+  /** Windowed running aggregates with EXACT frame lineage — a surface
+    * neither the reference nor its typed mirror has (SURVEY §2.10: the
+    * reference has no window functions at all). Each output row is its
+    * input row extended with `aggs` evaluated over the frame
+    * [unbounded preceding, current row] of (partitionBy, orderBy); its
+    * deps are ALL frame rows' elements, captured by a
+    * `collect_list(_prov_id)` window riding the SAME sort — lineage
+    * costs no extra shuffle, exactly like the groupByAgg convention.
+    * Frame lineage grows linearly with frame length; for long frames
+    * `ignoreIt()` upstream bounds it the usual way.
+    */
+  def windowed(partitionBy: Seq[Column], orderBy: Seq[Column],
+               aggs: Seq[(String, Column)],
+               description: String = "windowed"): ProvFrame = {
+    require(aggs.nonEmpty, "windowed needs at least one (name, aggregate)")
+    val t = session.newTask(TransformationType.SHUFFLED, Seq(task.id),
+      description)
+    val (pdeps, pid) = asParent
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val frameDeps =
+      if (task.ignored) array_distinct(flatten(collect_list(pdeps).over(w)))
+      else collect_list(pid).over(w)
+    val base = df.withColumn("_prov_pi", pid)
+    val withAggs = aggs.foldLeft(base) { case (acc, (n, a)) =>
+      acc.withColumn(n, a.over(w))
+    }
+    val out = withAggs
+      .withColumn(ID, mintId(execId, t.id, Seq(col("_prov_pi"))))
+      .withColumn(DEPS, frameDeps)
+      .drop("_prov_pi")
+    attach(session, t, out)
+  }
+
   // ---- pass-through ops (no elements; reference: UnionRDD.scala:108) --
 
   def union(other: ProvFrame, description: String = "union"): ProvFrame = {

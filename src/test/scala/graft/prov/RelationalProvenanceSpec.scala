@@ -182,6 +182,29 @@ class RelationalProvenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(synthDeps.size == 2 && synthDeps.subsetOf(srcIds))
   }
 
+  test("windowed running agg: value and frame lineage per row") {
+    val (sess, store) = newSession()
+    import spark.implicits._
+    val src = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0),
+      (2L, 4L, 5.0)).toDF("user", "seq", "v")
+    val t = RelationalProvenance.table(sess, src, "src", Seq("seq"))
+    val wf = t.windowed(Seq(col("user")), Seq(col("seq")),
+      Seq("running" -> sum(col("v"))), "running sum")
+    val vals = wf.result.select("seq", "running").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(vals == Map(1L -> 10.0, 2L -> 30.0, 3L -> 60.0, 4L -> 5.0))
+    sess.close()
+    val q = new ProvenanceQueries(spark, store)
+    // row with seq=k depends on exactly its k frame rows (prefix of its
+    // user partition)
+    val deps = q.elements(sess.executionId)
+      .filter(col("task_id") === wf.taskId)
+      .select(col("values").getItem(0).getItem(1).as("seq"),
+        size(col("deps")).as("nd")).collect()
+      .map(r => r.getString(0).toLong -> r.getInt(1)).toMap
+    assert(deps == Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 1))
+  }
+
   test("pass-through union/orderBy create no elements and keep ids") {
     val (sess, store) = newSession()
     import spark.implicits._
