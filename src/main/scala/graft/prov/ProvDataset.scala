@@ -140,7 +140,7 @@ final class ProvDataset[T] private[prov] (
       val base = pd.elementRowsThunk
       t.elementThunk = Some(() => {
         val synth = dropped.mapPartitions { it =>
-          val ids = it.flatMap(depsOf(_)).toVector
+          val ids = it.flatMap(depsOf(_)).toVector.distinct
           if (ids.isEmpty) Iterator.empty
           else Iterator(ElementRow(execId, tid, ProvIds.newId(),
             Seq(Seq(s"don't-pass: $desc")), ids))
@@ -162,7 +162,7 @@ final class ProvDataset[T] private[prov] (
       Seq(task.id), description)
     val out = ds.mapPartitions { it =>
       val recs = it.toVector
-      val ids = recs.flatMap(depsOf(_))
+      val ids = recs.flatMap(depsOf(_)).distinct
       f(recs.iterator.map(_.value)).map(u => ProvRecord(ProvIds.newId(), ids, u))
     }
     create(out, t, session)
@@ -176,7 +176,7 @@ final class ProvDataset[T] private[prov] (
     val out = ds.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val recs = it.toVector
-      val ids = recs.flatMap(depsOf(_))
+      val ids = recs.flatMap(depsOf(_)).distinct
       f(pid, recs.iterator.map(_.value)).map(u => ProvRecord(ProvIds.newId(), ids, u))
     }
     create(out, t, session)
@@ -189,10 +189,11 @@ final class ProvDataset[T] private[prov] (
       implicit e: Encoder[ProvRecord[Seq[T]]]): ProvDataset[Seq[T]] = {
     val t = session.newTask(TransformationType.GLOM, Seq(task.id), description)
     val out = ds.mapPartitions { it =>
+      // one array per partition, INCLUDING empty ones (RDD.glom parity:
+      // callers may count partitions or index positionally)
       val recs = it.toVector
-      if (recs.isEmpty) Iterator.empty
-      else Iterator(ProvRecord[Seq[T]](ProvIds.newId(), recs.flatMap(depsOf(_)),
-        recs.map(_.value)))
+      Iterator(ProvRecord[Seq[T]](ProvIds.newId(),
+        recs.flatMap(depsOf(_)).distinct, recs.map(_.value)))
     }
     create(out, t, session)
   }
@@ -208,7 +209,7 @@ final class ProvDataset[T] private[prov] (
     val cmd = command
     val out = ds.mapPartitions { it =>
       val recs = it.toVector
-      val ids = recs.flatMap(depsOf(_))
+      val ids = recs.flatMap(depsOf(_)).distinct
       val proc = new ProcessBuilder(cmd: _*).start()
       val writer = new Thread(() => {
         val os = new java.io.PrintWriter(proc.getOutputStream)
@@ -216,19 +217,25 @@ final class ProvDataset[T] private[prov] (
         os.close()
       })
       writer.start()
-      // drain stderr concurrently: a child filling the stderr pipe
-      // buffer would otherwise deadlock the task
-      val errDrain = new Thread(() =>
-        scala.io.Source.fromInputStream(proc.getErrorStream).getLines()
-          .foreach(_ => ()))
-      errDrain.setDaemon(true)
-      errDrain.start()
+      // drain stderr concurrently (full pipe buffer would deadlock the
+      // child), keeping a bounded tail for the failure message
+      val errTail = new java.util.concurrent.ConcurrentLinkedDeque[String]()
+      val errDrain = graft.prov.filegroup.FileGroupOps.pump(
+        proc.getErrorStream, { line =>
+          errTail.addLast(line)
+          while (errTail.size > 20) errTail.pollFirst()
+        })
       val lines = scala.io.Source.fromInputStream(proc.getInputStream)
         .getLines().toVector
       writer.join()
       val code = proc.waitFor()
-      if (code != 0)
-        throw new RuntimeException(s"pipe command exited with $code: ${cmd.mkString(" ")}")
+      errDrain.join()
+      if (code != 0) {
+        import scala.jdk.CollectionConverters._
+        throw new RuntimeException(
+          s"pipe command exited with $code: ${cmd.mkString(" ")}\n" +
+            s"stderr (last ${errTail.size} lines):\n${errTail.asScala.mkString("\n")}")
+      }
       lines.iterator.map(l => ProvRecord(ProvIds.newId(), ids, l))
     }
     create(out, t, session)
@@ -472,7 +479,7 @@ final class ProvDataset[T] private[prov] (
   def countApprox(timeoutMs: Long, confidence: Double = 0.95): Double = {
     onAction()
     implicit val ct: ClassTag[ProvRecord[T]] = anyRefTag
-    ds.rdd.countApprox(timeoutMs, confidence).getFinalValue().mean
+    ds.rdd.countApprox(timeoutMs, confidence).initialValue.mean
   }
 
   /** countApproxDistinct via HyperLogLog++ (reference: RDD.scala:1460-1486). */
@@ -843,7 +850,7 @@ object ProvDataset {
       implicit val ctk: ClassTag[K] = anyRefTag
       self.ds.rdd.map(r => (r.value._1, r))
         .countByKeyApprox(timeoutMs, confidence)
-        .getFinalValue().map { case (k, b) => k -> math.round(b.mean) }.toMap
+        .initialValue.map { case (k, b) => k -> math.round(b.mean) }.toMap
     }
 
     def collectAsMap(): Map[K, V] = {
@@ -883,8 +890,14 @@ object ProvDataset {
         F.count(F.lit(1)), F.avg(col("value")), F.stddev_samp(col("value")),
         F.var_samp(col("value")), F.min(col("value")), F.max(col("value")),
         F.sum(col("value"))).head()
-      StatSummary(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      // empty dataset: SQL aggregates yield NULL — return StatCounter
+      // parity (count 0, NaN moments, +/-Inf bounds, sum 0) instead of
+      // an NPE from getDouble on a null cell. Single-row datasets yield
+      // NULL sample stddev/variance -> NaN likewise.
+      def d(i: Int, empty: Double) = if (r.isNullAt(i)) empty else r.getDouble(i)
+      StatSummary(r.getLong(0), d(1, Double.NaN), d(2, Double.NaN),
+        d(3, Double.NaN), d(4, Double.PositiveInfinity),
+        d(5, Double.NegativeInfinity), d(6, 0.0))
     }
 
     def sum(): Double = stats().sum
@@ -899,9 +912,13 @@ object ProvDataset {
     def histogram(buckets: Int): (Seq[Double], Seq[Long]) = {
       self.session.flush()
       val b = self.ds.select(F.min(col("value")), F.max(col("value"))).head()
+      require(!b.isNullAt(0), "histogram of an empty dataset")
       val (lo, hi) = (b.getDouble(0), b.getDouble(1))
       val width = (hi - lo) / buckets
-      val edges = (0 to buckets).map(i => lo + i * width)
+      // the last edge is EXACTLY hi: accumulating lo + i*width can land
+      // below hi (FP), which would silently drop the max value from the
+      // final bucket (stock RDD.histogram clamps the same way)
+      val edges = (0 until buckets).map(i => lo + i * width) :+ hi
       (edges, histogram(edges))
     }
 
@@ -933,14 +950,14 @@ object ProvDataset {
       self.session.flush()
       implicit val ct: ClassTag[ProvRecord[Double]] = anyRefTag
       self.ds.rdd.map(_.value).meanApprox(timeoutMs, confidence)
-        .getFinalValue().mean
+        .initialValue.mean
     }
 
     def sumApprox(timeoutMs: Long, confidence: Double = 0.95): Double = {
       self.session.flush()
       implicit val ct: ClassTag[ProvRecord[Double]] = anyRefTag
       self.ds.rdd.map(_.value).sumApprox(timeoutMs, confidence)
-        .getFinalValue().mean
+        .initialValue.mean
     }
   }
 }

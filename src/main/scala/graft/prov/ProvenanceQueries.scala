@@ -93,10 +93,14 @@ final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
         .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
       val withElements = elements(executionId)
         .select(col("task_id")).distinct().collect().map(_.getString(0)).toSet
+      // memoized across branches: path-local `seen` alone re-traverses
+      // shared ancestors exponentially on diamond-shaped DAGs
+      val memo = scala.collection.mutable.Map[String, Seq[String]]()
       def expand(tid: String, seen: Set[String]): Seq[String] =
-        if (withElements.contains(tid)) Seq(tid)
-        else taskRows.getOrElse(tid, Seq.empty)
-          .filterNot(seen).flatMap(p => expand(p, seen + tid)).distinct
+        memo.getOrElseUpdate(tid,
+          if (withElements.contains(tid)) Seq(tid)
+          else taskRows.getOrElse(tid, Seq.empty)
+            .filterNot(seen).flatMap(p => expand(p, seen + tid)).distinct)
       expand(taskId, Set.empty) match {
         case Seq() => direct(taskId)
         case tids  => tids.map(direct).reduce(_ unionByName _)

@@ -43,7 +43,23 @@ object FileGroupOps {
     // paths; contents never touch the driver (the reference likewise
     // builds groups inside executors, SparkContext.scala:1339-1358).
     // Only the path→template index (small) is captured in the closure.
-    val temps = templates.toSeq
+    // Directory paths expand to their files HERE (driver, names only) —
+    // binaryFile would expand them executor-side and the path→template
+    // index would then miss every expanded file. Globs are rejected
+    // up-front for the same reason, with an actionable message.
+    val temps = templates.toSeq.map { t =>
+      val expanded = t.paths.flatMap { p =>
+        require(!p.exists(c => c == '*' || c == '?' || c == '['),
+          s"glob patterns are not supported in FileGroupTemplate paths ($p); " +
+            "list the files explicitly or use FileGroupTemplate.ofDirectory")
+        val f = new java.io.File(p)
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty)
+            .filter(_.isFile).map(_.getAbsolutePath).sorted.toSeq
+        else Seq(p)
+      }
+      t.copy(paths = expanded)
+    }
     val templateNames = temps.map(_.name)
     val templateExtras = temps.map(_.extraInfo)
     // a path may belong to SEVERAL templates — map to all of them
@@ -69,10 +85,26 @@ object FileGroupOps {
       .mapGroups { (ti: Int, rows: Iterator[(Int, String, Array[Byte])]) =>
         val it = rows.map(r => (r._2, r._3))
         val files = it.toVector.sortBy(_._1)
-        val els = files.map { case (uri, content) =>
-          val p = normalizePath(uri)
-          FileElement("", p.substring(p.lastIndexOf('/') + 1),
-            modified = false, content)
+        // relative paths strip the files' common directory prefix, NOT
+        // the whole directory: two template files named x.txt in
+        // different directories keep distinct relative paths (a bare-
+        // basename scheme would silently overwrite one with the other in
+        // the black-box scratch dir)
+        val paths = files.map { case (uri, _) => normalizePath(uri) }
+        val dirs = paths.map(p => p.substring(0, p.lastIndexOf('/') + 1))
+        val prefix = dirs.reduce { (a, b) =>
+          val n = math.min(a.length, b.length)
+          var i = 0; var lastSlash = 0
+          while (i < n && a(i) == b(i)) { if (a(i) == '/') lastSlash = i + 1; i += 1 }
+          a.substring(0, lastSlash)
+        }
+        val els = files.zip(paths).map { case ((_, content), p) =>
+          val rel = p.substring(prefix.length)
+          val slash = rel.lastIndexOf('/')
+          val (dirPart, namePart) =
+            if (slash >= 0) (rel.substring(0, slash), rel.substring(slash + 1))
+            else ("", rel)
+          FileElement(dirPart, namePart, modified = false, content)
         }
         val deps = files.map { case (uri, _) =>
           ProvSinkUtil.fileElementId(execId, normalizePath(uri))
@@ -117,6 +149,10 @@ object FileGroupOps {
                    description: String = "runCommand"): ProvDataset[FileGroup] =
       runInternal(_ => command, planning, s"$description: ${command.mkString(" ")}")
 
+    /** Convenience form: NAIVE whitespace tokenization (same contract as
+      * the reference's command strings) — quoted arguments and paths
+      * containing spaces need the `Seq[String]` overload.
+      */
     def runCommand(command: String): ProvDataset[FileGroup] =
       runCommand(command.trim.split("\\s+").toSeq)
 
@@ -239,7 +275,11 @@ object FileGroupOps {
     }
   }
 
-  private def pump(in: java.io.InputStream, f: String => Unit): Thread = {
+  /** Drain a child-process stream line-by-line on a daemon thread (a
+    * full pipe buffer would deadlock the child). Shared with
+    * [[graft.prov.ProvDataset.pipe]].
+    */
+  private[graft] def pump(in: java.io.InputStream, f: String => Unit): Thread = {
     val t = new Thread(() =>
       scala.io.Source.fromInputStream(in).getLines().foreach(f))
     t.setDaemon(true)
