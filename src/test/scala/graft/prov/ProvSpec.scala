@@ -543,6 +543,29 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
     s.close()
   }
 
+  test("stats/histogram/glom edge cases: empty input, FP edges, empty partitions") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store, captureEnabled = false)
+    // empty dataset: StatCounter parity, no NPE
+    val empty = s.parallelize(Seq.empty[Double])
+    val est = empty.stats()
+    assert(est.count == 0 && est.mean.isNaN && est.sum == 0.0)
+    assert(est.min.isPosInfinity && est.max.isNegInfinity)
+    // FP-hostile range: lo + buckets*width < hi; the max value must
+    // still land in the last bucket
+    val vals = Seq(0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7)
+    val d = s.parallelize(vals)
+    val (edges, counts) = d.histogram(7)
+    assert(edges.last == 0.7 && counts.sum == vals.length,
+      s"max value dropped: edges=$edges counts=$counts")
+    // glom: one array per partition INCLUDING empty ones
+    val one = s.parallelize(Seq(1))
+    assert(one.glom().collect().map(_.length).sum == 1)
+    assert(one.glom().count() ==
+      one.ds.rdd.getNumPartitions) // parity with RDD.glom
+    s.close()
+  }
+
   test("actions: reduce, take, top, countByKey, countByValue, lookup") {
     val store = newStore()
     val s = ProvSession.create(spark, "t", store, captureEnabled = false)

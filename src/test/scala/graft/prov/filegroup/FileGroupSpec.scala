@@ -64,6 +64,29 @@ class FileGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
       fileEls.map(_.getAs[String]("element_id")).toSet)
   }
 
+  test("fileGroup: same-named files from different directories stay distinct; directory paths expand") {
+    val root = Files.createTempDirectory("fgdup")
+    val (da, db) = (root.resolve("a"), root.resolve("b"))
+    Files.createDirectories(da); Files.createDirectories(db)
+    Files.writeString(da.resolve("x.txt"), "from-a")
+    Files.writeString(db.resolve("x.txt"), "from-b")
+    val store = newStore()
+    val s = ProvSession.create(spark, "fgdup", store)
+    // explicit files sharing a basename: relative paths keep the
+    // disambiguating directory component
+    val g = FileGroupOps.fileGroup(s, FileGroupTemplate.ofFiles(
+      Seq(da.resolve("x.txt").toString, db.resolve("x.txt").toString), "dup"))
+      .collect().head
+    assert(g.files.map(_.relativePath).sorted == Seq("a/x.txt", "b/x.txt"))
+    assert(g.files.map(f => new String(f.content)).sorted ==
+      Seq("from-a", "from-b"))
+    // a DIRECTORY template path expands to its files (driver-side)
+    val g2 = FileGroupOps.fileGroup(s,
+      FileGroupTemplate("adir", Seq(da.toString), Map.empty)).collect().head
+    assert(g2.files.map(_.relativePath) == Seq("x.txt"))
+    s.close()
+  }
+
   test("runScientificApplication: templating, new files marked modified") {
     val dir = mkInputs()
     val scripts = Files.createTempDirectory("scripts")
