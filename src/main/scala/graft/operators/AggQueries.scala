@@ -176,6 +176,34 @@ object AggQueries {
     },
     Some("SELECT cast(sum(cast(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents FROM lineitem"))
 
+  /** Explicit GROUPING SETS through the SQL text surface — the one §2.6
+    * multi-grouping shape not covered by q20 (cube) / q21 (rollup): an
+    * arbitrary, non-hierarchical set list. Catalyst plans one Expand +
+    * one aggregation exactly as for cube/rollup. ORDER BY pins NULLS
+    * FIRST because DuckDB defaults to NULLS LAST on ASC.
+    */
+  val q38GroupingSets = QueryDef(
+    "q38_grouping_sets",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  round(sum(l_quantity), 2) AS sum_qty,
+              |  count(*) AS n_rows
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+              |                        (l_linestatus), ())
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin)
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  round(sum(l_quantity), 2) AS sum_qty,
+           |  count(*) AS n_rows
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           |                        (l_linestatus), ())
+           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin))
+
   /** Exact interpolated percentiles. Reference has none (approx HLL only);
     * stock Spark `percentile` ≡ DuckDB `quantile_cont`.
     */
@@ -252,5 +280,5 @@ object AggQueries {
   def all: Seq[QueryDef] = Seq(
     q20Cube, q21Rollup, q22CountDistinct, q23Stats, q24Histogram,
     q31ScalarSubquery, q32Pivot, q35GlobalAgg, q36TreeAggregate,
-    q39Percentiles, q43CustDist, q50Having)
+    q38GroupingSets, q39Percentiles, q43CustDist, q50Having)
 }

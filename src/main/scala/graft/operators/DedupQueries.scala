@@ -30,6 +30,36 @@ object DedupQueries {
   private def shingles(s: SparkSession, d: String): DataFrame =
     shingleArrays(s, d).select(col("doc_id"), explode(col("sh")).as("s"))
 
+  /** Near-dup cluster labels (doc_id, canonical_id): Jaccard≥0.5 pair
+    * graph → connected components, MEMOIZED per (session, dir) so
+    * compositions (d07's keep-list runs dedup ∘ quality in one pipeline)
+    * reuse d06's labels instead of replaying the shingle join and the
+    * whole component iteration — the result is already materialized
+    * executor-side (localCheckpoint inside ConnectedComponents), so the
+    * memo holds a small handle, not a plan to recompute.
+    */
+  private val clusterMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+    clusterMemo.computeIfAbsent((s, d), _ => {
+      val sh = shingles(s, d).cache()
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("da"), col("s"))
+      val b = sh.select(col("doc_id").as("db"), col("s"))
+      val pairs = a.join(b, Seq("s")).filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+        .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        .filter(round(col("c") / (col("na") + col("nb") - col("c")), 4) >= 0.5)
+        .select(col("da"), col("db")).cache()
+      val labels = ConnectedComponents.run(pairs).labels
+        .select(col("doc_id"), col("label").as("canonical_id"))
+      sh.unpersist()
+      pairs.unpersist()
+      labels
+    })
+
   private[graft] val shinglesSql =
     """words AS (SELECT doc_id, string_split(text, ' ') w
       |          FROM documents WHERE len(string_split(text, ' ')) >= 3),
@@ -251,22 +281,7 @@ object DedupQueries {
     */
   val d06DedupClusters = QueryDef(
     "d06_dedup_clusters",
-    (s, d) => {
-      val sh = shingles(s, d).cache()
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("da"), col("s"))
-      val b = sh.select(col("doc_id").as("db"), col("s"))
-      val pairs = a.join(b, Seq("s")).filter(col("da") < col("db"))
-        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-        .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-        .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-        .filter(round(col("c") / (col("na") + col("nb") - col("c")), 4) >= 0.5)
-        .select(col("da"), col("db")).cache()
-
-      ConnectedComponents.run(pairs).labels
-        .select(col("doc_id"), col("label").as("canonical_id"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => clusterLabels(s, d).orderBy(col("doc_id")),
     Some(s"""WITH RECURSIVE $shinglesSql,
             |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
             |common AS (
@@ -295,7 +310,9 @@ object DedupQueries {
   val d07KeepList = QueryDef(
     "d07_keep_list",
     (s, d) => {
-      val clusters = d06DedupClusters.fn(s, d)
+      // reuses d06's memoized cluster labels: one ConnectedComponents run
+      // per (session, dir) even when both queries execute in one job
+      val clusters = clusterLabels(s, d)
         .withColumnRenamed("doc_id", "cdoc")
       val quality = Tables.documents(s, d)
         .select(col("doc_id"),

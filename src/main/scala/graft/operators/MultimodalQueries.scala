@@ -7,14 +7,45 @@ import graft.Tables
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed metadata, decoded/featurized in batched per-partition passes.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC STUB (clearly marked below): it derives a fake
-  * width/height/feature vector from the payload bytes. Everything
-  * Spark-side — schema (binary + metadata struct), partition-batched
-  * processing shape, feature-vector output schema — is real and tested;
-  * swapping the stub for a real codec is a one-function change.
+  * mm02's decode is REAL: executors encode deterministic images to PNG
+  * bytes with `javax.imageio` (JDK-only, headless-safe), then decode
+  * those opaque binary payloads back and extract width/height/
+  * per-channel pixel means from the DECODED pixels. The oracle
+  * recomputes the expected stats independently from the generation
+  * formula — a broken encode or decode fails the hash gate. mm03's
+  * frame FEATURES remain synthetic (video codecs aren't in the JDK),
+  * with the explode/rollup plumbing real and gated.
   */
 object MultimodalQueries {
+
+  /** Deterministic test image for `media_id`: W×H TYPE_INT_RGB with
+    * channel values r=(id+3x+5y)%256, g=(2id+7x+11y)%256,
+    * b=(3id+13x+17y)%256 — closed-form, so expected decode stats are
+    * recomputable in pure SQL. Stands in for reading a binary media
+    * column from storage; everything downstream treats the bytes as
+    * opaque.
+    */
+  private[operators] def syntheticPng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 24).toInt
+    val h = 8 + ((id * 7) % 24).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id + 3L * x + 5L * y) % 256).toInt
+        val g = ((2L * id + 7L * x + 11L * y) % 256).toInt
+        val b = ((3L * id + 13L * x + 17L * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
 
   /** Build the media table: payload BINARY + STRUCT<format,n_bytes>
     * metadata (documents' text bytes stand in for image payloads).
@@ -36,13 +67,17 @@ object MultimodalQueries {
            |  'fake/png' AS format, length(text) AS n_bytes
            |FROM documents ORDER BY media_id""".stripMargin))
 
-  /** Batched "decode + featurize": mapPartitions over (id, payload) rows
-    * — the same batch shape a Pandas-UDF/mapInPandas decode uses. The
-    * per-record decode below is the STUB (deterministic pseudo-decode
-    * from payload bytes: ??? → replaced by a real codec in production).
-    * Because the payloads are ASCII (byte value = code point), the stub
-    * arithmetic is mirrored exactly in DuckDB SQL — so even the stubbed
-    * pipeline is oracle-gated end to end, not just rows-checked.
+  /** Batched decode + featurize with a REAL codec: stage 1 materializes
+    * opaque PNG payloads as a binary column (see [[syntheticPng]] — the
+    * stand-in for a binary media column read from storage); stage 2
+    * `mapPartitions` over (id, payload) batches — the same batch shape a
+    * mapInPandas decode uses — runs `javax.imageio.ImageIO.read` on each
+    * payload and extracts width/height/per-channel means from the
+    * decoded pixel grid. PNG is lossless and the generator is
+    * closed-form, so the oracle recomputes every expected value from the
+    * formula alone: any encode/decode defect breaks the hash match.
+    * Sums are exact integers (≤ 31×31×255 < 2^53), so DOUBLE division
+    * is bit-identical across engines — no rounding tricks needed.
     */
   val mm02DecodeFeatures = QueryDef(
     "mm02_decode_features",
@@ -50,53 +85,56 @@ object MultimodalQueries {
       val spark = s
       import spark.implicits._
       val media = Tables.documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, syntheticPng(id))))
+        .toDF("media_id", "payload")
         .as[(Long, Array[Byte])]
       media.mapPartitions { batch =>
-        // STUB decode: a real implementation decodes the image and
-        // extracts features; here width/height/features derive
-        // deterministically from the payload so the pipeline is testable.
         batch.map { case (id, payload) =>
-          val width = 1 + (math.abs(payload.length * 31) % 512)
-          val height = 1 + (math.abs(payload.map(_.toInt).sum) % 512)
-          val features = (0 until 8).map { i =>
-            val slice = payload.drop(i * (payload.length / 8 max 1))
-              .take(payload.length / 8 max 1)
-            if (slice.isEmpty) 0.0
-            else math.round(slice.map(_.toDouble).sum / slice.length * 100) / 100.0
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xFF
+              sg += (rgb >> 8) & 0xFF
+              sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
           }
-          (id, width, height, features)
+          val n = (w * h).toDouble
+          (id, w, h, sr / n, sg / n, sb / n)
         }
-      }.toDF("media_id", "width", "height", "features")
-        .select(col("media_id"), col("width"), col("height"),
-          round(expr("aggregate(features, 0D, (a, x) -> a + x)"), 2).as("feature_sum"))
+      }.toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
         .orderBy(col("media_id"))
     },
-    // the stub decode, re-expressed over code points (payload is ASCII):
-    // width = 1+(L*31 % 512); height = 1+(Σbyte % 512); 8 equal slices of
-    // size max(L/8,1), per-slice round(avg*100)/100, summed and rounded
+    // independent recomputation from the generation formula — never from
+    // the payload bytes the Spark side decodes
     Some("""WITH base AS (
-           |  SELECT doc_id AS media_id, text, length(text) AS L,
-           |         greatest(length(text) // 8, 1) AS s
+           |  SELECT doc_id AS media_id,
+           |         8 + (doc_id % 24) AS w,
+           |         8 + ((doc_id * 7) % 24) AS h
            |  FROM documents),
-           |chars AS (
-           |  SELECT media_id, s, L, i, unicode(substr(text, i, 1)) AS cp
-           |  FROM base, LATERAL unnest(generate_series(1, L)) AS t(i)),
-           |slice_avgs AS (
-           |  SELECT media_id, ((i - 1) // s) AS slice,
-           |         round(avg(cp) * 100) / 100 AS slice_avg
-           |  FROM chars WHERE ((i - 1) // s) < 8
-           |  GROUP BY media_id, ((i - 1) // s)),
-           |feats AS (
-           |  SELECT media_id, round(sum(slice_avg), 2) AS feature_sum
-           |  FROM slice_avgs GROUP BY media_id),
-           |hw AS (
-           |  SELECT media_id, 1 + ((max(L) * 31) % 512) AS width,
-           |         CAST(1 + (sum(cp) % 512) AS BIGINT) AS height
-           |  FROM chars GROUP BY media_id)
-           |SELECT f.media_id, hw.width, hw.height, f.feature_sum
-           |FROM feats f JOIN hw ON f.media_id = hw.media_id
-           |ORDER BY f.media_id""".stripMargin))
+           |px AS (
+           |  SELECT media_id, w, h,
+           |         (media_id + 3 * x + 5 * y) % 256 AS r,
+           |         (2 * media_id + 7 * x + 11 * y) % 256 AS g,
+           |         (3 * media_id + 13 * x + 17 * y) % 256 AS b
+           |  FROM base,
+           |       LATERAL unnest(generate_series(0, w - 1)) AS tx(x),
+           |       LATERAL unnest(generate_series(0, h - 1)) AS ty(y))
+           |SELECT media_id, CAST(max(w) AS INT) AS width,
+           |       CAST(max(h) AS INT) AS height,
+           |       CAST(sum(r) AS DOUBLE) / (max(w) * max(h)) AS mean_r,
+           |       CAST(sum(g) AS DOUBLE) / (max(w) * max(h)) AS mean_g,
+           |       CAST(sum(b) AS DOUBLE) / (max(w) * max(h)) AS mean_b
+           |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin))
 
   /** Frame-sampling shape: explode K deterministic "frames" per media row
     * then aggregate per-frame stub features — the plumbing for video

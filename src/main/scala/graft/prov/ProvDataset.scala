@@ -871,7 +871,23 @@ object ProvDataset {
 
     def lookup(key: K): Seq[V] = {
       session.flush()
-      self.ds.filter(r => r.value._1 == key).collect().toSeq.map(_.value._2)
+      lookupFrame(key).collect().toSeq.map(_.value._2)
+    }
+
+    /** lookup's filtered frame as a COLUMN predicate on `value._1`, so
+      * Catalyst pushes the key comparison into the scan (parquet
+      * row-group skipping / partition pruning) instead of running a
+      * full-scan lambda — the DataFrame-world analogue of the
+      * reference's single-partition prune when a partitioner is known
+      * (PairRDDFunctions.scala:940-957). Keys with no literal form
+      * (arbitrary case classes) fall back to the typed filter.
+      */
+    private[graft] def lookupFrame(key: K): Dataset[ProvRecord[(K, V)]] = {
+      import org.apache.spark.sql.{functions => F}
+      try self.ds.filter(F.col("value._1") === F.lit(key))
+      catch {
+        case _: RuntimeException => self.ds.filter(r => r.value._1 == key)
+      }
     }
   }
 

@@ -238,29 +238,116 @@ final class ProvSession private[prov] (
         }
       }, preservesPartitioning = false)
     val pd = ProvDataset.create(spark.createDataset(recs)(ep), task, this)
-    if (captureEnabled) {
-      val base = task.elementThunk.get
-      val tid = task.id
-      task.elementThunk = Some(() => {
-        val files = spark.createDataset(
-          raw.mapPartitionsWithInputSplit(
-            { (split: org.apache.hadoop.mapred.InputSplit,
-               _: Iterator[(NullWritable, BytesWritable)]) =>
-              Iterator(split.asInstanceOf[FileSplit].getPath.toString)
-            }, preservesPartitioning = false).distinct())(Encoders.STRING)
-          .map(f => ElementRow(execId, tid, ProvSinkUtil.fileElementId(execId, f),
-            Seq(Seq(f)), Seq.empty[String]))(ProvSession.elementRowEnc)
-        base().unionByName(files)
-      })
-    }
+    attachFileElements(task, () => raw.mapPartitionsWithInputSplit(
+      { (split: org.apache.hadoop.mapred.InputSplit,
+         _: Iterator[(NullWritable, BytesWritable)]) =>
+        Iterator(split.asInstanceOf[FileSplit].getPath.toString)
+      }, preservesPartitioning = false))
     pd
   }
 
-  /** Bridge any stock RDD — sequenceFile, hadoopFile, newAPIHadoopFile,
-    * custom sources — into the provenance surface: each record becomes a
-    * fresh root element (per-file lineage needs a dedicated reader like
-    * [[textFile]]/[[objectFile]]; arbitrary InputFormats don't expose
-    * their file per-record).
+  /** Wrap `task`'s element thunk so the distinct source FILES flush as
+    * elements of the same task (one per file, values = [[path]]) — the
+    * file-element half of per-file lineage (reference:
+    * HadoopRDD.scala:223-227,318).
+    */
+  private def attachFileElements(task: TaskState,
+      files: () => org.apache.spark.rdd.RDD[String]): Unit =
+    if (captureEnabled) {
+      val base = task.elementThunk.get
+      val tid = task.id
+      val execId = executionId
+      task.elementThunk = Some(() => {
+        val fileEls = spark.createDataset(files().distinct())(Encoders.STRING)
+          .map(f => ElementRow(execId, tid,
+            ProvSinkUtil.fileElementId(execId, f),
+            Seq(Seq(f)), Seq.empty[String]))(ProvSession.elementRowEnc)
+        base().unionByName(fileEls)
+      })
+    }
+
+  /** hadoopFile (old `mapred` API) with per-file lineage for ANY
+    * InputFormat: each record depends on its source file's element, and
+    * the file elements flush alongside (reference:
+    * HadoopRDD.scala:223-227,318 attaches the source-file element for
+    * every InputFormat, not just text). `conv` maps each (key, value)
+    * to the record type INSIDE the split iterator — record readers
+    * reuse Writable instances, so `conv` must copy anything it keeps
+    * (the same contract as stock `sc.hadoopFile`).
+    */
+  def hadoopFile[K, V, T](path: String,
+      inputFormatClass: Class[_ <: org.apache.hadoop.mapred.InputFormat[K, V]],
+      keyClass: Class[K], valueClass: Class[V],
+      description: String = "hadoopFile")(conv: (K, V) => T)(
+      implicit ep: Encoder[ProvRecord[T]]): ProvDataset[T] = {
+    import org.apache.hadoop.mapred.FileSplit
+    val task = newTask(TransformationType.MAP, Nil, s"$description: $path")
+    val execId = executionId
+    implicit val ct: scala.reflect.ClassTag[ProvRecord[T]] = ProvDataset.anyRefTag
+    def raw = spark.sparkContext.hadoopFile(path, inputFormatClass,
+        keyClass, valueClass, spark.sparkContext.defaultParallelism)
+      .asInstanceOf[org.apache.spark.rdd.HadoopRDD[K, V]]
+    val recs = raw.mapPartitionsWithInputSplit(
+      { (split: org.apache.hadoop.mapred.InputSplit, it: Iterator[(K, V)]) =>
+        val fid = ProvSinkUtil.fileElementId(execId,
+          split.asInstanceOf[FileSplit].getPath.toString)
+        it.map { case (k, v) => ProvRecord(ProvIds.newId(), Seq(fid), conv(k, v)) }
+      }, preservesPartitioning = false)
+    val pd = ProvDataset.create(spark.createDataset(recs)(ep), task, this)
+    attachFileElements(task, () => raw.mapPartitionsWithInputSplit(
+      { (split: org.apache.hadoop.mapred.InputSplit, _: Iterator[(K, V)]) =>
+        Iterator(split.asInstanceOf[FileSplit].getPath.toString)
+      }, preservesPartitioning = false))
+    pd
+  }
+
+  /** sequenceFile with per-file lineage (reference:
+    * SparkContext.scala sequenceFile → HadoopRDD semantics). Same
+    * Writable-reuse contract on `conv` as [[hadoopFile]].
+    */
+  def sequenceFile[K, V, T](path: String, keyClass: Class[K],
+      valueClass: Class[V], description: String = "sequenceFile")(
+      conv: (K, V) => T)(
+      implicit ep: Encoder[ProvRecord[T]]): ProvDataset[T] =
+    hadoopFile(path,
+      classOf[org.apache.hadoop.mapred.SequenceFileInputFormat[K, V]],
+      keyClass, valueClass, description)(conv)
+
+  /** newAPIHadoopFile (`mapreduce` API) with per-file lineage — the
+    * NewHadoopRDD mirror of [[hadoopFile]].
+    */
+  def newAPIHadoopFile[K, V, T](path: String,
+      inputFormatClass: Class[_ <: org.apache.hadoop.mapreduce.InputFormat[K, V]],
+      keyClass: Class[K], valueClass: Class[V],
+      description: String = "newAPIHadoopFile")(conv: (K, V) => T)(
+      implicit ep: Encoder[ProvRecord[T]]): ProvDataset[T] = {
+    import org.apache.hadoop.mapreduce.lib.input.FileSplit
+    val task = newTask(TransformationType.MAP, Nil, s"$description: $path")
+    val execId = executionId
+    implicit val ct: scala.reflect.ClassTag[ProvRecord[T]] = ProvDataset.anyRefTag
+    def raw = spark.sparkContext.newAPIHadoopFile(path,
+        inputFormatClass.asInstanceOf[Class[org.apache.hadoop.mapreduce.InputFormat[K, V]]],
+        keyClass, valueClass)
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[K, V]]
+    val recs = raw.mapPartitionsWithInputSplit(
+      { (split: org.apache.hadoop.mapreduce.InputSplit, it: Iterator[(K, V)]) =>
+        val fid = ProvSinkUtil.fileElementId(execId,
+          split.asInstanceOf[FileSplit].getPath.toString)
+        it.map { case (k, v) => ProvRecord(ProvIds.newId(), Seq(fid), conv(k, v)) }
+      }, preservesPartitioning = false)
+    val pd = ProvDataset.create(spark.createDataset(recs)(ep), task, this)
+    attachFileElements(task, () => raw.mapPartitionsWithInputSplit(
+      { (split: org.apache.hadoop.mapreduce.InputSplit, _: Iterator[(K, V)]) =>
+        Iterator(split.asInstanceOf[FileSplit].getPath.toString)
+      }, preservesPartitioning = false))
+    pd
+  }
+
+  /** Bridge any stock RDD — custom receivers, computed sources — into
+    * the provenance surface: each record becomes a fresh root element.
+    * For file-based sources prefer [[textFile]]/[[objectFile]]/
+    * [[sequenceFile]]/[[hadoopFile]]/[[newAPIHadoopFile]], which carry
+    * per-file lineage; this bridge is for RDDs with no file identity.
     */
   def fromRDD[T](rdd: org.apache.spark.rdd.RDD[T],
                  description: String = "fromRDD")(

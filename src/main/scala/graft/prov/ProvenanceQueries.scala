@@ -169,14 +169,17 @@ final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
       frontier.unpersist()
       frontier = newFrontier
     }
-    // materialize before releasing caches so the returned frame does not
-    // recompute the iteration
-    val rows = acc.distinct().collect().toSeq
+    // materialize EXECUTOR-side before releasing caches: localCheckpoint
+    // (eager) pins the result as block-manager partitions so the
+    // returned frame never replays the iteration — and never funnels the
+    // closure through the driver (a full-corpus impact analysis can be
+    // millions of rows; the old collect+parallelize(rows, 1) form made
+    // the driver both a memory ceiling and a single-partition bottleneck)
+    val out = acc.distinct().localCheckpoint()
     frontier.unpersist()
     acc.unpersist()
     edges.unpersist()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), acc.schema)
+    out
   }
 
   /** Task detail + 1-hop neighborhood: the task row plus its parents and

@@ -70,11 +70,12 @@ object RelationalProvenance {
 
   private[prov] def attach(session: ProvSession, task: TaskState,
                            df: DataFrame,
-                           createsElements: Boolean = true): ProvFrame = {
+                           createsElements: Boolean = true,
+                           spliced: Boolean = false): ProvFrame = {
     val userCols = df.columns.filterNot(Set(ID, DEPS)).toSeq
     task.schemaFields = userCols
     task.usingDefaultSchema = false
-    val frame = new ProvFrame(df, task, session)
+    val frame = new ProvFrame(df, task, session, spliced)
     if (session.captureEnabled && createsElements && !task.ignored)
       task.elementThunk = Some(() => frame.elementRows())
     else if (!createsElements) task.elementThunk = None
@@ -88,7 +89,13 @@ object RelationalProvenance {
 final class ProvFrame private[prov] (
     private[prov] val df: DataFrame,
     private[prov] val task: TaskState,
-    val session: ProvSession) {
+    val session: ProvSession,
+    /** true for pass-through results: their ID/DEPS columns are already
+      * normalized to child-consumable form (DEPS = real parent element
+      * ids, ID = id-part token), row-wise — so a union mixing an ignored
+      * and a non-ignored input stays correct per row.
+      */
+    private[prov] val spliced: Boolean = false) {
 
   import RelationalProvenance._
 
@@ -123,7 +130,21 @@ final class ProvFrame private[prov] (
   private def asParent: (Column, Column) =
     if (task.ignored)
       (col(DEPS), array_join(array_sort(col(DEPS)), "\u0003"))
+    else if (spliced) (col(DEPS), col(ID)) // pre-normalized per row
     else (array(col(ID)), col(ID))
+
+  /** This frame's rows normalized to child-consumable provenance form:
+    * DEPS := what a child must depend on (the parent's element ids - or,
+    * when this frame is ignored/spliced, the nearest non-ignored
+    * ancestors' ids), ID := the id-part token for child id minting.
+    * Pass-through ops route through this so an ignored input's
+    * never-flushed ids are spliced out INSIDE the pass-through instead
+    * of leaking to a downstream element-creating child.
+    */
+  private def passThroughDf: DataFrame = {
+    val (pdeps, pid) = asParent
+    df.select(userCols.map(col) :+ pdeps.as(DEPS) :+ pid.as(ID): _*)
+  }
 
   /** Exclude this frame from provenance; declare BEFORE children (same
     * contract as [[ProvDataset.ignoreIt]]).
@@ -305,8 +326,14 @@ final class ProvFrame private[prov] (
     val t = session.newTask(TransformationType.SHUFFLED, Seq(task.id),
       description)
     val (pdeps, pid) = asParent
+    // deterministic-recomputation invariant: with duplicate
+    // (partitionBy, orderBy) keys a ROWS frame depends on tie order, so
+    // recomputation (e.g. at flush) could pair different deps with the
+    // collected aggregates. `_prov_pi` (itself deterministic) is
+    // appended as the final sort key so the frame assignment is total —
+    // no uniqueness contract needed from the caller's orderBy.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+      .partitionBy(partitionBy: _*).orderBy(orderBy :+ col("_prov_pi"): _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val frameDeps =
@@ -328,16 +355,19 @@ final class ProvFrame private[prov] (
   def union(other: ProvFrame, description: String = "union"): ProvFrame = {
     val t = session.newTask(TransformationType.UNION,
       Seq(task.id, other.task.id), description)
-    attach(session, t, df.unionByName(other.df), createsElements = false)
+    attach(session, t, passThroughDf.unionByName(other.passThroughDf),
+      createsElements = false, spliced = true)
   }
 
   def orderBy(cols: Column*): ProvFrame = {
     val t = session.newTask(TransformationType.SORT_BY_KEY, Seq(task.id), "orderBy")
-    attach(session, t, df.orderBy(cols: _*), createsElements = false)
+    attach(session, t, passThroughDf.orderBy(cols: _*),
+      createsElements = false, spliced = true)
   }
 
   def limit(n: Int): ProvFrame = {
     val t = session.newTask(TransformationType.COALESCED, Seq(task.id), s"limit($n)")
-    attach(session, t, df.limit(n), createsElements = false)
+    attach(session, t, passThroughDf.limit(n),
+      createsElements = false, spliced = true)
   }
 }

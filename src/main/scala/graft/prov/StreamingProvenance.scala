@@ -50,13 +50,23 @@ object StreamingProvenance {
           // effect, no cross-batch coordination.
           val batchEl = ProvSinkUtil.fileElementId(execId, s"batch_$batchId")
           val cols = batch.schema.fieldNames.toSeq
+          // `occ` disambiguates value-identical rows WITHIN the batch:
+          // ids fold in a per-value occurrence index, so two distinct
+          // rows with equal values stay two elements after the read
+          // side's dropDuplicates(element_id) — multiplicity survives
+          // even for non-aggregated sinks. The index assignment order is
+          // arbitrary, but a replayed batch re-mints the same id SET
+          // (occurrences 0..k-1 of each value), so idempotence holds.
+          val occWindow = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("vs")).orderBy(monotonically_increasing_id())
           val els = batch
             .select(array(cols.map(c => col(c).cast("string")): _*).as("vs"))
-            .as(Encoders.product[Tuple1[Seq[String]]])
-            .map { t =>
+            .withColumn("occ", row_number().over(occWindow) - 1)
+            .as(Encoders.product[(Seq[String], Int)])
+            .map { case (vs, occ) =>
               val id = ProvSinkUtil.fileElementId(execId,
-                s"batch_${batchId}_row_${t._1.mkString("\u0001")}")
-              ElementRow(execId, tid, id, Seq(t._1), Seq(batchEl))
+                s"batch_${batchId}_row_${occ}_${vs.mkString("\u0001")}")
+              ElementRow(execId, tid, id, Seq(vs), Seq(batchEl))
             }(ProvSession.elementRowEnc)
           val spark = batch.sparkSession
           val batchRow = spark.createDataset(Seq(ElementRow(

@@ -47,16 +47,31 @@ object FileGroupOps {
     // binaryFile would expand them executor-side and the path→template
     // index would then miss every expanded file. Globs are rejected
     // up-front for the same reason, with an actionable message.
+    // Expansion and path canonicalization go through Hadoop FileSystem,
+    // not java.io.File: scheme-qualified paths (hdfs://, s3a://, file:)
+    // resolve to their own filesystem, so remote directories expand the
+    // same way local ones do instead of passing through unexpanded.
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    def canon(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      normalizePath(hp.getFileSystem(hadoopConf).makeQualified(hp).toString)
+    }
     val temps = templates.toSeq.map { t =>
       val expanded = t.paths.flatMap { p =>
         require(!p.exists(c => c == '*' || c == '?' || c == '['),
           s"glob patterns are not supported in FileGroupTemplate paths ($p); " +
             "list the files explicitly or use FileGroupTemplate.ofDirectory")
-        val f = new java.io.File(p)
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty)
-            .filter(_.isFile).map(_.getAbsolutePath).sorted.toSeq
-        else Seq(p)
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(hadoopConf)
+        val status =
+          try Some(fs.getFileStatus(hp))
+          catch { case _: java.io.FileNotFoundException => None }
+        status match {
+          case Some(st) if st.isDirectory =>
+            fs.listStatus(hp).filter(_.isFile)
+              .map(_.getPath.toString).sorted.toSeq
+          case _ => Seq(p) // missing: binaryFile raises its own error
+        }
       }
       t.copy(paths = expanded)
     }
@@ -64,9 +79,7 @@ object FileGroupOps {
     val templateExtras = temps.map(_.extraInfo)
     // a path may belong to SEVERAL templates — map to all of them
     val byPath: Map[String, Seq[Int]] = temps.zipWithIndex
-      .flatMap { case (t, i) =>
-        t.paths.map(p => new java.io.File(p).getAbsolutePath -> i)
-      }
+      .flatMap { case (t, i) => t.paths.map(p => canon(p) -> i) }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val allPaths = temps.flatMap(_.paths).distinct
 

@@ -70,14 +70,21 @@ class RowsOnlyQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agree * 2 >= ivf.length, s"IVF top-1 agreement too low: $agree/${ivf.length}")
   }
 
-  test("mm02_decode_features: deterministic stub features, all rows covered") {
+  test("mm02_decode_features: real PNG decode round-trip, all rows covered") {
     val a = q("mm02_decode_features").collect()
     val b = q("mm02_decode_features").collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq) // deterministic
     assert(a.length == spark.read.parquet(s"$d/documents.parquet").count())
     a.foreach { r =>
-      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("height") >= 1)
-      assert(!r.isNullAt(r.fieldIndex("feature_sum")))
+      val id = r.getAs[Long]("media_id")
+      // decoded dims equal the generated dims: the ImageIO round trip
+      // (encode → opaque bytes → decode) preserved the image
+      assert(r.getAs[Int]("width") == 8 + (id % 24).toInt)
+      assert(r.getAs[Int]("height") == 8 + ((id * 7) % 24).toInt)
+      Seq("mean_r", "mean_g", "mean_b").foreach { c =>
+        val m = r.getAs[Double](c)
+        assert(m >= 0.0 && m <= 255.0, s"$c out of pixel range: $m")
+      }
     }
   }
 

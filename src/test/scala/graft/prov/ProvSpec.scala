@@ -581,4 +581,97 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.collectAsMap() == Map("a" -> 2))
     s.close()
   }
+
+  test("lineage closure is returned distributed, not collected to the driver") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    val src = s.parallelize(0 until 10000)
+    val keyed = src.keyBy(_ => 0)
+    val red = keyed.reduceByKey(_ + _)
+    assert(red.collect().head._2 == (0 until 10000).sum)
+    s.close()
+    val q = new ProvenanceQueries(spark, store)
+    val redEl = q.elements(s.executionId)
+      .filter($"task_id" === red.task.id).select("element_id")
+      .collect().head.getString(0)
+    val closure = q.lineageOf(s.executionId, redEl)
+    // 10k keyBy elements (hop 1) + 10k src elements (hop 2)
+    assert(closure.count() == 20000)
+    // localCheckpoint-backed scan, not a driver-side local relation: the
+    // closure of a full-corpus impact analysis can be millions of rows
+    val plan = closure.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"),
+      s"closure was materialized through the driver:\n$plan")
+  }
+
+  test("lookup pushes the key predicate into a parquet scan") {
+    val store = newStore()
+    val dir = Files.createTempDirectory("lookupparquet").toString + "/recs"
+    val s = ProvSession.create(spark, "t", store, captureEnabled = false)
+    // a parquet-backed ProvDataset: records persisted then re-read, so
+    // the lookup filter sits directly above a columnar scan
+    spark.createDataset(Seq(
+        ProvRecord("i1", Seq.empty[String], ("a", 1)),
+        ProvRecord("i2", Seq.empty[String], ("b", 2)),
+        ProvRecord("i3", Seq.empty[String], ("a", 3))))
+      .write.parquet(dir)
+    val ds = spark.read.parquet(dir).as[ProvRecord[(String, Int)]]
+    val pd = ProvDataset.create(ds, s.newTask(TransformationType.MAP, Nil, "pq"), s)
+    assert(pd.lookup("a").sorted == Seq(1, 3))
+    val plan = pd.lookupFrame("a").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("EqualTo(value._1,a)"),
+      s"lookup key predicate not pushed to the scan:\n$plan")
+    s.close()
+  }
+
+  test("sequenceFile: records depend on their source-file element") {
+    val store = newStore()
+    val dir = Files.createTempDirectory("seqfile").toString + "/out"
+    import org.apache.hadoop.io.{IntWritable, Text}
+    import org.apache.hadoop.mapred.SequenceFileOutputFormat
+    // two partitions -> two part files, so per-file wiring is observable
+    spark.sparkContext.parallelize(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")), 2)
+      .map { case (k, v) => (new IntWritable(k), new Text(v)) }
+      .saveAsHadoopFile(dir, classOf[IntWritable], classOf[Text],
+        classOf[SequenceFileOutputFormat[IntWritable, Text]])
+    val s = ProvSession.create(spark, "t", store)
+    val back = s.sequenceFile(dir, classOf[IntWritable], classOf[Text]) {
+      (k, v) => (k.get, v.toString)
+    }
+    assert(back.collect().sortBy(_._1) == Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    s.close()
+    val els = elementsOf(store, s.executionId, back.task.id)
+    val (fileEls, recEls) = els.partition(_._3.isEmpty)
+    assert(recEls.length == 4 && fileEls.length == 2,
+      s"expected 4 records over 2 file elements, got $els")
+    val fileIds = fileEls.map(_._1).toSet
+    assert(recEls.forall(e => e._3.length == 1 && fileIds.contains(e._3.head)))
+    // records split across files: both file elements actually referenced
+    assert(recEls.map(_._3.head).toSet == fileIds)
+  }
+
+  test("newAPIHadoopFile: records depend on their source-file element") {
+    val store = newStore()
+    val dir = Files.createTempDirectory("newapi")
+    Files.writeString(dir.resolve("a.txt"), "x1\nx2\n")
+    Files.writeString(dir.resolve("b.txt"), "y1\n")
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+    val s = ProvSession.create(spark, "t", store)
+    val back = s.newAPIHadoopFile(dir.toString, classOf[TextInputFormat],
+      classOf[LongWritable], classOf[Text]) { (_, v) => v.toString }
+    assert(back.collect().sorted == Seq("x1", "x2", "y1"))
+    s.close()
+    val els = elementsOf(store, s.executionId, back.task.id)
+    val (fileEls, recEls) = els.partition(_._3.isEmpty)
+    assert(fileEls.length == 2 && recEls.length == 3)
+    val byFile = fileEls.map(e => e._1 -> e._2.head.head).toMap
+    // each record's single dep is the element of the file that holds it
+    recEls.foreach { case (_, v, deps) =>
+      val f = byFile(deps.head)
+      val expected = if (v.head.head.startsWith("x")) "a.txt" else "b.txt"
+      assert(f.endsWith(expected), s"record $v wired to wrong file $f")
+    }
+  }
 }

@@ -222,4 +222,32 @@ class RelationalProvenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val els = q.elements(sess.executionId)
     assert(els.filter(col("task_id") === u.taskId).count() == 0)
   }
+
+  test("pass-through over an ignored frame splices deps to flushed ancestors") {
+    val (sess, store) = newSession()
+    import spark.implicits._
+    val a = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val b = Seq((3L, 30.0)).toDF("k", "v")
+    val fa = RelationalProvenance.table(sess, a, "a", Seq("k"))
+    val fb = RelationalProvenance.table(sess, b, "b", Seq("k"))
+    // ignored frame feeding a pass-through: the union must NOT forward
+    // the ignored frame's never-flushed ids to the element-creating leaf
+    val widened = fa.select("widen")(col("k"), (col("v") * 2).as("v2")).ignoreIt()
+    val other = fb.select("rename")(col("k"), col("v").as("v2"))
+    val u = widened.union(other)
+    val leaf = u.filter(col("v2") > 0.0, "leaf")
+    sess.close()
+    val q = new ProvenanceQueries(spark, store)
+    val els = q.elements(sess.executionId).collect()
+    val flushedIds = els.map(_.getAs[String]("element_id")).toSet
+    val leafDeps = els.filter(_.getAs[String]("task_id") == leaf.taskId)
+      .flatMap(r => r.getSeq[String](r.fieldIndex("deps")))
+    assert(leafDeps.length == 3)
+    assert(leafDeps.forall(flushedIds.contains),
+      "leaf deps reference element ids that were never flushed")
+    // rows from the ignored side point at the ROOT table's elements
+    val rootIds = els.filter(_.getAs[String]("task_id") == fa.taskId)
+      .map(_.getAs[String]("element_id")).toSet
+    assert(leafDeps.count(rootIds.contains) == 2)
+  }
 }
