@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-linearity harness: replicates the sf0.1 `documents` /
+  * `embeddings` tables 10× with replica-disjoint ids and token
+  * namespaces, then times the scale-path dedup/ANN operators
+  * (d04 MinHash-LSH, d05 SimHash, e03 LSH ANN, e05 IVF ANN) at 1× and
+  * 10×, printing one JSON line with per-query x1/x10/ratio. The
+  * quadratic exact baselines (d03 n-gram Jaccard, e02 all-pairs
+  * cosine) are EXCLUDED BY DESIGN — they exist as gated correctness
+  * baselines, never as a pipeline's scale path (their scaladoc says
+  * so); this harness measures the operators a 100 TB pipeline would
+  * actually run.
+  *
+  * Replication design: for replica i>0 every document token gets an
+  * `r{i}_` prefix, which keeps each replica's shingle/minhash/simhash
+  * space disjoint from every other's — so 10× rows is honestly 10×
+  * work (no artificial cross-replica near-duplicates inflating
+  * candidate counts superlinearly, no shared shingles deflating them).
+  * Embedding replicas keep their vectors with offset ids: LSH/IVF
+  * bucket populations grow 10× while the fixed probe side (vec_id < 5,
+  * untouched by the offset) scores 10× candidates — the linear regime.
+  */
+object ScaleBench {
+
+  val scaleQueries: Seq[String] =
+    Seq("d04_minhash_lsh", "d05_simhash", "e03_ann_lsh", "e05_ann_ivf")
+
+  /** Offset between replica id ranges — far above any real id in the
+    * test tables, so replica ids never collide.
+    */
+  private val idStride = 10000000L
+
+  def replicate(spark: SparkSession, baseDir: String, outDir: String,
+                copies: Int): Unit = {
+    val docs = Tables.documents(spark, baseDir)
+    (0 until copies).map { i =>
+      if (i == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(i * idStride))
+        .withColumn("text", concat_ws(" ",
+          expr(s"transform(split(text, ' '), t -> concat('r${i}_', t))")))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val embs = Tables.embeddings(spark, baseDir)
+    (0 until copies).map { i =>
+      if (i == 0) embs
+      else embs.withColumn("vec_id", col("vec_id") + lit(i * idStride))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val workDir = if (args.length > 1) args(1) else s"/tmp/graft_scale$copies"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.constraintPropagation.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    replicate(spark, baseDir, workDir, copies)
+
+    def runOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } finally spark.catalog.clearCache()
+    }
+    def runMin2(name: String, dir: String): Double = {
+      val a = runOnce(name, dir); val b = runOnce(name, dir)
+      math.min(a, b)
+    }
+
+    runOnce(scaleQueries.head, baseDir) // JVM/codegen warmup
+
+    val rows = scaleQueries.map { n =>
+      val x1 = runMin2(n, baseDir)
+      val xn = runMin2(n, workDir)
+      (n, x1, xn, xn / x1)
+    }
+    val qs = rows.map { case (n, x1, xn, r) =>
+      f""""$n":{"x1":$x1%.3f,"x$copies":$xn%.3f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale$copies","base":"$baseDir","queries":$qs,"excluded_by_design":["d03_ngram_jaccard","e02_cosine_neardup"]}""")
+    spark.stop()
+  }
+}

@@ -37,18 +37,8 @@ case class MinHashArray(child: Expression, numHashes: Int, seed: Long,
   override def prettyName: String = "minhash_array"
 
   // identical coefficient stream to MinHashAgg (same seed ⇒ same family)
-  @transient private lazy val coefs: (Array[Long], Array[Long]) = {
-    val r = new scala.util.Random(seed)
-    val a = new Array[Long](numHashes)
-    val b = new Array[Long](numHashes)
-    var i = 0
-    while (i < numHashes) {
-      a(i) = (1 + r.nextInt(Int.MaxValue - 1)).toLong
-      b(i) = r.nextInt(Int.MaxValue).toLong
-      i += 1
-    }
-    (a, b)
-  }
+  @transient private lazy val coefs: (Array[Long], Array[Long]) =
+    MinHashArray.coefficients(numHashes, seed)
 
   private def compute(hashes: ArrayData): GenericArrayData = {
     val (a, b) = coefs
@@ -112,6 +102,23 @@ case class MinHashArray(child: Expression, numHashes: Int, seed: Long,
 }
 
 object MinHashArray {
+  /** The universal-hash coefficient stream — shared by the expression
+    * and by oracle-SQL generation (d09 inlines these constants into
+    * DuckDB text so the LSH banding itself is cross-engine-checkable).
+    */
+  def coefficients(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val r = new scala.util.Random(seed)
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      a(i) = (1 + r.nextInt(Int.MaxValue - 1)).toLong
+      b(i) = r.nextInt(Int.MaxValue).toLong
+      i += 1
+    }
+    (a, b)
+  }
+
   /** Column form: per-row minhash signature (ARRAY<BIGINT> of length
     * numHashes) of an ARRAY<BIGINT> of pre-hashed shingles.
     */

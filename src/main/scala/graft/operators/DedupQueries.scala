@@ -401,7 +401,117 @@ object DedupQueries {
             |WHERE round(c * 1.0 / (x.n + y.n - c), 4) >= 0.5
             |ORDER BY da, db""".stripMargin))
 
+  /** MinHash+LSH with a BAND-BUCKET population cap — the skew
+    * mitigation d04's plan audit calls for: at web scale a degenerate
+    * band bucket (boilerplate/templated documents that share a
+    * signature slice) turns the bucket self-join quadratic on that one
+    * key. Buckets holding more than `cap` docs are excluded from
+    * candidate generation entirely (their members are boilerplate
+    * near-identical clusters a pipeline dedups via d01/d02 exact
+    * hashing anyway), bounding per-bucket fan-out at (cap choose 2)
+    * exactly like d08 bounds shingle fan-out.
+    *
+    * Cross-engine gating of an APPROXIMATE op: the shingle hash is
+    * md5-derived (the one hash both engines share), the 64 universal-
+    * hash coefficients come from [[graft.functions.MinHashArray
+    * .coefficients]] and are INLINED as literals into the oracle text,
+    * and band keys are plain string joins of signature slices — so
+    * DuckDB replays signatures, banding, the cap, and verification
+    * bit-for-bit. Unlike d04 (gated vs the exact-Jaccard answer), this
+    * gate checks the LSH mechanics themselves, including which pairs
+    * the cap DROPS.
+    */
+  val d09MinHashCapped = QueryDef(
+    "d09_minhash_lsh_capped",
+    (s, d) => {
+      val numHashes = 64
+      val bands = 16
+      val rowsPerBand = numHashes / bands
+      val prime = 2038074743L
+      val cap = 50
+
+      val docs = shingleArrays(s, d)
+        .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
+          graft.functions.MinHashArray.minhash_array(
+            expr("transform(sh, x -> pmod(cast(conv(substr(md5(x), 1, 15)," +
+              s" 16, 10) as bigint), ${prime}L))"),
+            numHashes, 42L, prime).as("sig"))
+        .cache()
+
+      val bandKeys = (0 until bands).map { bnd =>
+        concat_ws(",", lit(bnd) +: (0 until rowsPerBand).map(r =>
+          col("sig").getItem(bnd * rowsPerBand + r)): _*)
+      }
+      val buckets = docs.select(col("doc_id"),
+        explode(array(bandKeys: _*)).as("bkey"))
+      // population cap: one map-side-combined count per bucket, hot
+      // buckets never reach the self-join
+      val cool = buckets.groupBy(col("bkey"))
+        .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
+        .select(col("bkey"))
+      val inCool = buckets.join(cool, Seq("bkey"))
+      val cand = inCool.alias("x")
+        .join(inCool.alias("y"), col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+
+      cand
+        .join(docs.select(col("doc_id").as("da"), col("sh").as("sha"),
+          col("n").as("na")), Seq("da"))
+        .join(docs.select(col("doc_id").as("db"), col("sh").as("shb"),
+          col("n").as("nb")), Seq("db"))
+        .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 4))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("da"), col("db"), col("jaccard"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some {
+      val (a, b) = graft.functions.MinHashArray.coefficients(64, 42L)
+      val prime = 2038074743L
+      val sigCols = (0 until 64)
+        .map(k => s"min((h * ${a(k)} + ${b(k)}) % $prime) AS m$k")
+        .mkString(",\n    ")
+      val bandCases = (0 until 16).map { bnd =>
+        val parts = (0 until 4).map(r => s"m${bnd * 4 + r}")
+          .mkString(" || ',' || ")
+        s"WHEN $bnd THEN '$bnd,' || $parts"
+      }.mkString("\n      ")
+      s"""WITH $shinglesSql,
+         |hashes AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $prime AS h
+         |  FROM sh),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigCols
+         |  FROM hashes GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id,
+         |    CASE band
+         |      $bandCases
+         |    END AS bkey
+         |  FROM sig, (SELECT unnest(generate_series(0, 15)) AS band) tb),
+         |cool AS (SELECT bkey FROM bands GROUP BY bkey HAVING count(*) <= 50),
+         |bc AS (SELECT doc_id, bkey FROM bands JOIN cool USING (bkey)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bc x JOIN bc y ON x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT c.da, c.db, count(*) AS cm
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.da
+         |  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+         |  GROUP BY c.da, c.db)
+         |SELECT da, db, round(cm * 1.0 / (x.n + y.n - cm), 4) AS jaccard
+         |FROM common JOIN cnt x ON da = x.doc_id JOIN cnt y ON db = y.doc_id
+         |WHERE round(cm * 1.0 / (x.n + y.n - cm), 4) >= 0.8
+         |ORDER BY da, db""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     d01ExactDedup, d02NormalizedDedup, d03NgramJaccard, d04MinHashLsh,
-    d05SimHash, d06DedupClusters, d07KeepList, d08JaccardCapped)
+    d05SimHash, d06DedupClusters, d07KeepList, d08JaccardCapped,
+    d09MinHashCapped)
 }

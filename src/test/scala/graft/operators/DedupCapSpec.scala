@@ -1,0 +1,53 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The d09 band-bucket population cap under deliberate skew: a
+  * boilerplate clique larger than the cap (the degenerate case that
+  * turns d04's bucket self-join quadratic at web scale) must be
+  * excluded from candidate generation, while ordinary near-dup pairs
+  * pass through untouched. The sf-gate (CORRECTNESS d09 row) checks
+  * cap semantics cross-engine; this spec checks the cap BINDS.
+  */
+class DedupCapSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("d09 drops hot-bucket boilerplate cliques that d04 would join") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("capdocs").toString
+    // 80 identical docs: every band bucket of the clique holds 80 > 50
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    // an ordinary near-dup pair (8 shared of 9 shingles, J = 0.8889)
+    val near1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near2 = near1 + " lambda"
+    val docs = (0L until 80L).map(i => (i, boiler)) ++
+      Seq((100L, near1), (101L, near2))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val uncapped = DedupQueries.d04MinHashLsh.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val capped = DedupQueries.d09MinHashCapped.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+
+    // d04 joins the whole clique: (80 choose 2) pairs + the normal pair
+    assert(uncapped.size == 80 * 79 / 2 + 1)
+    assert(uncapped.contains((100L, 101L)))
+    // d09: the clique's buckets are all over the cap -> only the normal
+    // pair survives; fan-out stayed bounded at (cap choose 2) per bucket
+    assert(capped == Set((100L, 101L)),
+      s"cap failed to drop the boilerplate clique: $capped")
+  }
+}
