@@ -162,5 +162,88 @@ object MultimodalQueries {
            |  round(avg((n_chars * (frame_no + 1)) % 997), 2) AS avg_frame_feature
            |FROM frames GROUP BY media_id ORDER BY media_id""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(mm01MediaTable, mm02DecodeFeatures, mm03FrameSample)
+  /** Deterministic 16-bit PCM mono WAV for `media_id`: n samples of the
+    * integer waveform s(k) = ((id·31 + k·17) mod 2001) − 1000 at 8 kHz,
+    * packaged through the JDK's real WAV writer. Closed-form, so
+    * expected decode stats are recomputable in pure SQL.
+    */
+  private[operators] def syntheticWav(id: Long): Array[Byte] = {
+    val n = (400 + (id % 100) * 4).toInt
+    val pcm = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val s = (((id * 31 + k * 17) % 2001) - 1000).toInt
+      pcm(2 * k) = (s & 0xFF).toByte
+      pcm(2 * k + 1) = ((s >> 8) & 0xFF).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Audio decode + featurize with a REAL codec (`javax.sound.sampled`,
+    * JDK-only): WAV payloads are parsed back through
+    * `AudioSystem.getAudioInputStream` — container header, format, and
+    * sample stream all come from the DECODER — and per-clip stats
+    * (sample count, rate, mean amplitude, peak) are computed from the
+    * decoded samples. The oracle recomputes everything from the
+    * waveform formula; integer sums are exact, so the DOUBLE mean is
+    * bit-identical across engines. The audio mirror of [[mm02DecodeFeatures]].
+    */
+  val mm04AudioFeatures = QueryDef(
+    "mm04_audio_features",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, syntheticWav(id))))
+        .toDF("media_id", "payload")
+        .as[(Long, Array[Byte])]
+      media.mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"unexpected decoded format: $fmt")
+          val bytes = ais.readAllBytes()
+          ais.close()
+          val n = bytes.length / 2
+          var sum = 0L
+          var peak = 0L
+          var k = 0
+          while (k < n) {
+            val v = (((bytes(2 * k + 1) & 0xFF) << 8) |
+              (bytes(2 * k) & 0xFF)).toShort.toLong
+            sum += v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            k += 1
+          }
+          (id, n.toLong, fmt.getSampleRate.toInt, sum.toDouble / n, peak)
+        }
+      }.toDF("media_id", "n_samples", "sample_rate", "mean_amp", "peak")
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id AS media_id, 400 + (doc_id % 100) * 4 AS n
+           |  FROM documents),
+           |smp AS (
+           |  SELECT media_id, n,
+           |         ((media_id * 31 + k * 17) % 2001) - 1000 AS s
+           |  FROM base, LATERAL unnest(generate_series(0, n - 1)) AS t(k))
+           |SELECT media_id, CAST(max(n) AS BIGINT) AS n_samples,
+           |       CAST(8000 AS INT) AS sample_rate,
+           |       CAST(sum(s) AS DOUBLE) / max(n) AS mean_amp,
+           |       CAST(max(abs(s)) AS BIGINT) AS peak
+           |FROM smp GROUP BY media_id ORDER BY media_id""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(mm01MediaTable, mm02DecodeFeatures,
+    mm03FrameSample, mm04AudioFeatures)
 }

@@ -240,7 +240,51 @@ final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
+      case '<' => "\\u003c" // keeps embedded JSON </script>-safe
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+
+  /** Self-contained interactive graph page — the rendering half of the
+    * reference's web UI (PagesCtrl.kt:13-73 serves dataflow/task/element
+    * pages from a Spring app + Cassandra). Here the same two graphs —
+    * the task DAG and the element lineage graph — render in ONE static
+    * HTML file with zero external dependencies (inline vanilla-JS layered
+    * DAG layout, canvas, hover tooltips, pan/zoom, task legend), so it works
+    * from a file:// URL on an air-gapped cluster edge node. Element
+    * count is capped (`maxElements`, breadth-stable via ordered take) —
+    * the page is a lens, not a data export; [[exportJson]] remains the
+    * full-fidelity machine format.
+    */
+  def exportHtml(executionId: String, file: String, maxElements: Int = 2000): Unit = {
+    val taskRows = tasks(executionId)
+      .select(col("task_id"), col("description"),
+        col("transformation_type"), col("dependencies")).collect()
+    val taskNodes = taskRows.map { r =>
+      s"""{"id":${jstr(r.getString(0))},"label":${jstr(r.getString(1))},"type":${jstr(r.getString(2))}}"""
+    }
+    val taskLinks = taskRows.flatMap { r =>
+      r.getSeq[String](3).map(p =>
+        s"""{"source":${jstr(p)},"target":${jstr(r.getString(0))}}""")
+    }
+    val elRows = elements(executionId)
+      .select(col("element_id"), col("task_id"), to_json(col("values")))
+      .orderBy(col("task_id"), col("element_id"))
+      .limit(maxElements).collect()
+    val kept = elRows.map(_.getString(0)).toSet
+    val elNodes = elRows.map { r =>
+      s"""{"id":${jstr(r.getString(0))},"group":${jstr(r.getString(1))},"label":${jstr(r.getString(2))}}"""
+    }
+    val elLinks = elementDependencies(executionId)
+      .select(col("source"), col("target")).collect()
+      .filter(r => kept(r.getString(0)) && kept(r.getString(1)))
+      .map(r => s"""{"source":${jstr(r.getString(0))},"target":${jstr(r.getString(1))}}""")
+    val total = elements(executionId).count()
+    val html = ProvenanceHtml.page(
+      executionId,
+      s"""{"nodes":[${taskNodes.mkString(",")}],"links":[${taskLinks.mkString(",")}]}""",
+      s"""{"nodes":[${elNodes.mkString(",")}],"links":[${elLinks.mkString(",")}]}""",
+      shown = elRows.length, total = total)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(file), html)
+  }
 }

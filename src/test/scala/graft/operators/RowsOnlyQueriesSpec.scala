@@ -88,6 +88,21 @@ class RowsOnlyQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mm04_audio_features: real WAV codec round-trip preserves the waveform") {
+    val rows = q("mm04_audio_features").collect()
+    assert(rows.length == spark.read.parquet(s"$d/documents.parquet").count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      // sample count and rate come from the DECODER (AudioSystem), so they
+      // prove the WAV container round-tripped, not just the raw bytes
+      assert(r.getAs[Long]("n_samples") == 400 + (id % 100) * 4)
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      val peak = r.getAs[Long]("peak")
+      assert(peak >= 0 && peak <= 1000, s"peak outside waveform range: $peak")
+      assert(math.abs(r.getAs[Double]("mean_amp")) <= 1000.0)
+    }
+  }
+
   test("prov showcases return consistent graph shapes") {
     val fg = q("prov_full_graph").collect()
     val kinds = fg.groupBy(_.getAs[String]("kind")).view.mapValues(_.length).toMap

@@ -464,6 +464,21 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
     val txt = Files.readString(jsonFile)
     assert(txt.contains("\"nodes\"") && txt.contains("\"links\""))
 
+    // self-contained HTML page: both graphs embedded, no external fetches
+    val htmlFile = Files.createTempFile("graph", ".html")
+    q.exportHtml(s.executionId, htmlFile.toString)
+    val html = Files.readString(htmlFile)
+    assert(html.contains("<!DOCTYPE html>"))
+    assert(html.contains("taskCanvas") && html.contains("elemCanvas"))
+    assert(html.contains("\"nodes\"") && html.contains("8 elements"))
+    assert(!html.contains("http://") && !html.contains("https://"),
+      "page must not reference external resources")
+    // element cap: a tiny cap truncates and says so
+    val capFile = Files.createTempFile("graphcap", ".html")
+    q.exportHtml(s.executionId, capFile.toString, maxElements = 3)
+    val capped = Files.readString(capFile)
+    assert(capped.contains("showing first 3 of 8 elements"))
+
     // forward closure: a src element flows into 1 mapped + 1 reduced
     val aSrc = q.producedBy(s.executionId, src.task.id).collect()
       .find(_.getAs[scala.collection.Seq[scala.collection.Seq[String]]]("values").head == Seq("a", "1"))
