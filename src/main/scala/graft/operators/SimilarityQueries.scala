@@ -240,25 +240,51 @@ object SimilarityQueries {
     * broadcast, the corpus partitions by cell once, and each query
     * touches ~nprobe/ncells of the data. Approximate → rows-only check.
     */
+  /** Label-mean centroids (float-cast components — the cross-engine
+    * rounding protocol) as `(cell, centroid)` — the deterministic coarse
+    * quantizer shared by e05 and e07.
+    */
+  private def labelCentroids(e: DataFrame): DataFrame = {
+    val dim = 64
+    e.groupBy(col("label")).agg(count(lit(1)).as("n"), dimSums(dim): _*)
+      .select(col("label").as("cell"),
+        array((0 until dim).map(i => (col(s"s$i") / col("n")).cast("float")): _*)
+          .as("centroid"))
+  }
+
+  /** Every vector assigned to its nearest centroid cell (centroids
+    * broadcast; ties → lowest cell). One pass over the corpus.
+    */
+  private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cell"))
+    e.join(broadcast(centroids))
+      .withColumn("cs", cosine_similarity(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** Oracle mirror of [[labelCentroids]] + the assign step — shared CTE
+    * text so e05 and e07 cannot drift.
+    */
+  private val centArrSql: String =
+    s"""cent AS (
+       |  SELECT label AS cell, i,
+       |    CAST(sum(CAST(embedding[i] AS DOUBLE)) / count(*) AS FLOAT) AS c
+       |  FROM embeddings, LATERAL unnest(generate_series(1, 64)) t(i)
+       |  GROUP BY label, i),
+       |cent_arr AS (
+       |  SELECT cell, list(c ORDER BY i) AS centroid FROM cent GROUP BY cell)""".stripMargin
+
   val e05AnnIvf = QueryDef(
     "e05_ann_ivf",
     (s, d) => {
       val e = Tables.embeddings(s, d)
       // "train": centroid per label (deterministic; e04 is this shape)
-      val dim = 64
-      val centroids = e.groupBy(col("label")).agg(count(lit(1)).as("n"), dimSums(dim): _*)
-        .select(col("label").as("cell"),
-          array((0 until dim).map(i => (col(s"s$i") / col("n")).cast("float")): _*)
-            .as("centroid"))
-      // assign: nearest cell per vector (centroids broadcast)
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-        .orderBy(col("cs").desc, col("cell"))
-      val assigned = e.join(broadcast(centroids))
-        .withColumn("cs", cosine_similarity(col("embedding"), col("centroid")))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"))
+      val centroids = labelCentroids(e)
+      val assigned = assignCells(e, centroids)
       // queries probe their 2 nearest cells
       val wProbe = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
@@ -278,13 +304,7 @@ object SimilarityQueries {
     // same value except vanishingly close to a float boundary), so the
     // whole IVF pipeline — train, assign, probe, rank — gates exactly
     Some(
-      s"""WITH cent AS (
-         |  SELECT label AS cell, i,
-         |    CAST(sum(CAST(embedding[i] AS DOUBLE)) / count(*) AS FLOAT) AS c
-         |  FROM embeddings, LATERAL unnest(generate_series(1, 64)) t(i)
-         |  GROUP BY label, i),
-         |cent_arr AS (
-         |  SELECT cell, list(c ORDER BY i) AS centroid FROM cent GROUP BY cell),
+      s"""WITH $centArrSql,
          |${ivfSearchSql("cent_arr", "ASC")}""".stripMargin))
 
   /** IVF with TRUE k-means training: deterministic farthest-spread init
@@ -382,7 +402,57 @@ object SimilarityQueries {
          |${ivfSearchSql("c3_arr", "DESC")}""".stripMargin
     })
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with a coarse quantizer, then
+    * deduplicate ONLY within each cluster — pairwise cosine stays
+    * O(Σ cell²) ≈ O(n²/k) instead of O(n²), and every cell's pair join
+    * is an independent partition-local task. A vector is dropped when a
+    * lower-id vector in the SAME cell sits within the similarity
+    * threshold (the min-id representative survives — the deterministic
+    * analogue of the paper's keep-one-per-group rule). At 100 TB: the
+    * corpus partitions by cell once (one shuffle), each cell joins
+    * against itself locally; k scales with corpus size to bound cell
+    * width, and a degenerate cell (all-near-identical embeddings) is
+    * bounded the same way d09 caps band buckets. Fully gated: the
+    * float-cast centroid protocol (e05) makes cells engine-exact, and
+    * the verdict per vector is a deterministic anti-join.
+    */
+  val e07SemanticDedup = QueryDef(
+    "e07_semantic_dedup",
+    (s, d) => {
+      val tau = 0.4 // same near-dup bar as e02, now per-cell
+      val e = Tables.embeddings(s, d)
+      val assigned = assignCells(e, labelCentroids(e)).cache()
+      val dropped = assigned.alias("a").join(assigned.alias("b"),
+          col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          cosine_similarity(col("a.embedding"), col("b.embedding")) >= tau)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+        .withColumn("is_dropped", lit(true))
+      assigned.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          not(coalesce(col("is_dropped"), lit(false))).as("keep"))
+        .orderBy(col("vec_id"))
+    },
+    Some(
+      s"""WITH $centArrSql,
+         |assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent_arr c)
+         |  WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assign a JOIN assign b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4)
+         |SELECT s.vec_id, s.cell, d.vec_id IS NULL AS keep
+         |FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+         |ORDER BY s.vec_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     e01KnnBruteForce, e02CosineNearDup, e03AnnLsh, e04LabelCentroids,
-    e05AnnIvf, e06AnnIvfKmeans)
+    e05AnnIvf, e06AnnIvfKmeans, e07SemanticDedup)
 }

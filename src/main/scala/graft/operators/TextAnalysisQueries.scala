@@ -259,7 +259,147 @@ object TextAnalysisQueries {
             |HAVING count(*) >= 5
             |ORDER BY train_doc, bench_doc""".stripMargin))
 
+  /** Gopher-style repetition signals (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1): fraction of tokens taken by the most frequent unigram /
+    * bigram, and the fraction of trigram positions whose trigram occurs
+    * more than once — the standard "excess repetition" pre-training
+    * filters. Each signal is one explode + count + per-doc max, i.e.
+    * map-side-combinable aggregations that scale as a linear pass; no
+    * joins between documents.
+    */
+  val t09RepetitionSignals = QueryDef(
+    "t09_repetition_signals",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+      // n-gram position arrays; sequence(1, n-k+1) is guarded because
+      // Spark's sequence DESCENDS when stop < start (DuckDB's
+      // generate_series is empty instead)
+      def grams(k: Int) =
+        when(col("n") >= k, expr(
+          s"transform(sequence(1, n - ${k - 1}), i -> " +
+            (0 until k).map(j => s"element_at(toks, i + $j)")
+              .mkString("concat_ws(' ', ", ", ", "))")))
+          .otherwise(array())
+      def counts(k: Int) = base
+        .select(col("doc_id"), col("n"), explode(grams(k)).as("g"))
+        .groupBy(col("doc_id"), col("n"), col("g"))
+        .agg(count(lit(1)).as("c"))
+      val uni = counts(1).groupBy(col("doc_id"))
+        .agg(round(max(col("c")) / max(col("n")).cast("double"), 4)
+          .as("top_unigram_frac"))
+      val bi = counts(2).groupBy(col("doc_id"))
+        .agg(round(max(col("c")) /
+          greatest(max(col("n")) - 1, lit(1)).cast("double"), 4)
+          .as("top_bigram_frac"))
+      val tri = counts(3).groupBy(col("doc_id"))
+        .agg(round(
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0))) /
+            greatest(max(col("n")) - 2, lit(1)).cast("double"), 4)
+          .as("dup_trigram_frac"))
+      uni.join(bi, "doc_id").join(tri, "doc_id").orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |    len(string_split(text, ' ')) AS n
+           |  FROM documents),
+           |uc AS (
+           |  SELECT doc_id, n, g, count(*) AS c FROM (
+           |    SELECT doc_id, n, unnest(toks) AS g FROM base)
+           |  GROUP BY 1, 2, 3),
+           |u AS (SELECT doc_id, round(max(c) / (n * 1.0), 4)
+           |        AS top_unigram_frac FROM uc GROUP BY doc_id, n),
+           |bc AS (
+           |  SELECT doc_id, n, g, count(*) AS c FROM (
+           |    SELECT doc_id, n,
+           |      unnest([toks[i] || ' ' || toks[i+1]
+           |              for i in generate_series(1, n - 1)]) AS g
+           |    FROM base)
+           |  GROUP BY 1, 2, 3),
+           |b AS (SELECT doc_id, round(max(c) / (greatest(n - 1, 1) * 1.0), 4)
+           |        AS top_bigram_frac FROM bc GROUP BY doc_id, n),
+           |tc AS (
+           |  SELECT doc_id, n, g, count(*) AS c FROM (
+           |    SELECT doc_id, n,
+           |      unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           |              for i in generate_series(1, n - 2)]) AS g
+           |    FROM base)
+           |  GROUP BY 1, 2, 3),
+           |t AS (SELECT doc_id,
+           |        round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+           |              / (greatest(n - 2, 1) * 1.0), 4)
+           |        AS dup_trigram_frac FROM tc GROUP BY doc_id, n)
+           |SELECT u.doc_id, top_unigram_frac, top_bigram_frac, dup_trigram_frac
+           |FROM u JOIN b ON u.doc_id = b.doc_id JOIN t ON u.doc_id = t.doc_id
+           |ORDER BY u.doc_id""".stripMargin))
+
+  /** PII screening + redaction: regex detection of emails, US-style
+    * phone numbers, and IPv4 addresses, with the redacted text gated via
+    * its md5. The corpus is synthetic token soup, so deterministic fake
+    * PII is injected IN THE QUERY PREAMBLE (mirrored verbatim in the
+    * oracle) — the detection/redaction machinery is exercised with real
+    * hits while both engines see identical input. Patterns use [.]
+    * instead of backslash escapes so Java regex (Spark) and RE2 (DuckDB)
+    * parse them identically. One projection pass — no shuffle, scales
+    * linearly; redaction order (email → phone → ip) is part of the
+    * contract since replacement tokens must not re-match later patterns.
+    */
+  val t10PiiScrub = QueryDef(
+    "t10_pii_scrub",
+    (s, d) => {
+      val emailRe = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+      val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val ipRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+      val pii = concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com now")))
+        .when(pmod(col("doc_id"), lit(11)) === 3,
+          concat(lit(" call 555-867-5309 or ping 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit(".1 now")))
+        .otherwise(lit("")))
+      Tables.documents(s, d)
+        .withColumn("pii", pii)
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(pii, '$emailRe', 0)"))
+            .cast("long").as("n_emails"),
+          size(expr(s"regexp_extract_all(pii, '$phoneRe', 0)"))
+            .cast("long").as("n_phones"),
+          size(expr(s"regexp_extract_all(pii, '$ipRe', 0)"))
+            .cast("long").as("n_ips"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("pii"),
+            lit(emailRe), lit("<EMAIL>")),
+            lit(phoneRe), lit("<PHONE>")),
+            lit(ipRe), lit("<IP>"))).as("redacted_md5"))
+        .withColumn("has_pii",
+          (col("n_emails") + col("n_phones") + col("n_ips")) > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH pii_docs AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 7 = 0
+           |           THEN ' contact user' || doc_id || '@mail.example.com now'
+           |         WHEN doc_id % 11 = 3
+           |           THEN ' call 555-867-5309 or ping 10.0.' || (doc_id % 256) || '.1 now'
+           |         ELSE '' END AS pii
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id,
+           |    len(regexp_extract_all(pii, '[a-z0-9]+@[a-z0-9.]+[a-z]')) AS n_emails,
+           |    len(regexp_extract_all(pii, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+           |    len(regexp_extract_all(pii, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS n_ips,
+           |    md5(regexp_replace(regexp_replace(regexp_replace(pii,
+           |      '[a-z0-9]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+           |      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+           |      '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
+           |  FROM pii_docs)
+           |SELECT doc_id, n_emails, n_phones, n_ips, redacted_md5,
+           |  (n_emails + n_phones + n_ips) > 0 AS has_pii
+           |FROM scored ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
-    t05CorpusReport, t06Winnowing, t07BpeTokenCount, t08Contamination)
+    t05CorpusReport, t06Winnowing, t07BpeTokenCount, t08Contamination,
+    t09RepetitionSignals, t10PiiScrub)
 }

@@ -103,6 +103,49 @@ class RowsOnlyQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("t09_repetition_signals: fractions lie in [0,1], every doc covered") {
+    val rows = q("t09_repetition_signals").collect()
+    assert(rows.length == spark.read.parquet(s"$d/documents.parquet").count())
+    rows.foreach { r =>
+      Seq("top_unigram_frac", "top_bigram_frac", "dup_trigram_frac").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c out of range: $v")
+      }
+    }
+  }
+
+  test("t10_pii_scrub: injected PII is found and redaction changes the text") {
+    val rows = q("t10_pii_scrub").collect()
+    assert(rows.length == spark.read.parquet(s"$d/documents.parquet").count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 7 == 0)
+        assert(r.getAs[Long]("n_emails") == 1 && r.getAs[Boolean]("has_pii"))
+      else if (id % 11 == 3) {
+        assert(r.getAs[Long]("n_phones") == 1 && r.getAs[Long]("n_ips") == 1)
+        assert(r.getAs[Boolean]("has_pii"))
+      } else {
+        assert(r.getAs[Long]("n_emails") == 0 && r.getAs[Long]("n_phones") == 0
+          && r.getAs[Long]("n_ips") == 0 && !r.getAs[Boolean]("has_pii"))
+      }
+    }
+  }
+
+  test("e07_semantic_dedup: min-id per cell always survives; verdict total") {
+    val rows = q("e07_semantic_dedup").collect()
+    assert(rows.length ==
+      spark.read.parquet(s"$d/embeddings.parquet").count())
+    val byCell = rows.groupBy(_.getAs[Int]("cell"))
+    byCell.foreach { case (cell, rs) =>
+      val minId = rs.map(_.getAs[Long]("vec_id")).min
+      val minRow = rs.find(_.getAs[Long]("vec_id") == minId).get
+      assert(minRow.getAs[Boolean]("keep"),
+        s"cell $cell: lowest-id vector must be kept (nothing precedes it)")
+    }
+    assert(rows.exists(!_.getAs[Boolean]("keep")),
+      "threshold 0.4 should drop at least one near-duplicate at sf0.001")
+  }
+
   test("prov showcases return consistent graph shapes") {
     val fg = q("prov_full_graph").collect()
     val kinds = fg.groupBy(_.getAs[String]("kind")).view.mapValues(_.length).toMap
