@@ -1,4 +1,4 @@
-package graft.prov.java.function;
+package graft.prov.javaapi.function;
 
 import java.io.Serializable;
 import java.util.Iterator;

@@ -1,4 +1,4 @@
-package graft.prov.java
+package graft.prov.javaapi
 
 import scala.reflect.ClassTag
 
@@ -64,7 +64,7 @@ object JavaEncoders {
   /** Buffer encoder for the keyed-aggregation family:
     * (Option[C], Seq[String]) — user combiner + accumulated deps.
     */
-  private[java] def aggBuffer[C](c: Encoder[C]): Encoder[(Option[C], Seq[String])] =
+  private[javaapi] def aggBuffer[C](c: Encoder[C]): Encoder[(Option[C], Seq[String])] =
     ProductEncoder[(Option[C], Seq[String])](
       ClassTag(classOf[(Option[C], Seq[String])])
         .asInstanceOf[ClassTag[(Option[C], Seq[String])]],

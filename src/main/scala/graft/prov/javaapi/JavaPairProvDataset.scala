@@ -1,4 +1,4 @@
-package graft.prov.java
+package graft.prov.javaapi
 
 import _root_.java.{lang => jl, util => ju}
 
@@ -21,7 +21,7 @@ import graft.prov.ProvDataset.ProvPairOps
   * extra provenance task; use `Option.getOrElse` /
   * `scala.jdk.javaapi.CollectionConverters.asJava` at the consumption site.
   */
-final class JavaPairProvDataset[K, V] private[java] (
+final class JavaPairProvDataset[K, V] private[javaapi] (
     val rdd: ProvDataset[(K, V)], val kEncoder: Encoder[K],
     val vEncoder: Encoder[V]) {
 

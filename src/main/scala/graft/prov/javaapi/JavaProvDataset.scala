@@ -1,4 +1,4 @@
-package graft.prov.java
+package graft.prov.javaapi
 
 import _root_.java.{lang => jl, util => ju}
 
@@ -9,7 +9,7 @@ import org.apache.spark.api.java.function.{FilterFunction, FlatMapFunction, Fore
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 
 import graft.prov._
-import graft.prov.java.function.PairFlatMapFunctionWithProvRecordAndTask
+import graft.prov.javaapi.function.PairFlatMapFunctionWithProvRecordAndTask
 
 /** Java-friendly view of [[graft.prov.ProvDataset]] — the analogue of the
   * reference's `JavaRDD` mirror (core/src/main/scala/org/apache/spark/api/
@@ -27,7 +27,7 @@ import graft.prov.java.function.PairFlatMapFunctionWithProvRecordAndTask
   * its consumer; `scala.jdk.javaapi.CollectionConverters` /
   * `scala.Option.getOrElse` make them usable from Java.
   */
-final class JavaProvDataset[T] private[java] (
+final class JavaProvDataset[T] private[javaapi] (
     val rdd: ProvDataset[T], val encoder: Encoder[T]) {
 
   private implicit def recEnc[U](implicit e: Encoder[U]): Encoder[ProvRecord[U]] =
@@ -106,7 +106,7 @@ final class JavaProvDataset[T] private[java] (
 
   /** Pair flatMap with caller-built provenance records — the analogue of the
     * reference's `PairFlatMapFunctionWithDataElementAndTask` entry point
-    * (see [[graft.prov.java.function.PairFlatMapFunctionWithProvRecordAndTask]]).
+    * (see [[graft.prov.javaapi.function.PairFlatMapFunctionWithProvRecordAndTask]]).
     * The returned records are used verbatim: the caller picks each output's
     * id (`ProvIds.newId()`) and dependency list, typically from the input
     * record's `id()`/`deps()`.

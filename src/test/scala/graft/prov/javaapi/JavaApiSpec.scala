@@ -1,4 +1,4 @@
-package graft.prov.java
+package graft.prov.javaapi
 
 import java.nio.file.Files
 
