@@ -510,8 +510,77 @@ object DedupQueries {
          |ORDER BY da, db""".stripMargin
     })
 
+  /** Segment-level dedup (the line-level dedup of CCNet/RefinedWeb,
+    * adapted to a corpus without newlines): each document splits into
+    * non-overlapping 10-token segments; a segment is a duplicate when the
+    * same segment text already appears in a lower-numbered document
+    * (keep-first-occurrence, like d01's doc-level rule but at segment
+    * granularity). Emits per-doc duplicate fraction plus the md5 of the
+    * cleaned text so the gate pins the exact reassembled output.
+    *
+    * Scale shape: segments shuffle once on their md5 (narrow key,
+    * map-side combinable min), the keeper table joins back on the same
+    * key (co-partitioned, no second shuffle of the big side under AQE),
+    * and reassembly is a per-doc aggregation. No doc-to-doc joins — a
+    * linear pipeline at 100 TB, unlike pairwise dedup.
+    */
+  val d10SegmentDedup = QueryDef(
+    "d10_segment_dedup",
+    (s, d) => {
+      val segLen = 10
+      val segs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("nseg",
+          ceil(size(col("toks")) / lit(segLen.toDouble)).cast("int"))
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, nseg), p -> struct(p AS pos, " +
+            s"concat_ws(' ', slice(toks, (p - 1) * $segLen + 1, $segLen)) AS seg))"))
+          .as("x"))
+        .select(col("doc_id"), col("x.pos").as("pos"), col("x.seg").as("seg"),
+          md5(col("x.seg")).as("h"))
+      val keeper = segs.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+      segs.join(keeper, "h")
+        .withColumn("keep", col("doc_id") === col("keeper"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_segments"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dup_segments"),
+          md5(array_join(transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("pos"), col("seg"))))),
+            x => x.getField("seg")), " ")).as("cleaned_md5"))
+        .withColumn("dup_frac",
+          round(col("n_dup_segments") / col("n_segments").cast("double"), 4))
+        .select(col("doc_id"), col("n_segments"), col("n_dup_segments"),
+          col("dup_frac"), col("cleaned_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |    cast(ceil(len(string_split(text, ' ')) / 10.0) AS INT) AS nseg
+           |  FROM documents),
+           |positions AS (
+           |  SELECT doc_id, toks, unnest(generate_series(1, nseg)) AS pos
+           |  FROM base),
+           |segs AS (
+           |  SELECT doc_id, pos,
+           |    array_to_string(toks[((pos - 1) * 10 + 1):((pos - 1) * 10 + 10)], ' ') AS seg
+           |  FROM positions),
+           |hashed AS (SELECT doc_id, pos, seg, md5(seg) AS h FROM segs),
+           |keeper AS (SELECT h, min(doc_id) AS keeper FROM hashed GROUP BY h),
+           |flagged AS (
+           |  SELECT doc_id, pos, seg, (doc_id = keeper) AS keep
+           |  FROM hashed JOIN keeper USING (h))
+           |SELECT doc_id, count(*) AS n_segments,
+           |  cast(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+           |  round(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)
+           |        / (count(*) * 1.0), 4) AS dup_frac,
+           |  md5(coalesce(string_agg(seg, ' ' ORDER BY pos)
+           |        FILTER (WHERE keep), '')) AS cleaned_md5
+           |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     d01ExactDedup, d02NormalizedDedup, d03NgramJaccard, d04MinHashLsh,
     d05SimHash, d06DedupClusters, d07KeepList, d08JaccardCapped,
-    d09MinHashCapped)
+    d09MinHashCapped, d10SegmentDedup)
 }
