@@ -398,8 +398,157 @@ object TextAnalysisQueries {
            |  (n_emails + n_phones + n_ips) > 0 AS has_pii
            |FROM scored ORDER BY doc_id""".stripMargin))
 
+  /** Sequence packing for training: concatenate the corpus in doc_id
+    * order and cut fixed 2048-token sequences; each document lands in the
+    * sequence holding its first token (the standard concat-and-chunk
+    * batching of GPT-style pipelines). The global token offset is a
+    * prefix sum — computed SCALABLY as range-partition → per-partition
+    * cumsum → broadcast join of per-partition offsets (one tiny
+    * #partitions-row window), never a single global window sort. The
+    * result is invariant to where the range boundaries fall, so the plan
+    * stays deterministic while every partition works independently.
+    * Output is the per-sequence manifest (docs, tokens, doc range).
+    */
+  val t11SequencePacking = QueryDef(
+    "t11_sequence_packing",
+    (s, d) => {
+      val budget = 2048
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val parted = docs.repartitionByRange(32, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val wLocal = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid")).orderBy(col("doc_id"))
+      val local = parted
+        .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+      val wOff = org.apache.spark.sql.expressions.Window
+        .orderBy(col("pid"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offsets = local.groupBy(col("pid"))
+        .agg(sum(col("n_tokens")).as("psum"))
+        .withColumn("offset", coalesce(sum(col("psum")).over(wOff), lit(0L)))
+        .select(col("pid"), col("offset"))
+      local.join(broadcast(offsets), "pid")
+        .withColumn("start_tok",
+          col("offset") + col("local_cum") - col("n_tokens"))
+        .withColumn("seq_id", floor(col("start_tok") / lit(budget)))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("seq_id"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           |    sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id) AS cum
+           |  FROM documents)
+           |SELECT cast(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_id,
+           |  count(*) AS n_docs,
+           |  cast(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Domain-mixture (temperature) sampling: per-source weights
+    * proportional to count^0.5 (the multilingual-sampling temperature
+    * trick), a keep-rate that retargets the corpus to half its size, and
+    * a DETERMINISTIC per-doc sampling decision from the top 60 bits of
+    * md5(doc_id) — so both engines agree doc-by-doc without any RNG.
+    * Keep comparisons happen in float so double summation-order noise in
+    * the weight normalizer can never flip a decision. Per-source summary
+    * out; the doc-level keep column is the same expression un-aggregated.
+    * Scale: one count per source (tiny), broadcast rates back over the
+    * corpus — a linear pass.
+    */
+  val t12DomainMixture = QueryDef(
+    "t12_domain_mixture",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      val tot = counts.agg(sum(sqrt(col("c"))).as("z"), sum(col("c")).as("n"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .withColumn("weight", sqrt(col("c")) / col("z"))
+        .withColumn("rate",
+          least(lit(1.0), lit(0.5) * col("n") * col("weight") / col("c")))
+      val u = docs.withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") / lit(1152921504606846976.0))
+      u.join(broadcast(rates), "source")
+        .groupBy(col("source"))
+        .agg(first(col("c")).as("n_docs"),
+          round(first(col("weight")), 6).as("weight"),
+          round(first(col("rate")), 6).as("rate"),
+          sum(when(col("u").cast("float") < col("rate").cast("float"), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH counts AS (
+           |  SELECT source, count(*) AS c FROM documents GROUP BY source),
+           |tot AS (SELECT sum(sqrt(c)) AS z, sum(c) AS n FROM counts),
+           |rates AS (
+           |  SELECT source, c, sqrt(c) / z AS weight,
+           |    least(1.0, 0.5 * n * (sqrt(c) / z) / c) AS rate
+           |  FROM counts, tot),
+           |u AS (
+           |  SELECT doc_id, source,
+           |    ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           |      / 1152921504606846976.0 AS u
+           |  FROM documents)
+           |SELECT r.source, r.c AS n_docs,
+           |  round(r.weight, 6) AS weight, round(r.rate, 6) AS rate,
+           |  cast(sum(CASE WHEN cast(u.u AS FLOAT) < cast(r.rate AS FLOAT)
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM u JOIN rates r USING (source)
+           |GROUP BY 1, 2, 3, 4 ORDER BY r.source""".stripMargin))
+
+  /** TF-IDF top terms: classic tf·ln((N+1)/(df+1)) scoring with the top
+    * 3 terms per document. Ranking happens on the ROUNDED score (ties →
+    * term asc) so rank and output agree across engines to the last ulp.
+    * Scale: explode + two map-side-combinable aggregations + a per-doc
+    * window — the document-frequency table shuffles once on term.
+    */
+  val t13TfidfTopTerms = QueryDef(
+    "t13_tfidf_top_terms",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |scored AS (
+           |  SELECT doc_id, term,
+           |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+           |  FROM tf JOIN df USING (term), n),
+           |ranked AS (
+           |  SELECT doc_id, term, tfidf,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY tfidf DESC, term) AS rnk
+           |  FROM scored)
+           |SELECT doc_id, rnk, term, tfidf FROM ranked
+           |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05CorpusReport, t06Winnowing, t07BpeTokenCount, t08Contamination,
-    t09RepetitionSignals, t10PiiScrub)
+    t09RepetitionSignals, t10PiiScrub, t11SequencePacking,
+    t12DomainMixture, t13TfidfTopTerms)
 }
