@@ -452,7 +452,60 @@ object SimilarityQueries {
          |FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
          |ORDER BY s.vec_id""".stripMargin))
 
+  /** Int8 scalar quantization of the embedding corpus — the standard
+    * 4× vector-store compression. Per-dimension [min, max] ranges are a
+    * tiny 64-row aggregate broadcast back over the corpus; each value
+    * quantizes to an 8-bit code and the per-vector output reports code
+    * extremes plus reconstruction RMSE. All math in double with the
+    * final RMSE float-cast before rounding (the e06 trick) so avg()
+    * summation order can't move the 4th decimal. Scale: one map-side
+    * combinable agg + one broadcast join — a linear pass, and the codes
+    * (not materialized here) would shrink a 100 TB float corpus to 25 TB.
+    */
+  val e08Int8Quant = QueryDef(
+    "e08_int8_quant",
+    (s, d) => {
+      val dims = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "vf")))
+        .withColumn("v", col("vf").cast("double"))
+      val ranges = dims.groupBy(col("dim"))
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      dims.join(broadcast(ranges), "dim")
+        .withColumn("code",
+          when(col("hi") === col("lo"), 0L)
+            .otherwise(round((col("v") - col("lo"))
+              / (col("hi") - col("lo")) * 255).cast("long")))
+        .withColumn("recon",
+          col("lo") + col("code") * (col("hi") - col("lo")) / 255.0)
+        .withColumn("err2",
+          (col("v") - col("recon")) * (col("v") - col("recon")))
+        .groupBy(col("vec_id"))
+        .agg(min(col("code")).as("min_code"), max(col("code")).as("max_code"),
+          round(sqrt(avg(col("err2")).cast("float")), 6).as("rmse"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH dims AS (
+           |  SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+           |  FROM embeddings, LATERAL unnest(generate_series(1, 64)) AS t(i)),
+           |ranges AS (
+           |  SELECT dim, min(v) AS lo, max(v) AS hi FROM dims GROUP BY dim),
+           |coded AS (
+           |  SELECT vec_id, v, lo, hi,
+           |    CASE WHEN hi = lo THEN 0
+           |         ELSE CAST(round((v - lo) / (hi - lo) * 255, 0) AS BIGINT)
+           |    END AS code
+           |  FROM dims JOIN ranges USING (dim)),
+           |recon AS (
+           |  SELECT vec_id, code,
+           |    (v - (lo + code * (hi - lo) / 255.0))
+           |      * (v - (lo + code * (hi - lo) / 255.0)) AS err2
+           |  FROM coded)
+           |SELECT vec_id, min(code) AS min_code, max(code) AS max_code,
+           |  round(sqrt(CAST(avg(err2) AS FLOAT)), 6) AS rmse
+           |FROM recon GROUP BY vec_id ORDER BY vec_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     e01KnnBruteForce, e02CosineNearDup, e03AnnLsh, e04LabelCentroids,
-    e05AnnIvf, e06AnnIvfKmeans, e07SemanticDedup)
+    e05AnnIvf, e06AnnIvfKmeans, e07SemanticDedup, e08Int8Quant)
 }

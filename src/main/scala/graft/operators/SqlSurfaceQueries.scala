@@ -234,8 +234,46 @@ object SqlSurfaceQueries {
            |    WHERE o2.o_custkey = c.o_custkey AND o2.o_orderpriority = ps.p))
            |ORDER BY o_custkey""".stripMargin))
 
+  /** TPC-H Q22 shape ("global sales opportunity"): customers whose
+    * balance beats the average positive balance but who have gone
+    * dormant (no order since 2000) — a scalar subquery plus an
+    * anti-join, grouped by market segment. Spark's plan computes the
+    * scalar average once (one row, broadcast into the filter), then a
+    * LEFT ANTI join against the pre-filtered recent-orders keys — no
+    * per-customer probing; the oracle keeps the literal scalar-subquery
+    * + NOT EXISTS formulation. Balances are 2dp values so sum() lands
+    * on the 0.01 grid — round(2) can't sit on a rounding boundary.
+    */
+  val q62ColdCustomers = QueryDef(
+    "q62_cold_customers",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val c = Tables.customer(s, d)
+      val recent = Tables.orders(s, d)
+        .filter(expr("o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'"))
+        .select(col("o_custkey"))
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("ab"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS numcust,
+           |  round(sum(c_acctbal), 2) AS totacctbal
+           |FROM customer c
+           |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+           |                   WHERE c_acctbal > 0)
+           |  AND NOT EXISTS (SELECT 1 FROM orders o
+           |                  WHERE o.o_custkey = c.c_custkey
+           |                    AND o.o_orderdate >= DATE '2000-01-01')
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q44SqlSurface, q45MinPerGroup, q46OrderPriority, q47BandJoin,
       q51ValueFraction, q52LostCustomers, q60SoleLateSupplier,
-      q61PriorityDivision)
+      q61PriorityDivision, q62ColdCustomers)
 }
