@@ -67,6 +67,19 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup — the streaming counterpart of d01: duplicate
+    * event_ids arriving within the watermark interval are suppressed.
+    * `dropDuplicatesWithinWatermark` keeps dedup state only until the
+    * watermark passes a key's event time, so state is O(events per
+    * watermark window) instead of O(everything ever seen) — the form of
+    * dedup that survives an unbounded stream. (Plain `dropDuplicates` on
+    * a stream would accumulate state forever.)
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
   /** Stream-stream interval join — the streaming counterpart of q57's
     * range join: each purchase joined to the same user's clicks in the
     * preceding 10 minutes. Watermarks on BOTH sides let Spark evict

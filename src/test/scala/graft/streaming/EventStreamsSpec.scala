@@ -199,6 +199,34 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch == Set((2L, 1L), (4L, 3L)))
   }
 
+  test("streaming dedup suppresses within-watermark duplicates, matches batch distinct") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents().take(200)
+    // duplicate every 3rd event, half in the same batch, half in the next
+    val dups = events.zipWithIndex.collect { case (e, i) if i % 3 == 0 => e }
+    val (sameBatch, nextBatch) = dups.splitAt(dups.length / 2)
+
+    val stream = MemoryStream[Event]
+    val q = dedupedEvents(stream.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append())
+      .start()
+    stream.addData(events ++ sameBatch)
+    q.processAllAvailable()
+    stream.addData(nextBatch)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamedIds = spark.table("deduped")
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    // every id exactly once, and exactly the batch-distinct id set
+    assert(streamedIds.length == streamedIds.distinct.length,
+      "a duplicate event_id leaked through the streaming dedup")
+    assert(streamedIds.toSet == events.map(_.event_id).toSet)
+  }
+
   test("streaming session windows produce sessions per user") {
     val spark2 = spark
     import spark2.implicits._
