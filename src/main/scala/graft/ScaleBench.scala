@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
 object ScaleBench {
 
   val scaleQueries: Seq[String] =
-    Seq("d04_minhash_lsh", "d05_simhash", "e03_ann_lsh", "e05_ann_ivf")
+    Seq("d04_minhash_lsh", "d05_simhash", "e03_ann_lsh", "e05_ann_ivf",
+      "d10_segment_dedup", "t11_sequence_packing", "t13_tfidf_top_terms",
+      "e08_int8_quant")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.

@@ -546,9 +546,116 @@ object TextAnalysisQueries {
            |SELECT doc_id, rnk, term, tfidf FROM ranked
            |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin))
 
+  /** Deterministic corpus shuffle + sharding: the training-order shuffle
+    * done as a pure function of the data — shard = md5(doc_id) mod 32,
+    * within-shard order = (md5, doc_id) — so any re-run of the pipeline
+    * (or a resumed job) produces the identical example order without
+    * coordinating an RNG across executors. Emits the per-shard manifest
+    * with the first three docs in shuffled order (pinning the order
+    * itself under the gate, not just the membership). Scale: one shuffle
+    * on the shard key; shard count is the knob that matches output files
+    * to downstream reader parallelism.
+    */
+  val t14ShardManifest = QueryDef(
+    "t14_shard_manifest",
+    (s, d) => {
+      val nShards = 32
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("h",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"))
+        .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          slice(transform(
+            array_sort(collect_list(struct(col("h"), col("doc_id")))),
+            x => x.getField("doc_id")), 1, 3).as("head3"))
+        .orderBy(col("shard"))
+    },
+    Some("""WITH hashed AS (
+           |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           |    ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           |  FROM documents)
+           |SELECT h % 32 AS shard, count(*) AS n_docs,
+           |  cast(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |  (list(doc_id ORDER BY h, doc_id))[1:3] AS head3
+           |FROM hashed GROUP BY 1 ORDER BY shard""".stripMargin))
+
+  /** C4-style composite quality filter (Raffel et al. 2020 §2.2 family):
+    * five document-local rules — minimum length, sane mean token length,
+    * low symbol ratio, bounded top-unigram repetition, contains an
+    * English stopword — combined into a bitmask plus the final keep
+    * verdict. Everything is a projection over one scan plus one per-doc
+    * unigram count (map-side combinable): the filter composition a real
+    * pipeline runs FIRST, before any pairwise dedup.
+    */
+  val t15C4Filter = QueryDef(
+    "t15_c4_filter",
+    (s, d) => {
+      val toks = size(split(col("text"), " ")).cast("double")
+      val meanLen = (length(col("text")).cast("double") - toks + 1) / toks
+      val symbolRatio =
+        (length(col("text")) -
+          length(regexp_replace(col("text"), lit("[^a-z0-9 ]"), lit(""))))
+          .cast("double") / length(col("text"))
+      val topUni = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("n"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("c")) / max(col("n")).cast("double")).as("top_uni"))
+      Tables.documents(s, d)
+        .withColumn("r_len", toks >= 50)
+        .withColumn("r_mean", meanLen >= 3 && meanLen <= 10)
+        .withColumn("r_sym", symbolRatio < 0.1)
+        .withColumn("r_stop",
+          col("text").rlike("(^| )(the|and|of|a)( |$)"))
+        .join(topUni, "doc_id")
+        .withColumn("r_rep", col("top_uni") < 0.2)
+        .select(col("doc_id"),
+          (when(col("r_len"), 1).otherwise(0) +
+            when(col("r_mean"), 2).otherwise(0) +
+            when(col("r_sym"), 4).otherwise(0) +
+            when(col("r_stop"), 8).otherwise(0) +
+            when(col("r_rep"), 16).otherwise(0)).cast("long").as("rule_mask"),
+          (col("r_len") && col("r_mean") && col("r_sym") &&
+            col("r_stop") && col("r_rep")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH uni AS (
+           |  SELECT doc_id, max(c) / (max(n) * 1.0) AS top_uni FROM (
+           |    SELECT doc_id, n, tok, count(*) AS c FROM (
+           |      SELECT doc_id, len(string_split(text, ' ')) AS n,
+           |        unnest(string_split(text, ' ')) AS tok
+           |      FROM documents)
+           |    GROUP BY 1, 2, 3)
+           |  GROUP BY doc_id),
+           |rules AS (
+           |  SELECT d.doc_id,
+           |    len(string_split(text, ' ')) >= 50 AS r_len,
+           |    ((length(text) - len(string_split(text, ' ')) + 1.0)
+           |      / len(string_split(text, ' '))) BETWEEN 3 AND 10 AS r_mean,
+           |    (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+           |      * 1.0 / length(text) < 0.1 AS r_sym,
+           |    regexp_matches(text, '(^| )(the|and|of|a)( |$)') AS r_stop,
+           |    u.top_uni < 0.2 AS r_rep
+           |  FROM documents d JOIN uni u ON d.doc_id = u.doc_id)
+           |SELECT doc_id,
+           |  cast((CASE WHEN r_len THEN 1 ELSE 0 END) +
+           |       (CASE WHEN r_mean THEN 2 ELSE 0 END) +
+           |       (CASE WHEN r_sym THEN 4 ELSE 0 END) +
+           |       (CASE WHEN r_stop THEN 8 ELSE 0 END) +
+           |       (CASE WHEN r_rep THEN 16 ELSE 0 END) AS BIGINT) AS rule_mask,
+           |  (r_len AND r_mean AND r_sym AND r_stop AND r_rep) AS keep
+           |FROM rules ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05CorpusReport, t06Winnowing, t07BpeTokenCount, t08Contamination,
     t09RepetitionSignals, t10PiiScrub, t11SequencePacking,
-    t12DomainMixture, t13TfidfTopTerms)
+    t12DomainMixture, t13TfidfTopTerms, t14ShardManifest, t15C4Filter)
 }
