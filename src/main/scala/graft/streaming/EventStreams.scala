@@ -80,6 +80,18 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Stream-static join: each streaming event enriched against a static
+    * dimension frame (here: per-user lifetime stats computed from a
+    * batch table). The static side plans as an ordinary broadcast/scan
+    * per micro-batch — no streaming state at all, which is why this is
+    * the preferred enrichment shape at scale (state-free, and the static
+    * side can be a 100 TB-side parquet with pushdown intact).
+    */
+  def enrichedEvents(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(userDim, Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("user_total"), col("user_n"))
+
   /** Stream-stream interval join — the streaming counterpart of q57's
     * range join: each purchase joined to the same user's clicks in the
     * preceding 10 minutes. Watermarks on BOTH sides let Spark evict

@@ -227,6 +227,34 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamedIds.toSet == events.map(_.event_id).toSet)
   }
 
+  test("stream-static join enriches events against a batch dimension") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents().take(300)
+    val userDim = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy("user_id")
+      .agg(round(sum(col("value")), 2).as("user_total"),
+        count(lit(1)).as("user_n"))
+
+    val stream = MemoryStream[Event]
+    val q = enrichedEvents(stream.toDF(), userDim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append())
+      .start()
+    stream.addData(events)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), r.getDouble(4), r.getLong(5))).toSet
+    val batch = enrichedEvents(events.toDF(), userDim).collect()
+      .map(r => (r.getLong(0), r.getDouble(4), r.getLong(5))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // every event present exactly once (left join, no dim fan-out)
+    assert(spark.table("enriched").count() == events.length)
+  }
+
   test("streaming session windows produce sessions per user") {
     val spark2 = spark
     import spark2.implicits._
