@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -505,7 +505,171 @@ object SimilarityQueries {
            |  round(sqrt(CAST(avg(err2) AS FLOAT)), 6) AS rmse
            |FROM recon GROUP BY vec_id ORDER BY vec_id""".stripMargin))
 
+  /** Product-quantization ANN (Jégou et al. 2011): 64 dims → 4
+    * subspaces × 16 dims, each with its own 4-centroid codebook trained
+    * by 2 Lloyd iterations (L2, deterministic every-125th init — the
+    * e06 recipe per subspace); every vector compresses to 4 one-byte
+    * codes, and queries rank by the ADC approximation — the inner
+    * product against each vector's RECONSTRUCTION, computed as 4
+    * table lookups (query·centroid per subspace) instead of a 64-dim
+    * dot per pair. At 100 TB: codebooks are 4×4×16 floats broadcast
+    * everywhere, the corpus is stored as 4 bytes/vector (16× smaller
+    * than float32), training touches the corpus 2× with only
+    * 4×4×16-double centroid pulls to the driver, and search reads
+    * codes, never raw vectors. Fully gated: per-subspace k-means
+    * replayed in chained CTEs with the e06 float-cast protocol, codes
+    * and ADC scores bit-exact across engines.
+    */
+  val e09AnnPq = QueryDef(
+    "e09_ann_pq",
+    (s, d) => {
+      val subDim = 16
+      val m = 4 // subspaces
+      val k = 4 // centroids per subspace
+      val iters = 2
+      val e = Tables.embeddings(s, d).cache()
+
+      def subCol(c: Column, mi: Int): Column =
+        slice(c, mi * subDim + 1, subDim)
+      def centroidLit(c: Array[Double]): Column =
+        array(c.map(v => lit(v.toFloat)): _*).cast("array<float>")
+      def l2(a: Column, cent: Array[Double]): Column =
+        aggregate(zip_with(a, centroidLit(cent), (x, y) => {
+          val diff = x.cast("double") - y.cast("double"); diff * diff
+        }), lit(0.0), (acc, v) => acc + v)
+      def dot(a: Column, cent: Array[Double]): Column =
+        aggregate(zip_with(a, centroidLit(cent),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+
+      // deterministic init: subvectors of every 125th vector
+      val initRows = e.filter(pmod(col("vec_id"), lit(125)) === 0)
+        .orderBy(col("vec_id")).limit(k)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val codebooks: Array[Array[Array[Double]]] =
+        Array.tabulate(m) { mi =>
+          initRows.map(_.slice(mi * subDim, (mi + 1) * subDim))
+        }
+
+      // per-subspace Lloyd: assign by L2, recompute means (float-cast
+      // on use — the cross-engine rounding protocol)
+      for (mi <- 0 until m; _ <- 1 to iters) {
+        val dists = array(codebooks(mi).map(c =>
+          l2(subCol(col("embedding"), mi), c)): _*)
+        val cell = (array_position(dists, array_min(dists)) - 1).cast("int")
+        val subSums = (0 until subDim).map(i =>
+          sum(col("embedding").getItem(mi * subDim + i).cast("double"))
+            .as(s"s$i"))
+        val rows = e.select(col("embedding"), cell.as("cell"))
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"), subSums: _*)
+          .collect()
+        rows.foreach { r =>
+          val n = r.getLong(1).toDouble
+          codebooks(mi)(r.getInt(0)) =
+            (0 until subDim).map(i => r.getDouble(i + 2) / n).toArray
+        }
+      }
+
+      // encode: 4 codes per vector
+      val encoded = e.select(Seq(col("vec_id")) ++ (0 until m).map { mi =>
+        val dists = array(codebooks(mi).map(c =>
+          l2(subCol(col("embedding"), mi), c)): _*)
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+          .as(s"code_$mi")
+      }: _*)
+
+      // ADC: per-query lookup tables (query·centroid per subspace)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val withTables = encoded.join(broadcast(queries))
+        .select(Seq(col("query_id"), col("vec_id")) ++
+          (0 until m).map { mi =>
+            array(codebooks(mi).map(c =>
+              dot(subCol(col("q_emb"), mi), c)): _*).as(s"ip_$mi")
+          } ++ (0 until m).map(mi => col(s"code_$mi")): _*)
+        .withColumn("approx_ip", expr((0 until m)
+          .map(mi => s"element_at(ip_$mi, code_$mi + 1)").mkString(" + ")))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("approx_ip").desc, col("vec_id"))
+      val out = withTables
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("rnk"), col("vec_id"),
+          round(col("approx_ip"), 6).as("approx_ip"))
+        .orderBy(col("query_id"), col("rnk"))
+      e.unpersist()
+      out
+    },
+    Some {
+      val subDim = 16
+      def off(mi: Int) = mi * subDim
+      def l2Sql(mi: Int): String =
+        s"list_aggregate([(CAST(e.embedding[${off(mi)} + i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))" +
+          s" * (CAST(e.embedding[${off(mi)} + i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))" +
+          s" for i in generate_series(1, $subDim)], 'sum')"
+      def iteration(mi: Int, n: Int): String =
+        s"""pqa${n}_m$mi AS (
+           |  SELECT vec_id, embedding, k FROM (
+           |    SELECT e.vec_id, e.embedding, c.k,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${l2Sql(mi)} ASC, c.k) AS rn
+           |    FROM embeddings e CROSS JOIN pq${n - 1}_m$mi c)
+           |  WHERE rn = 1),
+           |pqu${n}_m$mi AS (
+           |  SELECT k, list(c ORDER BY i) AS centroid FROM (
+           |    SELECT k, i,
+           |      CAST(sum(CAST(embedding[${off(mi)} + i] AS DOUBLE)) / count(*) AS FLOAT) AS c
+           |    FROM pqa${n}_m$mi, LATERAL unnest(generate_series(1, $subDim)) t(i)
+           |    GROUP BY k, i)
+           |  GROUP BY k),
+           |pq${n}_m$mi AS (
+           |  SELECT p.k, coalesce(u.centroid, p.centroid) AS centroid
+           |  FROM pq${n - 1}_m$mi p LEFT JOIN pqu${n}_m$mi u ON p.k = u.k)""".stripMargin
+      def subspace(mi: Int): String =
+        s"""pq0_m$mi AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
+           |    embedding[${off(mi) + 1}:${off(mi) + subDim}] AS centroid
+           |  FROM (SELECT vec_id, embedding FROM embeddings
+           |        WHERE vec_id % 125 = 0 ORDER BY vec_id LIMIT 4)),
+           |${iteration(mi, 1)},
+           |${iteration(mi, 2)},
+           |codes_m$mi AS (
+           |  SELECT vec_id, k AS code$mi FROM (
+           |    SELECT e.vec_id, c.k,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${l2Sql(mi)} ASC, c.k) AS rn
+           |    FROM embeddings e CROSS JOIN pq2_m$mi c)
+           |  WHERE rn = 1)""".stripMargin
+      def dotSql(mi: Int): String =
+        s"list_aggregate([CAST(q.q_emb[${off(mi)} + i] AS DOUBLE) * CAST(c$mi.centroid[i] AS DOUBLE)" +
+          s" for i in generate_series(1, $subDim)], 'sum')"
+      s"""WITH ${(0 until 4).map(subspace).mkString(",\n")},
+         |enc AS (
+         |  SELECT vec_id, code0, code1, code2, code3
+         |  FROM codes_m0 JOIN codes_m1 USING (vec_id)
+         |    JOIN codes_m2 USING (vec_id) JOIN codes_m3 USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |      FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, enc.vec_id,
+         |    ${(0 until 4).map(dotSql).mkString(" + ")} AS approx_ip
+         |  FROM q CROSS JOIN enc
+         |    JOIN pq2_m0 c0 ON c0.k = enc.code0
+         |    JOIN pq2_m1 c1 ON c1.k = enc.code1
+         |    JOIN pq2_m2 c2 ON c2.k = enc.code2
+         |    JOIN pq2_m3 c3 ON c3.k = enc.code3),
+         |ranked AS (
+         |  SELECT query_id, vec_id, approx_ip,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx_ip DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, rnk, vec_id, round(approx_ip, 6) AS approx_ip
+         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     e01KnnBruteForce, e02CosineNearDup, e03AnnLsh, e04LabelCentroids,
-    e05AnnIvf, e06AnnIvfKmeans, e07SemanticDedup, e08Int8Quant)
+    e05AnnIvf, e06AnnIvfKmeans, e07SemanticDedup, e08Int8Quant, e09AnnPq)
 }
