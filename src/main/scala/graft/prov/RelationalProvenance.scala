@@ -176,6 +176,34 @@ final class ProvFrame private[prov] (
     attach(session, t, out)
   }
 
+  /** Explode an array column into one row per element — flatMap-style
+    * 1→N lineage on the relational surface (the typed layer's flatMap
+    * convention, reference MapPartitionsRDD 1→N deps). Every output row
+    * is a NEW element depending on its input row's element; the
+    * within-row position is folded into the id, so the N children of
+    * one parent mint N DISTINCT deterministic ids even when array
+    * values repeat (two equal tokens in one document stay two
+    * elements). The exploded column lands as `outputCol` next to the
+    * untouched user columns; at scale this is the same generator Spark
+    * plans for any explode — provenance adds two projected columns,
+    * no extra shuffle.
+    */
+  def explodeCol(arrayCol: Column, outputCol: String,
+                 description: String = "explode"): ProvFrame = {
+    val t = session.newTask(TransformationType.FLAT_MAP, Seq(task.id),
+      description)
+    val (pdeps, pid) = asParent
+    val out = df
+      .withColumn("_prov_pd", pdeps).withColumn("_prov_pi", pid)
+      .select(userCols.map(col) ++ Seq(col("_prov_pd"), col("_prov_pi"),
+        posexplode(arrayCol).as(Seq("_prov_pos", outputCol))): _*)
+      .withColumn(ID, mintId(execId, t.id,
+        Seq(col("_prov_pi"), col("_prov_pos").cast("string"))))
+      .withColumn(DEPS, col("_prov_pd"))
+      .drop("_prov_pd", "_prov_pi", "_prov_pos")
+    attach(session, t, out)
+  }
+
   /** Filter. With `ProvSession.captureDropped`, rejected rows feed
     * synthetic per-partition "don't-pass" elements exactly like the
     * typed layer (reference: MapPartitionsRDD.scala:102-125) — their

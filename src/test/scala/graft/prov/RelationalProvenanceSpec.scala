@@ -158,6 +158,34 @@ class RelationalProvenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byVal == Map("a" -> 2, "b" -> 1))
   }
 
+  test("explodeCol: 1→N lineage, distinct ids for repeated values") {
+    val (sess, _) = newSession()
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "c")).toDF("doc_id", "text")
+    val f = RelationalProvenance.table(sess, docs, "docs", Seq("doc_id"))
+    val toks = f.explodeCol(split(col("text"), " "), "tok", "tokenize")
+    val rows = toks.df
+      .select(col("doc_id"), col("tok"), col(RelationalProvenance.ID),
+        col(RelationalProvenance.DEPS))
+      .collect()
+    assert(rows.length == 4) // a, b, a, c
+    // repeated value "a" in doc 1 mints two DISTINCT element ids
+    val ids = rows.map(_.getString(2))
+    assert(ids.distinct.length == 4)
+    // every token depends on exactly its source row's element
+    val docIdToElem = f.df
+      .select(col("doc_id"), col(RelationalProvenance.ID)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      assert(r.getSeq[String](3) == Seq(docIdToElem(r.getLong(0))))
+    }
+    // ids are stable across recomputation (deterministic, uncached)
+    val ids2 = toks.df.select(col(RelationalProvenance.ID))
+      .collect().map(_.getString(0))
+    assert(ids.sorted.sameElements(ids2.sorted))
+    sess.close()
+  }
+
   test("captureDropped: rejected rows feed deterministic don't-pass elements") {
     val store = Files.createTempDirectory("relprovdrop").toString
     val sess = ProvSession.create(spark, "relprov-drop", store,
