@@ -38,13 +38,26 @@ object PipelineDemo {
         col("t.doc_id") === col("k.doc_id"))
       .agg(sum(col("n_bpe_tokens"))).head().getLong(0)
 
+    // round-3 stages: rule filter → segment dedup → mixture → packing → shards
+    val c4Keep = q("t15_c4_filter").filter(col("keep")).count()
+    val segDup = q("d10_segment_dedup")
+      .agg(sum(col("n_dup_segments")), sum(col("n_segments"))).head()
+    val mixKept = q("t12_domain_mixture")
+      .agg(sum(col("n_kept")), sum(col("n_docs"))).head()
+    val nSeqs = q("t11_sequence_packing").count()
+    val nShards = q("t14_shard_manifest").count()
+
     println(s"""
       |=== corpus report ($sfDir) ===
       |documents:                 $nDocs
+      |pass C4-style rules:       $c4Keep / $nDocs
       |near-dup pairs (J>=0.8):   $dupPairs
       |docs in dup clusters:      $nClustered (canonical survivors: $nCanonical)
       |keep after dedup+quality:  $nKeep / $nDocs
+      |duplicate segments:        ${segDup.getLong(0)} / ${segDup.getLong(1)}
+      |mixture sampling keeps:    ${mixKept.getLong(0)} / ${mixKept.getLong(1)}
       |token budget (BPE-ish):    $tokenBudget total -> $keptTokens kept
+      |packed 2048-tok sequences: $nSeqs across $nShards shards
       |""".stripMargin)
 
     println("ANN spot-check (query 0, IVF k-means vs exact):")
