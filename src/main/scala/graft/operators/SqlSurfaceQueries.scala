@@ -272,8 +272,43 @@ object SqlSurfaceQueries {
            |                    AND o.o_orderdate >= DATE '2000-01-01')
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** TPC-H Q18 shape ("large volume customers"): orders whose total
+    * quantity exceeds 250, joined back to customer and re-aggregated,
+    * top-10 by volume. The IN-subquery decorrelates to a self-aggregate
+    * + semi-join in Spark (the qualifying-orders set is tiny and
+    * broadcast); quantities are integral doubles so the sums are exact
+    * in any summation order — no rounding protocol needed.
+    */
+  val q63LargeVolumeCustomers = QueryDef(
+    "q63_large_volume_customers",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val l = Tables.lineitem(s, d)
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("tq"))
+        .filter(col("tq") > 250)
+        .select(col("l_orderkey"))
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"))
+        .join(l.join(big, "l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT c_name, o_orderkey, sum(l_quantity) AS total_qty
+           |FROM customer, orders, lineitem
+           |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+           |                     GROUP BY l_orderkey
+           |                     HAVING sum(l_quantity) > 250)
+           |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+           |GROUP BY c_name, o_orderkey
+           |ORDER BY total_qty DESC, o_orderkey LIMIT 10""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q44SqlSurface, q45MinPerGroup, q46OrderPriority, q47BandJoin,
       q51ValueFraction, q52LostCustomers, q60SoleLateSupplier,
-      q61PriorityDivision, q62ColdCustomers)
+      q61PriorityDivision, q62ColdCustomers, q63LargeVolumeCustomers)
 }

@@ -653,9 +653,44 @@ object TextAnalysisQueries {
            |  (r_len AND r_mean AND r_sym AND r_stop AND r_rep) AS keep
            |FROM rules ORDER BY doc_id""".stripMargin))
 
+  /** Stratified train/val/test split: WITHIN each source, docs split
+    * 80/10/10 by md5(doc_id) bucket — deterministic (re-runs and
+    * late-arriving partitions agree), leakage-free (the hash ignores
+    * every feature), and stratified (each source keeps the same
+    * proportions, so no domain drifts between splits). Emits the
+    * (source, split) contingency table. One linear pass + a tiny agg.
+    */
+  val t16StratifiedSplit = QueryDef(
+    "t16_stratified_split",
+    (s, d) => {
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(10L))
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket <= 7, "train").when(bucket === 8, "val")
+            .otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+        .orderBy(col("source"), col("split"))
+    },
+    Some("""WITH bucketed AS (
+           |  SELECT source, text,
+           |    ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           |      % 10 AS b
+           |  FROM documents)
+           |SELECT source,
+           |  CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+           |       ELSE 'test' END AS split,
+           |  count(*) AS n_docs,
+           |  cast(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           |FROM bucketed GROUP BY 1, 2 ORDER BY source, split""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05CorpusReport, t06Winnowing, t07BpeTokenCount, t08Contamination,
     t09RepetitionSignals, t10PiiScrub, t11SequencePacking,
-    t12DomainMixture, t13TfidfTopTerms, t14ShardManifest, t15C4Filter)
+    t12DomainMixture, t13TfidfTopTerms, t14ShardManifest, t15C4Filter,
+    t16StratifiedSplit)
 }
