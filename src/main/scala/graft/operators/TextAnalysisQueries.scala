@@ -687,10 +687,92 @@ object TextAnalysisQueries {
            |  cast(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
            |FROM bucketed GROUP BY 1, 2 ORDER BY source, split""".stripMargin))
 
+  /** Unigram-LM perplexity proxy (the CCNet quality signal, with the
+    * corpus's own unigram distribution standing in for the external
+    * KenLM): p(tok) = corpus frequency, per-doc score = avg -ln p over
+    * its tokens — low = in-distribution text, high = unusual. The
+    * per-doc sum is float-cast before rounding: Math.log (JVM) and libm
+    * log (DuckDB) may differ in the last ulp and token order differs
+    * per engine, so the double sum is only float-stable, same protocol
+    * as e06. Scale: one global count (map-side combinable), broadcast-
+    * or shuffle-joined back to the exploded tokens, one per-doc agg.
+    */
+  val t17UnigramPerplexity = QueryDef(
+    "t17_unigram_perplexity",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val total = freqs.agg(sum(col("c")).as("total"))
+      toks.join(freqs, "tok").crossJoin(broadcast(total))
+        .withColumn("neglogp", -log(col("c") / col("total").cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round((sum(col("neglogp")) / count(lit(1))).cast("float"), 4)
+            .as("avg_neglogp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |freqs AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+           |total AS (SELECT sum(c) AS total FROM freqs)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  round(CAST(sum(-ln(c / CAST(total AS DOUBLE))) / count(*) AS FLOAT), 4)
+           |    AS avg_neglogp
+           |FROM toks JOIN freqs USING (tok), total
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Per-source domain divergence: KL(source ‖ corpus) over unigram
+    * distributions — the standard "how far is this domain from the
+    * mixture" diagnostic when weighting pre-training sources. Computed
+    * as Σ p_s(t)·ln(p_s(t)/p(t)) over the source's tokens; float-cast
+    * before rounding for the same summation-order reasons as t17.
+    * Scale: two shuffles on token (per-source and global counts), then
+    * a join between two token-keyed aggregates.
+    */
+  val t18DomainDivergence = QueryDef(
+    "t18_domain_divergence",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val bySrc = toks.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("cs"))
+      val srcTotals = bySrc.groupBy(col("source"))
+        .agg(sum(col("cs")).as("ns"))
+      val global = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val globalTotal = global.agg(sum(col("c")).as("n"))
+      bySrc.join(srcTotals, "source").join(global, "tok")
+        .crossJoin(broadcast(globalTotal))
+        .withColumn("term",
+          (col("cs") / col("ns").cast("double")) *
+            log((col("cs") / col("ns").cast("double")) /
+              (col("c") / col("n").cast("double"))))
+        .groupBy(col("source"))
+        .agg(round(sum(col("term")).cast("float"), 4).as("kl_divergence"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT source, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |by_src AS (
+           |  SELECT source, tok, count(*) AS cs FROM toks GROUP BY 1, 2),
+           |src_totals AS (
+           |  SELECT source, sum(cs) AS ns FROM by_src GROUP BY source),
+           |global AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+           |gt AS (SELECT sum(c) AS n FROM global)
+           |SELECT b.source,
+           |  round(CAST(sum((cs / CAST(ns AS DOUBLE))
+           |    * ln((cs / CAST(ns AS DOUBLE)) / (c / CAST(n AS DOUBLE)))) AS FLOAT), 4)
+           |    AS kl_divergence
+           |FROM by_src b JOIN src_totals USING (source)
+           |  JOIN global USING (tok), gt
+           |GROUP BY b.source ORDER BY b.source""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05CorpusReport, t06Winnowing, t07BpeTokenCount, t08Contamination,
     t09RepetitionSignals, t10PiiScrub, t11SequencePacking,
     t12DomainMixture, t13TfidfTopTerms, t14ShardManifest, t15C4Filter,
-    t16StratifiedSplit)
+    t16StratifiedSplit, t17UnigramPerplexity, t18DomainDivergence)
 }
