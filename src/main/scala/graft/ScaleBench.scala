@@ -5,9 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Scale-linearity harness: replicates the sf0.1 `documents` /
   * `embeddings` tables 10× with replica-disjoint ids and token
-  * namespaces, then times the scale-path dedup/ANN operators
-  * (d04 MinHash-LSH, d05 SimHash, e03 LSH ANN, e05 IVF ANN) at 1× and
+  * namespaces, then times the scale-path operators (d04 MinHash-LSH,
+  * d05 SimHash, e03 LSH ANN, e05 IVF ANN, d10 segment dedup, t11
+  * sequence packing, t13 TF-IDF, e08 int8 quantization) at 1× and
   * 10×, printing one JSON line with per-query x1/x10/ratio. The
+  * `r{i}_` token prefix below is load-bearing for d10/t13 too: it
+  * keeps 10-token segments and terms replica-disjoint, so the keeper
+  * join and the document-frequency table grow linearly, not by
+  * cross-replica collapse. The
   * quadratic exact baselines (d03 n-gram Jaccard, e02 all-pairs
   * cosine) are EXCLUDED BY DESIGN — they exist as gated correctness
   * baselines, never as a pipeline's scale path (their scaladoc says

@@ -57,7 +57,8 @@ object PipelineDemo {
       |duplicate segments:        ${segDup.getLong(0)} / ${segDup.getLong(1)}
       |mixture sampling keeps:    ${mixKept.getLong(0)} / ${mixKept.getLong(1)}
       |token budget (BPE-ish):    $tokenBudget total -> $keptTokens kept
-      |packed 2048-tok sequences: $nSeqs across $nShards shards
+      |packed 2048-tok sequences: $nSeqs
+      |doc shards (t14 manifest): $nShards
       |""".stripMargin)
 
     println("ANN spot-check (query 0, IVF k-means vs exact):")

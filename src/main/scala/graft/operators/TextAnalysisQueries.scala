@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
 
 import graft.Tables
 
@@ -10,6 +11,18 @@ import graft.Tables
   * one-pass over the corpus at scale.
   */
 object TextAnalysisQueries {
+
+  /** Uniform 60-bit hash of doc_id — top 60 bits of md5, the one
+    * deterministic-sampling primitive shared by t12/t14/t16 (and
+    * mirrored by [[hash60Sql]] in their oracles). 60 bits keeps the
+    * value positive in a signed BIGINT in both engines.
+    */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB mirror of [[hash60]]. */
+  private def hash60Sql(expr: String): String =
+    s"('0x' || substr(md5(cast($expr AS VARCHAR)), 1, 15))::BIGINT"
 
   /** Token counting: whitespace tokens + distinct counts. */
   val t01TokenStats = QueryDef(
@@ -472,35 +485,34 @@ object TextAnalysisQueries {
         .withColumn("rate",
           least(lit(1.0), lit(0.5) * col("n") * col("weight") / col("c")))
       val u = docs.withColumn("u",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long") / lit(1152921504606846976.0))
+        hash60(col("doc_id")) / lit(1152921504606846976.0))
       u.join(broadcast(rates), "source")
         .groupBy(col("source"))
         .agg(first(col("c")).as("n_docs"),
-          round(first(col("weight")), 6).as("weight"),
-          round(first(col("rate")), 6).as("rate"),
+          round(first(col("weight")).cast("float"), 6).as("weight"),
+          round(first(col("rate")).cast("float"), 6).as("rate"),
           sum(when(col("u").cast("float") < col("rate").cast("float"), 1L)
             .otherwise(0L)).as("n_kept"))
         .orderBy(col("source"))
     },
-    Some("""WITH counts AS (
-           |  SELECT source, count(*) AS c FROM documents GROUP BY source),
-           |tot AS (SELECT sum(sqrt(c)) AS z, sum(c) AS n FROM counts),
-           |rates AS (
-           |  SELECT source, c, sqrt(c) / z AS weight,
-           |    least(1.0, 0.5 * n * (sqrt(c) / z) / c) AS rate
-           |  FROM counts, tot),
-           |u AS (
-           |  SELECT doc_id, source,
-           |    ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT
-           |      / 1152921504606846976.0 AS u
-           |  FROM documents)
-           |SELECT r.source, r.c AS n_docs,
-           |  round(r.weight, 6) AS weight, round(r.rate, 6) AS rate,
-           |  cast(sum(CASE WHEN cast(u.u AS FLOAT) < cast(r.rate AS FLOAT)
-           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-           |FROM u JOIN rates r USING (source)
-           |GROUP BY 1, 2, 3, 4 ORDER BY r.source""".stripMargin))
+    Some(s"""WITH counts AS (
+            |  SELECT source, count(*) AS c FROM documents GROUP BY source),
+            |tot AS (SELECT sum(sqrt(c)) AS z, sum(c) AS n FROM counts),
+            |rates AS (
+            |  SELECT source, c, sqrt(c) / z AS weight,
+            |    least(1.0, 0.5 * n * (sqrt(c) / z) / c) AS rate
+            |  FROM counts, tot),
+            |u AS (
+            |  SELECT doc_id, source,
+            |    ${hash60Sql("doc_id")} / 1152921504606846976.0 AS u
+            |  FROM documents)
+            |SELECT r.source, r.c AS n_docs,
+            |  round(cast(r.weight AS FLOAT), 6) AS weight,
+            |  round(cast(r.rate AS FLOAT), 6) AS rate,
+            |  cast(sum(CASE WHEN cast(u.u AS FLOAT) < cast(r.rate AS FLOAT)
+            |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            |FROM u JOIN rates r USING (source)
+            |GROUP BY 1, 2, 3, 4 ORDER BY r.source""".stripMargin))
 
   /** TF-IDF top terms: classic tf·ln((N+1)/(df+1)) scoring with the top
     * 3 terms per document. Ranking happens on the ROUNDED score (ties →
@@ -563,26 +575,24 @@ object TextAnalysisQueries {
       Tables.documents(s, d)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        .withColumn("h",
-          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-            .cast("long"))
+        .withColumn("h", hash60(col("doc_id")))
         .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"),
-          slice(transform(
+          concat_ws(",", slice(transform(
             array_sort(collect_list(struct(col("h"), col("doc_id")))),
-            x => x.getField("doc_id")), 1, 3).as("head3"))
+            x => x.getField("doc_id")), 1, 3)).as("head3"))
         .orderBy(col("shard"))
     },
-    Some("""WITH hashed AS (
-           |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-           |    ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
-           |  FROM documents)
-           |SELECT h % 32 AS shard, count(*) AS n_docs,
-           |  cast(sum(n_tokens) AS BIGINT) AS n_tokens,
-           |  (list(doc_id ORDER BY h, doc_id))[1:3] AS head3
-           |FROM hashed GROUP BY 1 ORDER BY shard""".stripMargin))
+    Some(s"""WITH hashed AS (
+            |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+            |    ${hash60Sql("doc_id")} AS h
+            |  FROM documents)
+            |SELECT h % 32 AS shard, count(*) AS n_docs,
+            |  cast(sum(n_tokens) AS BIGINT) AS n_tokens,
+            |  array_to_string((list(doc_id ORDER BY h, doc_id))[1:3], ',') AS head3
+            |FROM hashed GROUP BY 1 ORDER BY shard""".stripMargin))
 
   /** C4-style composite quality filter (Raffel et al. 2020 §2.2 family):
     * five document-local rules — minimum length, sane mean token length,
@@ -663,9 +673,7 @@ object TextAnalysisQueries {
   val t16StratifiedSplit = QueryDef(
     "t16_stratified_split",
     (s, d) => {
-      val bucket = pmod(
-        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long"), lit(10L))
+      val bucket = pmod(hash60(col("doc_id")), lit(10L))
       Tables.documents(s, d)
         .withColumn("split",
           when(bucket <= 7, "train").when(bucket === 8, "val")
@@ -675,11 +683,10 @@ object TextAnalysisQueries {
           sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
         .orderBy(col("source"), col("split"))
     },
-    Some("""WITH bucketed AS (
-           |  SELECT source, text,
-           |    ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT
-           |      % 10 AS b
-           |  FROM documents)
+    Some(s"""WITH bucketed AS (
+            |  SELECT source, text,
+            |    ${hash60Sql("doc_id")} % 10 AS b
+            |  FROM documents)
            |SELECT source,
            |  CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
            |       ELSE 'test' END AS split,

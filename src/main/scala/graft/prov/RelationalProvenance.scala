@@ -190,6 +190,9 @@ final class ProvFrame private[prov] (
     */
   def explodeCol(arrayCol: Column, outputCol: String,
                  description: String = "explode"): ProvFrame = {
+    require(!userCols.contains(outputCol) && !outputCol.startsWith("_prov_"),
+      s"explodeCol output '$outputCol' collides with an existing column; " +
+        "pick a fresh name (the source columns stay in the output)")
     val t = session.newTask(TransformationType.FLAT_MAP, Seq(task.id),
       description)
     val (pdeps, pid) = asParent
