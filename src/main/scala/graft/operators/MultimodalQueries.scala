@@ -12,9 +12,11 @@ import graft.Tables
   * those opaque binary payloads back and extract width/height/
   * per-channel pixel means from the DECODED pixels. The oracle
   * recomputes the expected stats independently from the generation
-  * formula — a broken encode or decode fails the hash gate. mm03's
-  * frame FEATURES remain synthetic (video codecs aren't in the JDK),
-  * with the explode/rollup plumbing real and gated.
+  * formula — a broken encode or decode fails the hash gate. mm03 does
+  * the same for FRAMES: the JDK has no video codec, but its GIF
+  * reader/writer handle real multi-frame containers, so per-frame
+  * extraction is a genuine container decode (frame count, indexing, and
+  * pixels all come from the decoder), gated the same way.
   */
 object MultimodalQueries {
 
@@ -136,31 +138,125 @@ object MultimodalQueries {
            |       CAST(sum(b) AS DOUBLE) / (max(w) * max(h)) AS mean_b
            |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin))
 
-  /** Frame-sampling shape: explode K deterministic "frames" per media row
-    * then aggregate per-frame stub features — the plumbing for video
-    * frame extraction (partitioning: frames stay co-located with their
-    * media row; no shuffle until the final rollup).
+  /** Deterministic K-frame GIF container for `media_id`: K = 2+(id%3)
+    * frames of w×h 8-bit grayscale pixels v(f,x,y) =
+    * (id + 7f + 3x + 5y) mod 256, written through the JDK's real GIF
+    * sequence writer (`ImageWriter.writeToSequence`). Frames use an
+    * explicit 256-entry gray `IndexColorModel`, so the palette round-trip
+    * is lossless and every expected per-frame stat is recomputable in
+    * pure SQL.
+    */
+  private[operators] def syntheticGif(id: Long): Array[Byte] = {
+    val k = (2 + id % 3).toInt
+    val w = 6 + (id % 10).toInt
+    val h = 6 + ((id * 3) % 10).toInt
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < k) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((id + 7L * f + 3L * x + 5L * y) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
+  /** Per-frame extraction with a REAL container decode: stage 1
+    * materializes opaque multi-frame GIF payloads (see [[syntheticGif]]);
+    * stage 2 `mapPartitions` over (id, payload) opens a GIF
+    * `ImageReader`, counts frames with `getNumImages(true)`, decodes
+    * EACH frame, and emits one row per frame with the decoded
+    * width/height/mean pixel value — the video-frame-extraction shape
+    * (frames never leave their media row's partition; the only shuffle
+    * is the final global sort for the gate). The oracle recomputes every
+    * value from the generation formula alone — never from the payload —
+    * so a defect anywhere in the GIF encode, frame indexing, palette
+    * round-trip, or decode fails the hash match. Pixel sums are exact
+    * integers (≤ 15×15×255), so DOUBLE division is bit-identical across
+    * engines.
     */
   val mm03FrameSample = QueryDef(
     "mm03_frame_sample",
     (s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id").as("media_id"), col("n_chars"),
-          explode(sequence(lit(0), lit(3))).as("frame_no"))
-        // STUB frame feature: real impl decodes frame frame_no
-        .withColumn("frame_feature",
-          round((col("n_chars") * (col("frame_no") + 1)) % 997, 0))
-        .groupBy(col("media_id"))
-        .agg(count(lit(1)).as("n_frames"),
-          round(avg(col("frame_feature")), 2).as("avg_frame_feature"))
-        .orderBy(col("media_id"))
+      val spark = s
+      import spark.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, syntheticGif(id))))
+        .toDF("media_id", "payload")
+        .as[(Long, Array[Byte])]
+      media.mapPartitions { batch =>
+        batch.flatMap { case (id, payload) =>
+          val reader =
+            javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          reader.setInput(iis)
+          val k = reader.getNumImages(true)
+          val rows = (0 until k).map { f =>
+            val img = reader.read(f)
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                sum += (img.getRGB(x, y) >> 16) & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            (id, f, k.toLong, w, h, sum.toDouble / (w * h))
+          }
+          reader.dispose()
+          iis.close()
+          rows
+        }
+      }.toDF("media_id", "frame_no", "n_frames", "width", "height", "mean_v")
+        .orderBy(col("media_id"), col("frame_no"))
     },
-    Some("""WITH frames AS (
-           |  SELECT doc_id AS media_id, n_chars, unnest(generate_series(0, 3)) AS frame_no
-           |  FROM documents)
-           |SELECT media_id, count(*) AS n_frames,
-           |  round(avg((n_chars * (frame_no + 1)) % 997), 2) AS avg_frame_feature
-           |FROM frames GROUP BY media_id ORDER BY media_id""".stripMargin))
+    // independent recomputation from the generation formula — never from
+    // the payload bytes the Spark side decodes
+    Some("""WITH base AS (
+           |  SELECT doc_id AS media_id,
+           |         2 + (doc_id % 3) AS k,
+           |         6 + (doc_id % 10) AS w,
+           |         6 + ((doc_id * 3) % 10) AS h
+           |  FROM documents),
+           |frames AS (
+           |  SELECT media_id, k, w, h, unnest(generate_series(0, k - 1)) AS f
+           |  FROM base),
+           |px AS (
+           |  SELECT media_id, f, k, w, h,
+           |         (media_id + 7 * f + 3 * x + 5 * y) % 256 AS v
+           |  FROM frames,
+           |       LATERAL unnest(generate_series(0, w - 1)) AS tx(x),
+           |       LATERAL unnest(generate_series(0, h - 1)) AS ty(y))
+           |SELECT media_id, CAST(f AS INT) AS frame_no,
+           |       CAST(max(k) AS BIGINT) AS n_frames,
+           |       CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+           |       CAST(sum(v) AS DOUBLE) / (max(w) * max(h)) AS mean_v
+           |FROM px GROUP BY media_id, f ORDER BY media_id, frame_no""".stripMargin))
 
   /** Deterministic 16-bit PCM mono WAV for `media_id`: n samples of the
     * integer waveform s(k) = ((id·31 + k·17) mod 2001) − 1000 at 8 kHz,
