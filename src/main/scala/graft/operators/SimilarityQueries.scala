@@ -322,34 +322,42 @@ object SimilarityQueries {
       val iters = 3
       val e = Tables.embeddings(s, d).cache()
 
-      // deterministic init: spread over vec_id space
-      var centroids: Array[Array[Double]] = e
-        .filter(pmod(col("vec_id"), lit(50)) === 0).orderBy(col("vec_id"))
-        .limit(k).select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-
+      // the cache serves the training collects only; released in the
+      // finally so a failed collect can't strand it (the search job
+      // below runs after plan-build time and reads the source directly)
       def centroidLit(c: Array[Double]) =
         array(c.map(v => lit(v.toFloat)): _*).cast("array<float>")
-      def cellExpr = {
+      def cellOf(centroids: Array[Array[Double]]) = {
         val cosines = centroids.map(c =>
           cosine_similarity(col("embedding"), centroidLit(c)))
         val arr = array(cosines: _*)
         (array_position(arr, array_max(arr)) - 1).cast("int").as("cell")
       }
 
-      // Lloyd iterations: assign + recompute means
-      for (_ <- 1 to iters) {
-        val rows = e.select(col("embedding"), cellExpr)
-          .groupBy(col("cell")).agg(count(lit(1)).as("n"), dimSums(dim): _*)
-          .collect()
-        val updated = centroids.clone()
-        rows.foreach { r =>
-          val cell = r.getInt(0)
-          val n = r.getLong(1).toDouble
-          updated(cell) = (0 until dim).map(i => r.getDouble(i + 2) / n).toArray
-        }
-        centroids = updated
-      }
+      val centroids: Array[Array[Double]] =
+        try {
+          // deterministic init: spread over vec_id space
+          var cents: Array[Array[Double]] = e
+            .filter(pmod(col("vec_id"), lit(50)) === 0).orderBy(col("vec_id"))
+            .limit(k).select(col("embedding")).collect()
+            .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+          // Lloyd iterations: assign + recompute means
+          for (_ <- 1 to iters) {
+            val rows = e.select(col("embedding"), cellOf(cents))
+              .groupBy(col("cell")).agg(count(lit(1)).as("n"), dimSums(dim): _*)
+              .collect()
+            val updated = cents.clone()
+            rows.foreach { r =>
+              val cell = r.getInt(0)
+              val n = r.getLong(1).toDouble
+              updated(cell) = (0 until dim).map(i => r.getDouble(i + 2) / n).toArray
+            }
+            cents = updated
+          }
+          cents
+        } finally e.unpersist()
+      def cellExpr = cellOf(centroids)
 
       // final assignment + 2-probe search for queries
       val assigned = e.select(col("vec_id"), col("embedding"), cellExpr)
@@ -363,9 +371,7 @@ object SimilarityQueries {
         .select(col("query_id"), col("q_emb"),
           explode(slice(reverse(array_sort(array(probeCos: _*))), 1, 2)).as("p"))
         .select(col("query_id"), col("q_emb"), col("p.cell").as("cell"))
-      val out = probeAndRank(assigned, probes, k = 3)
-      e.unpersist()
-      out
+      probeAndRank(assigned, probes, k = 3)
     },
     // full k-means replay in chained CTEs: the three Lloyd iterations
     // unroll (assign → per-cell float-rounded means → coalesce empty
@@ -413,25 +419,22 @@ object SimilarityQueries {
     * corpus partitions by cell once (one shuffle), each cell joins
     * against itself locally; k scales with corpus size to bound cell
     * width, and a degenerate cell (all-near-identical embeddings) is
-    * bounded the same way d09 caps band buckets. Fully gated: the
-    * float-cast centroid protocol (e05) makes cells engine-exact, and
-    * the verdict per vector is a deterministic anti-join.
+    * bounded the same way d09 caps band buckets: cells whose population
+    * exceeds `cap` are EXCLUDED from the pairwise join (their members
+    * are kept — a boilerplate mega-cluster is d01/d02 exact-hash
+    * territory, not pairwise-cosine territory), so per-cell work is
+    * bounded at (cap choose 2). Fully gated INCLUDING the cap (the
+    * oracle replays it, so a cap regression flips the hash), with the
+    * float-cast centroid protocol (e05) making cells engine-exact; the
+    * verdict per vector is a deterministic anti-join.
     */
   val e07SemanticDedup = QueryDef(
     "e07_semantic_dedup",
     (s, d) => {
       val tau = 0.4 // same near-dup bar as e02, now per-cell
       val e = Tables.embeddings(s, d)
-      val assigned = assignCells(e, labelCentroids(e)).cache()
-      val dropped = assigned.alias("a").join(assigned.alias("b"),
-          col("a.cell") === col("b.cell") &&
-          col("a.vec_id") < col("b.vec_id") &&
-          cosine_similarity(col("a.embedding"), col("b.embedding")) >= tau)
-        .select(col("b.vec_id").as("vec_id")).distinct()
-        .withColumn("is_dropped", lit(true))
-      assigned.join(dropped, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cell"),
-          not(coalesce(col("is_dropped"), lit(false))).as("keep"))
+      val assigned = assignCells(e, labelCentroids(e))
+      semanticDedupVerdicts(assigned, tau, cap = 1000)
         .orderBy(col("vec_id"))
     },
     Some(
@@ -443,14 +446,44 @@ object SimilarityQueries {
          |        ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cell) AS rn
          |    FROM embeddings e CROSS JOIN cent_arr c)
          |  WHERE rn = 1),
+         |cool AS (
+         |  SELECT cell FROM assign GROUP BY cell HAVING count(*) <= 1000),
+         |ac AS (
+         |  SELECT a.vec_id, a.embedding, a.cell FROM assign a JOIN cool USING (cell)),
          |dropped AS (
          |  SELECT DISTINCT b.vec_id
-         |  FROM assign a JOIN assign b
+         |  FROM ac a JOIN ac b
          |    ON a.cell = b.cell AND a.vec_id < b.vec_id
          |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4)
          |SELECT s.vec_id, s.cell, d.vec_id IS NULL AS keep
          |FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
          |ORDER BY s.vec_id""".stripMargin))
+
+  /** e07's verdict core, factored for direct testing: within-cell
+    * near-dup drops with the cell-population cap applied BEFORE the
+    * self-join. `assigned` is (vec_id, embedding, cell); output is
+    * (vec_id, cell, keep) for every input vector. Cells with more than
+    * `cap` members contribute no pairs — all their vectors keep=true —
+    * so the worst cell costs (cap choose 2) comparisons, never n².
+    * The cool-cell list is one map-side-combined count per cell,
+    * broadcast back (cells ≪ vectors by construction).
+    */
+  private[operators] def semanticDedupVerdicts(
+      assigned: DataFrame, tau: Double, cap: Int): DataFrame = {
+    val cool = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cn")).filter(col("cn") <= cap)
+      .select(col("cell"))
+    val inCool = assigned.join(broadcast(cool), Seq("cell"))
+    val dropped = inCool.alias("a").join(inCool.alias("b"),
+        col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id") &&
+        cosine_similarity(col("a.embedding"), col("b.embedding")) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        not(coalesce(col("is_dropped"), lit(false))).as("keep"))
+  }
 
   /** Int8 scalar quantization of the embedding corpus — the standard
     * 4× vector-store compression. Per-dimension [min, max] ranges are a
@@ -542,34 +575,44 @@ object SimilarityQueries {
           (x, y) => x.cast("double") * y.cast("double")),
           lit(0.0), (acc, v) => acc + v)
 
-      // deterministic init: subvectors of every 125th vector
-      val initRows = e.filter(pmod(col("vec_id"), lit(125)) === 0)
-        .orderBy(col("vec_id")).limit(k)
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      // training phase: the cache serves exactly these bounded driver
+      // pulls (init + m×iters centroid aggregates); released in the
+      // finally so a failed collect can't strand the cache. The final
+      // encode+search job below is a single uncached pass over the
+      // source — it runs after plan-build time, when the cache would
+      // already be a stale claim.
       val codebooks: Array[Array[Array[Double]]] =
-        Array.tabulate(m) { mi =>
-          initRows.map(_.slice(mi * subDim, (mi + 1) * subDim))
-        }
+        try {
+          // deterministic init: subvectors of every 125th vector
+          val initRows = e.filter(pmod(col("vec_id"), lit(125)) === 0)
+            .orderBy(col("vec_id")).limit(k)
+            .select(col("embedding")).collect()
+            .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+          val cbs: Array[Array[Array[Double]]] =
+            Array.tabulate(m) { mi =>
+              initRows.map(_.slice(mi * subDim, (mi + 1) * subDim))
+            }
 
-      // per-subspace Lloyd: assign by L2, recompute means (float-cast
-      // on use — the cross-engine rounding protocol)
-      for (mi <- 0 until m; _ <- 1 to iters) {
-        val dists = array(codebooks(mi).map(c =>
-          l2(subCol(col("embedding"), mi), c)): _*)
-        val cell = (array_position(dists, array_min(dists)) - 1).cast("int")
-        val subSums = (0 until subDim).map(i =>
-          sum(col("embedding").getItem(mi * subDim + i).cast("double"))
-            .as(s"s$i"))
-        val rows = e.select(col("embedding"), cell.as("cell"))
-          .groupBy(col("cell")).agg(count(lit(1)).as("n"), subSums: _*)
-          .collect()
-        rows.foreach { r =>
-          val n = r.getLong(1).toDouble
-          codebooks(mi)(r.getInt(0)) =
-            (0 until subDim).map(i => r.getDouble(i + 2) / n).toArray
-        }
-      }
+          // per-subspace Lloyd: assign by L2, recompute means (float-cast
+          // on use — the cross-engine rounding protocol)
+          for (mi <- 0 until m; _ <- 1 to iters) {
+            val dists = array(cbs(mi).map(c =>
+              l2(subCol(col("embedding"), mi), c)): _*)
+            val cell = (array_position(dists, array_min(dists)) - 1).cast("int")
+            val subSums = (0 until subDim).map(i =>
+              sum(col("embedding").getItem(mi * subDim + i).cast("double"))
+                .as(s"s$i"))
+            val rows = e.select(col("embedding"), cell.as("cell"))
+              .groupBy(col("cell")).agg(count(lit(1)).as("n"), subSums: _*)
+              .collect()
+            rows.foreach { r =>
+              val n = r.getLong(1).toDouble
+              cbs(mi)(r.getInt(0)) =
+                (0 until subDim).map(i => r.getDouble(i + 2) / n).toArray
+            }
+          }
+          cbs
+        } finally e.unpersist()
 
       // encode: 4 codes per vector
       val encoded = e.select(Seq(col("vec_id")) ++ (0 until m).map { mi =>
@@ -599,7 +642,6 @@ object SimilarityQueries {
         .select(col("query_id"), col("rnk"), col("vec_id"),
           round(col("approx_ip"), 6).as("approx_ip"))
         .orderBy(col("query_id"), col("rnk"))
-      e.unpersist()
       out
     },
     Some {
