@@ -103,10 +103,15 @@ object DedupQueries {
     * inverted index self-join → common counts → Jaccard. The exact
     * baseline that MinHash approximates; at 100 TB the self-join on hot
     * shingles is the bottleneck — that is what d04's LSH banding removes.
+    * Guarded: inputs above `spark.graft.quadraticMaxRows` throw unless
+    * `spark.graft.allowQuadratic=true` (see
+    * [[QueryDef.requireQuadraticOptIn]]).
     */
   val d03NgramJaccard = QueryDef(
     "d03_ngram_jaccard",
     (s, d) => {
+      QueryDef.requireQuadraticOptIn(
+        Tables.documents(s, d), "d03_ngram_jaccard", "d04/d08/d09")
       val sh = shingles(s, d).cache()
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.select(col("doc_id").as("da"), col("s"))

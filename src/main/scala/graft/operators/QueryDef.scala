@@ -22,4 +22,32 @@ object QueryDef {
     * tables by name. We emit plain table names (driver creates views).
     */
   def sqlTable(name: String): String = name
+
+  /** Opt-in guard for the documented QUADRATIC baselines (d03 exact
+    * n-gram Jaccard, e02 all-pairs cosine): their scaladoc forbids them
+    * on the scale path, but nothing used to stop a composition from
+    * calling them on a big input. Inputs above
+    * `spark.graft.quadraticMaxRows` (default 50 000) now throw with a
+    * pointer at the scale-path equivalent unless the caller explicitly
+    * sets `spark.graft.allowQuadratic=true`. The guard costs one
+    * metadata-only count on the base table at plan-build time — noise
+    * next to the O(n²) job it fences.
+    */
+  private[operators] def requireQuadraticOptIn(
+      base: DataFrame, op: String, scalePath: String): DataFrame = {
+    val conf = base.sparkSession.conf
+    val allow =
+      conf.getOption("spark.graft.allowQuadratic").exists(_.toBoolean)
+    if (!allow) {
+      val maxRows = conf.getOption("spark.graft.quadraticMaxRows")
+        .map(_.toLong).getOrElse(50000L)
+      val n = base.count()
+      require(n <= maxRows,
+        s"$op is an exact quadratic baseline (O(n^2) pairs) guarded above " +
+          s"$maxRows input rows (got $n). Use $scalePath on the scale " +
+          "path, or opt in with spark.graft.allowQuadratic=true / raise " +
+          "spark.graft.quadraticMaxRows.")
+    }
+    base
+  }
 }

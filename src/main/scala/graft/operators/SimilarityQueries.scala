@@ -118,12 +118,16 @@ object SimilarityQueries {
 
   /** Cosine near-duplicate pairs (threshold 0.4) — embedding-space
     * near-dup detection. All-pairs at sf scale; the LSH variant (e03) is
-    * the 100 TB path.
+    * the 100 TB path. Guarded: inputs above
+    * `spark.graft.quadraticMaxRows` throw unless
+    * `spark.graft.allowQuadratic=true` (see
+    * [[QueryDef.requireQuadraticOptIn]]).
     */
   val e02CosineNearDup = QueryDef(
     "e02_cosine_neardup",
     (s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = QueryDef.requireQuadraticOptIn(
+        Tables.embeddings(s, d), "e02_cosine_neardup", "e03/e05/e07/e09")
       e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
           cosine_similarity(col("a.embedding"), col("b.embedding")).as("cos"))
