@@ -307,8 +307,59 @@ object SqlSurfaceQueries {
            |GROUP BY c_name, o_orderkey
            |ORDER BY total_qty DESC, o_orderkey LIMIT 10""".stripMargin))
 
+  /** TPC-H Q20 shape ("potential part promotion"): nested IN-subqueries
+    * with a CORRELATED aggregate threshold — suppliers who shipped more
+    * than 30% of a small part's total recent volume. (The testdata has
+    * no partsupp table, so the availqty comparison becomes a
+    * shipped-volume dominance test over part→lineitem — the identical
+    * decorrelation pattern: IN(part filter) nested inside IN(grouped
+    * lineitem HAVING sum > correlated scalar subquery).) The Spark plan
+    * decorrelates by hand the way Catalyst decorrelates Q20: one
+    * filtered scan grouped twice — per (supplier, part) and per part —
+    * joined on the part key, then a semi-join into supplier; no per-group
+    * probing. The oracle keeps the literal nested form. Quantities are
+    * integral doubles, so both engines compute 0.3·total from the same
+    * exact integer-valued sum — the comparison is engine-stable with no
+    * rounding protocol.
+    */
+  val q64DominantSuppliers = QueryDef(
+    "q64_dominant_suppliers",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val smallParts = Tables.part(s, d)
+        .filter(col("p_size") <= 10).select(col("p_partkey"))
+      val recent = Tables.lineitem(s, d)
+        .filter(expr("l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val perSuppPart = recent.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("sq"))
+      val perPart = recent.groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("part_total"))
+      val dominant = perSuppPart.join(perPart, Seq("l_partkey"))
+        .filter(col("sq") > col("part_total") * 0.3)
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""SELECT s_suppkey, s_name
+           |FROM supplier
+           |WHERE s_suppkey IN (
+           |  SELECT l_suppkey FROM lineitem l1
+           |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)
+           |    AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+           |  GROUP BY l_suppkey, l_partkey
+           |  HAVING sum(l_quantity) > (
+           |    SELECT 0.3 * sum(l2.l_quantity) FROM lineitem l2
+           |    WHERE l2.l_partkey = l1.l_partkey
+           |      AND l2.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'))
+           |ORDER BY s_suppkey""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q44SqlSurface, q45MinPerGroup, q46OrderPriority, q47BandJoin,
       q51ValueFraction, q52LostCustomers, q60SoleLateSupplier,
-      q61PriorityDivision, q62ColdCustomers, q63LargeVolumeCustomers)
+      q61PriorityDivision, q62ColdCustomers, q63LargeVolumeCustomers,
+      q64DominantSuppliers)
 }
