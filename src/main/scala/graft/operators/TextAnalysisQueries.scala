@@ -515,10 +515,14 @@ object TextAnalysisQueries {
             |GROUP BY 1, 2, 3, 4 ORDER BY r.source""".stripMargin))
 
   /** TF-IDF top terms: classic tf·ln((N+1)/(df+1)) scoring with the top
-    * 3 terms per document. Ranking happens on the ROUNDED score (ties →
-    * term asc) so rank and output agree across engines to the last ulp.
-    * Scale: explode + two map-side-combinable aggregations + a per-doc
-    * window — the document-frequency table shuffles once on term.
+    * 3 terms per document. The tf·ln product is float-cast BEFORE
+    * rounding (the t17/e06 protocol — JVM Math.log and DuckDB's libm ln
+    * can differ in the last ulp, and a double landing within an ulp of a
+    * 0.5e-6 boundary would flip the rounded score), and ranking happens
+    * on that same rounded-cast score (ties → term asc) so rank and
+    * output agree across engines. Scale: explode + two
+    * map-side-combinable aggregations + a per-doc window — the
+    * document-frequency table shuffles once on term.
     */
   val t13TfidfTopTerms = QueryDef(
     "t13_tfidf_top_terms",
@@ -531,7 +535,8 @@ object TextAnalysisQueries {
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
         .withColumn("tfidf",
-          round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+          round((col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+            .cast("float"), 6))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
@@ -548,7 +553,7 @@ object TextAnalysisQueries {
            |n AS (SELECT count(*) AS n_docs FROM documents),
            |scored AS (
            |  SELECT doc_id, term,
-           |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+           |    round(CAST(tf * ln((n_docs + 1.0) / (df + 1.0)) AS FLOAT), 6) AS tfidf
            |  FROM tf JOIN df USING (term), n),
            |ranked AS (
            |  SELECT doc_id, term, tfidf,

@@ -204,9 +204,19 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark2.implicits._
     implicit val sqlCtx = spark.sqlContext
     val events = loadEvents().take(200)
-    // duplicate every 3rd event, half in the same batch, half in the next
+    // duplicate every 3rd event: half replayed in the same batch (always
+    // suppressed — state can't have expired mid-batch), and for the NEXT
+    // batch only duplicates whose event time is within the 10-minute
+    // watermark delay of the batch-1 max ts — that is exactly the
+    // horizon dropDuplicatesWithinWatermark guarantees suppression for;
+    // older ids' state is legitimately evicted, so replaying them would
+    // make this a data-dependent test of an undefined behavior, not of
+    // the operator's contract
     val dups = events.zipWithIndex.collect { case (e, i) if i % 3 == 0 => e }
-    val (sameBatch, nextBatch) = dups.splitAt(dups.length / 2)
+    val (sameBatch, candidates) = dups.splitAt(dups.length / 2)
+    val maxTs = events.map(_.ts.getTime).max
+    val delayMs = 10L * 60 * 1000
+    val nextBatch = candidates.filter(_.ts.getTime >= maxTs - delayMs)
 
     val stream = MemoryStream[Event]
     val q = dedupedEvents(stream.toDF())
