@@ -36,29 +36,51 @@ object DedupQueries {
     * reuse d06's labels instead of replaying the shingle join and the
     * whole component iteration — the result is already materialized
     * executor-side (localCheckpoint inside ConnectedComponents), so the
-    * memo holds a small handle, not a plan to recompute.
+    * memo holds a small handle, not a plan to recompute. BOUNDED: an
+    * access-ordered LRU capped at 16 entries, so a long-lived session
+    * scanning many dirs can't accumulate cached plans (evicted handles
+    * are reclaimed by the ContextCleaner once unreachable), and
+    * explicitly invalidatable via [[invalidateClusterLabels]] when a
+    * dir's content changes.
     */
+  private val maxMemoEntries = 16
   private val clusterMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+      maxMemoEntries, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > maxMemoEntries
+    }
 
-  private def clusterLabels(s: SparkSession, d: String): DataFrame =
-    clusterMemo.computeIfAbsent((s, d), _ => {
-      val sh = shingles(s, d).cache()
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("da"), col("s"))
-      val b = sh.select(col("doc_id").as("db"), col("s"))
-      val pairs = a.join(b, Seq("s")).filter(col("da") < col("db"))
-        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-        .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-        .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-        .filter(round(col("c") / (col("na") + col("nb") - col("c")), 4) >= 0.5)
-        .select(col("da"), col("db")).cache()
-      val labels = ConnectedComponents.run(pairs).labels
-        .select(col("doc_id"), col("label").as("canonical_id"))
-      sh.unpersist()
-      pairs.unpersist()
-      labels
-    })
+  /** Drop the memoized cluster labels for `dir` (e.g. after rewriting
+    * its documents); the next d06/d07 call recomputes from the current
+    * data. No-op if nothing is memoized.
+    */
+  def invalidateClusterLabels(s: SparkSession, dir: String): Unit =
+    clusterMemo.synchronized { clusterMemo.remove((s, dir)); () }
+
+  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame =
+    clusterMemo.synchronized {
+      val key = (s, d)
+      Option(clusterMemo.get(key)).getOrElse {
+        val sh = shingles(s, d).cache()
+        val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val a = sh.select(col("doc_id").as("da"), col("s"))
+        val b = sh.select(col("doc_id").as("db"), col("s"))
+        val pairs = a.join(b, Seq("s")).filter(col("da") < col("db"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+          .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+          .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+          .filter(round(col("c") / (col("na") + col("nb") - col("c")), 4) >= 0.5)
+          .select(col("da"), col("db")).cache()
+        val labels = ConnectedComponents.run(pairs).labels
+          .select(col("doc_id"), col("label").as("canonical_id"))
+        sh.unpersist()
+        pairs.unpersist()
+        clusterMemo.put(key, labels)
+        labels
+      }
+    }
 
   private[graft] val shinglesSql =
     """words AS (SELECT doc_id, string_split(text, ' ') w
