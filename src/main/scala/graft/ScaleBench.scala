@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * `embeddings` tables 10× with replica-disjoint ids and token
   * namespaces, then times the scale-path operators (d04 MinHash-LSH,
   * d05 SimHash, e03 LSH ANN, e05 IVF ANN, d10 segment dedup, t11
-  * sequence packing, t13 TF-IDF, e08 int8 quantization) at 1× and
+  * sequence packing, t13 TF-IDF, e08 int8 quantization, e07 capped
+  * SemDeDup, e09 PQ ANN, t17 unigram perplexity, t18 per-source KL) at 1× and
   * 10×, printing one JSON line with per-query x1/x10/ratio. The
   * `r{i}_` token prefix below is load-bearing for d10/t13 too: it
   * keeps 10-token segments and terms replica-disjoint, so the keeper
@@ -33,7 +34,8 @@ object ScaleBench {
   val scaleQueries: Seq[String] =
     Seq("d04_minhash_lsh", "d05_simhash", "e03_ann_lsh", "e05_ann_ivf",
       "d10_segment_dedup", "t11_sequence_packing", "t13_tfidf_top_terms",
-      "e08_int8_quant")
+      "e08_int8_quant", "e07_semantic_dedup", "e09_ann_pq",
+      "t17_unigram_perplexity", "t18_domain_divergence")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
