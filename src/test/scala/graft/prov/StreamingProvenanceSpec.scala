@@ -65,4 +65,52 @@ class StreamingProvenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the streaming task is in the DAG
     assert(s.allTasks.exists(_.description == "streaming: hourly"))
   }
+
+  test("record-level lineage: per-record deps accumulate across two batches within the horizon") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = Files.createTempDirectory("streamprovrec").toString
+    val s = ProvSession.create(spark, "stream-rec", store)
+
+    def rec(id: Long, minute: Int, uid: Long): Event =
+      Event(id, Timestamp.valueOf(f"2026-01-01 09:$minute%02d:00"), uid, "click", 1.0)
+
+    val stream = MemoryStream[Event]
+    val q = StreamingProvenance
+      .trackedRecords(s, stream.toDS(), horizonMinutes = 10, "per-record")
+      .start()
+    // batch 0: user 1 gets records 11, 12 (1 minute apart)
+    stream.addData(Seq(rec(11L, 0, 1L), rec(12L, 1, 1L)))
+    q.processAllAvailable()
+    // batch 1: record 13 arrives 2 minutes later — records 11/12 are
+    // still inside the 10-minute horizon, so the updated aggregate must
+    // depend on ALL THREE records, across both MemoryStream batches
+    stream.addData(Seq(rec(13L, 3, 1L)))
+    q.processAllAvailable()
+    q.stop()
+    s.close()
+
+    val els = spark.read.parquet(s"$store/data_elements")
+      .filter($"execution_id" === s.executionId).collect()
+      .map(r => (r.getAs[String]("element_id"),
+        r.getAs[scala.collection.Seq[scala.collection.Seq[String]]]("values").map(_.toSeq).toSeq,
+        r.getAs[scala.collection.Seq[String]]("deps").toSeq))
+
+    def recId(rid: Long) =
+      els.find(_._2 == Seq(Seq(rid.toString, "1"))).map(_._1)
+    val ids = Seq(11L, 12L, 13L).map(recId)
+    assert(ids.forall(_.isDefined), s"missing record elements in $els")
+
+    // the batch-0 aggregate (n=2) depends on exactly records 11 and 12
+    val agg0 = els.find(_._2 == Seq(Seq("1", "2", "2.0")))
+    assert(agg0.isDefined, s"no n=2 aggregate element in $els")
+    assert(agg0.get._3.toSet === Set(ids(0).get, ids(1).get))
+    // the batch-1 aggregate (n=3) depends on records from BOTH batches
+    val agg1 = els.find(_._2 == Seq(Seq("1", "3", "3.0")))
+    assert(agg1.isDefined, s"no n=3 aggregate element in $els")
+    assert(agg1.get._3.toSet === ids.flatten.toSet)
+
+    assert(s.allTasks.exists(_.description == "streaming_records: per-record"))
+  }
 }
