@@ -606,8 +606,70 @@ object DedupQueries {
            |        FILTER (WHERE keep), '')) AS cleaned_md5
            |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** INTRA-document segment dedup — the within-page repeated-line
+    * removal of CCNet/RefinedWeb (boilerplate nav bars, repeated
+    * headers), complementing d10's cross-corpus keep-first rule: here a
+    * segment is dropped only when the SAME document already contains it
+    * at an earlier position. 2-token segments (the synthetic corpus has
+    * no longer intra-doc repeats; production would segment on
+    * lines/paragraphs — the operator is the same with a different
+    * splitter).
+    *
+    * Scale shape: the whole operator is ONE projection — segments,
+    * first-occurrence mask (`filter(segs, (s, i) ->
+    * array_position(segs, s) = i + 1)`), reassembly, and stats all
+    * evaluate per-row inside whole-stage codegen with ZERO shuffles
+    * (the final orderBy exists only for the gate). This is the
+    * strictly-better intra-doc counterpart of a groupBy-on-segment
+    * plan: nothing leaves its input partition, so 100 TB costs exactly
+    * one pass.
+    */
+  val d11IntraDocDedup = QueryDef(
+    "d11_intradoc_dedup",
+    (s, d) => {
+      val segLen = 2
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("nseg",
+          ceil(size(col("toks")) / lit(segLen.toDouble)).cast("int"))
+        .withColumn("segs", expr(
+          s"transform(sequence(1, nseg), p -> concat_ws(' ', " +
+            s"slice(toks, (p - 1) * $segLen + 1, $segLen)))"))
+        .withColumn("cleaned",
+          expr("filter(segs, (s, i) -> array_position(segs, s) = i + 1)"))
+        .select(col("doc_id"),
+          col("nseg").cast("long").as("n_segments"),
+          (col("nseg") - size(col("cleaned"))).cast("long").as("n_dup_segments"),
+          round((col("nseg") - size(col("cleaned")))
+            / col("nseg").cast("double"), 4).as("dup_frac"),
+          md5(concat_ws(" ", col("cleaned"))).as("cleaned_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |    cast(ceil(len(string_split(text, ' ')) / 2.0) AS INT) AS nseg
+           |  FROM documents),
+           |positions AS (
+           |  SELECT doc_id, nseg, toks, unnest(generate_series(1, nseg)) AS pos
+           |  FROM base),
+           |segs AS (
+           |  SELECT doc_id, nseg, pos,
+           |    array_to_string(toks[((pos - 1) * 2 + 1):((pos - 1) * 2 + 2)], ' ') AS seg
+           |  FROM positions),
+           |flagged AS (
+           |  SELECT doc_id, nseg, pos, seg,
+           |    (pos = min(pos) OVER (PARTITION BY doc_id, seg)) AS keep
+           |  FROM segs)
+           |SELECT doc_id, cast(max(nseg) AS BIGINT) AS n_segments,
+           |  cast(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+           |  round(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)
+           |        / (max(nseg) * 1.0), 4) AS dup_frac,
+           |  md5(coalesce(string_agg(seg, ' ' ORDER BY pos)
+           |        FILTER (WHERE keep), '')) AS cleaned_md5
+           |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     d01ExactDedup, d02NormalizedDedup, d03NgramJaccard, d04MinHashLsh,
     d05SimHash, d06DedupClusters, d07KeepList, d08JaccardCapped,
-    d09MinHashCapped, d10SegmentDedup)
+    d09MinHashCapped, d10SegmentDedup, d11IntraDocDedup)
 }

@@ -781,10 +781,80 @@ object TextAnalysisQueries {
            |  JOIN global USING (tok), gt
            |GROUP BY b.source ORDER BY b.source""".stripMargin))
 
+  /** Heavy hitters via a native Count-Min Sketch
+    * ([[graft.functions.CountMinAgg]], a TypedImperativeAggregate):
+    * the whole token stream reduces to ONE 4×16-counter buffer
+    * (map-side combined, O(1) memory regardless of corpus size), then
+    * the top-20 exact tokens are compared against their sketch
+    * estimates — est ≥ exact always, overestimate bounded by the
+    * sketch's collisions. Both the exact counts AND every sketch cell
+    * are deterministic: token hashes are the shared md5-derived
+    * [[hash60]] reduced into [0, prime), the universal-hash
+    * coefficients are inlined as literals into the oracle (the d09
+    * technique), and DuckDB rebuilds the ENTIRE sketch with plain
+    * GROUP BYs — so the gate checks the sketch mechanics themselves,
+    * not just the exact side. At 100 TB the exact groupBy here exists
+    * only to verify the sketch; the sketch alone is the production
+    * path (one tiny aggregate, no token-keyed shuffle).
+    */
+  val t19HeavyHittersCms = QueryDef(
+    "t19_heavy_hitters_cms",
+    (s, d) => {
+      val depth = 4
+      val width = 16
+      val seed = 7L
+      val prime = 2038074743L
+      val (a, b) = graft.functions.MinHashArray.coefficients(depth, seed)
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .withColumn("hp", pmod(hash60(col("tok")), lit(prime)))
+      val cms = toks.agg(graft.functions.CountMinAgg
+        .count_min(col("hp"), depth, width, seed, prime).as("cms"))
+      val top = toks.groupBy(col("tok"), col("hp"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(20)
+      val estCells = (0 until depth).map { i =>
+        element_at(col("cms"),
+          (pmod(col("hp") * a(i) + b(i), lit(prime)) % width).cast("int")
+            + lit(i * width) + lit(1))
+      }
+      top.crossJoin(broadcast(cms))
+        .withColumn("est_n", least(estCells: _*))
+        .select(col("tok"), col("exact_n"), col("est_n"),
+          (col("est_n") - col("exact_n")).as("overestimate"))
+        .orderBy(col("exact_n").desc, col("tok"))
+    },
+    Some {
+      val (a, b) = graft.functions.MinHashArray.coefficients(4, 7L)
+      val prime = 2038074743L
+      val coeffRows = (0 until 4)
+        .map(i => s"(${i}, ${a(i)}, ${b(i)})").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (
+         |  SELECT tok, ${hash60Sql("tok")} % $prime AS hp FROM toks),
+         |coeffs(i, a, b) AS (VALUES $coeffRows),
+         |cells AS (
+         |  SELECT i, ((hp * a + b) % $prime) % 16 AS idx, count(*) AS c
+         |  FROM h CROSS JOIN coeffs GROUP BY 1, 2),
+         |top AS (
+         |  SELECT tok, hp, count(*) AS exact_n FROM h GROUP BY 1, 2
+         |  ORDER BY exact_n DESC, tok LIMIT 20),
+         |est AS (
+         |  SELECT t.tok, t.exact_n, min(c.c) AS est_n
+         |  FROM top t CROSS JOIN coeffs co
+         |  JOIN cells c ON c.i = co.i
+         |    AND c.idx = ((t.hp * co.a + co.b) % $prime) % 16
+         |  GROUP BY t.tok, t.exact_n)
+         |SELECT tok, exact_n, est_n, est_n - exact_n AS overestimate
+         |FROM est ORDER BY exact_n DESC, tok""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05CorpusReport, t06Winnowing, t07BpeTokenCount, t08Contamination,
     t09RepetitionSignals, t10PiiScrub, t11SequencePacking,
     t12DomainMixture, t13TfidfTopTerms, t14ShardManifest, t15C4Filter,
-    t16StratifiedSplit, t17UnigramPerplexity, t18DomainDivergence)
+    t16StratifiedSplit, t17UnigramPerplexity, t18DomainDivergence,
+    t19HeavyHittersCms)
 }
