@@ -598,21 +598,30 @@ object SimilarityQueries {
             }
 
           // per-subspace Lloyd: assign by L2, recompute means (float-cast
-          // on use — the cross-engine rounding protocol)
-          for (mi <- 0 until m; _ <- 1 to iters) {
-            val dists = array(cbs(mi).map(c =>
-              l2(subCol(col("embedding"), mi), c)): _*)
-            val cell = (array_position(dists, array_min(dists)) - 1).cast("int")
+          // on use — the cross-engine rounding protocol). Subspaces are
+          // independent, so each iteration batches ALL m assignments
+          // into ONE job — 2 driver round-trips instead of m×iters —
+          // keyed by (mi, cell): a union of m branches over the cached
+          // corpus, one shuffle of m×k tiny aggregate rows. Identical
+          // math to the sequential per-subspace loop the oracle replays.
+          for (_ <- 1 to iters) {
+            val perSub = (0 until m).map { mi =>
+              val dists = array(cbs(mi).map(c =>
+                l2(subCol(col("embedding"), mi), c)): _*)
+              val cell = (array_position(dists, array_min(dists)) - 1).cast("int")
+              e.select(lit(mi).as("mi"), cell.as("cell"), col("embedding"))
+            }.reduce(_ unionByName _)
             val subSums = (0 until subDim).map(i =>
-              sum(col("embedding").getItem(mi * subDim + i).cast("double"))
-                .as(s"s$i"))
-            val rows = e.select(col("embedding"), cell.as("cell"))
-              .groupBy(col("cell")).agg(count(lit(1)).as("n"), subSums: _*)
+              sum(element_at(col("embedding"),
+                col("mi") * subDim + i + 1).cast("double")).as(s"s$i"))
+            val rows = perSub.groupBy(col("mi"), col("cell"))
+              .agg(count(lit(1)).as("n"), subSums: _*)
               .collect()
             rows.foreach { r =>
-              val n = r.getLong(1).toDouble
-              cbs(mi)(r.getInt(0)) =
-                (0 until subDim).map(i => r.getDouble(i + 2) / n).toArray
+              val mi = r.getInt(0)
+              val n = r.getLong(2).toDouble
+              cbs(mi)(r.getInt(1)) =
+                (0 until subDim).map(i => r.getDouble(i + 3) / n).toArray
             }
           }
           cbs
