@@ -35,7 +35,8 @@ object ScaleBench {
     Seq("d04_minhash_lsh", "d05_simhash", "e03_ann_lsh", "e05_ann_ivf",
       "d10_segment_dedup", "t11_sequence_packing", "t13_tfidf_top_terms",
       "e08_int8_quant", "e07_semantic_dedup", "e09_ann_pq",
-      "t17_unigram_perplexity", "t18_domain_divergence")
+      "t17_unigram_perplexity", "t18_domain_divergence",
+      "d11_intradoc_dedup", "t19_heavy_hitters_cms")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.

@@ -42,6 +42,13 @@ object PipelineDemo {
     val c4Keep = q("t15_c4_filter").filter(col("keep")).count()
     val segDup = q("d10_segment_dedup")
       .agg(sum(col("n_dup_segments")), sum(col("n_segments"))).head()
+    // round-4 stages: intra-doc cleanup → semantic dedup → sketch profile
+    val intraDup = q("d11_intradoc_dedup")
+      .agg(sum(col("n_dup_segments")), sum(col("n_segments"))).head()
+    val semKeep = q("e07_semantic_dedup").filter(col("keep")).count()
+    val heavy = q("t19_heavy_hitters_cms").limit(3).collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}(est ${r.getLong(2)})")
+      .mkString(", ")
     val mixKept = q("t12_domain_mixture")
       .agg(sum(col("n_kept")), sum(col("n_docs"))).head()
     val nSeqs = q("t11_sequence_packing").count()
@@ -55,6 +62,9 @@ object PipelineDemo {
       |docs in dup clusters:      $nClustered (canonical survivors: $nCanonical)
       |keep after dedup+quality:  $nKeep / $nDocs
       |duplicate segments:        ${segDup.getLong(0)} / ${segDup.getLong(1)}
+      |intra-doc dup segments:    ${intraDup.getLong(0)} / ${intraDup.getLong(1)}
+      |semantic-dedup survivors:  $semKeep
+      |top tokens (CMS-checked):  $heavy
       |mixture sampling keeps:    ${mixKept.getLong(0)} / ${mixKept.getLong(1)}
       |token budget (BPE-ish):    $tokenBudget total -> $keptTokens kept
       |packed 2048-tok sequences: $nSeqs

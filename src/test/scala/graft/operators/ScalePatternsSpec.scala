@@ -119,6 +119,27 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q05 must broadcast the three hinted dims:\n$p05")
   }
 
+  test("round-4 ops have the plans their scale claims require") {
+    val d = "/root/testdata/sf0.001"
+    // d11 intra-doc dedup: the operator itself is one projection — the
+    // ONLY shuffle in the whole query is the gate's final global sort
+    val d11 = DedupQueries.d11IntraDocDedup.fn(spark, d)
+    assert(countShuffles(d11) == 1,
+      s"d11 must shuffle only for the output sort:\n${d11.queryExecution.executedPlan}")
+    // t19: the CMS aggregate must partial-aggregate (map-side combine) —
+    // the property that makes it one tiny buffer per partition at 100 TB
+    val t19 = TextAnalysisQueries.t19HeavyHittersCms.fn(spark, d)
+    val p19 = t19.queryExecution.executedPlan.toString
+    assert(p19.contains("partial_count_min_agg"),
+      s"t19 CMS must map-side combine:\n$p19")
+    // q64: the part filter is a hinted broadcast — the big lineitem scan
+    // must never shuffle to meet it
+    val q64 = SqlSurfaceQueries.q64DominantSuppliers.fn(spark, d)
+    val p64 = q64.queryExecution.executedPlan.toString
+    assert(p64.contains("BroadcastHashJoin"),
+      s"q64 must broadcast the small-parts side:\n$p64")
+  }
+
   test("AQE coalesces small shuffle partitions") {
     val before = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
