@@ -219,10 +219,10 @@ final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
   def transformationGroups(executionId: String): DataFrame =
     table("transformation_groups").filter(col("execution_id") === executionId)
 
-  /** JSON graph export `{nodes, links}` — parity with the reference's
-    * driver-side exportFile (DataflowProvenance.scala:106-132).
+  /** JSON graph `{nodes, links}` as a string — the machine format behind
+    * [[exportJson]] and the live server's `/api/graph` endpoint.
     */
-  def exportJson(executionId: String, file: String): Unit = {
+  def jsonGraph(executionId: String): String = {
     val nodes = elements(executionId)
       .select(col("element_id").as("id"), col("task_id").as("group"),
               to_json(col("values")).as("label")).collect()
@@ -230,10 +230,15 @@ final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
     val links = elementDependencies(executionId)
       .select(col("source"), col("target")).collect()
       .map(r => s"""{"source":${jstr(r.getString(0))},"target":${jstr(r.getString(1))}}""")
-    val json =
-      s"""{"nodes":[${nodes.mkString(",")}],"links":[${links.mkString(",")}]}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(file), json)
+    s"""{"nodes":[${nodes.mkString(",")}],"links":[${links.mkString(",")}]}"""
   }
+
+  /** JSON graph export `{nodes, links}` — parity with the reference's
+    * driver-side exportFile (DataflowProvenance.scala:106-132).
+    */
+  def exportJson(executionId: String, file: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(file),
+      jsonGraph(executionId))
 
   private def jstr(s: String): String =
     "\"" + Option(s).getOrElse("").flatMap {
@@ -256,7 +261,14 @@ final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
     * the page is a lens, not a data export; [[exportJson]] remains the
     * full-fidelity machine format.
     */
-  def exportHtml(executionId: String, file: String, maxElements: Int = 2000): Unit = {
+  def exportHtml(executionId: String, file: String, maxElements: Int = 2000): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(file),
+      htmlPage(executionId, maxElements))
+
+  /** The page string behind [[exportHtml]] and the live server's
+    * `/execution/<id>` endpoint.
+    */
+  def htmlPage(executionId: String, maxElements: Int = 2000): String = {
     val taskRows = tasks(executionId)
       .select(col("task_id"), col("description"),
         col("transformation_type"), col("dependencies")).collect()
@@ -280,11 +292,10 @@ final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
       .filter(r => kept(r.getString(0)) && kept(r.getString(1)))
       .map(r => s"""{"source":${jstr(r.getString(0))},"target":${jstr(r.getString(1))}}""")
     val total = elements(executionId).count()
-    val html = ProvenanceHtml.page(
+    ProvenanceHtml.page(
       executionId,
       s"""{"nodes":[${taskNodes.mkString(",")}],"links":[${taskLinks.mkString(",")}]}""",
       s"""{"nodes":[${elNodes.mkString(",")}],"links":[${elLinks.mkString(",")}]}""",
       shown = elRows.length, total = total)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(file), html)
   }
 }

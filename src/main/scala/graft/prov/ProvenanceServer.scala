@@ -1,0 +1,111 @@
+package graft.prov
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Live provenance web server — the serving half of the reference's web
+  * UI (SAMbA/WebApplication: a Spring app over Cassandra,
+  * PagesCtrl.kt:13-73 + the API controllers). Here the same pages and
+  * APIs are served straight off the parquet provenance store by the
+  * JDK's built-in `HttpServer` — zero new dependencies, start/stop from
+  * any driver or notebook, reading THROUGH [[ProvenanceQueries]] so
+  * every response reflects the store as of the request (a run appending
+  * elements shows up on refresh — this is what "live" adds over
+  * [[ProvenanceQueries.exportHtml]]'s static snapshot).
+  *
+  * Endpoints (reference controller in parens):
+  *   - `/` — execution index (ExecutionAPICtrl/PagesCtrl)
+  *   - `/execution/<id>` — the interactive DAG + lineage page
+  *   - `/api/executions` — executions as JSON
+  *   - `/api/graph/<id>` — full element graph `{nodes, links}` (DataElementAPICtrl)
+  *   - `/api/lineage/<id>/<elementId>` — backward closure of one element
+  *
+  * Scale note: requests run driver-side Spark jobs over the store —
+  * the provenance store is orders of magnitude smaller than the data
+  * (projected values only), and the page layer caps elements; this is
+  * an operator console, not a serving tier.
+  */
+final class ProvenanceServer(spark: SparkSession, storeDir: String,
+                             port: Int = 0) {
+
+  private val q = new ProvenanceQueries(spark, storeDir)
+  private var server: HttpServer = _
+
+  /** Start serving; returns the bound port (ephemeral when port=0). */
+  def start(): Int = synchronized {
+    require(server == null, "server already started")
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/", handler)
+    server.setExecutor(null) // serial — an operator console, not a tier
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+
+  private def handler(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    try {
+      path.split("/").filter(_.nonEmpty).toList match {
+        case Nil =>
+          respond(ex, 200, "text/html", indexPage())
+        case "execution" :: id :: Nil =>
+          respond(ex, 200, "text/html", q.htmlPage(id))
+        case "api" :: "executions" :: Nil =>
+          respond(ex, 200, "application/json", executionsJson())
+        case "api" :: "graph" :: id :: Nil =>
+          respond(ex, 200, "application/json", q.jsonGraph(id))
+        case "api" :: "lineage" :: id :: el :: Nil =>
+          respond(ex, 200, "application/json", lineageJson(id, el))
+        case _ =>
+          respond(ex, 404, "text/plain", s"no such page: $path")
+      }
+    } catch {
+      case e: Throwable =>
+        respond(ex, 500, "text/plain", s"error: ${e.getMessage}")
+    }
+  }
+
+  private def respond(ex: HttpExchange, code: Int, ctype: String,
+                      body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", s"$ctype; charset=utf-8")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  private def indexPage(): String = {
+    val rows = q.executions
+      .select(col("execution_id"), col("app_name"), col("start_time"))
+      .orderBy(col("start_time").desc).collect()
+      .map { r =>
+        val id = r.getString(0)
+        s"""<li><a href="/execution/${esc(id)}">${esc(id)}</a> — ${esc(String.valueOf(r.get(1)))} (${esc(String.valueOf(r.get(2)))})</li>"""
+      }
+    s"""<!DOCTYPE html><html><head><title>graft provenance</title></head>
+       |<body><h1>Executions</h1><ul>${rows.mkString("\n")}</ul>
+       |<p>APIs: /api/executions, /api/graph/&lt;id&gt;, /api/lineage/&lt;id&gt;/&lt;elementId&gt;</p>
+       |</body></html>""".stripMargin
+  }
+
+  private def executionsJson(): String = {
+    val rows = q.executions.toJSON.collect()
+    s"[${rows.mkString(",")}]"
+  }
+
+  private def lineageJson(executionId: String, elementId: String): String = {
+    val rows = q.lineageOf(executionId, elementId).toJSON.collect()
+    s"[${rows.mkString(",")}]"
+  }
+}

@@ -1,0 +1,88 @@
+package graft.prov
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The live provenance server must serve the execution index, the
+  * interactive page, and the JSON APIs straight off the parquet store —
+  * and reflect store growth on the next request (the "live" property a
+  * static export can't have).
+  */
+class ProvenanceServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(30000)
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val body = new String(is.readAllBytes(), "UTF-8")
+    is.close()
+    (code, body)
+  }
+
+  test("serves index, execution page, graph and lineage APIs off the store") {
+    val spark2 = spark
+    import spark2.implicits._
+    val store = Files.createTempDirectory("provserver").toString
+    val s = ProvSession.create(spark, "server-app", store)
+    val src = s.parallelize(Seq(1, 2, 3))
+    val mapped = src.map(_ * 10)
+    assert(mapped.collect().sorted == Seq(10, 20, 30))
+    s.close()
+
+    val server = new ProvenanceServer(spark, store)
+    val port = server.start()
+    try {
+      val (ic, index) = get(port, "/")
+      assert(ic == 200 && index.contains(s.executionId) &&
+        index.contains("server-app"))
+
+      val (pc, page) = get(port, s"/execution/${s.executionId}")
+      assert(pc == 200 && page.contains("<!DOCTYPE html>") &&
+        page.contains("taskCanvas"))
+
+      val (ec, execs) = get(port, "/api/executions")
+      assert(ec == 200 && execs.contains(s.executionId))
+
+      val (gc, graph) = get(port, s"/api/graph/${s.executionId}")
+      assert(gc == 200 && graph.contains("\"nodes\"") &&
+        graph.contains("\"links\""))
+      // all 6 elements (3 src + 3 mapped) and the 3 lineage edges
+      assert("\"id\"".r.findAllIn(graph).size == 6, graph)
+      assert("\"source\"".r.findAllIn(graph).size == 3, graph)
+
+      // lineage of a mapped element reaches its source element (the
+      // backward closure lists ANCESTORS, not the element itself)
+      val q = new ProvenanceQueries(spark, store)
+      val row = q.producedBy(s.executionId, mapped.task.id).collect().head
+      val mappedEl = row.getAs[String]("element_id")
+      val depEl = row.getAs[scala.collection.Seq[String]]("deps").head
+      val (lc, lineage) = get(port, s"/api/lineage/${s.executionId}/$mappedEl")
+      assert(lc == 200 && lineage.contains(depEl), lineage)
+
+      assert(get(port, "/nope")._1 == 404)
+
+      // LIVE: a second execution appended to the same store shows up
+      // on the next index request, no restart
+      val s2 = ProvSession.create(spark, "server-app-2", store)
+      s2.parallelize(Seq(9)).map(_ + 1).collect()
+      s2.close()
+      val (_, index2) = get(port, "/")
+      assert(index2.contains(s2.executionId) && index2.contains(s.executionId))
+    } finally server.stop()
+  }
+}
