@@ -145,7 +145,69 @@ object EventsQueries {
            |GROUP BY p.event_id, p.user_id
            |ORDER BY p.event_id""".stripMargin))
 
+  /** Ordered funnel conversion (view → click-after-view →
+    * purchase-after-click), the product-analytics staple: each stage's
+    * timestamp must strictly follow the previous stage's FIRST
+    * occurrence for that user. Emits one row per user with the stage
+    * reached (0–3) and the per-stage timestamps. Scale shape: three
+    * min-aggregations keyed by user_id with co-partitioned stage-to-
+    * stage joins (AQE reuses the user_id partitioning; no windows, no
+    * per-user sorting) — at 100 TB this is three map-side-combinable
+    * aggs over the event stream, state O(users).
+    */
+  val q66EventFunnel = QueryDef(
+    "q66_event_funnel",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val users = e.select(col("user_id")).distinct()
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click").alias("e")
+        .join(v.alias("v"), col("e.user_id") === col("v.user_id") &&
+          col("e.ts") > col("v.t_view"))
+        .groupBy(col("e.user_id").as("user_id"))
+        .agg(min(col("e.ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase").alias("e")
+        .join(c.alias("c"), col("e.user_id") === col("c.user_id") &&
+          col("e.ts") > col("c.t_click"))
+        .groupBy(col("e.user_id").as("user_id"))
+        .agg(min(col("e.ts")).as("t_purchase"))
+      users.join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1)
+            .otherwise(0)).cast("int").as("stage"),
+          col("t_view"), col("t_click"), col("t_purchase"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH users AS (SELECT DISTINCT user_id FROM events),
+           |v AS (
+           |  SELECT user_id, min(ts) AS t_view FROM events
+           |  WHERE event_type = 'view' GROUP BY 1),
+           |c AS (
+           |  SELECT e.user_id, min(e.ts) AS t_click
+           |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+           |  WHERE e.event_type = 'click' GROUP BY 1),
+           |p AS (
+           |  SELECT e.user_id, min(e.ts) AS t_purchase
+           |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+           |  WHERE e.event_type = 'purchase' GROUP BY 1)
+           |SELECT u.user_id,
+           |  CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+           |       WHEN c.t_click IS NOT NULL THEN 2
+           |       WHEN v.t_view IS NOT NULL THEN 1
+           |       ELSE 0 END AS INT) AS stage,
+           |  v.t_view, c.t_click, p.t_purchase
+           |FROM users u
+           |LEFT JOIN v ON u.user_id = v.user_id
+           |LEFT JOIN c ON u.user_id = c.user_id
+           |LEFT JOIN p ON u.user_id = p.user_id
+           |ORDER BY u.user_id""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q26CountByValue, q28EventsHourly, q29JsonExtract, q37Sessionize,
-      q56AsofAttribution, q57RangeErrorProximity)
+      q56AsofAttribution, q57RangeErrorProximity, q66EventFunnel)
 }

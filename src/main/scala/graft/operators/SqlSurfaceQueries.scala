@@ -357,9 +357,57 @@ object SqlSurfaceQueries {
            |      AND l2.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'))
            |ORDER BY s_suppkey""".stripMargin))
 
+  /** TPC-H Q7 shape ("volume shipping"): bidirectional nation-pair
+    * revenue by ship year — a five-table join where BOTH endpoint
+    * dimensions filter (supplier's nation and customer's nation, in
+    * either direction). The Spark plan broadcasts the two tiny filtered
+    * nation sides into the supplier/customer dims and lets the two fact
+    * joins (lineitem⋈orders) shuffle on their keys; the disjunctive
+    * nation-pair predicate is applied after both dims resolve —
+    * Catalyst pushes each branch's equality down its own side. Revenue
+    * uses the engine-shared round(sum(price·(1−disc)), 2) protocol of
+    * q03/q05.
+    */
+  val q65NationVolume = QueryDef(
+    "q65_nation_volume",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+        .filter(col("supp_nation").isin("NATION_18", "NATION_19"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+        .filter(col("cust_nation").isin("NATION_18", "NATION_19"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           |  year(l_shipdate) AS l_year,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           |WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+           |  AND n2.n_name IN ('NATION_18', 'NATION_19')
+           |  AND n1.n_name <> n2.n_name
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q44SqlSurface, q45MinPerGroup, q46OrderPriority, q47BandJoin,
       q51ValueFraction, q52LostCustomers, q60SoleLateSupplier,
       q61PriorityDivision, q62ColdCustomers, q63LargeVolumeCustomers,
-      q64DominantSuppliers)
+      q64DominantSuppliers, q65NationVolume)
 }
