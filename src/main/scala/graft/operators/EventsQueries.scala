@@ -207,7 +207,39 @@ object EventsQueries {
            |LEFT JOIN p ON u.user_id = p.user_id
            |ORDER BY u.user_id""".stripMargin))
 
+  /** Latest/earliest event per user via `max_by`/`min_by` (DuckDB
+    * `arg_max`/`arg_min`) — the CDC keep-newest-version pattern done as
+    * ONE map-side-combinable aggregation instead of the window-rank
+    * formulation (which must sort every user's events; max_by keeps a
+    * single running champion per group — the shape that wins at 100 TB).
+    * (user_id, ts) pairs are unique in the data, so the champions are
+    * deterministic.
+    */
+  val q67LatestPerUser = QueryDef(
+    "q67_latest_per_user",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("ts")).as("last_ts"),
+          max_by(col("event_type"), col("ts")).as("last_type"),
+          round(max_by(col("value"), col("ts")), 4).as("last_value"),
+          min(col("ts")).as("first_ts"),
+          min_by(col("event_type"), col("ts")).as("first_type"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+           |  max(ts) AS last_ts,
+           |  arg_max(event_type, ts) AS last_type,
+           |  round(arg_max("value", ts), 4) AS last_value,
+           |  min(ts) AS first_ts,
+           |  arg_min(event_type, ts) AS first_type,
+           |  count(*) AS n_events
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q26CountByValue, q28EventsHourly, q29JsonExtract, q37Sessionize,
-      q56AsofAttribution, q57RangeErrorProximity, q66EventFunnel)
+      q56AsofAttribution, q57RangeErrorProximity, q66EventFunnel,
+      q67LatestPerUser)
 }
