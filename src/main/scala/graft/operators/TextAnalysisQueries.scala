@@ -603,8 +603,12 @@ object TextAnalysisQueries {
     * five document-local rules — minimum length, sane mean token length,
     * low symbol ratio, bounded top-unigram repetition, contains an
     * English stopword — combined into a bitmask plus the final keep
-    * verdict. Everything is a projection over one scan plus one per-doc
-    * unigram count (map-side combinable): the filter composition a real
+    * verdict. Every rule INCLUDING the top-unigram count evaluates
+    * per-row with higher-order array functions (the d11 technique:
+    * `array_max(transform(array_distinct(toks), t -> size(filter(toks,
+    * x -> x = t))))`), so the whole filter is ONE zero-shuffle
+    * projection over one scan — no explode, no doc_id shuffle; the only
+    * exchange is the gate's output sort. The filter composition a real
     * pipeline runs FIRST, before any pairwise dedup.
     */
   val t15C4Filter = QueryDef(
@@ -616,20 +620,17 @@ object TextAnalysisQueries {
         (length(col("text")) -
           length(regexp_replace(col("text"), lit("[^a-z0-9 ]"), lit(""))))
           .cast("double") / length(col("text"))
-      val topUni = Tables.documents(s, d)
-        .select(col("doc_id"), size(split(col("text"), " ")).as("n"),
-          explode(split(col("text"), " ")).as("tok"))
-        .groupBy(col("doc_id"), col("n"), col("tok"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg((max(col("c")) / max(col("n")).cast("double")).as("top_uni"))
       Tables.documents(s, d)
+        .withColumn("toksArr", split(col("text"), " "))
+        .withColumn("top_uni",
+          expr("array_max(transform(array_distinct(toksArr), " +
+            "t -> size(filter(toksArr, x -> x = t))))").cast("double")
+            / size(col("toksArr")))
         .withColumn("r_len", toks >= 50)
         .withColumn("r_mean", meanLen >= 3 && meanLen <= 10)
         .withColumn("r_sym", symbolRatio < 0.1)
         .withColumn("r_stop",
           col("text").rlike("(^| )(the|and|of|a)( |$)"))
-        .join(topUni, "doc_id")
         .withColumn("r_rep", col("top_uni") < 0.2)
         .select(col("doc_id"),
           (when(col("r_len"), 1).otherwise(0) +

@@ -126,6 +126,11 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d11 = DedupQueries.d11IntraDocDedup.fn(spark, d)
     assert(countShuffles(d11) == 1,
       s"d11 must shuffle only for the output sort:\n${d11.queryExecution.executedPlan}")
+    // t15: since the round-4 rewrite the top-unigram rule evaluates
+    // per-row too, so the whole filter is one projection + the sort
+    val t15 = TextAnalysisQueries.t15C4Filter.fn(spark, d)
+    assert(countShuffles(t15) == 1,
+      s"t15 must shuffle only for the output sort:\n${t15.queryExecution.executedPlan}")
     // t19: the CMS aggregate must partial-aggregate (map-side combine) —
     // the property that makes it one tiny buffer per partition at 100 TB
     val t19 = TextAnalysisQueries.t19HeavyHittersCms.fn(spark, d)
