@@ -340,6 +340,78 @@ object MultimodalQueries {
            |       CAST(max(abs(s)) AS BIGINT) AS peak
            |FROM smp GROUP BY media_id ORDER BY media_id""".stripMargin))
 
+  /** Decode + RESIZE: each PNG payload is decoded with the real codec,
+    * then 2× nearest-neighbor downsampled — out(x', y') = in(2x', 2y'),
+    * the explicit index mapping that IS nearest-neighbor decimation
+    * (spelled out rather than routed through AffineTransformOp, whose
+    * sub-pixel rounding is implementation-defined and would make the
+    * gate engine-dependent) — and per-channel means of the RESIZED
+    * image are emitted. The oracle recomputes from the generation
+    * formula at even coordinates only, so a defect in decode, the
+    * coordinate mapping, or the output dimensions fails the hash.
+    * Completes the brief's multimodal quartet: decode (mm02), resize
+    * (mm05), frame-sample (mm03), audio (mm04). Same batched
+    * per-partition shape as the rest — scales as a linear pass.
+    */
+  val mm05ResizeFeatures = QueryDef(
+    "mm05_resize_features",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, syntheticPng(id))))
+        .toDF("media_id", "payload")
+        .as[(Long, Array[Byte])]
+      media.mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          val ow = (img.getWidth + 1) / 2
+          val oh = (img.getHeight + 1) / 2
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) {
+              val rgb = img.getRGB(2 * x, 2 * y)
+              sr += (rgb >> 16) & 0xFF
+              sg += (rgb >> 8) & 0xFF
+              sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = (ow * oh).toDouble
+          (id, ow, oh, sr / n, sg / n, sb / n)
+        }
+      }.toDF("media_id", "out_w", "out_h", "mean_r", "mean_g", "mean_b")
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id AS media_id,
+           |         8 + (doc_id % 24) AS w,
+           |         8 + ((doc_id * 7) % 24) AS h
+           |  FROM documents),
+           |dims AS (
+           |  SELECT media_id, w, h,
+           |         CAST((w + 1) // 2 AS INT) AS ow,
+           |         CAST((h + 1) // 2 AS INT) AS oh
+           |  FROM base),
+           |px AS (
+           |  SELECT media_id, ow, oh,
+           |         (media_id + 3 * (2 * x) + 5 * (2 * y)) % 256 AS r,
+           |         (2 * media_id + 7 * (2 * x) + 11 * (2 * y)) % 256 AS g,
+           |         (3 * media_id + 13 * (2 * x) + 17 * (2 * y)) % 256 AS b
+           |  FROM dims,
+           |       LATERAL unnest(generate_series(0, ow - 1)) AS tx(x),
+           |       LATERAL unnest(generate_series(0, oh - 1)) AS ty(y))
+           |SELECT media_id, max(ow) AS out_w, max(oh) AS out_h,
+           |       CAST(sum(r) AS DOUBLE) / (max(ow) * max(oh)) AS mean_r,
+           |       CAST(sum(g) AS DOUBLE) / (max(ow) * max(oh)) AS mean_g,
+           |       CAST(sum(b) AS DOUBLE) / (max(ow) * max(oh)) AS mean_b
+           |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(mm01MediaTable, mm02DecodeFeatures,
-    mm03FrameSample, mm04AudioFeatures)
+    mm03FrameSample, mm04AudioFeatures, mm05ResizeFeatures)
 }
