@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * namespaces, then times the scale-path operators (d04 MinHash-LSH,
   * d05 SimHash, e03 LSH ANN, e05 IVF ANN, d10 segment dedup, t11
   * sequence packing, t13 TF-IDF, e08 int8 quantization, e07 capped
-  * SemDeDup, e09 PQ ANN, t17 unigram perplexity, t18 per-source KL) at 1× and
+  * SemDeDup, e09 PQ ANN, t17 unigram perplexity, t18 per-source KL,
+  * d11 intra-doc dedup, t19 CMS heavy hitters) at 1× and
   * 10×, printing one JSON line with per-query x1/x10/ratio. The
   * `r{i}_` token prefix below is load-bearing for d10/t13 too: it
   * keeps 10-token segments and terms replica-disjoint, so the keeper

@@ -49,7 +49,12 @@ case class CountMinAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val hp = v.asInstanceOf[Long] // caller reduces into [0, prime)
+      val hp = v.asInstanceOf[Long]
+      // enforce the pre-reduced contract: a raw 60-bit hash would
+      // overflow hp*a and silently write row i's increment into row
+      // i-1's counters — corrupting the sketch instead of failing fast
+      require(hp >= 0 && hp < prime,
+        s"count_min input must be pre-reduced into [0, $prime); got $hp")
       val (a, b) = coefs
       var i = 0
       while (i < depth) {

@@ -59,28 +59,34 @@ object DedupQueries {
   def invalidateClusterLabels(s: SparkSession, dir: String): Unit =
     clusterMemo.synchronized { clusterMemo.remove((s, dir)); () }
 
-  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame =
-    clusterMemo.synchronized {
-      val key = (s, d)
-      Option(clusterMemo.get(key)).getOrElse {
-        val sh = shingles(s, d).cache()
-        val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val a = sh.select(col("doc_id").as("da"), col("s"))
-        val b = sh.select(col("doc_id").as("db"), col("s"))
-        val pairs = a.join(b, Seq("s")).filter(col("da") < col("db"))
-          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-          .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-          .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-          .filter(round(col("c") / (col("na") + col("nb") - col("c")), 4) >= 0.5)
-          .select(col("da"), col("db")).cache()
-        val labels = ConnectedComponents.run(pairs).labels
-          .select(col("doc_id"), col("label").as("canonical_id"))
-        sh.unpersist()
-        pairs.unpersist()
-        clusterMemo.put(key, labels)
-        labels
-      }
+  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val key = (s, d)
+    // check-compute-put with the COMPUTE outside the monitor: the label
+    // run is minutes of Spark jobs, and holding the lock through it
+    // would serialize unrelated dirs and block invalidation (the old
+    // computeIfAbsent held its bin lock just the same). A concurrent
+    // duplicate compute for the SAME dir is possible and harmless —
+    // both produce identical labels, last put wins.
+    val cached = clusterMemo.synchronized(Option(clusterMemo.get(key)))
+    cached.getOrElse {
+      val sh = shingles(s, d).cache()
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("da"), col("s"))
+      val b = sh.select(col("doc_id").as("db"), col("s"))
+      val pairs = a.join(b, Seq("s")).filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+        .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        .filter(round(col("c") / (col("na") + col("nb") - col("c")), 4) >= 0.5)
+        .select(col("da"), col("db")).cache()
+      val labels = ConnectedComponents.run(pairs).labels
+        .select(col("doc_id"), col("label").as("canonical_id"))
+      sh.unpersist()
+      pairs.unpersist()
+      clusterMemo.synchronized(clusterMemo.put(key, labels))
+      labels
     }
+  }
 
   private[graft] val shinglesSql =
     """words AS (SELECT doc_id, string_split(text, ' ') w

@@ -29,18 +29,29 @@ object QueryDef {
     * calling them on a big input. Inputs above
     * `spark.graft.quadraticMaxRows` (default 50 000) now throw with a
     * pointer at the scale-path equivalent unless the caller explicitly
-    * sets `spark.graft.allowQuadratic=true`. The guard costs one
-    * metadata-only count on the base table at plan-build time — noise
-    * next to the O(n²) job it fences.
+    * sets `spark.graft.allowQuadratic=true`. The guard costs one count
+    * JOB on the base table at plan-build time (for a plain parquet scan
+    * it reduces to footer row-counts) — noise next to the O(n²) job it
+    * fences, and the opt-in conf skips even that.
     */
   private[operators] def requireQuadraticOptIn(
       base: DataFrame, op: String, scalePath: String): DataFrame = {
     val conf = base.sparkSession.conf
+    def parsed[T](key: String, parse: String => T, kind: String): Option[T] =
+      conf.getOption(key).map { v =>
+        try parse(v) catch {
+          case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"$key must be a $kind; got '$v'")
+        }
+      }
     val allow =
-      conf.getOption("spark.graft.allowQuadratic").exists(_.toBoolean)
+      parsed("spark.graft.allowQuadratic", _.toBoolean, "boolean")
+        .getOrElse(false)
     if (!allow) {
-      val maxRows = conf.getOption("spark.graft.quadraticMaxRows")
-        .map(_.toLong).getOrElse(50000L)
+      val maxRows =
+        parsed("spark.graft.quadraticMaxRows", _.toLong, "long")
+          .getOrElse(50000L)
       val n = base.count()
       require(n <= maxRows,
         s"$op is an exact quadratic baseline (O(n^2) pairs) guarded above " +

@@ -437,7 +437,12 @@ object SimilarityQueries {
     (s, d) => {
       val tau = 0.4 // same near-dup bar as e02, now per-cell
       val e = Tables.embeddings(s, d)
-      val assigned = assignCells(e, labelCentroids(e))
+      // cache: the verdict core references the assignment subtree four
+      // times (cell count, both self-join sides, final left join) and
+      // the assign step is the expensive part (centroid agg + window);
+      // released by the harness's clearCache / session end, not at
+      // plan-build time (the e09 lesson)
+      val assigned = assignCells(e, labelCentroids(e)).cache()
       semanticDedupVerdicts(assigned, tau, cap = 1000)
         .orderBy(col("vec_id"))
     },

@@ -30,15 +30,22 @@ import org.apache.spark.sql.functions._
   * an operator console, not a serving tier.
   */
 final class ProvenanceServer(spark: SparkSession, storeDir: String,
-                             port: Int = 0) {
+                             port: Int = 0,
+                             bindAddress: java.net.InetAddress =
+                               java.net.InetAddress.getLoopbackAddress) {
 
   private val q = new ProvenanceQueries(spark, storeDir)
   private var server: HttpServer = _
 
-  /** Start serving; returns the bound port (ephemeral when port=0). */
+  /** Start serving; returns the bound port (ephemeral when port=0).
+    * Binds LOOPBACK by default — element values are real row data and
+    * there is no auth layer; exposing beyond the host (pass an explicit
+    * `bindAddress`) is an operator's deliberate choice, e.g. behind an
+    * authenticating proxy.
+    */
   def start(): Int = synchronized {
     require(server == null, "server already started")
-    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server = HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
     server.createContext("/", handler)
     server.setExecutor(null) // serial — an operator console, not a tier
     server.start()
