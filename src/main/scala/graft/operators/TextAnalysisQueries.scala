@@ -622,9 +622,19 @@ object TextAnalysisQueries {
           .cast("double") / length(col("text"))
       Tables.documents(s, d)
         .withColumn("toksArr", split(col("text"), " "))
+        // max multiplicity = longest run in the SORTED token array: one
+        // O(n log n) sort + one linear aggregate pass, instead of the
+        // O(distinct·n) filter-per-distinct-token form whose nested
+        // lambdas allocate a fresh array per token (higher-order
+        // functions don't codegen, so allocation count is the cost
+        // driver)
         .withColumn("top_uni",
-          expr("array_max(transform(array_distinct(toksArr), " +
-            "t -> size(filter(toksArr, x -> x = t))))").cast("double")
+          expr("aggregate(array_sort(toksArr), " +
+            "struct('' AS prev, 0 AS run, 0 AS best), " +
+            "(acc, x) -> struct(x AS prev, " +
+            "  IF(x = acc.prev, acc.run + 1, 1) AS run, " +
+            "  GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, 1)) AS best), " +
+            "acc -> acc.best)").cast("double")
             / size(col("toksArr")))
         .withColumn("r_len", toks >= 50)
         .withColumn("r_mean", meanLen >= 3 && meanLen <= 10)
