@@ -238,8 +238,55 @@ object EventsQueries {
            |  count(*) AS n_events
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** Hourly gap-filled rollup: the q28 hourly aggregate joined against
+    * a GENERATED (event_type × hour) spine covering the corpus's full
+    * time range, so empty hours appear as explicit zero rows — the
+    * resample/densify step every downstream time-series consumer
+    * (charting, anomaly detection, rate-limiting) needs. Scale shape:
+    * the spine derives from a two-column broadcast (global min/max hour
+    * + distinct types, both tiny aggregates) and `sequence()` explodes
+    * it executor-side — the spine is never driver-materialized; the
+    * left join is spine-side small (hours × types) against the hourly
+    * aggregate, both keyed identically.
+    */
+  val q68HourlyGapfill = QueryDef(
+    "q68_hourly_gapfill",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val hourly = e.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      val range = e.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val spine = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(range))
+        .select(col("event_type"),
+          explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      spine.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy(col("event_type"), col("h"))
+    },
+    Some("""WITH hourly AS (
+           |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+           |    round(sum("value"), 2) AS sum_value
+           |  FROM events GROUP BY 1, 2),
+           |rng AS (
+           |  SELECT date_trunc('hour', min(ts)) AS lo,
+           |         date_trunc('hour', max(ts)) AS hi
+           |  FROM events),
+           |types AS (SELECT DISTINCT event_type FROM events),
+           |spine AS (
+           |  SELECT t.event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+           |  FROM types t, rng)
+           |SELECT s.event_type, s.h, coalesce(n, 0) AS n,
+           |  coalesce(sum_value, 0.0) AS sum_value
+           |FROM spine s LEFT JOIN hourly USING (event_type, h)
+           |ORDER BY event_type, h""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q26CountByValue, q28EventsHourly, q29JsonExtract, q37Sessionize,
       q56AsofAttribution, q57RangeErrorProximity, q66EventFunnel,
-      q67LatestPerUser)
+      q67LatestPerUser, q68HourlyGapfill)
 }
