@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming document transforms — the streaming counterparts of the
+  * batch dedup surface, with state bounded by the watermark (the only
+  * form of dedup state that survives an unbounded stream).
+  */
+object DocStreams {
+
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  /** One (document, band) hit from [[nearDupCandidates]]: `first_doc`
+    * is the document that first claimed this MinHash band bucket within
+    * the watermark horizon; `is_dup_candidate` marks a later document
+    * hashing into the same bucket — d04's candidate-pair semantics,
+    * streamed. A document flagged in ≥1 band is a near-dup CANDIDATE;
+    * exact verification (d04's `array_intersect` step) stays a batch
+    * join over the flagged minority.
+    */
+  final case class BandHit(doc_id: Long, bkey: String, first_doc: Long,
+                           is_dup_candidate: Boolean)
+
+  /** Keyed state for [[nearDupCandidates]]: the first claimant of a
+    * band bucket and the newest event time seen (drives the timeout).
+    * Public — the encoder's generated code needs a visible constructor.
+    */
+  final case class BucketState(first_doc: Long, last_ms: Long)
+
+  /** Streaming MinHash-LSH near-dup candidate detection — the streaming
+    * counterpart of the batch d04/d09 operators. Each arriving document
+    * computes its 64-hash MinHash signature IN A PROJECTION (the same
+    * shingle definition and `MinHashArray` codegen'd aggregate family as
+    * the batch path, same 16×4 banding), then each band key routes to
+    * keyed state holding only the FIRST document that claimed the
+    * bucket; later arrivals emit candidate hits against it.
+    *
+    * State: one (doc_id, ts) pair per DISTINCT band bucket seen within
+    * the watermark horizon — evicted by EventTimeTimeout as the
+    * watermark passes, so an unbounded stream holds O(buckets per
+    * horizon), never O(corpus). This is exactly the boundedness
+    * trade-off of `dropDuplicatesWithinWatermark`, applied to
+    * LSH-bucket identity instead of exact identity: duplicates farther
+    * apart than the horizon are a batch backfill's job (d04).
+    */
+  def nearDupCandidates(docs: Dataset[Doc],
+                        horizonMinutes: Int = 10): Dataset[BandHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val numHashes = 64
+    val bands = 16
+    val rowsPerBand = numHashes / bands
+    val prime = 2038074743L
+
+    val sigs = docs
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+      .withColumn("sig", graft.functions.MinHashArray.minhash_array(
+        expr("transform(sh, x -> pmod(cast(conv(substr(md5(x), 1, 15)," +
+          s" 16, 10) as bigint), ${prime}L))"),
+        numHashes, 42L, prime))
+    val bandKeys = (0 until bands).map { bnd =>
+      concat_ws(",", lit(bnd) +: (0 until rowsPerBand).map(r =>
+        col("sig").getItem(bnd * rowsPerBand + r)): _*)
+    }
+    val horizonMs = horizonMinutes * 60000L
+
+    sigs
+      .select(col("doc_id"), col("ts"),
+        explode(array(bandKeys: _*)).as("bkey"))
+      .as[(Long, Timestamp, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[BucketState, BandHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (bkey: String, rows: Iterator[(Long, Timestamp, String)],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic within-batch order: the lowest doc_id claims
+            // a fresh bucket (matches d04's min-id candidate orientation)
+            val batch = rows.toSeq.sortBy(_._1)
+            val prev = state.getOption
+            val first = prev.map(_.first_doc)
+              .getOrElse(batch.head._1)
+            val lastMs = math.max(prev.map(_.last_ms).getOrElse(0L),
+              batch.map(_._2.getTime).max)
+            state.update(BucketState(first, lastMs))
+            state.setTimeoutTimestamp(
+              math.max(lastMs + horizonMs, state.getCurrentWatermarkMs() + 1))
+            batch.iterator.map { case (id, _, _) =>
+              BandHit(id, bkey, first, id != first)
+            }
+          }
+      }
+  }
+}
