@@ -729,7 +729,43 @@ object SimilarityQueries {
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
     })
 
+  /** ANN quality evaluation: recall@3 of the IVF index (e05) against
+    * the exact brute-force top-3 (e01), per query — THE metric an ANN
+    * deployment is judged by, expressed as a composition of the two
+    * existing gated pipelines (both the Spark plans and the oracle SQL
+    * compose verbatim, so the recall gate inherits their determinism
+    * end-to-end: if either pipeline drifts, this hash flips too). At
+    * scale this is an evaluation harness run on a sampled query set —
+    * the expensive exact side only ever runs over the sample.
+    */
+  val e10AnnRecall = QueryDef(
+    "e10_ann_recall",
+    (s, d) => {
+      val ivf3 = e05AnnIvf.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact3 = e01KnnBruteForce.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+      ivf3.join(exact3,
+          col("query_id") === col("eq") && col("neighbor_id") === col("en"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("en")).as("n_matched"),
+          round(count(col("en")) / 3.0, 4).as("recall3"))
+        .orderBy(col("query_id"))
+    },
+    Some(
+      s"""WITH ivf_full AS (${e05AnnIvf.oracle.get}),
+         |exact_full AS (${e01KnnBruteForce.oracle.get}),
+         |i AS (SELECT query_id, neighbor_id FROM ivf_full WHERE rank <= 3),
+         |e AS (SELECT query_id, neighbor_id FROM exact_full WHERE rank <= 3)
+         |SELECT i.query_id, count(e.neighbor_id) AS n_matched,
+         |  round(count(e.neighbor_id) / 3.0, 4) AS recall3
+         |FROM i LEFT JOIN e
+         |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     e01KnnBruteForce, e02CosineNearDup, e03AnnLsh, e04LabelCentroids,
-    e05AnnIvf, e06AnnIvfKmeans, e07SemanticDedup, e08Int8Quant, e09AnnPq)
+    e05AnnIvf, e06AnnIvfKmeans, e07SemanticDedup, e08Int8Quant, e09AnnPq,
+    e10AnnRecall)
 }
