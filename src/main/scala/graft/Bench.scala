@@ -90,12 +90,16 @@ object Bench {
     val results = headline.map { n =>
       val times = (1 to nRuns).map(_ => runOnce(n)).filter(_ >= 0)
       if (times.isEmpty) n -> (-1.0, -1.0)
-      else n -> (times.min, (times.max - times.min) / times.min)
+      else n -> (times.min,
+        if (times.min == 0.0) 0.0 else (times.max - times.min) / times.min)
     }
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Locale.ROOT: the f-interpolator honors the default JVM locale, and a
+    // comma-decimal locale would emit invalid JSON ("0,123")
     val spreads = results.map { case (k, (_, s)) =>
-      f""""$k":$s%.3f"""
+      "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,"agg":"min","load_1m":$startLoad,"queries":$qs,"rel_spread":$spreads,"sf":"$sfDir"}""")

@@ -51,13 +51,48 @@ object DedupQueries {
           e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
         size() > maxMemoEntries
     }
+  // Per-key generation, bumped by invalidateClusterLabels: a compute that
+  // was already in flight when an invalidation arrived must NOT re-insert
+  // labels derived from the pre-invalidation data, so the put is gated on
+  // the generation observed before the compute started.
+  private val memoGen =
+    new java.util.HashMap[(SparkSession, String), java.lang.Long]()
+  private def genOf(key: (SparkSession, String)): Long =
+    Option(memoGen.get(key)).map(_.longValue).getOrElse(0L)
+
+  /** Observe the current generation for (s, dir) — pair with
+    * [[putLabelsIfCurrent]]; package-private so ClusterMemoSpec can
+    * exercise the invalidate-during-compute race deterministically.
+    */
+  private[operators] def labelGeneration(s: SparkSession, dir: String): Long =
+    clusterMemo.synchronized(genOf((s, dir)))
+
+  /** Insert computed labels only if no invalidation happened since
+    * `startGen` was observed; returns whether the put happened.
+    */
+  private[operators] def putLabelsIfCurrent(s: SparkSession, dir: String,
+                                            startGen: Long,
+                                            labels: DataFrame): Boolean =
+    clusterMemo.synchronized {
+      val key = (s, dir)
+      val ok = genOf(key) == startGen
+      if (ok) clusterMemo.put(key, labels)
+      ok
+    }
 
   /** Drop the memoized cluster labels for `dir` (e.g. after rewriting
     * its documents); the next d06/d07 call recomputes from the current
-    * data. No-op if nothing is memoized.
+    * data. No-op if nothing is memoized. Any label computation in flight
+    * at the moment of invalidation is discarded rather than cached (it
+    * may have read the old data).
     */
   def invalidateClusterLabels(s: SparkSession, dir: String): Unit =
-    clusterMemo.synchronized { clusterMemo.remove((s, dir)); () }
+    clusterMemo.synchronized {
+      val key = (s, dir)
+      clusterMemo.remove(key)
+      memoGen.put(key, java.lang.Long.valueOf(genOf(key) + 1L))
+      ()
+    }
 
   private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val key = (s, d)
@@ -66,8 +101,10 @@ object DedupQueries {
     // would serialize unrelated dirs and block invalidation (the old
     // computeIfAbsent held its bin lock just the same). A concurrent
     // duplicate compute for the SAME dir is possible and harmless —
-    // both produce identical labels, last put wins.
-    val cached = clusterMemo.synchronized(Option(clusterMemo.get(key)))
+    // both produce identical labels, last put wins. Correctness under
+    // invalidation comes from the generation check at put time.
+    val (cached, startGen) = clusterMemo.synchronized(
+      (Option(clusterMemo.get(key)), genOf(key)))
     cached.getOrElse {
       val sh = shingles(s, d).cache()
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -83,7 +120,7 @@ object DedupQueries {
         .select(col("doc_id"), col("label").as("canonical_id"))
       sh.unpersist()
       pairs.unpersist()
-      clusterMemo.synchronized(clusterMemo.put(key, labels))
+      putLabelsIfCurrent(s, d, startGen, labels)
       labels
     }
   }

@@ -23,6 +23,7 @@ import org.apache.spark.sql.functions._
   *   - `/api/executions` — executions as JSON
   *   - `/api/graph/<id>` — full element graph `{nodes, links}` (DataElementAPICtrl)
   *   - `/api/lineage/<id>/<elementId>` — backward closure of one element
+  *   - `/api/taskgraph/<id>` — prospective task DAG (TaskAPICtrl.kt:22-36)
   *
   * Scale note: requests run driver-side Spark jobs over the store —
   * the provenance store is orders of magnitude smaller than the data
@@ -70,12 +71,19 @@ final class ProvenanceServer(spark: SparkSession, storeDir: String,
           respond(ex, 200, "application/json", q.jsonGraph(id))
         case "api" :: "lineage" :: id :: el :: Nil =>
           respond(ex, 200, "application/json", lineageJson(id, el))
+        case "api" :: "taskgraph" :: id :: Nil =>
+          respond(ex, 200, "application/json", taskGraphJson(id))
         case _ =>
           respond(ex, 404, "text/plain", s"no such page: $path")
       }
     } catch {
-      case e: Throwable =>
-        respond(ex, 500, "text/plain", s"error: ${e.getMessage}")
+      // NonFatal only — a VM error (OOM, stack overflow) must propagate,
+      // not be swallowed into a 500; getMessage can be null (NPE etc.),
+      // so fall back to toString, and keep a server-side trace
+      case scala.util.control.NonFatal(e) =>
+        e.printStackTrace()
+        val msg = Option(e.getMessage).getOrElse(e.toString)
+        respond(ex, 500, "text/plain", s"error: $msg")
     }
   }
 
@@ -102,7 +110,7 @@ final class ProvenanceServer(spark: SparkSession, storeDir: String,
       }
     s"""<!DOCTYPE html><html><head><title>graft provenance</title></head>
        |<body><h1>Executions</h1><ul>${rows.mkString("\n")}</ul>
-       |<p>APIs: /api/executions, /api/graph/&lt;id&gt;, /api/lineage/&lt;id&gt;/&lt;elementId&gt;</p>
+       |<p>APIs: /api/executions, /api/graph/&lt;id&gt;, /api/lineage/&lt;id&gt;/&lt;elementId&gt;, /api/taskgraph/&lt;id&gt;</p>
        |</body></html>""".stripMargin
   }
 
@@ -114,5 +122,16 @@ final class ProvenanceServer(spark: SparkSession, storeDir: String,
   private def lineageJson(executionId: String, elementId: String): String = {
     val rows = q.lineageOf(executionId, elementId).toJSON.collect()
     s"[${rows.mkString(",")}]"
+  }
+
+  /** Prospective task DAG as `{nodes, links}` — the reference serves the
+    * same shape from TaskAPICtrl.kt:22-36; rows come straight from
+    * [[ProvenanceQueries.taskGraph]] (kind=task → nodes, kind=edge →
+    * links).
+    */
+  private def taskGraphJson(executionId: String): String = {
+    val rows = q.taskGraph(executionId).toJSON.collect()
+    val (nodes, links) = rows.partition(_.contains(""""kind":"task""""))
+    s"""{"nodes":[${nodes.mkString(",")}],"links":[${links.mkString(",")}]}"""
   }
 }

@@ -25,11 +25,14 @@ object DocStreams {
   final case class BandHit(doc_id: Long, bkey: String, first_doc: Long,
                            is_dup_candidate: Boolean)
 
-  /** Keyed state for [[nearDupCandidates]]: the first claimant of a
-    * band bucket and the newest event time seen (drives the timeout).
-    * Public — the encoder's generated code needs a visible constructor.
+  /** Keyed state for [[nearDupCandidates]]: the current claimant of a
+    * band bucket, the claimant's own event time (so a claimant older
+    * than the horizon can be demoted — a continuously-hot bucket must
+    * not pin its original claimant forever), and the newest event time
+    * seen (drives the timeout). Public — the encoder's generated code
+    * needs a visible constructor.
     */
-  final case class BucketState(first_doc: Long, last_ms: Long)
+  final case class BucketState(first_doc: Long, first_ms: Long, last_ms: Long)
 
   /** Streaming MinHash-LSH near-dup candidate detection — the streaming
     * counterpart of the batch d04/d09 operators. Each arriving document
@@ -88,12 +91,20 @@ object DocStreams {
             // deterministic within-batch order: the lowest doc_id claims
             // a fresh bucket (matches d04's min-id candidate orientation)
             val batch = rows.toSeq.sortBy(_._1)
+            val newestMs = batch.map(_._2.getTime).max
+            // a claimant whose own event time has aged past the horizon
+            // (relative to the newest arrival) is demoted, so a
+            // continuously-hot bucket can't pin candidates against an
+            // arbitrarily old first_doc — "first claimant WITHIN the
+            // horizon" holds even when re-armed timeouts keep the state
             val prev = state.getOption
-            val first = prev.map(_.first_doc)
-              .getOrElse(batch.head._1)
-            val lastMs = math.max(prev.map(_.last_ms).getOrElse(0L),
-              batch.map(_._2.getTime).max)
-            state.update(BucketState(first, lastMs))
+              .filter(_.first_ms >= newestMs - horizonMs)
+            val (first, firstMs) = prev
+              .map(p => (p.first_doc, p.first_ms))
+              .getOrElse((batch.head._1, batch.head._2.getTime))
+            val lastMs = math.max(
+              state.getOption.map(_.last_ms).getOrElse(0L), newestMs)
+            state.update(BucketState(first, firstMs, lastMs))
             state.setTimeoutTimestamp(
               math.max(lastMs + horizonMs, state.getCurrentWatermarkMs() + 1))
             batch.iterator.map { case (id, _, _) =>

@@ -67,4 +67,22 @@ class ClusterMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DedupQueries.clusterLabels(spark, dirB) eq
       DedupQueries.clusterLabels(spark, dirB))
   }
+
+  test("a compute in flight across an invalidation does not re-insert stale labels") {
+    val dir = Files.createTempDirectory("memoGen").toString
+    writeDocs(dir, Seq((1L, "alpha beta gamma delta epsilon zeta")))
+
+    // replay the race deterministically: a compute observes the
+    // generation, the dir is invalidated mid-compute, then the compute
+    // tries to put — the put must be refused, so the NEXT call
+    // recomputes from post-invalidation data as documented
+    val genBefore = DedupQueries.labelGeneration(spark, dir)
+    val staleLabels = DedupQueries.clusterLabels(spark, dir) // any frame works
+    DedupQueries.invalidateClusterLabels(spark, dir)
+    assert(!DedupQueries.putLabelsIfCurrent(spark, dir, genBefore, staleLabels),
+      "stale put accepted after invalidation")
+    // fresh compute at the CURRENT generation is accepted and memoized
+    val l1 = DedupQueries.clusterLabels(spark, dir)
+    assert(l1 eq DedupQueries.clusterLabels(spark, dir))
+  }
 }

@@ -74,6 +74,15 @@ class ProvenanceServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (lc, lineage) = get(port, s"/api/lineage/${s.executionId}/$mappedEl")
       assert(lc == 200 && lineage.contains(depEl), lineage)
 
+      // prospective task DAG (reference TaskAPICtrl.kt:22-36): the two
+      // tasks as nodes, the map→parallelize dependency as a link
+      val (tc, tgraph) = get(port, s"/api/taskgraph/${s.executionId}")
+      assert(tc == 200 && tgraph.contains("\"nodes\"") &&
+        tgraph.contains("\"links\""), tgraph)
+      assert(tgraph.contains(src.task.id) && tgraph.contains(mapped.task.id))
+      assert("\"kind\":\"task\"".r.findAllIn(tgraph).size == 2, tgraph)
+      assert("\"kind\":\"edge\"".r.findAllIn(tgraph).size == 1, tgraph)
+
       assert(get(port, "/nope")._1 == 404)
 
       // LIVE: a second execution appended to the same store shows up

@@ -62,4 +62,43 @@ class DocStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and never against the unrelated doc
     assert(!hits.exists(h => h._1 == 3L && h._2 == 2L && h._3))
   }
+
+  test("hot bucket demotes a claimant older than the horizon") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    def at(min: Int) = Timestamp.valueOf(f"2026-01-01 ${9 + min / 60}%02d:${min % 60}%02d:00")
+
+    val stream = MemoryStream[Doc]
+    val q = DocStreams.nearDupCandidates(stream.toDS(), horizonMinutes = 10)
+      .writeStream.format("memory").queryName("neardup_hot")
+      .outputMode(OutputMode.Append())
+      .start()
+    // doc 1 claims at t=0; doc 2 keeps the bucket hot at t=8 (within
+    // horizon of doc 1 → flagged against 1, state re-armed); doc 3 at
+    // t=25 is > 10 min past BOTH doc 1's and doc 2's event times, so even
+    // though the re-armed timeout kept the state alive, the aged claimant
+    // is demoted and doc 3 claims fresh — never reported against a
+    // first_doc outside its own horizon
+    stream.addData(Seq(Doc(1L, at(0), base)))
+    q.processAllAvailable()
+    stream.addData(Seq(Doc(2L, at(8), base)))
+    q.processAllAvailable()
+    stream.addData(Seq(Doc(3L, at(25), base)))
+    q.processAllAvailable()
+    q.stop()
+
+    val hits = spark.table("neardup_hot").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("first_doc"),
+        r.getAs[Boolean]("is_dup_candidate")))
+    // within-horizon duplicate flagged against the original claimant
+    assert(hits.exists(h => h._1 == 2L && h._2 == 1L && h._3), hits.toSeq)
+    // beyond-horizon arrival: claimant demoted, doc 3 claims its buckets
+    val d3 = hits.filter(_._1 == 3L)
+    assert(d3.nonEmpty && d3.forall(h => h._2 == 3L && !h._3),
+      s"stale claimant not demoted: ${d3.toSeq}")
+  }
 }
