@@ -38,10 +38,15 @@ object ProvBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    pipeline(capture = false) // warmup
-    val off = pipeline(capture = false)
-    val on = pipeline(capture = true)
-    val onAsync = pipeline(capture = true, async = true)
+    // min-of-N steady state (same philosophy as Bench.scala): the first
+    // capture-ON run pays one-time JIT/codegen for the cache-encode and
+    // element-write plans that a long-lived session amortizes; each run
+    // still uses a FRESH session + store, so no data cache carries over
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    def best(f: => Double): Double = { f; (1 to nRuns).map(_ => f).min }
+    val off = best(pipeline(capture = false))
+    val on = best(pipeline(capture = true))
+    val onAsync = best(pipeline(capture = true, async = true))
 
     // relational layer: same logical pipeline (scan → project → filter →
     // groupBy-agg) as ProvFrame combinators vs the bare DataFrame plan.
@@ -74,10 +79,9 @@ object ProvBench {
       require(out.length == 1000)
       (System.nanoTime() - t0) / 1e9
     }
-    relational(capture = false) // warmup
-    val relOff = relational(capture = false)
-    val relOn = relational(capture = true)
-    val relOnAsync = relational(capture = true, async = true)
+    val relOff = best(relational(capture = false))
+    val relOn = best(relational(capture = true))
+    val relOnAsync = best(relational(capture = true, async = true))
     println(f"""{"rows":$n,"off_sec":$off%.3f,"on_sec":$on%.3f,"on_async_sec":$onAsync%.3f,"overhead_factor":${on / off}%.2f,"async_overhead_factor":${onAsync / off}%.2f,"rel_off_sec":$relOff%.3f,"rel_on_sec":$relOn%.3f,"rel_on_async_sec":$relOnAsync%.3f,"rel_overhead_factor":${relOn / relOff}%.2f,"rel_async_overhead_factor":${relOnAsync / relOff}%.2f}""")
     spark.stop()
   }

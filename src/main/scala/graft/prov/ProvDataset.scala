@@ -39,8 +39,21 @@ final class ProvDataset[T] private[prov] (
     val execId = session.executionId
     val tid = task.id
     val sch = schema
-    ds.map(r => ElementRow(execId, tid, r.id, sch.project(r.value), r.deps))(
-      ProvSession.elementRowEnc)
+    import org.apache.spark.sql.functions.{col, lit}
+    // columnar projection when the schema can express its grid as a
+    // Column (all built-in schemas over atomic/tuple/array values): the
+    // flush write then runs scan→project→parquet inside whole-stage
+    // codegen with no ProvRecord object round-trip
+    sch.projectExpr(col("value"), ds.schema("value").dataType) match {
+      case Some(values) =>
+        ds.select(lit(execId).as("execution_id"), lit(tid).as("task_id"),
+            col("id").as("element_id"), values.as("values"),
+            col("deps").as("deps"))
+          .as[ElementRow](ProvSession.elementRowEnc)
+      case None =>
+        ds.map(r => ElementRow(execId, tid, r.id, sch.project(r.value), r.deps))(
+          ProvSession.elementRowEnc)
+    }
   }
 
   private def spark = session.spark
@@ -57,6 +70,7 @@ final class ProvDataset[T] private[prov] (
   def ignoreIt(): this.type = {
     task.ignored = true
     task.elementThunk = None
+    task.flushPlan = None
     if (createsElements) {
       implicit val e: Encoder[ProvRecord[T]] = ds.encoder
       ds = ds.map(r => ProvRecord("", r.deps, r.value))
@@ -446,9 +460,8 @@ final class ProvDataset[T] private[prov] (
 
   /** takeSample action (reference: RDD.scala:708). */
   def takeSample(withReplacement: Boolean, num: Int, seed: Long = 42L): Seq[T] = {
-    onAction()
     implicit val ct: ClassTag[ProvRecord[T]] = anyRefTag
-    ds.rdd.takeSample(withReplacement, num, seed).toSeq.map(_.value)
+    onAction(ds.rdd.takeSample(withReplacement, num, seed).toSeq.map(_.value))
   }
 
   /** repartitionAndSortWithinPartitions-shaped operator: range-partition
@@ -477,77 +490,76 @@ final class ProvDataset[T] private[prov] (
     * (reference: RDD.scala:1386).
     */
   def countApprox(timeoutMs: Long, confidence: Double = 0.95): Double = {
-    onAction()
     implicit val ct: ClassTag[ProvRecord[T]] = anyRefTag
-    ds.rdd.countApprox(timeoutMs, confidence).initialValue.mean
+    onAction(ds.rdd.countApprox(timeoutMs, confidence).initialValue.mean)
   }
 
   /** countApproxDistinct via HyperLogLog++ (reference: RDD.scala:1460-1486). */
-  def countApproxDistinct(rsd: Double = 0.05): Long = {
-    onAction()
-    ds.select(org.apache.spark.sql.functions
+  def countApproxDistinct(rsd: Double = 0.05): Long =
+    onAction(ds.select(org.apache.spark.sql.functions
         .approx_count_distinct(org.apache.spark.sql.functions.col("value"), rsd))
-      .head().getLong(0)
-  }
+      .head().getLong(0))
 
   // ---- actions (SURVEY §2.8) ----------------------------------------
 
-  private def onAction(): Unit = session.flush()
+  /** Flush on action (reference: checkAndPersistProvenance,
+    * RDD.scala:1143-1147). Flush fires BEFORE the action: inline, the
+    * flush batch pre-materializes the stage caches the action then reads
+    * warm; async, the enqueued write overlaps the action's own pass
+    * (measured fastest in ProvBench — both pull the same persisted
+    * stage caches). Either way the store write for these tasks is
+    * enqueued-or-done when the action returns, and complete after
+    * close()/awaitFlushes().
+    */
+  private def onAction[A](action: => A): A = {
+    session.flush()
+    action
+  }
 
-  def collect(): Seq[T] = { onAction(); ds.collect().toSeq.map(_.value) }
+  def collect(): Seq[T] = onAction(ds.collect().toSeq.map(_.value))
 
   /** Action exposing the provenance wrapper (reference NEW surface
     * `foreachWithDataElement`, RDD.scala:1124-1127).
     */
-  def collectWithProv(): Seq[ProvRecord[T]] = { onAction(); ds.collect().toSeq }
+  def collectWithProv(): Seq[ProvRecord[T]] = onAction(ds.collect().toSeq)
 
-  def count(): Long = { onAction(); ds.count() }
-  def take(n: Int): Seq[T] = { onAction(); ds.take(n).toSeq.map(_.value) }
+  def count(): Long = onAction(ds.count())
+  def take(n: Int): Seq[T] = onAction(ds.take(n).toSeq.map(_.value))
   def first(): T = take(1).head
-  def isEmpty: Boolean = { onAction(); ds.isEmpty }
-  def foreach(f: T => Unit): Unit = { onAction(); ds.foreach(r => f(r.value)) }
-  def foreachWithDataElement(f: ProvRecord[T] => Unit): Unit = {
-    onAction(); ds.foreach(f)
-  }
+  def isEmpty: Boolean = onAction(ds.isEmpty)
+  def foreach(f: T => Unit): Unit = onAction(ds.foreach(r => f(r.value)))
+  def foreachWithDataElement(f: ProvRecord[T] => Unit): Unit =
+    onAction(ds.foreach(f))
 
-  def reduce(f: (T, T) => T): T = {
-    onAction()
-    ds.rdd.map(_.value)(anyRefTag[T]).reduce(f)
-  }
+  def reduce(f: (T, T) => T): T =
+    onAction(ds.rdd.map(_.value)(anyRefTag[T]).reduce(f))
 
-  def top(n: Int)(implicit ord: Ordering[T], ct: ClassTag[T]): Seq[T] = {
-    onAction(); ds.rdd.map(_.value).top(n).toSeq
-  }
+  def top(n: Int)(implicit ord: Ordering[T], ct: ClassTag[T]): Seq[T] =
+    onAction(ds.rdd.map(_.value).top(n).toSeq)
 
-  def takeOrdered(n: Int)(implicit ord: Ordering[T], ct: ClassTag[T]): Seq[T] = {
-    onAction(); ds.rdd.map(_.value).takeOrdered(n).toSeq
-  }
+  def takeOrdered(n: Int)(implicit ord: Ordering[T], ct: ClassTag[T]): Seq[T] =
+    onAction(ds.rdd.map(_.value).takeOrdered(n).toSeq)
 
-  def countByValue()(implicit ek: Encoder[T]): Map[T, Long] = {
-    onAction()
-    ds.groupByKey(_.value).count().collect().toMap
-  }
+  def countByValue()(implicit ek: Encoder[T]): Map[T, Long] =
+    onAction(ds.groupByKey(_.value).count().collect().toMap)
 
   def toLocalIterator(): Iterator[T] = {
-    onAction()
     import scala.jdk.CollectionConverters._
+    // flush before handing out the lazy iterator — there is no "after"
+    session.flush()
     ds.toLocalIterator().asScala.map(_.value)
   }
 
-  def saveAsTextFile(path: String): Unit = {
-    onAction()
-    ds.map(r => String.valueOf(r.value))(Encoders.STRING).write.text(path)
-  }
+  def saveAsTextFile(path: String): Unit =
+    onAction(ds.map(r => String.valueOf(r.value))(Encoders.STRING).write.text(path))
 
   /** saveAsObjectFile: Hadoop SequenceFile of java-serialized 10-element
     * batches — the stock RDD format (reference: RDD.scala:1729), readable
     * back with [[ProvSession.objectFile]] (which restores per-file
     * lineage) or stock `sc.objectFile`.
     */
-  def saveAsObjectFile(path: String): Unit = {
-    onAction()
-    ds.rdd.map(_.value)(anyRefTag[T]).saveAsObjectFile(path)
-  }
+  def saveAsObjectFile(path: String): Unit =
+    onAction(ds.rdd.map(_.value)(anyRefTag[T]).saveAsObjectFile(path))
 
   /** Escape hatch to the stock typed Dataset of values. */
   def values(implicit e: Encoder[T]): Dataset[T] = ds.map(_.value)
@@ -580,8 +592,14 @@ object ProvDataset {
     }
     val pd = new ProvDataset(ds, task, session)
     session.track(ds)
-    if (session.captureEnabled && !task.ignored)
+    if (session.captureEnabled && !task.ignored) {
       task.elementThunk = Some(pd.elementRowsThunk)
+      // session-persisted above — flush pre-materializes it in topo
+      // order but must not release it (random ids need the cache until
+      // close)
+      task.flushPlan = Some(ds)
+      task.transientCache = false
+    }
     pd
   }
 
@@ -837,42 +855,36 @@ object ProvDataset {
       passThrough(spark.createDataset(sorted)(self.ds.encoder), t, session)
     }
 
-    // actions
-    def countByKey()(implicit ek: Encoder[K]): Map[K, Long] = {
-      session.flush()
-      self.ds.groupByKey(_.value._1).count().collect().toMap
-    }
+    // actions (flush first — see ProvDataset.onAction)
+    private def withFlush[A](a: => A): A = { session.flush(); a }
+
+    def countByKey()(implicit ek: Encoder[K]): Map[K, Long] =
+      withFlush(self.ds.groupByKey(_.value._1).count().collect().toMap)
 
     /** countByKeyApprox (reference: PairRDDFunctions.scala:389). */
     def countByKeyApprox(timeoutMs: Long, confidence: Double = 0.95): Map[K, Long] = {
-      session.flush()
       implicit val ct: ClassTag[(K, ProvRecord[(K, V)])] = anyRefTag
       implicit val ctk: ClassTag[K] = anyRefTag
-      self.ds.rdd.map(r => (r.value._1, r))
+      withFlush(self.ds.rdd.map(r => (r.value._1, r))
         .countByKeyApprox(timeoutMs, confidence)
-        .initialValue.map { case (k, b) => k -> math.round(b.mean) }.toMap
+        .initialValue.map { case (k, b) => k -> math.round(b.mean) }.toMap)
     }
 
-    def collectAsMap(): Map[K, V] = {
-      session.flush()
-      self.ds.collect().map(r => r.value._1 -> r.value._2).toMap
-    }
+    def collectAsMap(): Map[K, V] =
+      withFlush(self.ds.collect().map(r => r.value._1 -> r.value._2).toMap)
 
     /** reduceByKeyLocally: distributed partial reduce, driver-side final
       * merge into a Map (reference: PairRDDFunctions.scala:341-348 —
       * an action over ignored intermediates, so no elements are minted).
       */
     def reduceByKeyLocally(f: (V, V) => V): Map[K, V] = {
-      session.flush()
       implicit val ctk: ClassTag[K] = anyRefTag
       implicit val ctv: ClassTag[V] = anyRefTag
-      self.ds.rdd.map(r => r.value).reduceByKey(f).collect().toMap
+      withFlush(self.ds.rdd.map(r => r.value).reduceByKey(f).collect().toMap)
     }
 
-    def lookup(key: K): Seq[V] = {
-      session.flush()
-      lookupFrame(key).collect().toSeq.map(_.value._2)
-    }
+    def lookup(key: K): Seq[V] =
+      withFlush(lookupFrame(key).collect().toSeq.map(_.value._2))
 
     /** lookup's filtered frame as a COLUMN predicate on `value._1`, so
       * Catalyst pushes the key comparison into the scan (parquet
@@ -900,12 +912,13 @@ object ProvDataset {
     import org.apache.spark.sql.{functions => F}
     import F.col
 
+    private def withFlush[A](a: => A): A = { self.session.flush(); a }
+
     def stats(): StatSummary = {
-      self.session.flush()
-      val r = self.ds.select(
+      val r = withFlush(self.ds.select(
         F.count(F.lit(1)), F.avg(col("value")), F.stddev_samp(col("value")),
         F.var_samp(col("value")), F.min(col("value")), F.max(col("value")),
-        F.sum(col("value"))).head()
+        F.sum(col("value"))).head())
       // empty dataset: SQL aggregates yield NULL — return StatCounter
       // parity (count 0, NaN moments, +/-Inf bounds, sum 0) instead of
       // an NPE from getDouble on a null cell. Single-row datasets yield
@@ -926,8 +939,8 @@ object ProvDataset {
       * map-side-combined groupBy on the bucket expression.
       */
     def histogram(buckets: Int): (Seq[Double], Seq[Long]) = {
-      self.session.flush()
-      val b = self.ds.select(F.min(col("value")), F.max(col("value"))).head()
+      val b = withFlush(
+        self.ds.select(F.min(col("value")), F.max(col("value"))).head())
       require(!b.isNullAt(0), "histogram of an empty dataset")
       val (lo, hi) = (b.getDouble(0), b.getDouble(1))
       val width = (hi - lo) / buckets
@@ -963,17 +976,15 @@ object ProvDataset {
       * (reference: DoubleRDDFunctions.scala:44-133).
       */
     def meanApprox(timeoutMs: Long, confidence: Double = 0.95): Double = {
-      self.session.flush()
       implicit val ct: ClassTag[ProvRecord[Double]] = anyRefTag
-      self.ds.rdd.map(_.value).meanApprox(timeoutMs, confidence)
-        .initialValue.mean
+      withFlush(self.ds.rdd.map(_.value).meanApprox(timeoutMs, confidence)
+        .initialValue.mean)
     }
 
     def sumApprox(timeoutMs: Long, confidence: Double = 0.95): Double = {
-      self.session.flush()
       implicit val ct: ClassTag[ProvRecord[Double]] = anyRefTag
-      self.ds.rdd.map(_.value).sumApprox(timeoutMs, confidence)
-        .initialValue.mean
+      withFlush(self.ds.rdd.map(_.value).sumApprox(timeoutMs, confidence)
+        .initialValue.mean)
     }
   }
 }

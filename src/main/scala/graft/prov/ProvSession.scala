@@ -26,7 +26,19 @@ final class TaskState(
       * UnionRDD.scala:108)
       */
     var elementThunk: Option[() => Dataset[ElementRow]] = None,
-    var flushed: Boolean = false)
+    var flushed: Boolean = false,
+    /** this task's stage plan, pre-materialized in topological order by
+      * the flush batch so the single element write reads warm caches
+      * (cold caches make the write's concurrent union branches recompute
+      * shared prefixes). Set by both layers for element-creating tasks.
+      */
+    var flushPlan: Option[Dataset[_]] = None,
+    /** true when `flushPlan` is NOT session-persisted (the relational
+      * layer's deterministic-id frames): the flush batch persists it
+      * transiently and releases it when the batch finishes, so the
+      * element write costs O(stages), not O(stages²).
+      */
+    var transientCache: Boolean = false)
 
 /** Open transformation group (reference: TransformationGroup.scala:6-33,
   * TransformationGroupManager.scala:5-74). Invariants enforced: a task
@@ -51,7 +63,7 @@ object ProvSession {
              captureEnabled: Boolean = true,
              captureDropped: Boolean = false,
              versionControl: Option[graft.prov.filegroup.GitVersionControl] = None,
-             asyncFlush: Boolean = false): ProvSession = {
+             asyncFlush: Boolean = true): ProvSession = {
     val s = new ProvSession(spark, appName, storeDir, captureEnabled,
       captureDropped, versionControl, asyncFlush)
     // reference lifecycle: execution branch created at context init
@@ -78,14 +90,21 @@ final class ProvSession private[prov] (
     val captureEnabled: Boolean,
     val captureDropped: Boolean,
     val versionControl: Option[graft.prov.filegroup.GitVersionControl] = None,
-    /** When true, element-row writes run on a background thread so the
-      * triggering action overlaps the provenance write (both pull the
-      * same persisted stage caches — the block manager computes each
-      * partition once and the late requester reuses it). Writes chain
-      * sequentially off-thread, so appends never interleave; the store
-      * is guaranteed complete only after [[close]], which awaits them.
+    /** When true (the DEFAULT — the reference likewise writes provenance
+      * asynchronously, DataSource.scala:28-45), element-row writes run on
+      * a background thread so the triggering action overlaps the
+      * provenance write (both pull the same persisted stage caches — the
+      * block manager computes each partition once and the late requester
+      * reuses it). Writes chain sequentially off-thread, so appends never
+      * interleave, and the queue is BOUNDED at [[maxPendingFlushes]]
+      * batches — a flush beyond the bound blocks the caller
+      * (backpressure), so driver memory holds a bounded number of
+      * un-written batches no matter how fast actions fire. The store is
+      * guaranteed complete only after [[close]], which awaits them.
       */
-    val asyncFlush: Boolean = false) {
+    val asyncFlush: Boolean = true,
+    /** Bound on queued+running async flush batches (backpressure point). */
+    val maxPendingFlushes: Int = 2) {
 
   import ProvSession._
 
@@ -372,55 +391,128 @@ final class ProvSession private[prov] (
 
   private val flushFailures = mutable.ListBuffer[Throwable]()
 
+  // Bounded async queue: one permit per queued-or-running flush batch.
+  // flush() past the bound BLOCKS the caller (backpressure), so a driver
+  // firing actions faster than the store can absorb holds at most
+  // `maxPendingFlushes` un-written batches — bounded memory, no lost
+  // rows (close() still awaits everything).
+  private val flushPermits =
+    new java.util.concurrent.Semaphore(math.max(1, maxPendingFlushes))
+  private val flushDepth = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var maxFlushDepth = 0
+
+  /** Queued+running async flush batches right now (≤ maxPendingFlushes). */
+  def pendingFlushBatches: Int = flushDepth.get
+
+  /** High-water mark of the async queue depth — the boundedness witness
+    * asserted by ProvSpec.
+    */
+  def maxObservedFlushDepth: Int = maxFlushDepth
+
   def flush(): Unit = if (captureEnabled) {
     // Plan construction + flushed-marking run under the lock: a
     // concurrent second flush sees flushed=true and appends nothing —
-    // concurrent actions are idempotent. The Spark write job itself runs
+    // concurrent actions are idempotent. The Spark write jobs run
     // outside the lock (inline, or chained off-thread when asyncFlush)
     // so a long write doesn't block task registration. Marking is
-    // optimistic: a failed write UN-marks its tasks so a later flush
-    // retries them instead of silently dropping the batch.
+    // optimistic: a failed write UN-marks its batch's unwritten tasks so
+    // a later flush retries them instead of silently dropping the batch.
     val job: Option[() => Unit] = synchronized {
       val pending = tasks.values
         .filter(t => !t.flushed && !t.ignored && t.elementThunk.nonEmpty).toSeq
       if (pending.isEmpty) None
       else {
         val all = pending.map(_.elementThunk.get.apply()).reduce(_ unionByName _)
+        // stages worth pre-materializing: only those some OTHER pending
+        // task's branch will re-read (transitively, through pass-through
+        // tasks) — a leaf stage is computed exactly once by its own
+        // branch, so a count job for it would be pure overhead
+        val reread: Set[String] = {
+          val seen = mutable.Set[String]()
+          var frontier = pending.flatMap(_.parents)
+          while (frontier.nonEmpty) {
+            val next = frontier.filterNot(seen)
+            seen ++= next
+            frontier = next.flatMap(id => tasks.get(id)).flatMap(_.parents)
+          }
+          seen.toSet
+        }
+        val stages = pending
+          .map(t => (t, t.flushPlan))
+          .collect { case (t, Some(p)) =>
+            (p, t.transientCache, reread.contains(t.id)) }
+          .distinct
         pending.foreach(_.flushed = true)
         val n = pending.size
+        val para = spark.sparkContext.defaultParallelism
         Some(() => {
           val t0 = System.nanoTime()
+          // transiently persist plans whose layer does not persist its
+          // stages (deterministic-id relational frames): without this,
+          // task k's branch replays stages 1..k — O(stages²) per flush
+          // transient persist pays a cache-encode — only worth it for
+          // stages a child's branch will re-read
+          stages.collect { case (p, true, true) => p }
+            .foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
           try {
-            // write straight into this execution's partition directory: the
-            // dynamic-partition writer (partitionBy) sorts every task's rows
-            // by a column that is constant here — path-embedding the single
-            // partition value skips that entirely; readers see the same
-            // execution_id=... layout via partition discovery
-            all.drop("execution_id").write.mode("append")
-              .parquet(s"$storeDir/data_elements/execution_id=$executionId")
-          } catch {
-            case e: Throwable =>
-              synchronized { pending.foreach(_.flushed = false) }
-              throw e
-          }
+            // materialize re-read stage caches in DEPENDENCY order before
+            // the write: the union write runs its branches concurrently,
+            // and over cold caches those branches race to recompute shared
+            // prefixes; a cheap count per stage (no columns decoded)
+            // populates each cache exactly once off the parent's cache
+            stages.foreach { case (p, _, rereadByChild) =>
+              if (rereadByChild) {
+                val c0 = System.nanoTime()
+                p.count()
+                if (sys.env.contains("GRAFT_PROV_DEBUG"))
+                  System.err.println(f"[prov]   materialize: ${(System.nanoTime() - c0) / 1e9}%.2fs")
+              }
+            }
+            // write straight into this execution's partition directory:
+            // the dynamic-partition writer (partitionBy) sorts every
+            // task's rows by a column that is constant here —
+            // path-embedding the single partition value skips that;
+            // readers see the same execution_id=... layout via partition
+            // discovery. coalesce bounds the commit to defaultParallelism
+            // files instead of (branches × partitions).
+            val w0 = System.nanoTime()
+            try {
+              all.drop("execution_id").coalesce(para).write.mode("append")
+                .parquet(s"$storeDir/data_elements/execution_id=$executionId")
+            } catch {
+              case e: Throwable =>
+                synchronized { pending.foreach(_.flushed = false) }
+                throw e
+            }
+            if (sys.env.contains("GRAFT_PROV_DEBUG"))
+              System.err.println(f"[prov]   write: ${(System.nanoTime() - w0) / 1e9}%.2fs")
+          } finally stages.collect { case (p, true, true) => p }.foreach(_.unpersist())
           if (sys.env.contains("GRAFT_PROV_DEBUG"))
             System.err.println(f"[prov] flushed $n tasks in ${(System.nanoTime() - t0) / 1e9}%.2fs")
         })
       }
     }
     job.foreach { j =>
-      if (asyncFlush) synchronized {
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.global
-        // recover first: a failed earlier write must not skip THIS write
-        // (map on a failed Future never runs) — each job records its own
-        // failure and un-marks its tasks, so later flushes still happen
-        // and awaitFlushes/close still surface every error
-        flushChain = flushChain.recover { case _ => () }.map { _ =>
-          try j() catch {
-            case e: Throwable =>
-              synchronized { flushFailures += e }
-              throw e
+      if (asyncFlush) {
+        flushPermits.acquire() // backpressure: block past the bound
+        val d = flushDepth.incrementAndGet()
+        synchronized { if (d > maxFlushDepth) maxFlushDepth = d }
+        synchronized {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.global
+          // recover first: a failed earlier write must not skip THIS write
+          // (map on a failed Future never runs) — each job records its own
+          // failure and un-marks its tasks, so later flushes still happen
+          // and awaitFlushes/close still surface every error
+          flushChain = flushChain.recover { case _ => () }.map { _ =>
+            try j() catch {
+              case e: Throwable =>
+                synchronized { flushFailures += e }
+                throw e
+            } finally {
+              flushDepth.decrementAndGet()
+              flushPermits.release()
+            }
           }
         }
       } else j()

@@ -76,9 +76,15 @@ object RelationalProvenance {
     task.schemaFields = userCols
     task.usingDefaultSchema = false
     val frame = new ProvFrame(df, task, session, spliced)
-    if (session.captureEnabled && createsElements && !task.ignored)
+    if (session.captureEnabled && createsElements && !task.ignored) {
       task.elementThunk = Some(() => frame.elementRows())
-    else if (!createsElements) task.elementThunk = None
+      // frames are NOT session-persisted (deterministic ids need no
+      // cache) — hand the plan to the flush batch for TRANSIENT caching
+      // so downstream tasks' branches read it instead of replaying the
+      // chain (released when the batch finishes)
+      task.flushPlan = Some(df)
+      task.transientCache = true
+    } else if (!createsElements) task.elementThunk = None
     frame
   }
 }
@@ -152,6 +158,8 @@ final class ProvFrame private[prov] (
   def ignoreIt(): this.type = {
     task.ignored = true
     task.elementThunk = None
+    task.flushPlan = None
+    task.transientCache = false
     this
   }
 

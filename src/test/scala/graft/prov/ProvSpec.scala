@@ -319,6 +319,33 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2Els.length == 3 && m2Els.forall(e => mIds.contains(e._3.head)))
   }
 
+  test("async is the default, the queue is bounded, and no rows are lost under a burst") {
+    val store = newStore()
+    val s = ProvSession.create(spark, "t", store)
+    // the default session is async with a bounded queue — the reference
+    // likewise writes provenance off-thread (DataSource.scala:28-45)
+    assert(s.asyncFlush && s.maxPendingFlushes >= 1)
+    // burst: actions enqueue flush batches faster than the store absorbs
+    // them; the semaphore blocks flush() past the bound (backpressure),
+    // so driver memory never holds more than maxPendingFlushes batches
+    val chains = (1 to 6).map { i =>
+      val out = s.parallelize(Seq(i, i + 10)).map(_ * 2)
+      assert(out.collect().sorted == Seq(i * 2, (i + 10) * 2))
+      assert(s.pendingFlushBatches <= s.maxPendingFlushes)
+      out
+    }
+    assert(s.maxObservedFlushDepth <= s.maxPendingFlushes)
+    s.close() // awaits the chain: store complete, nothing dropped
+    assert(s.pendingFlushBatches == 0)
+    // no lost rows: every burst iteration contributed 2 roots + 2 mapped
+    val all = spark.read.parquet(s"$store/data_elements")
+      .filter($"execution_id" === s.executionId)
+    assert(all.count() == 6 * 4L)
+    chains.foreach { out =>
+      assert(elementsOf(store, s.executionId, out.task.id).length == 2)
+    }
+  }
+
   test("fromRDD bridges a stock RDD as fresh provenance roots") {
     val store = newStore()
     val s = ProvSession.create(spark, "t", store)
