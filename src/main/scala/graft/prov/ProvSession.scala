@@ -54,21 +54,49 @@ final class GroupState(val id: String, val name: String) {
 object ProvSession {
   implicit val elementRowEnc: Encoder[ElementRow] = Encoders.product[ElementRow]
 
+  /** Resolve a boolean toggle with the reference's precedence (env var
+    * beats Spark conf beats the constructor flag — SparkConf.scala:
+    * 661-670 honors ENABLE_PROVENANCE/ENABLE_VCS the same way), so ops
+    * workflows can flip capture without touching code. Pure and
+    * injectable for the spec.
+    */
+  private[prov] def resolveToggle(env: Map[String, String], envKey: String,
+                                  conf: String => Option[String],
+                                  confKey: String,
+                                  default: Boolean): Boolean =
+    env.get(envKey).orElse(conf(confKey))
+      .map(v => v.trim.equalsIgnoreCase("true") || v.trim == "1")
+      .getOrElse(default)
+
   /** Open a provenance session over a stock SparkSession — the analogue of
     * `new SparkContext(conf)` with provenance enabled (reference:
     * SparkContext.scala:382-390). Nothing is forked: this is a library
     * object holding a task DAG + a parquet sink location.
+    *
+    * Toggle overrides (reference: SparkConf.scala:661-670): env
+    * `GRAFT_ENABLE_PROVENANCE` > conf `spark.graft.enableProvenance` >
+    * the `captureEnabled` flag; env `GRAFT_ENABLE_VCS` > conf
+    * `spark.graft.enableVersionControl` > whether `versionControl` was
+    * passed.
     */
   def create(spark: SparkSession, appName: String, storeDir: String,
              captureEnabled: Boolean = true,
              captureDropped: Boolean = false,
              versionControl: Option[graft.prov.filegroup.GitVersionControl] = None,
              asyncFlush: Boolean = true): ProvSession = {
-    val s = new ProvSession(spark, appName, storeDir, captureEnabled,
-      captureDropped, versionControl, asyncFlush)
+    val conf = (k: String) => spark.conf.getOption(k)
+    val capture = resolveToggle(sys.env, "GRAFT_ENABLE_PROVENANCE",
+      conf, "spark.graft.enableProvenance", captureEnabled)
+    val vcs =
+      if (resolveToggle(sys.env, "GRAFT_ENABLE_VCS",
+        conf, "spark.graft.enableVersionControl", versionControl.nonEmpty))
+        versionControl
+      else None
+    val s = new ProvSession(spark, appName, storeDir, capture,
+      captureDropped, vcs, asyncFlush)
     // reference lifecycle: execution branch created at context init
     // (SparkContext.scala:389-390, GitServerManager.scala:90-128)
-    versionControl.foreach(_.initExecution(s.executionId))
+    vcs.foreach(_.initExecution(s.executionId))
     s
   }
 }
@@ -262,6 +290,44 @@ final class ProvSession private[prov] (
          _: Iterator[(NullWritable, BytesWritable)]) =>
         Iterator(split.asInstanceOf[FileSplit].getPath.toString)
       }, preservesPartitioning = false))
+    pd
+  }
+
+  /** binaryRecords: fixed-length records over the binaryFile reader with
+    * textFile-style per-file lineage (reference: SparkContext.scala:976 —
+    * FixedLengthBinaryInputFormat). Each file yields
+    * floor(length / recordLength) records of exactly `recordLength`
+    * bytes; a trailing partial record is dropped, matching the
+    * fixed-length reader's whole-records-only contract. Parallelism is
+    * per FILE (the binaryFile family's contract here) — fixed-length
+    * archives are many small shards in practice, and per-file splitting
+    * keeps the record→file edge computable without a join.
+    */
+  def binaryRecords(path: String, recordLength: Int,
+                    description: String = "binaryRecords")(
+      implicit ep: Encoder[ProvRecord[Array[Byte]]]): ProvDataset[Array[Byte]] = {
+    require(recordLength > 0, s"recordLength must be positive: $recordLength")
+    val task = newTask(TransformationType.MAP, Nil,
+      s"$description($recordLength): $path")
+    val execId = executionId
+    def files = spark.read.format("binaryFile").load(path)
+    val recs = files
+      .select(org.apache.spark.sql.functions.col("path"),
+              org.apache.spark.sql.functions.col("content"))
+      .as[(String, Array[Byte])](
+        Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .flatMap { case (file, content) =>
+        val fid = ProvSinkUtil.fileElementId(execId, file)
+        val n = content.length / recordLength
+        (0 until n).iterator.map { i =>
+          ProvRecord(ProvIds.newId(), Seq(fid),
+            java.util.Arrays.copyOfRange(
+              content, i * recordLength, (i + 1) * recordLength))
+        }
+      }(ep)
+    val pd = ProvDataset.create(recs, task, this)
+    attachFileElements(task, () =>
+      files.select("path").as[String](Encoders.STRING).rdd)
     pd
   }
 

@@ -346,6 +346,61 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("binaryRecords: fixed-length boundaries and per-file lineage") {
+    val store = newStore()
+    val dir = Files.createTempDirectory("binrec")
+    // f1: 12 bytes = 3 whole records of 4; f2: 10 bytes = 2 whole
+    // records + a 2-byte partial that the fixed-length contract drops
+    Files.write(dir.resolve("f1.bin"), Array.tabulate(12)(_.toByte))
+    Files.write(dir.resolve("f2.bin"), Array.tabulate(10)(i => (100 + i).toByte))
+    val s = ProvSession.create(spark, "t", store)
+    val pd = s.binaryRecords(dir.toString, recordLength = 4)
+    val recs = pd.collect()
+    assert(recs.length == 5 && recs.forall(_.length == 4))
+    // exact record boundaries, not just counts
+    val got = recs.map(_.toSeq).toSet
+    val want = Set(
+      Seq[Byte](0, 1, 2, 3), Seq[Byte](4, 5, 6, 7), Seq[Byte](8, 9, 10, 11),
+      Seq(100, 101, 102, 103).map(_.toByte), Seq(104, 105, 106, 107).map(_.toByte))
+    assert(got == want, s"records: $got")
+    s.close()
+    // per-file lineage, the objectFile recipe: file elements flush under
+    // the same task; every record depends on exactly its file's element
+    val els = elementsOf(store, s.executionId, pd.task.id)
+    val (fileEls, recEls) = els.partition(_._3.isEmpty)
+    assert(recEls.length == 5 && fileEls.length == 2)
+    val byFile = fileEls.map(e => e._1 -> e._2.head.head).toMap
+    val depCounts = recEls.groupBy(_._3.head).map { case (fid, rs) => byFile(fid).split("/").last -> rs.length }
+    assert(recEls.forall(_._3.length == 1))
+    assert(depCounts == Map("f1.bin" -> 3, "f2.bin" -> 2), s"deps: $depCounts")
+  }
+
+  test("toggles: env beats conf beats constructor (reference SparkConf.scala:661-670)") {
+    import ProvSession.resolveToggle
+    // pure resolution, env injected — capture flips without code changes
+    val envOff = Map("GRAFT_ENABLE_PROVENANCE" -> "false")
+    assert(!resolveToggle(envOff, "GRAFT_ENABLE_PROVENANCE",
+      _ => Some("true"), "spark.graft.enableProvenance", default = true))
+    assert(resolveToggle(Map("K" -> "1"), "K", _ => Some("false"), "c",
+      default = false))
+    assert(!resolveToggle(Map.empty, "K", _ => Some("false"), "c",
+      default = true))
+    assert(resolveToggle(Map.empty, "K", _ => None, "c", default = true))
+
+    // conf end-to-end: the SAME create() call site flips to no-capture
+    spark.conf.set("spark.graft.enableProvenance", "false")
+    try {
+      val store = newStore()
+      val s = ProvSession.create(spark, "t", store)
+      assert(!s.captureEnabled)
+      val out = s.parallelize(Seq(1, 2, 3)).map(_ * 2)
+      assert(out.collect().sorted == Seq(2, 4, 6))
+      s.close()
+      assert(!new java.io.File(s"$store/data_elements").exists(),
+        "capture-off session wrote element rows")
+    } finally spark.conf.unset("spark.graft.enableProvenance")
+  }
+
   test("fromRDD bridges a stock RDD as fresh provenance roots") {
     val store = newStore()
     val s = ProvSession.create(spark, "t", store)
