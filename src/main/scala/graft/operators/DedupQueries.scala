@@ -19,7 +19,14 @@ object DedupQueries {
     * signatures; MinHashArraySpec reuses it). Guarded for <3-token docs.
     */
   private[graft] def shingleArrays(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    shingleArraysOf(Tables.documents(s, d))
+
+  /** [[shingleArrays]] over an arbitrary documents frame (doc_id, text)
+    * — shared with the streaming verify step so stream and batch agree
+    * on the shingle definition by construction.
+    */
+  private[graft] def shingleArraysOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), array_distinct(expr(

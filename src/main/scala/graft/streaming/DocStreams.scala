@@ -113,4 +113,36 @@ object DocStreams {
           }
       }
   }
+
+  /** Exact-verify streamed candidates — the batch half of the streaming
+    * dedup loop. Takes the collected [[nearDupCandidates]] output and
+    * the corpus (doc_id, text), and runs d04's `array_intersect` exact
+    * Jaccard over ONLY the flagged pairs: work is proportional to the
+    * candidate minority, never corpus². Returns (da, db, jaccard) with
+    * da < db and jaccard ≥ `threshold` — exactly d04's orientation and
+    * rounding, so stream-candidates ∘ this ≡ the batch d04 pairs on the
+    * same data (spec-proven in DocStreamsSpec); the shingle definition
+    * is shared with the batch path by construction
+    * ([[graft.operators.DedupQueries.shingleArraysOf]]).
+    */
+  def verifyCandidates(hits: DataFrame, corpus: DataFrame,
+                       threshold: Double = 0.8): DataFrame = {
+    val pairs = hits.filter(col("is_dup_candidate"))
+      .select(least(col("first_doc"), col("doc_id")).as("da"),
+              greatest(col("first_doc"), col("doc_id")).as("db"))
+      .distinct()
+    val sh = graft.operators.DedupQueries.shingleArraysOf(corpus)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+    pairs
+      .join(sh.select(col("doc_id").as("da"), col("sh").as("sha"),
+        col("n").as("na")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("sh").as("shb"),
+        col("n").as("nb")), Seq("db"))
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        round(col("c") / (col("na") + col("nb") - col("c")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
 }

@@ -63,6 +63,53 @@ class DocStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!hits.exists(h => h._1 == 3L && h._2 == 2L && h._3))
   }
 
+  test("stream-candidates composed with batch verify equals the batch d04 pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = base + " phi" // J ≈ 0.95 on 3-gram shingles: ≥0.8
+    val farDup = base.replace("alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight") // shares a suffix: LSH may
+    // bucket it, exact verify must REJECT it (J < 0.8)
+    val unrelated = "eleven twelve thirteen fourteen fifteen sixteen " +
+      "seventeen eighteen nineteen twenty twentyone twentytwo"
+    def at(min: Int) = Timestamp.valueOf(f"2026-01-01 09:$min%02d:00")
+    val docsSeq = Seq(Doc(1L, at(0), base), Doc(2L, at(1), unrelated),
+      Doc(3L, at(2), farDup), Doc(4L, at(3), nearDup))
+
+    val stream = MemoryStream[Doc]
+    val q = DocStreams.nearDupCandidates(stream.toDS(), horizonMinutes = 10)
+      .writeStream.format("memory").queryName("neardup_verify")
+      .outputMode(OutputMode.Append())
+      .start()
+    stream.addData(docsSeq.take(2))
+    q.processAllAvailable()
+    stream.addData(docsSeq.drop(2))
+    q.processAllAvailable()
+    q.stop()
+
+    val corpus = docsSeq.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val verified = DocStreams.verifyCandidates(
+      spark.table("neardup_verify"), corpus).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+        r.getAs[Double]("jaccard")))
+
+    // batch d04 on the same corpus (written as a documents table)
+    val dir = java.nio.file.Files.createTempDirectory("d04stream").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.DedupQueries.d04MinHashLsh.fn(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+        r.getAs[Double]("jaccard")))
+
+    assert(verified.toSeq == batch.toSeq,
+      s"stream∘verify=${verified.toSeq} batch=${batch.toSeq}")
+    assert(verified.nonEmpty && verified.head._1 == 1L && verified.head._2 == 4L)
+  }
+
   test("hot bucket demotes a claimant older than the horizon") {
     val spark2 = spark
     import spark2.implicits._
