@@ -764,8 +764,71 @@ object SimilarityQueries {
          |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
          |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
 
+  /** recall@3 of the LSH index (e03) against the exact top-3 (e01) —
+    * e10's composition pattern applied to the second ANN family: both
+    * the Spark plans and the oracle SQL compose verbatim, so any drift
+    * in either underlying pipeline flips this hash too.
+    */
+  val e11AnnRecallLsh = QueryDef(
+    "e11_ann_recall_lsh",
+    (s, d) => {
+      val lsh3 = e03AnnLsh.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact3 = e01KnnBruteForce.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+      lsh3.join(exact3,
+          col("query_id") === col("eq") && col("neighbor_id") === col("en"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("en")).as("n_matched"),
+          round(count(col("en")) / 3.0, 4).as("recall3"))
+        .orderBy(col("query_id"))
+    },
+    Some(
+      s"""WITH lsh_full AS (${e03AnnLsh.oracle.get}),
+         |exact_full AS (${e01KnnBruteForce.oracle.get}),
+         |i AS (SELECT query_id, neighbor_id FROM lsh_full WHERE rank <= 3),
+         |e AS (SELECT query_id, neighbor_id FROM exact_full WHERE rank <= 3)
+         |SELECT i.query_id, count(e.neighbor_id) AS n_matched,
+         |  round(count(e.neighbor_id) / 3.0, 4) AS recall3
+         |FROM i LEFT JOIN e
+         |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
+
+  /** recall@3 of the PQ-ADC index (e09) against the exact top-3 (e01).
+    * e09 ranks by the asymmetric-distance APPROXIMATION (codebook inner
+    * products), so unlike e05/e03 — which rank true cosine inside their
+    * candidate sets — its recall genuinely measures quantization loss,
+    * not just routing loss.
+    */
+  val e12AnnRecallPq = QueryDef(
+    "e12_ann_recall_pq",
+    (s, d) => {
+      val pq3 = e09AnnPq.fn(s, d).filter(col("rnk") <= 3)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val exact3 = e01KnnBruteForce.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+      pq3.join(exact3,
+          col("query_id") === col("eq") && col("neighbor_id") === col("en"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("en")).as("n_matched"),
+          round(count(col("en")) / 3.0, 4).as("recall3"))
+        .orderBy(col("query_id"))
+    },
+    Some(
+      s"""WITH pq_full AS (${e09AnnPq.oracle.get}),
+         |exact_full AS (${e01KnnBruteForce.oracle.get}),
+         |i AS (SELECT query_id, vec_id AS neighbor_id FROM pq_full WHERE rnk <= 3),
+         |e AS (SELECT query_id, neighbor_id FROM exact_full WHERE rank <= 3)
+         |SELECT i.query_id, count(e.neighbor_id) AS n_matched,
+         |  round(count(e.neighbor_id) / 3.0, 4) AS recall3
+         |FROM i LEFT JOIN e
+         |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     e01KnnBruteForce, e02CosineNearDup, e03AnnLsh, e04LabelCentroids,
     e05AnnIvf, e06AnnIvfKmeans, e07SemanticDedup, e08Int8Quant, e09AnnPq,
-    e10AnnRecall)
+    e10AnnRecall, e11AnnRecallLsh, e12AnnRecallPq)
 }
