@@ -219,6 +219,43 @@ final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
   def transformationGroups(executionId: String): DataFrame =
     table("transformation_groups").filter(col("execution_id") === executionId)
 
+  /** Retention: remove one execution from the store — the append-only
+    * partition layout otherwise accumulates forever. Deletes the
+    * execution's `execution_id=<id>` partition under every provenance
+    * table (via the Hadoop FileSystem of the store path, so local dirs
+    * and cluster stores behave alike), then optionally its artifacts in
+    * a content-addressed store: manifests dropped, followed by a sweep
+    * reclaiming objects no remaining manifest references (shared
+    * objects survive — that sharing is the point of the CAS). After the
+    * drop the id is invisible to every §3.3 query; other executions are
+    * untouched. Dropping the LAST execution of a table removes the
+    * table directory itself, returning the store to its pre-first-write
+    * state.
+    */
+  def dropExecution(executionId: String,
+      artifacts: Option[graft.prov.filegroup.ContentAddressedStore] = None): Unit = {
+    val tables = Seq("executions", "tasks", "data_elements",
+      "transformation_groups", "file_group_references")
+    val conf = spark.sparkContext.hadoopConfiguration
+    tables.foreach { t =>
+      val part = new org.apache.hadoop.fs.Path(
+        s"$storeDir/$t/execution_id=$executionId")
+      val fs = part.getFileSystem(conf)
+      fs.delete(part, true)
+      // "empty" = no partition dirs left (writer markers like _SUCCESS
+      // don't count); then remove the table dir, markers and all
+      val tableDir = part.getParent
+      if (fs.exists(tableDir) &&
+          !fs.listStatus(tableDir).exists(st =>
+            st.isDirectory && st.getPath.getName.startsWith("execution_id=")))
+        fs.delete(tableDir, true)
+    }
+    artifacts.foreach { cas =>
+      cas.dropExecution(executionId)
+      cas.sweepUnreferencedObjects()
+    }
+  }
+
   /** JSON graph `{nodes, links}` as a string — the machine format behind
     * [[exportJson]] and the live server's `/api/graph` endpoint.
     */

@@ -102,6 +102,43 @@ final class ContentAddressedStore(val rootDir: String) extends Serializable {
     Files.list(objectsDir).iterator().asScala.count(p =>
       !p.getFileName.toString.startsWith(".tmp"))
   }
+
+  /** Retention: remove one execution's manifests. Objects are left in
+    * place — they may be shared with other executions (that sharing is
+    * the point of content addressing); reclaim them afterwards with
+    * [[sweepUnreferencedObjects]].
+    */
+  def dropExecution(executionId: String): Unit = {
+    val dir = manifestsDir.resolve(executionId)
+    if (Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala.toSeq.foreach(Files.delete(_))
+      Files.delete(dir)
+    }
+  }
+
+  /** Delete objects no remaining manifest references; returns how many
+    * were reclaimed. Mark-and-sweep over the manifest listing — safe to
+    * run any time there are no CONCURRENT writers (a writer puts objects
+    * before its manifest, so a sweep racing it could reclaim
+    * just-written objects; retention is an idle-time operation).
+    */
+  def sweepUnreferencedObjects(): Long = {
+    import scala.jdk.CollectionConverters._
+    val referenced = Files.list(manifestsDir).iterator().asScala.flatMap { ex =>
+      Files.list(ex).iterator().asScala.flatMap { m =>
+        Files.readString(m).linesIterator.drop(1)
+          .map(_.split('\t')(1)).toSeq
+      }
+    }.toSet
+    Files.list(objectsDir).iterator().asScala.toSeq
+      .filter(p => !p.getFileName.toString.startsWith(".tmp"))
+      .count { p =>
+        val orphan = !referenced.contains(p.getFileName.toString)
+        if (orphan) Files.delete(p)
+        orphan
+      }.toLong
+  }
 }
 
 object ContentAddressedStore {

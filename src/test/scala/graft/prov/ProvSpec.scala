@@ -346,6 +346,38 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dropExecution removes one execution, leaves others intact, empties the store last") {
+    val store = newStore()
+    val s1 = ProvSession.create(spark, "keep-me", store)
+    val m1 = s1.parallelize(Seq(1, 2)).map(_ * 2)
+    assert(m1.collect().sorted == Seq(2, 4)); s1.close()
+    val s2 = ProvSession.create(spark, "drop-me", store)
+    val m2 = s2.parallelize(Seq(7)).map(_ + 1)
+    assert(m2.collect() == Seq(8)); s2.close()
+
+    val q = new ProvenanceQueries(spark, store)
+    assert(q.executions.count() == 2)
+    q.dropExecution(s2.executionId)
+    // the dropped id is invisible to every §3.3 query; the other
+    // execution is untouched
+    assert(q.executions.collect().map(_.getAs[String]("execution_id")).toSeq ==
+      Seq(s1.executionId))
+    assert(q.elements(s2.executionId).count() == 0)
+    assert(q.tasks(s2.executionId).count() == 0)
+    assert(q.taskGraph(s2.executionId).count() == 0)
+    assert(q.elements(s1.executionId).count() == 4)
+    assert(q.lineageOf(s1.executionId,
+      elementsOf(store, s1.executionId, m1.task.id).head._1).count() == 1)
+    // partition directories physically gone
+    assert(!new java.io.File(s"$store/data_elements/execution_id=${s2.executionId}").exists())
+    assert(new java.io.File(s"$store/data_elements/execution_id=${s1.executionId}").exists())
+    // dropping the LAST execution returns the store to pre-first-write
+    q.dropExecution(s1.executionId)
+    assert(!new java.io.File(s"$store/executions").exists() &&
+      !new java.io.File(s"$store/data_elements").exists() &&
+      !new java.io.File(s"$store/tasks").exists())
+  }
+
   test("binaryRecords: fixed-length boundaries and per-file lineage") {
     val store = newStore()
     val dir = Files.createTempDirectory("binrec")

@@ -58,6 +58,47 @@ class ContentAddressedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getAs[Boolean]("has_data_in_repository"))
   }
 
+  test("dropExecution + sweep reclaims unshared objects, keeps shared ones") {
+    val inputs = Files.createTempDirectory("cas-ret-in")
+    Files.writeString(inputs.resolve("shared.txt"), "shared bytes\n")
+    Files.writeString(inputs.resolve("only1.txt"), "unique to exec 1\n")
+    Files.writeString(inputs.resolve("only2.txt"), "unique to exec 2\n")
+    val storeDir = Files.createTempDirectory("cas-ret-prov").toString
+    val cas = new ContentAddressedStore(
+      Files.createTempDirectory("cas-ret-repo").toString)
+
+    val s1 = ProvSession.create(spark, "cas-old", storeDir)
+    fileGroup(s1, FileGroupTemplate.ofFiles(
+      Seq(inputs.resolve("shared.txt").toString,
+        inputs.resolve("only1.txt").toString), "g1"))
+      .persistFileGroupInStore(cas)
+    s1.close()
+    val s2 = ProvSession.create(spark, "cas-new", storeDir)
+    fileGroup(s2, FileGroupTemplate.ofFiles(
+      Seq(inputs.resolve("shared.txt").toString,
+        inputs.resolve("only2.txt").toString), "g2"))
+      .persistFileGroupInStore(cas)
+    s2.close()
+    assert(cas.objectCount == 3) // shared + only1 + only2
+
+    new ProvenanceQueries(spark, storeDir)
+      .dropExecution(s1.executionId, artifacts = Some(cas))
+    // s1's manifests and ITS unshared object are gone; the shared object
+    // and everything of s2 survive the sweep
+    assert(cas.fileTree(s1.executionId).isEmpty)
+    assert(cas.objectCount == 2)
+    val e2 = spark.read.parquet(s"$storeDir/file_group_references")
+      .select("element_id").head().getString(0)
+    assert(new String(cas.readFile(s2.executionId, e2, "shared.txt")) ==
+      "shared bytes\n")
+    assert(new String(cas.readFile(s2.executionId, e2, "only2.txt")) ==
+      "unique to exec 2\n")
+    // provenance tables: only s2 remains
+    assert(spark.read.parquet(s"$storeDir/executions")
+      .select("execution_id").collect().map(_.getString(0)).toSeq ==
+      Seq(s2.executionId))
+  }
+
   test("concurrent writers of identical content stay idempotent") {
     val cas = new ContentAddressedStore(
       Files.createTempDirectory("cas-conc").toString)
