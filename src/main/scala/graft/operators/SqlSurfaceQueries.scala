@@ -405,9 +405,65 @@ object SqlSurfaceQueries {
            |  AND n1.n_name <> n2.n_name
            |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
 
+  /** Q21's multi-correlated pattern fed to Catalyst AS WRITTEN: unlike
+    * q60 — the same shape decorrelated BY HAND into aggregates — q69
+    * hands Spark the literal EXISTS / NOT EXISTS text and relies on
+    * RewritePredicateSubquery to plan the two correlated subqueries as
+    * a left-semi and a left-anti join on l_orderkey (no per-row
+    * probing; both rewrites ride hash joins at scale). The oracle runs
+    * the identical literal SQL in DuckDB, so the gate pins Catalyst's
+    * decorrelation against an independent engine's. "Waiting" here =
+    * a RETURNED line (l_returnflag 'R') on a finished ('F') order:
+    * suppliers who were the SOLE returned supplier on a multi-supplier
+    * order — Q21's quantifier nesting over different predicates than
+    * q60's late-shipment reading.
+    */
+  val q69SoleReturnedSupplier = QueryDef(
+    "q69_sole_returned_supplier",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("q69_lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("q69_orders")
+      s.sql("""
+        SELECT l1.l_suppkey AS s_suppkey,
+               count(DISTINCT l1.l_orderkey) AS numwait
+        FROM q69_lineitem l1
+        JOIN q69_orders o ON l1.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM q69_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM q69_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY l1.l_suppkey
+        ORDER BY numwait DESC, s_suppkey
+        LIMIT 20""")
+    },
+    Some("""SELECT l1.l_suppkey AS s_suppkey,
+           |  count(DISTINCT l1.l_orderkey) AS numwait
+           |FROM lineitem l1
+           |JOIN orders o ON l1.l_orderkey = o.o_orderkey
+           |WHERE o.o_orderstatus = 'F'
+           |  AND l1.l_returnflag = 'R'
+           |  AND EXISTS (
+           |    SELECT 1 FROM lineitem l2
+           |    WHERE l2.l_orderkey = l1.l_orderkey
+           |      AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (
+           |    SELECT 1 FROM lineitem l3
+           |    WHERE l3.l_orderkey = l1.l_orderkey
+           |      AND l3.l_suppkey <> l1.l_suppkey
+           |      AND l3.l_returnflag = 'R')
+           |GROUP BY l1.l_suppkey
+           |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q44SqlSurface, q45MinPerGroup, q46OrderPriority, q47BandJoin,
       q51ValueFraction, q52LostCustomers, q60SoleLateSupplier,
       q61PriorityDivision, q62ColdCustomers, q63LargeVolumeCustomers,
-      q64DominantSuppliers, q65NationVolume)
+      q64DominantSuppliers, q65NationVolume, q69SoleReturnedSupplier)
 }
