@@ -65,10 +65,24 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** Which base table a query's row-throughput is measured against —
+    * krows/s at each point gives sub-second cells a like-for-like basis
+    * (a fixed-overhead-dominated x1 makes the raw time ratio read as a
+    * scaling defect when per-row cost actually FELL).
+    */
+  private val tableOf: Map[String, String] =
+    Seq("e03_ann_lsh", "e05_ann_ivf", "e07_semantic_dedup", "e08_int8_quant",
+      "e09_ann_pq").map(_ -> "embeddings").toMap
+      .withDefaultValue("documents")
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = if (args.length > 2) args(2).toInt else 10
     val workDir = if (args.length > 1) args(1) else s"/tmp/graft_scale$copies"
+    // optional 4th arg: comma-separated subset for re-timing single cells
+    val queries = if (args.length > 3)
+      args(3).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    else scaleQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -95,15 +109,22 @@ object ScaleBench {
       math.min(a, b)
     }
 
-    runOnce(scaleQueries.head, baseDir) // JVM/codegen warmup
+    runOnce(queries.head, baseDir) // JVM/codegen warmup
 
-    val rows = scaleQueries.map { n =>
+    val rowCounts: Map[String, (Long, Long)] =
+      Seq("documents", "embeddings").map { t =>
+        t -> (spark.read.parquet(s"$baseDir/$t.parquet").count(),
+          spark.read.parquet(s"$workDir/$t.parquet").count())
+      }.toMap
+
+    val rows = queries.map { n =>
       val x1 = runMin2(n, baseDir)
       val xn = runMin2(n, workDir)
-      (n, x1, xn, xn / x1)
+      val (r1, rn) = rowCounts(tableOf(n))
+      (n, x1, xn, xn / x1, r1 / x1 / 1000.0, rn / xn / 1000.0)
     }
-    val qs = rows.map { case (n, x1, xn, r) =>
-      f""""$n":{"x1":$x1%.3f,"x$copies":$xn%.3f,"ratio":$r%.2f}"""
+    val qs = rows.map { case (n, x1, xn, r, k1, kn) =>
+      f""""$n":{"x1":$x1%.3f,"x$copies":$xn%.3f,"ratio":$r%.2f,"krows_s_x1":$k1%.1f,"krows_s_x$copies":$kn%.1f}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale$copies","base":"$baseDir","queries":$qs,"excluded_by_design":["d03_ngram_jaccard","e02_cosine_neardup"]}""")
     spark.stop()
