@@ -145,6 +145,19 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q64 must broadcast the small-parts side:\n$p64")
   }
 
+  test("q69's literal EXISTS/NOT EXISTS decorrelate to semi/anti hash joins") {
+    val d = "/root/testdata/sf0.001"
+    // the whole point of q69 is that Catalyst plans the correlated
+    // subqueries itself: EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both
+    // as HASH joins on l_orderkey — never a per-row nested-loop probe
+    val q69 = SqlSurfaceQueries.q69SoleReturnedSupplier.fn(spark, d)
+    val p = q69.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must become an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q69 must not fall back to per-row probing:\n$p")
+  }
+
   test("AQE coalesces small shuffle partitions") {
     val before = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
