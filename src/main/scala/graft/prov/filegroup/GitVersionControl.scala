@@ -124,6 +124,19 @@ final class GitVersionControl(val repoDir: String) {
     run(gitBase ++ Seq("log", "--format=%s", branchOf(executionId)))
       .linesIterator.toSeq
 
+  /** Retention: delete the execution's branch — the git-backed
+    * counterpart of `ContentAddressedStore.dropExecution` (compose with
+    * `ProvenanceQueries.dropExecution` for full-store retention). Blob
+    * reclamation is git's own `gc` job (unreferenced objects age out of
+    * the reflog); the branch and its tree become unreadable immediately.
+    * No-op if the branch never existed.
+    */
+  def dropExecution(executionId: String): Unit = withRepoLock {
+    run(gitBase ++ Seq("checkout", "-q", "main"))
+    try run(gitBase ++ Seq("branch", "-q", "-D", branchOf(executionId)))
+    catch { case _: RuntimeException => () } // branch absent: already dropped
+  }
+
   private def run(cmd: Seq[String]): String = GitVersionControl.run(cmd)
 }
 

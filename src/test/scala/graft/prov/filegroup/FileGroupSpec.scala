@@ -194,6 +194,18 @@ class FileGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(org.apache.spark.sql.functions.col("task_id") === fg.taskId)
       .collect().head
     assert(taskRow.getAs[Boolean]("has_data_in_repository"))
+    // retention: dropping the execution's branch makes its tree
+    // unreadable; a second drop is a no-op
+    val s2 = ProvSession.create(spark, "fg2", store, versionControl = Some(vc))
+    fileGroup(s2, FileGroupTemplate.ofFile(dir.resolve("ORTHOMCL1.fasta").toString))
+      .persistFileGroupInGit(vc)
+    s2.close()
+    vc.dropExecution(s2.executionId)
+    assert(intercept[RuntimeException](vc.fileTree(s2.executionId)) != null)
+    vc.dropExecution(s2.executionId) // idempotent
+    // the first execution's branch is untouched
+    assert(vc.fileTree(s.executionId).exists(_.endsWith("ORTHOMCL1.fasta")))
+
     // per-element file tree resolves through the FileGroupReference
     val q = new ProvenanceQueries(spark, store)
     val elId = refs.head.getAs[String]("element_id")
