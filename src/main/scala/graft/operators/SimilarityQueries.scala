@@ -827,8 +827,40 @@ object SimilarityQueries {
          |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
          |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
 
+  /** recall@3 of the TRAINED IVF index (e06, k-means cells) against the
+    * exact top-3 — completes the recall harness over all four ANN
+    * variants (e10: fixed-grid IVF, e11: LSH, e12: PQ, e13: k-means
+    * IVF). The oracle composes e06's full unrolled-Lloyd SQL, so the
+    * recall gate replays the training too.
+    */
+  val e13AnnRecallKmeans = QueryDef(
+    "e13_ann_recall_kmeans",
+    (s, d) => {
+      val km3 = e06AnnIvfKmeans.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact3 = e01KnnBruteForce.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+      km3.join(exact3,
+          col("query_id") === col("eq") && col("neighbor_id") === col("en"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("en")).as("n_matched"),
+          round(count(col("en")) / 3.0, 4).as("recall3"))
+        .orderBy(col("query_id"))
+    },
+    Some(
+      s"""WITH km_full AS (${e06AnnIvfKmeans.oracle.get}),
+         |exact_full AS (${e01KnnBruteForce.oracle.get}),
+         |i AS (SELECT query_id, neighbor_id FROM km_full WHERE rank <= 3),
+         |e AS (SELECT query_id, neighbor_id FROM exact_full WHERE rank <= 3)
+         |SELECT i.query_id, count(e.neighbor_id) AS n_matched,
+         |  round(count(e.neighbor_id) / 3.0, 4) AS recall3
+         |FROM i LEFT JOIN e
+         |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     e01KnnBruteForce, e02CosineNearDup, e03AnnLsh, e04LabelCentroids,
     e05AnnIvf, e06AnnIvfKmeans, e07SemanticDedup, e08Int8Quant, e09AnnPq,
-    e10AnnRecall, e11AnnRecallLsh, e12AnnRecallPq)
+    e10AnnRecall, e11AnnRecallLsh, e12AnnRecallPq, e13AnnRecallKmeans)
 }
