@@ -39,6 +39,18 @@ final class ContentAddressedStore(val rootDir: String) extends Serializable {
     MessageDigest.getInstance("SHA-256").digest(bytes)
       .map("%02x".format(_)).mkString
 
+  /** Files.list with the directory stream CLOSED — the bare iterator
+    * leaks an OS directory handle until GC, which a long-lived driver
+    * sweeping many executions would accumulate.
+    */
+  private def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toVector
+    } finally s.close()
+  }
+
   /** Store one file's content; returns its content hash. Idempotent —
     * an existing object is never rewritten (write-to-temp + atomic move
     * keeps concurrent writers safe).
@@ -79,13 +91,10 @@ final class ContentAddressedStore(val rootDir: String) extends Serializable {
   def fileTree(executionId: String): Seq[String] = {
     val dir = manifestsDir.resolve(executionId)
     if (!Files.exists(dir)) Seq.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala.toSeq.flatMap { m =>
-        Files.readString(m).linesIterator.drop(1)
-          .map(l => s"${m.getFileName}/${l.split('\t')(0)}").toSeq
-      }.sorted
-    }
+    else listDir(dir).flatMap { m =>
+      Files.readString(m).linesIterator.drop(1)
+        .map(l => s"${m.getFileName}/${l.split('\t')(0)}").toSeq
+    }.sorted
   }
 
   /** Read one file of one element back out of the store. */
@@ -97,11 +106,9 @@ final class ContentAddressedStore(val rootDir: String) extends Serializable {
     Files.readAllBytes(objectsDir.resolve(line.split('\t')(1)))
   }
 
-  def objectCount: Long = {
-    import scala.jdk.CollectionConverters._
-    Files.list(objectsDir).iterator().asScala.count(p =>
-      !p.getFileName.toString.startsWith(".tmp"))
-  }
+  def objectCount: Long =
+    listDir(objectsDir).count(p =>
+      !p.getFileName.toString.startsWith(".tmp")).toLong
 
   /** Retention: remove one execution's manifests. Objects are left in
     * place — they may be shared with other executions (that sharing is
@@ -111,8 +118,7 @@ final class ContentAddressedStore(val rootDir: String) extends Serializable {
   def dropExecution(executionId: String): Unit = {
     val dir = manifestsDir.resolve(executionId)
     if (Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala.toSeq.foreach(Files.delete(_))
+      listDir(dir).foreach(Files.delete(_))
       Files.delete(dir)
     }
   }
@@ -124,14 +130,13 @@ final class ContentAddressedStore(val rootDir: String) extends Serializable {
     * just-written objects; retention is an idle-time operation).
     */
   def sweepUnreferencedObjects(): Long = {
-    import scala.jdk.CollectionConverters._
-    val referenced = Files.list(manifestsDir).iterator().asScala.flatMap { ex =>
-      Files.list(ex).iterator().asScala.flatMap { m =>
+    val referenced = listDir(manifestsDir).flatMap { ex =>
+      listDir(ex).flatMap { m =>
         Files.readString(m).linesIterator.drop(1)
           .map(_.split('\t')(1)).toSeq
       }
     }.toSet
-    Files.list(objectsDir).iterator().asScala.toSeq
+    listDir(objectsDir)
       .filter(p => !p.getFileName.toString.startsWith(".tmp"))
       .count { p =>
         val orphan = !referenced.contains(p.getFileName.toString)
