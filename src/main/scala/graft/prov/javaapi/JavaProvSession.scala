@@ -37,6 +37,11 @@ final class JavaProvSession private (val session: ProvSession) {
     new JavaProvDataset(
       session.objectFile(path)(JavaEncoders.provRecord(e)), e)
 
+  def binaryRecords(path: String, recordLength: Int): JavaProvDataset[Array[Byte]] =
+    new JavaProvDataset(
+      session.binaryRecords(path, recordLength)(
+        JavaEncoders.provRecord(Encoders.BINARY)), Encoders.BINARY)
+
   def newTransformationGroup(name: String): GroupState = session.newGroup(name)
 
   def queries(storeDir: String): ProvenanceQueries =

@@ -148,4 +148,15 @@ public final class JavaApiUsage {
     session.close();
     return n;
   }
+
+  /** fixed-length binary source from Java: record count and width. */
+  public static long binaryRecordCount(SparkSession spark, String storeDir,
+      String dataDir, int recordLength) {
+    JavaProvSession session = JavaProvSession.create(spark, "java-bin", storeDir);
+    long n = session.binaryRecords(dataDir, recordLength)
+        .filter(rec -> rec.length == recordLength)
+        .count();
+    session.close();
+    return n;
+  }
 }

@@ -112,6 +112,14 @@ class JavaApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m("zip") == 2L)
   }
 
+  test("java binaryRecords: fixed-length records readable from the Java mirror") {
+    val store = java.nio.file.Files.createTempDirectory("javabin").toString
+    val dir = java.nio.file.Files.createTempDirectory("javabindata")
+    java.nio.file.Files.write(dir.resolve("a.bin"),
+      Array.tabulate(12)(_.toByte)) // 3 records of 4
+    assert(JavaApiUsage.binaryRecordCount(spark, store, dir.toString, 4) == 3L)
+  }
+
   test("java record-level mapPartitions") {
     val store = newStore()
     assert(JavaApiUsage.recordSurface(spark, store) == 6L)
