@@ -521,37 +521,42 @@ final class ProvSession private[prov] (
           stages.collect { case (p, true, true) => p }
             .foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
           try {
-            // materialize re-read stage caches in DEPENDENCY order before
-            // the write: the union write runs its branches concurrently,
-            // and over cold caches those branches race to recompute shared
-            // prefixes; a cheap count per stage (no columns decoded)
-            // populates each cache exactly once off the parent's cache
-            stages.foreach { case (p, _, rereadByChild) =>
-              if (rereadByChild) {
-                val c0 = System.nanoTime()
-                p.count()
-                if (sys.env.contains("GRAFT_PROV_DEBUG"))
-                  System.err.println(f"[prov]   materialize: ${(System.nanoTime() - c0) / 1e9}%.2fs")
-              }
-            }
-            // write straight into this execution's partition directory:
-            // the dynamic-partition writer (partitionBy) sorts every
-            // task's rows by a column that is constant here —
-            // path-embedding the single partition value skips that;
-            // readers see the same execution_id=... layout via partition
-            // discovery. coalesce bounds the commit to defaultParallelism
-            // files instead of (branches × partitions).
-            val w0 = System.nanoTime()
+            // ANY failure before the append lands (a materialize count
+            // just as much as the write itself) un-marks the whole batch,
+            // so a later flush retries it instead of silently dropping it
             try {
+              // materialize re-read stage caches in DEPENDENCY order
+              // before the write: the union write runs its branches
+              // concurrently, and over cold caches those branches race to
+              // recompute shared prefixes; a cheap count per stage (no
+              // columns decoded) populates each cache exactly once off
+              // the parent's cache
+              stages.foreach { case (p, _, rereadByChild) =>
+                if (rereadByChild) {
+                  val c0 = System.nanoTime()
+                  p.count()
+                  if (sys.env.contains("GRAFT_PROV_DEBUG"))
+                    System.err.println(f"[prov]   materialize: ${(System.nanoTime() - c0) / 1e9}%.2fs")
+                }
+              }
+              // write straight into this execution's partition directory:
+              // the dynamic-partition writer (partitionBy) sorts every
+              // task's rows by a column that is constant here —
+              // path-embedding the single partition value skips that;
+              // readers see the same execution_id=... layout via
+              // partition discovery. coalesce bounds the commit to
+              // defaultParallelism files instead of (branches ×
+              // partitions).
+              val w0 = System.nanoTime()
               all.drop("execution_id").coalesce(para).write.mode("append")
                 .parquet(s"$storeDir/data_elements/execution_id=$executionId")
+              if (sys.env.contains("GRAFT_PROV_DEBUG"))
+                System.err.println(f"[prov]   write: ${(System.nanoTime() - w0) / 1e9}%.2fs")
             } catch {
               case e: Throwable =>
                 synchronized { pending.foreach(_.flushed = false) }
                 throw e
             }
-            if (sys.env.contains("GRAFT_PROV_DEBUG"))
-              System.err.println(f"[prov]   write: ${(System.nanoTime() - w0) / 1e9}%.2fs")
           } finally stages.collect { case (p, true, true) => p }.foreach(_.unpersist())
           if (sys.env.contains("GRAFT_PROV_DEBUG"))
             System.err.println(f"[prov] flushed $n tasks in ${(System.nanoTime() - t0) / 1e9}%.2fs")
