@@ -35,6 +35,11 @@ final class ProvDataset[T] private[prov] (
 
   private var schema: DataElementSchema[T] = DefaultSchemas.forValue[T]
 
+  /** Side-capture knobs shared with the in-plan wrapper (None when
+    * capture is off or the task is pass-through/ignored at creation).
+    */
+  private[prov] var captureCfg: Option[CaptureConfig] = None
+
   private[prov] def elementRowsThunk: () => Dataset[ElementRow] = () => {
     val execId = session.executionId
     val tid = task.id
@@ -70,7 +75,9 @@ final class ProvDataset[T] private[prov] (
   def ignoreIt(): this.type = {
     task.ignored = true
     task.elementThunk = None
+    task.extraThunk = None
     task.flushPlan = None
+    captureCfg.foreach(_.ignored = true)
     if (createsElements) {
       implicit val e: Encoder[ProvRecord[T]] = ds.encoder
       ds = ds.map(r => ProvRecord("", r.deps, r.value))
@@ -81,6 +88,7 @@ final class ProvDataset[T] private[prov] (
   /** Attach a user record schema (reference: RDD.scala:271-275). */
   def setSchema(s: DataElementSchema[T]): this.type = {
     schema = s
+    captureCfg.foreach(_.schema = s)
     task.schemaFields = s.fieldNames
     task.usingDefaultSchema = false
     this
@@ -151,16 +159,17 @@ final class ProvDataset[T] private[prov] (
       val tid = t.id
       val desc = description
       val dropped = ds.filter(r => !p(r.value))
-      val base = pd.elementRowsThunk
-      t.elementThunk = Some(() => {
-        val synth = dropped.mapPartitions { it =>
+      // dropped-record markers replay the PARENT's persisted cache with
+      // the inverted predicate — deps reference existing parent ids, and
+      // the marker's own random id is never referenced downstream, so
+      // off-thread recompute is safe (no divergence surface)
+      t.extraThunk = Some(() =>
+        dropped.mapPartitions { it =>
           val ids = it.flatMap(depsOf(_)).toVector.distinct
           if (ids.isEmpty) Iterator.empty
           else Iterator(ElementRow(execId, tid, ProvIds.newId(),
             Seq(Seq(s"don't-pass: $desc")), ids))
-        }(ProvSession.elementRowEnc)
-        base().unionByName(synth)
-      })
+        }(ProvSession.elementRowEnc))
     }
     pd
   }
@@ -503,17 +512,20 @@ final class ProvDataset[T] private[prov] (
   // ---- actions (SURVEY §2.8) ----------------------------------------
 
   /** Flush on action (reference: checkAndPersistProvenance,
-    * RDD.scala:1143-1147). Flush fires BEFORE the action: inline, the
-    * flush batch pre-materializes the stage caches the action then reads
-    * warm; async, the enqueued write overlaps the action's own pass
-    * (measured fastest in ProvBench — both pull the same persisted
-    * stage caches). Either way the store write for these tasks is
-    * enqueued-or-done when the action returns, and complete after
+    * RDD.scala:1143-1147). The action runs FIRST: its own pass streams
+    * each stage's element rows to staged parquet via the in-plan
+    * side-capture wrapper (and populates the stage caches), so the
+    * flush that follows just commits files — no replay job. For stages
+    * the action didn't fully compute (take/isEmpty), the flush
+    * materializes the gap synchronously on this thread. Record elements
+    * are readable when this returns; extras (file elements,
+    * dropped-record markers) may still be in the async queue until
     * close()/awaitFlushes().
     */
   private def onAction[A](action: => A): A = {
+    val r = action
     session.flush()
-    action
+    r
   }
 
   def collect(): Seq[T] = onAction(ds.collect().toSeq.map(_.value))
@@ -577,28 +589,60 @@ object ProvDataset {
   private[prov] def anyRefTag[A]: ClassTag[A] =
     ClassTag.AnyRef.asInstanceOf[ClassTag[A]]
 
-  private[prov] def create[T](ds: Dataset[ProvRecord[T]], task: TaskState,
+  private[prov] def create[T](ds0: Dataset[ProvRecord[T]], task: TaskState,
                               session: ProvSession): ProvDataset[T] = {
     // default-schema dispatch by static value type (reference dispatches
     // by runtime ClassTag, RDD.scala:179-191): a tuple-shaped value gets
     // the pair header so valueTable headers match the projected grid
     if (task.usingDefaultSchema && task.schemaFields == Seq("Value")) {
-      ds.schema.find(_.name == "value").map(_.dataType) match {
+      ds0.schema.find(_.name == "value").map(_.dataType) match {
         case Some(st: org.apache.spark.sql.types.StructType)
             if st.fieldNames.take(2).sameElements(Array("_1", "_2")) =>
           task.schemaFields = DefaultSchemas.pairFieldNames
         case _ =>
       }
     }
+    // side capture: element rows stream to staged parquet INSIDE the
+    // persisted plan, so the action that first computes each partition
+    // also writes its elements — flush then commits files instead of
+    // replaying the stage (see ElementSideWriter). The wrapper sits
+    // beneath persist(): a cache hit never re-captures, and the staged
+    // ids are exactly the cached (downstream-consumed) ids.
+    val capture = session.captureEnabled && !task.ignored
+    val cfg =
+      if (capture) Some(new CaptureConfig(DefaultSchemas.forValue[T])) else None
+    val ds = cfg match {
+      case Some(c) =>
+        val store = session.storeDir
+        val execId = session.executionId
+        val tid = task.id
+        val hconf = session.serializableHadoopConf
+        // RDD-level wrap: mapPartitionsWithIndex hands the wrapper ITS
+        // OWN partition index (TaskContext.partitionId is the running
+        // task's — wrong whenever a cartesian/union/zip child stage
+        // computes this stage's partitions), and the true partition
+        // count is closed over from the driver
+        implicit val ct: ClassTag[ProvRecord[T]] = anyRefTag
+        val rdd0 = ds0.rdd
+        val n = rdd0.getNumPartitions
+        val captured = rdd0.mapPartitionsWithIndex(
+          (pid, it) =>
+            ElementSideWriter.capturing(store, execId, tid, c, hconf, pid, n, it),
+          preservesPartitioning = true)
+        session.spark.createDataset(captured)(ds0.encoder)
+      case None => ds0
+    }
     val pd = new ProvDataset(ds, task, session)
+    pd.captureCfg = cfg
     session.track(ds)
-    if (session.captureEnabled && !task.ignored) {
+    if (capture) {
       task.elementThunk = Some(pd.elementRowsThunk)
-      // session-persisted above — flush pre-materializes it in topo
-      // order but must not release it (random ids need the cache until
-      // close)
+      // session-persisted above — the flush sync phase materializes it
+      // (via the wrapper) if no action did, and must not release it
+      // (random ids need the cache until close)
       task.flushPlan = Some(ds)
       task.transientCache = false
+      task.sideCapture = true
     }
     pd
   }

@@ -38,7 +38,18 @@ final class TaskState(
       * transiently and releases it when the batch finishes, so the
       * element write costs O(stages), not O(stages²).
       */
-    var transientCache: Boolean = false)
+    var transientCache: Boolean = false,
+    /** true for typed-layer tasks whose element rows are written by the
+      * in-plan side-capture wrapper ([[ElementSideWriter]]) during the
+      * action itself; flush COMMITS their staged files instead of
+      * replaying the stage through a write job.
+      */
+    var sideCapture: Boolean = false,
+    /** Extra element rows beyond the per-record ones — source-FILE
+      * elements (textFile/hadoopFile/fileGroup) and dropped-record
+      * markers. Small datasets, written by the flush batch's append job.
+      */
+    var extraThunk: Option[() => Dataset[ElementRow]] = None)
 
 /** Open transformation group (reference: TransformationGroup.scala:6-33,
   * TransformationGroupManager.scala:5-74). Invariants enforced: a task
@@ -119,16 +130,25 @@ final class ProvSession private[prov] (
     val captureDropped: Boolean,
     val versionControl: Option[graft.prov.filegroup.GitVersionControl] = None,
     /** When true (the DEFAULT — the reference likewise writes provenance
-      * asynchronously, DataSource.scala:28-45), element-row writes run on
-      * a background thread so the triggering action overlaps the
-      * provenance write (both pull the same persisted stage caches — the
-      * block manager computes each partition once and the late requester
-      * reuses it). Writes chain sequentially off-thread, so appends never
-      * interleave, and the queue is BOUNDED at [[maxPendingFlushes]]
-      * batches — a flush beyond the bound blocks the caller
-      * (backpressure), so driver memory holds a bounded number of
-      * un-written batches no matter how fast actions fire. The store is
-      * guaranteed complete only after [[close]], which awaits them.
+      * asynchronously, DataSource.scala:28-45), the flush batch's APPEND
+      * job (relational replay rows + file-element/dropped-marker extras)
+      * runs on a background thread. Only deterministic-id rows ever run
+      * off-thread: typed-layer record elements are side-captured inside
+      * the action's own pass and committed synchronously at flush, and
+      * any stage the actions never computed is materialized on the
+      * flush CALLER's thread — so no random-id stage is ever computed
+      * concurrently by a background job and a user action (which could
+      * mint divergent element ids across executors).
+      *
+      * Read-after-action contract: record elements are readable as soon
+      * as the triggering action's flush returns; the async extras land
+      * by the next [[awaitFlushes]]/[[close]], and the store is
+      * guaranteed COMPLETE only after [[close]]. Writes chain
+      * sequentially off-thread, so appends never interleave, and the
+      * queue is BOUNDED at [[maxPendingFlushes]] batches — a flush
+      * beyond the bound blocks the caller (backpressure), so driver
+      * memory holds a bounded number of un-written batches no matter
+      * how fast actions fire.
       */
     val asyncFlush: Boolean = true,
     /** Bound on queued+running async flush batches (backpressure point). */
@@ -237,16 +257,13 @@ final class ProvSession private[prov] (
     val pd = ProvDataset.create(ds, task, this)
     // file-level elements are emitted alongside the records at flush
     if (captureEnabled) {
-      val base = pd.elementRowsThunk
       val tid = task.id // capture only strings in executor closures
-      task.elementThunk = Some(() => {
-        val files = spark.read.textFile(path)
+      task.extraThunk = Some(() =>
+        spark.read.textFile(path)
           .select(org.apache.spark.sql.functions.input_file_name().as("f"))
           .distinct().as[String]
           .map(f => ElementRow(execId, tid, ProvSinkUtil.fileElementId(execId, f),
-            Seq(Seq(f)), Seq.empty[String]))
-        base().unionByName(files)
-      })
+            Seq(Seq(f)), Seq.empty[String])))
     }
     pd
   }
@@ -339,16 +356,13 @@ final class ProvSession private[prov] (
   private def attachFileElements(task: TaskState,
       files: () => org.apache.spark.rdd.RDD[String]): Unit =
     if (captureEnabled) {
-      val base = task.elementThunk.get
       val tid = task.id
       val execId = executionId
-      task.elementThunk = Some(() => {
-        val fileEls = spark.createDataset(files().distinct())(Encoders.STRING)
+      task.extraThunk = Some(() =>
+        spark.createDataset(files().distinct())(Encoders.STRING)
           .map(f => ElementRow(execId, tid,
             ProvSinkUtil.fileElementId(execId, f),
-            Seq(Seq(f)), Seq.empty[String]))(ProvSession.elementRowEnc)
-        base().unionByName(fileEls)
-      })
+            Seq(Seq(f)), Seq.empty[String]))(ProvSession.elementRowEnc))
     }
 
   /** hadoopFile (old `mapred` API) with per-file lineage for ANY
@@ -475,24 +489,45 @@ final class ProvSession private[prov] (
     */
   def maxObservedFlushDepth: Int = maxFlushDepth
 
+  /** Driver conf snapshot shipped into side-capture closures. */
+  private[prov] lazy val serializableHadoopConf =
+    new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+
   def flush(): Unit = if (captureEnabled) {
     // Plan construction + flushed-marking run under the lock: a
     // concurrent second flush sees flushed=true and appends nothing —
-    // concurrent actions are idempotent. The Spark write jobs run
-    // outside the lock (inline, or chained off-thread when asyncFlush)
-    // so a long write doesn't block task registration. Marking is
-    // optimistic: a failed write UN-marks its batch's unwritten tasks so
-    // a later flush retries them instead of silently dropping the batch.
-    val job: Option[() => Unit] = synchronized {
+    // concurrent actions are idempotent. Marking is optimistic: a failed
+    // phase UN-marks its batch's tasks so a later flush retries them
+    // (side-capture commits are idempotent, so a retry never duplicates
+    // already-committed rows).
+    //
+    // Two phases:
+    //  1. SYNC (caller thread): side-captured tasks' record elements.
+    //     Fully-computed stages just get their staged files committed
+    //     (renames, no Spark job). A stage the actions never fully
+    //     computed is materialized HERE with a count — synchronously, so
+    //     a random-id stage is never computed concurrently by the flush
+    //     and a user action (which could mint divergent ids across
+    //     executors). After this phase the record elements are READABLE.
+    //  2. ASYNC-able: one append job for replay tasks (the relational
+    //     layer's deterministic-id frames) + extras (file elements,
+    //     dropped-record markers) — all safe to recompute off-thread
+    //     because their ids are deterministic.
+    val planned = synchronized {
       val pending = tasks.values
-        .filter(t => !t.flushed && !t.ignored && t.elementThunk.nonEmpty).toSeq
+        .filter(t => !t.flushed && !t.ignored &&
+          (t.elementThunk.nonEmpty || t.extraThunk.nonEmpty)).toSeq
       if (pending.isEmpty) None
       else {
-        val all = pending.map(_.elementThunk.get.apply()).reduce(_ unionByName _)
-        // stages worth pre-materializing: only those some OTHER pending
-        // task's branch will re-read (transitively, through pass-through
-        // tasks) — a leaf stage is computed exactly once by its own
-        // branch, so a count job for it would be pure overhead
+        val (side, replay) = pending.partition(_.sideCapture)
+        val unions = replay.flatMap(_.elementThunk).map(_.apply()) ++
+          pending.flatMap(_.extraThunk).map(_.apply())
+        // stages worth pre-materializing before the append job: only
+        // those some OTHER pending task's branch will re-read
+        // (transitively, through pass-through tasks) — a leaf stage is
+        // computed exactly once by its own branch, so a count job for it
+        // would be pure overhead. Side-capture stages are materialized
+        // by phase 1, so only replay (relational) stages remain.
         val reread: Set[String] = {
           val seen = mutable.Set[String]()
           var frontier = pending.flatMap(_.parents)
@@ -503,90 +538,127 @@ final class ProvSession private[prov] (
           }
           seen.toSet
         }
-        val stages = pending
+        val stages = replay
           .map(t => (t, t.flushPlan))
           .collect { case (t, Some(p)) =>
             (p, t.transientCache, reread.contains(t.id)) }
           .distinct
         pending.foreach(_.flushed = true)
-        val n = pending.size
-        val para = spark.sparkContext.defaultParallelism
-        Some(() => {
-          val t0 = System.nanoTime()
-          // transiently persist plans whose layer does not persist its
-          // stages (deterministic-id relational frames): without this,
-          // task k's branch replays stages 1..k — O(stages²) per flush
-          // transient persist pays a cache-encode — only worth it for
-          // stages a child's branch will re-read
-          stages.collect { case (p, true, true) => p }
-            .foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
-          try {
-            // ANY failure before the append lands (a materialize count
-            // just as much as the write itself) un-marks the whole batch,
-            // so a later flush retries it instead of silently dropping it
-            try {
-              // materialize re-read stage caches in DEPENDENCY order
-              // before the write: the union write runs its branches
-              // concurrently, and over cold caches those branches race to
-              // recompute shared prefixes; a cheap count per stage (no
-              // columns decoded) populates each cache exactly once off
-              // the parent's cache
-              stages.foreach { case (p, _, rereadByChild) =>
-                if (rereadByChild) {
-                  val c0 = System.nanoTime()
-                  p.count()
-                  if (sys.env.contains("GRAFT_PROV_DEBUG"))
-                    System.err.println(f"[prov]   materialize: ${(System.nanoTime() - c0) / 1e9}%.2fs")
-                }
-              }
-              // write straight into this execution's partition directory:
-              // the dynamic-partition writer (partitionBy) sorts every
-              // task's rows by a column that is constant here —
-              // path-embedding the single partition value skips that;
-              // readers see the same execution_id=... layout via
-              // partition discovery. coalesce bounds the commit to
-              // defaultParallelism files instead of (branches ×
-              // partitions).
-              val w0 = System.nanoTime()
-              all.drop("execution_id").coalesce(para).write.mode("append")
-                .parquet(s"$storeDir/data_elements/execution_id=$executionId")
-              if (sys.env.contains("GRAFT_PROV_DEBUG"))
-                System.err.println(f"[prov]   write: ${(System.nanoTime() - w0) / 1e9}%.2fs")
-            } catch {
-              case e: Throwable =>
-                synchronized { pending.foreach(_.flushed = false) }
-                throw e
-            }
-          } finally stages.collect { case (p, true, true) => p }.foreach(_.unpersist())
-          if (sys.env.contains("GRAFT_PROV_DEBUG"))
-            System.err.println(f"[prov] flushed $n tasks in ${(System.nanoTime() - t0) / 1e9}%.2fs")
-        })
+        Some((side, replay, unions, stages))
       }
     }
-    job.foreach { j =>
-      if (asyncFlush) {
-        flushPermits.acquire() // backpressure: block past the bound
-        val d = flushDepth.incrementAndGet()
-        synchronized { if (d > maxFlushDepth) maxFlushDepth = d }
-        synchronized {
-          implicit val ec: scala.concurrent.ExecutionContext =
-            scala.concurrent.ExecutionContext.global
-          // recover first: a failed earlier write must not skip THIS write
-          // (map on a failed Future never runs) — each job records its own
-          // failure and un-marks its tasks, so later flushes still happen
-          // and awaitFlushes/close still surface every error
-          flushChain = flushChain.recover { case _ => () }.map { _ =>
-            try j() catch {
-              case e: Throwable =>
-                synchronized { flushFailures += e }
-                throw e
-            } finally {
-              flushDepth.decrementAndGet()
-              flushPermits.release()
+    planned.foreach { case (side, replay, unions, stages) =>
+      val unmarkAll = () => synchronized {
+        (side ++ replay).foreach(_.flushed = false)
+      }
+      // ---- phase 1: commit side-captured record elements (sync) ----
+      try {
+        val hconf = spark.sparkContext.hadoopConfiguration
+        side.foreach { t =>
+          val s0 = System.nanoTime()
+          val (covered, declared) =
+            ElementSideWriter.coverage(storeDir, executionId, t.id, hconf)
+          val complete = declared match {
+            case Some(n) => covered.size == n
+            case None    => t.flushPlan.exists(_.rdd.getNumPartitions == 0)
+          }
+          if (!complete) {
+            // cached partitions hit their cache (wrapper doesn't re-run,
+            // staged ids stay authoritative); only never-computed
+            // partitions run, staging exactly the missing files
+            t.flushPlan.foreach(_.count())
+            val (c2, d2) =
+              ElementSideWriter.coverage(storeDir, executionId, t.id, hconf)
+            require(d2.exists(_ == c2.size),
+              s"side capture incomplete for task ${t.id} after materialize: " +
+                s"covered ${c2.size} of ${d2.getOrElse(-1)}")
+          }
+          ElementSideWriter.commit(storeDir, executionId, t.id, hconf)
+          if (sys.env.contains("GRAFT_PROV_DEBUG"))
+            System.err.println(f"[prov]   commit ${t.ttype}: ${(System.nanoTime() - s0) / 1e9}%.2fs")
+        }
+      } catch { case e: Throwable => unmarkAll(); throw e }
+      // ---- phase 2: replay + extras append (async-able) ----
+      val job: Option[() => Unit] =
+        if (unions.isEmpty) None
+        else {
+          val all = unions.reduce(_ unionByName _)
+          val n = replay.size
+          val para = spark.sparkContext.defaultParallelism
+          Some(() => {
+            val t0 = System.nanoTime()
+            // transiently persist plans whose layer does not persist its
+            // stages (deterministic-id relational frames): without this,
+            // task k's branch replays stages 1..k — O(stages²) per flush.
+            // Only worth it for stages a child's branch will re-read.
+            stages.collect { case (p, true, true) => p }
+              .foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+            try {
+              // ANY failure before the append lands un-marks the whole
+              // batch, so a later flush retries it instead of silently
+              // dropping it (side tasks re-commit idempotently)
+              try {
+                // materialize re-read stage caches in DEPENDENCY order
+                // before the write: the union write runs its branches
+                // concurrently, and over cold caches those branches race
+                // to recompute shared prefixes; a cheap count per stage
+                // populates each cache exactly once off the parent's
+                stages.foreach { case (p, _, rereadByChild) =>
+                  if (rereadByChild) {
+                    val c0 = System.nanoTime()
+                    p.count()
+                    if (sys.env.contains("GRAFT_PROV_DEBUG"))
+                      System.err.println(f"[prov]   materialize: ${(System.nanoTime() - c0) / 1e9}%.2fs")
+                  }
+                }
+                // write straight into this execution's partition
+                // directory: the dynamic-partition writer (partitionBy)
+                // sorts every task's rows by a column that is constant
+                // here — path-embedding the single partition value skips
+                // that; readers see the same execution_id=... layout via
+                // partition discovery. coalesce bounds the commit to
+                // defaultParallelism files instead of (branches ×
+                // partitions).
+                val w0 = System.nanoTime()
+                all.drop("execution_id").coalesce(para).write.mode("append")
+                  .parquet(s"$storeDir/data_elements/execution_id=$executionId")
+                if (sys.env.contains("GRAFT_PROV_DEBUG"))
+                  System.err.println(f"[prov]   write: ${(System.nanoTime() - w0) / 1e9}%.2fs")
+              } catch {
+                case e: Throwable =>
+                  unmarkAll()
+                  throw e
+              }
+            } finally stages.collect { case (p, true, true) => p }.foreach(_.unpersist())
+            if (sys.env.contains("GRAFT_PROV_DEBUG"))
+              System.err.println(f"[prov] append batch ($n replay tasks + extras) in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          })
+        }
+      job.foreach { j =>
+        if (asyncFlush) {
+          flushPermits.acquire() // backpressure: block past the bound
+          val d = flushDepth.incrementAndGet()
+          synchronized { if (d > maxFlushDepth) maxFlushDepth = d }
+          synchronized {
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.global
+            // recover first: a failed earlier write must not skip THIS
+            // write (map on a failed Future never runs) — each job records
+            // its own failure and un-marks its tasks, so later flushes
+            // still happen and awaitFlushes/close still surface every error
+            flushChain = flushChain.recover { case _ => () }.map { _ =>
+              try j() catch {
+                case e: Throwable =>
+                  synchronized { flushFailures += e }
+                  throw e
+              } finally {
+                flushDepth.decrementAndGet()
+                flushPermits.release()
+              }
             }
           }
-        }
-      } else j()
+        } else j()
+      }
     }
   }
 
@@ -644,6 +716,12 @@ final class ProvSession private[prov] (
     // reference: VersionControl.finish on sc.stop
     // (SparkContext.scala:1975-1976, VersionControl.scala:134-157)
     versionControl.foreach(_.finish(executionId))
+    // orphaned side-capture attempts (ignored tasks, post-flush
+    // recomputes, superseded attempts) — committed files are untouched
+    if (captureEnabled)
+      try ElementSideWriter.cleanupStaging(storeDir, executionId,
+        spark.sparkContext.hadoopConfiguration)
+      catch { case scala.util.control.NonFatal(_) => () }
     cached.foreach(_.unpersist())
     cached.clear()
   }

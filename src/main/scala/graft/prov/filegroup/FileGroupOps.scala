@@ -132,18 +132,16 @@ object FileGroupOps {
     // per-file source elements accompany the group elements at flush;
     // only paths are scanned (content column pruned by the reader)
     if (session.captureEnabled) {
-      val base = task.elementThunk.get
       val tid = task.id
-      task.elementThunk = Some(() =>
-        base().unionByName(
-          spark.read.format("binaryFile").load(allPaths: _*)
-            .select(col("path")).distinct()
-            .as[String](Encoders.STRING)
-            .map { uri =>
-              val p = normalizePath(uri)
-              ElementRow(execId, tid, ProvSinkUtil.fileElementId(execId, p),
-                Seq(Seq(p)), Seq.empty)
-            }(ProvSession.elementRowEnc)))
+      task.extraThunk = Some(() =>
+        spark.read.format("binaryFile").load(allPaths: _*)
+          .select(col("path")).distinct()
+          .as[String](Encoders.STRING)
+          .map { uri =>
+            val p = normalizePath(uri)
+            ElementRow(execId, tid, ProvSinkUtil.fileElementId(execId, p),
+              Seq(Seq(p)), Seq.empty)
+          }(ProvSession.elementRowEnc))
     }
     pd
   }
