@@ -75,9 +75,18 @@ object ProvSession {
                                   conf: String => Option[String],
                                   confKey: String,
                                   default: Boolean): Boolean =
-    env.get(envKey).orElse(conf(confKey))
-      .map(v => v.trim.equalsIgnoreCase("true") || v.trim == "1")
-      .getOrElse(default)
+    env.get(envKey).orElse(conf(confKey)) match {
+      case None => default
+      case Some(v) => v.trim.toLowerCase match {
+        case "true" | "1"  => true
+        case "false" | "0" => false
+        // fail loudly like the reference's String.toBoolean
+        // (SparkConf.scala:661-670): a typo ("ture", "yes") must not
+        // silently flip capture off when the constructor asked for it
+        case other => throw new IllegalArgumentException(
+          s"$envKey/$confKey must be true/false/1/0, got '$other'")
+      }
+    }
 
   /** Open a provenance session over a stock SparkSession — the analogue of
     * `new SparkContext(conf)` with provenance enabled (reference:
@@ -88,7 +97,18 @@ object ProvSession {
     * `GRAFT_ENABLE_PROVENANCE` > conf `spark.graft.enableProvenance` >
     * the `captureEnabled` flag; env `GRAFT_ENABLE_VCS` > conf
     * `spark.graft.enableVersionControl` > whether `versionControl` was
-    * passed.
+    * passed. Unrecognized values throw — a typo must not silently
+    * disable capture.
+    *
+    * Read-after-action contract (asyncFlush = true, the default):
+    * typed record elements are readable in the store as soon as the
+    * triggering action returns (they are captured inside the action's
+    * own job and committed synchronously), but relational replay rows,
+    * file elements, and dropped-record markers land on a background
+    * thread — the store is guaranteed COMPLETE only after
+    * [[ProvSession.awaitFlushes]] or [[ProvSession.close]]. Pass
+    * `asyncFlush = false` for a store that is fully readable after
+    * every action.
     */
   def create(spark: SparkSession, appName: String, storeDir: String,
              captureEnabled: Boolean = true,

@@ -133,8 +133,12 @@ final class GitVersionControl(val repoDir: String) {
     */
   def dropExecution(executionId: String): Unit = withRepoLock {
     run(gitBase ++ Seq("checkout", "-q", "main"))
-    try run(gitBase ++ Seq("branch", "-q", "-D", branchOf(executionId)))
-    catch { case _: RuntimeException => () } // branch absent: already dropped
+    // probe existence explicitly rather than swallowing `branch -D`
+    // failures: a real failure (repo lock, fs error, branch checked out
+    // in a linked worktree) must surface, not read as "already dropped"
+    val exists = GitVersionControl.exitCode(gitBase ++ Seq("show-ref",
+      "--verify", "--quiet", s"refs/heads/${branchOf(executionId)}")) == 0
+    if (exists) run(gitBase ++ Seq("branch", "-q", "-D", branchOf(executionId)))
   }
 
   private def run(cmd: Seq[String]): String = GitVersionControl.run(cmd)
@@ -153,5 +157,16 @@ object GitVersionControl {
     val code = proc.waitFor()
     require(code == 0, s"command failed ($code): ${cmd.mkString(" ")}\n$out")
     out
+  }
+
+  /** Exit code of a command whose nonzero exit is an ANSWER (e.g.
+    * `git show-ref --verify`), not a failure.
+    */
+  private[filegroup] def exitCode(cmd: Seq[String]): Int = {
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    proc.getInputStream.readAllBytes()
+    proc.waitFor()
   }
 }

@@ -200,15 +200,21 @@ object DefaultSchemas {
       import org.apache.spark.sql.functions._
       def s(c: org.apache.spark.sql.Column) =
         coalesce(c.cast("string"), lit("null")) // String.valueOf(null)
+      // a NULL top-level tuple/array falls to the typed map's `other`
+      // branch ([["null"]]), not the per-field/per-element shape — the
+      // columnar form must agree
+      def nullSafe(c: org.apache.spark.sql.Column) =
+        when(value.isNull, array(array(lit("null")))).otherwise(c)
       valueType match {
         // Tuple2 of atomics — the `case (k, v2)` branch
         case st: StructType
             if st.fields.map(_.name).sameElements(Array("_1", "_2")) &&
               st.fields.forall(f => atomic(f.dataType)) =>
-          Some(array(array(s(value.getField("_1")), s(value.getField("_2")))))
+          Some(nullSafe(
+            array(array(s(value.getField("_1")), s(value.getField("_2"))))))
         // Array/Seq of atomics — one grid row of the elements
         case ArrayType(et, _) if atomic(et) =>
-          Some(array(transform(value, x => s(x))))
+          Some(nullSafe(array(transform(value, x => s(x)))))
         case dt if atomic(dt) =>
           Some(array(array(s(value))))
         case _ => None // nested tuples, case classes, timestamps: typed map

@@ -418,6 +418,13 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!resolveToggle(Map.empty, "K", _ => Some("false"), "c",
       default = true))
     assert(resolveToggle(Map.empty, "K", _ => None, "c", default = true))
+    // garbage fails loudly (reference String.toBoolean): a typo must not
+    // silently disable capture the constructor asked for
+    intercept[IllegalArgumentException] {
+      resolveToggle(Map("K" -> "yes"), "K", _ => None, "c", default = true)
+    }
+    assert(resolveToggle(Map("K" -> " TRUE "), "K", _ => None, "c",
+      default = false))
 
     // conf end-to-end: the SAME create() call site flips to no-capture
     spark.conf.set("spark.graft.enableProvenance", "false")
@@ -544,6 +551,33 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head
     assert(taskRow.getAs[scala.collection.Seq[String]]("schema_fields").toSeq == Seq("ColA", "ColB"))
     assert(!taskRow.getAs[Boolean]("using_default_schema"))
+  }
+
+  test("schemas: columnar projectExpr agrees with typed project on NULL values") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val sch = DefaultSchemas.forValue[Any]
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Row("k", "v"), Seq(1, 2), "x"),
+        Row(null, null, null)),
+      StructType(Seq(
+        StructField("tup", StructType(Seq(
+          StructField("_1", StringType), StructField("_2", StringType)))),
+        StructField("arr", ArrayType(IntegerType)),
+        StructField("atom", StringType))))
+    def gridOf(c: String): Seq[Seq[Seq[String]]] =
+      df.select(sch.projectExpr(col(c), df.schema(c).dataType).get)
+        .collect()
+        .map(_.getAs[scala.collection.Seq[scala.collection.Seq[String]]](0)
+          .map(_.toSeq).toSeq).toSeq
+    // typed project on a null value hits the `other` branch → [["null"]];
+    // the columnar form must produce the identical grid on every shape
+    assert(sch.project(null) == Seq(Seq("null")))
+    assert(gridOf("tup") == Seq(Seq(Seq("k", "v")), sch.project(null)))
+    assert(gridOf("arr") == Seq(Seq(Seq("1", "2")), sch.project(null)))
+    assert(gridOf("atom") == Seq(Seq(Seq("x")), sch.project(null)))
   }
 
   test("ProvenanceQueries: graphs, value table, lineage closure, JSON export") {
