@@ -24,16 +24,24 @@ import org.apache.spark.sql.functions._
   *   - `/api/graph/<id>` — full element graph `{nodes, links}` (DataElementAPICtrl)
   *   - `/api/lineage/<id>/<elementId>` — backward closure of one element
   *   - `/api/taskgraph/<id>` — prospective task DAG (TaskAPICtrl.kt:22-36)
+  *   - `/api/files/<id>` — execution file tree across persisted
+  *     FileGroups (DataElementAPICtrl.kt:235-277); needs `artifactStore`
+  *   - `/api/file/<id>/<elementId>/<path>` — raw file bytes at the
+  *     committed version (DataElementAPICtrl.kt:279-314)
   *
   * Scale note: requests run driver-side Spark jobs over the store —
   * the provenance store is orders of magnitude smaller than the data
   * (projected values only), and the page layer caps elements; this is
-  * an operator console, not a serving tier.
+  * an operator console, not a serving tier. File downloads stream one
+  * object's bytes from the content-addressed store — no Spark job.
   */
 final class ProvenanceServer(spark: SparkSession, storeDir: String,
                              port: Int = 0,
                              bindAddress: java.net.InetAddress =
-                               java.net.InetAddress.getLoopbackAddress) {
+                               java.net.InetAddress.getLoopbackAddress,
+                             artifactStore: Option[
+                               graft.prov.filegroup.ContentAddressedStore] =
+                               None) {
 
   private val q = new ProvenanceQueries(spark, storeDir)
   private var server: HttpServer = _
@@ -73,6 +81,26 @@ final class ProvenanceServer(spark: SparkSession, storeDir: String,
           respond(ex, 200, "application/json", lineageJson(id, el))
         case "api" :: "taskgraph" :: id :: Nil =>
           respond(ex, 200, "application/json", taskGraphJson(id))
+        case "api" :: "files" :: id :: Nil =>
+          artifactStore match {
+            case Some(cas) => respond(ex, 200, "application/json",
+              filesJson(cas, id))
+            case None => respond(ex, 404, "text/plain",
+              "no artifact store attached to this server")
+          }
+        case "api" :: "file" :: id :: el :: rest if rest.nonEmpty =>
+          artifactStore match {
+            case Some(cas) =>
+              try respondBytes(ex, 200, "application/octet-stream",
+                cas.readFile(id, el, rest.mkString("/")))
+              catch {
+                case _: NoSuchElementException |
+                     _: java.nio.file.NoSuchFileException =>
+                  respond(ex, 404, "text/plain", s"no such file: $path")
+              }
+            case None => respond(ex, 404, "text/plain",
+              "no artifact store attached to this server")
+          }
         case _ =>
           respond(ex, 404, "text/plain", s"no such page: $path")
       }
@@ -96,6 +124,36 @@ final class ProvenanceServer(spark: SparkSession, storeDir: String,
     try os.write(bytes) finally os.close()
   }
 
+  private def respondBytes(ex: HttpExchange, code: Int, ctype: String,
+                           bytes: Array[Byte]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    } + "\""
+
+  /** Execution file tree: every (element, path) across the execution's
+    * persisted FileGroup manifests — the shape the reference web app
+    * renders as a tree (DataElementAPICtrl.kt:235-277). Downloads go to
+    * `/api/file/<id>/<element_id>/<path>`.
+    */
+  private def filesJson(cas: graft.prov.filegroup.ContentAddressedStore,
+                        executionId: String): String = {
+    val entries = cas.fileTree(executionId).map { e =>
+      val (el, p) = e.span(_ != '/')
+      s"""{"element_id":${jsonStr(el)},"path":${jsonStr(p.drop(1))}}"""
+    }
+    s"[${entries.mkString(",")}]"
+  }
+
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
@@ -110,7 +168,7 @@ final class ProvenanceServer(spark: SparkSession, storeDir: String,
       }
     s"""<!DOCTYPE html><html><head><title>graft provenance</title></head>
        |<body><h1>Executions</h1><ul>${rows.mkString("\n")}</ul>
-       |<p>APIs: /api/executions, /api/graph/&lt;id&gt;, /api/lineage/&lt;id&gt;/&lt;elementId&gt;, /api/taskgraph/&lt;id&gt;</p>
+       |<p>APIs: /api/executions, /api/graph/&lt;id&gt;, /api/lineage/&lt;id&gt;/&lt;elementId&gt;, /api/taskgraph/&lt;id&gt;, /api/files/&lt;id&gt;, /api/file/&lt;id&gt;/&lt;elementId&gt;/&lt;path&gt;</p>
        |</body></html>""".stripMargin
   }
 

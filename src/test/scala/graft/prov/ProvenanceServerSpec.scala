@@ -92,6 +92,53 @@ class ProvenanceServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       s2.close()
       val (_, index2) = get(port, "/")
       assert(index2.contains(s2.executionId) && index2.contains(s.executionId))
+
+      // no artifact store attached → the file surface 404s cleanly
+      assert(get(port, s"/api/files/${s.executionId}")._1 == 404)
+    } finally server.stop()
+  }
+
+  test("serves the execution file tree and committed file bytes") {
+    import graft.prov.filegroup._
+    import graft.prov.filegroup.FileGroupOps._
+    import graft.prov.filegroup.ContentAddressedStore._
+    val inputs = Files.createTempDirectory("srv-in")
+    Files.writeString(inputs.resolve("out.txt"), "payload bytes\n")
+    Files.createDirectories(inputs.resolve("sub"))
+    Files.writeString(inputs.resolve("sub/nested.txt"), "nested\n")
+    val store = Files.createTempDirectory("srv-prov").toString
+    val cas = new ContentAddressedStore(
+      Files.createTempDirectory("srv-repo").toString)
+
+    val s = ProvSession.create(spark, "server-files", store)
+    fileGroup(s, FileGroupTemplate.ofFiles(
+      Seq(inputs.resolve("out.txt").toString), "grp"))
+      .persistFileGroupInStore(cas)
+    s.close()
+
+    val server = new ProvenanceServer(spark, store, artifactStore = Some(cas))
+    val port = server.start()
+    try {
+      // tree: the persisted file listed under its element
+      // (reference DataElementAPICtrl.kt:235-277)
+      val (fc, files) = get(port, s"/api/files/${s.executionId}")
+      assert(fc == 200 && files.contains("\"path\":\"out.txt\""), files)
+      val elementId = spark.read.parquet(s"$store/file_group_references")
+        .filter(org.apache.spark.sql.functions.col("execution_id") ===
+          s.executionId)
+        .select("element_id").head().getString(0)
+      assert(files.contains(elementId))
+
+      // download: exact committed bytes (DataElementAPICtrl.kt:279-314)
+      val (bc, body) =
+        get(port, s"/api/file/${s.executionId}/$elementId/out.txt")
+      assert(bc == 200 && body == "payload bytes\n")
+
+      // missing path and unknown execution → 404, not 500
+      assert(get(port,
+        s"/api/file/${s.executionId}/$elementId/absent.txt")._1 == 404)
+      assert(get(port, "/api/files/no-such-exec")._2 == "[]")
+      assert(get(port, "/api/file/no-such-exec/el/x")._1 == 404)
     } finally server.stop()
   }
 }
