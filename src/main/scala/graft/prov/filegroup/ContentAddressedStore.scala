@@ -66,6 +66,15 @@ final class ContentAddressedStore(val rootDir: String) extends Serializable {
       Files.write(tmp, content)
       try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+    } else {
+      // dedup hit on an object possibly unreferenced and past the sweep
+      // grace window: refresh its mtime so a concurrent sweep can't
+      // reclaim it before this writer's manifest lands
+      try Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { // swept between the exists check and the touch: re-put
+        case _: java.nio.file.NoSuchFileException => return putObject(content)
+      }
     }
     sha
   }
@@ -82,8 +91,12 @@ final class ContentAddressedStore(val rootDir: String) extends Serializable {
     val dir = manifestsDir.resolve(executionId)
     Files.createDirectories(dir)
     val manifest = dir.resolve(elementId)
-    Files.writeString(manifest,
-      (s"name\t${group.name}" +: lines).mkString("\n"))
+    // atomic write: a concurrent sweep must never read a half-written
+    // manifest (it would miss references to past-grace shared objects)
+    val tmp = Files.createTempFile(dir, ".tmp", "")
+    Files.writeString(tmp, (s"name\t${group.name}" +: lines).mkString("\n"))
+    Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     s"manifests/$executionId/$elementId"
   }
 
@@ -91,7 +104,8 @@ final class ContentAddressedStore(val rootDir: String) extends Serializable {
   def fileTree(executionId: String): Seq[String] = {
     val dir = manifestsDir.resolve(executionId)
     if (!Files.exists(dir)) Seq.empty
-    else listDir(dir).flatMap { m =>
+    else listDir(dir).filterNot(_.getFileName.toString.startsWith(".tmp"))
+      .flatMap { m =>
       Files.readString(m).linesIterator.drop(1)
         .map(l => s"${m.getFileName}/${l.split('\t')(0)}").toSeq
     }.sorted
@@ -118,35 +132,68 @@ final class ContentAddressedStore(val rootDir: String) extends Serializable {
   def dropExecution(executionId: String): Unit = {
     val dir = manifestsDir.resolve(executionId)
     if (Files.exists(dir)) {
-      listDir(dir).foreach(Files.delete(_))
-      Files.delete(dir)
+      listDir(dir).foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(dir)
     }
   }
 
   /** Delete objects no remaining manifest references; returns how many
-    * were reclaimed. Mark-and-sweep over the manifest listing — safe to
-    * run any time there are no CONCURRENT writers (a writer puts objects
-    * before its manifest, so a sweep racing it could reclaim
-    * just-written objects; retention is an idle-time operation).
+    * were reclaimed. Mark-and-sweep over the manifest listing, made safe
+    * against CONCURRENT writers by a grace window (the same protocol as
+    * `git gc --prune=<date>`): a writer puts objects BEFORE its
+    * manifest, so an unreferenced object younger than `graceMillis` may
+    * be a write in flight and is never reclaimed — it either becomes
+    * referenced when the manifest lands, or ages into the next sweep.
+    * File locks can't carry this contract on the deployment target
+    * (executors on NFS/fuse mounts); mtime-vs-wall-clock only needs the
+    * grace to exceed put→manifest latency plus cross-node clock skew.
+    * Stale `.tmp` files from crashed writers are reaped on the same
+    * window. Pass 0 to reclaim regardless of age — only safe when
+    * provably idle. Deletion is via deleteIfExists, so two sweeps
+    * racing each other are also safe.
     */
-  def sweepUnreferencedObjects(): Long = {
+  def sweepUnreferencedObjects(
+      graceMillis: Long =
+        ContentAddressedStore.DefaultSweepGraceMillis): Long = {
+    val cutoff = System.currentTimeMillis() - graceMillis
+    // a file can vanish between list and stat (a writer's atomic
+    // tmp→object move, or a racing sweep); a vanished or unstatable
+    // file is simply not ours to reclaim this round
+    def mtimeOf(p: java.nio.file.Path): Long =
+      try Files.getLastModifiedTime(p).toMillis
+      catch { case _: java.io.IOException => Long.MaxValue }
     val referenced = listDir(manifestsDir).flatMap { ex =>
-      listDir(ex).flatMap { m =>
-        Files.readString(m).linesIterator.drop(1)
-          .map(_.split('\t')(1)).toSeq
-      }
+      listDir(ex).filterNot(_.getFileName.toString.startsWith(".tmp"))
+        .flatMap { m =>
+          // a manifest can vanish mid-scan (concurrent dropExecution) —
+          // its references are then legitimately gone
+          val text = try Some(Files.readString(m))
+                     catch { case _: java.io.IOException => None }
+          text.iterator.flatMap(_.linesIterator.drop(1)
+            .map(_.split('\t')(1))).toSeq
+        }
     }.toSet
+    listDir(objectsDir)
+      .filter(p => p.getFileName.toString.startsWith(".tmp"))
+      .filter(p => mtimeOf(p) <= cutoff)
+      .foreach(Files.deleteIfExists(_))
     listDir(objectsDir)
       .filter(p => !p.getFileName.toString.startsWith(".tmp"))
       .count { p =>
-        val orphan = !referenced.contains(p.getFileName.toString)
-        if (orphan) Files.delete(p)
+        val orphan = !referenced.contains(p.getFileName.toString) &&
+          mtimeOf(p) <= cutoff
+        if (orphan) Files.deleteIfExists(p)
         orphan
       }.toLong
   }
 }
 
 object ContentAddressedStore {
+  /** Default sweep grace window: generous against put→manifest latency
+    * (seconds) and cross-node clock skew (usually sub-second under NTP).
+    */
+  val DefaultSweepGraceMillis: Long = 10 * 60 * 1000L
+
   /** Persist each FileGroup of a tracked dataset — runs INSIDE executors
     * via foreachWithDataElement (idempotent object writes need no
     * coordination), then records FileGroupReference rows on the driver.

@@ -82,7 +82,8 @@ class ContentAddressedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cas.objectCount == 3) // shared + only1 + only2
 
     new ProvenanceQueries(spark, storeDir)
-      .dropExecution(s1.executionId, artifacts = Some(cas))
+      .dropExecution(s1.executionId, artifacts = Some(cas),
+        sweepGraceMillis = 0L) // test is idle: reclaim regardless of age
     // s1's manifests and ITS unshared object are gone; the shared object
     // and everything of s2 survive the sweep
     assert(cas.fileTree(s1.executionId).isEmpty)
@@ -97,6 +98,48 @@ class ContentAddressedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$storeDir/executions")
       .select("execution_id").collect().map(_.getString(0)).toSeq ==
       Seq(s2.executionId))
+  }
+
+  test("sweep concurrent with a writer never reclaims a mid-write object") {
+    val cas = new ContentAddressedStore(
+      Files.createTempDirectory("cas-sweep").toString)
+    def fg(content: String) = FileGroup("g", Map.empty,
+      Seq(FileElement("", "f.txt", modified = false, content.getBytes)))
+
+    // deterministic mid-write window: the writer has put its object but
+    // not yet its manifest — exactly the race the grace window closes
+    val inFlight = cas.putObject("in-flight write\n".getBytes)
+    // a genuinely dead orphan, aged past the window
+    val dead = cas.putObject("long-dead orphan\n".getBytes)
+    Files.setLastModifiedTime(
+      java.nio.file.Paths.get(cas.rootDir, "objects", dead),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * ContentAddressedStore.DefaultSweepGraceMillis))
+
+    assert(cas.sweepUnreferencedObjects() == 1L) // dead reclaimed, in-flight kept
+    assert(Files.exists(
+      java.nio.file.Paths.get(cas.rootDir, "objects", inFlight)))
+    // the write completes; its object is referenced and readable
+    cas.writeFileGroup("exec-w", "el-w", fg("in-flight write\n"))
+    assert(new String(cas.readFile("exec-w", "el-w", "f.txt")) ==
+      "in-flight write\n")
+
+    // hammer: real writers racing sweeps; every committed manifest must
+    // stay fully readable afterwards
+    val writers = (1 to 4).map { w =>
+      new Thread(() => (1 to 25).foreach { i =>
+        cas.writeFileGroup(s"exec-$w", s"el-$i", fg(s"content $w/$i\n"))
+      })
+    }
+    writers.foreach(_.start())
+    (1 to 20).foreach(_ => cas.sweepUnreferencedObjects())
+    writers.foreach(_.join())
+    (1 to 4).foreach { w =>
+      (1 to 25).foreach { i =>
+        assert(new String(cas.readFile(s"exec-$w", s"el-$i", "f.txt")) ==
+          s"content $w/$i\n")
+      }
+    }
   }
 
   test("concurrent writers of identical content stay idempotent") {
