@@ -231,12 +231,36 @@ final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
     * untouched. Dropping the LAST execution of a table removes the
     * table directory itself, returning the store to its pre-first-write
     * state.
+    *
+    * Drop-while-live is FORBIDDEN: a session writes its `executions`
+    * row only at close(), so element partitions without an executions
+    * row mean the session is (or may be) still open — a later flush
+    * would silently resurrect a half-dropped partition. Such a drop
+    * throws IllegalStateException. A crashed run leaves the same
+    * signature and is legitimate to clean up: pass `force = true`
+    * once you know no live session holds the id.
     */
   def dropExecution(executionId: String,
-      artifacts: Option[graft.prov.filegroup.ContentAddressedStore] = None): Unit = {
+      artifacts: Option[graft.prov.filegroup.ContentAddressedStore] = None,
+      sweepGraceMillis: Long =
+        graft.prov.filegroup.ContentAddressedStore.DefaultSweepGraceMillis,
+      force: Boolean = false): Unit = {
     val tables = Seq("executions", "tasks", "data_elements",
       "transformation_groups", "file_group_references")
     val conf = spark.sparkContext.hadoopConfiguration
+    if (!force) {
+      def partExists(t: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(
+          s"$storeDir/$t/execution_id=$executionId")
+        p.getFileSystem(conf).exists(p)
+      }
+      if (!partExists("executions") && tables.exists(partExists))
+        throw new IllegalStateException(
+          s"execution $executionId has provenance data but no executions " +
+            "row — its session is still open (or crashed before close()). " +
+            "close() the session first, or pass force = true to drop a " +
+            "crashed run's leftovers.")
+    }
     tables.foreach { t =>
       val part = new org.apache.hadoop.fs.Path(
         s"$storeDir/$t/execution_id=$executionId")
@@ -252,7 +276,7 @@ final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
     }
     artifacts.foreach { cas =>
       cas.dropExecution(executionId)
-      cas.sweepUnreferencedObjects()
+      cas.sweepUnreferencedObjects(sweepGraceMillis)
     }
   }
 

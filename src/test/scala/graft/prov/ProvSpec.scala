@@ -378,6 +378,34 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
       !new java.io.File(s"$store/tasks").exists())
   }
 
+  test("dropExecution refuses a live execution; force drops a crashed one") {
+    val store = newStore()
+    val q = new ProvenanceQueries(spark, store)
+    val s = ProvSession.create(spark, "live", store)
+    s.parallelize(Seq(1, 2, 3)).map(_ * 2).collect() // flushes elements
+    s.awaitFlushes()
+    // live: elements on disk, no executions row yet — a drop now would
+    // be silently resurrected by the next flush, so it must throw
+    val e = intercept[IllegalStateException](q.dropExecution(s.executionId))
+    assert(e.getMessage.contains("still open"))
+    // the refused drop deleted nothing
+    assert(new java.io.File(
+      s"$store/data_elements/execution_id=${s.executionId}").exists())
+    s.close()
+    // closed: the same call succeeds
+    q.dropExecution(s.executionId)
+    assert(!new java.io.File(
+      s"$store/data_elements/execution_id=${s.executionId}").exists())
+
+    // crashed run (same on-disk signature as live): force cleans it up
+    val s2 = ProvSession.create(spark, "crashed", store)
+    s2.parallelize(Seq(9)).map(_ + 1).collect()
+    s2.awaitFlushes() // simulate a driver crash: no close()
+    q.dropExecution(s2.executionId, force = true)
+    assert(!new java.io.File(
+      s"$store/data_elements/execution_id=${s2.executionId}").exists())
+  }
+
   test("binaryRecords: fixed-length boundaries and per-file lineage") {
     val store = newStore()
     val dir = Files.createTempDirectory("binrec")
