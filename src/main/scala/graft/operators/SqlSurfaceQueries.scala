@@ -461,9 +461,50 @@ object SqlSurfaceQueries {
            |GROUP BY l1.l_suppkey
            |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin))
 
+  /** TPC-H Q17 shape ("small-quantity-order revenue"): a CORRELATED
+    * SCALAR aggregate subquery on the same fact table — each lineitem
+    * compares its quantity against 0.2·avg(quantity) of ITS OWN part.
+    * Like q69, the literal correlated text goes to Catalyst as written;
+    * its scalar-subquery decorrelation (DecorrelateInnerQuery) plans the
+    * per-part average as one grouped aggregate joined back on
+    * l_partkey — no per-row probing — and the oracle runs the identical
+    * literal SQL in DuckDB, pinning the rewrite against an independent
+    * engine. This closes the last classic decorrelation shape: q31
+    * covers the uncorrelated scalar, q64 Q20's nested-IN threshold, q69
+    * Q21's multi-EXISTS. The threshold compare is engine-stable: avg =
+    * exact integral sum / exact count, one IEEE division on both sides;
+    * the output rides the e06 float-cast rounding protocol.
+    */
+  val q70SmallQtyRevenue = QueryDef(
+    "q70_small_qty_revenue",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("q70_lineitem")
+      Tables.part(s, d).createOrReplaceTempView("q70_part")
+      s.sql("""
+        SELECT round(cast(sum(l1.l_extendedprice) / 7.0 AS FLOAT), 2)
+                 AS avg_yearly
+        FROM q70_lineitem l1
+        JOIN q70_part ON p_partkey = l1.l_partkey
+        WHERE p_size <= 5
+          AND l1.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity)
+            FROM q70_lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey)""")
+    },
+    Some("""SELECT round(cast(sum(l1.l_extendedprice) / 7.0 AS FLOAT), 2)
+           |         AS avg_yearly
+           |FROM lineitem l1
+           |JOIN part ON p_partkey = l1.l_partkey
+           |WHERE p_size <= 5
+           |  AND l1.l_quantity < (
+           |    SELECT 0.2 * avg(l2.l_quantity)
+           |    FROM lineitem l2
+           |    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q44SqlSurface, q45MinPerGroup, q46OrderPriority, q47BandJoin,
       q51ValueFraction, q52LostCustomers, q60SoleLateSupplier,
       q61PriorityDivision, q62ColdCustomers, q63LargeVolumeCustomers,
-      q64DominantSuppliers, q65NationVolume, q69SoleReturnedSupplier)
+      q64DominantSuppliers, q65NationVolume, q69SoleReturnedSupplier,
+      q70SmallQtyRevenue)
 }

@@ -158,6 +158,20 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q69 must not fall back to per-row probing:\n$p")
   }
 
+  test("q70's correlated scalar subquery decorrelates to one grouped aggregate") {
+    val d = "/root/testdata/sf0.001"
+    // Q17 shape: Catalyst must rewrite the per-row 0.2*avg(...) scalar
+    // subquery into a single per-part aggregate joined back on
+    // l_partkey — the plan has hash aggregates + hash joins and no
+    // per-row probe
+    val q70 = SqlSurfaceQueries.q70SmallQtyRevenue.fn(spark, d)
+    val p = q70.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"),
+      s"the correlated avg must become a grouped aggregate:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q70 must not fall back to per-row probing:\n$p")
+  }
+
   test("AQE coalesces small shuffle partitions") {
     val before = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
