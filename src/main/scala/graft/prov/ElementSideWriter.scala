@@ -210,6 +210,14 @@ object ElementSideWriter {
       // bound per-writer buffering well below the 128 MiB default: element
       // rows are small and many writers run concurrently per executor
       .withRowGroupSize(32L * 1024 * 1024)
+      // element ids (and most values/deps) are unique per row — building
+      // dictionaries only to abandon them at the fallback threshold is
+      // pure hot-path waste; task_id is constant per file and keeps its
+      // dictionary. Page checksums are off: a torn staged file is already
+      // rejected by the .inprogress rename protocol.
+      .withDictionaryEncoding(false)
+      .withDictionaryEncoding("task_id", true)
+      .withPageWriteChecksumEnabled(false)
       .build()
     val sch = cfg.schema.asInstanceOf[DataElementSchema[T]]
     var open = true

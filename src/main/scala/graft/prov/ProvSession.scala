@@ -558,16 +558,37 @@ final class ProvSession private[prov] (
           }
           seen.toSet
         }
-        val stages = replay
-          .map(t => (t, t.flushPlan))
-          .collect { case (t, Some(p)) =>
-            (p, t.transientCache, reread.contains(t.id)) }
-          .distinct
+        val rereadTasks = replay
+          .filter(t => t.flushPlan.nonEmpty && reread.contains(t.id))
+        // counting one MAXIMAL re-read stage fills every persisted cache
+        // beneath it: each combinator's plan embeds its parents' plans as
+        // subtrees, so Spark's cache manager substitutes the persisted
+        // fragments and populates them bottom-up within that single count
+        // job. Counting covered (non-maximal) stages again would be one
+        // redundant job each — a linear chain needs ONE count, not one
+        // per stage.
+        val rereadIds = rereadTasks.map(_.id).toSet
+        def ancestors(t: TaskState): Set[String] = {
+          val seen = mutable.Set[String]()
+          var frontier = t.parents
+          while (frontier.nonEmpty) {
+            val next = frontier.filterNot(seen)
+            seen ++= next
+            frontier = next.flatMap(id => tasks.get(id)).flatMap(_.parents)
+          }
+          seen.toSet
+        }
+        val covered: Set[String] =
+          rereadTasks.flatMap(t => ancestors(t).intersect(rereadIds)).toSet
+        val countPlans: Seq[Dataset[_]] =
+          rereadTasks.filterNot(t => covered(t.id)).flatMap(_.flushPlan)
+        val persistPlans: Seq[Dataset[_]] =
+          rereadTasks.filter(_.transientCache).flatMap(_.flushPlan).distinct
         pending.foreach(_.flushed = true)
-        Some((side, replay, unions, stages))
+        Some((side, replay, unions, persistPlans, countPlans))
       }
     }
-    planned.foreach { case (side, replay, unions, stages) =>
+    planned.foreach { case (side, replay, unions, persistPlans, countPlans) =>
       val unmarkAll = () => synchronized {
         (side ++ replay).foreach(_.flushed = false)
       }
@@ -611,25 +632,23 @@ final class ProvSession private[prov] (
             // stages (deterministic-id relational frames): without this,
             // task k's branch replays stages 1..k — O(stages²) per flush.
             // Only worth it for stages a child's branch will re-read.
-            stages.collect { case (p, true, true) => p }
-              .foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+            persistPlans.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
             try {
               // ANY failure before the append lands un-marks the whole
               // batch, so a later flush retries it instead of silently
               // dropping it (side tasks re-commit idempotently)
               try {
-                // materialize re-read stage caches in DEPENDENCY order
-                // before the write: the union write runs its branches
-                // concurrently, and over cold caches those branches race
-                // to recompute shared prefixes; a cheap count per stage
-                // populates each cache exactly once off the parent's
-                stages.foreach { case (p, _, rereadByChild) =>
-                  if (rereadByChild) {
-                    val c0 = System.nanoTime()
-                    p.count()
-                    if (sys.env.contains("GRAFT_PROV_DEBUG"))
-                      System.err.println(f"[prov]   materialize: ${(System.nanoTime() - c0) / 1e9}%.2fs")
-                  }
+                // materialize re-read stage caches before the write: the
+                // union write runs its branches concurrently, and over
+                // cold caches those branches race to recompute shared
+                // prefixes. One count per MAXIMAL re-read stage fills all
+                // the persisted caches beneath it in dependency order
+                // (cache substitution happens on plan subtrees)
+                countPlans.foreach { p =>
+                  val c0 = System.nanoTime()
+                  p.count()
+                  if (sys.env.contains("GRAFT_PROV_DEBUG"))
+                    System.err.println(f"[prov]   materialize: ${(System.nanoTime() - c0) / 1e9}%.2fs")
                 }
                 // write straight into this execution's partition
                 // directory: the dynamic-partition writer (partitionBy)
@@ -640,7 +659,11 @@ final class ProvSession private[prov] (
                 // defaultParallelism files instead of (branches ×
                 // partitions).
                 val w0 = System.nanoTime()
+                // element ids / deps / values are near-unique strings:
+                // dictionary pages only get built and abandoned (same
+                // rationale as ElementSideWriter's per-column setting)
                 all.drop("execution_id").coalesce(para).write.mode("append")
+                  .option("parquet.enable.dictionary", "false")
                   .parquet(s"$storeDir/data_elements/execution_id=$executionId")
                 if (sys.env.contains("GRAFT_PROV_DEBUG"))
                   System.err.println(f"[prov]   write: ${(System.nanoTime() - w0) / 1e9}%.2fs")
@@ -649,7 +672,7 @@ final class ProvSession private[prov] (
                   unmarkAll()
                   throw e
               }
-            } finally stages.collect { case (p, true, true) => p }.foreach(_.unpersist())
+            } finally persistPlans.foreach(_.unpersist())
             if (sys.env.contains("GRAFT_PROV_DEBUG"))
               System.err.println(f"[prov] append batch ($n replay tasks + extras) in ${(System.nanoTime() - t0) / 1e9}%.2fs")
           })
@@ -709,28 +732,42 @@ final class ProvSession private[prov] (
   }
 
   private def closeInternal(): Unit = synchronized {
+    val close0 = System.nanoTime()
     endTime = Some(new Timestamp(System.currentTimeMillis()))
     if (captureEnabled) {
-      import spark.implicits._
-      Seq(ExecutionRow(executionId, appName, startTime, endTime)).toDS()
-        .write.mode("append").partitionBy("execution_id")
-        .parquet(s"$storeDir/executions")
-      val taskRows = tasks.values.map(t => TaskRow(
-        executionId, t.id, t.description, t.ttype, t.usingDefaultSchema,
-        t.schemaFields, t.hasDataInRepository, t.ignored, t.parents)).toSeq
-      taskRows.toDS().write.mode("append").partitionBy("execution_id")
-        .parquet(s"$storeDir/tasks")
+      // driver-side parquet writes (MetaParquet): these tables hold a
+      // handful of rows, and a Spark write job costs ~0.3s of fixed
+      // scheduler/commit overhead per close. Layout matches the former
+      // partitionBy("execution_id") output byte-for-byte in structure:
+      // partition value path-embedded, data columns in the same order.
+      import MetaParquet._
+      val hconf = spark.sparkContext.hadoopConfiguration
+      append(hconf, s"$storeDir/executions/execution_id=$executionId",
+        Seq("app_name" -> FString, "start_time" -> FTimestamp,
+          "end_time" -> FTimestamp),
+        Seq(Seq(appName, startTime, endTime)))
+      append(hconf, s"$storeDir/tasks/execution_id=$executionId",
+        Seq("task_id" -> FString, "description" -> FString,
+          "transformation_type" -> FString, "using_default_schema" -> FBool,
+          "schema_fields" -> FStringList, "has_data_in_repository" -> FBool,
+          "is_ignored" -> FBool, "dependencies" -> FStringList),
+        tasks.values.toSeq.map(t => Seq(
+          t.id, t.description, t.ttype, t.usingDefaultSchema,
+          t.schemaFields, t.hasDataInRepository, t.ignored, t.parents)))
       if (groups.nonEmpty) {
-        groups.map(g => TransformationGroupRow(executionId, g.id, g.name,
-          g.initTasks.toSeq, g.intermediaryTasks.toSeq,
-          g.finishTask.getOrElse(""))).toSeq.toDS()
-          .write.mode("append").partitionBy("execution_id")
-          .parquet(s"$storeDir/transformation_groups")
+        append(hconf,
+          s"$storeDir/transformation_groups/execution_id=$executionId",
+          Seq("group_id" -> FString, "name" -> FString,
+            "init_tasks" -> FStringList, "intermediary_tasks" -> FStringList,
+            "finish_task" -> FString),
+          groups.toSeq.map(g => Seq(g.id, g.name, g.initTasks.toSeq,
+            g.intermediaryTasks.toSeq, g.finishTask.getOrElse(""))))
       }
       if (fileGroupRefs.nonEmpty) {
-        fileGroupRefs.toSeq.toDS().write.mode("append")
-          .partitionBy("execution_id")
-          .parquet(s"$storeDir/file_group_references")
+        append(hconf,
+          s"$storeDir/file_group_references/execution_id=$executionId",
+          Seq("element_id" -> FString, "folder_path" -> FString),
+          fileGroupRefs.toSeq.map(r => Seq(r.element_id, r.folder_path)))
       }
     }
     // reference: VersionControl.finish on sc.stop
@@ -744,6 +781,8 @@ final class ProvSession private[prov] (
       catch { case scala.util.control.NonFatal(_) => () }
     cached.foreach(_.unpersist())
     cached.clear()
+    if (sys.env.contains("GRAFT_PROV_DEBUG"))
+      System.err.println(f"[prov] close tables+cleanup: ${(System.nanoTime() - close0) / 1e9}%.2fs")
   }
 }
 
