@@ -718,8 +718,114 @@ object DedupQueries {
            |        FILTER (WHERE keep), '')) AS cleaned_md5
            |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Cross-document repeated-substring detection — the exact-substring
+    * dedup family popularized for LLM training corpora (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): any
+    * word 5-gram occurring in TWO OR MORE documents marks the span it
+    * covers for removal. Per document: token count, number of flagged
+    * gram starts, tokens covered by the union of flagged spans (interval
+    * merge over sorted starts — a single `aggregate` fold, no
+    * per-position explode), the covered fraction, and the md5 of the
+    * text with covered tokens excised.
+    *
+    * Lee et al. build a corpus-wide suffix array; the Spark-shaped
+    * equivalent is gram-hash → groupBy → flag (one shuffle on the gram
+    * hash, map-side combinable), join the flagged minority back, and do
+    * all span surgery per-row inside codegen. At 100 TB the flagged set
+    * is bounded by the volume of genuinely repeated content (boilerplate
+    * headers, licenses) — the same minority-join shape as d09's cool
+    * buckets; a df-cap like d08's applies unchanged if boilerplate
+    * explodes. Intra-doc repeats are d11's job; this flags only
+    * cross-doc spans (count(DISTINCT doc_id) >= 2).
+    */
+  val d12SubstringDedup: QueryDef = {
+    val W = 5
+    QueryDef(
+      "d12_substring_dedup",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")))
+        val grams = toks.filter(col("n") >= W)
+          .select(col("doc_id"), col("toks"),
+            explode(expr(s"sequence(1, n - ${W - 1})")).as("s"))
+          .select(col("doc_id"), col("s"),
+            expr(s"md5(concat_ws(' ', slice(toks, s, $W)))").as("h"))
+        val flagged = grams.groupBy("h")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") >= 2).select("h")
+        val perDoc = grams.join(flagged, "h")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("s"))).as("starts"))
+        toks.join(perDoc, Seq("doc_id"), "left")
+          .withColumn("starts",
+            coalesce(col("starts"), array().cast("array<int>")))
+          // union length of the sorted spans [s, s+W-1]: classic merge
+          // fold — new coverage = span end minus max(previous end, s-1)
+          .withColumn("covered", expr(s"""
+            aggregate(starts, named_struct('cov', 0, 'pe', 0),
+              (acc, st) -> named_struct(
+                'cov', acc.cov + greatest(0, st + ${W - 1} - greatest(acc.pe, st - 1)),
+                'pe', greatest(acc.pe, st + ${W - 1})),
+              acc -> acc.cov)"""))
+          .withColumn("cleaned", expr(s"""
+            concat_ws(' ', filter(transform(sequence(1, n),
+              j -> if(exists(starts, st -> st <= j and j <= st + ${W - 1}),
+                      null, toks[j - 1])),
+              x -> x is not null))"""))
+          .select(col("doc_id"),
+            col("n").cast("long").as("n_tokens"),
+            size(col("starts")).cast("long").as("n_flagged_grams"),
+            col("covered").cast("long").as("covered_tokens"),
+            round(col("covered") / col("n").cast("double"), 4)
+              .as("covered_frac"),
+            md5(col("cleaned")).as("cleaned_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks,
+             |    len(string_split(text, ' ')) AS n
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, s,
+             |    md5(array_to_string(toks[s:(s + ${W - 1})], ' ')) AS h
+             |  FROM toks, unnest(generate_series(1, n - ${W - 1})) AS u(s)
+             |  WHERE n >= $W),
+             |flagged AS (
+             |  SELECT h FROM grams GROUP BY h
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |hits AS (SELECT doc_id, s FROM grams JOIN flagged USING (h)),
+             |merged AS (
+             |  SELECT doc_id, s,
+             |    greatest(0, s + ${W - 1} - greatest(coalesce(max(s + ${W - 1}) OVER (
+             |      PARTITION BY doc_id ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), s - 1)) AS adds
+             |  FROM hits),
+             |perdoc AS (
+             |  SELECT doc_id, count(*) AS nf, sum(adds) AS covered
+             |  FROM merged GROUP BY doc_id),
+             |cleaned AS (
+             |  SELECT t.doc_id,
+             |    coalesce(string_agg(t.toks[j], ' ' ORDER BY j)
+             |      FILTER (WHERE NOT EXISTS (SELECT 1 FROM hits h
+             |        WHERE h.doc_id = t.doc_id
+             |          AND h.s <= j AND j <= h.s + ${W - 1})), '') AS ctext
+             |  FROM toks t, unnest(generate_series(1, t.n)) AS u(j)
+             |  GROUP BY t.doc_id)
+             |SELECT t.doc_id,
+             |  cast(t.n AS BIGINT) AS n_tokens,
+             |  cast(coalesce(p.nf, 0) AS BIGINT) AS n_flagged_grams,
+             |  cast(coalesce(p.covered, 0) AS BIGINT) AS covered_tokens,
+             |  round(coalesce(p.covered, 0) / (t.n * 1.0), 4) AS covered_frac,
+             |  md5(c.ctext) AS cleaned_md5
+             |FROM toks t
+             |LEFT JOIN perdoc p USING (doc_id)
+             |JOIN cleaned c ON c.doc_id = t.doc_id
+             |ORDER BY doc_id""".stripMargin))
+  }
+
   def all: Seq[QueryDef] = Seq(
     d01ExactDedup, d02NormalizedDedup, d03NgramJaccard, d04MinHashLsh,
     d05SimHash, d06DedupClusters, d07KeepList, d08JaccardCapped,
-    d09MinHashCapped, d10SegmentDedup, d11IntraDocDedup)
+    d09MinHashCapped, d10SegmentDedup, d11IntraDocDedup, d12SubstringDedup)
 }

@@ -865,4 +865,50 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(f.endsWith(expected), s"record $v wired to wrong file $f")
     }
   }
+
+  test("metadata tables written driver-side read back with Spark's schema") {
+    import org.apache.spark.sql.types._
+    val store = newStore()
+    val t0 = new java.sql.Timestamp(System.currentTimeMillis())
+    val s = ProvSession.create(spark, "meta-app", store)
+    val g = s.newGroup("grp")
+    val src = s.parallelize(Seq(1, 2, 3))
+    val m = src.map(_ + 1).initTransformationGroup(g)
+      .finishTransformationGroup(g)
+    assert(m.collect().sorted == Seq(2, 3, 4))
+    s.close()
+    val t1 = new java.sql.Timestamp(System.currentTimeMillis())
+
+    // executions: same column names/types the Spark writer produced,
+    // timestamps round-trip as TimestampType with sane instants, and
+    // the typed encoder read-back still works
+    val ex = spark.read.parquet(s"$store/executions")
+    assert(ex.schema.fields.map(f => (f.name, f.dataType)).toSet ==
+      Set(("app_name", StringType), ("start_time", TimestampType),
+        ("end_time", TimestampType), ("execution_id", StringType)))
+    val exRow = ex.as[ExecutionRow].collect().head
+    assert(exRow.execution_id == s.executionId && exRow.app_name == "meta-app")
+    assert(!exRow.start_time.before(new java.sql.Timestamp(t0.getTime - 1000)))
+    assert(exRow.end_time.exists(e =>
+      !e.before(exRow.start_time) && !e.after(new java.sql.Timestamp(t1.getTime + 1000))))
+
+    // tasks: booleans and list columns typed correctly
+    val tk = spark.read.parquet(s"$store/tasks")
+    val tTypes = tk.schema.fields.map(f => (f.name, f.dataType)).toMap
+    assert(tTypes("using_default_schema") == BooleanType &&
+      tTypes("is_ignored") == BooleanType &&
+      tTypes("schema_fields") == ArrayType(StringType) &&
+      tTypes("dependencies") == ArrayType(StringType))
+    val mapRow = tk.as[TaskRow].collect()
+      .find(_.task_id == m.task.id).get
+    assert(mapRow.transformation_type == "MAP" &&
+      mapRow.dependencies == Seq(src.task.id) && !mapRow.is_ignored)
+
+    // transformation_groups: lists + the scalar finish_task column
+    val gr = spark.read.parquet(s"$store/transformation_groups")
+      .as[TransformationGroupRow].collect().head
+    assert(gr.group_id == g.id && gr.name == "grp" &&
+      gr.init_tasks == Seq(m.task.id) && gr.intermediary_tasks.isEmpty &&
+      gr.finish_task == m.task.id)
+  }
 }
