@@ -10,21 +10,21 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Headline set: core joins/aggs, windows, events, dedup (exact +
-    * MinHash-LSH + capped LSH + segment-level), ANN (brute force + PQ +
-    * trained-IVF recall), fingerprinting, sequence packing, the C4
-    * composite filter, and the two heaviest SQL shapes (top-k custom
-    * operator, Q21-style multi-correlated exists) — one representative
-    * per family whose cost dominates a real pipeline, so a regression
-    * in any family moves the total.
+    * MinHash-LSH + capped LSH + segment-level + cross-doc substring),
+    * ANN (brute force + PQ + trained-IVF recall), fingerprinting,
+    * sequence packing, the C4 composite filter, and the two heaviest
+    * SQL shapes (top-k custom operator, Q21-style multi-correlated
+    * exists) — one representative per family whose cost dominates a
+    * real pipeline, so a regression in any family moves the total.
     */
   val defaultHeadline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_join_agg", "q05_nation_revenue",
     "q17_window_rank", "q18_window_running", "q28_events_hourly",
     "d01_exact_dedup", "d04_minhash_lsh", "d09_minhash_lsh_capped",
-    "d10_segment_dedup", "e01_knn_bruteforce", "e09_ann_pq",
-    "t04_fingerprint", "t11_sequence_packing", "t15_c4_filter",
-    "q42_topk_per_key_custom", "q69_sole_returned_supplier",
-    "e13_ann_recall_kmeans")
+    "d10_segment_dedup", "d12_substring_dedup", "e01_knn_bruteforce",
+    "e09_ann_pq", "t04_fingerprint", "t11_sequence_packing",
+    "t15_c4_filter", "q42_topk_per_key_custom",
+    "q69_sole_returned_supplier", "e13_ann_recall_kmeans")
 
   /** Override with SPARK_GRAFT_BENCH_QUERIES=name1,name2 for ad-hoc runs;
     * a name may repeat to measure warm-plan cost.

@@ -37,7 +37,10 @@ object ScaleBench {
       "d10_segment_dedup", "t11_sequence_packing", "t13_tfidf_top_terms",
       "e08_int8_quant", "e07_semantic_dedup", "e09_ann_pq",
       "t17_unigram_perplexity", "t18_domain_divergence",
-      "d11_intradoc_dedup", "t19_heavy_hitters_cms")
+      "d11_intradoc_dedup", "t19_heavy_hitters_cms",
+      // d12's replica-disjoint gram spaces (the r{i}_ prefix) keep the
+      // flagged set per-replica: 10x rows = 10x grams AND 10x flagged
+      "d12_substring_dedup")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
