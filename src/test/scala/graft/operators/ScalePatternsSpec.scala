@@ -172,6 +172,39 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q70 must not fall back to per-row probing:\n$p")
   }
 
+  test("d13 bloom sketches merge: bit_or of split sketches = union sketch") {
+    // the incremental-ingest property d13's scaladoc claims: sketching
+    // two halves of a corpus separately and bit_or-merging the word
+    // tables must equal sketching the union in one pass — so a 100 TB
+    // corpus sketch can be grown batch by batch, never rebuilt
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val a = DedupQueries.BloomSketch.segmentHashesOf(
+      docs.filter(col("doc_id") % 2 === 0)).select("h").distinct()
+    val b = DedupQueries.BloomSketch.segmentHashesOf(
+      docs.filter(col("doc_id") % 2 === 1)).select("h").distinct()
+    val merged = DedupQueries.BloomSketch.sketchOf(a)
+      .unionByName(DedupQueries.BloomSketch.sketchOf(b))
+      .groupBy("w").agg(expr("bit_or(word)").as("word"))
+    val whole = DedupQueries.BloomSketch.sketchOf(a.unionByName(b).distinct())
+    val mergedRows = merged.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val wholeRows = whole.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(mergedRows == wholeRows,
+      "bit_or-merged split sketches must equal the union's sketch")
+    assert(wholeRows.nonEmpty && wholeRows.keys.max < (1 << 20) / 32,
+      "word indexes must stay inside the fixed m/32 range")
+  }
+
+  test("d13's probe side broadcasts the sketch and never joins the corpus bulk") {
+    val d = "/root/testdata/sf0.001"
+    val d13 = DedupQueries.d13BloomIncremental.fn(spark, d)
+    val p = d13.queryExecution.executedPlan.toString
+    // the sketch is explicitly broadcast: probes must hash-join it
+    // broadcast-side even with auto-broadcast disabled in this suite
+    assert(p.contains("BroadcastHashJoin"),
+      s"d13 must broadcast the sketch word table:\n$p")
+  }
+
   test("AQE coalesces small shuffle partitions") {
     val before = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
