@@ -40,7 +40,12 @@ object ScaleBench {
       "d11_intradoc_dedup", "t19_heavy_hitters_cms",
       // d12's replica-disjoint gram spaces (the r{i}_ prefix) keep the
       // flagged set per-replica: 10x rows = 10x grams AND 10x flagged
-      "d12_substring_dedup")
+      "d12_substring_dedup",
+      // d13's bloom filter is sized to the corpus for the replica runs
+      // (spark.graft.bloomBits, set below) — production sizes m to the
+      // corpus, and a fixed test-size m saturating on 100x replicas
+      // would measure degradation no deployment ever runs
+      "d13_bloom_incremental")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
@@ -122,7 +127,16 @@ object ScaleBench {
 
     val rows = queries.map { n =>
       val x1 = runMin2(n, baseDir)
+      // size d13's bloom to its corpus, as production would: the xN run
+      // sketches N× the distinct segments, so m grows N× to keep the
+      // per-bit load (and thus the FP regime) constant across scales
+      if (n == "d13_bloom_incremental")
+        spark.conf.set("spark.graft.bloomBits",
+          (operators.DedupQueries.BloomSketch.mBitsDefault.toLong * copies)
+            .toString)
       val xn = runMin2(n, workDir)
+      if (n == "d13_bloom_incremental")
+        spark.conf.unset("spark.graft.bloomBits")
       val (r1, rn) = rowCounts(tableOf(n))
       (n, x1, xn, xn / x1, r1 / x1 / 1000.0, rn / xn / 1000.0)
     }

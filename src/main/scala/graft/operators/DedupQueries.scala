@@ -858,15 +858,25 @@ object DedupQueries {
     */
   private[graft] object BloomSketch {
     val segLen = 10
-    val mBits: Int = 1 << 20
+    /** Default filter size. Production sizes m to the corpus (~10 bits
+      * per expected distinct segment for ~1% FP at k=3); the gate uses
+      * this fixed default so the oracle replays it, and ScaleBench
+      * raises it via `spark.graft.bloomBits` when it grows the corpus
+      * 10×/100× — a sketch whose load is pinned, not saturating, is the
+      * honest scale measurement.
+      */
+    val mBitsDefault: Int = 1 << 20
     val seeds: Range = 0 until 3
+    def mBitsOf(s: SparkSession): Int =
+      s.conf.getOption("spark.graft.bloomBits").map(_.toInt)
+        .getOrElse(mBitsDefault)
     // top 60 bits of md5, as in TextAnalysisQueries.hash60 — positive,
     // identical in Spark and DuckDB
-    def posExpr(seed: Int): String =
+    def posExpr(seed: Int, mBits: Int): String =
       s"cast(conv(substring(md5(concat(h, ':$seed')), 1, 15), 16, 10) " +
         s"as bigint) % $mBits"
     def posSql(seed: Int): String =
-      s"('0x' || substr(md5(h || ':$seed'), 1, 15))::BIGINT % $mBits"
+      s"('0x' || substr(md5(h || ':$seed'), 1, 15))::BIGINT % $mBitsDefault"
 
     /** (doc_id, h=md5 of each 10-token segment), one row per segment. */
     def segmentHashesOf(df: DataFrame): DataFrame = df
@@ -883,12 +893,13 @@ object DedupQueries {
       * them. bit_or-merging two sketches on w yields exactly the sketch
       * of the union of their inputs — the incremental-ingest property.
       */
-    def sketchOf(hashes: DataFrame): DataFrame = hashes
-      .select(explode(array(seeds.map(k => expr(posExpr(k))): _*))
-        .as("pos"))
-      .groupBy((col("pos") / 32).cast("int").as("w"))
-      .agg(expr("bit_or(shiftleft(cast(1 as bigint), " +
-        "cast(pos % 32 as int)))").as("word"))
+    def sketchOf(hashes: DataFrame, mBits: Int = mBitsDefault): DataFrame =
+      hashes
+        .select(explode(array(seeds.map(k => expr(posExpr(k, mBits))): _*))
+          .as("pos"))
+        .groupBy((col("pos") / 32).cast("int").as("w"))
+        .agg(expr("bit_or(shiftleft(cast(1 as bigint), " +
+          "cast(pos % 32 as int)))").as("word"))
   }
 
   val d13BloomIncremental: QueryDef = {
@@ -896,17 +907,19 @@ object DedupQueries {
     QueryDef(
       "d13_bloom_incremental",
       (s, d) => {
+        val mBits = mBitsOf(s)
         val docs = Tables.documents(s, d)
         val corpusSegs = segmentHashesOf(docs.filter(col("doc_id") % 5 < 4))
           .select("h").distinct()
-        // sketch build: one narrow shuffle onto <= 32768 word rows
-        val sketch = sketchOf(corpusSegs)
+        // sketch build: one narrow shuffle onto <= mBits/32 word rows
+        val sketch = sketchOf(corpusSegs, mBits)
         val batchSegs = segmentHashesOf(docs.filter(col("doc_id") % 5 === 4))
         // probe: 3 rows per segment against the broadcast word table;
         // a position hits iff its bit is set, a segment hits iff all 3 do
         val probes = batchSegs
           .select(col("doc_id"), col("h"),
-            explode(array(seeds.map(k => expr(posExpr(k))): _*)).as("pos"))
+            explode(array(seeds.map(k => expr(posExpr(k, mBits))): _*))
+              .as("pos"))
           .withColumn("w", (col("pos") / 32).cast("int"))
           .withColumn("mask", expr(
             "shiftleft(cast(1 as bigint), cast(pos % 32 as int))"))

@@ -501,10 +501,109 @@ object SqlSurfaceQueries {
            |    FROM lineitem l2
            |    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin))
 
+  /** TPC-H Q15 shape: a derived revenue view aggregated from lineitem,
+    * then the supplier(s) whose revenue equals the view's MAX — a scalar
+    * subquery over the SAME derived view it filters, fed to Catalyst as
+    * written. The planner must evaluate the view's aggregate once more
+    * for the max (or reuse it via exchange reuse) and join supplier on
+    * the equality — never per-row re-aggregation. Sums are FLOAT-cast
+    * before rounding on both engines (e06 protocol) because the
+    * max-equality compares summation-order-sensitive doubles.
+    * Reference scope: SQL is beyond the reference's RDD surface
+    * (SURVEY §2.10) — these shapes gate the Catalyst path the library
+    * rests on.
+    */
+  val q71TopRevenueSupplier = QueryDef(
+    "q71_top_revenue_supplier",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("q71_lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("q71_supplier")
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(cast(sum(l_extendedprice * (1 - l_discount)) AS FLOAT), 2)
+                   AS total_revenue
+          FROM q71_lineitem
+          WHERE l_shipdate >= DATE '1996-01-01'
+            AND l_shipdate < DATE '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM q71_supplier
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey""")
+    },
+    Some("""WITH revenue AS (
+           |  SELECT l_suppkey AS supplier_no,
+           |         round(cast(sum(l_extendedprice * (1 - l_discount)) AS FLOAT), 2)
+           |           AS total_revenue
+           |  FROM lineitem
+           |  WHERE l_shipdate >= DATE '1996-01-01'
+           |    AND l_shipdate < DATE '1996-04-01'
+           |  GROUP BY l_suppkey)
+           |SELECT s_suppkey, s_name, total_revenue
+           |FROM supplier
+           |JOIN revenue ON s_suppkey = supplier_no
+           |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+           |ORDER BY s_suppkey""".stripMargin))
+
+  /** TPC-H Q8 shape: national market share — a six-table snowflake join
+    * (lineitem→orders→customer→nation→region plus supplier→nation a
+    * SECOND time, so `nation` joins twice under different roles) with a
+    * conditional aggregate ratio per year. The two dimension chains are
+    * broadcast-sized; the only shuffles the big tables see are the
+    * lineitem⋈orders join and the final per-year aggregate. Ratio of two
+    * summation-order-sensitive sums → FLOAT-cast before rounding (e06
+    * protocol) on both engines.
+    */
+  val q72MarketShare = QueryDef(
+    "q72_market_share",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("q72_lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("q72_orders")
+      Tables.customer(s, d).createOrReplaceTempView("q72_customer")
+      Tables.supplier(s, d).createOrReplaceTempView("q72_supplier")
+      Tables.nation(s, d).createOrReplaceTempView("q72_nation")
+      Tables.region(s, d).createOrReplaceTempView("q72_region")
+      s.sql("""
+        SELECT year(o_orderdate) AS o_year,
+               round(cast(sum(CASE WHEN n2.n_name = 'NATION_2'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END) AS FLOAT)
+                     / cast(sum(l_extendedprice * (1 - l_discount)) AS FLOAT),
+                     4) AS mkt_share
+        FROM q72_lineitem
+        JOIN q72_orders   ON l_orderkey = o_orderkey
+        JOIN q72_customer ON o_custkey = c_custkey
+        JOIN q72_nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN q72_region   ON n1.n_regionkey = r_regionkey
+        JOIN q72_supplier ON l_suppkey = s_suppkey
+        JOIN q72_nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY year(o_orderdate)
+        ORDER BY o_year""")
+    },
+    Some("""SELECT cast(year(o_orderdate) AS INT) AS o_year,
+           |  round(cast(sum(CASE WHEN n2.n_name = 'NATION_2'
+           |                      THEN l_extendedprice * (1 - l_discount)
+           |                      ELSE 0 END) AS FLOAT)
+           |        / cast(sum(l_extendedprice * (1 - l_discount)) AS FLOAT),
+           |        4) AS mkt_share
+           |FROM lineitem
+           |JOIN orders   ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           |JOIN region   ON n1.n_regionkey = r_regionkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           |WHERE r_name = 'ASIA'
+           |GROUP BY year(o_orderdate)
+           |ORDER BY o_year""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q44SqlSurface, q45MinPerGroup, q46OrderPriority, q47BandJoin,
       q51ValueFraction, q52LostCustomers, q60SoleLateSupplier,
       q61PriorityDivision, q62ColdCustomers, q63LargeVolumeCustomers,
       q64DominantSuppliers, q65NationVolume, q69SoleReturnedSupplier,
-      q70SmallQtyRevenue)
+      q70SmallQtyRevenue, q71TopRevenueSupplier, q72MarketShare)
 }
