@@ -148,4 +148,47 @@ class DocStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d3.nonEmpty && d3.forall(h => h._2 == 3L && !h._3),
       s"stale claimant not demoted: ${d3.toSeq}")
   }
+
+  test("streaming bloom-sketch ingest equals the batch sketch") {
+    // d13's corpus sketch, fed continuously: because bloom insertion is
+    // an idempotent bit_or, the streaming aggregate needs NO distinct
+    // and NO keyed state beyond the word table itself — complete-mode
+    // output after any number of micro-batches must equal sketching the
+    // same documents in one batch pass. This is the ingest side of the
+    // incremental story ScalePatternsSpec proves for batch merges.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupQueries.BloomSketch
+
+    def at(min: Int) = Timestamp.valueOf(f"2026-01-01 09:$min%02d:00")
+    val b1 = Seq(
+      Doc(1L, at(0), "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      Doc(2L, at(1), "one two three four five six seven eight nine ten eleven twelve"))
+    val b2 = Seq(
+      Doc(3L, at(2), "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      Doc(4L, at(3), "nu xi omicron pi rho sigma tau upsilon phi chi psi omega"))
+
+    val stream = MemoryStream[Doc]
+    val q = BloomSketch.sketchOf(
+        BloomSketch.segmentHashesOf(stream.toDS().toDF()).select("h"))
+      .writeStream.format("memory").queryName("bloom_ingest")
+      .outputMode(OutputMode.Complete())
+      .start()
+    stream.addData(b1)
+    q.processAllAvailable()
+    stream.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("bloom_ingest").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val all = (b1 ++ b2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val batch = BloomSketch.sketchOf(
+        BloomSketch.segmentHashesOf(all).select("h")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(streamed == batch,
+      s"streaming ingest diverged: streamed=$streamed batch=$batch")
+    assert(streamed.nonEmpty)
+  }
 }
