@@ -21,9 +21,9 @@ object Bench {
     "q01_pricing_summary", "q03_join_agg", "q05_nation_revenue",
     "q17_window_rank", "q18_window_running", "q28_events_hourly",
     "d01_exact_dedup", "d04_minhash_lsh", "d09_minhash_lsh_capped",
-    "d10_segment_dedup", "d12_substring_dedup", "e01_knn_bruteforce",
-    "e09_ann_pq", "t04_fingerprint", "t11_sequence_packing",
-    "t15_c4_filter", "q42_topk_per_key_custom",
+    "d10_segment_dedup", "d12_substring_dedup", "d13_bloom_incremental",
+    "e01_knn_bruteforce", "e09_ann_pq", "t04_fingerprint",
+    "t11_sequence_packing", "t15_c4_filter", "q42_topk_per_key_custom",
     "q69_sole_returned_supplier", "e13_ann_recall_kmeans")
 
   /** Override with SPARK_GRAFT_BENCH_QUERIES=name1,name2 for ad-hoc runs;

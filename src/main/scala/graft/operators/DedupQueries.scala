@@ -867,9 +867,15 @@ object DedupQueries {
       */
     val mBitsDefault: Int = 1 << 20
     val seeds: Range = 0 until 3
-    def mBitsOf(s: SparkSession): Int =
-      s.conf.getOption("spark.graft.bloomBits").map(_.toInt)
+    def mBitsOf(s: SparkSession): Int = {
+      val m = s.conf.getOption("spark.graft.bloomBits").map(_.toInt)
         .getOrElse(mBitsDefault)
+      // fail loudly on a nonsensical size rather than corrupting every
+      // probe: word packing needs a positive multiple of 32
+      require(m > 0 && m % 32 == 0,
+        s"spark.graft.bloomBits must be a positive multiple of 32, got $m")
+      m
+    }
     // top 60 bits of md5, as in TextAnalysisQueries.hash60 — positive,
     // identical in Spark and DuckDB
     def posExpr(seed: Int, mBits: Int): String =

@@ -859,8 +859,93 @@ object SimilarityQueries {
          |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
          |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
 
+  /** recall@3 of brute-force search in INT8-QUANTIZED space (e08's
+    * per-dimension min/max codes, with BOTH query and corpus vectors
+    * reconstructed from their codes) against the exact float search
+    * (e01) — quantifying what the 4× compression costs in ranking
+    * quality, the way e10–e13 quantify each index family's pruning.
+    * Reconstructions are float-cast on both engines before the cosine
+    * so the two sides rank identical float32 inputs; the cosine itself
+    * runs the shared in-order double protocol (cosine_similarity /
+    * cosSql). At 100 TB the quantized corpus is what search actually
+    * reads (16 B/dim → 1 B/dim + 2 floats per dim global), so recall
+    * must be measured in that space, not the float original.
+    */
+  val e14AnnRecallInt8 = QueryDef(
+    "e14_ann_recall_int8",
+    (s, d) => {
+      val dims = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "vf")))
+        .withColumn("v", col("vf").cast("double"))
+      val ranges = dims.groupBy(col("dim"))
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val recon = dims.join(broadcast(ranges), "dim")
+        .withColumn("code",
+          when(col("hi") === col("lo"), 0L)
+            .otherwise(round((col("v") - col("lo"))
+              / (col("hi") - col("lo")) * 255).cast("long")))
+        .withColumn("recon",
+          (col("lo") + col("code") * (col("hi") - col("lo")) / 255.0)
+            .cast("float"))
+        .groupBy(col("vec_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("recon")))),
+          x => x.getField("recon")).as("rvec"))
+      val q = recon.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("rvec").as("q_rvec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val int8Top3 = recon.alias("b").join(broadcast(q.alias("a")),
+          col("a.query_id") =!= col("b.vec_id"))
+        .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"),
+          cosine_similarity(col("a.q_rvec"), col("b.rvec")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact3 = e01KnnBruteForce.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+      int8Top3.join(exact3,
+          col("query_id") === col("eq") && col("neighbor_id") === col("en"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("en")).as("n_matched"),
+          round(count(col("en")) / 3.0, 4).as("recall3"))
+        .orderBy(col("query_id"))
+    },
+    Some(
+      s"""WITH dims AS (
+         |  SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, LATERAL unnest(generate_series(1, 64)) AS t(i)),
+         |ranges AS (
+         |  SELECT dim, min(v) AS lo, max(v) AS hi FROM dims GROUP BY dim),
+         |recon AS (
+         |  SELECT vec_id,
+         |    list(CAST(lo + (CASE WHEN hi = lo THEN 0
+         |           ELSE CAST(round((v - lo) / (hi - lo) * 255, 0) AS BIGINT)
+         |         END) * (hi - lo) / 255.0 AS FLOAT) ORDER BY dim) AS rvec
+         |  FROM dims JOIN ranges USING (dim) GROUP BY vec_id),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ${cosSql("a.rvec", "b.rvec")} AS cos
+         |  FROM recon a JOIN recon b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+         |i AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM scored) WHERE rank <= 3),
+         |exact_full AS (${e01KnnBruteForce.oracle.get}),
+         |e AS (SELECT query_id, neighbor_id FROM exact_full WHERE rank <= 3)
+         |SELECT i.query_id, count(e.neighbor_id) AS n_matched,
+         |  round(count(e.neighbor_id) / 3.0, 4) AS recall3
+         |FROM i LEFT JOIN e
+         |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     e01KnnBruteForce, e02CosineNearDup, e03AnnLsh, e04LabelCentroids,
     e05AnnIvf, e06AnnIvfKmeans, e07SemanticDedup, e08Int8Quant, e09AnnPq,
-    e10AnnRecall, e11AnnRecallLsh, e12AnnRecallPq, e13AnnRecallKmeans)
+    e10AnnRecall, e11AnnRecallLsh, e12AnnRecallPq, e13AnnRecallKmeans,
+    e14AnnRecallInt8)
 }
