@@ -130,13 +130,14 @@ object ScaleBench {
       // size d13's bloom to its corpus, as production would: the xN run
       // sketches N× the distinct segments, so m grows N× to keep the
       // per-bit load (and thus the FP regime) constant across scales
-      if (n == "d13_bloom_incremental")
-        spark.conf.set("spark.graft.bloomBits",
-          (operators.DedupQueries.BloomSketch.mBitsDefault.toLong * copies)
-            .toString)
-      val xn = runMin2(n, workDir)
-      if (n == "d13_bloom_incremental")
-        spark.conf.unset("spark.graft.bloomBits")
+      val xn =
+        if (n == "d13_bloom_incremental") {
+          spark.conf.set("spark.graft.bloomBits",
+            (operators.DedupQueries.BloomSketch.mBitsDefault.toLong * copies)
+              .toString)
+          try runMin2(n, workDir)
+          finally spark.conf.unset("spark.graft.bloomBits")
+        } else runMin2(n, workDir)
       val (r1, rn) = rowCounts(tableOf(n))
       (n, x1, xn, xn / x1, r1 / x1 / 1000.0, rn / xn / 1000.0)
     }

@@ -847,7 +847,11 @@ object DedupQueries {
     * broadcast-join the word table, and the exact-verify join touches
     * only bloom hits (the duplicate minority plus a measured ~0.04% FP
     * tail at 6% sketch load: 417 hits = 415 confirmed + 2 FP at
-    * sf0.1). If m outgrows broadcast range the SAME plan
+    * sf0.1). The probe aggregate appears in two plan branches (the
+    * verify filter and the final per-doc rollup), but AQE's query-stage
+    * cache materializes the shared exchanges ONCE at runtime
+    * (spec-asserted) — the batch is scanned a single time. If m
+    * outgrows broadcast range the SAME plan
     * degrades gracefully to a co-partitioned int-key join on word index.
     * Every hash is deterministic (top-60-bit md5), so DuckDB replays the
     * entire sketch — build, probe, and verify — making even the

@@ -205,6 +205,23 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"d13 must broadcast the sketch word table:\n$p")
   }
 
+  test("d13 under AQE computes the shared probe aggregate once (stage reuse)") {
+    // the probe aggregate feeds both the verify filter and the final
+    // per-doc rollup; statically that subtree appears twice, and the
+    // single-scan claim rests on AQE's query-stage cache deduplicating
+    // the identical exchanges at runtime — assert it actually does
+    val before = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val d13 = DedupQueries.d13BloomIncremental.fn(spark, "/root/testdata/sf0.001")
+      d13.collect()
+      val p = d13.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExtendedMode)
+      assert("Reused".r.findAllIn(p).nonEmpty,
+        s"expected AQE to reuse the shared probe stages:\n$p")
+    } finally before.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("AQE coalesces small shuffle partitions") {
     val before = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
