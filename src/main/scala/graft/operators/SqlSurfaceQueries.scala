@@ -600,10 +600,142 @@ object SqlSurfaceQueries {
            |GROUP BY year(o_orderdate)
            |ORDER BY o_year""".stripMargin))
 
+  /** TPC-H Q19 shape ("discounted revenue"): one join under a
+    * DISJUNCTION of conjunctive clauses, each mixing predicates from
+    * both sides (part brand/size AND lineitem quantity). The planner
+    * must extract the common `p_partkey = l_partkey` equi-key from
+    * under the OR (join condition stays hash-joinable, broadcast on
+    * part), push the part-only disjuncts down to the part scan, and
+    * leave only the cross-side residual on the join — the classic
+    * OR-predicate factoring test. Sum-of-products output rides the e06
+    * FLOAT-cast rounding protocol.
+    */
+  val q73DisjunctiveRevenue = QueryDef(
+    "q73_disjunctive_revenue",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("q73_lineitem")
+      Tables.part(s, d).createOrReplaceTempView("q73_part")
+      s.sql("""
+        SELECT round(cast(sum(l_extendedprice * (1 - l_discount)) AS FLOAT), 2)
+                 AS revenue
+        FROM q73_lineitem JOIN q73_part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)""")
+    },
+    Some("""SELECT round(cast(sum(l_extendedprice * (1 - l_discount)) AS FLOAT), 2)
+           |         AS revenue
+           |FROM lineitem JOIN part ON p_partkey = l_partkey
+           |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           |       AND l_quantity BETWEEN 1 AND 11)
+           |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           |       AND l_quantity BETWEEN 10 AND 20)
+           |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35
+           |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
+
+  /** TPC-H Q2 shape, LITERAL form ("minimum-cost supplier"): the
+    * correlated scalar MIN subquery REPEATS the outer query's
+    * supplier→nation→region join chain inside itself, with lineitem
+    * standing in for partsupp (price = l_extendedprice per (part,
+    * supplier) offer). q45 gates the decorrelated min-join rewrite a
+    * user would hand-write; this feeds Catalyst the correlated text
+    * TPC-H actually ships, so DecorrelateInnerQuery must hoist the
+    * whole joined subquery into a per-part aggregate and join it back —
+    * with the region filter applied independently on both copies of the
+    * dimension chain (both broadcast-sized). Price equality compares
+    * raw stored doubles (no arithmetic), so it is exact cross-engine;
+    * DISTINCT collapses repeated offers at the same minimum; ordering
+    * on the full output row makes LIMIT 100 deterministic.
+    */
+  val q74MinCostSupplier = QueryDef(
+    "q74_min_cost_supplier",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("q74_lineitem")
+      Tables.part(s, d).createOrReplaceTempView("q74_part")
+      Tables.supplier(s, d).createOrReplaceTempView("q74_supplier")
+      Tables.nation(s, d).createOrReplaceTempView("q74_nation")
+      Tables.region(s, d).createOrReplaceTempView("q74_region")
+      s.sql("""
+        SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+               l.l_extendedprice AS min_price
+        FROM q74_part p
+        JOIN q74_lineitem l ON l.l_partkey = p.p_partkey
+        JOIN q74_supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN q74_nation n ON n.n_nationkey = s.s_nationkey
+        JOIN q74_region r ON r.r_regionkey = n.n_regionkey
+        WHERE p.p_size BETWEEN 10 AND 20
+          AND r.r_name = 'ASIA'
+          AND l.l_extendedprice = (
+            SELECT min(l2.l_extendedprice)
+            FROM q74_lineitem l2
+            JOIN q74_supplier s2 ON s2.s_suppkey = l2.l_suppkey
+            JOIN q74_nation n2 ON n2.n_nationkey = s2.s_nationkey
+            JOIN q74_region r2 ON r2.r_regionkey = n2.n_regionkey
+            WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, min_price
+        LIMIT 100""")
+    },
+    Some("""SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+           |       l.l_extendedprice AS min_price
+           |FROM part p
+           |JOIN lineitem l ON l.l_partkey = p.p_partkey
+           |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           |JOIN nation n ON n.n_nationkey = s.s_nationkey
+           |JOIN region r ON r.r_regionkey = n.n_regionkey
+           |WHERE p.p_size BETWEEN 10 AND 20
+           |  AND r.r_name = 'ASIA'
+           |  AND l.l_extendedprice = (
+           |    SELECT min(l2.l_extendedprice)
+           |    FROM lineitem l2
+           |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+           |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+           |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+           |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+           |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, min_price
+           |LIMIT 100""".stripMargin))
+
+  /** TPC-H Q16 shape ("parts/supplier relationship"): NOT IN over a
+    * subquery — the one subquery membership form the surface did not
+    * yet gate (q64 covers nested IN, q46/q69 EXISTS/NOT EXISTS).
+    * `l_suppkey NOT IN (...)` plans as a null-aware anti join; with the
+    * count(DISTINCT) over a three-column grouping on top, the whole
+    * query is the anti join plus two shuffles (distinct expand, final
+    * agg). The excluded-supplier list is broadcast-sized by
+    * construction (a filtered dimension).
+    */
+  val q76SupplierCount = QueryDef(
+    "q76_supplier_count",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("q76_lineitem")
+      Tables.part(s, d).createOrReplaceTempView("q76_part")
+      Tables.supplier(s, d).createOrReplaceTempView("q76_supplier")
+      s.sql("""
+        SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM q76_part JOIN q76_lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 10, 15, 20, 25)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM q76_supplier WHERE s_acctbal < 1000)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+    },
+    Some("""SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+           |FROM part JOIN lineitem ON p_partkey = l_partkey
+           |WHERE p_brand <> 'Brand#1'
+           |  AND p_size IN (1, 5, 10, 15, 20, 25)
+           |  AND l_suppkey NOT IN (
+           |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+           |GROUP BY p_brand, p_type, p_size
+           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q44SqlSurface, q45MinPerGroup, q46OrderPriority, q47BandJoin,
       q51ValueFraction, q52LostCustomers, q60SoleLateSupplier,
       q61PriorityDivision, q62ColdCustomers, q63LargeVolumeCustomers,
       q64DominantSuppliers, q65NationVolume, q69SoleReturnedSupplier,
-      q70SmallQtyRevenue, q71TopRevenueSupplier, q72MarketShare)
+      q70SmallQtyRevenue, q71TopRevenueSupplier, q72MarketShare,
+      q73DisjunctiveRevenue, q74MinCostSupplier, q76SupplierCount)
 }

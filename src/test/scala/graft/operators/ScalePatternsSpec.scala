@@ -172,6 +172,28 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q70 must not fall back to per-row probing:\n$p")
   }
 
+  test("q74's correlated min-with-joins decorrelates; q76's NOT IN plans an anti join") {
+    val d = "/root/testdata/sf0.001"
+    // Q2 literal form: the scalar MIN subquery repeats a three-dimension
+    // join chain inside itself; Catalyst must hoist it into a per-part
+    // aggregate joined back — hash joins throughout, no per-row probe
+    val q74 = SqlSurfaceQueries.q74MinCostSupplier.fn(spark, d)
+    val p74 = q74.queryExecution.executedPlan.toString
+    assert(p74.contains("HashAggregate"),
+      s"the correlated min must become a grouped aggregate:\n$p74")
+    assert(!p74.contains("BroadcastNestedLoopJoin") && !p74.contains("CartesianProduct"),
+      s"q74 must not fall back to per-row probing:\n$p74")
+    // Q16: NOT IN over a non-nullable key column plans as a LeftAnti
+    // hash join (degenerating to null-aware only if the key were
+    // nullable) — never a nested-loop scan of the exclusion list
+    val q76 = SqlSurfaceQueries.q76SupplierCount.fn(spark, d)
+    val p76 = q76.queryExecution.executedPlan.toString
+    assert(p76.contains("LeftAnti"),
+      s"NOT IN must become an anti join:\n$p76")
+    assert(!p76.contains("CartesianProduct"),
+      s"q76 must not cartesian the exclusion list:\n$p76")
+  }
+
   test("d13 bloom sketches merge: bit_or of split sketches = union sketch") {
     // the incremental-ingest property d13's scaladoc claims: sketching
     // two halves of a corpus separately and bit_or-merging the word
