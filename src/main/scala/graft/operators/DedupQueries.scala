@@ -21,15 +21,17 @@ object DedupQueries {
   private[graft] def shingleArrays(s: SparkSession, d: String): DataFrame =
     shingleArraysOf(Tables.documents(s, d))
 
-  /** [[shingleArrays]] over an arbitrary documents frame (doc_id, text)
+  /** [[shingleArrays]] over an arbitrary documents frame (`key`, text)
     * — shared with the streaming verify step so stream and batch agree
-    * on the shingle definition by construction.
+    * on the shingle definition by construction, and keyed by `source`
+    * instead of `doc_id` for the corpus-level d14 audit.
     */
-  private[graft] def shingleArraysOf(docs: DataFrame): DataFrame =
+  private[graft] def shingleArraysOf(docs: DataFrame,
+                                     key: String = "doc_id"): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col(key), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
+      .select(col(key), array_distinct(expr(
         "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
         .as("sh"))
 
@@ -1008,9 +1010,69 @@ object DedupQueries {
              |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin))
   }
 
+  /** Cross-source overlap audit: exact pairwise Jaccard between the
+    * distinct-shingle SETS of every source pair — the corpus-level
+    * number a dataset curator reads before mixing sources (high overlap
+    * → one source is a scrape/mirror of another and the mixture
+    * double-counts it). Shingles come from the same [[shingleArraysOf]]
+    * definition as every other dedup op, keyed by `source`.
+    *
+    * Scale shape: distinct-per-source collapses each source's shingle
+    * multiset to a set BEFORE any join, so the inverted self-join's
+    * fan-out per shingle is bounded by (#sources choose 2) — a
+    * structural cap, independent of corpus size, unlike d03's per-DOC
+    * join where a hot shingle fans out quadratically in matching docs.
+    * Everything after the one shuffle on shingle is #sources²-sized and
+    * broadcast.
+    */
+  val d14SourceOverlap = QueryDef(
+    "d14_source_overlap",
+    (s, d) => {
+      val ssh = shingleArraysOf(
+          Tables.documents(s, d).select(col("source"), col("text")), "source")
+        .select(col("source"), explode(col("sh")).as("sh1"))
+        .distinct()
+      val cnt = ssh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val common = ssh.select(col("source").as("sa"), col("sh1"))
+        .join(ssh.select(col("source").as("sb"), col("sh1")), Seq("sh1"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("c"))
+      val pairs = cnt.select(col("source").as("source_a"), col("n").as("n_a"))
+        .join(broadcast(cnt.select(col("source").as("source_b"), col("n").as("n_b"))),
+          col("source_a") < col("source_b"))
+      pairs
+        .join(broadcast(common),
+          col("source_a") === col("sa") && col("source_b") === col("sb"), "left")
+        .withColumn("n_common", coalesce(col("c"), lit(0L)))
+        .select(col("source_a"), col("source_b"), col("n_common"),
+          col("n_a"), col("n_b"),
+          round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6)
+            .as("jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some("""WITH words AS (SELECT source, string_split(text, ' ') w
+           |               FROM documents WHERE len(string_split(text, ' ')) >= 3),
+           |ssh AS (SELECT DISTINCT source,
+           |          unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           |                  for i in generate_series(1, len(w)-2)]) s
+           |        FROM words),
+           |cnt AS (SELECT source, count(*) n FROM ssh GROUP BY 1),
+           |common AS (SELECT a.source sa, b.source sb, count(*) c
+           |           FROM ssh a JOIN ssh b ON a.s = b.s AND a.source < b.source
+           |           GROUP BY 1, 2)
+           |SELECT p.sa AS source_a, p.sb AS source_b,
+           |  cast(coalesce(c, 0) AS BIGINT) AS n_common,
+           |  cast(p.na AS BIGINT) AS n_a, cast(p.nb AS BIGINT) AS n_b,
+           |  round(coalesce(c, 0) * 1.0 / (p.na + p.nb - coalesce(c, 0)), 6)
+           |    AS jaccard
+           |FROM (SELECT a.source sa, a.n na, b.source sb, b.n nb
+           |      FROM cnt a JOIN cnt b ON a.source < b.source) p
+           |LEFT JOIN common ON p.sa = common.sa AND p.sb = common.sb
+           |ORDER BY source_a, source_b""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     d01ExactDedup, d02NormalizedDedup, d03NgramJaccard, d04MinHashLsh,
     d05SimHash, d06DedupClusters, d07KeepList, d08JaccardCapped,
     d09MinHashCapped, d10SegmentDedup, d11IntraDocDedup, d12SubstringDedup,
-    d13BloomIncremental)
+    d13BloomIncremental, d14SourceOverlap)
 }
