@@ -861,11 +861,74 @@ object TextAnalysisQueries {
          |FROM est ORDER BY exact_n DESC, tok""".stripMargin
     })
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc
+    * by log(p_target/p_raw) under hashed-unigram bag models — the
+    * standard way to upsample corpus documents that look like a target
+    * domain without training a classifier. Target = the `lang='en'`
+    * slice; features = tokens hashed into 1024 buckets (the same
+    * md5-derived [[hash60]] primitive as t12/t14/t16, so the oracle
+    * replays the hashing exactly); both distributions add-1 smoothed
+    * over the bucket vocabulary. A doc's weight is the sum of its
+    * tokens' bucket log-ratios; resampling then keeps docs
+    * proportionally to exp(weight).
+    *
+    * Scale shape: two token-bucket aggregates (map-side combined) build
+    * the 1024-row models, which broadcast back onto one pass over the
+    * token stream — no joins between big tables, no driver loops. The
+    * per-doc sum is float-cast before rounding (t17's protocol) to
+    * absorb summation-order ulps. Both engines evaluate the log-ratio
+    * with identical operand order, so pre-rounding values are
+    * bit-identical IEEE.
+    */
+  val t20DsirWeights = QueryDef(
+    "t20_dsir_weights",
+    (s, d) => {
+      val buckets = 1024
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b", pmod(hash60(col("tok")), lit(buckets.toLong)))
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val nt = tgt.agg(sum(col("ct")).as("nt"))
+      val nr = raw.agg(sum(col("cr")).as("nr"))
+      val logratio = raw.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+        .select(col("b"),
+          log(((coalesce(col("ct"), lit(0L)) + 1.0) / (col("nt") + buckets)) /
+              ((col("cr") + 1.0) / (col("nr") + buckets))).as("lr"))
+      toks.join(broadcast(logratio), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(col("lr")).cast("float"), 4).as("dsir_logweight"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            |  FROM documents),
+            |bt AS (SELECT doc_id, lang,
+            |         ${hash60Sql("tok")} % 1024 AS b FROM toks),
+            |tgt AS (SELECT b, count(*) AS ct FROM bt WHERE lang = 'en' GROUP BY b),
+            |raw AS (SELECT b, count(*) AS cr FROM bt GROUP BY b),
+            |nt AS (SELECT sum(ct) AS nt FROM tgt),
+            |nr AS (SELECT sum(cr) AS nr FROM raw),
+            |lr AS (
+            |  SELECT raw.b,
+            |    ln(((coalesce(ct, 0) + 1.0) / (nt + 1024))
+            |       / ((cr + 1.0) / (nr + 1024))) AS lr
+            |  FROM raw LEFT JOIN tgt USING (b), nt, nr)
+            |SELECT doc_id, count(*) AS n_tokens,
+            |  round(CAST(sum(lr) AS FLOAT), 4) AS dsir_logweight
+            |FROM bt JOIN lr USING (b)
+            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05CorpusReport, t06Winnowing, t07BpeTokenCount, t08Contamination,
     t09RepetitionSignals, t10PiiScrub, t11SequencePacking,
     t12DomainMixture, t13TfidfTopTerms, t14ShardManifest, t15C4Filter,
     t16StratifiedSplit, t17UnigramPerplexity, t18DomainDivergence,
-    t19HeavyHittersCms)
+    t19HeavyHittersCms, t20DsirWeights)
 }
