@@ -45,7 +45,14 @@ object ScaleBench {
       // (spark.graft.bloomBits, set below) — production sizes m to the
       // corpus, and a fixed test-size m saturating on 100x replicas
       // would measure degradation no deployment ever runs
-      "d13_bloom_incremental")
+      "d13_bloom_incremental",
+      // d14: sources are preserved across replicas while the r{i}_
+      // prefix keeps replica shingles disjoint — per-source sets grow
+      // N×, the pair count stays (#sources choose 2)
+      "d14_source_overlap",
+      // t20: the 1024-bucket models stay fixed-size; only the token
+      // stream they broadcast onto grows
+      "t20_dsir_weights")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.

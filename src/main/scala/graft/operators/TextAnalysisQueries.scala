@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.Tables
 
@@ -17,7 +17,7 @@ object TextAnalysisQueries {
     * mirrored by [[hash60Sql]] in their oracles). 60 bits keeps the
     * value positive in a signed BIGINT in both engines.
     */
-  private def hash60(c: Column): Column =
+  private[graft] def hash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** DuckDB mirror of [[hash60]]. */
@@ -881,25 +881,64 @@ object TextAnalysisQueries {
     * with identical operand order, so pre-rounding values are
     * bit-identical IEEE.
     */
+  /** Bucket count of the DSIR hashed-unigram models (t20 + the
+    * streaming scorer share it).
+    */
+  private[graft] val dsirBuckets = 1024
+
+  /** Bucketed token hash shared by t20's two model aggregates and its
+    * scoring pass.
+    */
+  private def dsirToks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b", pmod(hash60(col("tok")), lit(dsirBuckets.toLong)))
+
+  /** t20's (bucket, log-ratio) model table — 1024 rows, the thing a
+    * deployment builds once per (target, corpus) pair and then applies
+    * to any number of documents (batch via t20's join, streams via
+    * [[graft.streaming.DocStreams.dsirScore]]).
+    */
+  private[graft] def dsirLogRatio(s: SparkSession, d: String): DataFrame = {
+    val toks = dsirToks(s, d)
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val nt = tgt.agg(sum(col("ct")).as("nt"))
+    val nr = raw.agg(sum(col("cr")).as("nr"))
+    raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("b"),
+        log(((coalesce(col("ct"), lit(0L)) + 1.0) / (col("nt") + dsirBuckets)) /
+            ((col("cr") + 1.0) / (col("nr") + dsirBuckets))).as("lr"))
+  }
+
+  /** Driver-side form of the models for broadcast-literal application:
+    * the ≤1024-row log-ratio map (a bounded aggregate pull, like the
+    * e06/e09 centroid pulls) plus the smoothed log-ratio of a bucket
+    * never seen in the corpus, ln((nr+B)/(nt+B)) — what add-1 smoothing
+    * assigns when ct = cr = 0 (only reachable by out-of-corpus data,
+    * e.g. a scored stream).
+    */
+  private[graft] def dsirModels(s: SparkSession, d: String): (Map[Long, Double], Double) = {
+    val lrMap = dsirLogRatio(s, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val counts = Tables.documents(s, d)
+      .agg(
+        sum(when(col("lang") === "en", size(split(col("text"), " ")))
+          .otherwise(0)).as("nt"),
+        sum(size(split(col("text"), " "))).as("nr"))
+      .head()
+    val unseen = math.log((counts.getLong(1).toDouble + dsirBuckets) /
+      (counts.getLong(0).toDouble + dsirBuckets))
+    (lrMap, unseen)
+  }
+
   val t20DsirWeights = QueryDef(
     "t20_dsir_weights",
     (s, d) => {
-      val buckets = 1024
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("tok"))
-        .withColumn("b", pmod(hash60(col("tok")), lit(buckets.toLong)))
-      val tgt = toks.filter(col("lang") === "en")
-        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-      val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-      val nt = tgt.agg(sum(col("ct")).as("nt"))
-      val nr = raw.agg(sum(col("cr")).as("nr"))
-      val logratio = raw.join(tgt, Seq("b"), "left")
-        .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
-        .select(col("b"),
-          log(((coalesce(col("ct"), lit(0L)) + 1.0) / (col("nt") + buckets)) /
-              ((col("cr") + 1.0) / (col("nr") + buckets))).as("lr"))
-      toks.join(broadcast(logratio), Seq("b"))
+      dsirToks(s, d).join(broadcast(dsirLogRatio(s, d)), Seq("b"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
           round(sum(col("lr")).cast("float"), 4).as("dsir_logweight"))

@@ -114,6 +114,36 @@ object DocStreams {
       }
   }
 
+  /** Score an unbounded document stream with BATCH-built DSIR models
+    * (t20's hashed-unigram log-ratio table, pulled driver-side via
+    * [[graft.operators.TextAnalysisQueries.dsirModels]]): the ≤1024-entry
+    * model rides as a literal map and the whole scorer is ONE stateless
+    * projection — per-token bucket hash, map lookup (falling back to the
+    * smoothed unseen-bucket ratio for out-of-corpus tokens), in-order
+    * array fold — no watermark, no keyed state, no shuffle. Model
+    * refresh = restart the query with a re-pulled map (models are a
+    * slowly-changing batch artifact, not stream state). Agreement with
+    * batch t20 on the same corpus is spec-proven (DocStreamsSpec); the
+    * per-doc sum folds in document order vs the batch shuffle order,
+    * which t20's float-cast-then-round protocol absorbs.
+    */
+  def dsirScore(docs: Dataset[Doc], logRatio: Map[Long, Double],
+                unseenLr: Double, buckets: Int = 1024): DataFrame = {
+    val m = typedLit(logRatio)
+    docs.toDF()
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("ts"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(aggregate(
+          transform(col("toks"), t =>
+            coalesce(
+              element_at(m, pmod(graft.operators.TextAnalysisQueries.hash60(t),
+                lit(buckets.toLong))),
+              lit(unseenLr))),
+          lit(0.0), (acc, x) => acc + x).cast("float"), 4)
+          .as("dsir_logweight"))
+  }
+
   /** Exact-verify streamed candidates — the batch half of the streaming
     * dedup loop. Takes the collected [[nearDupCandidates]] output and
     * the corpus (doc_id, text), and runs d04's `array_intersect` exact

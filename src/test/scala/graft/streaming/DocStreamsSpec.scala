@@ -191,4 +191,49 @@ class DocStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming ingest diverged: streamed=$streamed batch=$batch")
     assert(streamed.nonEmpty)
   }
+
+  test("streaming DSIR scoring with batch models equals batch t20") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+
+    // models built once, batch-side; the stream replays the same corpus
+    // split across two micro-batches, so every (doc, score) must match
+    // batch t20 exactly (same rounded float — the stream folds tokens in
+    // document order, the batch sums in shuffle order; the float-cast
+    // round-4 protocol absorbs the ulp difference)
+    val (lrMap, unseen) = graft.operators.TextAnalysisQueries.dsirModels(spark, d)
+    assert(lrMap.size <= 1024 && lrMap.nonEmpty)
+
+    val ts = Timestamp.valueOf("2026-01-01 09:00:00")
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), ts, r.getString(1)))
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+
+    val stream = MemoryStream[Doc]
+    val q = DocStreams.dsirScore(stream.toDS(), lrMap, unseen)
+      .writeStream.format("memory").queryName("dsir_scores")
+      .outputMode(OutputMode.Append())
+      .start()
+    stream.addData(b1.toSeq)
+    q.processAllAvailable()
+    stream.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("dsir_scores").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Float]("dsir_logweight"))).toSet
+    val batch = graft.operators.TextAnalysisQueries.t20DsirWeights
+      .fn(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Float]("dsir_logweight"))).toSet
+    assert(streamed.size == docs.length)
+    assert(streamed == batch,
+      s"stream scores diverged from batch t20: " +
+        s"onlyStream=${(streamed -- batch).take(3)} " +
+        s"onlyBatch=${(batch -- streamed).take(3)}")
+  }
 }
