@@ -697,6 +697,41 @@ object SqlSurfaceQueries {
            |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, min_price
            |LIMIT 100""".stripMargin))
 
+  /** TPC-H Q14 shape ("promotion effect"): ratio of a conditional
+    * aggregate to the total over one date-pruned fact⋈dimension join —
+    * the date range prunes the lineitem scan (PushedFilters), part
+    * broadcasts, and both sums ride the SAME single aggregate (one scan,
+    * no re-read for the denominator). Ratio of two summation-order-
+    * sensitive sums → both FLOAT-cast before the division, and the
+    * ratio itself DOUBLE-cast before rounding: Spark's type coercion
+    * divides floats in double while DuckDB divides FLOAT/FLOAT in
+    * float, and a ratio sitting on a 4dp float boundary (this one
+    * does) would otherwise round apart.
+    */
+  val q75PromoRevenue = QueryDef(
+    "q75_promo_revenue",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("q75_lineitem")
+      Tables.part(s, d).createOrReplaceTempView("q75_part")
+      s.sql("""
+        SELECT round(cast(cast(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END) AS FLOAT)
+                 / cast(sum(l_extendedprice * (1 - l_discount)) AS FLOAT)
+                 AS DOUBLE), 4)
+                 AS promo_revenue
+        FROM q75_lineitem JOIN q75_part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1996-03-01'""")
+    },
+    Some("""SELECT round(cast(cast(100.0 * sum(CASE WHEN p_type = 'PROMO'
+           |               THEN l_extendedprice * (1 - l_discount) ELSE 0 END) AS FLOAT)
+           |         / cast(sum(l_extendedprice * (1 - l_discount)) AS FLOAT)
+           |         AS DOUBLE), 4)
+           |         AS promo_revenue
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE l_shipdate >= DATE '1996-01-01'
+           |  AND l_shipdate < DATE '1996-03-01'""".stripMargin))
+
   /** TPC-H Q16 shape ("parts/supplier relationship"): NOT IN over a
     * subquery — the one subquery membership form the surface did not
     * yet gate (q64 covers nested IN, q46/q69 EXISTS/NOT EXISTS).
@@ -737,5 +772,6 @@ object SqlSurfaceQueries {
       q61PriorityDivision, q62ColdCustomers, q63LargeVolumeCustomers,
       q64DominantSuppliers, q65NationVolume, q69SoleReturnedSupplier,
       q70SmallQtyRevenue, q71TopRevenueSupplier, q72MarketShare,
-      q73DisjunctiveRevenue, q74MinCostSupplier, q76SupplierCount)
+      q73DisjunctiveRevenue, q74MinCostSupplier, q75PromoRevenue,
+      q76SupplierCount)
 }
