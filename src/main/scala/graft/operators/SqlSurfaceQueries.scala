@@ -766,6 +766,192 @@ object SqlSurfaceQueries {
            |GROUP BY p_brand, p_type, p_size
            |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
 
+  /** TPC-H Q5 shape ("local supplier volume"): the five-way
+    * fact⋈customer⋈supplier⋈nation⋈region star join with the extra
+    * NON-key equi-condition c_nationkey = s_nationkey — customer and
+    * supplier must sit in the SAME nation, which no single join key
+    * provides; Catalyst carries it as a second equi-predicate on the
+    * supplier join. nation and region broadcast; the one shuffle
+    * exchange keys on o_custkey/l_orderkey between the two fact-side
+    * joins. Revenue ranks the output (rank on the ROUNDED value,
+    * n_name tie-break).
+    */
+  val q77LocalSupplierVolume = QueryDef(
+    "q77_local_supplier_volume",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= DATE '1996-01-01'
+           |  AND o_orderdate < DATE '1997-01-01'
+           |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin))
+
+  /** TPC-H Q6 shape ("forecast revenue change"): the pure-pushdown
+    * query — zero joins, one global aggregate, every predicate
+    * (date range, discount band, quantity cap) eligible for parquet
+    * PushedFilters, so at 100 TB the scan itself is the whole plan and
+    * row-group statistics prune most of it. Discount bounds compare
+    * stored doubles against the same literals in both engines (the
+    * generator's 0.01-step grid makes BETWEEN 0.05 AND 0.07 exact).
+    */
+  val q78ForecastRevenue = QueryDef(
+    "q78_forecast_revenue",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))
+    },
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+           |FROM lineitem
+           |WHERE l_shipdate >= DATE '1996-01-01'
+           |  AND l_shipdate < DATE '1997-01-01'
+           |  AND l_discount BETWEEN 0.05 AND 0.07
+           |  AND l_quantity < 24""".stripMargin))
+
+  /** TPC-H Q9 shape ("product type profit"): profit per supplier
+    * nation per year over a part-name substring filter. The schema has
+    * no partsupp/ps_supplycost (TESTDATA.md), so cost is modeled as
+    * 0.6 × p_retailprice × l_quantity — preserving Q9's defining
+    * shape: a DIFFERENCE of two product aggregates (revenue minus
+    * cost) grouped by nation × year under a LIKE '%...%' filter that
+    * cannot prune the part scan (substring match ⇒ full dimension
+    * read, still broadcast-sized). The profit sum subtracts
+    * near-cancelling terms, so ordering noise is absorbed by the
+    * FLOAT-cast-before-round protocol (e06).
+    */
+  val q79ProductProfit = QueryDef(
+    "q79_product_profit",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("q79_lineitem")
+      Tables.part(s, d).createOrReplaceTempView("q79_part")
+      Tables.supplier(s, d).createOrReplaceTempView("q79_supplier")
+      Tables.nation(s, d).createOrReplaceTempView("q79_nation")
+      s.sql("""
+        SELECT n_name AS nation, cast(year(l_shipdate) AS INT) AS o_year,
+               round(cast(sum(l_extendedprice * (1 - l_discount)
+                             - 0.6 * p_retailprice * l_quantity) AS FLOAT), 2)
+                 AS profit
+        FROM q79_lineitem
+        JOIN q79_part ON p_partkey = l_partkey
+        JOIN q79_supplier ON s_suppkey = l_suppkey
+        JOIN q79_nation ON n_nationkey = s_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, year(l_shipdate)
+        ORDER BY nation, o_year DESC""")
+    },
+    Some("""SELECT n_name AS nation, cast(year(l_shipdate) AS INT) AS o_year,
+           |       round(cast(sum(l_extendedprice * (1 - l_discount)
+           |                     - 0.6 * p_retailprice * l_quantity) AS FLOAT), 2)
+           |         AS profit
+           |FROM lineitem
+           |JOIN part ON p_partkey = l_partkey
+           |JOIN supplier ON s_suppkey = l_suppkey
+           |JOIN nation ON n_nationkey = s_nationkey
+           |WHERE p_name LIKE '%widget%'
+           |GROUP BY n_name, year(l_shipdate)
+           |ORDER BY nation, o_year DESC""".stripMargin))
+
+  /** TPC-H Q10 shape ("returned item reporting"): top-20 customers by
+    * revenue lost to returns in one quarter — fact⋈orders⋈customer
+    * with broadcast nation, group by the full customer row, rank on
+    * the ROUNDED revenue with c_custkey as the deterministic
+    * tie-break, LIMIT 20 (TakeOrderedAndProject: each partition keeps
+    * only its local top-20, no global sort at scale). One customer's
+    * true revenue sits exactly on a 2dp rounding boundary, so the sum
+    * is FLOAT-cast before rounding on both sides (e06 protocol).
+    */
+  val q80ReturnedItems = QueryDef(
+    "q80_returned_items",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("l_returnflag") === "R" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("float"), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name,
+           |  round(cast(sum(l_extendedprice * (1 - l_discount)) AS FLOAT), 2) AS revenue
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |WHERE l_returnflag = 'R'
+           |  AND o_orderdate >= DATE '1996-01-01'
+           |  AND o_orderdate < DATE '1996-04-01'
+           |GROUP BY c_custkey, c_name, n_name
+           |ORDER BY revenue DESC, c_custkey
+           |LIMIT 20""".stripMargin))
+
+  /** TPC-H Q12 shape ("shipping modes and order priority"): the
+    * conditional-count pivot — one fact⋈orders join, a CASE bucket as
+    * the grouping key, and two CASE-sums splitting lines by order
+    * priority. The schema has no l_shipmode/l_receiptdate
+    * (TESTDATA.md), so the bucket is derived ship SPEED
+    * (shipdate − orderdate lag bands), preserving Q12's plan: join,
+    * derive, one map-side-combined aggregate over 3 groups. Counts
+    * cast BIGINT (DuckDB CASE-sum returns HUGEINT).
+    */
+  val q81ShipSpeedPriority = QueryDef(
+    "q81_ship_speed_priority",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("q81_lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("q81_orders")
+      s.sql("""
+        SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 90 DAY THEN 'LATE'
+                    WHEN l_shipdate >= o_orderdate + INTERVAL 30 DAY THEN 'SLOW'
+                    ELSE 'FAST' END AS ship_speed,
+               cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM q81_lineitem JOIN q81_orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 90 DAY THEN 'LATE'
+           |            WHEN l_shipdate >= o_orderdate + INTERVAL 30 DAY THEN 'SLOW'
+           |            ELSE 'FAST' END AS ship_speed,
+           |       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           |       cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q44SqlSurface, q45MinPerGroup, q46OrderPriority, q47BandJoin,
       q51ValueFraction, q52LostCustomers, q60SoleLateSupplier,
@@ -773,5 +959,6 @@ object SqlSurfaceQueries {
       q64DominantSuppliers, q65NationVolume, q69SoleReturnedSupplier,
       q70SmallQtyRevenue, q71TopRevenueSupplier, q72MarketShare,
       q73DisjunctiveRevenue, q74MinCostSupplier, q75PromoRevenue,
-      q76SupplierCount)
+      q76SupplierCount, q77LocalSupplierVolume, q78ForecastRevenue,
+      q79ProductProfit, q80ReturnedItems, q81ShipSpeedPriority)
 }

@@ -194,6 +194,36 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q76 must not cartesian the exclusion list:\n$p76")
   }
 
+  test("q77/q78/q80 keep their TPC-H scale properties") {
+    val d = "/root/testdata/sf0.001"
+    // Q5 shape: both dimension joins are hinted broadcasts, and the
+    // same-nation constraint rides the supplier join as a SECOND
+    // equi-key (c_nationkey = s_nationkey), not a post-join filter
+    val q77 = SqlSurfaceQueries.q77LocalSupplierVolume.fn(spark, d)
+    val p77 = q77.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p77).size >= 2,
+      s"q77 must broadcast nation and region:\n$p77")
+    assert(!p77.contains("CartesianProduct") &&
+      !p77.contains("BroadcastNestedLoopJoin"),
+      s"q77's same-nation predicate must stay an equi-join key:\n$p77")
+    // Q6 shape: every predicate reaches the parquet scan, and the scan
+    // reads only the four columns the query touches
+    val q78 = SqlSurfaceQueries.q78ForecastRevenue.fn(spark, d)
+    val p78 = q78.queryExecution.executedPlan.toString
+    assert(p78.contains("PushedFilters:") && p78.contains("IsNotNull(l_shipdate)"),
+      s"q78's filters must be pushed to the scan:\n$p78")
+    assert(!p78.contains("l_orderkey") && !p78.contains("l_returnflag"),
+      s"q78 must prune columns it never touches:\n$p78")
+    assert(!p78.contains("Exchange") || countShuffles(q78) == 1,
+      s"q78 is scan+aggregate — at most the final single-row exchange:\n$p78")
+    // Q10 shape: ORDER BY ... LIMIT 20 must plan TakeOrderedAndProject
+    // (per-partition local top-k), never a global sort of all customers
+    val q80 = SqlSurfaceQueries.q80ReturnedItems.fn(spark, d)
+    val p80 = q80.queryExecution.executedPlan.toString
+    assert(p80.contains("TakeOrderedAndProject"),
+      s"q80's top-20 must be TakeOrderedAndProject:\n$p80")
+  }
+
   test("d13 bloom sketches merge: bit_or of split sketches = union sketch") {
     // the incremental-ingest property d13's scaladoc claims: sketching
     // two halves of a corpus separately and bit_or-merging the word
