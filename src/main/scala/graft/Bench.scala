@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Headline set: core joins/aggs, windows, events, dedup (exact +
+  /** Headline set: core joins/aggs, windows, events (hourly agg, plus
+    * the two heaviest event-time shapes: as-of attribution join and
+    * ordered funnel), dedup (exact +
     * MinHash-LSH + capped LSH + segment-level + cross-doc substring),
     * ANN (brute force + PQ + trained-IVF recall), fingerprinting,
     * sequence packing, the C4 composite filter, and the two heaviest
@@ -20,6 +22,7 @@ object Bench {
   val defaultHeadline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_join_agg", "q05_nation_revenue",
     "q17_window_rank", "q18_window_running", "q28_events_hourly",
+    "q56_asof_attribution", "q66_event_funnel",
     "d01_exact_dedup", "d04_minhash_lsh", "d09_minhash_lsh_capped",
     "d10_segment_dedup", "d12_substring_dedup", "d13_bloom_incremental",
     "e01_knn_bruteforce", "e09_ann_pq", "t04_fingerprint",

@@ -52,7 +52,12 @@ object ScaleBench {
       "d14_source_overlap",
       // t20: the 1024-bucket models stay fixed-size; only the token
       // stream they broadcast onto grows
-      "t20_dsir_weights")
+      "t20_dsir_weights",
+      // q56: event-time as-of join — replicas offset user_id, so N×
+      // rows is N× users with per-user group size constant: the
+      // union-tag + carry-forward window sorts N× groups of fixed
+      // size, the linear regime a 100 TB attribution join lives in
+      "q56_asof_attribution")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
@@ -78,6 +83,18 @@ object ScaleBench {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // events: replica-disjoint event AND user ids, timestamps kept —
+    // N× rows = N× users over the same time range, so per-user event
+    // counts (and thus as-of/window group sizes) stay constant
+    val evs = Tables.events(spark, baseDir)
+    (0 until copies).map { i =>
+      if (i == 0) evs
+      else evs
+        .withColumn("event_id", col("event_id") + lit(i * idStride))
+        .withColumn("user_id", col("user_id") + lit(i * idStride))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   /** Which base table a query's row-throughput is measured against —
@@ -86,8 +103,9 @@ object ScaleBench {
     * scaling defect when per-row cost actually FELL).
     */
   private val tableOf: Map[String, String] =
-    Seq("e03_ann_lsh", "e05_ann_ivf", "e07_semantic_dedup", "e08_int8_quant",
-      "e09_ann_pq").map(_ -> "embeddings").toMap
+    (Seq("e03_ann_lsh", "e05_ann_ivf", "e07_semantic_dedup", "e08_int8_quant",
+      "e09_ann_pq").map(_ -> "embeddings") ++
+      Seq("q56_asof_attribution" -> "events")).toMap
       .withDefaultValue("documents")
 
   def main(args: Array[String]): Unit = {
@@ -127,7 +145,7 @@ object ScaleBench {
     runOnce(queries.head, baseDir) // JVM/codegen warmup
 
     val rowCounts: Map[String, (Long, Long)] =
-      Seq("documents", "embeddings").map { t =>
+      Seq("documents", "embeddings", "events").map { t =>
         t -> (spark.read.parquet(s"$baseDir/$t.parquet").count(),
           spark.read.parquet(s"$workDir/$t.parquet").count())
       }.toMap

@@ -114,6 +114,54 @@ object ProvShowcaseQueries {
     },
     None)
 
+  /** Events pipeline under provenance — the reference's entry-point-A
+    * lifecycle (SparkSci entry point: ingest → transforms → aggregate →
+    * retrospective query) over the events table: an hour-truncated
+    * event sample → key by (hour, event_type) → reduceByKey computing
+    * (count, sum) — the batch shape of a windowed aggregation — then
+    * the multi-hop lineage closure of one aggregated bucket, summarized
+    * per hop × producing task. Closes the last capability × surface
+    * cell: docs, FileGroup and relational all had prov_* showcases;
+    * events did not.
+    */
+  val provEventsPipeline = QueryDef(
+    "prov_events_pipeline",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val store = Files.createTempDirectory("provevents").toString
+      val sess = ProvSession.create(s, "events-pipeline", store)
+      // deterministic sample: sorted before limit, so identical rows are
+      // interchangeable and the bucket sizes below are stable per run
+      val evs = Tables.events(s, d)
+        .select(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+          col("event_type"), col("value"))
+        .orderBy(col("hour_us"), col("event_type"), col("value"))
+        .limit(300)
+        .as[(Long, String, Double)].collect().toSeq
+      val src = sess.parallelize(evs, "events sample")
+      val keyed = src.map(e => ((e._1, e._2), (1L, e._3)), "key by hour+type")
+      val agg = keyed.reduceByKey((a, b) => (a._1 + b._1, a._2 + b._2),
+        "hourly agg")
+      agg.collect()
+      sess.close()
+      val q = new ProvenanceQueries(s, store)
+      // deterministic bucket: order agg elements by their value payload
+      // (element ids are freshly minted per run, values are not)
+      val el = q.producedBy(sess.executionId, agg.taskId)
+        .orderBy(to_json(col("values")))
+        .select(col("element_id")).head().getString(0)
+      q.lineageOf(sess.executionId, el)
+        .join(q.elements(sess.executionId)
+          .select(col("element_id").as("id"), col("task_id")), "id")
+        .join(q.tasks(sess.executionId)
+          .select(col("task_id"), col("description")), "task_id")
+        .groupBy(col("hop"), col("description"))
+        .agg(count(lit(1)).as("n_ancestors"))
+        .orderBy(col("hop"), col("description"))
+    },
+    None)
+
   /** Relational-surface provenance (beyond reference parity — the
     * reference's SQL layer has none, SURVEY §1.3): a DataFrame pipeline
     * (scan → filter → join → agg) tracked through [[ProvFrame]], with
@@ -150,5 +198,5 @@ object ProvShowcaseQueries {
 
   def all: Seq[QueryDef] =
     Seq(provFullGraph, provTaskGraph, provValueTable, provLineage,
-      provDocsPipeline, provRelational)
+      provDocsPipeline, provEventsPipeline, provRelational)
 }

@@ -146,6 +146,25 @@ class RowsOnlyQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "threshold 0.4 should drop at least one near-duplicate at sf0.001")
   }
 
+  test("prov_events_pipeline: lineage closure has the exact two-hop shape") {
+    val rows = q("prov_events_pipeline").collect()
+    assert(rows.nonEmpty)
+    // ancestors of one aggregated (hour, type) bucket: hop 1 is its
+    // contributing pair elements, hop 2 their source elements — nothing
+    // else can appear in the closure of a 3-task linear pipeline
+    val byHop = rows.groupBy(_.getAs[Int]("hop"))
+    assert(byHop.keySet == Set(1, 2), s"hops must be {1, 2}: ${byHop.keySet}")
+    assert(byHop(1).map(_.getAs[String]("description")).toSet ==
+      Set("key by hour+type"))
+    assert(byHop(2).map(_.getAs[String]("description")).toSet ==
+      Set("events sample"))
+    // map is 1→1, so the bucket's pair-element and source-element
+    // ancestor counts must agree (count conservation through the hop)
+    val n1 = byHop(1).map(_.getAs[Long]("n_ancestors")).sum
+    val n2 = byHop(2).map(_.getAs[Long]("n_ancestors")).sum
+    assert(n1 == n2 && n1 > 0, s"ancestor counts must agree: $n1 vs $n2")
+  }
+
   test("prov showcases return consistent graph shapes") {
     val fg = q("prov_full_graph").collect()
     val kinds = fg.groupBy(_.getAs[String]("kind")).view.mapValues(_.length).toMap

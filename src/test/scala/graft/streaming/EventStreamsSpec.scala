@@ -99,25 +99,22 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(finalStates.nonEmpty)
   }
 
-  test("file-source streaming reads the ns-timestamp events parquet directly") {
-    import org.apache.spark.sql.types._
-    // same quirk as the batch reader (Tables.events): TIMESTAMP(NANOS)
-    // arrives as long under nanosAsLong; the stream converts with
-    // integer div to keep exactness
+  test("file-source streaming reads the events parquet directly") {
+    // FileStreamSource needs an explicit schema; take it from a batch
+    // read of the same file so the stream adapts to whichever ts
+    // encoding (INT64-nanos or timestamp[us]) the testdata uses, then
+    // normalize via the same branch as the batch reader
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema =
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
     // FileStreamSource requires a directory; stage the single parquet
     // file into one (testdata itself is read-only)
     val dir = java.nio.file.Files.createTempDirectory("events-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.adaptEventTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val q = hourlyCounts(stream)
       .writeStream.format("memory").queryName("file_hourly")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
