@@ -35,8 +35,15 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    try:  # written by graft.Verify: queries that THREW, with the reason
+        verify_errors = json.load(open(f"{out_dir}/verify_errors.json"))
+    except Exception:
+        verify_errors = {}
     failed = []
     for name, sql in sorted(oracles.items()):
+        if name in verify_errors:
+            print(f"FAIL {name}: spark query threw: {verify_errors[name]}")
+            failed.append(name); continue
         try:
             got = pq.read_table(f"{out_dir}/{name}").to_pandas()
         except Exception as e:
