@@ -92,6 +92,59 @@ object EventStreams {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("user_total"), col("user_n"))
 
+  final case class FunnelState(t_view: Option[Timestamp],
+                               t_click: Option[Timestamp],
+                               t_purchase: Option[Timestamp])
+  final case class FunnelUpdate(user_id: Long, stage: Int,
+                                t_view: Option[Timestamp],
+                                t_click: Option[Timestamp],
+                                t_purchase: Option[Timestamp])
+
+  /** Streaming ordered-funnel conversion — the streaming counterpart of
+    * q66_event_funnel: per user, the first view, the first click AFTER
+    * that view, and the first purchase AFTER that click, with the stage
+    * reached (0–3). State is ONE tiny record per user (three optional
+    * timestamps) — O(users), the shape that survives an unbounded
+    * stream; timeout eviction is available for unbounded key spaces.
+    *
+    * Each micro-batch's per-user events are replayed in EVENT-TIME
+    * order, so when a user's events arrive within one batch the machine
+    * reproduces the batch query exactly (spec-proven). Across batches
+    * the machine is monotone — stages never regress, and set
+    * timestamps never change — which is the watermark-style contract:
+    * an event arriving after the stage it would have altered has been
+    * passed is treated as late, matching how
+    * dropDuplicatesWithinWatermark bounds its own guarantee.
+    */
+  def funnelStages(events: Dataset[Event]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(None, None, None))
+          var tv = prev.t_view
+          var tc = prev.t_click
+          var tp = prev.t_purchase
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" if tv.forall(e.ts.before) =>
+                tv = Some(e.ts)
+              case "click" if tc.isEmpty && tv.exists(e.ts.after) =>
+                tc = Some(e.ts)
+              case "purchase" if tp.isEmpty && tc.exists(e.ts.after) =>
+                tp = Some(e.ts)
+              case _ => ()
+            }
+          }
+          state.update(FunnelState(tv, tc, tp))
+          val stage = if (tp.isDefined) 3 else if (tc.isDefined) 2
+                      else if (tv.isDefined) 1 else 0
+          Iterator.single(FunnelUpdate(uid, stage, tv, tc, tp))
+      }
+  }
+
   /** Stream-stream interval join — the streaming counterpart of q57's
     * range join: each purchase joined to the same user's clicks in the
     * preceding 10 minutes. Watermarks on BOTH sides let Spark evict

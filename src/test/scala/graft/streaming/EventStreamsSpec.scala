@@ -234,6 +234,47 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamedIds.toSet == events.map(_.event_id).toSet)
   }
 
+  test("streaming funnel state machine matches batch q66 exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+
+    def runFunnel(batches: Seq[Seq[Event]], name: String): Set[(Long, Int,
+        Option[Timestamp], Option[Timestamp], Option[Timestamp])] = {
+      val stream = MemoryStream[Event]
+      val q = funnelStages(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .start()
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getInt(1),
+        Option(r.getAs[Timestamp]("t_view")),
+        Option(r.getAs[Timestamp]("t_click")),
+        Option(r.getAs[Timestamp]("t_purchase")))).toSet
+    }
+
+    val batch = graft.operators.EventsQueries.q66EventFunnel
+      .fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Option(r.getAs[Timestamp]("t_view")),
+        Option(r.getAs[Timestamp]("t_click")),
+        Option(r.getAs[Timestamp]("t_purchase")))).toSet
+
+    // each user's events delivered within ONE micro-batch: the in-batch
+    // event-time replay makes the state machine ≡ the batch query —
+    // exactly one update row per user, equal to q66 row for row
+    val oneShot = runFunnel(Seq(events), "funnel_one")
+    assert(oneShot == batch && oneShot.nonEmpty)
+
+    // split by USER across two batches (each user still single-batch):
+    // per-user delivery is what matters, not global batch boundaries
+    val (even, odd) = events.partition(_.user_id % 2 == 0)
+    val split = runFunnel(Seq(even, odd), "funnel_split")
+    assert(split == batch)
+  }
+
   test("stream-static join enriches events against a batch dimension") {
     val spark2 = spark
     import spark2.implicits._
