@@ -57,7 +57,11 @@ object ScaleBench {
       // rows is N× users with per-user group size constant: the
       // union-tag + carry-forward window sorts N× groups of fixed
       // size, the linear regime a 100 TB attribution join lives in
-      "q56_asof_attribution")
+      "q56_asof_attribution",
+      // q58: salted skew aggregation — event_type stays 5-valued while
+      // rows grow N×, the shape where an unsalted groupBy collapses to
+      // 5 reducers; the 64-way salt must keep the ratio linear
+      "q58_salted_agg")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
@@ -105,7 +109,7 @@ object ScaleBench {
   private val tableOf: Map[String, String] =
     (Seq("e03_ann_lsh", "e05_ann_ivf", "e07_semantic_dedup", "e08_int8_quant",
       "e09_ann_pq").map(_ -> "embeddings") ++
-      Seq("q56_asof_attribution" -> "events")).toMap
+      Seq("q56_asof_attribution", "q58_salted_agg").map(_ -> "events")).toMap
       .withDefaultValue("documents")
 
   def main(args: Array[String]): Unit = {
@@ -127,7 +131,13 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    replicate(spark, baseDir, workDir, copies)
+    // SPARK_GRAFT_SCALE_REUSE=1 skips re-replication when the workDir
+    // already holds all three tables — re-timing single cells against a
+    // previously built replica set (ONLY valid for the same `copies`)
+    val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
+      Seq("documents", "embeddings", "events").forall(t =>
+        new java.io.File(s"$workDir/$t.parquet/_SUCCESS").exists())
+    if (!reuse) replicate(spark, baseDir, workDir, copies)
 
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
