@@ -19,6 +19,19 @@ object EventStreams {
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 
+  /** Timestamp ↔ µs-since-epoch. `Timestamp.getTime` is MILLIS — the
+    * testdata carries µs precision, so ms-based ordering or state would
+    * silently drop the sub-ms component (and batch/stream equality with
+    * it).
+    */
+  private[streaming] def toUs(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+  private[streaming] def toTs(us: Long): Timestamp = {
+    val ts = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
+
   final case class UserRunningCount(user_id: Long, n_events: Long,
                                     total_value: Double)
 
@@ -127,7 +140,7 @@ object EventStreams {
           var tv = prev.t_view
           var tc = prev.t_click
           var tp = prev.t_purchase
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          batch.toSeq.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
             e.event_type match {
               case "view" if tv.forall(e.ts.before) =>
                 tv = Some(e.ts)
@@ -142,6 +155,56 @@ object EventStreams {
           val stage = if (tp.isDefined) 3 else if (tc.isDefined) 2
                       else if (tv.isDefined) 1 else 0
           Iterator.single(FunnelUpdate(uid, stage, tv, tc, tp))
+      }
+  }
+
+  final case class AsOfPair(purchase_id: Long, user_id: Long,
+                            click_ts: Option[Timestamp],
+                            click_value: Option[Double])
+
+  /** Streaming as-of attribution — the streaming counterpart of
+    * q56_asof_attribution: each purchase is attributed to the same
+    * user's most recent click at or before it. Unlike the stream-stream
+    * interval join (which must buffer BOTH sides within the watermark
+    * horizon), the as-of shape needs only the championship state — the
+    * single latest click per user — so state is O(users) with unbounded
+    * lookback: a purchase can be attributed to a click from hours ago
+    * without any buffered click surviving that long.
+    *
+    * Per micro-batch the user's events replay in event-time order
+    * (equal-ts clicks rank before purchases, matching the batch join's
+    * `purchase.ts >= click.ts`); with a user's events delivered in one
+    * batch this reproduces the batch as-of join exactly (spec-proven),
+    * and across batches the carried click state implements the
+    * streaming-enrichment semantic: late purchases see every click
+    * from earlier batches.
+    */
+  def asOfAttribution(events: Dataset[Event]): Dataset[AsOfPair] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double, Boolean), AsOfPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event],
+         state: GroupState[(Long, Double, Boolean)]) =>
+          // state: (latest click ts µs, its value, defined?)
+          var last = state.getOption.filter(_._3)
+          val out = Seq.newBuilder[AsOfPair]
+          batch.toSeq
+            .sortBy(e => (toUs(e.ts),
+              if (e.event_type == "click") 0 else 1, e.event_id))
+            .foreach {
+              case e if e.event_type == "click" =>
+                if (last.forall(_._1 <= toUs(e.ts)))
+                  last = Some((toUs(e.ts), e.value, true))
+              case e =>
+                out += AsOfPair(e.event_id, uid,
+                  last.map(c => toTs(c._1)), last.map(_._2))
+            }
+          last.foreach(state.update)
+          out.result().iterator
       }
   }
 

@@ -275,6 +275,58 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(split == batch)
   }
 
+  test("streaming as-of attribution matches batch q56; clicks carry across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+
+    def runAsOf(batches: Seq[Seq[Event]], name: String): Set[(Long, Long,
+        Option[Timestamp], Option[Double])] = {
+      val stream = MemoryStream[Event]
+      val q = asOfAttribution(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .start()
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[Timestamp]("click_ts")),
+        Option(r.getAs[java.lang.Double]("click_value")).map(v =>
+          math.round(v * 100) / 100.0))).toSet
+    }
+
+    val batch = graft.operators.EventsQueries.q56AsofAttribution
+      .fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[Timestamp]("click_ts")),
+        Option(r.getAs[java.lang.Double]("click_value")).map(_.toDouble)))
+      .toSet
+
+    // all events in one batch: event-time replay per user ≡ the batch
+    // as-of join, purchase for purchase (incl. never-clicked → None)
+    val oneShot = runAsOf(Seq(events), "asof_one")
+    assert(oneShot == batch && oneShot.nonEmpty)
+
+    // event-time-ordered two-batch delivery (split at the median ts):
+    // purchases in batch 2 whose attributed click arrived in batch 1
+    // are served from the O(users) championship state — the unbounded-
+    // lookback property the interval join (bounded horizon) cannot
+    // provide — and the full ordered replay stays ≡ batch
+    val sortedEvs = events.sortBy(_.ts.getTime)
+    val (early, late) = sortedEvs.splitAt(sortedEvs.length / 2)
+    val asOfSplit = runAsOf(Seq(early, late), "asof_split")
+    assert(asOfSplit == batch)
+    // the carry is actually exercised: some purchase in the late batch
+    // is attributed to a click that could only be in the early batch
+    // (click_ts strictly before every late-batch event)
+    val lateIds = late.filter(_.event_type == "purchase").map(_.event_id).toSet
+    val minLateMs = late.head.ts.getTime
+    assert(batch.exists { case (pid, _, clickTs, _) =>
+      lateIds.contains(pid) && clickTs.exists(_.getTime < minLateMs)
+    }, "split exercised no cross-batch carry")
+  }
+
   test("stream-static join enriches events against a batch dimension") {
     val spark2 = spark
     import spark2.implicits._
