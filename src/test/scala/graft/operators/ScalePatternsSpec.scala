@@ -224,6 +224,31 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q80's top-20 must be TakeOrderedAndProject:\n$p80")
   }
 
+  test("events-family headline plans keep their scale properties") {
+    val d = "/root/testdata/sf0.001"
+    // q56 as-of join: the union-tag + carry-forward window formulation
+    // has NO join operator at all — both sides union, shuffle ONCE on
+    // user_id for the window, plus only the gate's output sort; a
+    // range-explode or per-row probe would show up as a join node
+    val q56 = EventsQueries.q56AsofAttribution.fn(spark, d)
+    val p56 = q56.queryExecution.executedPlan.toString
+    assert(!p56.contains("Join"),
+      s"q56's as-of must be windowed, never a join probe:\n$p56")
+    assert(countShuffles(q56) <= 2,
+      s"q56 must shuffle once for the window + once for the sort:\n$p56")
+    // q66 funnel: three min-aggregations and their stage-to-stage joins
+    // all key on user_id — equi-joins only (no cartesian/nested-loop),
+    // and the exchange count stays bounded because the user_id
+    // partitioning is reusable across stages
+    val q66 = EventsQueries.q66EventFunnel.fn(spark, d)
+    val p66 = q66.queryExecution.executedPlan.toString
+    assert(!p66.contains("CartesianProduct") &&
+      !p66.contains("BroadcastNestedLoopJoin"),
+      s"q66's stage joins must stay equi-joins on user_id:\n$p66")
+    assert(countShuffles(q66) <= 9,
+      s"q66's exchanges must stay bounded (agg + join + sort):\n$p66")
+  }
+
   test("d13 bloom sketches merge: bit_or of split sketches = union sketch") {
     // the incremental-ingest property d13's scaladoc claims: sketching
     // two halves of a corpus separately and bit_or-merging the word
