@@ -1070,9 +1070,81 @@ object DedupQueries {
            |LEFT JOIN common ON p.sa = common.sa AND p.sb = common.sb
            |ORDER BY source_a, source_b""".stripMargin))
 
+  /** Fuzzy cross-corpus decontamination: every TRAINING document that
+    * near-duplicates a BENCHMARK document at Jaccard ≥ 0.5 — the fuzzy
+    * complement of t08's exact n-gram contamination screen, and the
+    * decontamination step a training pipeline runs before release (Lee
+    * et al. 2022 §6.2 discuss train/eval overlap as a dedup problem).
+    * The benchmark split here is `doc_id % 10 == 0`, a stand-in eval
+    * set at ~10% of the corpus.
+    *
+    * Scale shape — the ASYMMETRY is the whole point, and what makes
+    * this a different operator from d04: benchmarks are KBs–MBs while
+    * the corpus is 100 TB, so the benchmark side's band buckets are
+    * explicitly `broadcast()` and the corpus streams through a
+    * broadcast hash join — the corpus never shuffles for candidate
+    * generation (d04's bucket SELF-join must shuffle both sides).
+    * Banding is 32 bands × 2 rows over the same 64 minhashes as d04:
+    * at the J=0.5 threshold recall is 1-(1-s²)³² ≈ 0.9999 (16×4
+    * banding would only reach ~0.64 there), and candidates are
+    * exact-Jaccard verified against the broadcast benchmark shingle
+    * arrays, so with the fixed seed the output equals the exact
+    * cross-corpus answer (validated against the oracle at all three
+    * scale factors).
+    */
+  val d15CrossDecontamination = QueryDef(
+    "d15_cross_decontamination",
+    (s, d) => {
+      val numHashes = 64
+      val bands = 32
+      val rowsPerBand = numHashes / bands
+      val prime = 2038074743L
+      val docs = shingleArrays(s, d)
+        .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
+          graft.functions.MinHashArray.minhash_array(
+            expr(s"transform(sh, x -> pmod(xxhash64(x), ${prime}L))"),
+            numHashes, 42L, prime).as("sig"))
+      val bandCols = (0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          hash(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)).as("sig"))
+      }
+      def buckets(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.select(col("doc_id").as(as),
+          explode(array(bandCols: _*)).as("bucket"))
+      val bench = docs.filter(col("doc_id") % 10 === 0).cache()
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val cand = buckets(train, "train_id")
+        .join(broadcast(buckets(bench, "bench_id")), Seq("bucket"))
+        .select(col("train_id"), col("bench_id")).distinct()
+      cand
+        .join(train.select(col("doc_id").as("train_id"), col("sh").as("sha"),
+          col("n").as("na")), Seq("train_id"))
+        .join(broadcast(bench.select(col("doc_id").as("bench_id"),
+          col("sh").as("shb"), col("n").as("nb"))), Seq("bench_id"))
+        .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("jaccard",
+          round(col("c") / (col("na") + col("nb") - col("c")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("train_id"), col("bench_id"), col("jaccard"))
+        .orderBy(col("train_id"), col("bench_id"))
+    },
+    Some(s"""WITH $shinglesSql,
+            |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+            |common AS (
+            |  SELECT a.doc_id train_id, b.doc_id bench_id, count(*) c
+            |  FROM sh a JOIN sh b ON a.s = b.s
+            |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+            |  GROUP BY 1, 2)
+            |SELECT train_id, bench_id,
+            |  round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
+            |FROM common JOIN cnt x ON train_id = x.doc_id
+            |JOIN cnt y ON bench_id = y.doc_id
+            |WHERE round(c * 1.0 / (x.n + y.n - c), 4) >= 0.5
+            |ORDER BY train_id, bench_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     d01ExactDedup, d02NormalizedDedup, d03NgramJaccard, d04MinHashLsh,
     d05SimHash, d06DedupClusters, d07KeepList, d08JaccardCapped,
     d09MinHashCapped, d10SegmentDedup, d11IntraDocDedup, d12SubstringDedup,
-    d13BloomIncremental, d14SourceOverlap)
+    d13BloomIncremental, d14SourceOverlap, d15CrossDecontamination)
 }

@@ -249,6 +249,21 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q66's exchanges must stay bounded (agg + join + sort):\n$p66")
   }
 
+  test("d15's benchmark side broadcasts: the corpus never shuffles for candidates") {
+    val d = "/root/testdata/sf0.001"
+    // decontamination's scale claim: both the band-bucket join and the
+    // exact-verify join meet the benchmark side as an explicit
+    // broadcast (provable here because this suite disables
+    // auto-broadcast) — the 100 TB corpus side streams map-side
+    val d15 = DedupQueries.d15CrossDecontamination.fn(spark, d)
+    val p = d15.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"d15 must broadcast the benchmark buckets AND shingles:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"d15 must never cross-join the corpora:\n$p")
+  }
+
   test("d13 bloom sketches merge: bit_or of split sketches = union sketch") {
     // the incremental-ingest property d13's scaladoc claims: sketching
     // two halves of a corpus separately and bit_or-merging the word
