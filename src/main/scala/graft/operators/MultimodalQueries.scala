@@ -412,6 +412,99 @@ object MultimodalQueries {
            |       CAST(sum(b) AS DOUBLE) / (max(ow) * max(oh)) AS mean_b
            |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin))
 
+  /** Shot-boundary detection over REAL decoded frames: consecutive-frame
+    * mean absolute pixel difference (MAD), the classic cut detector and
+    * the first temporal-video-analysis step a video training pipeline
+    * runs (sampling around cuts, dropping static spans). Stage 1
+    * materializes the mm03 GIF payloads; stage 2 decodes each frame
+    * through the real GIF reader and diffs it against the PREVIOUS
+    * decoded frame inside the row's partition — per-media temporal state
+    * never crosses rows, so there is no shuffle until the gate's output
+    * sort. The oracle recomputes every MAD from the generation formula
+    * alone (per-pixel |Δ| is 7 except at the mod-256 wraparound where it
+    * is 249, so the mean splits the per-id populations around the cut
+    * threshold); pixel-diff sums are exact integers, making the DOUBLE
+    * division bit-identical across engines.
+    */
+  val mm06ShotBoundaries = QueryDef(
+    "mm06_shot_boundaries",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, syntheticGif(id))))
+        .toDF("media_id", "payload")
+        .as[(Long, Array[Byte])]
+      media.mapPartitions { batch =>
+        batch.flatMap { case (id, payload) =>
+          val reader =
+            javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          reader.setInput(iis)
+          val k = reader.getNumImages(true)
+          def gray(f: Int): (Int, Int, Array[Int]) = {
+            val img = reader.read(f)
+            val w = img.getWidth
+            val h = img.getHeight
+            val px = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                px(y * w + x) = (img.getRGB(x, y) >> 16) & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            (w, h, px)
+          }
+          var prev = gray(0)
+          val rows = (1 until k).map { f =>
+            val cur = gray(f)
+            var sum = 0L
+            var i = 0
+            while (i < cur._3.length) {
+              sum += math.abs(cur._3(i) - prev._3(i))
+              i += 1
+            }
+            prev = cur
+            val mad = sum.toDouble / (cur._1 * cur._2)
+            (id, f, mad, mad > 14.0)
+          }
+          reader.dispose()
+          iis.close()
+          rows
+        }
+      }.toDF("media_id", "frame_no", "mad", "is_cut")
+        .orderBy(col("media_id"), col("frame_no"))
+    },
+    // recomputed from the generation formula, never from the payload —
+    // a defect in frame ordering, palette round-trip, or decode breaks
+    // the per-pixel wraparound pattern and fails the hash
+    Some("""WITH base AS (
+           |  SELECT doc_id AS media_id,
+           |         2 + (doc_id % 3) AS k,
+           |         6 + (doc_id % 10) AS w,
+           |         6 + ((doc_id * 3) % 10) AS h
+           |  FROM documents),
+           |frames AS (
+           |  SELECT media_id, k, w, h, unnest(generate_series(1, k - 1)) AS f
+           |  FROM base),
+           |px AS (
+           |  SELECT media_id, f, w, h,
+           |         abs(((media_id + 7 * f + 3 * x + 5 * y) % 256)
+           |           - ((media_id + 7 * (f - 1) + 3 * x + 5 * y) % 256)) AS dv
+           |  FROM frames,
+           |       LATERAL unnest(generate_series(0, w - 1)) AS tx(x),
+           |       LATERAL unnest(generate_series(0, h - 1)) AS ty(y))
+           |SELECT media_id, CAST(f AS INT) AS frame_no,
+           |       CAST(sum(dv) AS DOUBLE) / (max(w) * max(h)) AS mad,
+           |       (CAST(sum(dv) AS DOUBLE) / (max(w) * max(h))) > 14.0 AS is_cut
+           |FROM px GROUP BY media_id, f ORDER BY media_id, frame_no""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(mm01MediaTable, mm02DecodeFeatures,
-    mm03FrameSample, mm04AudioFeatures, mm05ResizeFeatures)
+    mm03FrameSample, mm04AudioFeatures, mm05ResizeFeatures,
+    mm06ShotBoundaries)
 }
