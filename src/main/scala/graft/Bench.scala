@@ -12,7 +12,9 @@ object Bench {
   /** Headline set: core joins/aggs, windows, events (hourly agg, plus
     * the two heaviest event-time shapes: as-of attribution join and
     * ordered funnel), dedup (exact +
-    * MinHash-LSH + capped LSH + segment-level + cross-doc substring),
+    * MinHash-LSH + capped LSH + segment-level + cross-doc substring +
+    * broadcast cross-corpus decontamination), multimodal decode
+    * (per-frame GIF shot detection),
     * ANN (brute force + PQ + trained-IVF recall), fingerprinting,
     * sequence packing, the C4 composite filter, and the two heaviest
     * SQL shapes (top-k custom operator, Q21-style multi-correlated
@@ -25,6 +27,7 @@ object Bench {
     "q56_asof_attribution", "q66_event_funnel",
     "d01_exact_dedup", "d04_minhash_lsh", "d09_minhash_lsh_capped",
     "d10_segment_dedup", "d12_substring_dedup", "d13_bloom_incremental",
+    "d15_cross_decontamination", "mm06_shot_boundaries",
     "e01_knn_bruteforce", "e09_ann_pq", "t04_fingerprint",
     "t11_sequence_packing", "t15_c4_filter", "q42_topk_per_key_custom",
     "q69_sole_returned_supplier", "e13_ann_recall_kmeans")
