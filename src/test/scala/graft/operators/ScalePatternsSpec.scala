@@ -314,6 +314,53 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally before.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the plan)") {
+    // the third skew lever after salting (manual) and bucketing
+    // (layout): AQE detects an oversized shuffle partition at RUNTIME
+    // and splits it into parallel sub-partitions — the mechanism a
+    // 100 TB join relies on when skew is discovered, not predicted.
+    // Thresholds are lowered so the test's hot key (90% of one side)
+    // trips the same code path a multi-GB partition would.
+    val spark2 = spark
+    import spark2.implicits._
+    val before = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+      // without force, AQE declines to split when downstream operators
+      // would need an extra shuffle (e.g. a same-key aggregation after
+      // the join) — force mirrors the production setting a skew-bound
+      // pipeline flips when the re-shuffle is cheaper than the straggler
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // payload stays REFERENCED downstream (sum of lengths) so column
+      // pruning can't strip it before the shuffle — a pruned hot
+      // partition of identical longs compresses below any threshold
+      val fact = (1 to 40000)
+        .map(i => (if (i <= 36000) 1L else i.toLong,
+          s"payload-$i-${i * 2654435761L}%x"))
+        .toDF("k", "v")
+      val dim = (1 to 40000).map(i => (i.toLong, i * 2.0)).toDF("k", "w")
+      val joined = fact.join(dim, "k").groupBy("k")
+        .agg(sum(length(col("v"))).as("bytes"))
+      joined.collect() // AQE re-plans during execution
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark the hot-key partition as skew-split:\n$p")
+    } finally before.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("AQE coalesces small shuffle partitions") {
     val before = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
