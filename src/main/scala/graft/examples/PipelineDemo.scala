@@ -53,6 +53,10 @@ object PipelineDemo {
       .agg(sum(col("n_kept")), sum(col("n_docs"))).head()
     val nSeqs = q("t11_sequence_packing").count()
     val nShards = q("t14_shard_manifest").count()
+    // round-7 stage: pre-release decontamination — fuzzy near-dup of any
+    // benchmark doc (broadcast benchmark side; see d15 scaladoc)
+    val nFuzzyContam = q("d15_cross_decontamination")
+      .select(col("train_id")).distinct().count()
 
     println(s"""
       |=== corpus report ($sfDir) ===
@@ -69,6 +73,7 @@ object PipelineDemo {
       |token budget (BPE-ish):    $tokenBudget total -> $keptTokens kept
       |packed 2048-tok sequences: $nSeqs
       |doc shards (t14 manifest): $nShards
+      |fuzzy benchmark contamination (d15, J>=0.5): $nFuzzyContam train docs flagged
       |""".stripMargin)
 
     println("ANN spot-check (query 0, IVF k-means vs exact):")
