@@ -62,10 +62,14 @@ object ScaleBench {
       // rows grow N×, the shape where an unsalted groupBy collapses to
       // 5 reducers; the 64-way salt must keep the ratio linear
       "q58_salted_agg",
-      // q66: ordered funnel — three min-aggs + stage joins all keyed by
-      // user_id; N× users of constant size must scale by the agg
-      // passes, not the join fan-out
-      "q66_event_funnel")
+      // q66: ordered funnel — chained window minima over one user_id
+      // exchange; N× users of constant size must scale by the single
+      // window pass
+      "q66_event_funnel",
+      // q57: bucketed interval join — pairs meet once per tolerance
+      // bucket; replica-disjoint users keep per-user event density
+      // constant, so candidate volume grows with users, not users²
+      "q57_range_error_proximity")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
@@ -113,8 +117,8 @@ object ScaleBench {
   private val tableOf: Map[String, String] =
     (Seq("e03_ann_lsh", "e05_ann_ivf", "e07_semantic_dedup", "e08_int8_quant",
       "e09_ann_pq").map(_ -> "embeddings") ++
-      Seq("q56_asof_attribution", "q58_salted_agg", "q66_event_funnel")
-        .map(_ -> "events")).toMap
+      Seq("q56_asof_attribution", "q58_salted_agg", "q66_event_funnel",
+        "q57_range_error_proximity").map(_ -> "events")).toMap
       .withDefaultValue("documents")
 
   def main(args: Array[String]): Unit = {

@@ -372,7 +372,20 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val sessions = spark.table("sessions")
     assert(sessions.count() > 0)
-    // per-user event totals conserved
+    // exact session-for-session equality with the batch session_window
+    // plan on the same fully-delivered data (Complete mode ⇒ final
+    // state), not just conservation
+    val streamedSessions = sessions
+      .select("session_start", "user_id", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val batchSessions = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events")).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamedSessions == batchSessions)
+    // per-user event totals conserved (implied, kept as a readable check)
     val totals = sessions.groupBy("user_id")
       .agg(sum("n_events").as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
