@@ -50,6 +50,12 @@ object ScaleBench {
       // prefix keeps replica shingles disjoint — per-source sets grow
       // N×, the pair count stays (#sources choose 2)
       "d14_source_overlap",
+      // d15: spark.graft.benchMaxDocId (set below) pins the benchmark
+      // side to the replica-0 id range, so N× corpus means N× training
+      // docs screened against a FIXED eval set — the decontamination
+      // deployment shape (without the cap the benchmark itself would
+      // grow N×, which no release pipeline ever runs)
+      "d15_cross_decontamination",
       // t20: the 1024-bucket models stay fixed-size; only the token
       // stream they broadcast onto grows
       "t20_dsir_weights",
@@ -181,6 +187,14 @@ object ScaleBench {
               .toString)
           try runMin2(n, workDir)
           finally spark.conf.unset("spark.graft.bloomBits")
+        } else if (n == "d15_cross_decontamination") {
+          // fixed-benchmark deployment shape: only replica-0 ids are
+          // eval docs, so the replicas grow the screened corpus alone.
+          // (A no-op at x1 — every base id is below the stride — so the
+          // x1 cell still equals the gated query's cost.)
+          spark.conf.set("spark.graft.benchMaxDocId", (idStride - 1).toString)
+          try runMin2(n, workDir)
+          finally spark.conf.unset("spark.graft.benchMaxDocId")
         } else runMin2(n, workDir)
       val (r1, rn) = rowCounts(tableOf(n))
       (n, x1, xn, xn / x1, r1 / x1 / 1000.0, rn / xn / 1000.0)

@@ -1111,8 +1111,19 @@ object DedupQueries {
       def buckets(df: org.apache.spark.sql.DataFrame, as: String) =
         df.select(col("doc_id").as(as),
           explode(array(bandCols: _*)).as("bucket"))
-      val bench = docs.filter(col("doc_id") % 10 === 0).cache()
-      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      // spark.graft.benchMaxDocId (optional) caps which doc_ids can be
+      // benchmarks — the DEPLOYMENT shape, where the eval set is fixed
+      // while the corpus grows. ScaleBench sets it to the base-table id
+      // range so replicas enlarge only the training side (a benchmark
+      // that grew 100× with the corpus would not be a benchmark). Unset
+      // (the gated default, and a no-op whenever all ids are below the
+      // cap) every doc_id % 10 == 0 document is eval.
+      val isBench = s.conf.getOption("spark.graft.benchMaxDocId") match {
+        case Some(mx) => col("doc_id") % 10 === 0 && col("doc_id") <= mx.toLong
+        case None     => col("doc_id") % 10 === 0
+      }
+      val bench = docs.filter(isBench).cache()
+      val train = docs.filter(!isBench)
       val cand = buckets(train, "train_id")
         .join(broadcast(buckets(bench, "bench_id")), Seq("bucket"))
         .select(col("train_id"), col("bench_id")).distinct()

@@ -162,6 +162,54 @@ object ProvShowcaseQueries {
     },
     None)
 
+  /** Record-level STREAMING lineage over the events table — the last
+    * capability × surface cell as a showcase (the mechanism itself is
+    * spec-proven in StreamingProvenanceSpec): a deterministic event
+    * sample replayed through a two-batch stream into
+    * [[StreamingProvenance.trackedRecords]], whose per-user aggregate
+    * updates depend on exactly the contributing records still inside
+    * the 10-minute watermark horizon. The returned summary counts, per
+    * element kind, the elements minted and the lineage edges they
+    * carry — record elements are dep-free leaves, aggregate updates
+    * carry one dep per in-horizon record, so the dep total audits the
+    * horizon bound itself. Ids are freshly minted per run → rows-only.
+    */
+  val provEventsStream = QueryDef(
+    "prov_events_stream",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val store = Files.createTempDirectory("provstream").toString
+      val sess = ProvSession.create(s, "events-stream", store)
+      val evs = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("ts"), col("event_id")).limit(200)
+        .as[graft.streaming.EventStreams.Event].collect().toSeq
+      val (first, rest) = evs.splitAt(100)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.EventStreams.Event]
+      val q = StreamingProvenance
+        .trackedRecords(sess, stream.toDS(), horizonMinutes = 10,
+          "events sample")
+        .start()
+      try {
+        stream.addData(first); q.processAllAvailable()
+        stream.addData(rest); q.processAllAvailable()
+      } finally q.stop()
+      sess.close()
+      val pq = new ProvenanceQueries(s, store)
+      pq.elements(sess.executionId)
+        .withColumn("kind",
+          when(size(col("deps")) > 0, lit("agg_update")).otherwise(lit("record")))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_elements"),
+          sum(size(col("deps"))).as("n_lineage_edges"))
+        .orderBy(col("kind"))
+    },
+    None)
+
   /** Relational-surface provenance (beyond reference parity — the
     * reference's SQL layer has none, SURVEY §1.3): a DataFrame pipeline
     * (scan → filter → join → agg) tracked through [[ProvFrame]], with
@@ -198,5 +246,5 @@ object ProvShowcaseQueries {
 
   def all: Seq[QueryDef] =
     Seq(provFullGraph, provTaskGraph, provValueTable, provLineage,
-      provDocsPipeline, provEventsPipeline, provRelational)
+      provDocsPipeline, provEventsPipeline, provEventsStream, provRelational)
 }

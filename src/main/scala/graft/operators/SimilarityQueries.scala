@@ -562,9 +562,12 @@ object SimilarityQueries {
     * replayed in chained CTEs with the e06 float-cast protocol, codes
     * and ADC scores bit-exact across engines.
     */
-  val e09AnnPq = QueryDef(
-    "e09_ann_pq",
-    (s, d) => {
+  /** The full PQ pipeline (train → encode → ADC rank), parameterized by
+    * shortlist depth `m` — e09 is `m = 3`; e16 re-ranks the `m = 10`
+    * shortlist. One definition so the re-rank stage provably searches
+    * the exact index it claims to (any drift flips both gates).
+    */
+  private def pqSearch(s: SparkSession, d: String, topM: Int): DataFrame = {
       val subDim = 16
       val m = 4 // subspaces
       val k = 4 // centroids per subspace
@@ -656,13 +659,17 @@ object SimilarityQueries {
         .orderBy(col("approx_ip").desc, col("vec_id"))
       val out = withTables
         .withColumn("rnk", row_number().over(wRank).cast("long"))
-        .filter(col("rnk") <= 3)
+        .filter(col("rnk") <= topM)
         .select(col("query_id"), col("rnk"), col("vec_id"),
           round(col("approx_ip"), 6).as("approx_ip"))
         .orderBy(col("query_id"), col("rnk"))
       out
-    },
-    Some {
+  }
+
+  /** Oracle mirror of [[pqSearch]] — the full unrolled per-subspace
+    * Lloyd replay, parameterized by the same shortlist depth.
+    */
+  private def pqSql(topM: Int): String = {
       val subDim = 16
       def off(mi: Int) = mi * subDim
       def l2Sql(mi: Int): String =
@@ -726,8 +733,13 @@ object SimilarityQueries {
          |      ORDER BY approx_ip DESC, vec_id) AS rnk
          |  FROM scored)
          |SELECT query_id, rnk, vec_id, round(approx_ip, 6) AS approx_ip
-         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
-    })
+         |FROM ranked WHERE rnk <= $topM ORDER BY query_id, rnk""".stripMargin
+  }
+
+  val e09AnnPq = QueryDef(
+    "e09_ann_pq",
+    (s, d) => pqSearch(s, d, topM = 3),
+    Some(pqSql(topM = 3)))
 
   /** ANN quality evaluation: recall@3 of the IVF index (e05) against
     * the exact brute-force top-3 (e01), per query — THE metric an ANN
@@ -1004,9 +1016,100 @@ object SimilarityQueries {
          |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
          |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
 
+  /** Two-stage ANN: PQ-ADC shortlist (top-10 by the compressed-domain
+    * approximation) → EXACT cosine re-rank of just those 10 → top-3.
+    * This is the standard recall-recovery pattern every production PQ
+    * deployment runs (Jégou et al. 2011 §V.D call it re-ranking with
+    * source coding): the index prunes 99.99% of the corpus in the
+    * compressed domain, then the final ordering is computed against the
+    * handful of RAW vectors the shortlist names. At 100 TB: stage 1
+    * reads 4-byte codes only; stage 2 fetches m raw vectors per query
+    * via a broadcast semi-join on the tiny shortlist — the corpus is
+    * never rescanned, so the exact math costs O(queries × m), not
+    * O(queries × corpus). Shares [[pqSearch]]/[[pqSql]] with e09, so
+    * the re-rank provably searches the same index e09/e12 measure;
+    * candidate semantics (self included) are kept identical to e09 so
+    * e17's recall is directly comparable to e12's.
+    */
+  val e16AnnPqRerank = QueryDef(
+    "e16_ann_pq_rerank",
+    (s, d) => {
+      val m = 10
+      val shortlist = pqSearch(s, d, m)
+        .select(col("query_id"), col("vec_id"))
+      val e = Tables.embeddings(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      // fetch raw vectors for shortlist members and query points via
+      // broadcast joins — the corpus side streams, nothing shuffles
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      e.alias("b")
+        .join(broadcast(shortlist.alias("sl")),
+          col("sl.vec_id") === col("b.vec_id"))
+        .join(broadcast(q.alias("a")),
+          col("a.query_id") === col("sl.query_id"))
+        .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"),
+          cosine_similarity(col("a.q_emb"), col("b.embedding")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(
+      s"""WITH pq_full AS (${pqSql(topM = 10)}),
+         |scored AS (
+         |  SELECT sl.query_id, b.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "b.embedding")} AS cos
+         |  FROM pq_full sl
+         |  JOIN embeddings b ON b.vec_id = sl.vec_id
+         |  JOIN embeddings q ON q.vec_id = sl.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
+  /** recall@3 of the re-ranked PQ index (e16) against the exact top-3
+    * (e01) — the payoff measurement for the two-stage pattern: e12
+    * scores the RAW ADC ranking (quantization loss visible), e17 scores
+    * the same index after the exact re-rank, and the difference is what
+    * re-ranking buys. Composes both gated pipelines verbatim, so the
+    * number inherits their determinism end-to-end.
+    */
+  val e17AnnRecallRerank = QueryDef(
+    "e17_ann_recall_rerank",
+    (s, d) => {
+      val rr3 = e16AnnPqRerank.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact3 = e01KnnBruteForce.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+      rr3.join(exact3,
+          col("query_id") === col("eq") && col("neighbor_id") === col("en"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("en")).as("n_matched"),
+          round(count(col("en")) / 3.0, 4).as("recall3"))
+        .orderBy(col("query_id"))
+    },
+    Some(
+      s"""WITH rr_full AS (${e16AnnPqRerank.oracle.get}),
+         |exact_full AS (${e01KnnBruteForce.oracle.get}),
+         |i AS (SELECT query_id, neighbor_id FROM rr_full WHERE rank <= 3),
+         |e AS (SELECT query_id, neighbor_id FROM exact_full WHERE rank <= 3)
+         |SELECT i.query_id, count(e.neighbor_id) AS n_matched,
+         |  round(count(e.neighbor_id) / 3.0, 4) AS recall3
+         |FROM i LEFT JOIN e
+         |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     e01KnnBruteForce, e02CosineNearDup, e03AnnLsh, e04LabelCentroids,
     e05AnnIvf, e06AnnIvfKmeans, e07SemanticDedup, e08Int8Quant, e09AnnPq,
     e10AnnRecall, e11AnnRecallLsh, e12AnnRecallPq, e13AnnRecallKmeans,
-    e14AnnRecallInt8, e15AnnRecallTrunc)
+    e14AnnRecallInt8, e15AnnRecallTrunc, e16AnnPqRerank, e17AnnRecallRerank)
 }

@@ -963,11 +963,63 @@ object TextAnalysisQueries {
             |FROM bt JOIN lr USING (b)
             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Classifier-style quality scoring: inference of a hashed linear
+    * model (fastText-bag-of-hashed-ngrams shape, Joulin et al. 2017) —
+    * each token hashes to one of 1024 weight buckets, the document's
+    * logit is the MEAN bucket weight, and the keep decision thresholds
+    * the sigmoid at 0.5. The weights here are a deterministic stand-in
+    * for trained parameters (derived arithmetically from the bucket id,
+    * identically on both engines), because what this operator certifies
+    * is the INFERENCE plan, not a particular model: a 1024-row weight
+    * table broadcast onto one linear token pass, one map-side-combined
+    * aggregate per document — the exact shape a real quality classifier
+    * (trained elsewhere) runs over a 100 TB corpus, and the shape t12's
+    * mixture sampling consumes downstream. Cross-engine protocol: the
+    * shared md5 hash60 bucketing, double mean, float cast before the
+    * 4-decimal round (absorbing summation-order ulps), and `keep`
+    * computed FROM the rounded value so the gate covers the decision
+    * too.
+    */
+  val t21QualityClassifier = QueryDef(
+    "t21_quality_classifier",
+    (s, d) => {
+      val buckets = 1024L
+      val weights = s.range(buckets).select(col("id").as("b"),
+        ((col("id") * 2654435761L) % 1999L / 999.0 - 1.0).as("w"))
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b", pmod(hash60(col("tok")), lit(buckets)))
+      toks.join(broadcast(weights), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("sw"))
+        .select(col("doc_id"), col("n_tokens"),
+          round((lit(1.0) / (lit(1.0) + exp(-col("sw") / col("n_tokens"))))
+            .cast("float"), 4).as("quality_prob"))
+        .withColumn("keep", col("quality_prob") >= 0.5)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            |  FROM documents),
+            |bt AS (SELECT doc_id,
+            |         ${hash60Sql("tok")} % 1024 AS b FROM toks),
+            |wt AS (SELECT i AS b, (i * 2654435761) % 1999 / 999.0 - 1.0 AS w
+            |       FROM generate_series(0, 1023) t(i)),
+            |agg AS (
+            |  SELECT doc_id, count(*) AS n_tokens, sum(w) AS sw
+            |  FROM bt JOIN wt USING (b) GROUP BY doc_id)
+            |SELECT doc_id, n_tokens,
+            |  round(CAST(1.0 / (1.0 + exp(-sw / n_tokens)) AS FLOAT), 4)
+            |    AS quality_prob,
+            |  round(CAST(1.0 / (1.0 + exp(-sw / n_tokens)) AS FLOAT), 4) >= 0.5
+            |    AS keep
+            |FROM agg ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05CorpusReport, t06Winnowing, t07BpeTokenCount, t08Contamination,
     t09RepetitionSignals, t10PiiScrub, t11SequencePacking,
     t12DomainMixture, t13TfidfTopTerms, t14ShardManifest, t15C4Filter,
     t16StratifiedSplit, t17UnigramPerplexity, t18DomainDivergence,
-    t19HeavyHittersCms, t20DsirWeights)
+    t19HeavyHittersCms, t20DsirWeights, t21QualityClassifier)
 }

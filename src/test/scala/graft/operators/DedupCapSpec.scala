@@ -50,4 +50,40 @@ class DedupCapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped == Set((100L, 101L)),
       s"cap failed to drop the boilerplate clique: $capped")
   }
+
+  test("d15's benchMaxDocId pins the benchmark side (fixed-eval deployment shape)") {
+    val dir = Files.createTempDirectory("decondocs").toString
+    val spark2 = spark
+    import spark2.implicits._
+    // bench candidates (doc_id % 10 == 0): 10 and 20; train: the rest.
+    // Two identical train↔bench pairs, one on each side of the cap.
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight nine"
+    Seq((10L, a), (13L, a), (20L, b), (7L, b), (5L, "lorem ipsum dolor sit amet"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run(): Set[(Long, Long)] =
+      DedupQueries.d15CrossDecontamination.fn(spark, dir).collect()
+        .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("bench_id"))).toSet
+
+    val uncapped = run()
+    assert(uncapped == Set((13L, 10L), (7L, 20L)), s"uncapped: $uncapped")
+
+    // cap at 10: doc 20 stops being a benchmark and joins the TRAINING
+    // side — its pair with train 7 disappears, and as a train doc it
+    // matches no remaining benchmark; only (13, 10) survives. This is
+    // the ScaleBench shape: replicas (high ids) can only ever GROW the
+    // screened corpus, never the eval set.
+    spark.conf.set("spark.graft.benchMaxDocId", "10")
+    try {
+      val capped = run()
+      assert(capped == Set((13L, 10L)), s"capped: $capped")
+    } finally spark.conf.unset("spark.graft.benchMaxDocId")
+
+    // a cap above every id is a no-op — the x1 ScaleBench cell measures
+    // the same query the gate verifies
+    spark.conf.set("spark.graft.benchMaxDocId", "1000000")
+    try assert(run() == uncapped, "high cap must be a no-op")
+    finally spark.conf.unset("spark.graft.benchMaxDocId")
+  }
 }

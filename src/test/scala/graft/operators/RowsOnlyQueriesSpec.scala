@@ -39,7 +39,8 @@ class RowsOnlyQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("ANN variants return well-formed rankings with cos in [-1, 1]") {
-    Seq("e03_ann_lsh", "e05_ann_ivf", "e06_ann_ivf_kmeans").foreach { name =>
+    Seq("e03_ann_lsh", "e05_ann_ivf", "e06_ann_ivf_kmeans",
+        "e16_ann_pq_rerank").foreach { name =>
       val rows = q(name).collect()
       assert(rows.nonEmpty, s"$name returned no rows")
       val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
@@ -53,6 +54,21 @@ class RowsOnlyQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
         rs.foreach(r => assert(math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
       }
     }
+  }
+
+  test("e16 re-rank recovers recall the raw ADC ranking loses") {
+    // e12 scores the PQ index by its compressed-domain approximation;
+    // e17 scores the SAME index (shared pqSearch) after the exact
+    // re-rank of the top-10 shortlist. The whole point of the two-stage
+    // pattern is that stage 2 repairs stage 1's quantization error, so
+    // across the query set the re-ranked matches must dominate the raw
+    // ADC matches (at sf0.001: 3 vs 0).
+    def total(name: String): Long =
+      q(name).agg(sum(col("n_matched"))).head().getLong(0)
+    val adc = total("e12_ann_recall_pq")
+    val rr = total("e17_ann_recall_rerank")
+    assert(rr >= adc, s"re-rank recall ($rr) must not trail ADC ($adc)")
+    assert(rr >= 1, "re-rank must recover at least one exact neighbor")
   }
 
   test("IVF top-1 agrees with exact kNN top-1 when the cell contains it") {
@@ -171,5 +187,20 @@ class RowsOnlyQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kinds.getOrElse("element", 0) > 0 && kinds.getOrElse("edge", 0) > 0)
     val vt = q("prov_value_table").collect()
     assert(vt.nonEmpty && vt.forall(_.getAs[String]("header") == "Key,Value"))
+  }
+
+  test("prov_events_stream: record leaves are dep-free, agg updates carry the horizon deps") {
+    val rows = q("prov_events_stream").collect()
+      .map(r => r.getAs[String]("kind") ->
+        (r.getAs[Long]("n_elements"), r.getAs[Long]("n_lineage_edges"))).toMap
+    // every one of the 200 replayed events minted exactly one dep-free
+    // record element
+    assert(rows("record") == (200L, 0L), s"records: ${rows.get("record")}")
+    // each per-user aggregate update depends on >= 1 in-horizon record,
+    // and there are at most (users x 2 batches) updates
+    val (nAgg, nEdges) = rows("agg_update")
+    assert(nAgg >= 1 && nAgg <= 400, s"agg updates: $nAgg")
+    assert(nEdges >= nAgg,
+      s"each update needs at least one lineage edge: $nEdges < $nAgg")
   }
 }

@@ -264,6 +264,20 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"d15 must never cross-join the corpora:\n$p")
   }
 
+  test("e16's exact re-rank never rescans or shuffle-joins the corpus") {
+    val d = "/root/testdata/sf0.001"
+    // stage 2's scale claim: raw vectors for the ~50-row shortlist are
+    // fetched via broadcast equality joins against the corpus scan —
+    // with auto-broadcast disabled here, any regression to a
+    // shuffle-side join would surface as a SortMergeJoin
+    val e16 = SimilarityQueries.e16AnnPqRerank.fn(spark, d)
+    val p = e16.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"e16 must broadcast the shortlist AND the query vectors:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"e16 must never shuffle the corpus for the re-rank join:\n$p")
+  }
+
   test("d13 bloom sketches merge: bit_or of split sketches = union sketch") {
     // the incremental-ingest property d13's scaladoc claims: sketching
     // two halves of a corpus separately and bit_or-merging the word
