@@ -28,8 +28,9 @@ object Bench {
     "d01_exact_dedup", "d04_minhash_lsh", "d09_minhash_lsh_capped",
     "d10_segment_dedup", "d12_substring_dedup", "d13_bloom_incremental",
     "d15_cross_decontamination", "mm06_shot_boundaries",
-    "e01_knn_bruteforce", "e09_ann_pq", "t04_fingerprint",
-    "t11_sequence_packing", "t15_c4_filter", "q42_topk_per_key_custom",
+    "e01_knn_bruteforce", "e09_ann_pq", "e16_ann_pq_rerank",
+    "t04_fingerprint", "t11_sequence_packing", "t15_c4_filter",
+    "t21_quality_classifier", "q42_topk_per_key_custom",
     "q69_sole_returned_supplier", "e13_ann_recall_kmeans")
 
   /** Override with SPARK_GRAFT_BENCH_QUERIES=name1,name2 for ad-hoc runs;

@@ -82,37 +82,50 @@ object ScaleBench {
     */
   private val idStride = 10000000L
 
+  val allScaleTables: Set[String] = Set("documents", "embeddings", "events")
+
+  /** Replicate only `tables` — a subset re-timing run (4th CLI arg)
+    * needs only the tables its queries read, which cuts an x100 cell's
+    * setup from minutes of unrelated writes to just the one table.
+    */
   def replicate(spark: SparkSession, baseDir: String, outDir: String,
-                copies: Int): Unit = {
-    val docs = Tables.documents(spark, baseDir)
-    (0 until copies).map { i =>
-      if (i == 0) docs
-      else docs
-        .withColumn("doc_id", col("doc_id") + lit(i * idStride))
-        .withColumn("text", concat_ws(" ",
-          expr(s"transform(split(text, ' '), t -> concat('r${i}_', t))")))
-    }.reduce(_ unionByName _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    val embs = Tables.embeddings(spark, baseDir)
-    (0 until copies).map { i =>
-      if (i == 0) embs
-      else embs.withColumn("vec_id", col("vec_id") + lit(i * idStride))
-    }.reduce(_ unionByName _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+                copies: Int,
+                tables: Set[String] = allScaleTables): Unit = {
+    if (tables("documents")) {
+      val docs = Tables.documents(spark, baseDir)
+      (0 until copies).map { i =>
+        if (i == 0) docs
+        else docs
+          .withColumn("doc_id", col("doc_id") + lit(i * idStride))
+          .withColumn("text", concat_ws(" ",
+            expr(s"transform(split(text, ' '), t -> concat('r${i}_', t))")))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
+    if (tables("embeddings")) {
+      val embs = Tables.embeddings(spark, baseDir)
+      (0 until copies).map { i =>
+        if (i == 0) embs
+        else embs.withColumn("vec_id", col("vec_id") + lit(i * idStride))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
     // events: replica-disjoint event AND user ids, timestamps kept —
     // N× rows = N× users over the same time range, so per-user event
     // counts (and thus as-of/window group sizes) stay constant
-    val evs = Tables.events(spark, baseDir)
-    (0 until copies).map { i =>
-      if (i == 0) evs
-      else evs
-        .withColumn("event_id", col("event_id") + lit(i * idStride))
-        .withColumn("user_id", col("user_id") + lit(i * idStride))
-    }.reduce(_ unionByName _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    if (tables("events")) {
+      val evs = Tables.events(spark, baseDir)
+      (0 until copies).map { i =>
+        if (i == 0) evs
+        else evs
+          .withColumn("event_id", col("event_id") + lit(i * idStride))
+          .withColumn("user_id", col("user_id") + lit(i * idStride))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
   }
 
   /** Which base table a query's row-throughput is measured against —
@@ -146,13 +159,19 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // only the tables this run's queries read need replicas
+    val needed: Set[String] = queries.map(tableOf).toSet
+
     // SPARK_GRAFT_SCALE_REUSE=1 skips re-replication when the workDir
-    // already holds all three tables — re-timing single cells against a
-    // previously built replica set (ONLY valid for the same `copies`)
+    // already holds every needed table — re-timing single cells against
+    // a previously built replica set (ONLY valid for the same `copies`)
+    def present(t: String) =
+      new java.io.File(s"$workDir/$t.parquet/_SUCCESS").exists()
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
-      Seq("documents", "embeddings", "events").forall(t =>
-        new java.io.File(s"$workDir/$t.parquet/_SUCCESS").exists())
-    if (!reuse) replicate(spark, baseDir, workDir, copies)
+      needed.forall(present)
+    if (!reuse) replicate(spark, baseDir, workDir, copies,
+      needed.filterNot(t =>
+        sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") && present(t)))
 
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -170,7 +189,7 @@ object ScaleBench {
     runOnce(queries.head, baseDir) // JVM/codegen warmup
 
     val rowCounts: Map[String, (Long, Long)] =
-      Seq("documents", "embeddings", "events").map { t =>
+      needed.toSeq.map { t =>
         t -> (spark.read.parquet(s"$baseDir/$t.parquet").count(),
           spark.read.parquet(s"$workDir/$t.parquet").count())
       }.toMap

@@ -57,6 +57,8 @@ object PipelineDemo {
     // benchmark doc (broadcast benchmark side; see d15 scaladoc)
     val nFuzzyContam = q("d15_cross_decontamination")
       .select(col("train_id")).distinct().count()
+    // round-7 stage: model-based quality gate (t21 hashed classifier)
+    val clfKeep = q("t21_quality_classifier").filter(col("keep")).count()
 
     println(s"""
       |=== corpus report ($sfDir) ===
@@ -74,6 +76,7 @@ object PipelineDemo {
       |packed 2048-tok sequences: $nSeqs
       |doc shards (t14 manifest): $nShards
       |fuzzy benchmark contamination (d15, J>=0.5): $nFuzzyContam train docs flagged
+      |classifier quality gate (t21, p>=0.5): $clfKeep / $nDocs kept
       |""".stripMargin)
 
     println("ANN spot-check (query 0, IVF k-means vs exact):")

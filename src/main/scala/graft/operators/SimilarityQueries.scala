@@ -270,6 +270,25 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
+  /** The e05 IVF index as a servable artifact: the cell-assigned corpus
+    * (one batch pass; cache it for repeated probes) plus the tiny
+    * centroid table pulled driver-side — the e06/e09-style bounded
+    * aggregate pull (≤ #cells × 64 floats) that lets a STREAM of
+    * queries probe cells in a pure projection
+    * ([[graft.streaming.EmbStreams.ivfServe]]). Built from the same
+    * [[labelCentroids]]/[[assignCells]] the e05 gate verifies, so the
+    * served index is the gated index.
+    */
+  private[graft] def ivfIndex(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Int, Array[Float])]) = {
+    val e = Tables.embeddings(s, d)
+    val centroids = labelCentroids(e)
+    val assigned = assignCells(e, centroids)
+    val pulled = centroids.collect().map(r =>
+      r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+    (assigned, pulled)
+  }
+
   /** Oracle mirror of [[labelCentroids]] + the assign step — shared CTE
     * text so e05 and e07 cannot drift.
     */

@@ -980,12 +980,20 @@ object TextAnalysisQueries {
     * computed FROM the rounded value so the gate covers the decision
     * too.
     */
+  /** t21's per-bucket weight, a pure function of the bucket id — shared
+    * with the streaming scorer ([[graft.streaming.DocStreams.qualityScore]])
+    * so the two surfaces cannot drift, and mirrored literally in t21's
+    * oracle SQL.
+    */
+  private[graft] def classifierWeight(b: Column): Column =
+    (b * 2654435761L) % 1999L / 999.0 - 1.0
+
   val t21QualityClassifier = QueryDef(
     "t21_quality_classifier",
     (s, d) => {
       val buckets = 1024L
       val weights = s.range(buckets).select(col("id").as("b"),
-        ((col("id") * 2654435761L) % 1999L / 999.0 - 1.0).as("w"))
+        classifierWeight(col("id")).as("w"))
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .withColumn("b", pmod(hash60(col("tok")), lit(buckets)))

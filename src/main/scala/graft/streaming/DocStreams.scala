@@ -144,6 +144,34 @@ object DocStreams {
           .as("dsir_logweight"))
   }
 
+  /** Score an unbounded document stream with the t21 hashed linear
+    * quality classifier — the same inference shape as [[dsirScore]]:
+    * the model is a pure projection (per-token md5 bucket → the shared
+    * [[graft.operators.TextAnalysisQueries.classifierWeight]] weight,
+    * in-order fold, sigmoid of the mean), so the scorer is ONE
+    * stateless pass — no watermark, no keyed state, no shuffle.
+    * Agreement with batch t21 is spec-proven (DocStreamsSpec): the
+    * stream folds tokens in document order while the batch aggregates
+    * in shuffle order, which the shared float-cast-then-round-4
+    * protocol absorbs, and `keep` thresholds the ROUNDED probability
+    * on both surfaces.
+    */
+  def qualityScore(docs: Dataset[Doc], buckets: Int = 1024): DataFrame = {
+    import graft.operators.TextAnalysisQueries.{classifierWeight, hash60}
+    docs.toDF()
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sw", aggregate(
+        transform(col("toks"), t =>
+          classifierWeight(pmod(hash60(t), lit(buckets.toLong)))),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col("doc_id"), col("ts"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round((lit(1.0) / (lit(1.0)
+          + exp(-col("sw") / size(col("toks")))))
+          .cast("float"), 4).as("quality_prob"))
+      .withColumn("keep", col("quality_prob") >= 0.5)
+  }
+
   /** Exact-verify streamed candidates — the batch half of the streaming
     * dedup loop. Takes the collected [[nearDupCandidates]] output and
     * the corpus (doc_id, text), and runs d04's `array_intersect` exact

@@ -236,4 +236,40 @@ class DocStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"onlyStream=${(streamed -- batch).take(3)} " +
         s"onlyBatch=${(batch -- streamed).take(3)}")
   }
+
+  test("streaming quality-classifier scoring equals batch t21") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+
+    val ts = Timestamp.valueOf("2026-01-01 09:00:00")
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), ts, r.getString(1)))
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+
+    val stream = MemoryStream[Doc]
+    val q = DocStreams.qualityScore(stream.toDS())
+      .writeStream.format("memory").queryName("quality_scores")
+      .outputMode(OutputMode.Append())
+      .start()
+    stream.addData(b1.toSeq)
+    q.processAllAvailable()
+    stream.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    def asTuples(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Float]("quality_prob"), r.getAs[Boolean]("keep"))).toSet
+    val streamed = asTuples(spark.table("quality_scores").collect())
+    val batch = asTuples(graft.operators.TextAnalysisQueries
+      .t21QualityClassifier.fn(spark, d).collect())
+    assert(streamed.size == docs.length)
+    assert(streamed == batch,
+      s"stream scores diverged from batch t21: " +
+        s"onlyStream=${(streamed -- batch).take(3)} " +
+        s"onlyBatch=${(batch -- streamed).take(3)}")
+  }
 }
