@@ -59,7 +59,11 @@ object EmbStreams {
         explode(slice(reverse(array_sort(array(probeCos: _*))), 1, nprobe))
           .as("p"))
       .select(col("query_id"), col("q_emb"), col("p.cell").as("cell"))
-    val scored = probes
+    // EXPLICIT broadcast of the per-batch probe side: the micro-batch
+    // planner has no stats for a MicroBatchScan, so without the hint it
+    // falls back to a sort-merge join that re-shuffles the corpus every
+    // trigger (EmbStreamsSpec asserts the shape)
+    val scored = broadcast(probes)
       .join(assigned, Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),

@@ -70,4 +70,39 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"onlyBatch=${(batch -- streamed).take(5)}")
     } finally cached.unpersist()
   }
+
+  test("serving micro-batch plan broadcasts the query side; the corpus never shuffles for the join") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val (assigned, centroids) =
+      graft.operators.SimilarityQueries.ivfIndex(spark, d)
+    val cached = assigned.cache()
+    try {
+      val ts = Timestamp.valueOf("2026-01-01 09:00:00")
+      val qvec = spark.read.parquet(s"$d/embeddings.parquet")
+        .filter($"vec_id" === 0).select("vec_id", "embedding").collect()
+        .map(r => EmbQuery(r.getLong(0), ts, r.getSeq[Float](1)))
+      val stream = MemoryStream[EmbQuery]
+      val q = EmbStreams.ivfServe(stream.toDS(), cached, centroids)
+        .writeStream.format("memory").queryName("ann_plan_probe")
+        .outputMode(OutputMode.Append())
+        .start()
+      stream.addData(qvec.toSeq)
+      q.processAllAvailable()
+      // the last micro-batch's physical plan: the serving claim is that
+      // the tiny probe side broadcasts into the corpus scan — a
+      // regression to a shuffled join would put an Exchange on the
+      // static side and re-shuffle the corpus EVERY batch
+      val plan = q
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      q.stop()
+      assert(plan.contains("BroadcastHashJoin"),
+        s"probe-cell join must be a broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"the static corpus must never shuffle for the serving join:\n$plan")
+    } finally cached.unpersist()
+  }
 }
