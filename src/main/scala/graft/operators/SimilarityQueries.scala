@@ -1126,9 +1126,354 @@ object SimilarityQueries {
          |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
          |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
 
+  /** Oracle for e18: the full IVF-PQ replay — coarse assignment
+    * (shared centArrSql + the e07 assign shape), float-exact residuals,
+    * per-subspace Lloyd on residuals (the e09 iteration pattern over an
+    * `ares` CTE), codes, and ADC with the q·c correction term. All
+    * sums in-order double; all stored vectors float-cast.
+    */
+  private lazy val ivfPqSql: String = {
+    val subDim = 16
+    def off(mi: Int) = mi * subDim
+    def l2Sql(mi: Int): String =
+      s"list_aggregate([(CAST(e.res[${off(mi)} + i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))" +
+        s" * (CAST(e.res[${off(mi)} + i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))" +
+        s" for i in generate_series(1, $subDim)], 'sum')"
+    def iteration(mi: Int, n: Int): String =
+      s"""rqa${n}_m$mi AS (
+         |  SELECT vec_id, res, k FROM (
+         |    SELECT e.vec_id, e.res, c.k,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql(mi)} ASC, c.k) AS rn
+         |    FROM ares e CROSS JOIN rq${n - 1}_m$mi c)
+         |  WHERE rn = 1),
+         |rqu${n}_m$mi AS (
+         |  SELECT k, list(c ORDER BY i) AS centroid FROM (
+         |    SELECT k, i,
+         |      CAST(sum(CAST(res[${off(mi)} + i] AS DOUBLE)) / count(*) AS FLOAT) AS c
+         |    FROM rqa${n}_m$mi, LATERAL unnest(generate_series(1, $subDim)) t(i)
+         |    GROUP BY k, i)
+         |  GROUP BY k),
+         |rq${n}_m$mi AS (
+         |  SELECT p.k, coalesce(u.centroid, p.centroid) AS centroid
+         |  FROM rq${n - 1}_m$mi p LEFT JOIN rqu${n}_m$mi u ON p.k = u.k)""".stripMargin
+    def subspace(mi: Int): String =
+      s"""rq0_m$mi AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
+         |    res[${off(mi) + 1}:${off(mi) + subDim}] AS centroid
+         |  FROM (SELECT vec_id, res FROM ares
+         |        WHERE vec_id % 125 = 0 ORDER BY vec_id LIMIT 16)),
+         |${iteration(mi, 1)},
+         |${iteration(mi, 2)},
+         |rcodes_m$mi AS (
+         |  SELECT vec_id, k AS code$mi FROM (
+         |    SELECT e.vec_id, c.k,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql(mi)} ASC, c.k) AS rn
+         |    FROM ares e CROSS JOIN rq2_m$mi c)
+         |  WHERE rn = 1)""".stripMargin
+    def lutSql(mi: Int): String =
+      s"list_aggregate([CAST(s.qres[${off(mi)} + i] AS DOUBLE) * CAST(c$mi.centroid[i] AS DOUBLE)" +
+        s" for i in generate_series(1, $subDim)], 'sum')"
+    // mirror of the Spark encode-time stored norm: per-subspace in-order
+    // Σ (c_i + r̂_i)², chained left-assoc across subspaces by the caller
+    def recon2Sql(mi: Int): String =
+      s"list_aggregate([(CAST(cc.centroid[${off(mi)} + i] AS DOUBLE) + CAST(c$mi.centroid[i] AS DOUBLE))" +
+        s" * (CAST(cc.centroid[${off(mi)} + i] AS DOUBLE) + CAST(c$mi.centroid[i] AS DOUBLE))" +
+        s" for i in generate_series(1, $subDim)], 'sum')"
+    s"""WITH $centArrSql,
+       |assign AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cent_arr c)
+       |  WHERE rn = 1),
+       |ares AS (
+       |  SELECT a.vec_id, a.cell,
+       |    [CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE) AS FLOAT)
+       |     for i in generate_series(1, 64)] AS res
+       |  FROM assign a JOIN cent_arr c USING (cell)),
+       |${(0 until 4).map(subspace).mkString(",\n")},
+       |enc AS (
+       |  SELECT a.vec_id, a.cell, code0, code1, code2, code3
+       |  FROM ares a JOIN rcodes_m0 USING (vec_id)
+       |    JOIN rcodes_m1 USING (vec_id) JOIN rcodes_m2 USING (vec_id)
+       |    JOIN rcodes_m3 USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |      FROM embeddings WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, q_emb, cell FROM (
+       |    SELECT q.query_id, q.q_emb, c.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosSql("q.q_emb", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM q CROSS JOIN cent_arr c)
+       |  WHERE rn <= 2),
+       |qres AS (
+       |  SELECT p.query_id, p.cell,
+       |    list_aggregate([CAST(p.q_emb[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)
+       |                    for i in generate_series(1, 64)], 'sum') AS qc,
+       |    list_aggregate([CAST(p.q_emb[i] AS DOUBLE) * CAST(p.q_emb[i] AS DOUBLE)
+       |                    for i in generate_series(1, 64)], 'sum') AS qn2,
+       |    [CAST(CAST(p.q_emb[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE) AS FLOAT)
+       |     for i in generate_series(1, 64)] AS qres
+       |  FROM probes p JOIN cent_arr c USING (cell)),
+       |scored AS (
+       |  SELECT s.query_id, e.vec_id,
+       |    (s.qc + ${(0 until 4).map(lutSql).mkString(" + ")})
+       |      / (sqrt(s.qn2) * sqrt(${(0 until 4).map(recon2Sql).mkString(" + ")}))
+       |      AS approx_cos
+       |  FROM qres s JOIN enc e USING (cell)
+       |    JOIN cent_arr cc ON cc.cell = e.cell
+       |    JOIN rq2_m0 c0 ON c0.k = e.code0
+       |    JOIN rq2_m1 c1 ON c1.k = e.code1
+       |    JOIN rq2_m2 c2 ON c2.k = e.code2
+       |    JOIN rq2_m3 c3 ON c3.k = e.code3
+       |  WHERE s.query_id <> e.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, approx_cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx_cos DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, rnk, vec_id, round(approx_cos, 6) AS approx_cos
+       |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** IVF-PQ composite index (Jégou et al. 2011 §IV — the full
+    * production vector-index stack in one gated operator): the corpus
+    * routes to coarse cells (e05's float-cast label centroids), each
+    * vector's RESIDUAL from its cell centroid is product-quantized
+    * (4 subspaces × 16 dims, 16-centroid codebooks, 2 Lloyd iterations
+    * on residuals — quantizing residuals instead of raw vectors is
+    * what makes the composite beat flat PQ: residual energy is a
+    * fraction of vector energy, so the same code budget spends on a
+    * smaller signal), and queries score candidates in their 2 probed
+    * cells by approximate COSINE:
+    * (q·c + Σ_m q_m·r̂_m) / (‖q‖·‖c + r̂‖) — the numerator is one
+    * exact query-centroid dot (the correction term) plus 4 lookups
+    * into per-(query, cell) tables built from the RESIDUAL query
+    * q − c, and ‖c + r̂‖ is the per-vector reconstruction norm
+    * STORED beside the codes at encode time, what cosine-serving PQ
+    * deployments keep (a raw inner-product rank is norm-dominated and
+    * meaningless against a cosine ground truth — the first cut of
+    * this operator measured exactly that: recall identically 0 with
+    * inflated-norm winners). Self is excluded (the e01/e05 protocol)
+    * so e19 measures real retrieval. At 100 TB: the corpus stores
+    * cell id + 4 bytes + one float per vector, cell routing bounds
+    * each query to ~nprobe/#cells of the codes, codebooks and
+    * centroids broadcast everywhere, and training touches the corpus
+    * twice with only k×16-double pulls per subspace. Fully gated:
+    * coarse assign, residuals, per-subspace Lloyd on residuals, codes,
+    * stored norms, correction term and ADC cosines all replayed in
+    * chained CTEs under the established float-cast / in-order-double
+    * protocol.
+    */
+  val e18AnnIvfPq = QueryDef(
+    "e18_ann_ivfpq",
+    (s, d) => {
+      val dim = 64
+      val subDim = 16
+      val m = 4
+      val iters = 2
+      val e = Tables.embeddings(s, d)
+      val centroids = labelCentroids(e)
+
+      // residual corpus: (vec_id, cell, res) — float-exact cross-engine
+      // (float − float in double, cast back to float)
+      def resOf(vec: Column): Column =
+        zip_with(vec, col("centroid"), (x, y) =>
+          (x.cast("double") - y.cast("double")).cast("float"))
+      val ares = assignCells(e, centroids)
+        .join(broadcast(centroids), Seq("cell"))
+        .select(col("vec_id"), col("cell"), resOf(col("embedding")).as("res"))
+        .cache()
+
+      def subCol(c: Column, mi: Int): Column = slice(c, mi * subDim + 1, subDim)
+      def centroidLit(c: Array[Double]): Column =
+        array(c.map(v => lit(v.toFloat)): _*).cast("array<float>")
+      def l2(a: Column, cent: Array[Double]): Column =
+        aggregate(zip_with(a, centroidLit(cent), (x, y) => {
+          val diff = x.cast("double") - y.cast("double"); diff * diff
+        }), lit(0.0), (acc, v) => acc + v)
+      def dotLit(a: Column, cent: Array[Double]): Column =
+        aggregate(zip_with(a, centroidLit(cent),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+
+      // per-subspace Lloyd on residuals — the e09 recipe, trained on
+      // `res`; the cache serves init + iters bounded pulls, released
+      // before the search job (which re-derives ares from the source)
+      val codebooks: Array[Array[Array[Double]]] =
+        try {
+          val initRows = ares.filter(pmod(col("vec_id"), lit(125)) === 0)
+            .orderBy(col("vec_id")).limit(16)
+            .select(col("res")).collect()
+            .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+          val cbs: Array[Array[Array[Double]]] =
+            Array.tabulate(m) { mi =>
+              initRows.map(_.slice(mi * subDim, (mi + 1) * subDim))
+            }
+          for (_ <- 1 to iters) {
+            val perSub = (0 until m).map { mi =>
+              val dists = array(cbs(mi).map(c =>
+                l2(subCol(col("res"), mi), c)): _*)
+              val cell = (array_position(dists, array_min(dists)) - 1).cast("int")
+              ares.select(lit(mi).as("mi"), cell.as("pk"), col("res"))
+            }.reduce(_ unionByName _)
+            val subSums = (0 until subDim).map(i =>
+              sum(element_at(col("res"),
+                col("mi") * subDim + i + 1).cast("double")).as(s"s$i"))
+            val rows = perSub.groupBy(col("mi"), col("pk"))
+              .agg(count(lit(1)).as("n"), subSums: _*)
+              .collect()
+            rows.foreach { r =>
+              val mi = r.getInt(0)
+              val n = r.getLong(2).toDouble
+              cbs(mi)(r.getInt(1)) =
+                (0 until subDim).map(i => r.getDouble(i + 3) / n).toArray
+            }
+          }
+          cbs
+        } finally ares.unpersist()
+
+      // encode: cell + 4 residual codes per vector, PLUS the stored
+      // reconstruction norm ‖c + r̂‖ — the per-vector scalar every
+      // cosine-serving PQ deployment keeps beside the codes so ADC can
+      // rank by approximate COSINE (a raw inner-product rank is
+      // norm-dominated and useless against a cosine ground truth)
+      val cbArrs = (0 until m).map(mi =>
+        array(codebooks(mi).map(centroidLit): _*))
+      val encoded = ares.join(broadcast(centroids), Seq("cell"))
+        .select(Seq(col("vec_id"), col("cell")) ++
+          (0 until m).map { mi =>
+            val dists = array(codebooks(mi).map(c =>
+              l2(subCol(col("res"), mi), c)): _*)
+            (array_position(dists, array_min(dists)) - 1).cast("int")
+              .as(s"code_$mi")
+          } :+ col("centroid"): _*)
+        .select(Seq(col("vec_id"), col("cell")) ++
+          (0 until m).map(mi => col(s"code_$mi")) ++
+          (0 until m).map { mi =>
+            aggregate(zip_with(subCol(col("centroid"), mi),
+              element_at(cbArrs(mi), col(s"code_$mi") + 1),
+              (c, r) => {
+                val v = c.cast("double") + r.cast("double"); v * v
+              }), lit(0.0), (acc, v) => acc + v).as(s"recon2_$mi")
+          }: _*)
+
+      // queries probe their 2 nearest cells (e05's window + tie-break),
+      // carrying the correction term q·c and the residual query q − c
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cs").desc, col("cell"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        .join(broadcast(centroids))
+        .withColumn("cs", cosine_similarity(col("q_emb"), col("centroid")))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("query_id"), col("cell"),
+          aggregate(zip_with(col("q_emb"), col("centroid"),
+            (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, v) => acc + v).as("qc"),
+          aggregate(transform(col("q_emb"),
+            x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, v) => acc + v).as("qn2"),
+          resOf(col("q_emb")).as("qres"))
+
+      // ADC: per-(query, cell) lookup tables over the residual query;
+      // approximate cosine = (q·c + Σ q_m·r̂_m) / (‖q‖ · ‖c + r̂‖),
+      // left-assoc chains mirroring the oracle text (double addition is
+      // order-sensitive at the last ulp, and the 6-decimal rounding
+      // can't absorb a boundary-straddling ulp)
+      val withTables = encoded.join(broadcast(probes), Seq("cell"))
+        .where(col("query_id") =!= col("vec_id"))
+        .select(Seq(col("query_id"), col("vec_id"), col("qc"), col("qn2")) ++
+          (0 until m).map { mi =>
+            array(codebooks(mi).map(c =>
+              dotLit(subCol(col("qres"), mi), c)): _*).as(s"ip_$mi")
+          } ++ (0 until m).map(mi => col(s"code_$mi")) ++
+          (0 until m).map(mi => col(s"recon2_$mi")): _*)
+        .withColumn("approx_cos",
+          expr("(qc + " + (0 until m)
+            .map(mi => s"element_at(ip_$mi, code_$mi + 1)").mkString(" + ") +
+            ") / (sqrt(qn2) * sqrt(" + (0 until m)
+            .map(mi => s"recon2_$mi").mkString(" + ") + "))"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("approx_cos").desc, col("vec_id"))
+      withTables
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("rnk"), col("vec_id"),
+          round(col("approx_cos"), 6).as("approx_cos"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(ivfPqSql))
+
+  /** Loss decomposition of the IVF-PQ composite (e18), per query: its
+    * top-3 scored against the GLOBAL exact top-3 (e01 → `recall3`,
+    * end-to-end: routing loss × quantization loss) AND against the
+    * exact-in-probed-cells top-3 (e05, which shares e18's routing →
+    * `n_kept_ivf`, quantization loss alone). The two columns separate
+    * what the coarse quantizer lost from what the residual codes lost
+    * — on these synthetic isotropic vectors both are near the floor
+    * (label centroids of isotropic data ≈ 0, so residual ≈ full vector
+    * and ~0.5 bit/dim must separate cosine gaps of ~0.05 — the e15
+    * situation: the worst case for the method, where what the harness
+    * certifies cross-engine is the MEASUREMENT; e17 shows the
+    * production remedy, exact re-rank of the shortlist).
+    */
+  val e19AnnRecallIvfPq = QueryDef(
+    "e19_ann_recall_ivfpq",
+    (s, d) => {
+      val pq3 = e18AnnIvfPq.fn(s, d).filter(col("rnk") <= 3)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val exact3 = e01KnnBruteForce.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+      val ivf3 = e05AnnIvf.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id").as("vq"), col("neighbor_id").as("vn"))
+      val vsExact = pq3.join(exact3,
+          col("query_id") === col("eq") && col("neighbor_id") === col("en"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("en")).as("n_matched"),
+          round(count(col("en")) / 3.0, 4).as("recall3"))
+      val vsIvf = pq3.join(ivf3,
+          col("query_id") === col("vq") && col("neighbor_id") === col("vn"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("vn")).as("n_kept_ivf"))
+      vsExact.join(vsIvf, Seq("query_id"))
+        .select(col("query_id"), col("n_matched"), col("recall3"),
+          col("n_kept_ivf"))
+        .orderBy(col("query_id"))
+    },
+    Some(
+      s"""WITH ivfpq_full AS ($ivfPqSql),
+         |exact_full AS (${e01KnnBruteForce.oracle.get}),
+         |ivf_full AS (${e05AnnIvf.oracle.get}),
+         |i AS (SELECT query_id, vec_id AS neighbor_id FROM ivfpq_full WHERE rnk <= 3),
+         |e AS (SELECT query_id, neighbor_id FROM exact_full WHERE rank <= 3),
+         |v AS (SELECT query_id, neighbor_id FROM ivf_full WHERE rank <= 3),
+         |a1 AS (
+         |  SELECT i.query_id, count(e.neighbor_id) AS n_matched,
+         |    round(count(e.neighbor_id) / 3.0, 4) AS recall3
+         |  FROM i LEFT JOIN e
+         |    ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |  GROUP BY i.query_id),
+         |a2 AS (
+         |  SELECT i.query_id, count(v.neighbor_id) AS n_kept_ivf
+         |  FROM i LEFT JOIN v
+         |    ON i.query_id = v.query_id AND i.neighbor_id = v.neighbor_id
+         |  GROUP BY i.query_id)
+         |SELECT a1.query_id, a1.n_matched, a1.recall3, a2.n_kept_ivf
+         |FROM a1 JOIN a2 USING (query_id) ORDER BY a1.query_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     e01KnnBruteForce, e02CosineNearDup, e03AnnLsh, e04LabelCentroids,
     e05AnnIvf, e06AnnIvfKmeans, e07SemanticDedup, e08Int8Quant, e09AnnPq,
     e10AnnRecall, e11AnnRecallLsh, e12AnnRecallPq, e13AnnRecallKmeans,
-    e14AnnRecallInt8, e15AnnRecallTrunc, e16AnnPqRerank, e17AnnRecallRerank)
+    e14AnnRecallInt8, e15AnnRecallTrunc, e16AnnPqRerank, e17AnnRecallRerank,
+    e18AnnIvfPq, e19AnnRecallIvfPq)
 }
