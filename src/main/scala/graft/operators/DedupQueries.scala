@@ -1153,9 +1153,82 @@ object DedupQueries {
             |WHERE round(c * 1.0 / (x.n + y.n - c), 4) >= 0.5
             |ORDER BY train_id, bench_id""".stripMargin))
 
+  /** Quality-ARGMAX cluster survivor — the other canonicalization
+    * policy a dedup pipeline ships: instead of d06/d07's min-doc_id
+    * survivor, each near-dup cluster keeps its HIGHEST-QUALITY member
+    * (the d07 quality signal; ties break to the lower doc_id via an
+    * explicit window, so the argmax is deterministic on both engines —
+    * the per-row quality arithmetic is division/multiplication only,
+    * no sums, hence bit-identical cross-engine). Reuses the memoized
+    * d06 cluster labels, so running d06+d07+d16 in one job still runs
+    * connected components once. Scale: the labels are the d06 cost;
+    * on top of them this is one window over clusters (tiny groups by
+    * construction) — no new corpus-sized shuffle beyond the label join.
+    */
+  val d16QualityKeeper = QueryDef(
+    "d16_quality_keeper",
+    (s, d) => {
+      val clusters = clusterLabels(s, d)
+        .withColumnRenamed("doc_id", "cdoc")
+      val quality = Tables.documents(s, d)
+        .select(col("doc_id"),
+          ((length(col("text")).cast("double")
+            - size(split(col("text"), " ")) + 1)
+            / size(split(col("text"), " ")) * 0.2 +
+            size(array_distinct(split(col("text"), " "))).cast("double")
+              / size(split(col("text"), " ")) * 0.8).as("q"))
+      val joined = quality
+        .join(clusters, quality("doc_id") === clusters("cdoc"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canonical_id"), col("doc_id")).as("cluster_id"),
+          col("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("q").desc, col("doc_id"))
+      joined.withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("cluster_id"), (col("rn") === 1).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $shinglesSql,
+            |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+            |common AS (
+            |  SELECT a.doc_id da, b.doc_id db, count(*) c
+            |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |pairs AS (
+            |  SELECT da, db FROM common
+            |  JOIN cnt x ON da = x.doc_id JOIN cnt y ON db = y.doc_id
+            |  WHERE round(c * 1.0 / (x.n + y.n - c), 4) >= 0.5),
+            |edges AS (
+            |  SELECT da, db FROM pairs UNION SELECT db, da FROM pairs),
+            |reach(src, dst) AS (
+            |  SELECT da, db FROM edges
+            |  UNION
+            |  SELECT r.src, e.db FROM reach r JOIN edges e ON r.dst = e.da
+            |  WHERE r.src <> e.db),
+            |canon AS (
+            |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+            |  FROM reach GROUP BY src),
+            |quality AS (
+            |  SELECT doc_id,
+            |    ((length(text) - len(string_split(text, ' ')) + 1.0)
+            |      / len(string_split(text, ' '))) * 0.2 +
+            |    (len(list_distinct(string_split(text, ' ')))
+            |      * 1.0 / len(string_split(text, ' '))) * 0.8 AS q
+            |  FROM documents),
+            |j AS (
+            |  SELECT quality.doc_id,
+            |    coalesce(canon.canonical_id, quality.doc_id) AS cluster_id, q
+            |  FROM quality LEFT JOIN canon ON quality.doc_id = canon.doc_id)
+            |SELECT doc_id, cluster_id,
+            |  (row_number() OVER (PARTITION BY cluster_id
+            |     ORDER BY q DESC, doc_id) = 1) AS keep
+            |FROM j ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     d01ExactDedup, d02NormalizedDedup, d03NgramJaccard, d04MinHashLsh,
     d05SimHash, d06DedupClusters, d07KeepList, d08JaccardCapped,
     d09MinHashCapped, d10SegmentDedup, d11IntraDocDedup, d12SubstringDedup,
-    d13BloomIncremental, d14SourceOverlap, d15CrossDecontamination)
+    d13BloomIncremental, d14SourceOverlap, d15CrossDecontamination,
+    d16QualityKeeper)
 }

@@ -63,8 +63,8 @@ object SimilarityQueries {
     * inside each query's probed cells, top-k per query (used by e05/e06
     * so rank/tie-break/rounding semantics cannot drift between them).
     */
-  private def probeAndRank(assigned: DataFrame, probes: DataFrame,
-                           k: Int): DataFrame = {
+  private[graft] def probeAndRank(assigned: DataFrame, probes: DataFrame,
+                                  k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -1470,10 +1470,130 @@ object SimilarityQueries {
          |SELECT a1.query_id, a1.n_matched, a1.recall3, a2.n_kept_ivf
          |FROM a1 JOIN a2 USING (query_id) ORDER BY a1.query_id""".stripMargin))
 
+  /** The shared binarization (e20 corpus dump / e21 recall measurement):
+    * per-dimension MIDRANGE threshold ((min+max)/2 — order-independent,
+    * so bit-exact across engines, unlike a mean whose summation order
+    * could flip a borderline bit), one sign bit per dimension, packed
+    * into two BIGINT halves (`lo` = dims 0–31, `hi` = dims 32–63; a
+    * single 64-bit word would overflow DuckDB's signed sum at bit 63).
+    */
+  private val binPackSql: String =
+    """dims AS (
+      |  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings, LATERAL unnest(generate_series(1, 64)) AS t(i)),
+      |mids AS (
+      |  SELECT dim, (min(v) + max(v)) / 2.0 AS mid FROM dims GROUP BY dim),
+      |packed AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN dim < 32 AND v > mid
+      |                  THEN CAST(1 AS BIGINT) << dim ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN dim >= 32 AND v > mid
+      |                  THEN CAST(1 AS BIGINT) << (dim - 32) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM dims JOIN mids USING (dim) GROUP BY vec_id)""".stripMargin
+
+  private def binPacked(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "vf")))
+      .withColumn("v", col("vf").cast("double"))
+    val mids = dims.groupBy(col("dim"))
+      .agg(((min(col("v")) + max(col("v"))) / 2.0).as("mid"))
+    dims.join(broadcast(mids), "dim")
+      .withColumn("bit", col("v") > col("mid"))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(when(col("bit") && col("dim") < 32,
+          expr("shiftleft(CAST(1 AS BIGINT), dim)")).otherwise(0L)).as("lo"),
+        sum(when(col("bit") && col("dim") >= 32,
+          expr("shiftleft(CAST(1 AS BIGINT), dim - 32)")).otherwise(0L)).as("hi"))
+  }
+
+  /** Binary (1-bit) quantization of the embedding corpus — the extreme
+    * end of the compression ladder (float32 → int8 in e08, → 1 bit/dim
+    * here: 256× smaller, 8 bytes/vector). Search in this space is
+    * Hamming distance, two xor+popcount instructions per pair — the
+    * reason binary codes are the standard first-stage filter in
+    * billion-vector deployments. At 100 TB: the threshold table is 64
+    * doubles (one tiny order-independent agg, broadcast), packing is a
+    * map-side-combinable per-vector agg, and the packed corpus (8 B ×
+    * N) is small enough to BROADCAST for corpora that would need a
+    * shuffle join in float space.
+    */
+  val e20BinaryQuant = QueryDef(
+    "e20_binary_quant",
+    (s, d) => binPacked(s, d)
+      .select(col("vec_id"), col("lo"), col("hi"),
+        expr("CAST(bit_count(lo) + bit_count(hi) AS BIGINT)").as("n_set"))
+      .orderBy(col("vec_id")),
+    Some(
+      s"""WITH $binPackSql
+         |SELECT vec_id, lo, hi,
+         |  CAST(bit_count(lo) + bit_count(hi) AS BIGINT) AS n_set
+         |FROM packed ORDER BY vec_id""".stripMargin))
+
+  /** recall@3 of Hamming-ranked search in the BINARY space (e20's
+    * packed codes, both query and corpus binarized) against the exact
+    * float top-3 (e01) — closing the recall harness over the last
+    * compression family (e10–e13 index pruning, e14 int8, e15
+    * truncation, e19 IVF-PQ). Hamming ties are common at 64 bits and
+    * break deterministically toward the lower neighbor_id on both
+    * engines. The synthetic isotropic vectors are again the worst case
+    * (no training aligns the hyperplanes with the data); the harness
+    * certifies the measurement, and e16's exact re-rank is the
+    * production remedy for whatever the filter stage loses.
+    */
+  val e21AnnRecallBinary = QueryDef(
+    "e21_ann_recall_binary",
+    (s, d) => {
+      val packed = binPacked(s, d)
+      val q = packed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("lo").as("qlo"), col("hi").as("qhi"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("hamming"), col("neighbor_id"))
+      val bin3 = packed.alias("b").join(broadcast(q.alias("a")),
+          col("a.query_id") =!= col("b.vec_id"))
+        .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"),
+          expr("CAST(bit_count(qlo ^ lo) + bit_count(qhi ^ hi) AS BIGINT)")
+            .as("hamming"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact3 = e01KnnBruteForce.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+      bin3.join(exact3,
+          col("query_id") === col("eq") && col("neighbor_id") === col("en"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("en")).as("n_matched"),
+          round(count(col("en")) / 3.0, 4).as("recall3"))
+        .orderBy(col("query_id"))
+    },
+    Some(
+      s"""WITH $binPackSql,
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+         |  FROM packed a JOIN packed b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+         |i AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY hamming, neighbor_id) AS rank
+         |    FROM scored) WHERE rank <= 3),
+         |exact_full AS (${e01KnnBruteForce.oracle.get}),
+         |e AS (SELECT query_id, neighbor_id FROM exact_full WHERE rank <= 3)
+         |SELECT i.query_id, count(e.neighbor_id) AS n_matched,
+         |  round(count(e.neighbor_id) / 3.0, 4) AS recall3
+         |FROM i LEFT JOIN e
+         |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     e01KnnBruteForce, e02CosineNearDup, e03AnnLsh, e04LabelCentroids,
     e05AnnIvf, e06AnnIvfKmeans, e07SemanticDedup, e08Int8Quant, e09AnnPq,
     e10AnnRecall, e11AnnRecallLsh, e12AnnRecallPq, e13AnnRecallKmeans,
     e14AnnRecallInt8, e15AnnRecallTrunc, e16AnnPqRerank, e17AnnRecallRerank,
-    e18AnnIvfPq, e19AnnRecallIvfPq)
+    e18AnnIvfPq, e19AnnRecallIvfPq, e20BinaryQuant, e21AnnRecallBinary)
 }

@@ -1023,11 +1023,72 @@ object TextAnalysisQueries {
             |    AS keep
             |FROM agg ORDER BY doc_id""".stripMargin))
 
+  /** Bigram-LM perplexity proxy with add-one smoothing — one order up
+    * from t17's unigram signal and the shape of the CCNet/KenLM filter
+    * (a real deployment loads a pre-trained n-gram model; here the
+    * corpus's own bigram table stands in, which is exactly how one
+    * scores a candidate corpus against a trusted one): p(tok|prev) =
+    * (c(prev,tok) + 1) / (c(prev) + V), per-doc score = avg −ln p over
+    * positions 2..n. The per-doc sum is float-cast before rounding
+    * (t17's cross-engine log/summation-order protocol). Scale: two
+    * token-keyed map-side-combinable aggregates (bigram + unigram
+    * counts), one broadcast vocab scalar, then a join back onto the
+    * bigram stream and a per-doc agg — all linear passes; the model
+    * tables are vocabulary-sized, not corpus-sized, so at 100 TB they
+    * behave like t20's broadcast models.
+    */
+  val t22BigramPerplexity = QueryDef(
+    "t22_bigram_perplexity",
+    (s, d) => {
+      val arr = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      // pos is 0-based; element_at is 1-based, so ts[pos] is the PREVIOUS
+      // token of the one exploded at pos
+      val pairs = arr
+        .select(col("doc_id"), col("ts"),
+          posexplode(col("ts")).as(Seq("pos", "tok")))
+        .filter(col("pos") >= 1)
+        .select(col("doc_id"), element_at(col("ts"), col("pos")).as("prev"),
+          col("tok"))
+      val uni = arr.select(explode(col("ts")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+      val big = pairs.groupBy(col("prev"), col("tok"))
+        .agg(count(lit(1)).as("c2"))
+      val vocab = uni.agg(count(lit(1)).as("vc"))
+      pairs.join(big, Seq("prev", "tok"))
+        .join(uni.withColumnRenamed("tok", "prev"), Seq("prev"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("neglogp",
+          -log((col("c2") + lit(1.0)) / (col("c1") + col("vc"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round((sum(col("neglogp")) / count(lit(1))).cast("float"), 4)
+            .as("avg_neglogp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |pairs AS (
+           |  SELECT doc_id, ts[i - 1] AS prev, ts[i] AS tok
+           |  FROM toks, LATERAL unnest(generate_series(2, len(ts))) AS t(i)),
+           |uni AS (
+           |  SELECT tok, count(*) AS c1
+           |  FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok),
+           |big AS (SELECT prev, tok, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+           |v AS (SELECT count(*) AS vc FROM uni)
+           |SELECT p.doc_id, count(*) AS n_bigrams,
+           |  round(CAST(sum(-ln((c2 + 1.0) / (c1 + vc))) / count(*) AS FLOAT), 4)
+           |    AS avg_neglogp
+           |FROM pairs p JOIN big USING (prev, tok)
+           |  JOIN uni u ON p.prev = u.tok, v
+           |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05CorpusReport, t06Winnowing, t07BpeTokenCount, t08Contamination,
     t09RepetitionSignals, t10PiiScrub, t11SequencePacking,
     t12DomainMixture, t13TfidfTopTerms, t14ShardManifest, t15C4Filter,
     t16StratifiedSplit, t17UnigramPerplexity, t18DomainDivergence,
-    t19HeavyHittersCms, t20DsirWeights, t21QualityClassifier)
+    t19HeavyHittersCms, t20DsirWeights, t21QualityClassifier,
+    t22BigramPerplexity)
 }

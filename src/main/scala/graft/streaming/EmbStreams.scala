@@ -43,22 +43,50 @@ object EmbStreams {
     * spec-proven (EmbStreamsSpec), including the shared
     * half-up 6-decimal cosine rounding.
     */
-  def ivfServe(queries: Dataset[EmbQuery], assigned: DataFrame,
-               centroids: Seq[(Int, Array[Float])],
-               nprobe: Int = 2, k: Int = 3): Dataset[AnnHit] = {
-    val spark = queries.sparkSession
-    import spark.implicits._
+  /** The literal-centroid probe projection shared by every serving
+    * variant (inline, deduped, pruned) — one definition so the routing
+    * step cannot drift from the one the batch/stream equality specs
+    * certify. Pure projection: the ≤ #cells centroids ride as literals
+    * and each query explodes into its `nprobe` best cells via an
+    * in-row struct sort (no window — streams cannot run one; ties on
+    * centroid cosine break toward the higher cell id).
+    */
+  private def probeProjection(queries: DataFrame,
+                              centroids: Seq[(Int, Array[Float])],
+                              nprobe: Int): DataFrame = {
     val probeCos = centroids.map { case (cell, c) =>
       struct(
         cosine_similarity(col("embedding"),
           array(c.map(v => lit(v)): _*).cast("array<float>")).as("cs"),
         lit(cell).as("cell"))
     }
-    val probes = queries.toDF()
+    queries
       .select(col("query_id"), col("embedding").as("q_emb"),
         explode(slice(reverse(array_sort(array(probeCos: _*))), 1, nprobe))
           .as("p"))
       .select(col("query_id"), col("q_emb"), col("p.cell").as("cell"))
+  }
+
+  /** Idempotent-ingest guard for at-least-once upstreams: a retried /
+    * re-delivered query (same `query_id` re-arriving within the
+    * watermark horizon) is served ONCE. Built on Spark's
+    * `dropDuplicatesWithinWatermark`, so the dedup state is evicted as
+    * the `ts` watermark advances — state is O(queries in horizon), not
+    * O(queries ever). Compose with [[ivfServePruned]] (whose serving
+    * runs batch-side in foreachBatch) so the streaming plan carries
+    * exactly one stateful operator.
+    */
+  def dedupWithinWatermark(queries: Dataset[EmbQuery],
+                           horizon: String = "10 minutes"): Dataset[EmbQuery] =
+    queries.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("query_id")
+
+  def ivfServe(queries: Dataset[EmbQuery], assigned: DataFrame,
+               centroids: Seq[(Int, Array[Float])],
+               nprobe: Int = 2, k: Int = 3): Dataset[AnnHit] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val probes = probeProjection(queries.toDF(), centroids, nprobe)
     // EXPLICIT broadcast of the per-batch probe side: the micro-batch
     // planner has no stats for a MicroBatchScan, so without the hint it
     // falls back to a sort-merge join that re-shuffles the corpus every
@@ -84,4 +112,46 @@ object EmbStreams {
             }
       }
   }
+
+  /** Serving with PER-BATCH PARTITION PRUNING — the 100 TB I/O shape.
+    * The corpus lives on disk PARTITIONED BY `cell` (hive layout,
+    * `write.partitionBy("cell")`); each micro-batch routes its queries
+    * (the shared [[probeProjection]]), pulls the ≤ nprobe × #queries
+    * probed cell ids to the driver (ints — the only driver-side
+    * collect), and plans a fresh batch-side read of ONLY those cells:
+    * `cell isin probedCells` is a partition filter, so Spark lists and
+    * reads just the probed directories. Per batch the corpus I/O is
+    * O(corpus × nprobe / #cells) FILES, not merely rows — the claim
+    * the continuous-plan variant ([[ivfServe]]) cannot make, since its
+    * static side is fixed at plan time. Scoring/ranking/rounding is
+    * the batch engine's own [[graft.operators.SimilarityQueries
+    * .probeAndRank]] (the e05-gated code path), so serving cannot
+    * drift from the gate. `onBatch` receives each batch's hits
+    * (query_id, rank, neighbor_id, cos); the returned query is
+    * started and must be stopped by the caller.
+    */
+  def ivfServePruned(queries: Dataset[EmbQuery], corpusDir: String,
+                     centroids: Seq[(Int, Array[Float])],
+                     nprobe: Int = 2, k: Int = 3)
+                    (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[EmbQuery], _: Long) =>
+        val spark = batch.sparkSession
+        val probes = probeProjection(batch.toDF(), centroids, nprobe)
+          .cache()
+        try {
+          val cells = probes.select(col("cell")).distinct()
+            .collect().map(_.getInt(0))
+          if (cells.nonEmpty) {
+            val corpus = spark.read.parquet(corpusDir)
+              .where(col("cell").isin(cells.map(Integer.valueOf): _*))
+              .select(col("vec_id"), col("embedding"), col("cell"))
+            onBatch(graft.operators.SimilarityQueries
+              .probeAndRank(corpus, probes, k))
+          }
+        } finally probes.unpersist()
+      }
+      .start()
 }

@@ -105,4 +105,117 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"the static corpus must never shuffle for the serving join:\n$plan")
     } finally cached.unpersist()
   }
+
+  private def hitTuples(rows: Seq[org.apache.spark.sql.Row]) = rows.map(r =>
+    (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSet
+
+  test("pruned serving reads ONLY the probed cells' partitions and equals batch e05") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val (assigned, centroids) =
+      graft.operators.SimilarityQueries.ivfIndex(spark, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_corpus")
+      .toFile.getAbsolutePath
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    def parquetFiles(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(parquetFiles).sum
+      else if (f.getName.endsWith(".parquet")) 1L else 0L
+    val totalFiles = parquetFiles(new java.io.File(dir))
+    val totalCells = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(totalCells > 2, s"need >2 cells to observe pruning, got $totalCells")
+
+    val ts = Timestamp.valueOf("2026-01-01 09:00:00")
+    val qvec = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter($"vec_id" === 0).select("vec_id", "embedding").collect()
+      .map(r => EmbQuery(r.getLong(0), ts, r.getSeq[Float](1)))
+    val hits = scala.collection.mutable.Set[(Long, Long, Long, Double)]()
+    val scannedFiles = new java.util.concurrent.atomic.AtomicLong(-1)
+    val stream = MemoryStream[EmbQuery]
+    val q = EmbStreams.ivfServePruned(stream.toDS(), dir, centroids) { batch =>
+      val rows = batch.collect()
+      hits.synchronized { hits ++= hitTuples(rows.toSeq) }
+      // after the action the (adaptive) plan is final; its file scan
+      // carries the files-read metric — THE pruning evidence. AQE wraps
+      // the tree in leaf-like nodes (AdaptiveSparkPlanExec /
+      // QueryStageExec), so the traversal must unwrap them explicitly.
+      def findScan(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          findScan(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findScan(s.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          scannedFiles.set(f.metrics("numFiles").value)
+        case other => other.children.foreach(findScan)
+      }
+      findScan(batch.queryExecution.executedPlan)
+    }
+    stream.addData(qvec.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val batchE05 = hitTuples(
+      graft.operators.SimilarityQueries.e05AnnIvf.fn(spark, d)
+        .filter($"query_id" === 0).collect().toSeq)
+    assert(hits.nonEmpty)
+    assert(hits.toSet == batchE05,
+      s"pruned serving diverged from batch e05: " +
+        s"onlyStream=${(hits.toSet -- batchE05).take(5)} " +
+        s"onlyBatch=${(batchE05 -- hits).take(5)}")
+    // one query probes nprobe=2 of the >2 cells: the scan must have
+    // read strictly fewer files than the corpus holds
+    assert(scannedFiles.get() > 0, "file-scan metric not observed")
+    assert(scannedFiles.get() < totalFiles,
+      s"expected partition pruning: scanned ${scannedFiles.get()} of $totalFiles files")
+  }
+
+  test("watermarked dedup serves a retried query_id exactly once") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val (assigned, centroids) =
+      graft.operators.SimilarityQueries.ivfIndex(spark, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_corpus2")
+      .toFile.getAbsolutePath
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(dir)
+
+    val embs = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter($"vec_id" < 2).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val q0 = EmbQuery(embs(0)._1, Timestamp.valueOf("2026-01-01 09:00:00"), embs(0)._2)
+    // the retry: same query_id re-delivered a minute later (at-least-once upstream)
+    val q0retry = q0.copy(ts = Timestamp.valueOf("2026-01-01 09:01:00"))
+    val q1 = EmbQuery(embs(1)._1, Timestamp.valueOf("2026-01-01 09:02:00"), embs(1)._2)
+
+    val served = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+    val stream = MemoryStream[EmbQuery]
+    val q = EmbStreams.ivfServePruned(
+      EmbStreams.dedupWithinWatermark(stream.toDS(), "10 minutes"),
+      dir, centroids) { batch =>
+      val rows = batch.collect()
+      served.synchronized { served ++= hitTuples(rows.toSeq) }
+    }
+    stream.addData(Seq(q0))
+    q.processAllAvailable()
+    stream.addData(Seq(q0retry, q1))
+    q.processAllAvailable()
+    q.stop()
+
+    val perQuery = served.groupBy(_._1).view.mapValues(_.size).toMap
+    // query 0 arrived twice within the horizon but is served once (k=3
+    // hits, not 6); query 1 is served normally
+    assert(perQuery.get(0L).contains(3),
+      s"retried query must be served exactly once: $perQuery")
+    assert(perQuery.get(1L).contains(3),
+      s"fresh query must still be served: $perQuery")
+    // and what WAS served is the gated batch answer
+    val batchE05 = hitTuples(
+      graft.operators.SimilarityQueries.e05AnnIvf.fn(spark, d)
+        .filter($"query_id" < 2).collect().toSeq)
+    assert(served.toSet == batchE05)
+  }
 }
