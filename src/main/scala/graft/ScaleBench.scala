@@ -75,7 +75,14 @@ object ScaleBench {
       // q57: bucketed interval join — pairs meet once per tolerance
       // bucket; replica-disjoint users keep per-user event density
       // constant, so candidate volume grows with users, not users²
-      "q57_range_error_proximity")
+      "q57_range_error_proximity",
+      // e20: binary packing is a 64-row threshold agg + one
+      // map-side-combinable per-vector agg — pure linear passes
+      "e20_binary_quant",
+      // t22: the bigram/unigram model tables are vocabulary-sized (the
+      // r{i}_ prefix grows the vocab linearly with replicas, the honest
+      // worst case); the scoring join is one pass over the pair stream
+      "t22_bigram_perplexity")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
@@ -135,7 +142,7 @@ object ScaleBench {
     */
   private val tableOf: Map[String, String] =
     (Seq("e03_ann_lsh", "e05_ann_ivf", "e07_semantic_dedup", "e08_int8_quant",
-      "e09_ann_pq").map(_ -> "embeddings") ++
+      "e09_ann_pq", "e20_binary_quant").map(_ -> "embeddings") ++
       Seq("q56_asof_attribution", "q58_salted_agg", "q66_event_funnel",
         "q57_range_error_proximity").map(_ -> "events")).toMap
       .withDefaultValue("documents")

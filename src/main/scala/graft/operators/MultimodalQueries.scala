@@ -504,7 +504,130 @@ object MultimodalQueries {
            |       (CAST(sum(dv) AS DOUBLE) / (max(w) * max(h))) > 14.0 AS is_cut
            |FROM px GROUP BY media_id, f ORDER BY media_id, frame_no""".stripMargin))
 
+  /** Perceptual-hash near-duplicate detection over DECODED images — the
+    * multimodal mirror of d05's SimHash pipeline, closing the
+    * "image dedup" cell (the first dedup stage of any multimodal
+    * training corpus). Stage 1 decodes each PNG payload with the real
+    * JDK codec and computes an aHash: the pixel grid collapses to 8×8
+    * block sums and bit idx is set iff its block's mean beats the
+    * global mean — compared CROSS-MULTIPLIED in integers
+    * (S·w·h > total·N), so no double division can round differently
+    * anywhere. The 64 bits pack into two 32-bit words (`lo`/`hi`, the
+    * e20 layout). Stage 2 is the d05 scale shape: band the hash into
+    * 4×16-bit chunks, self-join only within equal chunks (LSH — any
+    * pair at Hamming ≤ 4 shares at least one exact chunk by
+    * pigeonhole over 4 bands), verify candidates by exact Hamming
+    * (xor+popcount), keep pairs ≤ 4. At 100 TB: decode is a linear
+    * per-row pass, the join is banded (never all-pairs), and the
+    * 8-byte hashes are what shuffles — not pixels. Oracle: the full
+    * pipeline recomputed from the generation formula (blocks, bits,
+    * packing, banding, Hamming) — a decode or packing defect anywhere
+    * fails the hash gate.
+    */
+  val mm07PerceptualHashDedup = QueryDef(
+    "mm07_phash_neardup",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, syntheticPng(id))))
+        .toDF("media_id", "payload")
+        .as[(Long, Array[Byte])]
+      val hashed = media.mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          val w = img.getWidth
+          val h = img.getHeight
+          val sums = new Array[Long](64)
+          val counts = new Array[Long](64)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val gsum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF)
+                + (rgb & 0xFF)).toLong
+              val idx = (y * 8 / h) * 8 + (x * 8 / w)
+              sums(idx) += gsum
+              counts(idx) += 1
+              total += gsum
+              x += 1
+            }
+            y += 1
+          }
+          var lo = 0L; var hi = 0L
+          var idx = 0
+          while (idx < 64) {
+            // block mean > global mean, cross-multiplied: exact integers
+            if (sums(idx) * w * h > total * counts(idx)) {
+              if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32)
+            }
+            idx += 1
+          }
+          (id, lo, hi)
+        }
+      }.toDF("media_id", "lo", "hi")
+      val banded = hashed.select(col("media_id"), col("lo"), col("hi"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            expr(if (b < 2) s"(lo >> ${16 * b}) & 65535"
+                 else s"(hi >> ${16 * (b - 2)}) & 65535").as("chunk"))): _*))
+          .as("bucket"))
+      banded.alias("x")
+        .join(banded.alias("y"), col("x.bucket") === col("y.bucket") &&
+          col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("ma"), col("y.media_id").as("mb"),
+          expr("CAST(bit_count(x.lo ^ y.lo) + bit_count(x.hi ^ y.hi) AS BIGINT)")
+            .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 4)
+        .orderBy(col("ma"), col("mb"))
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id AS media_id,
+           |         8 + (doc_id % 24) AS w,
+           |         8 + ((doc_id * 7) % 24) AS h
+           |  FROM documents),
+           |px AS (
+           |  SELECT media_id, w, h,
+           |         ((y * 8) // h) * 8 + ((x * 8) // w) AS idx,
+           |         ((media_id + 3 * x + 5 * y) % 256)
+           |           + ((2 * media_id + 7 * x + 11 * y) % 256)
+           |           + ((3 * media_id + 13 * x + 17 * y) % 256) AS gsum
+           |  FROM base,
+           |       LATERAL unnest(generate_series(0, w - 1)) AS tx(x),
+           |       LATERAL unnest(generate_series(0, h - 1)) AS ty(y)),
+           |blocks AS (
+           |  SELECT media_id, idx, max(w) AS w, max(h) AS h,
+           |         sum(gsum) AS s, count(*) AS n
+           |  FROM px GROUP BY media_id, idx),
+           |totals AS (
+           |  SELECT media_id, sum(s) AS total FROM blocks GROUP BY media_id),
+           |packed AS (
+           |  SELECT b.media_id,
+           |    CAST(sum(CASE WHEN idx < 32 AND s * w * h > total * n
+           |                  THEN CAST(1 AS BIGINT) << idx ELSE 0 END) AS BIGINT) AS lo,
+           |    CAST(sum(CASE WHEN idx >= 32 AND s * w * h > total * n
+           |                  THEN CAST(1 AS BIGINT) << (idx - 32) ELSE 0 END) AS BIGINT) AS hi
+           |  FROM blocks b JOIN totals USING (media_id) GROUP BY b.media_id),
+           |banded AS (
+           |  SELECT media_id, lo, hi, band,
+           |    CASE WHEN band < 2 THEN (lo >> (16 * band)) & 65535
+           |         ELSE (hi >> (16 * (band - 2))) & 65535 END AS chunk
+           |  FROM packed, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+           |cand AS (
+           |  SELECT DISTINCT x.media_id AS ma, y.media_id AS mb,
+           |    CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming
+           |  FROM banded x JOIN banded y
+           |    ON x.band = y.band AND x.chunk = y.chunk
+           |   AND x.media_id < y.media_id)
+           |SELECT ma, mb, hamming FROM cand
+           |WHERE hamming <= 4 ORDER BY ma, mb""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(mm01MediaTable, mm02DecodeFeatures,
     mm03FrameSample, mm04AudioFeatures, mm05ResizeFeatures,
-    mm06ShotBoundaries)
+    mm06ShotBoundaries, mm07PerceptualHashDedup)
 }
