@@ -14,9 +14,10 @@ object Bench {
     * ordered funnel), dedup (exact +
     * MinHash-LSH + capped LSH + segment-level + cross-doc substring +
     * broadcast cross-corpus decontamination), multimodal decode
-    * (per-frame GIF shot detection),
+    * (per-frame GIF shot detection + perceptual-hash image dedup),
     * ANN (brute force + PQ + trained-IVF recall), fingerprinting,
-    * sequence packing, the C4 composite filter, and the two heaviest
+    * sequence packing, the C4 composite filter + bigram-LM
+    * perplexity, and the two heaviest
     * SQL shapes (top-k custom operator, Q21-style multi-correlated
     * exists) — one representative per family whose cost dominates a
     * real pipeline, so a regression in any family moves the total.
@@ -28,9 +29,11 @@ object Bench {
     "d01_exact_dedup", "d04_minhash_lsh", "d09_minhash_lsh_capped",
     "d10_segment_dedup", "d12_substring_dedup", "d13_bloom_incremental",
     "d15_cross_decontamination", "mm06_shot_boundaries",
+    "mm07_phash_neardup",
     "e01_knn_bruteforce", "e09_ann_pq", "e16_ann_pq_rerank",
     "t04_fingerprint", "t11_sequence_packing", "t15_c4_filter",
-    "t21_quality_classifier", "q42_topk_per_key_custom",
+    "t21_quality_classifier", "t22_bigram_perplexity",
+    "q42_topk_per_key_custom",
     "q69_sole_returned_supplier", "e13_ann_recall_kmeans")
 
   /** Override with SPARK_GRAFT_BENCH_QUERIES=name1,name2 for ad-hoc runs;
