@@ -59,6 +59,12 @@ object PipelineDemo {
       .select(col("train_id")).distinct().count()
     // round-7 stage: model-based quality gate (t21 hashed classifier)
     val clfKeep = q("t21_quality_classifier").filter(col("keep")).count()
+    // round-7 final stages: LM-perplexity filter proxy (t22), the
+    // quality-argmax survivor policy (d16), image near-dups (mm07)
+    val pplx = q("t22_bigram_perplexity")
+      .agg(avg(col("avg_neglogp"))).head().getDouble(0)
+    val qualityKeep = q("d16_quality_keeper").filter(col("keep")).count()
+    val imgDupPairs = q("mm07_phash_neardup").count()
 
     println(s"""
       |=== corpus report ($sfDir) ===
@@ -77,6 +83,9 @@ object PipelineDemo {
       |doc shards (t14 manifest): $nShards
       |fuzzy benchmark contamination (d15, J>=0.5): $nFuzzyContam train docs flagged
       |classifier quality gate (t21, p>=0.5): $clfKeep / $nDocs kept
+      |corpus bigram perplexity (t22 avg -ln p): ${f"$pplx%.3f"}
+      |quality-argmax survivors (d16): $qualityKeep / $nDocs
+      |image near-dup pairs (mm07, Hamming<=4): $imgDupPairs
       |""".stripMargin)
 
     println("ANN spot-check (query 0, IVF k-means vs exact):")

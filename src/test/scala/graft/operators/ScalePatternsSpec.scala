@@ -145,6 +145,30 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q64 must broadcast the small-parts side:\n$p64")
   }
 
+  test("round-7-final ops have the plans their scale claims require") {
+    val d = "/root/testdata/sf0.001"
+    // mm07: candidate generation is the BANDED equi-join on the 16-bit
+    // chunk — hashes shuffle, pixels never do, and nothing may fall
+    // back to all-pairs probing
+    val mm07 = MultimodalQueries.mm07PerceptualHashDedup.fn(spark, d)
+    val p07 = mm07.queryExecution.executedPlan.toString
+    assert(!p07.contains("CartesianProduct") &&
+      !p07.contains("BroadcastNestedLoopJoin"),
+      s"mm07 must stay a banded equi-join:\n$p07")
+    // e20: the per-vector packing aggregate must map-side combine —
+    // what keeps the shuffle at 16 bytes/vector instead of 64 dims
+    val e20 = SimilarityQueries.e20BinaryQuant.fn(spark, d)
+    val p20 = e20.queryExecution.executedPlan.toString
+    assert(p20.contains("partial_sum"),
+      s"e20's packing agg must partial-aggregate:\n$p20")
+    // t22: model-table joins are hash joins on token keys; the only
+    // nested-loop is the broadcast single-row vocab scalar
+    val t22 = TextAnalysisQueries.t22BigramPerplexity.fn(spark, d)
+    val p22 = t22.queryExecution.executedPlan.toString
+    assert(!p22.contains("CartesianProduct"),
+      s"t22 must never plan a cartesian:\n$p22")
+  }
+
   test("q69's literal EXISTS/NOT EXISTS decorrelate to semi/anti hash joins") {
     val d = "/root/testdata/sf0.001"
     // the whole point of q69 is that Catalyst plans the correlated
