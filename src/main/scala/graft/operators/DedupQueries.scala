@@ -1092,25 +1092,54 @@ object DedupQueries {
     * cross-corpus answer (validated against the oracle at all three
     * scale factors).
     */
+  /** d15's signature step over any shingle-array frame (doc_id, sh):
+    * 64 xxhash64-seeded minhashes. Shared by the batch gate and the
+    * streaming at-ingest screen so both sides hash identically by
+    * construction.
+    */
+  private[graft] def d15Sigs(docsSh: DataFrame): DataFrame = {
+    val numHashes = 64
+    val prime = 2038074743L
+    docsSh.select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
+      graft.functions.MinHashArray.minhash_array(
+        expr(s"transform(sh, x -> pmod(xxhash64(x), ${prime}L))"),
+        numHashes, 42L, prime).as("sig"))
+  }
+
+  /** d15's screen: banded broadcast candidate join + exact-Jaccard
+    * verify of `train` against the (small, broadcast) `bench` side —
+    * both [[d15Sigs]] frames. Unsorted; the gate adds its output sort.
+    */
+  private[graft] def decontScreen(train: DataFrame,
+                                  bench: DataFrame): DataFrame = {
+    val bands = 32
+    val rowsPerBand = 64 / bands
+    val bandCols = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        hash(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)).as("sig"))
+    }
+    def buckets(df: DataFrame, as: String) =
+      df.select(col("doc_id").as(as),
+        explode(array(bandCols: _*)).as("bucket"))
+    val cand = buckets(train, "train_id")
+      .join(broadcast(buckets(bench, "bench_id")), Seq("bucket"))
+      .select(col("train_id"), col("bench_id")).distinct()
+    cand
+      .join(train.select(col("doc_id").as("train_id"), col("sh").as("sha"),
+        col("n").as("na")), Seq("train_id"))
+      .join(broadcast(bench.select(col("doc_id").as("bench_id"),
+        col("sh").as("shb"), col("n").as("nb"))), Seq("bench_id"))
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        round(col("c") / (col("na") + col("nb") - col("c")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("train_id"), col("bench_id"), col("jaccard"))
+  }
+
   val d15CrossDecontamination = QueryDef(
     "d15_cross_decontamination",
     (s, d) => {
-      val numHashes = 64
-      val bands = 32
-      val rowsPerBand = numHashes / bands
-      val prime = 2038074743L
-      val docs = shingleArrays(s, d)
-        .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
-          graft.functions.MinHashArray.minhash_array(
-            expr(s"transform(sh, x -> pmod(xxhash64(x), ${prime}L))"),
-            numHashes, 42L, prime).as("sig"))
-      val bandCols = (0 until bands).map { bnd =>
-        struct(lit(bnd).as("band"),
-          hash(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)).as("sig"))
-      }
-      def buckets(df: org.apache.spark.sql.DataFrame, as: String) =
-        df.select(col("doc_id").as(as),
-          explode(array(bandCols: _*)).as("bucket"))
+      val docs = d15Sigs(shingleArrays(s, d))
       // spark.graft.benchMaxDocId (optional) caps which doc_ids can be
       // benchmarks — the DEPLOYMENT shape, where the eval set is fixed
       // while the corpus grows. ScaleBench sets it to the base-table id
@@ -1124,19 +1153,7 @@ object DedupQueries {
       }
       val bench = docs.filter(isBench).cache()
       val train = docs.filter(!isBench)
-      val cand = buckets(train, "train_id")
-        .join(broadcast(buckets(bench, "bench_id")), Seq("bucket"))
-        .select(col("train_id"), col("bench_id")).distinct()
-      cand
-        .join(train.select(col("doc_id").as("train_id"), col("sh").as("sha"),
-          col("n").as("na")), Seq("train_id"))
-        .join(broadcast(bench.select(col("doc_id").as("bench_id"),
-          col("sh").as("shb"), col("n").as("nb"))), Seq("bench_id"))
-        .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
-        .withColumn("jaccard",
-          round(col("c") / (col("na") + col("nb") - col("c")), 4))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("train_id"), col("bench_id"), col("jaccard"))
+      decontScreen(train, bench)
         .orderBy(col("train_id"), col("bench_id"))
     },
     Some(s"""WITH $shinglesSql,

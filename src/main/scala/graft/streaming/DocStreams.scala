@@ -203,4 +203,33 @@ object DocStreams {
       .select(col("da"), col("db"), col("jaccard"))
       .orderBy(col("da"), col("db"))
   }
+
+  /** AT-INGEST decontamination — d15 as a stream: every arriving
+    * document is screened against the (small, static, broadcast)
+    * benchmark index before it can enter the corpus. The screen is
+    * embarrassingly per-document (a doc's verdict depends only on
+    * itself and the benchmark side), so each micro-batch runs the
+    * EXACT gated pipeline ([[graft.operators.DedupQueries.d15Sigs]] →
+    * `decontScreen`: 32×2-banded MinHash candidates against broadcast
+    * bench buckets, exact-Jaccard verify against broadcast bench
+    * shingles) batch-side in foreachBatch — no stream state at all,
+    * and the union of batch outputs provably equals the batch d15
+    * answer for the same documents (DocStreamsSpec). `bench` is a
+    * [[graft.operators.DedupQueries.d15Sigs]] frame the caller builds
+    * once (and should cache — it is the slowly-changing model-table
+    * side, the t20/t21 deployment pattern). At 100 TB-ingest rates the
+    * per-batch cost is the batch gate's corpus-side cost on the batch
+    * alone: one projection + a broadcast join — nothing shuffles.
+    */
+  def decontaminate(docs: Dataset[Doc], bench: DataFrame)
+                   (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Doc], _: Long) =>
+        val sigs = graft.operators.DedupQueries.d15Sigs(
+          graft.operators.DedupQueries.shingleArraysOf(batch.toDF()))
+        onBatch(graft.operators.DedupQueries.decontScreen(sigs, bench))
+      }
+      .start()
 }

@@ -272,4 +272,50 @@ class DocStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"onlyStream=${(streamed -- batch).take(3)} " +
         s"onlyBatch=${(batch -- streamed).take(3)}")
   }
+
+  test("at-ingest decontamination across micro-batches equals batch d15") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val ts = Timestamp.valueOf("2026-01-01 09:00:00")
+
+    // the benchmark index, built once batch-side (d15's eval split) and
+    // cached — the slowly-changing static side of the deployment
+    val bench = graft.operators.DedupQueries.d15Sigs(
+      graft.operators.DedupQueries.shingleArrays(spark, d))
+      .filter($"doc_id" % 10 === 0).cache()
+    try {
+      // the training corpus arrives as a stream, split across batches
+      val train = spark.read.parquet(s"$d/documents.parquet")
+        .filter($"doc_id" % 10 =!= 0)
+        .select($"doc_id", $"text").collect()
+        .map(r => Doc(r.getLong(0), ts, r.getString(1)))
+      val (b1, b2) = train.splitAt(train.length / 2)
+
+      val flagged = scala.collection.mutable.Set[(Long, Long, Double)]()
+      val stream = MemoryStream[Doc]
+      val q = DocStreams.decontaminate(stream.toDS(), bench) { hits =>
+        val rows = hits.collect().map(r =>
+          (r.getAs[Long]("train_id"), r.getAs[Long]("bench_id"),
+            r.getAs[Double]("jaccard")))
+        flagged.synchronized { flagged ++= rows }
+      }
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+      q.stop()
+
+      val batch = graft.operators.DedupQueries.d15CrossDecontamination
+        .fn(spark, d).collect().map(r =>
+          (r.getAs[Long]("train_id"), r.getAs[Long]("bench_id"),
+            r.getAs[Double]("jaccard"))).toSet
+      assert(batch.nonEmpty, "fixture must produce contaminated pairs")
+      assert(flagged.toSet == batch,
+        s"at-ingest screen diverged from batch d15: " +
+          s"onlyStream=${(flagged.toSet -- batch).take(5)} " +
+          s"onlyBatch=${(batch -- flagged).take(5)}")
+    } finally bench.unpersist()
+  }
 }
