@@ -1083,6 +1083,85 @@ object TextAnalysisQueries {
            |  JOIN uni u ON p.prev = u.tok, v
            |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin))
 
+  /** Quality-decile binning — the data-scheduling stage that follows
+    * scoring (train on the top deciles, downsample the rest — the
+    * FineWeb/DataComp "quality annealing" shape): documents rank by
+    * t02's rounded quality score (ties to the lower doc_id — a unique
+    * total order, so ntile is deterministic on both engines; the 4dp
+    * rounding is t02's own gated cross-engine protocol), split into 10
+    * ntile buckets, and each bin reports its doc/token mass and score
+    * range — the table a mixture scheduler consumes. Scale note: the
+    * exact global ntile needs a total sort; the 100 TB variant computes
+    * decile BOUNDARIES from an approxQuantile sketch, broadcasts 9
+    * doubles, and bins in a projection — same output table, no global
+    * sort. The gate certifies the exact form.
+    */
+  val t23QualityBins = QueryDef(
+    "t23_quality_bins",
+    (s, d) => {
+      val toks = size(split(col("text"), " ")).cast("double")
+      val dist = size(array_distinct(split(col("text"), " "))).cast("double")
+      val meanLen = (length(col("text")).cast("double") - toks + 1) / toks
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          round(meanLen * 0.2 + dist / toks * 0.8, 4).as("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("q").desc, col("doc_id"))
+      scored.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          min(col("q")).as("q_min"), max(col("q")).as("q_max"))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH scored AS (
+           |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+           |    round(((length(text) - len(string_split(text, ' ')) + 1.0)
+           |           / len(string_split(text, ' '))) * 0.2 +
+           |          (len(list_distinct(string_split(text, ' ')))
+           |           * 1.0 / len(string_split(text, ' '))) * 0.8, 4) AS q
+           |  FROM documents),
+           |binned AS (
+           |  SELECT n_toks, q,
+           |    CAST(ntile(10) OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS decile
+           |  FROM scored)
+           |SELECT decile, count(*) AS n_docs,
+           |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           |  min(q) AS q_min, max(q) AS q_max
+           |FROM binned GROUP BY decile ORDER BY decile""".stripMargin))
+
+  /** The 100 TB form of [[t23QualityBins]]: decile BOUNDARIES from an
+    * approxQuantile sketch (9 doubles pulled to the driver), then the
+    * binning is a pure projection over literal boundaries — no global
+    * sort, no window, no shuffle beyond the 10-row output agg. Bin
+    * membership at exactly-tied boundary scores differs from the exact
+    * ntile's doc_id tie-split (a sketch cannot split a tie), which is
+    * why the exact form remains the gate; TextBinsApproxSpec bounds the
+    * drift instead.
+    */
+  private[graft] def qualityBinsApprox(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = size(split(col("text"), " ")).cast("double")
+    val dist = size(array_distinct(split(col("text"), " "))).cast("double")
+    val meanLen = (length(col("text")).cast("double") - toks + 1) / toks
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        round(meanLen * 0.2 + dist / toks * 0.8, 4).as("q"))
+    val bounds = scored.stat
+      .approxQuantile("q", (1 to 9).map(_ / 10.0).toArray, 0.001)
+    // ascending p10..p90 boundaries; decile 1 = top scores
+    val boundsCol = array(bounds.map(lit(_)): _*)
+    scored
+      .withColumn("decile",
+        (lit(10) - aggregate(boundsCol, lit(0),
+          (acc, b) => acc + when(col("q") > b, 1).otherwise(0))).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        min(col("q")).as("q_min"), max(col("q")).as("q_max"))
+      .orderBy(col("decile"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05CorpusReport, t06Winnowing, t07BpeTokenCount, t08Contamination,
@@ -1090,5 +1169,5 @@ object TextAnalysisQueries {
     t12DomainMixture, t13TfidfTopTerms, t14ShardManifest, t15C4Filter,
     t16StratifiedSplit, t17UnigramPerplexity, t18DomainDivergence,
     t19HeavyHittersCms, t20DsirWeights, t21QualityClassifier,
-    t22BigramPerplexity)
+    t22BigramPerplexity, t23QualityBins)
 }

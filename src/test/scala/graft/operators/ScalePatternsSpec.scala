@@ -169,6 +169,38 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"t22 must never plan a cartesian:\n$p22")
   }
 
+  test("t23's approx-boundary binning tracks the exact deciles with no global sort") {
+    val d = "/root/testdata/sf0.001"
+    val exact = TextAnalysisQueries.t23QualityBins.fn(spark, d).collect()
+    val approx = TextAnalysisQueries.qualityBinsApprox(spark, d)
+    // the 100 TB claim: boundaries ride as literals, binning is a pure
+    // projection — no window (the exact form's single-partition ntile
+    // sort is precisely what this variant removes)
+    val pa = approx.queryExecution.executedPlan.toString
+    assert(!pa.contains("Window"),
+      s"approx binning must not plan a window/global sort:\n$pa")
+    val rows = approx.collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      exact.map(_.getAs[Long]("n_docs")).sum)
+    // per-bin drift vs exact is bounded by boundary ties + sketch error
+    val exactBy = exact.map(r =>
+      r.getAs[Long]("decile") -> r.getAs[Long]("n_docs")).toMap
+    rows.foreach { r =>
+      val drift = math.abs(r.getAs[Long]("n_docs") -
+        exactBy(r.getAs[Long]("decile")))
+      assert(drift <= 10, s"bin ${r.getLong(0)} drifted by $drift docs")
+    }
+    // bins are value-ordered: a lower decile never dips below the next
+    val sorted = rows.sortBy(_.getAs[Long]("decile"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("q_min") >= b.getAs[Double]("q_max"),
+          s"bins overlap: ${a.mkString(",")} vs ${b.mkString(",")}")
+      case _ =>
+    }
+  }
+
   test("q69's literal EXISTS/NOT EXISTS decorrelate to semi/anti hash joins") {
     val d = "/root/testdata/sf0.001"
     // the whole point of q69 is that Catalyst plans the correlated
