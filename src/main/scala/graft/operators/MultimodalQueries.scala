@@ -569,7 +569,10 @@ object MultimodalQueries {
           }
           (id, lo, hi)
         }
-      }.toDF("media_id", "lo", "hi")
+      // cached: the banded self-join below references this subtree on
+      // BOTH sides, and without the cache Spark would decode every
+      // image twice (decode dominates the op's cost)
+      }.toDF("media_id", "lo", "hi").cache()
       val banded = hashed.select(col("media_id"), col("lo"), col("hi"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
