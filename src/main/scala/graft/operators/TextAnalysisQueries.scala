@@ -1162,6 +1162,73 @@ object TextAnalysisQueries {
       .orderBy(col("decile"))
   }
 
+  /** Per-source distinct-token cardinality via a KMV (bottom-k /
+    * k-minimum-values) sketch, checked against the exact count — the
+    * deterministic cousin of HyperLogLog and the second sketch family
+    * after t19's Count-Min: vocabulary sizes per source are what
+    * mixture weighting and dedup-rate estimation consume, and at
+    * 100 TB nobody counts them exactly. KMV estimate = (k−1)·2^60 /
+    * kth-smallest distinct hash (k = 64, the shared md5 [[hash60]], so
+    * the whole sketch — including which hashes it retains — replays in
+    * SQL). A source with < k distinct hashes reports its exact count
+    * (the sketch isn't full). Like t19, the exact side here exists to
+    * verify the sketch; production keeps only the k smallest hashes
+    * per source — 512 bytes, mergeable by union-then-retain-k, which
+    * is what makes it a sketch and not a sample. Scale: one
+    * token-keyed distinct shuffle, then a per-source bottom-k (the
+    * TopKPerKey custom operator's shape); everything after is
+    * per-source arithmetic on 64 longs.
+    */
+  val t24DistinctKmv = QueryDef(
+    "t24_distinct_kmv",
+    (s, d) => {
+      val k = 64
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val hashed = toks.select(col("source"), hash60(col("tok")).as("h"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("h"))
+      val sketch = hashed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_in_sketch"), max(col("h")).as("kth_min"))
+      val exact = hashed.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_exact"))
+      exact.join(sketch, "source")
+        .withColumn("est",
+          when(col("n_in_sketch") < k, col("n_exact").cast("double"))
+            .otherwise(lit((k - 1).toDouble * 1152921504606846976.0)
+              / col("kth_min")))
+        .select(col("source"), col("n_exact"), col("kth_min"),
+          round(col("est"), 4).as("kmv_estimate"),
+          round(abs(col("est") - col("n_exact")) / col("n_exact"), 4)
+            .as("rel_err"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT source, unnest(string_split(text, ' ')) AS tok
+            |  FROM documents),
+            |hashed AS (
+            |  SELECT DISTINCT source, ${hash60Sql("tok")} AS h FROM toks),
+            |ranked AS (
+            |  SELECT source, h,
+            |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            |  FROM hashed),
+            |sketch AS (
+            |  SELECT source, count(*) AS n_in_sketch, max(h) AS kth_min
+            |  FROM ranked WHERE rn <= 64 GROUP BY source),
+            |exact AS (
+            |  SELECT source, count(*) AS n_exact FROM hashed GROUP BY source),
+            |sel AS (
+            |  SELECT e.source, n_exact, kth_min,
+            |    CASE WHEN n_in_sketch < 64 THEN CAST(n_exact AS DOUBLE)
+            |         ELSE 63.0 * 1152921504606846976.0 / kth_min END AS est
+            |  FROM exact e JOIN sketch USING (source))
+            |SELECT source, n_exact, kth_min, round(est, 4) AS kmv_estimate,
+            |  round(abs(est - n_exact) / n_exact, 4) AS rel_err
+            |FROM sel ORDER BY source""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05CorpusReport, t06Winnowing, t07BpeTokenCount, t08Contamination,
@@ -1169,5 +1236,5 @@ object TextAnalysisQueries {
     t12DomainMixture, t13TfidfTopTerms, t14ShardManifest, t15C4Filter,
     t16StratifiedSplit, t17UnigramPerplexity, t18DomainDivergence,
     t19HeavyHittersCms, t20DsirWeights, t21QualityClassifier,
-    t22BigramPerplexity, t23QualityBins)
+    t22BigramPerplexity, t23QualityBins, t24DistinctKmv)
 }
