@@ -82,7 +82,12 @@ object ScaleBench {
       // t22: the bigram/unigram model tables are vocabulary-sized (the
       // r{i}_ prefix grows the vocab linearly with replicas, the honest
       // worst case); the scoring join is one pass over the pair stream
-      "t22_bigram_perplexity")
+      "t22_bigram_perplexity",
+      // mm07: replica ids synthesize N× DISTINCT images (the hash
+      // depends on doc_id), so decode work grows N× and the banded
+      // join's bucket populations grow N× under fixed 16-bit chunks —
+      // the regime where per-bucket pair counts, not pixels, set cost
+      "mm07_phash_neardup")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
