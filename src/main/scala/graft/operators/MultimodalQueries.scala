@@ -573,12 +573,25 @@ object MultimodalQueries {
       // BOTH sides, and without the cache Spark would decode every
       // image twice (decode dominates the op's cost)
       }.toDF("media_id", "lo", "hi").cache()
-      val banded = hashed.select(col("media_id"), col("lo"), col("hi"),
+      val bandedAll = hashed.select(col("media_id"), col("lo"), col("hi"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             expr(if (b < 2) s"(lo >> ${16 * b}) & 65535"
                  else s"(hi >> ${16 * (b - 2)}) & 65535").as("chunk"))): _*))
           .as("bucket"))
+      // spark.graft.phashBucketCap (optional): the d09 hot-bucket lever
+      // for hyper-duplicated corpora, where the TRUE pair set — and so
+      // any exact dedup's output — grows quadratically in the per-image
+      // copy count. Buckets above the cap are skipped, bounding emitted
+      // pairs at cap²/2 per bucket. Unset for the gate (exact output).
+      val banded = s.conf.getOption("spark.graft.phashBucketCap") match {
+        case Some(cap) =>
+          val cool = bandedAll.groupBy(col("bucket"))
+            .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap.toLong)
+            .select(col("bucket"))
+          bandedAll.join(broadcast(cool), Seq("bucket"))
+        case None => bandedAll
+      }
       banded.alias("x")
         .join(banded.alias("y"), col("x.bucket") === col("y.bucket") &&
           col("x.media_id") < col("y.media_id"))

@@ -86,4 +86,24 @@ class DedupCapSpec extends AnyFunSuite with BeforeAndAfterAll {
     try assert(run() == uncapped, "high cap must be a no-op")
     finally spark.conf.unset("spark.graft.benchMaxDocId")
   }
+
+  test("mm07's phashBucketCap bounds pair output on a hyper-duplicated corpus") {
+    val d = "/root/testdata/sf0.001"
+    def run(): Set[(Long, Long)] =
+      MultimodalQueries.mm07PerceptualHashDedup.fn(spark, d).collect()
+        .map(r => (r.getAs[Long]("ma"), r.getAs[Long]("mb"))).toSet
+    val uncapped = run()
+    assert(uncapped.size == 141, s"gate output drifted: ${uncapped.size}")
+    // cap at 1: every multi-member bucket is skipped -> no pairs at all
+    // (the degenerate bound; production would cap in the hundreds)
+    spark.conf.set("spark.graft.phashBucketCap", "1")
+    try {
+      assert(run().isEmpty, "cap=1 must suppress every candidate bucket")
+    } finally spark.conf.unset("spark.graft.phashBucketCap")
+    // a cap above every bucket population is a no-op: same output as
+    // the gate
+    spark.conf.set("spark.graft.phashBucketCap", "1000000")
+    try assert(run() == uncapped, "high cap must be a no-op")
+    finally spark.conf.unset("spark.graft.phashBucketCap")
+  }
 }
