@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -27,7 +28,7 @@ object MultimodalQueries {
     * column from storage; everything downstream treats the bytes as
     * opaque.
     */
-  private[operators] def syntheticPng(id: Long): Array[Byte] = {
+  private[graft] def syntheticPng(id: Long): Array[Byte] = {
     val w = 8 + (id % 24).toInt
     val h = 8 + ((id * 7) % 24).toInt
     val img = new java.awt.image.BufferedImage(
@@ -524,61 +525,103 @@ object MultimodalQueries {
     * packing, banding, Hamming) — a decode or packing defect anywhere
     * fails the hash gate.
     */
+  /** The aHash itself — decode + 8×8 block sums + cross-multiplied
+    * integer thresholding, packed into two 32-bit words. Pure function
+    * over an opaque payload, shared by the batch gate and the
+    * streaming at-ingest screen so both hash identically by
+    * construction.
+    */
+  private[graft] def aHash(payload: Array[Byte]): (Long, Long) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val gsum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF)
+          + (rgb & 0xFF)).toLong
+        val idx = (y * 8 / h) * 8 + (x * 8 / w)
+        sums(idx) += gsum
+        counts(idx) += 1
+        total += gsum
+        x += 1
+      }
+      y += 1
+    }
+    var lo = 0L; var hi = 0L
+    var idx = 0
+    while (idx < 64) {
+      // block mean > global mean, cross-multiplied: exact integers
+      if (sums(idx) * w * h > total * counts(idx)) {
+        if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32)
+      }
+      idx += 1
+    }
+    (lo, hi)
+  }
+
+  /** (media_id, lo, hi) aHashes of the synthetic corpus. UNCACHED —
+    * callers referencing it from both sides of a join must cache.
+    */
+  private[graft] def phashed(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticPng(id))))
+      .mapPartitions(_.map { case (id, payload) =>
+        val (lo, hi) = aHash(payload)
+        (id, lo, hi)
+      })
+      .toDF("media_id", "lo", "hi")
+  }
+
+  /** The 4×16-bit band explode over a (media_id, lo, hi) frame — the
+    * d05 LSH shape, shared by the self-join gate and the screen.
+    */
+  private[graft] def phashBanded(df: DataFrame): DataFrame =
+    df.select(col("media_id"), col("lo"), col("hi"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          expr(if (b < 2) s"(lo >> ${16 * b}) & 65535"
+               else s"(hi >> ${16 * (b - 2)}) & 65535").as("chunk"))): _*))
+        .as("bucket"))
+
+  /** Screen `incoming` hashes against a (small, broadcast) `index` of
+    * existing-corpus hashes: banded candidates + exact Hamming ≤ 4 —
+    * the at-ingest image-dedup shape ([[graft.streaming]] composes it
+    * per micro-batch). Both args are (media_id, lo, hi) frames.
+    */
+  private[graft] def phashScreen(incoming: DataFrame,
+                                 index: DataFrame): DataFrame = {
+    val in = phashBanded(incoming)
+      .select(col("media_id").as("ma"), col("lo").as("alo"),
+        col("hi").as("ahi"), col("bucket"))
+    val ix = phashBanded(index)
+      .select(col("media_id").as("mb"), col("lo").as("blo"),
+        col("hi").as("bhi"), col("bucket"))
+    in.join(broadcast(ix), Seq("bucket"))
+      .select(col("ma"), col("mb"),
+        expr("CAST(bit_count(alo ^ blo) + bit_count(ahi ^ bhi) AS BIGINT)")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 4)
+  }
+
   val mm07PerceptualHashDedup = QueryDef(
     "mm07_phash_neardup",
     (s, d) => {
-      val spark = s
-      import spark.implicits._
-      val media = Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(id => (id, syntheticPng(id))))
-        .toDF("media_id", "payload")
-        .as[(Long, Array[Byte])]
-      val hashed = media.mapPartitions { batch =>
-        batch.map { case (id, payload) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
-          val w = img.getWidth
-          val h = img.getHeight
-          val sums = new Array[Long](64)
-          val counts = new Array[Long](64)
-          var total = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val gsum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF)
-                + (rgb & 0xFF)).toLong
-              val idx = (y * 8 / h) * 8 + (x * 8 / w)
-              sums(idx) += gsum
-              counts(idx) += 1
-              total += gsum
-              x += 1
-            }
-            y += 1
-          }
-          var lo = 0L; var hi = 0L
-          var idx = 0
-          while (idx < 64) {
-            // block mean > global mean, cross-multiplied: exact integers
-            if (sums(idx) * w * h > total * counts(idx)) {
-              if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32)
-            }
-            idx += 1
-          }
-          (id, lo, hi)
-        }
       // cached: the banded self-join below references this subtree on
       // BOTH sides, and without the cache Spark would decode every
       // image twice (decode dominates the op's cost)
-      }.toDF("media_id", "lo", "hi").cache()
-      val bandedAll = hashed.select(col("media_id"), col("lo"), col("hi"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            expr(if (b < 2) s"(lo >> ${16 * b}) & 65535"
-                 else s"(hi >> ${16 * (b - 2)}) & 65535").as("chunk"))): _*))
-          .as("bucket"))
+      val hashed = phashed(s, d).cache()
+      val bandedAll = phashBanded(hashed)
       // spark.graft.phashBucketCap (optional): the d09 hot-bucket lever
       // for hyper-duplicated corpora, where the TRUE pair set — and so
       // any exact dedup's output — grows quadratically in the per-image

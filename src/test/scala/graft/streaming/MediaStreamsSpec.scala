@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import MediaStreams.Media
+
+/** At-ingest image dedup must equal the batch mm07 gate: streaming the
+  * odd-id half of the corpus against an index of the even-id half, the
+  * union of micro-batch screen outputs must be exactly the gated
+  * query's near-dup pairs that cross the two halves — same decode,
+  * same hash, same banding, same Hamming bound, by construction.
+  */
+class MediaStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("at-ingest image screen across micro-batches equals the batch mm07 cross-pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val ts = Timestamp.valueOf("2026-01-01 09:00:00")
+
+    // index: the EXISTING corpus = even media ids, hashed once
+    // batch-side and cached (the slowly-changing static side)
+    val index = graft.operators.MultimodalQueries.phashed(spark, d)
+      .filter($"media_id" % 2 === 0).cache()
+    try {
+      // the stream: odd-id images arriving (payloads synthesized by the
+      // same generator the gate decodes), split across two batches
+      val arriving = spark.read.parquet(s"$d/documents.parquet")
+        .select($"doc_id").as[Long].collect().filter(_ % 2 != 0)
+        .map(id => Media(id, ts,
+          graft.operators.MultimodalQueries.syntheticPng(id)))
+      val (b1, b2) = arriving.splitAt(arriving.length / 2)
+
+      val flagged = scala.collection.mutable.Set[(Long, Long, Long)]()
+      val stream = MemoryStream[Media]
+      val q = MediaStreams.imageDedupScreen(stream.toDS(), index) { hits =>
+        val rows = hits.collect().map(r =>
+          (r.getAs[Long]("ma"), r.getAs[Long]("mb"), r.getAs[Long]("hamming")))
+        flagged.synchronized { flagged ++= rows }
+      }
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+      q.stop()
+
+      // oracle: the GATED self-join's pairs that cross the halves,
+      // reoriented to (arriving odd, indexed even)
+      val gate = graft.operators.MultimodalQueries.mm07PerceptualHashDedup
+        .fn(spark, d).collect().map(r =>
+          (r.getAs[Long]("ma"), r.getAs[Long]("mb"), r.getAs[Long]("hamming")))
+      val expected = gate.collect {
+        case (a, b, h) if a % 2 != 0 && b % 2 == 0 => (a, b, h)
+        case (a, b, h) if a % 2 == 0 && b % 2 != 0 => (b, a, h)
+      }.toSet
+      assert(expected.nonEmpty, "fixture must produce cross-half pairs")
+      assert(flagged.toSet == expected,
+        s"at-ingest screen diverged from the batch gate: " +
+          s"onlyStream=${(flagged.toSet -- expected).take(5)} " +
+          s"onlyBatch=${(expected -- flagged).take(5)}")
+    } finally index.unpersist()
+  }
+}
