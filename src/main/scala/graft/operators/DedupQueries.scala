@@ -386,6 +386,20 @@ object DedupQueries {
     * canonical survivor AND clears the quality bar — the composition a
     * training-data pipeline actually ships (dedup ∘ quality filter).
     */
+  /** The d07/d16 per-row quality signal (mean-token-length ×0.2 +
+    * distinct-token-ratio ×0.8) — one definition so the keep-list and
+    * the argmax-survivor policies score identically; division/
+    * multiplication only (no sums), hence bit-identical cross-engine.
+    */
+  private def qualityScored(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        ((length(col("text")).cast("double")
+          - size(split(col("text"), " ")) + 1)
+          / size(split(col("text"), " ")) * 0.2 +
+          size(array_distinct(split(col("text"), " "))).cast("double")
+            / size(split(col("text"), " ")) * 0.8).as("q"))
+
   val d07KeepList = QueryDef(
     "d07_keep_list",
     (s, d) => {
@@ -393,13 +407,7 @@ object DedupQueries {
       // per (session, dir) even when both queries execute in one job
       val clusters = clusterLabels(s, d)
         .withColumnRenamed("doc_id", "cdoc")
-      val quality = Tables.documents(s, d)
-        .select(col("doc_id"),
-          ((length(col("text")).cast("double")
-            - size(split(col("text"), " ")) + 1)
-            / size(split(col("text"), " ")) * 0.2 +
-            size(array_distinct(split(col("text"), " "))).cast("double")
-              / size(split(col("text"), " ")) * 0.8).as("q"))
+      val quality = qualityScored(s, d)
       quality.join(clusters, quality("doc_id") === clusters("cdoc"), "left")
         .select(col("doc_id"),
           (coalesce(col("canonical_id"), col("doc_id")) === col("doc_id") &&
@@ -1187,13 +1195,7 @@ object DedupQueries {
     (s, d) => {
       val clusters = clusterLabels(s, d)
         .withColumnRenamed("doc_id", "cdoc")
-      val quality = Tables.documents(s, d)
-        .select(col("doc_id"),
-          ((length(col("text")).cast("double")
-            - size(split(col("text"), " ")) + 1)
-            / size(split(col("text"), " ")) * 0.2 +
-            size(array_distinct(split(col("text"), " "))).cast("double")
-              / size(split(col("text"), " ")) * 0.8).as("q"))
+      val quality = qualityScored(s, d)
       val joined = quality
         .join(clusters, quality("doc_id") === clusters("cdoc"), "left")
         .select(col("doc_id"),
