@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The configuration-only deployment path: a session built with
+  * `spark.sql.extensions=graft.GraftExtensions` must expose the native
+  * expressions as SQL functions (same codegen'd Catalyst nodes the
+  * DataFrame API uses) and carry the TopKPerKey planner strategy.
+  */
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-extensions-spec")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("cosine_similarity is callable from pure SQL and matches the DataFrame API") {
+    val sql = spark.sql(
+      "SELECT cosine_similarity(CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>)," +
+        " CAST(array(3.0, 2.0, 1.0) AS ARRAY<FLOAT>)) AS cos").head().getDouble(0)
+    import org.apache.spark.sql.functions.{array, lit}
+    val api = spark.range(1).select(
+      graft.functions.GraftFunctions.cosine_similarity(
+        array(lit(1.0f), lit(2.0f), lit(3.0f)),
+        array(lit(3.0f), lit(2.0f), lit(1.0f))).as("cos")).head().getDouble(0)
+    assert(sql == api, s"SQL $sql != API $api")
+    assert(math.abs(sql - 10.0 / 14.0) < 1e-12)
+  }
+
+  test("minhash_array is callable from pure SQL with literal parameters") {
+    val row = spark.sql(
+      "SELECT minhash_array(CAST(array(7, 12345, 99) AS ARRAY<BIGINT>)," +
+        " 4, 42, 2038074743) AS sig").head().getSeq[Long](0)
+    assert(row.length == 4)
+    // same signature the expression API computes
+    import org.apache.spark.sql.functions.{array, lit}
+    val api = spark.range(1).select(
+      graft.functions.MinHashArray.minhash_array(
+        array(lit(7L), lit(12345L), lit(99L)), 4, 42L, 2038074743L).as("sig"))
+      .head().getSeq[Long](0)
+    assert(row == api)
+  }
+
+  test("non-literal minhash parameters fail loudly, not silently") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_array(CAST(array(1) AS ARRAY<BIGINT>)," +
+        " id + 1, 42, 7) FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("literal"),
+      s"expected a loud literal-parameter error, got: ${e.getMessage}")
+  }
+
+  test("the TopKPerKey strategy is injected at session build") {
+    import spark.implicits._
+    val df = Seq(("a", 3L), ("a", 1L), ("a", 2L), ("b", 9L), ("b", 8L))
+      .toDF("k", "v")
+    val top = graft.plans.TopK.perKey(df, Seq("k"),
+      org.apache.spark.sql.functions.col("v"), 1, descending = true)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(top == Set(("a", 3L), ("b", 9L)))
+  }
+}
