@@ -45,6 +45,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("count_min"),
+      new ExpressionInfo(classOf[graft.functions.CountMinAgg].getName,
+        "count_min"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "count_min(hashes, depth, width, seed, prime) takes 5 arguments, " +
+            s"got ${args.length}")
+        graft.functions.CountMinAgg(args(0),
+          litNum(args(1), "depth").toInt,
+          litNum(args(2), "width").toInt,
+          litNum(args(3), "seed"),
+          litNum(args(4), "prime")).toAggregateExpression()
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("minhash_array"),
       new ExpressionInfo(classOf[graft.functions.MinHashArray].getName,
         "minhash_array"),

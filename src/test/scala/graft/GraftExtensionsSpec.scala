@@ -48,6 +48,24 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row == api)
   }
 
+  test("count_min is callable from SQL as an aggregate and matches the API") {
+    val sql = spark.sql(
+      "SELECT count_min(h, 2, 8, 42, 2038074743) AS sk FROM " +
+        "(SELECT CAST(id % 3 AS BIGINT) AS h FROM range(30))")
+      .head().getSeq[Long](0)
+    import org.apache.spark.sql.functions.{col, pmod}
+    val api = spark.range(30)
+      .select(pmod(col("id"), org.apache.spark.sql.functions.lit(3))
+        .cast("long").as("h"))
+      .select(graft.functions.CountMinAgg.count_min(
+        col("h"), 2, 8, 42L, 2038074743L).as("sk"))
+      .head().getSeq[Long](0)
+    assert(sql.length == 16)
+    assert(sql == api, s"SQL $sql != API $api")
+    // every row of the sketch sums to the input count
+    assert(sql.take(8).sum == 30 && sql.drop(8).sum == 30)
+  }
+
   test("non-literal minhash parameters fail loudly, not silently") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_array(CAST(array(1) AS ARRAY<BIGINT>)," +
