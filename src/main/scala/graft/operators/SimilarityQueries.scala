@@ -1590,10 +1590,138 @@ object SimilarityQueries {
          |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
          |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
 
+  /** Hybrid retrieval with reciprocal-rank fusion — the RAG-stack
+    * search shape: a lexical BM25 ranking (Lucene idf form, k1=1.2,
+    * b=0.75, over the documents table) and a dense cosine ranking
+    * (over the embeddings joined on doc_id = vec_id) are each cut to
+    * top-20 per query, then fused by RRF (Cormack et al. 2009):
+    * score = Σ 1/(60 + rank), a list absent from one side contributes
+    * 0. Queries are the five documents with doc_id < 5, querying with
+    * their own text and their own embedding; self-matches excluded
+    * (the e01 convention). Determinism protocol: the BM25 term-sum is
+    * float-cast before 4dp rounding (summation order differs between
+    * engines — t17's protocol), ranks break ties on doc_id, RRF is
+    * rational in integer ranks so its 6dp rounding is exact-input.
+    * Scale: term postings and query terms meet in ONE token-keyed
+    * equi-join (the query side is 5 docs — broadcast); the dense side
+    * is e01's broadcast-query scan; fusion joins two ≤(20 × #queries)
+    * rank lists — trivially small at any corpus size. The real
+    * deployment swaps the scans for an inverted index and an ANN index
+    * (e05/e18), which share exactly this fusion step.
+    */
+  val e22HybridRrf = QueryDef(
+    "e22_hybrid_rrf",
+    (s, d) => {
+      val k1 = 1.2
+      val b = 0.75
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        avg(col("dl")).as("avgdl"))
+      val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val qterms = tf.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("tok"))
+      val bmScored = qterms
+        .join(tf.withColumnRenamed("doc_id", "did"), Seq("tok"))
+        .filter(col("qid") =!= col("did"))
+        .join(df_, Seq("tok"))
+        .join(dl.withColumnRenamed("doc_id", "did"), Seq("did"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("term_score",
+          col("idf") * col("tf") / (col("tf")
+            + (col("dl") / col("avgdl") * b + (1.0 - b)) * k1))
+        .groupBy(col("qid"), col("did"))
+        .agg(round(sum(col("term_score")).cast("float"), 4).as("s_bm25"))
+      val wBm = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("s_bm25").desc, col("did"))
+      val bmTop = bmScored.withColumn("r_bm25", row_number().over(wBm))
+        .filter(col("r_bm25") <= 20)
+        .select(col("qid"), col("did"), col("r_bm25"))
+      val emb = Tables.embeddings(s, d)
+        .join(docs.select(col("doc_id")), col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"))
+      val qv = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      val wCos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("did"))
+      val cosTop = emb.alias("b").join(broadcast(qv.alias("a")),
+          col("a.qid") =!= col("b.vec_id"))
+        .select(col("a.qid"), col("b.vec_id").as("did"),
+          cosine_similarity(col("a.q_emb"), col("b.embedding")).as("cos"))
+        .withColumn("r_cos", row_number().over(wCos))
+        .filter(col("r_cos") <= 20)
+        .select(col("qid"), col("did"), col("r_cos"))
+      val wRrf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("rrf").desc, col("did"))
+      bmTop.join(cosTop, Seq("qid", "did"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (col("r_bm25") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("r_cos") + 60), lit(0.0)), 6))
+        .withColumn("rank", row_number().over(wRrf).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("did").as("doc_id"), col("rrf"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            |  FROM documents),
+            |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+            |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            |qterms AS (SELECT doc_id AS qid, tok FROM tf WHERE doc_id < 5),
+            |bm AS (
+            |  SELECT qid, t.doc_id AS did,
+            |    round(CAST(sum(
+            |      ln((n - df + 0.5) / (df + 0.5) + 1.0)
+            |        * t.tf / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+            |    ) AS FLOAT), 4) AS s_bm25
+            |  FROM qterms q JOIN tf t USING (tok)
+            |    JOIN df USING (tok) JOIN dl ON t.doc_id = dl.doc_id, stats
+            |  WHERE t.doc_id <> qid
+            |  GROUP BY qid, t.doc_id),
+            |bm_top AS (
+            |  SELECT qid, did, r_bm25 FROM (
+            |    SELECT qid, did, row_number() OVER (PARTITION BY qid
+            |      ORDER BY s_bm25 DESC, did) AS r_bm25 FROM bm)
+            |  WHERE r_bm25 <= 20),
+            |emb AS (
+            |  SELECT vec_id, embedding FROM embeddings
+            |  JOIN (SELECT doc_id FROM documents) ON vec_id = doc_id),
+            |cos_top AS (
+            |  SELECT qid, did, r_cos FROM (
+            |    SELECT a.vec_id AS qid, b.vec_id AS did,
+            |      row_number() OVER (PARTITION BY a.vec_id
+            |        ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC,
+            |          b.vec_id) AS r_cos
+            |    FROM emb a JOIN emb b ON a.vec_id < 5 AND a.vec_id <> b.vec_id)
+            |  WHERE r_cos <= 20),
+            |fused AS (
+            |  SELECT coalesce(b.qid, c.qid) AS query_id,
+            |    coalesce(b.did, c.did) AS doc_id,
+            |    round(coalesce(1.0 / (r_bm25 + 60), 0.0)
+            |      + coalesce(1.0 / (r_cos + 60), 0.0), 6) AS rrf
+            |  FROM bm_top b FULL OUTER JOIN cos_top c
+            |    ON b.qid = c.qid AND b.did = c.did)
+            |SELECT query_id, rank, doc_id, rrf FROM (
+            |  SELECT query_id, doc_id, rrf,
+            |    CAST(row_number() OVER (PARTITION BY query_id
+            |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+            |  FROM fused)
+            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     e01KnnBruteForce, e02CosineNearDup, e03AnnLsh, e04LabelCentroids,
     e05AnnIvf, e06AnnIvfKmeans, e07SemanticDedup, e08Int8Quant, e09AnnPq,
     e10AnnRecall, e11AnnRecallLsh, e12AnnRecallPq, e13AnnRecallKmeans,
     e14AnnRecallInt8, e15AnnRecallTrunc, e16AnnPqRerank, e17AnnRecallRerank,
-    e18AnnIvfPq, e19AnnRecallIvfPq, e20BinaryQuant, e21AnnRecallBinary)
+    e18AnnIvfPq, e19AnnRecallIvfPq, e20BinaryQuant, e21AnnRecallBinary,
+    e22HybridRrf)
 }
