@@ -167,6 +167,13 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p22 = t22.queryExecution.executedPlan.toString
     assert(!p22.contains("CartesianProduct"),
       s"t22 must never plan a cartesian:\n$p22")
+    // e22: the lexical side is ONE token-keyed equi-join (query terms
+    // vs postings) — never a cartesian; the dense side's only
+    // nested-loop is the 5-row broadcast query side (e01's shape)
+    val e22 = SimilarityQueries.e22HybridRrf.fn(spark, d)
+    val p22e = e22.queryExecution.executedPlan.toString
+    assert(!p22e.contains("CartesianProduct"),
+      s"e22 must never plan a cartesian:\n$p22e")
   }
 
   test("t23's approx-boundary binning tracks the exact deciles with no global sort") {
