@@ -1229,6 +1229,60 @@ object TextAnalysisQueries {
             |  round(abs(est - n_exact) / n_exact, 4) AS rel_err
             |FROM sel ORDER BY source""".stripMargin))
 
+  /** Per-document n-gram NOVELTY — the memorization/diversity metric
+    * the dedup literature reports (Lee et al. 2022 measure the drop in
+    * duplicated n-grams after dedup; novelty is its complement): the
+    * fraction of a document's DISTINCT word 5-grams that occur in no
+    * other document. Low novelty = boilerplate/template/near-dup
+    * content even when no single pair crosses a dedup threshold —
+    * the corpus-level signal d04/d12 decisions get audited against.
+    * Same gram definition as d12 (shared W=5, md5 of the joined
+    * window) so the two read on the same corpus property. Scale: one
+    * map-side-combinable shuffle on the gram hash (the d12 shape) and
+    * a per-doc agg; the df table is bounded by distinct grams, and a
+    * d08-style df-cap applies if boilerplate explodes.
+    */
+  val t25NgramNovelty: QueryDef = {
+    val W = 5
+    QueryDef(
+      "t25_ngram_novelty",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")))
+        val grams = toks.filter(col("n") >= W)
+          .select(col("doc_id"), col("toks"),
+            explode(expr(s"sequence(1, n - ${W - 1})")).as("st"))
+          .select(col("doc_id"),
+            expr(s"md5(concat_ws(' ', slice(toks, st, $W)))").as("h"))
+          .distinct()
+        val df_ = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        grams.join(df_, "h")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_frac",
+            round(col("n_novel") / col("n_grams").cast("double"), 4))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split(text, ' ') AS toks,
+              |    len(string_split(text, ' ')) AS n
+              |  FROM documents),
+              |grams AS (
+              |  SELECT DISTINCT doc_id,
+              |    md5(array_to_string(toks[st:(st + ${W - 1})], ' ')) AS h
+              |  FROM toks, unnest(generate_series(1, n - ${W - 1})) AS u(st)
+              |  WHERE n >= $W),
+              |df AS (SELECT h, count(*) AS df FROM grams GROUP BY h)
+              |SELECT doc_id, count(*) AS n_grams,
+              |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+              |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+              |    / CAST(count(*) AS DOUBLE), 4) AS novelty_frac
+              |FROM grams JOIN df USING (h)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  }
+
   def all: Seq[QueryDef] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05CorpusReport, t06Winnowing, t07BpeTokenCount, t08Contamination,
@@ -1236,5 +1290,5 @@ object TextAnalysisQueries {
     t12DomainMixture, t13TfidfTopTerms, t14ShardManifest, t15C4Filter,
     t16StratifiedSplit, t17UnigramPerplexity, t18DomainDivergence,
     t19HeavyHittersCms, t20DsirWeights, t21QualityClassifier,
-    t22BigramPerplexity, t23QualityBins, t24DistinctKmv)
+    t22BigramPerplexity, t23QualityBins, t24DistinctKmv, t25NgramNovelty)
 }
