@@ -65,6 +65,8 @@ object PipelineDemo {
       .agg(avg(col("avg_neglogp"))).head().getDouble(0)
     val qualityKeep = q("d16_quality_keeper").filter(col("keep")).count()
     val imgDupPairs = q("mm07_phash_neardup").count()
+    val novelty = q("t25_ngram_novelty")
+      .agg(avg(col("novelty_frac"))).head().getDouble(0)
 
     println(s"""
       |=== corpus report ($sfDir) ===
@@ -86,6 +88,7 @@ object PipelineDemo {
       |corpus bigram perplexity (t22 avg -ln p): ${f"$pplx%.3f"}
       |quality-argmax survivors (d16): $qualityKeep / $nDocs
       |image near-dup pairs (mm07, Hamming<=4): $imgDupPairs
+      |corpus 5-gram novelty (t25 mean frac): ${f"$novelty%.4f"}
       |""".stripMargin)
 
     println("ANN spot-check (query 0, IVF k-means vs exact):")
