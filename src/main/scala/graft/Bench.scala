@@ -171,7 +171,29 @@ object Bench {
     val contendedQs = results.collect { case (k, r) if r.contended => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2.min).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","runs":$nRuns,"agg":"min","contended":$anyContended,"contended_queries":$contendedQs,"load_1m":$startLoad,"load_end":$endLoad,"load_per_query":$loads,"queries":$qs,"rel_spread":$spreads,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","runs":$nRuns,"agg":"min","contended":$anyContended,"contended_queries":$contendedQs,"load_1m":$startLoad,"load_end":$endLoad,"load_per_query":$loads,"queries":$qs,"rel_spread":$spreads,"sf":"$sfDir"}"""
+    // Durability (r7 lesson: the 29-query one-line JSON outgrew the
+    // driver's stdout tail-capture window and clipped the leading
+    // "value" field — BENCH_r07 landed with parsed:null). Two guards:
+    // 1. the FULL diagnostics JSON goes to a file (first CLI arg, or
+    //    $SPARK_GRAFT_BENCH_OUT, default bench_last.json in the cwd);
+    // 2. stdout keeps exactly ONE JSON line (the driver contract) but
+    //    a compact one — metric/value/queries only — small enough that
+    //    no tail window can eat the front; the diagnostics maps go to
+    //    stderr and the file, so truncation can lose diagnostics,
+    //    never the total.
+    val outPath = args.headOption.orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("bench_last.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (fullJson + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full summary written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    System.err.println(fullJson)
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","runs":$nRuns,"agg":"min","contended":$anyContended,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -61,21 +61,29 @@ object StreamingPipelineDemo {
     q1.stop()
 
     // ---- stages 2+3: quality-classifier gate + DSIR weighting ----
-    // (both stateless projections — one pass over each batch)
+    // Both scorers are per-row projections, so the combine happens
+    // BATCH-side inside foreachBatch (like the decontamination stage):
+    // joining two streaming reads of the same source would be a
+    // stream-stream join, which Spark plans as a STATEFUL join whose
+    // state grows without bound absent a watermark — exactly the shape
+    // an ingest service must not deploy.
     val kept = scala.collection.mutable.ArrayBuffer[(Long, Boolean, Double)]()
     val stream2 = MemoryStream[Doc]
-    val scored = DocStreams.qualityScore(stream2.toDS())
-      .join(DocStreams.dsirScore(stream2.toDS(), logRatio, unseenLr)
-        .select($"doc_id".as("d2"), $"dsir_logweight"),
-        $"doc_id" === $"d2")
-      .select($"doc_id", $"keep", $"dsir_logweight")
-    val q2 = scored.writeStream.format("memory").queryName("ingest_scores")
-      .outputMode("append").start()
+    val q2 = stream2.toDS().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Doc], _: Long) =>
+        val rows = DocStreams.qualityScore(batch)
+          .join(DocStreams.dsirScore(batch, logRatio, unseenLr)
+            .select($"doc_id".as("d2"), $"dsir_logweight"),
+            $"doc_id" === $"d2")
+          .select($"doc_id", $"keep", $"dsir_logweight").collect()
+        kept.synchronized {
+          rows.foreach(r => kept += ((r.getAs[Long]("doc_id"),
+            r.getAs[Boolean]("keep"),
+            r.getAs[Float]("dsir_logweight").toDouble)))
+        }
+      }.start()
     batches.foreach { b => stream2.addData(b); q2.processAllAvailable() }
     q2.stop()
-    spark.table("ingest_scores").collect().foreach(r =>
-      kept += ((r.getAs[Long]("doc_id"), r.getAs[Boolean]("keep"),
-        r.getAs[Float]("dsir_logweight").toDouble)))
 
     val admitted = kept.filter(k => k._2 && !contaminated(k._1))
     println(s"""

@@ -515,10 +515,13 @@ object MultimodalQueries {
     * (S·w·h > total·N), so no double division can round differently
     * anywhere. The 64 bits pack into two 32-bit words (`lo`/`hi`, the
     * e20 layout). Stage 2 is the d05 scale shape: band the hash into
-    * 4×16-bit chunks, self-join only within equal chunks (LSH — any
-    * pair at Hamming ≤ 4 shares at least one exact chunk by
-    * pigeonhole over 4 bands), verify candidates by exact Hamming
-    * (xor+popcount), keep pairs ≤ 4. At 100 TB: decode is a linear
+    * 8×8-bit chunks, self-join only within equal chunks (LSH — any
+    * pair at Hamming ≤ 7 shares at least one exact chunk by
+    * pigeonhole over 8 bands, so the ≤ 4 verify threshold has FULL
+    * recall; 4×16-bit bands would only guarantee ≤ 3 and silently
+    * drop a pair with one differing bit per band), verify candidates
+    * by exact Hamming (xor+popcount), keep pairs ≤ 4. At 100 TB:
+    * decode is a linear
     * per-row pass, the join is banded (never all-pairs), and the
     * 8-byte hashes are what shuffles — not pixels. Oracle: the full
     * pipeline recomputed from the generation formula (blocks, bits,
@@ -582,15 +585,18 @@ object MultimodalQueries {
       .toDF("media_id", "lo", "hi")
   }
 
-  /** The 4×16-bit band explode over a (media_id, lo, hi) frame — the
+  /** The 8×8-bit band explode over a (media_id, lo, hi) frame — the
     * d05 LSH shape, shared by the self-join gate and the screen.
+    * 8 bands guarantee (pigeonhole) that any pair within Hamming ≤ 7
+    * shares an exact chunk — a strict superset of the ≤ 4 verify
+    * threshold, so candidate generation cannot drop a true near-dup.
     */
   private[graft] def phashBanded(df: DataFrame): DataFrame =
     df.select(col("media_id"), col("lo"), col("hi"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
-          expr(if (b < 2) s"(lo >> ${16 * b}) & 65535"
-               else s"(hi >> ${16 * (b - 2)}) & 65535").as("chunk"))): _*))
+          expr(if (b < 4) s"(lo >> ${8 * b}) & 255"
+               else s"(hi >> ${8 * (b - 4)}) & 255").as("chunk"))): _*))
         .as("bucket"))
 
   /** Screen `incoming` hashes against a (small, broadcast) `index` of
@@ -617,10 +623,15 @@ object MultimodalQueries {
   val mm07PerceptualHashDedup = QueryDef(
     "mm07_phash_neardup",
     (s, d) => {
-      // cached: the banded self-join below references this subtree on
-      // BOTH sides, and without the cache Spark would decode every
-      // image twice (decode dominates the op's cost)
-      val hashed = phashed(s, d).cache()
+      // eager localCheckpoint: the banded self-join below references
+      // this subtree on BOTH sides, and without materialization Spark
+      // would decode every image twice (decode dominates the op's
+      // cost). Unlike the round-7 cache() this leaves no CacheManager
+      // entry behind — each invocation built fresh mapPartitions
+      // lambdas the CacheManager couldn't dedupe, so repeated calls
+      // (bench ×5, spec reruns) accumulated session-lifetime entries;
+      // checkpoint blocks instead die with the handle (ContextCleaner)
+      val hashed = phashed(s, d).localCheckpoint()
       val bandedAll = phashBanded(hashed)
       // spark.graft.phashBucketCap (optional): the d09 hot-bucket lever
       // for hyper-duplicated corpora, where the TRUE pair set — and so
@@ -674,9 +685,9 @@ object MultimodalQueries {
            |  FROM blocks b JOIN totals USING (media_id) GROUP BY b.media_id),
            |banded AS (
            |  SELECT media_id, lo, hi, band,
-           |    CASE WHEN band < 2 THEN (lo >> (16 * band)) & 65535
-           |         ELSE (hi >> (16 * (band - 2))) & 65535 END AS chunk
-           |  FROM packed, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+           |    CASE WHEN band < 4 THEN (lo >> (8 * band)) & 255
+           |         ELSE (hi >> (8 * (band - 4))) & 255 END AS chunk
+           |  FROM packed, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) b),
            |cand AS (
            |  SELECT DISTINCT x.media_id AS ma, y.media_id AS mb,
            |    CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming

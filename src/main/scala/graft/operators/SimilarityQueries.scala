@@ -1545,7 +1545,12 @@ object SimilarityQueries {
   val e21AnnRecallBinary = QueryDef(
     "e21_ann_recall_binary",
     (s, d) => {
-      val packed = binPacked(s, d)
+      // eager localCheckpoint: `packed` feeds BOTH sides of the join
+      // below, and without materialization the 64×N posexplode +
+      // midrange agg + packing agg would execute twice per run; unlike
+      // cache() this leaves no CacheManager entry to leak across
+      // invocations (blocks are reclaimed when the handle is GC'd)
+      val packed = binPacked(s, d).localCheckpoint()
       val q = packed.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"),
           col("lo").as("qlo"), col("hi").as("qhi"))
@@ -1623,16 +1628,26 @@ object SimilarityQueries {
       val stats = dl.agg(count(lit(1)).as("n"),
         avg(col("dl")).as("avgdl"))
       val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val qterms = tf.filter(col("doc_id") < 5)
-        .select(col("doc_id").as("qid"), col("tok"))
-      val bmScored = qterms
-        .join(tf.withColumnRenamed("doc_id", "did"), Seq("tok"))
-        .filter(col("qid") =!= col("did"))
+      // The scale-critical shape, made EXPLICIT rather than left to
+      // auto-broadcast (which ScalePatternsSpec turns off, and which
+      // bad stats could miss at 100 TB): the per-term idf is folded
+      // into the tiny query-term side FIRST (qterms broadcast into the
+      // vocab-sized df table, stats is one broadcast row), so the
+      // corpus-sized postings table `tf` is touched by exactly one
+      // token-keyed equi-join whose build side is the broadcast,
+      // idf-annotated query terms. The postings never shuffle for
+      // candidate generation — only the candidate subset meets `dl`.
+      val qterms = broadcast(tf.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"), col("tok")))
         .join(df_, Seq("tok"))
-        .join(dl.withColumnRenamed("doc_id", "did"), Seq("did"))
         .crossJoin(broadcast(stats))
         .withColumn("idf",
           log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .select(col("qid"), col("tok"), col("idf"), col("avgdl"))
+      val bmScored = broadcast(qterms)
+        .join(tf.withColumnRenamed("doc_id", "did"), Seq("tok"))
+        .filter(col("qid") =!= col("did"))
+        .join(dl.withColumnRenamed("doc_id", "did"), Seq("did"))
         .withColumn("term_score",
           col("idf") * col("tf") / (col("tf")
             + (col("dl") / col("avgdl") * b + (1.0 - b)) * k1))

@@ -147,7 +147,7 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("round-7-final ops have the plans their scale claims require") {
     val d = "/root/testdata/sf0.001"
-    // mm07: candidate generation is the BANDED equi-join on the 16-bit
+    // mm07: candidate generation is the BANDED equi-join on the 8-bit
     // chunk — hashes shuffle, pixels never do, and nothing may fall
     // back to all-pairs probing
     val mm07 = MultimodalQueries.mm07PerceptualHashDedup.fn(spark, d)
@@ -169,11 +169,21 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"t22 must never plan a cartesian:\n$p22")
     // e22: the lexical side is ONE token-keyed equi-join (query terms
     // vs postings) — never a cartesian; the dense side's only
-    // nested-loop is the 5-row broadcast query side (e01's shape)
+    // nested-loop is the 5-row broadcast query side (e01's shape).
+    // The broadcasts are EXPLICIT hints (this suite runs with
+    // auto-broadcast off, so their survival here proves the 100 TB
+    // claim — "postings stream, query side broadcasts" — is enforced
+    // by the plan, not by statistics): the idf-fold join (qterms into
+    // the vocab-sized df table) and the postings join (idf-annotated
+    // qterms into tf) must BOTH be BroadcastHashJoins.
     val e22 = SimilarityQueries.e22HybridRrf.fn(spark, d)
     val p22e = e22.queryExecution.executedPlan.toString
     assert(!p22e.contains("CartesianProduct"),
       s"e22 must never plan a cartesian:\n$p22e")
+    val nBhj22 = "BroadcastHashJoin".r.findAllIn(p22e).length
+    assert(nBhj22 >= 2,
+      s"e22's query-term side must broadcast into both the df and the " +
+        s"postings joins (found $nBhj22 BroadcastHashJoins):\n$p22e")
   }
 
   test("t23's approx-boundary binning tracks the exact deciles with no global sort") {
