@@ -1187,10 +1187,13 @@ object TextAnalysisQueries {
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       val hashed = toks.select(col("source"), hash60(col("tok")).as("h"))
         .distinct()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("h"))
-      val sketch = hashed.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
+      // bottom-k per source via the TopKPerKey custom operator — a
+      // bounded 64-entry heap per key on both the partial (map) and
+      // final sides, vs the round-7 row_number window that SORTED every
+      // distinct hash per source just to keep 64 (no tiebreak needed:
+      // h is distinct within source after the distinct() above)
+      val sketch = graft.plans.TopK
+        .perKey(hashed, Seq("source"), col("h"), k)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_in_sketch"), max(col("h")).as("kth_min"))
       val exact = hashed.groupBy(col("source"))

@@ -128,33 +128,63 @@ object EventStreams {
     * an event arriving after the stage it would have altered has been
     * passed is treated as late, matching how
     * dropDuplicatesWithinWatermark bounds its own guarantee.
+    *
+    * `stateTtl` (e.g. `Some("30 minutes")`) arms EVENT-TIME timeout
+    * eviction for unbounded key spaces: a user whose last event is
+    * older than ttl behind the watermark has their state dropped
+    * (bounding memory at O(active users)), and a later event from that
+    * user re-opens the funnel at stage 0. Requires a watermark, which
+    * is applied here (`watermarkDelay`). Default `None` preserves the
+    * O(all users ever seen) unbounded-lookback behavior the q66
+    * equivalence spec certifies.
     */
-  def funnelStages(events: Dataset[Event]): Dataset[FunnelUpdate] = {
+  def funnelStages(events: Dataset[Event],
+                   stateTtl: Option[String] = None,
+                   watermarkDelay: String = "10 minutes")
+      : Dataset[FunnelUpdate] = {
     import events.sparkSession.implicits._
-    events
+    val src =
+      if (stateTtl.isDefined) events.withWatermark("ts", watermarkDelay)
+      else events
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelUpdate](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Update(), timeoutConf) {
         (uid: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
-          val prev = state.getOption.getOrElse(FunnelState(None, None, None))
-          var tv = prev.t_view
-          var tc = prev.t_click
-          var tp = prev.t_purchase
-          batch.toSeq.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
-            e.event_type match {
-              case "view" if tv.forall(e.ts.before) =>
-                tv = Some(e.ts)
-              case "click" if tc.isEmpty && tv.exists(e.ts.after) =>
-                tc = Some(e.ts)
-              case "purchase" if tp.isEmpty && tc.exists(e.ts.after) =>
-                tp = Some(e.ts)
-              case _ => ()
+          if (state.hasTimedOut) {
+            // evicted: emit nothing — the user's funnel simply ceases
+            // to exist, and any later event starts over at stage 0
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(FunnelState(None, None, None))
+            var tv = prev.t_view
+            var tc = prev.t_click
+            var tp = prev.t_purchase
+            val evs = batch.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+            evs.foreach { e =>
+              e.event_type match {
+                case "view" if tv.forall(e.ts.before) =>
+                  tv = Some(e.ts)
+                case "click" if tc.isEmpty && tv.exists(e.ts.after) =>
+                  tc = Some(e.ts)
+                case "purchase" if tp.isEmpty && tc.exists(e.ts.after) =>
+                  tp = Some(e.ts)
+                case _ => ()
+              }
             }
+            state.update(FunnelState(tv, tc, tp))
+            // timeout clock = this user's newest event + ttl; fires once
+            // the WATERMARK (not wall clock) passes it
+            stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+              evs.map(e => Math.floorDiv(toUs(e.ts), 1000L)).max, ttl))
+            val stage = if (tp.isDefined) 3 else if (tc.isDefined) 2
+                        else if (tv.isDefined) 1 else 0
+            Iterator.single(FunnelUpdate(uid, stage, tv, tc, tp))
           }
-          state.update(FunnelState(tv, tc, tp))
-          val stage = if (tp.isDefined) 3 else if (tc.isDefined) 2
-                      else if (tv.isDefined) 1 else 0
-          Iterator.single(FunnelUpdate(uid, stage, tv, tc, tp))
       }
   }
 
@@ -178,24 +208,47 @@ object EventStreams {
     * and across batches the carried click state implements the
     * streaming-enrichment semantic: late purchases see every click
     * from earlier batches.
+    *
+    * `stateTtl` (e.g. `Some("30 minutes")`) arms EVENT-TIME timeout
+    * eviction: a user whose championship click is older than ttl
+    * behind the watermark has it dropped, so a much-later purchase
+    * arrives UNATTRIBUTED (click_ts/click_value null) — the bounded
+    * variant of the attribution-window business rule. Requires a
+    * watermark, applied here (`watermarkDelay`). Default `None`
+    * preserves the unbounded-lookback behavior the q56 equivalence
+    * spec certifies.
     */
-  def asOfAttribution(events: Dataset[Event]): Dataset[AsOfPair] = {
+  def asOfAttribution(events: Dataset[Event],
+                      stateTtl: Option[String] = None,
+                      watermarkDelay: String = "10 minutes")
+      : Dataset[AsOfPair] = {
     import events.sparkSession.implicits._
-    events
+    val filtered = events
       .filter(col("event_type").isin("click", "purchase"))
       .as[Event]
+    val src =
+      if (stateTtl.isDefined) filtered.withWatermark("ts", watermarkDelay)
+      else filtered
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Double, Boolean), AsOfPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
         (uid: Long, batch: Iterator[Event],
          state: GroupState[(Long, Double, Boolean)]) =>
-          // state: (latest click ts µs, its value, defined?)
-          var last = state.getOption.filter(_._3)
-          val out = Seq.newBuilder[AsOfPair]
-          batch.toSeq
-            .sortBy(e => (toUs(e.ts),
-              if (e.event_type == "click") 0 else 1, e.event_id))
-            .foreach {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // state: (latest click ts µs, its value, defined?)
+            var last = state.getOption.filter(_._3)
+            val out = Seq.newBuilder[AsOfPair]
+            val evs = batch.toSeq
+              .sortBy(e => (toUs(e.ts),
+                if (e.event_type == "click") 0 else 1, e.event_id))
+            evs.foreach {
               case e if e.event_type == "click" =>
                 if (last.forall(_._1 <= toUs(e.ts)))
                   last = Some((toUs(e.ts), e.value, true))
@@ -203,8 +256,14 @@ object EventStreams {
                 out += AsOfPair(e.event_id, uid,
                   last.map(c => toTs(c._1)), last.map(_._2))
             }
-          last.foreach(state.update)
-          out.result().iterator
+            last.foreach(state.update)
+            // setTimeoutTimestamp requires state to exist — a user with
+            // only purchases so far holds no state to evict anyway
+            if (state.exists)
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                evs.map(e => Math.floorDiv(toUs(e.ts), 1000L)).max, ttl))
+            out.result().iterator
+          }
       }
   }
 

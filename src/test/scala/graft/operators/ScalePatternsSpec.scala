@@ -337,6 +337,20 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"d15 must never cross-join the corpora:\n$p")
   }
 
+  test("t24's bottom-k runs on the bounded-heap operator, not a window sort") {
+    val d = "/root/testdata/sf0.001"
+    // the sketch's scale claim: retaining the 64 smallest hashes per
+    // source is a fixed-size heap on both the map side and the final
+    // side (TopKPerKeyExec partial+final), never a full per-source
+    // sort of every distinct hash just to discard all but 64
+    val t24 = TextAnalysisQueries.t24DistinctKmv.fn(spark, d)
+    val p = t24.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"),
+      s"t24 must route its bottom-k through TopKPerKeyExec:\n$p")
+    assert(!p.contains("Window"),
+      s"t24 must not fall back to a row_number window sort:\n$p")
+  }
+
   test("e16's exact re-rank never rescans or shuffle-joins the corpus") {
     val d = "/root/testdata/sf0.001"
     // stage 2's scale claim: raw vectors for the ~50-row shortlist are

@@ -394,4 +394,80 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(totals == batchTotals)
   }
+
+  test("funnel state evicts on event-time timeout; a late event re-opens at stage 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, uid: Long, typ: String): Event =
+      Event(id, Timestamp.valueOf(t), uid, typ, 1.0)
+
+    def run(ttl: Option[String], name: String): Seq[(Long, Int)] = {
+      val stream = MemoryStream[Event]
+      val q = funnelStages(stream.toDS(), stateTtl = ttl,
+          watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .start()
+      val batches = Seq(
+        // user 1 reaches stage 2 (view -> click)
+        Seq(ev(1, "2026-01-01 09:00:00", 1, "view"),
+          ev(2, "2026-01-01 09:05:00", 1, "click")),
+        // unrelated user advances the watermark far past 09:05 + ttl
+        Seq(ev(3, "2026-01-01 12:00:00", 99, "view")),
+        // one more batch so the armed timeout actually fires
+        Seq(ev(4, "2026-01-01 12:01:00", 99, "view")),
+        // user 1's purchase arrives long after eviction
+        Seq(ev(5, "2026-01-01 12:30:00", 1, "purchase")))
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      q.stop()
+      // last update row per user = the machine's final word
+      spark.table(name).collect().zipWithIndex
+        .map { case (r, i) => (r.getLong(0), r.getInt(1), i) }
+        .groupBy(_._1).map { case (u, rows) =>
+          val last = rows.maxBy(_._3); (u, last._2)
+        }.toSeq.sortBy(_._1)
+    }
+
+    // without eviction the old click survives: purchase completes stage 3
+    assert(run(None, "funnel_nottl").toMap.apply(1L) == 3)
+    // with a 30-minute ttl the state is dropped before the purchase
+    // arrives; the purchase alone re-opens the funnel at stage 0
+    assert(run(Some("30 minutes"), "funnel_ttl").toMap.apply(1L) == 0)
+  }
+
+  test("as-of attribution state evicts on event-time timeout; late purchase unattributed") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, uid: Long, typ: String, v: Double): Event =
+      Event(id, Timestamp.valueOf(t), uid, typ, v)
+
+    def run(ttl: Option[String], name: String)
+        : Map[Long, Option[Timestamp]] = {
+      val stream = MemoryStream[Event]
+      val q = asOfAttribution(stream.toDS(), stateTtl = ttl,
+          watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .start()
+      val batches = Seq(
+        Seq(ev(1, "2026-01-01 09:00:00", 1, "click", 5.0)),
+        Seq(ev(2, "2026-01-01 12:00:00", 99, "click", 1.0)),
+        Seq(ev(3, "2026-01-01 12:01:00", 99, "click", 1.0)),
+        Seq(ev(4, "2026-01-01 12:30:00", 1, "purchase", 9.0)))
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[Timestamp]("click_ts")))
+        .toMap
+    }
+
+    // unbounded lookback: the 09:00 click attributes the 12:30 purchase
+    assert(run(None, "asof_nottl").apply(4L)
+      .contains(Timestamp.valueOf("2026-01-01 09:00:00")))
+    // 30-minute ttl: the championship click was evicted when the
+    // watermark passed 09:30 — the purchase arrives unattributed
+    assert(run(Some("30 minutes"), "asof_ttl").apply(4L).isEmpty)
+  }
 }
