@@ -1,0 +1,236 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupQueries, MultimodalQueries, SimilarityQueries,
+  TextAnalysisQueries}
+
+/** User-facing facade over the gated operator library: plain
+  * DataFrame-in / DataFrame-out calls with documented input schemas, so
+  * a pipeline author composes `Graft.minhashDedup(docs)` instead of
+  * navigating the per-module [[graft.operators.QueryDef]] registries.
+  *
+  * NO LOGIC LIVES HERE. Every method delegates to the exact builder the
+  * corresponding oracle-gated query runs — and the gates route THROUGH
+  * these paths (e.g. `d04_minhash_lsh` calls [[minhashDedup]]), so the
+  * driver's DuckDB correctness gate keeps covering the facade on every
+  * round. GraftApiSpec additionally proves facade-on-raw-parquet ≡ gate
+  * output for the representative ops.
+  *
+  * Quickstart:
+  * {{{
+  * import graft.api.Graft
+  * val docs = spark.read.parquet("s3://corpus/documents")   // doc_id, text, source, ...
+  * val emb  = spark.read.parquet("s3://corpus/embeddings")  // vec_id, embedding, label
+  *
+  * val dupes   = Graft.minhashDedup(docs)                   // (da, db, jaccard)
+  * val clean   = Graft.decontaminate(docs, benchDocs)       // (train_id, bench_id, jaccard)
+  * val scored  = Graft.qualityClassify(docs)                // (doc_id, n_tokens, quality_prob, keep)
+  * val deciles = Graft.qualityBins(docs)                    // (decile, n_docs, n_tokens, q_min, q_max)
+  * val index   = Graft.annIndex(emb)
+  * val hits    = index.search(emb.filter($"vec_id" < 5))    // (query_id, rank, neighbor_id, cos)
+  * }}}
+  *
+  * Column contracts (matching the driver testdata; see TESTDATA.md):
+  * document frames carry (`doc_id` Long, `text` String, optionally
+  * `source` String); embedding frames carry (`vec_id` Long, `embedding`
+  * Array[Float], `label` Int for the trained-cell index). Deviating
+  * column names can be `withColumnRenamed` into shape — the facade does
+  * not guess.
+  */
+object Graft {
+
+  // ------------------------------------------------------------------
+  // Deduplication
+  // ------------------------------------------------------------------
+
+  /** Exact duplicate groups by content hash: one row per distinct text,
+    * with the lowest doc_id as the canonical survivor and the copy
+    * count. One map-side-combined shuffle at any scale.
+    *
+    * Input: (`idCol` Long, `textCol` String). Output: (content_hash,
+    * keep_doc_id, n_copies). Gate: `d01_exact_dedup`.
+    */
+  def exactDedup(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** [[exactDedup]] after lowercasing + whitespace collapse — catches
+    * formatting-only duplicates. Gate: `d02_normalized_dedup`.
+    */
+  def normalizedDedup(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(regexp_replace(lower(col(textCol)), "\\s+", " "))
+        .as("content_hash"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash + LSH near-duplicate pairs, exact-Jaccard verified: 64
+    * minhashes over word 3-gram shingles, 16×4 banding for candidates,
+    * `array_intersect` verification, keep pairs with Jaccard ≥
+    * `threshold`. Candidates are banded — never all-pairs — and
+    * verification touches only the candidate minority.
+    *
+    * Input: (doc_id Long, text String). Output: (da, db, jaccard),
+    * da < db, unsorted. Gate: `d04_minhash_lsh`.
+    */
+  def minhashDedup(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    DedupQueries.minhashPairs(docs, threshold)
+
+  /** Cross-corpus fuzzy decontamination: flag training documents whose
+    * shingle Jaccard against ANY benchmark document reaches `threshold`.
+    * The benchmark side is broadcast (bands and shingle arrays alike),
+    * so the 100 TB training corpus never shuffles for candidate
+    * generation — the asymmetric d15 shape.
+    *
+    * Inputs: two (doc_id Long, text String) frames; `bench` must be the
+    * small (benchmark/eval) side. Output: (train_id, bench_id, jaccard),
+    * unsorted. Gate: `d15_cross_decontamination`.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    threshold: Double = 0.5): DataFrame = {
+    // cache: the broadcast bench side feeds both the band join and the
+    // exact-verify join; pure column-expression plan, so the cache
+    // entry dedupes across invocations (unlike decode mapPartitions)
+    val benchSigs =
+      DedupQueries.d15Sigs(DedupQueries.shingleArraysOf(bench)).cache()
+    val trainSigs = DedupQueries.d15Sigs(DedupQueries.shingleArraysOf(train))
+    DedupQueries.decontScreen(trainSigs, benchSigs, threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // Quality / text analysis
+  // ------------------------------------------------------------------
+
+  /** Hashed linear quality-classifier inference (the fastText deployment
+    * shape): per-token hash bucket → broadcast weight, sigmoid of the
+    * mean, keep at p ≥ 0.5. One token pass, no shuffle beyond the
+    * per-doc agg.
+    *
+    * Input: (doc_id Long, text String). Output: (doc_id, n_tokens,
+    * quality_prob, keep), unsorted. Gate: `t21_quality_classifier`.
+    */
+  def qualityClassify(docs: DataFrame): DataFrame =
+    TextAnalysisQueries.classifierScores(docs)
+
+  /** Exact quality-decile binning (ntile over the composite quality
+    * score). NOTE: the exact form carries a single-partition global
+    * sort by construction — at 100 TB use the approx-boundary variant
+    * ([[graft.operators.TextAnalysisQueries.qualityBinsApprox]]), which
+    * broadcasts 9 quantile boundaries and bins in a pure projection.
+    *
+    * Input: (doc_id Long, text String). Output: (decile, n_docs,
+    * n_tokens, q_min, q_max) sorted by decile. Gate: `t23_quality_bins`.
+    */
+  def qualityBins(docs: DataFrame): DataFrame =
+    TextAnalysisQueries.qualityBinsOf(docs)
+
+  /** Per-source distinct-token cardinality via a KMV bottom-k sketch —
+    * 512 bytes per source, mergeable, bounded-heap bottom-k (the
+    * TopKPerKey operator). A source with fewer than k distinct hashes
+    * reports its exact count (the sketch isn't full, so its size IS the
+    * cardinality).
+    *
+    * Input: (source String, text String). Output: (source, n_in_sketch,
+    * kth_min, kmv_estimate), unsorted. Gate: `t24_distinct_kmv` (which
+    * additionally verifies the estimate against the exact count).
+    */
+  def distinctTokenSketch(docs: DataFrame, k: Int = 64): DataFrame =
+    TextAnalysisQueries.kmvParts(TextAnalysisQueries.tokenHashes(docs), k)
+      .select(col("source"), col("n_in_sketch"), col("kth_min"),
+        round(when(col("n_in_sketch") < k, col("n_in_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 1152921504606846976.0)
+            / col("kth_min")), 4).as("kmv_estimate"))
+
+  // ------------------------------------------------------------------
+  // Similarity search
+  // ------------------------------------------------------------------
+
+  /** Exact brute-force cosine top-k: one broadcast of the query batch,
+    * one pass over the corpus, no corpus shuffle. Self-matches (equal
+    * ids) are excluded.
+    *
+    * Inputs: corpus and queries both (vec_id Long, embedding
+    * Array[Float]). Output: (query_id, rank, neighbor_id, cos) sorted.
+    * Gate: `e01_knn_bruteforce`.
+    */
+  def knn(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
+    SimilarityQueries.knnOf(corpus,
+      queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb")), k)
+
+  /** Build the servable IVF index: label-trained centroids (tiny,
+    * broadcast) + the cell-assigned corpus. Cache
+    * [[IvfIndex.assigned]] if you will issue repeated searches.
+    *
+    * Input: (vec_id Long, embedding Array[Float], label Int).
+    * Gate: `e05_ann_ivf` (routes through [[IvfIndex.search]]).
+    */
+  def annIndex(corpus: DataFrame): IvfIndex = {
+    val centroids = SimilarityQueries.labelCentroids(corpus)
+    IvfIndex(SimilarityQueries.assignCells(corpus, centroids), centroids)
+  }
+
+  /** A built IVF index: `assigned` = (vec_id, embedding, cell) corpus,
+    * `centroids` = (cell, centroid) tiny table.
+    */
+  final case class IvfIndex private[api] (assigned: DataFrame,
+                                          centroids: DataFrame) {
+    /** Probe the `probes` nearest cells per query, exact-cosine rank
+      * within them, top-`k` per query. Queries: (vec_id, embedding).
+      * Output: (query_id, rank, neighbor_id, cos) sorted.
+      */
+    def search(queries: DataFrame, probes: Int = 2, k: Int = 3): DataFrame = {
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cs").desc, col("cell"))
+      val probed = queries
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        .join(broadcast(centroids))
+        .withColumn("cs", graft.functions.GraftFunctions
+          .cosine_similarity(col("q_emb"), col("centroid")))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= probes)
+        .select(col("query_id"), col("q_emb"), col("cell"))
+      SimilarityQueries.probeAndRank(assigned, probed, k)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Multimodal
+  // ------------------------------------------------------------------
+
+  /** Perceptual aHash of opaque image payloads, decoded with the real
+    * JDK codec: 8×8 block sums, cross-multiplied integer thresholding,
+    * packed into two 32-bit words. Decode is a linear per-row pass;
+    * only the 8-byte hashes ever shuffle downstream.
+    *
+    * Input: Dataset of (media_id, payload bytes). Output: (media_id,
+    * lo, hi). Gate: `mm07_phash_neardup` (via [[imageNearDups]]).
+    */
+  def imagePHash(media: Dataset[(Long, Array[Byte])]): DataFrame =
+    MultimodalQueries.hashImages(media)
+
+  /** Banded LSH near-duplicate pairs over [[imagePHash]] output: 8×8-bit
+    * chunk candidates (pigeonhole-complete for Hamming ≤ 7), exact
+    * xor+popcount verify at ≤ `maxHamming`. `bucketCap` skips buckets
+    * above the cap — the lever for hyper-duplicated corpora where the
+    * true pair set itself is quadratic.
+    *
+    * Input: (media_id, lo, hi) — cache/localCheckpoint it first if the
+    * hash step is expensive (it feeds both join sides). Output:
+    * (ma, mb, hamming), ma < mb, unsorted. Gate: `mm07_phash_neardup`.
+    */
+  def imageNearDups(hashed: DataFrame, maxHamming: Int = 4,
+                    bucketCap: Option[Long] = None): DataFrame =
+    MultimodalQueries.phashNearDups(hashed, maxHamming, bucketCap)
+
+  /** Screen incoming image hashes against a small broadcast index of
+    * existing-corpus hashes — the at-ingest dedup shape
+    * ([[graft.streaming.MediaStreams.imageDedupScreen]] composes it per
+    * micro-batch). Both frames: (media_id, lo, hi).
+    */
+  def imageScreen(incoming: DataFrame, index: DataFrame): DataFrame =
+    MultimodalQueries.phashScreen(incoming, index)
+}

@@ -147,12 +147,10 @@ object DedupQueries {
     */
   val d01ExactDedup = QueryDef(
     "d01_exact_dedup",
-    (s, d) => {
-      Tables.documents(s, d)
-        .groupBy(md5(col("text")).as("content_hash"))
-        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
-        .orderBy(col("keep_doc_id"))
-    },
+    // routed through the user-facing facade so the oracle gate covers
+    // the path a real pipeline calls (graft.api.Graft quickstart)
+    (s, d) => graft.api.Graft.exactDedup(Tables.documents(s, d))
+      .orderBy(col("keep_doc_id")),
     Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
            |  count(*) AS n_copies
            |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin))
@@ -162,13 +160,8 @@ object DedupQueries {
     */
   val d02NormalizedDedup = QueryDef(
     "d02_normalized_dedup",
-    (s, d) => {
-      Tables.documents(s, d)
-        .groupBy(md5(regexp_replace(lower(col("text")), "\\s+", " "))
-          .as("content_hash"))
-        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
-        .orderBy(col("keep_doc_id"))
-    },
+    (s, d) => graft.api.Graft.normalizedDedup(Tables.documents(s, d))
+      .orderBy(col("keep_doc_id")),
     Some("""SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
            |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
            |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin))
@@ -224,46 +217,53 @@ object DedupQueries {
     * per-pair `array_intersect` instead of an inverted-index join — work
     * stays proportional to bucket collisions, not corpus size².
     */
+  /** d04's body over an arbitrary documents frame (doc_id, text) — the
+    * [[graft.api.Graft.minhashDedup]] facade path. Unsorted; the gate
+    * adds its output sort.
+    */
+  private[graft] def minhashPairs(docsRaw: DataFrame,
+                                  threshold: Double = 0.8): DataFrame = {
+    val numHashes = 64
+    val bands = 16
+    val rowsPerBand = numHashes / bands
+    val prime = 2038074743L
+
+    // per-doc shingle array + count + signature, all in one pass
+    val docs = shingleArraysOf(docsRaw)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
+        graft.functions.MinHashArray.minhash_array(
+          expr(s"transform(sh, x -> pmod(xxhash64(x), ${prime}L))"),
+          numHashes, 42L, prime).as("sig"))
+      .cache()
+
+    val bandCols = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        hash(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)).as("sig"))
+    }
+    val buckets = docs.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bucket"))
+    val cand = buckets.alias("x")
+      .join(buckets.alias("y"), col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+
+    // exact-Jaccard verification: fetch both shingle arrays, intersect
+    cand
+      .join(docs.select(col("doc_id").as("da"), col("sh").as("sha"),
+        col("n").as("na")), Seq("da"))
+      .join(docs.select(col("doc_id").as("db"), col("sh").as("shb"),
+        col("n").as("nb")), Seq("db"))
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
   val d04MinHashLsh = QueryDef(
     "d04_minhash_lsh",
-    (s, d) => {
-      val numHashes = 64
-      val bands = 16
-      val rowsPerBand = numHashes / bands
-      val prime = 2038074743L
-
-      // per-doc shingle array + count + signature, all in one pass
-      val docs = shingleArrays(s, d)
-        .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
-          graft.functions.MinHashArray.minhash_array(
-            expr(s"transform(sh, x -> pmod(xxhash64(x), ${prime}L))"),
-            numHashes, 42L, prime).as("sig"))
-        .cache()
-
-      val bandCols = (0 until bands).map { bnd =>
-        struct(lit(bnd).as("band"),
-          hash(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)).as("sig"))
-      }
-      val buckets = docs.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bucket"))
-      val cand = buckets.alias("x")
-        .join(buckets.alias("y"), col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-        .distinct()
-
-      // exact-Jaccard verification: fetch both shingle arrays, intersect
-      cand
-        .join(docs.select(col("doc_id").as("da"), col("sh").as("sha"),
-          col("n").as("na")), Seq("da"))
-        .join(docs.select(col("doc_id").as("db"), col("sh").as("shb"),
-          col("n").as("nb")), Seq("db"))
-        .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
-        .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 4))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("da"), col("db"), col("jaccard"))
-        .orderBy(col("da"), col("db"))
-    },
+    (s, d) => graft.api.Graft.minhashDedup(Tables.documents(s, d))
+      .orderBy(col("da"), col("db")),
     // candidates are verified with EXACT Jaccard, and 16×4 banding has
     // ~1-10⁻⁶ recall at J≥0.8 on 64 hashes — so the output equals the
     // exact all-pairs answer (validated against this oracle at sf0.01)
@@ -1118,8 +1118,8 @@ object DedupQueries {
     * verify of `train` against the (small, broadcast) `bench` side —
     * both [[d15Sigs]] frames. Unsorted; the gate adds its output sort.
     */
-  private[graft] def decontScreen(train: DataFrame,
-                                  bench: DataFrame): DataFrame = {
+  private[graft] def decontScreen(train: DataFrame, bench: DataFrame,
+                                  threshold: Double = 0.5): DataFrame = {
     val bands = 32
     val rowsPerBand = 64 / bands
     val bandCols = (0 until bands).map { bnd =>
@@ -1140,7 +1140,7 @@ object DedupQueries {
       .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
         round(col("c") / (col("na") + col("nb") - col("c")), 4))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .select(col("train_id"), col("bench_id"), col("jaccard"))
   }
 
@@ -1161,6 +1161,10 @@ object DedupQueries {
       }
       val bench = docs.filter(isBench).cache()
       val train = docs.filter(!isBench)
+      // decontScreen IS the Graft.decontaminate facade body (the facade
+      // sigs each raw side itself; the gate sigs once and filters, the
+      // per-row sig being identical either way — GraftApiSpec proves
+      // facade-on-raw-frames ≡ this gate)
       decontScreen(train, bench)
         .orderBy(col("train_id"), col("bench_id"))
     },

@@ -569,20 +569,30 @@ object MultimodalQueries {
     (lo, hi)
   }
 
+  /** aHash every (media_id, payload) row — the
+    * [[graft.api.Graft.imagePHash]] facade path: a linear decode pass,
+    * 8-byte output per image. UNCACHED — callers referencing it from
+    * both sides of a join must cache/localCheckpoint.
+    */
+  private[graft] def hashImages(media: org.apache.spark.sql.Dataset[
+      (Long, Array[Byte])]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { case (id, payload) =>
+      val (lo, hi) = aHash(payload)
+      (id, lo, hi)
+    }).toDF("media_id", "lo", "hi")
+  }
+
   /** (media_id, lo, hi) aHashes of the synthetic corpus. UNCACHED —
     * callers referencing it from both sides of a join must cache.
     */
   private[graft] def phashed(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, d)
+    hashImages(Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => (id, syntheticPng(id))))
-      .mapPartitions(_.map { case (id, payload) =>
-        val (lo, hi) = aHash(payload)
-        (id, lo, hi)
-      })
-      .toDF("media_id", "lo", "hi")
+      .mapPartitions(_.map(id => (id, syntheticPng(id)))))
   }
 
   /** The 8×8-bit band explode over a (media_id, lo, hi) frame — the
@@ -620,40 +630,51 @@ object MultimodalQueries {
       .filter(col("hamming") <= 4)
   }
 
+  /** mm07's banded self-join over a (media_id, lo, hi) frame — the
+    * [[graft.api.Graft.imageNearDups]] facade path. `bucketCap` is the
+    * d09 hot-bucket lever for hyper-duplicated corpora, where the TRUE
+    * pair set — and so any exact dedup's output — grows quadratically
+    * in the per-image copy count: buckets above the cap are skipped,
+    * bounding emitted pairs at cap²/2 per bucket. Unsorted; the gate
+    * adds its output sort.
+    */
+  private[graft] def phashNearDups(hashed: DataFrame, maxHamming: Int = 4,
+                                   bucketCap: Option[Long] = None)
+      : DataFrame = {
+    val bandedAll = phashBanded(hashed)
+    val banded = bucketCap match {
+      case Some(cap) =>
+        val cool = bandedAll.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
+          .select(col("bucket"))
+        bandedAll.join(broadcast(cool), Seq("bucket"))
+      case None => bandedAll
+    }
+    banded.alias("x")
+      .join(banded.alias("y"), col("x.bucket") === col("y.bucket") &&
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("ma"), col("y.media_id").as("mb"),
+        expr("CAST(bit_count(x.lo ^ y.lo) + bit_count(x.hi ^ y.hi) AS BIGINT)")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   val mm07PerceptualHashDedup = QueryDef(
     "mm07_phash_neardup",
     (s, d) => {
-      // eager localCheckpoint: the banded self-join below references
-      // this subtree on BOTH sides, and without materialization Spark
-      // would decode every image twice (decode dominates the op's
-      // cost). Unlike the round-7 cache() this leaves no CacheManager
-      // entry behind — each invocation built fresh mapPartitions
-      // lambdas the CacheManager couldn't dedupe, so repeated calls
-      // (bench ×5, spec reruns) accumulated session-lifetime entries;
-      // checkpoint blocks instead die with the handle (ContextCleaner)
+      // eager localCheckpoint: the banded self-join references this
+      // subtree on BOTH sides, and without materialization Spark would
+      // decode every image twice (decode dominates the op's cost).
+      // Unlike the round-7 cache() this leaves no CacheManager entry
+      // behind — each invocation built fresh mapPartitions lambdas the
+      // CacheManager couldn't dedupe, so repeated calls (bench ×5, spec
+      // reruns) accumulated session-lifetime entries; checkpoint blocks
+      // instead die with the handle (ContextCleaner)
       val hashed = phashed(s, d).localCheckpoint()
-      val bandedAll = phashBanded(hashed)
-      // spark.graft.phashBucketCap (optional): the d09 hot-bucket lever
-      // for hyper-duplicated corpora, where the TRUE pair set — and so
-      // any exact dedup's output — grows quadratically in the per-image
-      // copy count. Buckets above the cap are skipped, bounding emitted
-      // pairs at cap²/2 per bucket. Unset for the gate (exact output).
-      val banded = s.conf.getOption("spark.graft.phashBucketCap") match {
-        case Some(cap) =>
-          val cool = bandedAll.groupBy(col("bucket"))
-            .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap.toLong)
-            .select(col("bucket"))
-          bandedAll.join(broadcast(cool), Seq("bucket"))
-        case None => bandedAll
-      }
-      banded.alias("x")
-        .join(banded.alias("y"), col("x.bucket") === col("y.bucket") &&
-          col("x.media_id") < col("y.media_id"))
-        .select(col("x.media_id").as("ma"), col("y.media_id").as("mb"),
-          expr("CAST(bit_count(x.lo ^ y.lo) + bit_count(x.hi ^ y.hi) AS BIGINT)")
-            .as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 4)
+      graft.api.Graft.imageNearDups(hashed,
+          bucketCap = s.conf.getOption("spark.graft.phashBucketCap")
+            .map(_.toLong))
         .orderBy(col("ma"), col("mb"))
     },
     Some("""WITH base AS (

@@ -83,24 +83,31 @@ object SimilarityQueries {
     * baseline. The query side is tiny and broadcast; at scale this is one
     * pass over the corpus per query batch (no shuffle of the corpus).
     */
+  /** e01's body over arbitrary corpus/query frames — the
+    * [[graft.api.Graft.knn]] facade path. `queries` is (query_id,
+    * q_emb); output sorted (query_id, rank).
+    */
+  private[graft] def knnOf(corpus: DataFrame, queries: DataFrame,
+                           k: Int): DataFrame = {
+    val scored = corpus.alias("b").join(broadcast(queries.alias("a")),
+        col("a.query_id") =!= col("b.vec_id"))
+      .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"),
+        cosine_similarity(col("a.q_emb"), col("b.embedding")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val e01KnnBruteForce = QueryDef(
     "e01_knn_bruteforce",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val scored = e.alias("b").join(broadcast(q.alias("a")),
-          col("a.query_id") =!= col("b.vec_id"))
-        .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"),
-          cosine_similarity(col("a.q_emb"), col("b.embedding")).as("cos"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 10)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("cos"), 6).as("cos"))
-        .orderBy(col("query_id"), col("rank"))
+      graft.api.Graft.knn(e, e.filter(col("vec_id") < 5), k = 10)
     },
     // cosine via the shared cosSql protocol (explicit DOUBLE — DuckDB's
     // list_cosine_similarity works in float32 and disagrees at the 6th
@@ -248,7 +255,7 @@ object SimilarityQueries {
     * rounding protocol) as `(cell, centroid)` — the deterministic coarse
     * quantizer shared by e05 and e07.
     */
-  private def labelCentroids(e: DataFrame): DataFrame = {
+  private[graft] def labelCentroids(e: DataFrame): DataFrame = {
     val dim = 64
     e.groupBy(col("label")).agg(count(lit(1)).as("n"), dimSums(dim): _*)
       .select(col("label").as("cell"),
@@ -259,7 +266,7 @@ object SimilarityQueries {
   /** Every vector assigned to its nearest centroid cell (centroids
     * broadcast; ties → lowest cell). One pass over the corpus.
     */
-  private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cs").desc, col("cell"))
@@ -303,23 +310,13 @@ object SimilarityQueries {
 
   val e05AnnIvf = QueryDef(
     "e05_ann_ivf",
+    // train (label centroids) + assign + 2-probe search, routed through
+    // the Graft.annIndex facade so the gate covers the servable-index
+    // path a real pipeline calls
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      // "train": centroid per label (deterministic; e04 is this shape)
-      val centroids = labelCentroids(e)
-      val assigned = assignCells(e, centroids)
-      // queries probe their 2 nearest cells
-      val wProbe = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cs").desc, col("cell"))
-      val probes = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-        .join(broadcast(centroids))
-        .withColumn("cs", cosine_similarity(col("q_emb"), col("centroid")))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= 2)
-        .select(col("query_id"), col("q_emb"), col("cell"))
-      probeAndRank(assigned, probes, k = 3)
+      graft.api.Graft.annIndex(e)
+        .search(e.filter(col("vec_id") < 5), probes = 2, k = 3)
     },
     // the float cast on each centroid component absorbs double-sum
     // ordering noise (a double sum differs across engines/partitionings

@@ -988,24 +988,31 @@ object TextAnalysisQueries {
   private[graft] def classifierWeight(b: Column): Column =
     (b * 2654435761L) % 1999L / 999.0 - 1.0
 
+  /** t21's body over an arbitrary documents frame (doc_id, text) — the
+    * [[graft.api.Graft.qualityClassify]] facade path. Unsorted; the
+    * gate adds its output sort.
+    */
+  private[graft] def classifierScores(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val buckets = 1024L
+    val weights = docs.sparkSession.range(buckets)
+      .select(col("id").as("b"), classifierWeight(col("id")).as("w"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b", pmod(hash60(col("tok")), lit(buckets)))
+    toks.join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("sw"))
+      .select(col("doc_id"), col("n_tokens"),
+        round((lit(1.0) / (lit(1.0) + exp(-col("sw") / col("n_tokens"))))
+          .cast("float"), 4).as("quality_prob"))
+      .withColumn("keep", col("quality_prob") >= 0.5)
+  }
+
   val t21QualityClassifier = QueryDef(
     "t21_quality_classifier",
-    (s, d) => {
-      val buckets = 1024L
-      val weights = s.range(buckets).select(col("id").as("b"),
-        classifierWeight(col("id")).as("w"))
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("b", pmod(hash60(col("tok")), lit(buckets)))
-      toks.join(broadcast(weights), Seq("b"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("sw"))
-        .select(col("doc_id"), col("n_tokens"),
-          round((lit(1.0) / (lit(1.0) + exp(-col("sw") / col("n_tokens"))))
-            .cast("float"), 4).as("quality_prob"))
-        .withColumn("keep", col("quality_prob") >= 0.5)
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => graft.api.Graft.qualityClassify(Tables.documents(s, d))
+      .orderBy(col("doc_id")),
     Some(s"""WITH toks AS (
             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
             |  FROM documents),
@@ -1096,24 +1103,32 @@ object TextAnalysisQueries {
     * doubles, and bins in a projection — same output table, no global
     * sort. The gate certifies the exact form.
     */
+  /** t23's exact body over an arbitrary documents frame (doc_id, text)
+    * — the [[graft.api.Graft.qualityBins]] facade path. Carries the
+    * deliberate single-partition ntile sort; the approx variant below
+    * is the scale path.
+    */
+  private[graft] def qualityBinsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = size(split(col("text"), " ")).cast("double")
+    val dist = size(array_distinct(split(col("text"), " "))).cast("double")
+    val meanLen = (length(col("text")).cast("double") - toks + 1) / toks
+    val scored = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        round(meanLen * 0.2 + dist / toks * 0.8, 4).as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q").desc, col("doc_id"))
+    scored.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        min(col("q")).as("q_min"), max(col("q")).as("q_max"))
+      .orderBy(col("decile"))
+  }
+
   val t23QualityBins = QueryDef(
     "t23_quality_bins",
-    (s, d) => {
-      val toks = size(split(col("text"), " ")).cast("double")
-      val dist = size(array_distinct(split(col("text"), " "))).cast("double")
-      val meanLen = (length(col("text")).cast("double") - toks + 1) / toks
-      val scored = Tables.documents(s, d)
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_toks"),
-          round(meanLen * 0.2 + dist / toks * 0.8, 4).as("q"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("q").desc, col("doc_id"))
-      scored.withColumn("decile", ntile(10).over(w).cast("long"))
-        .groupBy(col("decile"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
-          min(col("q")).as("q_min"), max(col("q")).as("q_max"))
-        .orderBy(col("decile"))
-    },
+    (s, d) => graft.api.Graft.qualityBins(Tables.documents(s, d)),
     Some("""WITH scored AS (
            |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
            |    round(((length(text) - len(string_split(text, ' ')) + 1.0)
@@ -1179,23 +1194,35 @@ object TextAnalysisQueries {
     * TopKPerKey custom operator's shape); everything after is
     * per-source arithmetic on 64 longs.
     */
+  /** (source, h) distinct token hashes — the KMV input, shared by the
+    * t24 gate and the [[graft.api.Graft.distinctTokenSketch]] facade.
+    */
+  private[graft] def tokenHashes(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("source"), hash60(col("tok")).as("h"))
+      .distinct()
+
+  /** The KMV sketch proper over a (source, h) frame: bottom-k per
+    * source via the TopKPerKey custom operator — a bounded k-entry
+    * heap per key on both the partial (map) and final sides, vs a
+    * row_number window that would SORT every distinct hash per source
+    * just to keep k (no tiebreak needed: h is distinct within source).
+    * Returns (source, n_in_sketch, kth_min).
+    */
+  private[graft] def kmvParts(hashed: org.apache.spark.sql.DataFrame,
+                              k: Int): org.apache.spark.sql.DataFrame =
+    graft.plans.TopK
+      .perKey(hashed, Seq("source"), col("h"), k)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_in_sketch"), max(col("h")).as("kth_min"))
+
   val t24DistinctKmv = QueryDef(
     "t24_distinct_kmv",
     (s, d) => {
       val k = 64
-      val toks = Tables.documents(s, d)
-        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-      val hashed = toks.select(col("source"), hash60(col("tok")).as("h"))
-        .distinct()
-      // bottom-k per source via the TopKPerKey custom operator — a
-      // bounded 64-entry heap per key on both the partial (map) and
-      // final sides, vs the round-7 row_number window that SORTED every
-      // distinct hash per source just to keep 64 (no tiebreak needed:
-      // h is distinct within source after the distinct() above)
-      val sketch = graft.plans.TopK
-        .perKey(hashed, Seq("source"), col("h"), k)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_in_sketch"), max(col("h")).as("kth_min"))
+      val hashed = tokenHashes(Tables.documents(s, d))
+      val sketch = kmvParts(hashed, k)
       val exact = hashed.groupBy(col("source"))
         .agg(count(lit(1)).as("n_exact"))
       exact.join(sketch, "source")

@@ -1,0 +1,112 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The facade contract: every `Graft` call, applied to RAW
+  * `spark.read.parquet` frames (no [[graft.Tables]] loader, no
+  * scale-factor plumbing), must equal the corresponding oracle-gated
+  * query's output. Most gates route THROUGH the facade, so this is
+  * mostly proven by construction — what these tests add is the
+  * user-path check: that the documented input schemas are really all a
+  * caller needs, and (for d15, where the gate sigs once and filters
+  * while the facade sigs each raw side) that composition order doesn't
+  * change results.
+  */
+class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-api-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs: DataFrame = spark.read.parquet(s"$dir/documents.parquet")
+  private def emb: DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+  private def gate(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  test("exactDedup on a raw parquet frame equals the d01 gate") {
+    assert(rows(Graft.exactDedup(docs)) == rows(gate("d01_exact_dedup")))
+    assert(rows(Graft.exactDedup(docs)).nonEmpty)
+  }
+
+  test("exactDedup honors renamed columns") {
+    val renamed = docs.select(col("doc_id").as("id"), col("text").as("body"))
+    assert(rows(Graft.exactDedup(renamed, textCol = "body", idCol = "id"))
+      == rows(gate("d01_exact_dedup")))
+  }
+
+  test("normalizedDedup equals the d02 gate") {
+    assert(rows(Graft.normalizedDedup(docs))
+      == rows(gate("d02_normalized_dedup")))
+  }
+
+  test("minhashDedup equals the d04 gate") {
+    assert(rows(Graft.minhashDedup(docs)) == rows(gate("d04_minhash_lsh")))
+    assert(rows(Graft.minhashDedup(docs)).nonEmpty)
+  }
+
+  test("decontaminate on two raw frames equals the d15 gate") {
+    // the gate computes signatures once over the union and filters;
+    // the facade signature-computes each raw side independently —
+    // per-row sigs are identical either way, and this proves it
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    assert(rows(Graft.decontaminate(train, bench))
+      == rows(gate("d15_cross_decontamination")))
+  }
+
+  test("qualityClassify equals the t21 gate") {
+    assert(rows(Graft.qualityClassify(docs))
+      == rows(gate("t21_quality_classifier")))
+  }
+
+  test("qualityBins equals the t23 gate") {
+    assert(rows(Graft.qualityBins(docs)) == rows(gate("t23_quality_bins")))
+  }
+
+  test("distinctTokenSketch matches the t24 gate's sketch columns") {
+    val facade = Graft.distinctTokenSketch(docs)
+      .select(col("source"), col("kth_min"), col("kmv_estimate"))
+    val g = gate("t24_distinct_kmv")
+      .select(col("source"), col("kth_min"), col("kmv_estimate"))
+    assert(rows(facade) == rows(g) && rows(facade).nonEmpty)
+  }
+
+  test("knn equals the e01 gate") {
+    assert(rows(Graft.knn(emb, emb.filter(col("vec_id") < 5)))
+      == rows(gate("e01_knn_bruteforce")))
+  }
+
+  test("annIndex().search() equals the e05 gate") {
+    val hits = Graft.annIndex(emb).search(emb.filter(col("vec_id") < 5))
+    assert(rows(hits) == rows(gate("e05_ann_ivf")) && rows(hits).nonEmpty)
+  }
+
+  test("imagePHash + imageNearDups equals the mm07 gate") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a "user" media frame: opaque payload column built from the same
+    // generator the gate's synthetic corpus uses
+    val media = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, graft.operators.MultimodalQueries.syntheticPng(id))))
+    val hashed = Graft.imagePHash(media).localCheckpoint()
+    val pairs = Graft.imageNearDups(hashed)
+      .select(col("ma"), col("mb"), col("hamming"))
+    assert(rows(pairs) == rows(gate("mm07_phash_neardup")) &&
+      rows(pairs).nonEmpty)
+  }
+}
