@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, Cast, Conv, CreateArray, CreateNamedStruct, Expression, ExpressionInfo, Literal, Md5, ShiftRight, Substring}
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** SparkSessionExtensions entry point — the standard deployment hook
   * for the engine's Catalyst extensions, so a cluster can enable them
@@ -16,11 +17,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * top-k physical operator — [[graft.plans.TopK.perKey]] also
   * self-registers via `experimental.extraStrategies` for programmatic
   * use; double registration is harmless, the planner just sees the
-  * same candidate twice) and registers the native expressions as SQL
-  * functions, making `spark.sql("SELECT cosine_similarity(a, b)")`
-  * and `minhash_array(...)` first-class in pure-SQL pipelines — the
-  * same codegen'd expressions the DataFrame API uses, so SQL callers
-  * get identical semantics and performance.
+  * same candidate twice) and registers the engine's shared primitives
+  * as SQL functions — `cosine_similarity`, `minhash_array`,
+  * `minhash_agg`, `count_min`, `hash60`, `phash_bands` — making the
+  * dedup/similarity families first-class in pure-SQL pipelines: the
+  * same codegen'd expressions (or spec-pinned-equal trees) the
+  * DataFrame API uses, so SQL callers get identical semantics and
+  * performance.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -71,6 +74,59 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litNum(args(1), "numHashes").toInt,
           litNum(args(2), "seed"),
           litNum(args(3), "prime"))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[graft.functions.MinHashAgg].getName,
+        "minhash_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "minhash_agg(hash, numHashes, seed, prime) takes 4 arguments, " +
+            s"got ${args.length}")
+        graft.functions.MinHashAgg(args(0),
+          litNum(args(1), "numHashes").toInt,
+          litNum(args(2), "seed"),
+          litNum(args(3), "prime")).toAggregateExpression()
+      }))
+
+    // The composite-Column workhorses (hash60, the 8×8-bit banding).
+    // These cannot round-trip through the Column bridge inside a
+    // function builder (a `functions._`-built Column is an unresolved
+    // ColumnNode here, which the analyzer won't resolve mid-injection),
+    // so the same trees are spelled in raw Catalyst — and
+    // GraftExtensionsSpec pins SQL ≡ DataFrame-builder equality, so the
+    // two spellings cannot drift unnoticed.
+    ext.injectFunction((
+      FunctionIdentifier("hash60"),
+      new ExpressionInfo(
+        graft.operators.TextAnalysisQueries.getClass.getName, "hash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"hash60(x) takes 1 argument, got ${args.length}")
+        // top 60 bits of md5 — TextAnalysisQueries.hash60's tree
+        Cast(Conv(Substring(Md5(Cast(args(0), StringType)),
+          Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("phash_bands"),
+      new ExpressionInfo(
+        graft.operators.MultimodalQueries.getClass.getName, "phash_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"phash_bands(lo, hi) takes 2 arguments, got ${args.length}")
+        val Seq(lo, hi) = args.map(Cast(_, LongType))
+        // MultimodalQueries.phashBandChunks's tree: 8 (band, chunk)
+        // structs, 4 byte-chunks per 32-bit word
+        CreateArray((0 until 8).map { b =>
+          val word = if (b < 4) lo else hi
+          val shift = 8 * (b % 4)
+          CreateNamedStruct(Seq(
+            Literal("band"), Literal(b),
+            Literal("chunk"),
+            BitwiseAnd(ShiftRight(word, Literal(shift)), Literal(255L))))
+        })
       }))
   }
 }

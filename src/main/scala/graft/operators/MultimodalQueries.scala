@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -595,19 +595,28 @@ object MultimodalQueries {
       .mapPartitions(_.map(id => (id, syntheticPng(id)))))
   }
 
-  /** The 8×8-bit band explode over a (media_id, lo, hi) frame — the
-    * d05 LSH shape, shared by the self-join gate and the screen.
-    * 8 bands guarantee (pigeonhole) that any pair within Hamming ≤ 7
-    * shares an exact chunk — a strict superset of the ≤ 4 verify
-    * threshold, so candidate generation cannot drop a true near-dup.
+  /** The 8×8-bit band chunks of a two-word (lo, hi) 64-bit hash, as an
+    * array of (band, chunk) structs — the column-level LSH banding
+    * primitive ([[phashBanded]] explodes it; GraftExtensions registers
+    * it as the SQL function `phash_bands`, so pure-SQL pipelines band
+    * with the same expression tree). 8 bands guarantee (pigeonhole)
+    * that any pair within Hamming ≤ 7 shares an exact chunk — a strict
+    * superset of the ≤ 4 verify threshold, so candidate generation
+    * cannot drop a true near-dup.
+    */
+  private[graft] def phashBandChunks(lo: Column, hi: Column): Column =
+    array((0 until 8).map(b =>
+      struct(lit(b).as("band"),
+        (if (b < 4) shiftright(lo, 8 * b)
+         else shiftright(hi, 8 * (b - 4))).bitwiseAND(lit(255L))
+          .as("chunk"))): _*)
+
+  /** The band explode over a (media_id, lo, hi) frame — the d05 LSH
+    * shape, shared by the self-join gate and the screen.
     */
   private[graft] def phashBanded(df: DataFrame): DataFrame =
     df.select(col("media_id"), col("lo"), col("hi"),
-      explode(array((0 until 8).map(b =>
-        struct(lit(b).as("band"),
-          expr(if (b < 4) s"(lo >> ${8 * b}) & 255"
-               else s"(hi >> ${8 * (b - 4)}) & 255").as("chunk"))): _*))
-        .as("bucket"))
+      explode(phashBandChunks(col("lo"), col("hi"))).as("bucket"))
 
   /** Screen `incoming` hashes against a (small, broadcast) `index` of
     * existing-corpus hashes: banded candidates + exact Hamming ≤ 4 —

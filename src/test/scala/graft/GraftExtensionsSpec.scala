@@ -75,6 +75,55 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a loud literal-parameter error, got: ${e.getMessage}")
   }
 
+  test("hash60 is callable from pure SQL and matches the shared builder") {
+    import org.apache.spark.sql.functions.col
+    val sql = spark.sql("SELECT hash60(id) AS h FROM range(5)")
+      .collect().map(_.getLong(0)).toSeq
+    val api = spark.range(5)
+      .select(graft.operators.TextAnalysisQueries.hash60(col("id")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(sql == api && sql.forall(_ >= 0L), s"SQL $sql != API $api")
+    // the documented cross-engine definition: top 60 bits of md5
+    val one = spark.sql(
+      "SELECT hash60('x') = CAST(conv(substring(md5('x'), 1, 15), 16, 10)" +
+        " AS BIGINT) AS ok").head().getBoolean(0)
+    assert(one)
+  }
+
+  test("minhash_agg is callable from SQL as an aggregate and matches the API") {
+    import org.apache.spark.sql.functions.col
+    val sql = spark.sql(
+      "SELECT minhash_agg(CAST(id AS BIGINT), 4, 42, 2038074743) AS sig " +
+        "FROM range(100)").head().getSeq[Long](0)
+    val api = spark.range(100)
+      .select(graft.functions.MinHashAgg.minhash(
+        col("id"), 4, 42L, 2038074743L).as("sig"))
+      .head().getSeq[Long](0)
+    assert(sql.length == 4 && sql == api, s"SQL $sql != API $api")
+  }
+
+  test("phash_bands is callable from SQL and matches the banding the mm07 gate uses") {
+    import org.apache.spark.sql.functions.{col, explode, lit}
+    // the mm07 two-word layout: lo/hi each hold 32 bits of the hash
+    val lo = 0x12345678L
+    val hi = 0x0FEDCBA9L
+    val sql = spark.sql(
+      s"SELECT explode(phash_bands(${lo}L, ${hi}L)) AS bucket")
+      .select(col("bucket.band"), col("bucket.chunk"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val api = spark.range(1)
+      .select(explode(graft.operators.MultimodalQueries.phashBandChunks(
+        lit(lo), lit(hi))).as("bucket"))
+      .select(col("bucket.band"), col("bucket.chunk"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(sql == api && sql.length == 8, s"SQL $sql != API $api")
+    // 8×8-bit reconstruction: chunks reassemble the two words exactly
+    val rebuiltLo = sql.filter(_._1 < 4).map { case (b, c) => c << (8 * b) }.sum
+    val rebuiltHi = sql.filter(_._1 >= 4)
+      .map { case (b, c) => c << (8 * (b - 4)) }.sum
+    assert(rebuiltLo == lo && rebuiltHi == hi)
+  }
+
   test("the TopKPerKey strategy is injected at session build") {
     import spark.implicits._
     val df = Seq(("a", 3L), ("a", 1L), ("a", 2L), ("b", 9L), ("b", 8L))
