@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, Cast, Conv, CreateArray, CreateNamedStruct, Expression, ExpressionInfo, Literal, Md5, ShiftRight, Substring}
+import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast, Conv, CreateArray, CreateNamedStruct, Expression, ExpressionInfo, Literal, Md5, Multiply, ShiftRight, Substring}
 import org.apache.spark.sql.types.{LongType, StringType}
 
 /** SparkSessionExtensions entry point — the standard deployment hook
@@ -90,7 +90,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litNum(args(3), "prime")).toAggregateExpression()
       }))
 
-    // The composite-Column workhorses (hash60, the 8×8-bit banding).
+    // The composite-Column workhorses (hash60, the 5-band hash banding).
     // These cannot round-trip through the Column bridge inside a
     // function builder (a `functions._`-built Column is an unresolved
     // ColumnNode here, which the analyzer won't resolve mid-injection),
@@ -117,16 +117,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           s"phash_bands(lo, hi) takes 2 arguments, got ${args.length}")
         val Seq(lo, hi) = args.map(Cast(_, LongType))
-        // MultimodalQueries.phashBandChunks's tree: 8 (band, chunk)
-        // structs, 4 byte-chunks per 32-bit word
-        CreateArray((0 until 8).map { b =>
-          val word = if (b < 4) lo else hi
-          val shift = 8 * (b % 4)
+        // MultimodalQueries.phashBandChunks's tree: 5 disjoint bands of
+        // 13/13/13/13/12 bits (pigeonhole-complete for Hamming <= 4;
+        // band 2 straddles the two 32-bit words)
+        def entry(b: Int, chunk: Expression) =
           CreateNamedStruct(Seq(
-            Literal("band"), Literal(b),
-            Literal("chunk"),
-            BitwiseAnd(ShiftRight(word, Literal(shift)), Literal(255L))))
-        })
+            Literal("band"), Literal(b), Literal("chunk"), chunk))
+        CreateArray(Seq(
+          entry(0, BitwiseAnd(lo, Literal(8191L))),
+          entry(1, BitwiseAnd(ShiftRight(lo, Literal(13)), Literal(8191L))),
+          entry(2, Add(
+            BitwiseAnd(ShiftRight(lo, Literal(26)), Literal(63L)),
+            Multiply(BitwiseAnd(hi, Literal(127L)), Literal(64L)))),
+          entry(3, BitwiseAnd(ShiftRight(hi, Literal(7)), Literal(8191L))),
+          entry(4, BitwiseAnd(ShiftRight(hi, Literal(20)), Literal(4095L)))))
       }))
   }
 }

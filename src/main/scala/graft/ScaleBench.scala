@@ -85,9 +85,14 @@ object ScaleBench {
       "t22_bigram_perplexity",
       // mm07: replica ids synthesize N× DISTINCT images (the hash
       // depends on doc_id), so decode work grows N× and the banded
-      // join's bucket populations grow N× under fixed 16-bit chunks —
+      // join's bucket populations grow N× under fixed 8-bit chunks —
       // the regime where per-bucket pair counts, not pixels, set cost
-      "mm07_phash_neardup")
+      "mm07_phash_neardup",
+      // the production lever for that regime: skip band buckets above
+      // 500 members (hyper-duplicated classes are d01 exact-dedup's
+      // job, not the pairwise verifier's), bounding emitted pairs at
+      // cap²/2 per bucket no matter how duplicated the corpus gets
+      "mm07_phash_neardup@cap500")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
@@ -206,7 +211,17 @@ object ScaleBench {
           spark.read.parquet(s"$workDir/$t.parquet").count())
       }.toMap
 
-    val rows = queries.map { n =>
+    val rows = queries.map { n0 =>
+      // "query@capN" variants run the same gated query under
+      // spark.graft.phashBucketCap=N — the hot-bucket lever measured
+      // beside its uncapped cell
+      val (n, cap) = n0.split("@cap") match {
+        case Array(q, c) => (q, Some(c.toLong))
+        case _           => (n0, None)
+      }
+      cap.foreach(c =>
+        spark.conf.set("spark.graft.phashBucketCap", c.toString))
+      try {
       val x1 = runMin2(n, baseDir)
       // size d13's bloom to its corpus, as production would: the xN run
       // sketches N× the distinct segments, so m grows N× to keep the
@@ -228,7 +243,9 @@ object ScaleBench {
           finally spark.conf.unset("spark.graft.benchMaxDocId")
         } else runMin2(n, workDir)
       val (r1, rn) = rowCounts(tableOf(n))
-      (n, x1, xn, xn / x1, r1 / x1 / 1000.0, rn / xn / 1000.0)
+      (n0, x1, xn, xn / x1, r1 / x1 / 1000.0, rn / xn / 1000.0)
+      } finally cap.foreach(_ =>
+        spark.conf.unset("spark.graft.phashBucketCap"))
     }
     val qs = rows.map { case (n, x1, xn, r, k1, kn) =>
       f""""$n":{"x1":$x1%.3f,"x$copies":$xn%.3f,"ratio":$r%.2f,"krows_s_x1":$k1%.1f,"krows_s_x$copies":$kn%.1f}"""

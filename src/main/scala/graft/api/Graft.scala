@@ -78,6 +78,32 @@ object Graft {
   def minhashDedup(docs: DataFrame, threshold: Double = 0.8): DataFrame =
     DedupQueries.minhashPairs(docs, threshold)
 
+  /** SimHash near-duplicate pairs: 60-bit token signature, 4×15-bit
+    * band LSH candidates, exact Hamming verify at ≤ `maxHamming`.
+    * Banding is complete for Hamming ≤ 3 and probabilistic beyond —
+    * the conventional SimHash regime (use [[minhashDedup]] for
+    * guaranteed-recall Jaccard dedup).
+    *
+    * Input: (doc_id Long, text String). Output: (da, db, hamming),
+    * da < db, unsorted. Gate: `d05_simhash`.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 8): DataFrame =
+    DedupQueries.simhashPairs(docs, maxHamming)
+
+  /** Near-duplicate CLUSTERS: Jaccard ≥ 0.5 pair graph → connected
+    * components (Shiloach–Vishkin hook + shortcut, O(log n) rounds),
+    * each document labeled with its component's min doc_id — the
+    * canonical-survivor map a dedup pipeline actually emits. The result
+    * is materialized executor-side; reuse the returned handle rather
+    * than recomputing.
+    *
+    * Input: (doc_id Long, text String). Output: (doc_id, canonical_id),
+    * unsorted. Gate: `d06_dedup_clusters` (via its per-(session, dir)
+    * memo over this same body).
+    */
+  def nearDupClusters(docs: DataFrame): DataFrame =
+    DedupQueries.clusterLabelsOf(docs)
+
   /** Cross-corpus fuzzy decontamination: flag training documents whose
     * shingle Jaccard against ANY benchmark document reaches `threshold`.
     * The benchmark side is broadcast (bands and shingle arrays alike),
@@ -102,6 +128,51 @@ object Graft {
   // ------------------------------------------------------------------
   // Quality / text analysis
   // ------------------------------------------------------------------
+
+  /** Per-document token statistics (token/distinct/char counts) — the
+    * cheapest corpus profile. Input: (doc_id, text). Output: (doc_id,
+    * n_tokens, n_distinct, n_chars), unsorted. Gate: `t01_token_stats`.
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    TextAnalysisQueries.tokenStatsOf(docs)
+
+  /** Heuristic quality scoring: mean token length, repetition ratio,
+    * and the 0.2/0.8 composite — the cheap pre-training filter signals.
+    * Input: (doc_id, text). Output: (doc_id, mean_token_len,
+    * repetition, quality), unsorted. Gate: `t02_quality_score`.
+    */
+  def heuristicQuality(docs: DataFrame): DataFrame =
+    TextAnalysisQueries.heuristicQualityOf(docs)
+
+  /** Language ID by stopword-profile hit ratio, argmax over candidate
+    * languages (one explode + broadcast profile join — no per-language
+    * scans). Pass real per-language stopword `profiles` in production;
+    * the default is the gate's test-corpus profile set.
+    * Input: (doc_id, text). Output: (doc_id, predicted_lang, score),
+    * unsorted. Gate: `t03_langid`.
+    */
+  def languageId(docs: DataFrame,
+                 profiles: Seq[(String, Seq[String])] =
+                   TextAnalysisQueries.defaultLangProfiles): DataFrame =
+    TextAnalysisQueries.langIdOf(docs, profiles)
+
+  /** The composite C4-style quality filter: length, mean-token-length,
+    * symbol-ratio, stopword, and top-unigram-repetition rules, emitted
+    * as a rule bitmask + the conjunctive keep decision. One linear
+    * pass, no shuffle. Input: (doc_id, text). Output: (doc_id,
+    * rule_mask, keep), unsorted. Gate: `t15_c4_filter`.
+    */
+  def c4Filter(docs: DataFrame): DataFrame =
+    TextAnalysisQueries.c4FilterOf(docs)
+
+  /** Deterministic stratified 80/10/10 train/val/test assignment by
+    * md5(doc_id) bucket — leakage-free (hash ignores features),
+    * re-run-stable, stratified per source by construction. Returns the
+    * input with a `split` column. Gate: `t16_stratified_split`
+    * (aggregates this assignment into its contingency table).
+    */
+  def assignSplits(docs: DataFrame): DataFrame =
+    TextAnalysisQueries.splitAssigned(docs)
 
   /** Hashed linear quality-classifier inference (the fastText deployment
     * shape): per-token hash bucket → broadcast weight, sigmoid of the

@@ -115,23 +115,35 @@ object DedupQueries {
     val (cached, startGen) = clusterMemo.synchronized(
       (Option(clusterMemo.get(key)), genOf(key)))
     cached.getOrElse {
-      val sh = shingles(s, d).cache()
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("da"), col("s"))
-      val b = sh.select(col("doc_id").as("db"), col("s"))
-      val pairs = a.join(b, Seq("s")).filter(col("da") < col("db"))
-        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-        .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-        .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-        .filter(round(col("c") / (col("na") + col("nb") - col("c")), 4) >= 0.5)
-        .select(col("da"), col("db")).cache()
-      val labels = ConnectedComponents.run(pairs).labels
-        .select(col("doc_id"), col("label").as("canonical_id"))
-      sh.unpersist()
-      pairs.unpersist()
+      val labels = clusterLabelsOf(Tables.documents(s, d))
       putLabelsIfCurrent(s, d, startGen, labels)
       labels
     }
+  }
+
+  /** The label computation proper, over any documents frame — the
+    * [[graft.api.Graft.nearDupClusters]] facade path (unmemoized; the
+    * gate's [[clusterLabels]] wraps it in the per-(session, dir) memo).
+    * Result is materialized executor-side (localCheckpoint inside
+    * ConnectedComponents), so the returned handle is cheap to reuse.
+    */
+  private[graft] def clusterLabelsOf(docs: DataFrame): DataFrame = {
+    val sh = shingleArraysOf(docs)
+      .select(col("doc_id"), explode(col("sh")).as("s")).cache()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("da"), col("s"))
+    val b = sh.select(col("doc_id").as("db"), col("s"))
+    val pairs = a.join(b, Seq("s")).filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .filter(round(col("c") / (col("na") + col("nb") - col("c")), 4) >= 0.5)
+      .select(col("da"), col("db")).cache()
+    val labels = ConnectedComponents.run(pairs).labels
+      .select(col("doc_id"), col("label").as("canonical_id"))
+    sh.unpersist()
+    pairs.unpersist()
+    labels
   }
 
   private[graft] val shinglesSql =
@@ -288,35 +300,44 @@ object DedupQueries {
     * BIGINT in both engines. The whole plan is one groupBy shuffle for
     * the signatures + the band-bucket self-join — no all-pairs work.
     */
+  /** d05's body over any documents frame —
+    * [[graft.api.Graft.simhashNearDups]]. 4×15-bit banding is complete
+    * for Hamming ≤ 3 and probabilistic beyond (the conventional SimHash
+    * LSH regime; recall to the ≤ 8 verify threshold is high but not
+    * guaranteed, unlike mm07's 5-band exact-guarantee scheme). Unsorted.
+    */
+  private[graft] def simhashPairs(docsRaw: DataFrame,
+                                  maxHamming: Int = 8): DataFrame = {
+    val toks = docsRaw
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until 60).map { k =>
+      sum(when(expr(s"((h >> $k) & 1) = 1"), 1).otherwise(-1)).as(s"b$k")
+    }
+    val sig = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(k =>
+          when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L))
+          .reduce(_ bitwiseOR _).as("simhash"))
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(bnd =>
+        struct(lit(bnd).as("band"),
+          expr(s"(simhash >> ${bnd * 15}) & 32767").as("chunk"))): _*))
+        .as("bucket"))
+    banded.alias("x")
+      .join(banded.alias("y"), col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   val d05SimHash = QueryDef(
     "d05_simhash",
-    (s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
-      val bitSums = (0 until 60).map { k =>
-        sum(when(expr(s"((h >> $k) & 1) = 1"), 1).otherwise(-1)).as(s"b$k")
-      }
-      val sig = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 60).map(k =>
-            when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L))
-            .reduce(_ bitwiseOR _).as("simhash"))
-      val banded = sig.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(bnd =>
-          struct(lit(bnd).as("band"),
-            expr(s"(simhash >> ${bnd * 15}) & 32767").as("chunk"))): _*))
-          .as("bucket"))
-      banded.alias("x")
-        .join(banded.alias("y"), col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-          expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 8)
-        .orderBy(col("da"), col("db"))
-    },
+    (s, d) => graft.api.Graft.simhashNearDups(Tables.documents(s, d))
+      .orderBy(col("da"), col("db")),
     Some {
       val bitSumsSql = (0 until 60)
         .map(k => s"sum(CASE WHEN ((h >> $k) & 1) = 1 THEN 1 ELSE -1 END) AS b$k")

@@ -515,13 +515,13 @@ object MultimodalQueries {
     * (S·w·h > total·N), so no double division can round differently
     * anywhere. The 64 bits pack into two 32-bit words (`lo`/`hi`, the
     * e20 layout). Stage 2 is the d05 scale shape: band the hash into
-    * 8×8-bit chunks, self-join only within equal chunks (LSH — any
-    * pair at Hamming ≤ 7 shares at least one exact chunk by
-    * pigeonhole over 8 bands, so the ≤ 4 verify threshold has FULL
-    * recall; 4×16-bit bands would only guarantee ≤ 3 and silently
-    * drop a pair with one differing bit per band), verify candidates
-    * by exact Hamming (xor+popcount), keep pairs ≤ 4. At 100 TB:
-    * decode is a linear
+    * 5 chunks of 13/13/13/13/12 bits ([[phashBandChunks]]), self-join
+    * only within equal chunks (LSH — any pair at Hamming ≤ 4 shares
+    * at least one exact chunk by pigeonhole over 5 disjoint bands, so
+    * the ≤ 4 verify threshold has FULL recall; 4×16-bit bands would
+    * only guarantee ≤ 3 and silently drop a pair with one differing
+    * bit per band), verify candidates by exact Hamming (xor+popcount),
+    * keep pairs ≤ 4. At 100 TB: decode is a linear
     * per-row pass, the join is banded (never all-pairs), and the
     * 8-byte hashes are what shuffles — not pixels. Oracle: the full
     * pipeline recomputed from the generation formula (blocks, bits,
@@ -595,21 +595,40 @@ object MultimodalQueries {
       .mapPartitions(_.map(id => (id, syntheticPng(id)))))
   }
 
-  /** The 8×8-bit band chunks of a two-word (lo, hi) 64-bit hash, as an
-    * array of (band, chunk) structs — the column-level LSH banding
-    * primitive ([[phashBanded]] explodes it; GraftExtensions registers
-    * it as the SQL function `phash_bands`, so pure-SQL pipelines band
-    * with the same expression tree). 8 bands guarantee (pigeonhole)
-    * that any pair within Hamming ≤ 7 shares an exact chunk — a strict
-    * superset of the ≤ 4 verify threshold, so candidate generation
-    * cannot drop a true near-dup.
+  /** The 5-band (13/13/13/13/12-bit) chunks of a two-word (lo, hi)
+    * 64-bit hash, as an array of (band, chunk) structs — the
+    * column-level LSH banding primitive ([[phashBanded]] explodes it;
+    * GraftExtensions registers it as the SQL function `phash_bands`,
+    * so pure-SQL pipelines band with the same expression tree).
+    *
+    * 5 disjoint bands covering all 64 bits are pigeonhole-complete for
+    * Hamming ≤ 4 — EXACTLY the verify threshold, so candidate
+    * generation cannot drop a true near-dup (round 7's 4×16-bit bands
+    * only guaranteed ≤ 3 and silently dropped distance-4 pairs with
+    * one differing bit per band). Width matters for scale: 13-bit
+    * chunks give 8192-value buckets per band, vs an 8×8-bit scheme
+    * (also complete, guaranteeing ≤ 7) whose 256-value chunks would
+    * collide two random hashes ~3% of the time and blow the candidate
+    * volume up ~50× at corpus scale. Minimum bands for the guarantee,
+    * maximum bits per band — the standard LSH dial.
+    *
+    * Band 2 straddles the two 32-bit words (lo bits 26–31 ‖ hi bits
+    * 0–6); every intermediate stays non-negative, so the arithmetic is
+    * engine-portable without unsigned-shift concerns.
     */
   private[graft] def phashBandChunks(lo: Column, hi: Column): Column =
-    array((0 until 8).map(b =>
-      struct(lit(b).as("band"),
-        (if (b < 4) shiftright(lo, 8 * b)
-         else shiftright(hi, 8 * (b - 4))).bitwiseAND(lit(255L))
-          .as("chunk"))): _*)
+    array(
+      struct(lit(0).as("band"),
+        lo.bitwiseAND(lit(8191L)).as("chunk")),
+      struct(lit(1).as("band"),
+        shiftright(lo, 13).bitwiseAND(lit(8191L)).as("chunk")),
+      struct(lit(2).as("band"),
+        (shiftright(lo, 26).bitwiseAND(lit(63L)) +
+          hi.bitwiseAND(lit(127L)) * lit(64L)).as("chunk")),
+      struct(lit(3).as("band"),
+        shiftright(hi, 7).bitwiseAND(lit(8191L)).as("chunk")),
+      struct(lit(4).as("band"),
+        shiftright(hi, 20).bitwiseAND(lit(4095L)).as("chunk")))
 
   /** The band explode over a (media_id, lo, hi) frame — the d05 LSH
     * shape, shared by the self-join gate and the screen.
@@ -715,9 +734,12 @@ object MultimodalQueries {
            |  FROM blocks b JOIN totals USING (media_id) GROUP BY b.media_id),
            |banded AS (
            |  SELECT media_id, lo, hi, band,
-           |    CASE WHEN band < 4 THEN (lo >> (8 * band)) & 255
-           |         ELSE (hi >> (8 * (band - 4))) & 255 END AS chunk
-           |  FROM packed, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) b),
+           |    CASE WHEN band = 0 THEN lo & 8191
+           |         WHEN band = 1 THEN (lo >> 13) & 8191
+           |         WHEN band = 2 THEN ((lo >> 26) & 63) + (hi & 127) * 64
+           |         WHEN band = 3 THEN (hi >> 7) & 8191
+           |         ELSE (hi >> 20) & 4095 END AS chunk
+           |  FROM packed, (SELECT unnest([0, 1, 2, 3, 4]) AS band) b),
            |cand AS (
            |  SELECT DISTINCT x.media_id AS ma, y.media_id AS mb,
            |    CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming

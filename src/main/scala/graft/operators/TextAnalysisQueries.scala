@@ -25,16 +25,18 @@ object TextAnalysisQueries {
     s"('0x' || substr(md5(cast($expr AS VARCHAR)), 1, 15))::BIGINT"
 
   /** Token counting: whitespace tokens + distinct counts. */
+  /** t01's body over any documents frame — [[graft.api.Graft.tokenStats]]. */
+  private[graft] def tokenStatsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
+      length(col("text")).cast("long").as("n_chars"))
+
   val t01TokenStats = QueryDef(
     "t01_token_stats",
-    (s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
-          length(col("text")).cast("long").as("n_chars"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => graft.api.Graft.tokenStats(Tables.documents(s, d))
+      .orderBy(col("doc_id")),
     Some("""SELECT doc_id,
            |  len(string_split(text, ' ')) AS n_tokens,
            |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
@@ -45,20 +47,25 @@ object TextAnalysisQueries {
     * total), and a composite score — the usual cheap pre-training
     * filters.
     */
+  /** t02's body over any documents frame —
+    * [[graft.api.Graft.heuristicQuality]].
+    */
+  private[graft] def heuristicQualityOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = size(split(col("text"), " ")).cast("double")
+    val dist = size(array_distinct(split(col("text"), " "))).cast("double")
+    val meanLen = (length(col("text")).cast("double") - toks + 1) / toks
+    val repetition = lit(1.0) - dist / toks
+    docs.select(col("doc_id"),
+      round(meanLen, 4).as("mean_token_len"),
+      round(repetition, 4).as("repetition"),
+      round(meanLen * 0.2 + (lit(1.0) - repetition) * 0.8, 4).as("quality"))
+  }
+
   val t02QualityScore = QueryDef(
     "t02_quality_score",
-    (s, d) => {
-      val toks = size(split(col("text"), " ")).cast("double")
-      val dist = size(array_distinct(split(col("text"), " "))).cast("double")
-      val meanLen = (length(col("text")).cast("double") - toks + 1) / toks
-      val repetition = lit(1.0) - dist / toks
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          round(meanLen, 4).as("mean_token_len"),
-          round(repetition, 4).as("repetition"),
-          round(meanLen * 0.2 + (lit(1.0) - repetition) * 0.8, 4).as("quality"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => graft.api.Graft.heuristicQuality(Tables.documents(s, d))
+      .orderBy(col("doc_id")),
     Some("""SELECT doc_id,
            |  round((length(text) - len(string_split(text, ' ')) + 1.0)
            |        / len(string_split(text, ' ')), 4) AS mean_token_len,
@@ -75,34 +82,44 @@ object TextAnalysisQueries {
     * prediction = argmax (ties → lexicographically first). Pure
     * relational logic — one explode + broadcast join + argmax at scale.
     */
+  /** t03's body over any documents frame — [[graft.api.Graft.languageId]].
+    * The default profiles are the gate's test-corpus stopword sets; a
+    * production caller passes real per-language stopword profiles.
+    */
+  private[graft] val defaultLangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "order", "group"),
+    "de" -> Seq("der", "die", "das", "und", "customer", "hash"),
+    "es" -> Seq("el", "la", "de", "y", "slow", "agg"),
+    "fr" -> Seq("le", "la", "de", "et", "scan", "data"),
+    "zh" -> Seq("de", "shi", "le", "join", "small", "column"))
+
+  private[graft] def langIdOf(docs: org.apache.spark.sql.DataFrame,
+                              langProfiles: Seq[(String, Seq[String])])
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val profiles = langProfiles
+      .flatMap { case (l, ws) => ws.map(w => (l, w)) }
+      .toDF("cand_lang", "tok")
+    val toks = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
+        explode(split(col("text"), " ")).as("tok"))
+    val hits = toks.join(broadcast(profiles), Seq("tok"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("cand_lang"))
+      .agg(count(lit(1)).as("hits"))
+      .withColumn("score", round(col("hits") / col("n_tokens"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand_lang"))
+    hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("predicted_lang"), col("score"))
+  }
+
   val t03LangId = QueryDef(
     "t03_langid",
-    (s, d) => {
-      val spark = s
-      import spark.implicits._
-      val profiles = Seq(
-        "en" -> Seq("the", "a", "of", "and", "order", "group"),
-        "de" -> Seq("der", "die", "das", "und", "customer", "hash"),
-        "es" -> Seq("el", "la", "de", "y", "slow", "agg"),
-        "fr" -> Seq("le", "la", "de", "et", "scan", "data"),
-        "zh" -> Seq("de", "shi", "le", "join", "small", "column"))
-        .flatMap { case (l, ws) => ws.map(w => (l, w)) }
-        .toDF("cand_lang", "tok")
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
-          explode(split(col("text"), " ")).as("tok"))
-      val hits = toks.join(broadcast(profiles), Seq("tok"))
-        .groupBy(col("doc_id"), col("n_tokens"), col("cand_lang"))
-        .agg(count(lit(1)).as("hits"))
-        .withColumn("score", round(col("hits") / col("n_tokens"), 6))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("cand_lang"))
-      hits.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("cand_lang").as("predicted_lang"), col("score"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => graft.api.Graft.languageId(Tables.documents(s, d))
+      .orderBy(col("doc_id")),
     Some("""WITH profiles(cand_lang, tok) AS (VALUES
            |  ('en','the'),('en','a'),('en','of'),('en','and'),('en','order'),('en','group'),
            |  ('de','der'),('de','die'),('de','das'),('de','und'),('de','customer'),('de','hash'),
@@ -611,16 +628,16 @@ object TextAnalysisQueries {
     * exchange is the gate's output sort. The filter composition a real
     * pipeline runs FIRST, before any pairwise dedup.
     */
-  val t15C4Filter = QueryDef(
-    "t15_c4_filter",
-    (s, d) => {
+  /** t15's body over any documents frame — [[graft.api.Graft.c4Filter]]. */
+  private[graft] def c4FilterOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       val toks = size(split(col("text"), " ")).cast("double")
       val meanLen = (length(col("text")).cast("double") - toks + 1) / toks
       val symbolRatio =
         (length(col("text")) -
           length(regexp_replace(col("text"), lit("[^a-z0-9 ]"), lit(""))))
           .cast("double") / length(col("text"))
-      Tables.documents(s, d)
+      docs
         .withColumn("toksArr", split(col("text"), " "))
         // max multiplicity = longest run in the SORTED token array: one
         // O(n log n) sort + one linear aggregate pass, instead of the
@@ -650,8 +667,12 @@ object TextAnalysisQueries {
             when(col("r_rep"), 16).otherwise(0)).cast("long").as("rule_mask"),
           (col("r_len") && col("r_mean") && col("r_sym") &&
             col("r_stop") && col("r_rep")).as("keep"))
-        .orderBy(col("doc_id"))
-    },
+  }
+
+  val t15C4Filter = QueryDef(
+    "t15_c4_filter",
+    (s, d) => graft.api.Graft.c4Filter(Tables.documents(s, d))
+      .orderBy(col("doc_id")),
     Some("""WITH uni AS (
            |  SELECT doc_id, max(c) / (max(n) * 1.0) AS top_uni FROM (
            |    SELECT doc_id, n, tok, count(*) AS c FROM (
@@ -686,19 +707,25 @@ object TextAnalysisQueries {
     * proportions, so no domain drifts between splits). Emits the
     * (source, split) contingency table. One linear pass + a tiny agg.
     */
+  /** The per-doc deterministic 80/10/10 split assignment — what a user
+    * actually joins into a pipeline ([[graft.api.Graft.assignSplits]]);
+    * the t16 gate aggregates it into the contingency table.
+    */
+  private[graft] def splitAssigned(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bucket = pmod(hash60(col("doc_id")), lit(10L))
+    docs.withColumn("split",
+      when(bucket <= 7, "train").when(bucket === 8, "val")
+        .otherwise("test"))
+  }
+
   val t16StratifiedSplit = QueryDef(
     "t16_stratified_split",
-    (s, d) => {
-      val bucket = pmod(hash60(col("doc_id")), lit(10L))
-      Tables.documents(s, d)
-        .withColumn("split",
-          when(bucket <= 7, "train").when(bucket === 8, "val")
-            .otherwise("test"))
-        .groupBy(col("source"), col("split"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
-        .orderBy(col("source"), col("split"))
-    },
+    (s, d) => graft.api.Graft.assignSplits(Tables.documents(s, d))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      .orderBy(col("source"), col("split")),
     Some(s"""WITH bucketed AS (
             |  SELECT source, text,
             |    ${hash60Sql("doc_id")} % 10 AS b

@@ -18,7 +18,7 @@ object MediaStreams {
     * micro-batch decodes and hashes its own payloads with the exact
     * gated aHash ([[graft.operators.MultimodalQueries.aHash]] — shared
     * code, so stream and batch hash identically by construction), then
-    * runs the gated banded screen (`phashScreen`: 8×8-bit chunk LSH
+    * runs the gated banded screen (`phashScreen`: 5-band 13/12-bit chunk LSH
     * candidates against the broadcast index, exact Hamming ≤ 4
     * verify). No stream state; pixels never leave the arriving batch's
     * partitions — only 8-byte hashes meet the index. `index` is a

@@ -116,11 +116,12 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         lit(lo), lit(hi))).as("bucket"))
       .select(col("bucket.band"), col("bucket.chunk"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-    assert(sql == api && sql.length == 8, s"SQL $sql != API $api")
-    // 8×8-bit reconstruction: chunks reassemble the two words exactly
-    val rebuiltLo = sql.filter(_._1 < 4).map { case (b, c) => c << (8 * b) }.sum
-    val rebuiltHi = sql.filter(_._1 >= 4)
-      .map { case (b, c) => c << (8 * (b - 4)) }.sum
+    assert(sql == api && sql.length == 5, s"SQL $sql != API $api")
+    // 5-band (13/13/13/13/12-bit) reconstruction: the disjoint chunks
+    // reassemble the two 32-bit words exactly (band 2 straddles them)
+    val m = sql.toMap
+    val rebuiltLo = m(0) | (m(1) << 13) | ((m(2) & 63L) << 26)
+    val rebuiltHi = (m(2) >> 6) | (m(3) << 7) | (m(4) << 20)
     assert(rebuiltLo == lo && rebuiltHi == hi)
   }
 

@@ -68,6 +68,36 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       == rows(gate("d15_cross_decontamination")))
   }
 
+  test("simhashNearDups equals the d05 gate") {
+    assert(rows(Graft.simhashNearDups(docs)) == rows(gate("d05_simhash")))
+  }
+
+  test("nearDupClusters equals the d06 gate") {
+    assert(rows(Graft.nearDupClusters(docs))
+      == rows(gate("d06_dedup_clusters")))
+  }
+
+  test("tokenStats / heuristicQuality / languageId / c4Filter equal their gates") {
+    assert(rows(Graft.tokenStats(docs)) == rows(gate("t01_token_stats")))
+    assert(rows(Graft.heuristicQuality(docs))
+      == rows(gate("t02_quality_score")))
+    assert(rows(Graft.languageId(docs)) == rows(gate("t03_langid")))
+    assert(rows(Graft.c4Filter(docs)) == rows(gate("t15_c4_filter")))
+  }
+
+  test("assignSplits aggregates to the t16 gate's contingency table") {
+    val agg = Graft.assignSplits(docs)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+    assert(rows(agg) == rows(gate("t16_stratified_split")))
+    // per-doc: every doc gets exactly one split, all three present
+    val splits = Graft.assignSplits(docs).groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits.values.sum == docs.count())
+  }
+
   test("qualityClassify equals the t21 gate") {
     assert(rows(Graft.qualityClassify(docs))
       == rows(gate("t21_quality_classifier")))

@@ -147,7 +147,7 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("round-7-final ops have the plans their scale claims require") {
     val d = "/root/testdata/sf0.001"
-    // mm07: candidate generation is the BANDED equi-join on the 8-bit
+    // mm07: candidate generation is the BANDED equi-join on the 13/12-bit
     // chunk — hashes shuffle, pixels never do, and nothing may fall
     // back to all-pairs probing
     val mm07 = MultimodalQueries.mm07PerceptualHashDedup.fn(spark, d)
