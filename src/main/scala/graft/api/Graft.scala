@@ -125,9 +125,67 @@ object Graft {
     DedupQueries.decontScreen(trainSigs, benchSigs, threshold)
   }
 
+  /** Cross-document substring (word 5-gram) dedup: flag `window`-grams
+    * shared by ≥ 2 documents, report each document's duplicated-token
+    * coverage and the md5 of its scrubbed text. One map-side-combinable
+    * shuffle on the gram hash.
+    *
+    * Input: (doc_id Long, text String). Output: (doc_id, n_tokens,
+    * n_flagged_grams, covered_tokens, covered_frac, cleaned_md5),
+    * unsorted. Gate: `d12_substring_dedup`.
+    */
+  def substringDedup(docs: DataFrame, window: Int = 5): DataFrame =
+    DedupQueries.substringScrub(docs, window)
+
+  /** (doc_id, h) md5 hashes of each document's 10-token segments — the
+    * unit the incremental Bloom dedup operates on.
+    * Gate: `d13_bloom_incremental` (via [[bloomSketch]]/[[bloomScreen]]).
+    */
+  def segmentHashes(docs: DataFrame): DataFrame =
+    DedupQueries.BloomSketch.segmentHashesOf(docs)
+
+  /** Bloom sketch of a segment-hash set as (w, word) rows — ≤ mBits/32
+    * of them, bit_or-mergeable: merging two sketches on `w` yields
+    * exactly the sketch of the union (the incremental-ingest property,
+    * spec-proven). Size `mBits` to the corpus (~10 bits per expected
+    * distinct segment for ~1% FP at 3 hashes).
+    */
+  def bloomSketch(segHashes: DataFrame,
+                  mBits: Int = DedupQueries.BloomSketch.mBitsDefault)
+      : DataFrame =
+    DedupQueries.BloomSketch.sketchOf(segHashes, mBits)
+
+  /** Screen an arriving batch against an existing corpus's broadcast
+    * [[bloomSketch]]: (doc_id, h, bloom_hit) per batch segment. Exact
+    * verification of the hit minority (a join against the corpus
+    * segments) is the caller's second stage — work proportional to the
+    * hits, never the corpus.
+    *
+    * Input: batch documents (doc_id, text) + the sketch frame.
+    * Gate: `d13_bloom_incremental` (routes its probe stage through
+    * this).
+    */
+  def bloomScreen(batch: DataFrame, sketch: DataFrame,
+                  mBits: Int = DedupQueries.BloomSketch.mBitsDefault)
+      : DataFrame =
+    DedupQueries.BloomSketch.probe(segmentHashes(batch), sketch, mBits)
+
   // ------------------------------------------------------------------
   // Quality / text analysis
   // ------------------------------------------------------------------
+
+  /** Deterministic greedy packing of documents into fixed-`budget`
+    * token training sequences: global running token offset via
+    * per-partition prefix sums + broadcast partition offsets (no
+    * single-partition sort), then sequence id = offset / budget.
+    * Returns the per-sequence manifest.
+    *
+    * Input: (doc_id Long, text String). Output: (seq_id, n_docs,
+    * n_tokens, first_doc, last_doc), unsorted.
+    * Gate: `t11_sequence_packing`.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 2048): DataFrame =
+    TextAnalysisQueries.packSequencesOf(docs, budget)
 
   /** Per-document token statistics (token/distinct/char counts) — the
     * cheapest corpus profile. Input: (doc_id, text). Output: (doc_id,

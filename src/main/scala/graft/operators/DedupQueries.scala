@@ -769,12 +769,14 @@ object DedupQueries {
     * explodes. Intra-doc repeats are d11's job; this flags only
     * cross-doc spans (count(DISTINCT doc_id) >= 2).
     */
-  val d12SubstringDedup: QueryDef = {
-    val W = 5
-    QueryDef(
-      "d12_substring_dedup",
-      (s, d) => {
-        val toks = Tables.documents(s, d)
+  /** d12's body over any documents frame —
+    * [[graft.api.Graft.substringDedup]]: flag word `W`-grams shared
+    * across documents, report per-doc coverage and the md5 of the
+    * scrubbed text. Unsorted.
+    */
+  private[graft] def substringScrub(docsRaw: DataFrame,
+                                    W: Int = 5): DataFrame = {
+        val toks = docsRaw
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .withColumn("n", size(col("toks")))
         val grams = toks.filter(col("n") >= W)
@@ -811,8 +813,14 @@ object DedupQueries {
             round(col("covered") / col("n").cast("double"), 4)
               .as("covered_frac"),
             md5(col("cleaned")).as("cleaned_md5"))
-          .orderBy(col("doc_id"))
-      },
+  }
+
+  val d12SubstringDedup: QueryDef = {
+    val W = 5
+    QueryDef(
+      "d12_substring_dedup",
+      (s, d) => graft.api.Graft.substringDedup(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
       Some(s"""WITH toks AS (
              |  SELECT doc_id, string_split(text, ' ') AS toks,
              |    len(string_split(text, ' ')) AS n
@@ -941,6 +949,26 @@ object DedupQueries {
         .groupBy((col("pos") / 32).cast("int").as("w"))
         .agg(expr("bit_or(shiftleft(cast(1 as bigint), " +
           "cast(pos % 32 as int)))").as("word"))
+
+    /** Probe a batch's (doc_id, h) segment hashes against a broadcast
+      * sketch: 3 positions per segment, a segment hits iff all 3 bits
+      * are set. Returns (doc_id, h, bloom_hit) — the
+      * [[graft.api.Graft.bloomScreen]] facade path; the d13 gate
+      * exact-verifies the hit minority on top of this.
+      */
+    def probe(batchSegs: DataFrame, sketch: DataFrame,
+              mBits: Int = mBitsDefault): DataFrame =
+      batchSegs
+        .select(col("doc_id"), col("h"),
+          explode(array(seeds.map(k => expr(posExpr(k, mBits))): _*))
+            .as("pos"))
+        .withColumn("w", (col("pos") / 32).cast("int"))
+        .withColumn("mask", expr(
+          "shiftleft(cast(1 as bigint), cast(pos % 32 as int))"))
+        .join(broadcast(sketch), Seq("w"), "left")
+        .groupBy(col("doc_id"), col("h"))
+        .agg(expr("bool_and(coalesce((word & mask) = mask, false))")
+          .as("bloom_hit"))
   }
 
   val d13BloomIncremental: QueryDef = {
@@ -955,19 +983,9 @@ object DedupQueries {
         // sketch build: one narrow shuffle onto <= mBits/32 word rows
         val sketch = sketchOf(corpusSegs, mBits)
         val batchSegs = segmentHashesOf(docs.filter(col("doc_id") % 5 === 4))
-        // probe: 3 rows per segment against the broadcast word table;
-        // a position hits iff its bit is set, a segment hits iff all 3 do
-        val probes = batchSegs
-          .select(col("doc_id"), col("h"),
-            explode(array(seeds.map(k => expr(posExpr(k, mBits))): _*))
-              .as("pos"))
-          .withColumn("w", (col("pos") / 32).cast("int"))
-          .withColumn("mask", expr(
-            "shiftleft(cast(1 as bigint), cast(pos % 32 as int))"))
-          .join(broadcast(sketch), Seq("w"), "left")
-          .groupBy(col("doc_id"), col("h"))
-          .agg(expr("bool_and(coalesce((word & mask) = mask, false))")
-            .as("bloom_hit"))
+        // probe: 3 rows per segment against the broadcast word table
+        // (shared with the Graft.bloomScreen facade)
+        val probes = probe(batchSegs, sketch, mBits)
         // exact verify ONLY the bloom-hit minority
         val verified = probes.filter(col("bloom_hit"))
           .join(corpusSegs.withColumn("in_corpus", lit(true)), Seq("h"), "left")

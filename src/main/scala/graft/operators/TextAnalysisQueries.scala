@@ -439,11 +439,16 @@ object TextAnalysisQueries {
     * stays deterministic while every partition works independently.
     * Output is the per-sequence manifest (docs, tokens, doc range).
     */
-  val t11SequencePacking = QueryDef(
-    "t11_sequence_packing",
-    (s, d) => {
-      val budget = 2048
-      val docs = Tables.documents(s, d)
+  /** t11's body over any documents frame —
+    * [[graft.api.Graft.packSequences]]: deterministic greedy packing of
+    * documents into fixed-`budget` token sequences via a global running
+    * offset (per-partition prefix sums + broadcast partition offsets —
+    * no single-partition sort). Unsorted.
+    */
+  private[graft] def packSequencesOf(docsRaw: org.apache.spark.sql.DataFrame,
+                                     budget: Int = 2048)
+      : org.apache.spark.sql.DataFrame = {
+      val docs = docsRaw
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
       val parted = docs.repartitionByRange(32, col("doc_id"))
@@ -468,8 +473,12 @@ object TextAnalysisQueries {
           sum(col("n_tokens")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
-        .orderBy(col("seq_id"))
-    },
+  }
+
+  val t11SequencePacking = QueryDef(
+    "t11_sequence_packing",
+    (s, d) => graft.api.Graft.packSequences(Tables.documents(s, d))
+      .orderBy(col("seq_id")),
     Some("""WITH c AS (
            |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
            |    sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id) AS cum

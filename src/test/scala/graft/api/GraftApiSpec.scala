@@ -98,6 +98,30 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(splits.values.sum == docs.count())
   }
 
+  test("substringDedup equals the d12 gate") {
+    assert(rows(Graft.substringDedup(docs))
+      == rows(gate("d12_substring_dedup")))
+  }
+
+  test("packSequences equals the t11 gate") {
+    assert(rows(Graft.packSequences(docs))
+      == rows(gate("t11_sequence_packing")))
+  }
+
+  test("segmentHashes + bloomSketch + bloomScreen reproduce the d13 gate's hit counts") {
+    // the gate's split: 80% corpus, 20% arriving batch
+    val corpus = docs.filter(col("doc_id") % 5 < 4)
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    val sketch = Graft.bloomSketch(
+      Graft.segmentHashes(corpus).select(col("h")).distinct())
+    val hits = Graft.bloomScreen(batch, sketch)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
+    val g = gate("d13_bloom_incremental")
+      .select(col("doc_id"), col("n_bloom_hits"))
+    assert(rows(hits) == rows(g) && rows(hits).nonEmpty)
+  }
+
   test("qualityClassify equals the t21 gate") {
     assert(rows(Graft.qualityClassify(docs))
       == rows(gate("t21_quality_classifier")))
