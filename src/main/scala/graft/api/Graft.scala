@@ -187,6 +187,20 @@ object Graft {
   def packSequences(docs: DataFrame, budget: Int = 2048): DataFrame =
     TextAnalysisQueries.packSequencesOf(docs, budget)
 
+  /** Overlapping fixed-size token chunks — the retrieval/RAG indexing
+    * primitive ([[packSequences]]'s sibling: that packs documents INTO
+    * sequences; this splits documents into windows). Starts stride by
+    * `chunkSize - overlap`, every token covered, last chunk may be
+    * short. Pure per-row explode — zero shuffle at any corpus size.
+    *
+    * Input: (doc_id Long, text String). Output: (doc_id, chunk_idx,
+    * start_tok, n_chunk_tokens, chunk_md5), unsorted. Gate:
+    * `t26_doc_chunks`.
+    */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int = 64,
+                     overlap: Int = 16): DataFrame =
+    TextAnalysisQueries.chunkDocumentsOf(docs, chunkSize, overlap)
+
   /** Per-document token statistics (token/distinct/char counts) — the
     * cheapest corpus profile. Input: (doc_id, text). Output: (doc_id,
     * n_tokens, n_distinct, n_chars), unsorted. Gate: `t01_token_stats`.

@@ -1349,6 +1349,60 @@ object TextAnalysisQueries {
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   }
 
+  /** t26's body over any documents frame —
+    * [[graft.api.Graft.chunkDocuments]]: overlapping fixed-size token
+    * chunks, the retrieval/RAG indexing primitive (and the context-
+    * window packer's sibling: t11 packs documents INTO sequences, this
+    * splits documents into them). Chunk starts stride by
+    * `chunkSize - overlap`; every token is covered, consecutive chunks
+    * share `overlap` tokens, and the last chunk of a document may be
+    * short. Emits the chunk's md5 (not its text — the gate stays
+    * narrow; callers re-slice by (doc_id, start_tok) when they need
+    * the text). Pure per-row explode: zero shuffle at any corpus size.
+    * Unsorted.
+    */
+  private[graft] def chunkDocumentsOf(docs: org.apache.spark.sql.DataFrame,
+                                      chunkSize: Int = 64,
+                                      overlap: Int = 16)
+      : org.apache.spark.sql.DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got $chunkSize/$overlap")
+    val stride = chunkSize - overlap
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(expr(s"sequence(1, n, $stride)"))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(chunkSize), col("n") - col("start_tok") + 1).cast("long")
+          .as("n_chunk_tokens"),
+        expr(s"md5(concat_ws(' ', slice(toks, start_tok, $chunkSize)))")
+          .as("chunk_md5"))
+  }
+
+  val t26DocChunks = QueryDef(
+    "t26_doc_chunks",
+    (s, d) => graft.api.Graft.chunkDocuments(Tables.documents(s, d))
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH base AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |    len(string_split(text, ' ')) AS n
+           |  FROM documents),
+           |starts AS (
+           |  SELECT doc_id, toks, n,
+           |    unnest(generate_series(1, n, 48)) AS start_tok
+           |  FROM base)
+           |SELECT doc_id,
+           |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+           |       - 1 AS BIGINT) AS chunk_idx,
+           |  CAST(start_tok AS BIGINT) AS start_tok,
+           |  CAST(least(64, n - start_tok + 1) AS BIGINT) AS n_chunk_tokens,
+           |  md5(array_to_string(toks[start_tok:(start_tok + 63)], ' '))
+           |    AS chunk_md5
+           |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05CorpusReport, t06Winnowing, t07BpeTokenCount, t08Contamination,
@@ -1356,5 +1410,6 @@ object TextAnalysisQueries {
     t12DomainMixture, t13TfidfTopTerms, t14ShardManifest, t15C4Filter,
     t16StratifiedSplit, t17UnigramPerplexity, t18DomainDivergence,
     t19HeavyHittersCms, t20DsirWeights, t21QualityClassifier,
-    t22BigramPerplexity, t23QualityBins, t24DistinctKmv, t25NgramNovelty)
+    t22BigramPerplexity, t23QualityBins, t24DistinctKmv, t25NgramNovelty,
+    t26DocChunks)
 }

@@ -108,6 +108,27 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       == rows(gate("t11_sequence_packing")))
   }
 
+  test("chunkDocuments equals the t26 gate; chunks tile every token with the overlap") {
+    assert(rows(Graft.chunkDocuments(docs)) == rows(gate("t26_doc_chunks")))
+    // coverage property: per doc, sum of (stride-advanced) starts
+    // covers [1, n] — the last chunk ends at or past the token count,
+    // and consecutive starts differ by exactly chunkSize - overlap
+    val byDoc = Graft.chunkDocuments(docs, chunkSize = 64, overlap = 16)
+      .groupBy(col("doc_id"))
+      .agg(max(col("start_tok") + col("n_chunk_tokens") - 1).as("covered"),
+        count(lit(1)).as("k"), max(col("start_tok")).as("last_start"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n")), "doc_id")
+      .collect()
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { r =>
+      val (covered, k, lastStart, n) = (r.getAs[Long]("covered"),
+        r.getAs[Long]("k"), r.getAs[Long]("last_start"), r.getAs[Long]("n"))
+      assert(covered == n, s"doc ${r.get(0)}: covered $covered != n $n")
+      assert(lastStart == 1 + (k - 1) * 48, "starts must stride by 48")
+    }
+  }
+
   test("segmentHashes + bloomSketch + bloomScreen reproduce the d13 gate's hit counts") {
     // the gate's split: 80% corpus, 20% arriving batch
     val corpus = docs.filter(col("doc_id") % 5 < 4)

@@ -337,6 +337,21 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"d15 must never cross-join the corpora:\n$p")
   }
 
+  test("ANN rank filters get Spark's WindowGroupLimit (no unbounded group sort)") {
+    val d = "/root/testdata/sf0.001"
+    // e01/e05's `row_number <= k` filters must trigger
+    // InferWindowGroupLimit: a per-partition streaming top-k pass
+    // BEFORE the window sort, so no executor ever sorts an unbounded
+    // per-query candidate group — the property that keeps the
+    // brute-force and IVF rankers linear at corpus scale
+    for (n <- Seq("e01_knn_bruteforce", "e05_ann_ivf")) {
+      val p = graft.SparkEntry.queries(n)(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"),
+        s"$n must carry the group-limit pass:\n$p")
+    }
+  }
+
   test("t24's bottom-k runs on the bounded-heap operator, not a window sort") {
     val d = "/root/testdata/sf0.001"
     // the sketch's scale claim: retaining the 64 smallest hashes per
