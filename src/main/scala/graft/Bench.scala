@@ -31,7 +31,7 @@ object Bench {
     "d15_cross_decontamination", "mm06_shot_boundaries",
     "mm07_phash_neardup",
     "e01_knn_bruteforce", "e09_ann_pq", "e16_ann_pq_rerank",
-    "e22_hybrid_rrf",
+    "e22_hybrid_rrf", "e23_mmr_rerank",
     "t04_fingerprint", "t11_sequence_packing", "t15_c4_filter",
     "t21_quality_classifier", "t22_bigram_perplexity",
     "q42_topk_per_key_custom",

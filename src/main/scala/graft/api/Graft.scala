@@ -303,6 +303,24 @@ object Graft {
       queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb")), k)
 
+  /** Maximal-Marginal-Relevance diversified re-rank: fetch each query's
+    * top-`fetch` by exact cosine, then greedily pick `k` results, each
+    * maximizing `relWeight·relevance − divWeight·max(sim to picked)` —
+    * the redundancy-penalized re-rank a RAG stack runs after retrieval.
+    * The corpus is scanned exactly twice; the greedy loop operates on
+    * fetch×#queries rows. Pass both weights explicitly (deriving
+    * `1 − λ` in code gives 0.30000000000000004-style drift).
+    *
+    * Inputs: corpus and queries both (vec_id Long, embedding
+    * Array[Float]). Output: (query_id, pick 1..k, cand_id, mmr_score),
+    * unsorted. Gate: `e23_mmr_rerank`.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                fetch: Int = 10, relWeight: Double = 0.7,
+                divWeight: Double = 0.3): DataFrame =
+    SimilarityQueries.mmrRerankOf(corpus, queries, k, fetch,
+      relWeight, divWeight)
+
   /** Build the servable IVF index: label-trained centroids (tiny,
     * broadcast) + the cell-assigned corpus. Cache
     * [[IvfIndex.assigned]] if you will issue repeated searches.

@@ -1729,11 +1729,140 @@ object SimilarityQueries {
             |  FROM fused)
             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+  /** e23's body — the [[graft.api.Graft.mmrRerank]] facade path:
+    * Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    * 1998) of a relevance shortlist. Stage 1 fetches each query's
+    * top-`fetch` by exact cosine (e01's broadcast-query scan); stage 2
+    * greedily picks `k` results, each maximizing
+    * `relWeight·rel − divWeight·max(sim to already-picked)` — the
+    * standard redundancy-penalized re-rank a RAG stack runs after
+    * retrieval (e22 fuses rankings; this diversifies one).
+    *
+    * Scale shape: the corpus is scanned exactly twice (relevance scan +
+    * a broadcast-shortlist embedding fetch — e16's pattern); everything
+    * after operates on fetch×#queries rows (pairwise sims are
+    * fetch²/query, bounded), and the k−1 greedy steps are unrolled as
+    * bounded joins over those tiny frames with a localCheckpoint per
+    * step so plans don't nest. Determinism protocol: rel and pairwise
+    * sims are 6dp-rounded before any scoring, the MMR score combines
+    * them with EXPLICIT double weights (callers pass relWeight and
+    * divWeight separately — deriving one from the other via `1 − λ`
+    * would produce 0.30000000000000004 in Scala vs DuckDB's 0.3 and
+    * flip near-tie argmaxes), ties break to the lower candidate id.
+    */
+  private[graft] def mmrRerankOf(corpus: DataFrame, queries: DataFrame,
+                                 k: Int = 5, fetch: Int = 10,
+                                 relWeight: Double = 0.7,
+                                 divWeight: Double = 0.3): DataFrame = {
+    val cands = knnOf(corpus,
+        queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb")), fetch)
+      .select(col("query_id"), col("neighbor_id").as("cand"),
+        col("cos").as("rel"))
+    // candidate embeddings: broadcast the tiny shortlist into the
+    // corpus scan (never shuffle the corpus), then pairwise sims over
+    // the bounded fetch×Q frame; localCheckpoint because the self-join
+    // references it twice and the greedy loop reuses it k−1 times
+    val withEmb = corpus.select(col("vec_id").as("cand"), col("embedding"))
+      .join(broadcast(cands.select(col("query_id"), col("cand"))), Seq("cand"))
+      .localCheckpoint()
+    val pairs = withEmb.alias("x").join(withEmb.alias("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.cand") =!= col("y.cand"))
+      .select(col("x.query_id").as("query_id"), col("x.cand").as("a"),
+        col("y.cand").as("b"),
+        round(cosine_similarity(col("x.embedding"), col("y.embedding")), 6)
+          .as("sim"))
+      .localCheckpoint()
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+    var sel = cands
+      .withColumn("rn", row_number().over(
+        wPick.orderBy(col("rel").desc, col("cand"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), lit(1L).as("pick"),
+        col("cand").as("cand_id"), col("rel").as("mmr_score"))
+      .localCheckpoint()
+    for (i <- 2 to k) {
+      val maxsim = pairs
+        .join(sel.select(col("query_id"), col("cand_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a"))
+        .agg(max(col("sim")).as("maxsim"))
+        .withColumnRenamed("a", "cand")
+      val picked = cands
+        .join(sel.select(col("query_id"), col("cand_id").as("cand")),
+          Seq("query_id", "cand"), "left_anti")
+        .join(maxsim, Seq("query_id", "cand"))
+        .withColumn("s",
+          col("rel") * lit(relWeight) - col("maxsim") * lit(divWeight))
+        .withColumn("rn", row_number().over(
+          wPick.orderBy(col("s").desc, col("cand"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(i.toLong).as("pick"),
+          col("cand").as("cand_id"), round(col("s"), 6).as("mmr_score"))
+      sel = sel.unionByName(picked).localCheckpoint()
+    }
+    sel
+  }
+
+  val e23MmrRerank = QueryDef(
+    "e23_mmr_rerank",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.api.Graft.mmrRerank(e, e.filter(col("vec_id") < 5))
+        .orderBy(col("query_id"), col("pick"))
+    },
+    // the greedy loop unrolled as chained CTEs (the e18 pattern):
+    // cum{i} carries the picks so far, sc{i} scores the remainder
+    Some {
+      val steps = (2 to 5).map { i =>
+        s"""sc$i AS (
+           |  SELECT c.query_id, c.cand,
+           |    c.rel * 0.7 - m.maxsim * 0.3 AS s
+           |  FROM cands c
+           |  JOIN (SELECT p.query_id, p.a AS cand, max(p.sim) AS maxsim
+           |        FROM pairs p JOIN cum${i - 1} s
+           |          ON p.query_id = s.query_id AND p.b = s.cand_id
+           |        GROUP BY p.query_id, p.a) m
+           |    ON c.query_id = m.query_id AND c.cand = m.cand
+           |  WHERE NOT EXISTS (SELECT 1 FROM cum${i - 1} s2
+           |    WHERE s2.query_id = c.query_id AND s2.cand_id = c.cand)),
+           |sel$i AS (
+           |  SELECT query_id, CAST($i AS BIGINT) AS pick, cand AS cand_id,
+           |    round(s, 6) AS mmr_score
+           |  FROM (SELECT query_id, cand, s, row_number() OVER (
+           |          PARTITION BY query_id ORDER BY s DESC, cand) AS rn
+           |        FROM sc$i) WHERE rn = 1),
+           |cum$i AS (SELECT * FROM cum${i - 1} UNION ALL SELECT * FROM sel$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH knn_full AS (${e01KnnBruteForce.oracle.get}),
+         |cands AS (
+         |  SELECT query_id, neighbor_id AS cand, cos AS rel FROM knn_full),
+         |pairs AS (
+         |  SELECT c1.query_id, c1.cand AS a, c2.cand AS b,
+         |    round(${cosSql("e1.embedding", "e2.embedding")}, 6) AS sim
+         |  FROM cands c1 JOIN cands c2
+         |    ON c1.query_id = c2.query_id AND c1.cand <> c2.cand
+         |  JOIN embeddings e1 ON e1.vec_id = c1.cand
+         |  JOIN embeddings e2 ON e2.vec_id = c2.cand),
+         |cum1 AS (
+         |  SELECT query_id, CAST(1 AS BIGINT) AS pick, cand AS cand_id,
+         |    rel AS mmr_score
+         |  FROM (SELECT query_id, cand, rel, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY rel DESC, cand) AS rn
+         |        FROM cands) WHERE rn = 1),
+         |$steps
+         |SELECT query_id, pick, cand_id, mmr_score FROM cum5
+         |ORDER BY query_id, pick""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     e01KnnBruteForce, e02CosineNearDup, e03AnnLsh, e04LabelCentroids,
     e05AnnIvf, e06AnnIvfKmeans, e07SemanticDedup, e08Int8Quant, e09AnnPq,
     e10AnnRecall, e11AnnRecallLsh, e12AnnRecallPq, e13AnnRecallKmeans,
     e14AnnRecallInt8, e15AnnRecallTrunc, e16AnnPqRerank, e17AnnRecallRerank,
     e18AnnIvfPq, e19AnnRecallIvfPq, e20BinaryQuant, e21AnnRecallBinary,
-    e22HybridRrf)
+    e22HybridRrf, e23MmrRerank)
 }

@@ -165,6 +165,27 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       == rows(gate("e01_knn_bruteforce")))
   }
 
+  test("mmrRerank equals the e23 gate and behaves like MMR") {
+    val q = emb.filter(col("vec_id") < 5)
+    val mmr = Graft.mmrRerank(emb, q)
+    assert(rows(mmr) == rows(gate("e23_mmr_rerank")))
+    val byQ = mmr.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 5)
+    byQ.foreach { case (_, rs) =>
+      // k picks, all distinct candidates
+      assert(rs.length == 5)
+      assert(rs.map(_.getAs[Long]("cand_id")).distinct.length == 5)
+    }
+    // pick 1 is pure relevance: must equal e01's top-1
+    val top1 = gate("e01_knn_bruteforce").filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pick1 = mmr.filter(col("pick") === 1)
+      .select(col("query_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pick1 == top1)
+  }
+
   test("annIndex().search() equals the e05 gate") {
     val hits = Graft.annIndex(emb).search(emb.filter(col("vec_id") < 5))
     assert(rows(hits) == rows(gate("e05_ann_ivf")) && rows(hits).nonEmpty)
