@@ -92,7 +92,18 @@ object ScaleBench {
       // 500 members (hyper-duplicated classes are d01 exact-dedup's
       // job, not the pairwise verifier's), bounding emitted pairs at
       // cap²/2 per bucket no matter how duplicated the corpus gets
-      "mm07_phash_neardup@cap500")
+      "mm07_phash_neardup@cap500",
+      // e22: hybrid BM25+dense retrieval — postings grow N×, the 5-doc
+      // query side stays broadcast (plan-spec'd), so cost is the
+      // token-keyed postings pass + e01's dense scan
+      "e22_hybrid_rrf",
+      // e23: MMR — two corpus scans + a fetch×Q greedy tail whose cost
+      // is CONSTANT in corpus size; the linear regime diversified
+      // re-rank lives in
+      "e23_mmr_rerank",
+      // t26: RAG chunking — a pure per-row explode, the zero-shuffle
+      // baseline every linear pass should match
+      "t26_doc_chunks")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
@@ -152,7 +163,8 @@ object ScaleBench {
     */
   private val tableOf: Map[String, String] =
     (Seq("e03_ann_lsh", "e05_ann_ivf", "e07_semantic_dedup", "e08_int8_quant",
-      "e09_ann_pq", "e20_binary_quant").map(_ -> "embeddings") ++
+      "e09_ann_pq", "e20_binary_quant", "e23_mmr_rerank")
+      .map(_ -> "embeddings") ++
       Seq("q56_asof_attribution", "q58_salted_agg", "q66_event_funnel",
         "q57_range_error_proximity").map(_ -> "events")).toMap
       .withDefaultValue("documents")
