@@ -342,11 +342,31 @@ object Graft {
       * within them, top-`k` per query. Queries: (vec_id, embedding).
       * Output: (query_id, rank, neighbor_id, cos) sorted.
       */
-    def search(queries: DataFrame, probes: Int = 2, k: Int = 3): DataFrame = {
+    def search(queries: DataFrame, probes: Int = 2, k: Int = 3): DataFrame =
+      SimilarityQueries.probeAndRank(assigned, probed(queries, probes), k)
+
+    /** FILTERED search — ANN with a metadata predicate ("nearest
+      * neighbors WHERE ..."): the index stays as built; `keepIds`
+      * (a frame with a `vec_id` column — e.g. doc ids passing a
+      * metadata filter) restricts candidates via a semi-join BEFORE
+      * in-cell ranking. Queries pay the same probe scan over fewer
+      * candidates; fewer than k survivors yields fewer than k rows.
+      * At scale broadcast the keep-set (or pre-join a boolean column
+      * onto `assigned` for a hot predicate).
+      * Gate: `e24_filtered_ivf`.
+      */
+    def searchWhere(queries: DataFrame, keepIds: DataFrame,
+                    probes: Int = 2, k: Int = 3): DataFrame = {
+      val filtered = assigned.join(
+        keepIds.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      SimilarityQueries.probeAndRank(filtered, probed(queries, probes), k)
+    }
+
+    private def probed(queries: DataFrame, probes: Int): DataFrame = {
       val wProbe = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("cs").desc, col("cell"))
-      val probed = queries
+      queries
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
         .join(broadcast(centroids))
         .withColumn("cs", graft.functions.GraftFunctions
@@ -354,7 +374,6 @@ object Graft {
         .withColumn("rn", row_number().over(wProbe))
         .filter(col("rn") <= probes)
         .select(col("query_id"), col("q_emb"), col("cell"))
-      SimilarityQueries.probeAndRank(assigned, probed, k)
     }
   }
 

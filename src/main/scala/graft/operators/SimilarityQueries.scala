@@ -33,7 +33,8 @@ object SimilarityQueries {
     * e05 and e06), exact in-cell ranking — the SQL mirror of
     * [[probeAndRank]], shared for the same no-drift reason.
     */
-  private def ivfSearchSql(centArr: String, probeCellTieBreak: String): String =
+  private def ivfSearchSql(centArr: String, probeCellTieBreak: String,
+                           scoredExtra: String = ""): String =
     s"""assign AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cell,
@@ -51,7 +52,7 @@ object SimilarityQueries {
        |scored AS (
        |  SELECT a.query_id, b.vec_id AS neighbor_id,
        |    ${cosSql("a.q_emb", "b.embedding")} AS cos
-       |  FROM probes a JOIN assign b ON a.cell = b.cell AND a.query_id <> b.vec_id),
+       |  FROM probes a JOIN assign b ON a.cell = b.cell AND a.query_id <> b.vec_id$scoredExtra),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
@@ -1729,6 +1730,37 @@ object SimilarityQueries {
             |  FROM fused)
             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+  /** e24: FILTERED vector search — ANN with a metadata predicate, the
+    * shape every production vector store ships ("nearest neighbors
+    * WHERE source IN (...)"): the IVF index is built ONCE over the full
+    * corpus (rebuilding per predicate would be absurd), and the filter
+    * applies at SEARCH time as a semi-join against the allowed-id set
+    * before in-cell ranking — so a query pays the same 2-probe cell
+    * scan, just over fewer candidates. Routed through
+    * [[graft.api.Graft.IvfIndex.searchWhere]]. At 100 TB the keep-set
+    * is a broadcast semi-join (or a pre-joined boolean column on the
+    * index when the predicate is hot); candidate count only shrinks,
+    * never grows. Fewer than k survivors in the probed cells yields
+    * fewer than k rows — the honest filtered-ANN semantic (a fallback
+    * widen-probe is a serving-layer policy, not an index property).
+    */
+  val e24FilteredIvf = QueryDef(
+    "e24_filtered_ivf",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val keep = Tables.documents(s, d)
+        .filter(col("source")
+          .isin("src0", "src1", "src2", "src3", "src4"))
+        .select(col("doc_id").as("vec_id"))
+      graft.api.Graft.annIndex(e)
+        .searchWhere(e.filter(col("vec_id") < 5), keep)
+    },
+    Some(
+      s"""WITH $centArrSql,
+         |${ivfSearchSql("cent_arr", "ASC",
+        " JOIN documents d ON d.doc_id = b.vec_id AND d.source IN " +
+          "('src0', 'src1', 'src2', 'src3', 'src4')")}""".stripMargin))
+
   /** e23's body — the [[graft.api.Graft.mmrRerank]] facade path:
     * Maximal Marginal Relevance diversification (Carbonell & Goldstein
     * 1998) of a relevance shortlist. Stage 1 fetches each query's
@@ -1864,5 +1896,5 @@ object SimilarityQueries {
     e10AnnRecall, e11AnnRecallLsh, e12AnnRecallPq, e13AnnRecallKmeans,
     e14AnnRecallInt8, e15AnnRecallTrunc, e16AnnPqRerank, e17AnnRecallRerank,
     e18AnnIvfPq, e19AnnRecallIvfPq, e20BinaryQuant, e21AnnRecallBinary,
-    e22HybridRrf, e23MmrRerank)
+    e22HybridRrf, e23MmrRerank, e24FilteredIvf)
 }

@@ -191,6 +191,27 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(hits) == rows(gate("e05_ann_ivf")) && rows(hits).nonEmpty)
   }
 
+  test("searchWhere equals the e24 gate; the predicate really binds") {
+    val keep = docs
+      .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      .select(col("doc_id").as("vec_id"))
+    val hits = Graft.annIndex(emb)
+      .searchWhere(emb.filter(col("vec_id") < 5), keep)
+    assert(rows(hits) == rows(gate("e24_filtered_ivf")) && rows(hits).nonEmpty)
+    // every returned neighbor satisfies the predicate
+    val keepSet = keep.collect().map(_.getLong(0)).toSet
+    val neighbors = hits.select(col("neighbor_id")).collect()
+      .map(_.getLong(0))
+    assert(neighbors.forall(keepSet))
+    // and the filter is not a no-op: unfiltered search differs
+    val unfiltered = gate("e05_ann_ivf").select(col("query_id"),
+      col("neighbor_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = hits.select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered != unfiltered,
+      "filtered search must change results on this corpus")
+  }
+
   test("imagePHash + imageNearDups equals the mm07 gate") {
     val spark2 = spark
     import spark2.implicits._
