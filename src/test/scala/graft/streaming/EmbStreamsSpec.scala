@@ -218,4 +218,48 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter($"query_id" < 2).collect().toSeq)
     assert(served.toSet == batchE05)
   }
+
+  test("FILTERED serving (ivfServe over a semi-joined index) equals batch e24") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    // filtered serving needs NO new streaming code: the metadata
+    // predicate restricts the SERVED index frame (the same semi-join
+    // searchWhere applies batch-side), and ivfServe runs unchanged —
+    // which this test pins by matching the e24 gate exactly
+    val (assigned, centroids) =
+      graft.operators.SimilarityQueries.ivfIndex(spark, d)
+    val keep = spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      .select(col("doc_id").as("vec_id"))
+    val filtered = assigned.join(keep, Seq("vec_id"), "left_semi").cache()
+    try {
+      val ts = Timestamp.valueOf("2026-01-01 09:00:00")
+      val qvecs = spark.read.parquet(s"$d/embeddings.parquet")
+        .filter($"vec_id" < 5).select("vec_id", "embedding").collect()
+        .map(r => EmbQuery(r.getLong(0), ts, r.getSeq[Float](1)))
+      val (b1, b2) = qvecs.splitAt(3)
+      val stream = MemoryStream[EmbQuery]
+      val q = EmbStreams.ivfServe(stream.toDS(), filtered, centroids)
+        .writeStream.format("memory").queryName("ann_hits_filtered")
+        .outputMode(OutputMode.Append())
+        .start()
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      q.stop()
+      def asTuples(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSet
+      val streamed = asTuples(spark.table("ann_hits_filtered").collect())
+      val batch = asTuples(
+        graft.operators.SimilarityQueries.e24FilteredIvf.fn(spark, d)
+          .collect())
+      assert(streamed.nonEmpty && streamed == batch,
+        s"filtered serving diverged from the e24 gate: " +
+          s"onlyStream=${(streamed -- batch).take(5)} " +
+          s"onlyBatch=${(batch -- streamed).take(5)}")
+    } finally filtered.unpersist()
+  }
 }
