@@ -1761,6 +1761,59 @@ object SimilarityQueries {
         " JOIN documents d ON d.doc_id = b.vec_id AND d.source IN " +
           "('src0', 'src1', 'src2', 'src3', 'src4')")}""".stripMargin))
 
+  /** recall@3 of FILTERED IVF search (e24) against the filtered exact
+    * ground truth — e10's composition pattern applied to the filtered
+    * family. The ground truth for a predicate-constrained search is
+    * the exact top-3 over the PREDICATE-PASSING corpus (post-filter
+    * exactness), not the unfiltered top-3: a filtered index should be
+    * judged on what it was allowed to return.
+    */
+  val e25AnnRecallFiltered = QueryDef(
+    "e25_ann_recall_filtered",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val keep = Tables.documents(s, d)
+        .filter(col("source")
+          .isin("src0", "src1", "src2", "src3", "src4"))
+        .select(col("doc_id").as("vec_id"))
+      val exact3 = knnOf(e.join(keep, Seq("vec_id"), "left_semi"),
+          e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"),
+              col("embedding").as("q_emb")), 3)
+        .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+      val fivf3 = e24FilteredIvf.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      fivf3.join(exact3,
+          col("query_id") === col("eq") && col("neighbor_id") === col("en"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("en")).as("n_matched"),
+          round(count(col("en")) / 3.0, 4).as("recall3"))
+        .orderBy(col("query_id"))
+    },
+    Some(
+      s"""WITH fivf_full AS (${e24FilteredIvf.oracle.get}),
+         |keep AS (
+         |  SELECT doc_id AS vec_id FROM documents
+         |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+         |fscored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+         |  JOIN keep k ON b.vec_id = k.vec_id),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM fscored) WHERE rank <= 3),
+         |i AS (SELECT query_id, neighbor_id FROM fivf_full WHERE rank <= 3)
+         |SELECT i.query_id, count(e.neighbor_id) AS n_matched,
+         |  round(count(e.neighbor_id) / 3.0, 4) AS recall3
+         |FROM i LEFT JOIN exact e
+         |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
+
   /** e23's body — the [[graft.api.Graft.mmrRerank]] facade path:
     * Maximal Marginal Relevance diversification (Carbonell & Goldstein
     * 1998) of a relevance shortlist. Stage 1 fetches each query's
@@ -1896,5 +1949,5 @@ object SimilarityQueries {
     e10AnnRecall, e11AnnRecallLsh, e12AnnRecallPq, e13AnnRecallKmeans,
     e14AnnRecallInt8, e15AnnRecallTrunc, e16AnnPqRerank, e17AnnRecallRerank,
     e18AnnIvfPq, e19AnnRecallIvfPq, e20BinaryQuant, e21AnnRecallBinary,
-    e22HybridRrf, e23MmrRerank, e24FilteredIvf)
+    e22HybridRrf, e23MmrRerank, e24FilteredIvf, e25AnnRecallFiltered)
 }
