@@ -406,6 +406,24 @@ object Graft {
                     bucketCap: Option[Long] = None): DataFrame =
     MultimodalQueries.phashNearDups(hashed, maxHamming, bucketCap)
 
+  /** 32-bit audio energy fingerprint of opaque WAV payloads, decoded
+    * with the real JDK codec: 32 relative |amplitude| windows,
+    * window-mean vs clip-mean compared cross-multiplied in integers.
+    * Input: Dataset of (media_id, payload bytes). Output: (media_id,
+    * fp). Gate: `mm08_audio_fp_neardup` (via [[audioNearDups]]).
+    */
+  def audioFingerprint(media: Dataset[(Long, Array[Byte])]): DataFrame =
+    MultimodalQueries.fingerprintAudio(media)
+
+  /** Banded LSH near-dup pairs over [[audioFingerprint]] output:
+    * 5-band (7/7/6/6/6-bit) candidates — pigeonhole-complete for
+    * Hamming ≤ 4 — then exact xor+popcount verify at ≤ `maxHamming`.
+    * Input: (media_id, fp). Output: (ma, mb, hamming), ma < mb,
+    * unsorted. Gate: `mm08_audio_fp_neardup`.
+    */
+  def audioNearDups(fps: DataFrame, maxHamming: Int = 4): DataFrame =
+    MultimodalQueries.audioFpNearDups(fps, maxHamming)
+
   /** Screen incoming image hashes against a small broadcast index of
     * existing-corpus hashes — the at-ingest dedup shape
     * ([[graft.streaming.MediaStreams.imageDedupScreen]] composes it per

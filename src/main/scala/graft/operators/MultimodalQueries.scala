@@ -264,7 +264,7 @@ object MultimodalQueries {
     * packaged through the JDK's real WAV writer. Closed-form, so
     * expected decode stats are recomputable in pure SQL.
     */
-  private[operators] def syntheticWav(id: Long): Array[Byte] = {
+  private[graft] def syntheticWav(id: Long): Array[Byte] = {
     val n = (400 + (id % 100) * 4).toInt
     val pcm = new Array[Byte](n * 2)
     var k = 0
@@ -688,6 +688,149 @@ object MultimodalQueries {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** 32-bit audio energy fingerprint of a WAV payload, decoded with the
+    * REAL JDK codec (mm04's path): the clip's |amplitude| stream
+    * collapses into 32 relative windows (idx = k·32/n — variable
+    * window sizes when 32 ∤ n, counts tracked), and bit w is set iff
+    * window w's mean |amplitude| beats the clip mean — compared
+    * CROSS-MULTIPLIED in integers (S·n > total·c, the mm07 aHash
+    * discipline), so no double division can round differently across
+    * engines. Shared by the batch gate and [[graft.api.Graft.audioFingerprint]].
+    */
+  private[graft] def audioFp(payload: Array[Byte]): Long = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      s"unexpected decoded format: $fmt")
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val n = bytes.length / 2
+    val sums = new Array[Long](32)
+    val cnts = new Array[Long](32)
+    var total = 0L
+    var k = 0
+    while (k < n) {
+      val v = (((bytes(2 * k + 1) & 0xFF) << 8) |
+        (bytes(2 * k) & 0xFF)).toShort.toLong
+      val a = math.abs(v)
+      val idx = (k * 32 / n).toInt
+      sums(idx) += a
+      cnts(idx) += 1
+      total += a
+      k += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 32) {
+      if (sums(i) * n > total * cnts(i)) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
+  /** Fingerprint every (media_id, payload) audio row — the
+    * [[graft.api.Graft.audioFingerprint]] facade path. */
+  private[graft] def fingerprintAudio(
+      media: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { case (id, payload) =>
+      (id, audioFp(payload))
+    }).toDF("media_id", "fp")
+  }
+
+  /** 5-band (7/7/6/6/6-bit) chunks of a 32-bit fingerprint — 5 disjoint
+    * bands are pigeonhole-complete for Hamming ≤ 4, mm07's
+    * minimum-bands/maximum-width dial applied to the half-size code.
+    */
+  private[graft] def audioBandChunks(fp: Column): Column =
+    array(
+      struct(lit(0).as("band"), fp.bitwiseAND(lit(127L)).as("chunk")),
+      struct(lit(1).as("band"),
+        shiftright(fp, 7).bitwiseAND(lit(127L)).as("chunk")),
+      struct(lit(2).as("band"),
+        shiftright(fp, 14).bitwiseAND(lit(63L)).as("chunk")),
+      struct(lit(3).as("band"),
+        shiftright(fp, 20).bitwiseAND(lit(63L)).as("chunk")),
+      struct(lit(4).as("band"),
+        shiftright(fp, 26).bitwiseAND(lit(63L)).as("chunk")))
+
+  /** Banded near-dup pairs over (media_id, fp) fingerprints — the
+    * [[graft.api.Graft.audioNearDups]] facade path. Unsorted.
+    */
+  private[graft] def audioFpNearDups(fps: DataFrame,
+                                     maxHamming: Int = 4): DataFrame = {
+    val banded = fps.select(col("media_id"), col("fp"),
+      explode(audioBandChunks(col("fp"))).as("bucket"))
+    banded.alias("x")
+      .join(banded.alias("y"), col("x.bucket") === col("y.bucket") &&
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("ma"), col("y.media_id").as("mb"),
+        expr("CAST(bit_count(x.fp ^ y.fp) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Audio fingerprint near-dup detection — the audio member of the
+    * multimodal dedup family (images: mm07; video shots: mm06): decode
+    * with the real codec, fingerprint ([[audioFp]]), 5-band LSH
+    * candidates (complete for the ≤ 4 verify threshold), exact
+    * xor+popcount verify. Near-phase clips (the generator's sawtooth
+    * offsets collide modulo 2001) produce genuine non-identical
+    * near-dups. At 100 TB: decode is a linear pass, 8-byte
+    * fingerprints shuffle — samples never do. Oracle replays decode →
+    * windows → cross-multiplied bits → packing → banding → Hamming
+    * closed-form from the waveform formula.
+    */
+  val mm08AudioFpDedup = QueryDef(
+    "mm08_audio_fp_neardup",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val fps = graft.api.Graft.audioFingerprint(
+        Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, syntheticWav(id)))))
+        .localCheckpoint()
+      graft.api.Graft.audioNearDups(fps)
+        .orderBy(col("ma"), col("mb"))
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id AS media_id, 400 + (doc_id % 100) * 4 AS n
+           |  FROM documents),
+           |smp AS (
+           |  SELECT media_id, n, k,
+           |    abs(((media_id * 31 + k * 17) % 2001) - 1000) AS a,
+           |    CAST((k * 32) // n AS INT) AS idx
+           |  FROM base, LATERAL unnest(generate_series(0, n - 1)) AS t(k)),
+           |win AS (
+           |  SELECT media_id, idx, max(n) AS n, sum(a) AS s, count(*) AS c
+           |  FROM smp GROUP BY media_id, idx),
+           |tot AS (SELECT media_id, sum(s) AS total FROM win GROUP BY 1),
+           |fp AS (
+           |  SELECT w.media_id,
+           |    CAST(sum(CASE WHEN s * n > total * c
+           |                  THEN CAST(1 AS BIGINT) << idx ELSE 0 END)
+           |      AS BIGINT) AS fp
+           |  FROM win w JOIN tot USING (media_id) GROUP BY w.media_id),
+           |banded AS (
+           |  SELECT media_id, fp, band,
+           |    CASE WHEN band = 0 THEN fp & 127
+           |         WHEN band = 1 THEN (fp >> 7) & 127
+           |         WHEN band = 2 THEN (fp >> 14) & 63
+           |         WHEN band = 3 THEN (fp >> 20) & 63
+           |         ELSE (fp >> 26) & 63 END AS chunk
+           |  FROM fp, (SELECT unnest([0, 1, 2, 3, 4]) AS band) b),
+           |cand AS (
+           |  SELECT DISTINCT x.media_id AS ma, y.media_id AS mb,
+           |    CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
+           |  FROM banded x JOIN banded y
+           |    ON x.band = y.band AND x.chunk = y.chunk
+           |   AND x.media_id < y.media_id)
+           |SELECT ma, mb, hamming FROM cand
+           |WHERE hamming <= 4 ORDER BY ma, mb""".stripMargin))
+
   val mm07PerceptualHashDedup = QueryDef(
     "mm07_phash_neardup",
     (s, d) => {
@@ -751,5 +894,5 @@ object MultimodalQueries {
 
   def all: Seq[QueryDef] = Seq(mm01MediaTable, mm02DecodeFeatures,
     mm03FrameSample, mm04AudioFeatures, mm05ResizeFeatures,
-    mm06ShotBoundaries, mm07PerceptualHashDedup)
+    mm06ShotBoundaries, mm07PerceptualHashDedup, mm08AudioFpDedup)
 }

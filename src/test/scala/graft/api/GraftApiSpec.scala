@@ -212,6 +212,19 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       "filtered search must change results on this corpus")
   }
 
+  test("audioFingerprint + audioNearDups equals the mm08 gate") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, graft.operators.MultimodalQueries.syntheticWav(id))))
+    val fps = Graft.audioFingerprint(media).localCheckpoint()
+    val pairs = Graft.audioNearDups(fps)
+      .select(col("ma"), col("mb"), col("hamming"))
+    assert(rows(pairs) == rows(gate("mm08_audio_fp_neardup")) &&
+      rows(pairs).nonEmpty)
+  }
+
   test("imagePHash + imageNearDups equals the mm07 gate") {
     val spark2 = spark
     import spark2.implicits._
