@@ -421,8 +421,9 @@ object Graft {
     * Input: (media_id, fp). Output: (ma, mb, hamming), ma < mb,
     * unsorted. Gate: `mm08_audio_fp_neardup`.
     */
-  def audioNearDups(fps: DataFrame, maxHamming: Int = 4): DataFrame =
-    MultimodalQueries.audioFpNearDups(fps, maxHamming)
+  def audioNearDups(fps: DataFrame, maxHamming: Int = 4,
+                    bucketCap: Option[Long] = None): DataFrame =
+    MultimodalQueries.audioFpNearDups(fps, maxHamming, bucketCap)
 
   /** Screen incoming image hashes against a small broadcast index of
     * existing-corpus hashes — the at-ingest dedup shape

@@ -758,11 +758,29 @@ object MultimodalQueries {
 
   /** Banded near-dup pairs over (media_id, fp) fingerprints — the
     * [[graft.api.Graft.audioNearDups]] facade path. Unsorted.
+    *
+    * SCALE CAVEAT a 64-bit code doesn't have: a 32-bit fingerprint's
+    * complete-for-≤4 banding leaves only 6–7 bits per chunk (64–128
+    * bucket values per band), so bucket populations grow linearly with
+    * the corpus and the candidate join quadratically — at real corpus
+    * scale either widen the fingerprint (mm07's two-word layout) or
+    * engage `bucketCap` (the phashBucketCap lever) to bound emitted
+    * pairs at cap²/2 per bucket.
     */
   private[graft] def audioFpNearDups(fps: DataFrame,
-                                     maxHamming: Int = 4): DataFrame = {
-    val banded = fps.select(col("media_id"), col("fp"),
+                                     maxHamming: Int = 4,
+                                     bucketCap: Option[Long] = None)
+      : DataFrame = {
+    val bandedAll = fps.select(col("media_id"), col("fp"),
       explode(audioBandChunks(col("fp"))).as("bucket"))
+    val banded = bucketCap match {
+      case Some(cap) =>
+        val cool = bandedAll.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
+          .select(col("bucket"))
+        bandedAll.join(broadcast(cool), Seq("bucket"))
+      case None => bandedAll
+    }
     banded.alias("x")
       .join(banded.alias("y"), col("x.bucket") === col("y.bucket") &&
         col("x.media_id") < col("y.media_id"))
@@ -772,14 +790,37 @@ object MultimodalQueries {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Screen `incoming` audio fingerprints against a (small, broadcast)
+    * `index` of existing-corpus fingerprints — the at-ingest audio
+    * dedup shape ([[graft.streaming.MediaStreams.audioDedupScreen]]
+    * composes it per micro-batch). Both args are (media_id, fp) frames.
+    */
+  private[graft] def audioFpScreen(incoming: DataFrame,
+                                   index: DataFrame): DataFrame = {
+    def banded(df: DataFrame) = df.select(col("media_id"), col("fp"),
+      explode(audioBandChunks(col("fp"))).as("bucket"))
+    val in = banded(incoming)
+      .select(col("media_id").as("ma"), col("fp").as("afp"), col("bucket"))
+    val ix = banded(index)
+      .select(col("media_id").as("mb"), col("fp").as("bfp"), col("bucket"))
+    in.join(broadcast(ix), Seq("bucket"))
+      .select(col("ma"), col("mb"),
+        expr("CAST(bit_count(afp ^ bfp) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 4)
+  }
+
   /** Audio fingerprint near-dup detection — the audio member of the
     * multimodal dedup family (images: mm07; video shots: mm06): decode
     * with the real codec, fingerprint ([[audioFp]]), 5-band LSH
     * candidates (complete for the ≤ 4 verify threshold), exact
     * xor+popcount verify. Near-phase clips (the generator's sawtooth
     * offsets collide modulo 2001) produce genuine non-identical
-    * near-dups. At 100 TB: decode is a linear pass, 8-byte
-    * fingerprints shuffle — samples never do. Oracle replays decode →
+    * near-dups. At 100 TB: decode is a linear pass and 8-byte
+    * fingerprints shuffle — samples never do — but see
+    * [[audioFpNearDups]]'s caveat on 32-bit banding selectivity (widen
+    * the code or engage the bucket cap at corpus scale). Oracle
+    * replays decode →
     * windows → cross-multiplied bits → packing → banding → Hamming
     * closed-form from the waveform formula.
     */

@@ -48,4 +48,33 @@ object MediaStreams {
       }
       .start()
   }
+
+  /** AT-INGEST audio dedup — mm08 as a stream, [[imageDedupScreen]]'s
+    * shape for the audio modality: each micro-batch decodes and
+    * fingerprints its own WAV payloads with the exact gated
+    * [[graft.operators.MultimodalQueries.audioFp]] (shared code, so
+    * stream and batch fingerprint identically by construction), then
+    * runs the gated banded screen against the (small, static,
+    * broadcast) fingerprint index. No stream state; samples never
+    * leave the arriving batch's partitions — only 8-byte fingerprints
+    * meet the index. MediaStreamsSpec proves the union of micro-batch
+    * outputs equals the batch mm08 gate's cross-pairs between the
+    * streamed and indexed halves.
+    */
+  def audioDedupScreen(media: Dataset[Media], index: DataFrame)
+                      (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    media.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Media], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val fps = batch
+          .mapPartitions(_.map(m =>
+            (m.media_id, graft.operators.MultimodalQueries.audioFp(m.payload))))
+          .toDF("media_id", "fp")
+        onBatch(graft.operators.MultimodalQueries.audioFpScreen(fps, index))
+      }
+      .start()
+  }
 }

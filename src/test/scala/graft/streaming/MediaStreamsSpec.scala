@@ -75,4 +75,51 @@ class MediaStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"onlyBatch=${(expected -- flagged).take(5)}")
     } finally index.unpersist()
   }
+
+  test("at-ingest audio screen across micro-batches equals the batch mm08 cross-pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val ts = Timestamp.valueOf("2026-01-01 09:00:00")
+
+    val ids = spark.read.parquet(s"$d/documents.parquet")
+      .select($"doc_id").as[Long].collect()
+    val index = graft.api.Graft.audioFingerprint(
+        spark.createDataset(ids.filter(_ % 2 == 0).toSeq).map(id =>
+          (id, graft.operators.MultimodalQueries.syntheticWav(id))))
+      .cache()
+    try {
+      val arriving = ids.filter(_ % 2 != 0)
+        .map(id => Media(id, ts,
+          graft.operators.MultimodalQueries.syntheticWav(id)))
+      val (b1, b2) = arriving.splitAt(arriving.length / 2)
+
+      val flagged = scala.collection.mutable.Set[(Long, Long, Long)]()
+      val stream = MemoryStream[Media]
+      val q = MediaStreams.audioDedupScreen(stream.toDS(), index) { hits =>
+        val rows = hits.collect().map(r =>
+          (r.getAs[Long]("ma"), r.getAs[Long]("mb"), r.getAs[Long]("hamming")))
+        flagged.synchronized { flagged ++= rows }
+      }
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+      q.stop()
+
+      val gate = graft.operators.MultimodalQueries.mm08AudioFpDedup
+        .fn(spark, d).collect().map(r =>
+          (r.getAs[Long]("ma"), r.getAs[Long]("mb"), r.getAs[Long]("hamming")))
+      val expected = gate.collect {
+        case (a, b, h) if a % 2 != 0 && b % 2 == 0 => (a, b, h)
+        case (a, b, h) if a % 2 == 0 && b % 2 != 0 => (b, a, h)
+      }.toSet
+      assert(expected.nonEmpty, "fixture must produce cross-half pairs")
+      assert(flagged.toSet == expected,
+        s"at-ingest audio screen diverged from the batch gate: " +
+          s"onlyStream=${(flagged.toSet -- expected).take(5)} " +
+          s"onlyBatch=${(expected -- flagged).take(5)}")
+    } finally index.unpersist()
+  }
 }
