@@ -143,6 +143,44 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(hits) == rows(g) && rows(hits).nonEmpty)
   }
 
+  test("facade edge cases: empty inputs, binding parameters, degenerate shapes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // empty corpora produce empty results, never crashes
+    assert(Graft.exactDedup(empty).count() == 0)
+    assert(Graft.minhashDedup(empty).count() == 0)
+    assert(Graft.chunkDocuments(empty).count() == 0)
+    // decontaminate against an EMPTY benchmark flags nothing
+    assert(Graft.decontaminate(docs, empty).count() == 0)
+    // chunking with zero overlap tiles exactly: per-doc token sums match
+    val tiled = Graft.chunkDocuments(docs, chunkSize = 8, overlap = 0)
+      .groupBy(col("doc_id")).agg(sum(col("n_chunk_tokens")).as("covered"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n")), "doc_id")
+      .filter(col("covered") =!= col("n")).count()
+    assert(tiled == 0, "overlap=0 chunking must tile without loss or overlap")
+    // invalid chunk geometry fails loudly at plan-build time
+    intercept[IllegalArgumentException] {
+      Graft.chunkDocuments(docs, chunkSize = 8, overlap = 8)
+    }
+    // thresholds bind monotonically
+    val loose = Graft.minhashDedup(docs, threshold = 0.8).count()
+    val tight = Graft.minhashDedup(docs, threshold = 0.95).count()
+    assert(tight <= loose)
+    // k binds: exactly one row per query at k=1
+    val k1 = Graft.knn(emb, emb.filter(col("vec_id") < 5), k = 1)
+    assert(k1.count() == 5 &&
+      k1.select(col("query_id")).distinct().count() == 5)
+    // the audio bucket cap suppresses every multi-member bucket at cap=1
+    val media = docs.limit(10).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, graft.operators.MultimodalQueries.syntheticWav(id))))
+    val fps = Graft.audioFingerprint(media).localCheckpoint()
+    val capped = Graft.audioNearDups(fps, bucketCap = Some(1L)).count()
+    assert(capped == 0, "cap=1 must suppress every candidate bucket")
+  }
+
   test("qualityClassify equals the t21 gate") {
     assert(rows(Graft.qualityClassify(docs))
       == rows(gate("t21_quality_classifier")))
