@@ -170,6 +170,21 @@ object Graft {
       : DataFrame =
     DedupQueries.BloomSketch.probe(segmentHashes(batch), sketch, mBits)
 
+  /** SEMANTIC cross-corpus decontamination — [[decontaminate]]'s
+    * embedding-space sibling: flag training vectors whose cosine
+    * against ANY benchmark vector reaches `threshold` (a paraphrased
+    * benchmark slips past shingle Jaccard; it does not slip past its
+    * own embedding). The benchmark side is tiny and broadcast; the
+    * training corpus streams through one linear pass.
+    *
+    * Inputs: two (vec_id Long, embedding Array[Float]) frames; `bench`
+    * must be the small side. Output: (train_id, bench_id, cos),
+    * unsorted. Gate: `d17_semantic_decontamination`.
+    */
+  def semanticDecontaminate(train: DataFrame, bench: DataFrame,
+                            threshold: Double = 0.35): DataFrame =
+    DedupQueries.semanticDecontScreen(train, bench, threshold)
+
   // ------------------------------------------------------------------
   // Quality / text analysis
   // ------------------------------------------------------------------

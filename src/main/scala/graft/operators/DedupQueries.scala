@@ -1287,10 +1287,58 @@ object DedupQueries {
             |     ORDER BY q DESC, doc_id) = 1) AS keep
             |FROM j ORDER BY doc_id""".stripMargin))
 
+  /** d17's body — the [[graft.api.Graft.semanticDecontaminate]] facade
+    * path: SEMANTIC cross-corpus decontamination, d15's asymmetric
+    * shape in embedding space. Lexical decontamination (d15) misses a
+    * paraphrased benchmark; the embedding-cosine screen catches what
+    * shingles can't. The benchmark side is tiny and BROADCAST; the
+    * training corpus streams through one broadcast nested-loop pass
+    * (non-equi by construction — there is no key; at 100 TB this is
+    * one linear scan of the corpus against an in-memory benchmark
+    * matrix, the exact shape a GPU-batched production screen also
+    * has). Threshold compares the RAW double cosine (the e02
+    * convention — both engines compute the same index-ordered sum);
+    * output rounds to 6dp. Unsorted.
+    */
+  private[graft] def semanticDecontScreen(train: DataFrame,
+                                          bench: DataFrame,
+                                          threshold: Double): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_similarity
+    train.select(col("vec_id").as("train_id"), col("embedding").as("t_emb"))
+      .join(broadcast(bench.select(col("vec_id").as("bench_id"),
+        col("embedding").as("b_emb"))))
+      .withColumn("cos", cosine_similarity(col("t_emb"), col("b_emb")))
+      .filter(col("cos") >= threshold)
+      .select(col("train_id"), col("bench_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  val d17SemanticDecontamination = QueryDef(
+    "d17_semantic_decontamination",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      // the d15 eval-split convention: every vec_id % 10 == 0 is eval
+      graft.api.Graft.semanticDecontaminate(
+          e.filter(col("vec_id") % 10 =!= 0),
+          e.filter(col("vec_id") % 10 === 0))
+        .orderBy(col("train_id"), col("bench_id"))
+    },
+    Some(s"""SELECT a.vec_id AS train_id, b.vec_id AS bench_id,
+            |  round(
+            |    (list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')
+            |     / (sqrt(list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum'))
+            |        * sqrt(list_aggregate([CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')))), 6) AS cos
+            |FROM embeddings a JOIN embeddings b
+            |  ON a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+            |WHERE (list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')
+            |       / (sqrt(list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum'))
+            |          * sqrt(list_aggregate([CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')))) >= 0.35
+            |ORDER BY train_id, bench_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     d01ExactDedup, d02NormalizedDedup, d03NgramJaccard, d04MinHashLsh,
     d05SimHash, d06DedupClusters, d07KeepList, d08JaccardCapped,
     d09MinHashCapped, d10SegmentDedup, d11IntraDocDedup, d12SubstringDedup,
     d13BloomIncremental, d14SourceOverlap, d15CrossDecontamination,
-    d16QualityKeeper)
+    d16QualityKeeper, d17SemanticDecontamination)
 }

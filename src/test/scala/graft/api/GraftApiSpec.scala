@@ -181,6 +181,16 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped == 0, "cap=1 must suppress every candidate bucket")
   }
 
+  test("semanticDecontaminate equals the d17 gate; threshold binds") {
+    val train = emb.filter(col("vec_id") % 10 =!= 0)
+    val bench = emb.filter(col("vec_id") % 10 === 0)
+    assert(rows(Graft.semanticDecontaminate(train, bench))
+      == rows(gate("d17_semantic_decontamination")))
+    val loose = Graft.semanticDecontaminate(train, bench, 0.35).count()
+    val tight = Graft.semanticDecontaminate(train, bench, 0.5).count()
+    assert(tight <= loose && loose > 0)
+  }
+
   test("qualityClassify equals the t21 gate") {
     assert(rows(Graft.qualityClassify(docs))
       == rows(gate("t21_quality_classifier")))

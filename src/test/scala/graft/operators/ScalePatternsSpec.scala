@@ -366,6 +366,20 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"t24 must not fall back to a row_number window sort:\n$p")
   }
 
+  test("d17's benchmark side broadcasts: the corpus streams one linear pass") {
+    val d = "/root/testdata/sf0.001"
+    // semantic decontamination is non-equi by construction (no key to
+    // hash on), so the RIGHT shape is a BroadcastNestedLoopJoin whose
+    // build side is the tiny benchmark — never a CartesianProduct
+    // (which would shuffle/partition BOTH sides)
+    val d17 = DedupQueries.d17SemanticDecontamination.fn(spark, d)
+    val p = d17.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"d17 must broadcast the benchmark side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"d17 must never partition both sides:\n$p")
+  }
+
   test("e16's exact re-rank never rescans or shuffle-joins the corpus") {
     val d = "/root/testdata/sf0.001"
     // stage 2's scale claim: raw vectors for the ~50-row shortlist are
