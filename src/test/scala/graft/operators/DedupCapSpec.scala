@@ -87,6 +87,35 @@ class DedupCapSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally spark.conf.unset("spark.graft.benchMaxDocId")
   }
 
+  test("d17's benchMaxDocId caps the benchmark side; above-range cap is a no-op") {
+    val d = "/root/testdata/sf0.001"
+    def run(): Set[(Long, Long)] =
+      DedupQueries.d17SemanticDecontamination.fn(spark, d).collect()
+        .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("bench_id")))
+        .toSet
+    val uncapped = run()
+    assert(uncapped.nonEmpty)
+    // a cap excludes high-id eval vectors from the BENCH side: every
+    // surviving bench_id is within range; pairs against in-range
+    // benchmarks all survive (their train side is unchanged); and any
+    // NEW pair's train side is an excluded eval vector that rejoined
+    // the training corpus — exactly the semantics ScaleBench relies on
+    val cap = uncapped.map(_._2).max - 1
+    spark.conf.set("spark.graft.benchMaxDocId", cap.toString)
+    try {
+      val capped = run()
+      assert(capped.forall(_._2 <= cap), s"bench above cap: $capped")
+      assert(uncapped.filter(_._2 <= cap).subsetOf(capped),
+        "in-range pairs must survive the cap")
+      assert((capped -- uncapped).forall(p =>
+        p._1 % 10 == 0 && p._1 > cap),
+        "new pairs may only come from evicted eval vectors")
+    } finally spark.conf.unset("spark.graft.benchMaxDocId")
+    spark.conf.set("spark.graft.benchMaxDocId", "1000000")
+    try assert(run() == uncapped, "high cap must be a no-op")
+    finally spark.conf.unset("spark.graft.benchMaxDocId")
+  }
+
   test("mm07's phashBucketCap bounds pair output on a hyper-duplicated corpus") {
     val d = "/root/testdata/sf0.001"
     def run(): Set[(Long, Long)] =
