@@ -85,8 +85,9 @@ object ScaleBench {
       "t22_bigram_perplexity",
       // mm07: replica ids synthesize N× DISTINCT images (the hash
       // depends on doc_id), so decode work grows N× and the banded
-      // join's bucket populations grow N× under fixed 8-bit chunks —
-      // the regime where per-bucket pair counts, not pixels, set cost
+      // join's bucket populations grow N× under the fixed 13/12-bit
+      // chunks (5 bands, complete for Hamming ≤ 4) — the regime where
+      // per-bucket pair counts, not pixels, set cost
       "mm07_phash_neardup",
       // the production lever for that regime: skip band buckets above
       // 500 members (hyper-duplicated classes are d01 exact-dedup's

@@ -54,23 +54,29 @@ object Graft {
     */
   def exactDedup(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame =
-    docs.groupBy(md5(col(textCol)).as("content_hash"))
-      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+    DedupQueries.exactDedupOf(docs, textCol, idCol)
 
   /** [[exactDedup]] after lowercasing + whitespace collapse — catches
     * formatting-only duplicates. Gate: `d02_normalized_dedup`.
     */
   def normalizedDedup(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame =
-    docs.groupBy(md5(regexp_replace(lower(col(textCol)), "\\s+", " "))
-        .as("content_hash"))
-      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+    DedupQueries.normalizedDedupOf(docs, textCol, idCol)
 
   /** MinHash + LSH near-duplicate pairs, exact-Jaccard verified: 64
     * minhashes over word 3-gram shingles, 16×4 banding for candidates,
     * `array_intersect` verification, keep pairs with Jaccard ≥
     * `threshold`. Candidates are banded — never all-pairs — and
     * verification touches only the candidate minority.
+    *
+    * RECALL CONTRACT: the fixed 16×4 banding is tuned for the default
+    * `threshold` = 0.8 regime — a J ≥ 0.8 pair survives candidate
+    * generation with probability ≥ 1 − (1 − 0.8⁴)¹⁶ ≈ 1 − 10⁻⁶.
+    * Lowering `threshold` only relaxes the VERIFY filter, not the
+    * banding: at 0.5 a qualifying pair is a candidate only ~64% of the
+    * time, so the returned pair set is silently incomplete. Keep
+    * `threshold` ≥ 0.8 where near-total recall matters (or re-band:
+    * more bands / shorter rows raise recall at lower thresholds).
     *
     * Input: (doc_id Long, text String). Output: (da, db, jaccard),
     * da < db, unsorted. Gate: `d04_minhash_lsh`.
@@ -116,11 +122,12 @@ object Graft {
     */
   def decontaminate(train: DataFrame, bench: DataFrame,
                     threshold: Double = 0.5): DataFrame = {
-    // cache: the broadcast bench side feeds both the band join and the
-    // exact-verify join; pure column-expression plan, so the cache
-    // entry dedupes across invocations (unlike decode mapPartitions)
-    val benchSigs =
-      DedupQueries.d15Sigs(DedupQueries.shingleArraysOf(bench)).cache()
+    // localCheckpoint, not cache(): the broadcast bench side feeds both
+    // the band join and the exact-verify join, and checkpoint blocks
+    // die with the handle (ContextCleaner) — a cache() here would leave
+    // a session-lifetime CacheManager entry per distinct bench frame
+    val benchSigs = DedupQueries
+      .d15Sigs(DedupQueries.shingleArraysOf(bench)).localCheckpoint()
     val trainSigs = DedupQueries.d15Sigs(DedupQueries.shingleArraysOf(train))
     DedupQueries.decontScreen(trainSigs, benchSigs, threshold)
   }
@@ -144,31 +151,52 @@ object Graft {
   def segmentHashes(docs: DataFrame): DataFrame =
     DedupQueries.BloomSketch.segmentHashesOf(docs)
 
-  /** Bloom sketch of a segment-hash set as (w, word) rows — ≤ mBits/32
-    * of them, bit_or-mergeable: merging two sketches on `w` yields
-    * exactly the sketch of the union (the incremental-ingest property,
-    * spec-proven). Size `mBits` to the corpus (~10 bits per expected
-    * distinct segment for ~1% FP at 3 hashes).
+  /** Bloom sketch of a segment-hash set: (w, word) rows — ≤ mBits/32 of
+    * them, bit_or-mergeable — wrapped with the `mBits` they were built
+    * under, so a probe can never screen with a mismatched modulus (bit
+    * positions are computed `% mBits`; probing with a different m
+    * silently yields false negatives, defeating the dedup). Merge
+    * sketches only via [[BloomIndex.merge]], which enforces equal
+    * mBits. Size `mBits` to the corpus (~10 bits per expected distinct
+    * segment for ~1% FP at 3 hashes).
     */
   def bloomSketch(segHashes: DataFrame,
                   mBits: Int = DedupQueries.BloomSketch.mBitsDefault)
-      : DataFrame =
-    DedupQueries.BloomSketch.sketchOf(segHashes, mBits)
+      : BloomIndex =
+    BloomIndex(DedupQueries.BloomSketch.sketchOf(segHashes, mBits), mBits)
+
+  /** A built Bloom sketch: `words` = (w, word) bit rows, `mBits` = the
+    * modulus every position in `words` was computed under.
+    */
+  final case class BloomIndex private[api] (words: DataFrame, mBits: Int) {
+    /** Union with another sketch — exact (bit_or distributes over set
+      * union, the incremental-ingest property, spec-proven). Both
+      * sketches must share `mBits`; positions are not re-computable
+      * from the words alone.
+      */
+    def merge(other: BloomIndex): BloomIndex = {
+      require(mBits == other.mBits,
+        s"cannot merge Bloom sketches of different sizes: $mBits vs ${other.mBits}")
+      BloomIndex(words.unionByName(other.words)
+        .groupBy(col("w"))
+        .agg(expr("bit_or(word)").as("word")), mBits)
+    }
+  }
 
   /** Screen an arriving batch against an existing corpus's broadcast
-    * [[bloomSketch]]: (doc_id, h, bloom_hit) per batch segment. Exact
-    * verification of the hit minority (a join against the corpus
-    * segments) is the caller's second stage — work proportional to the
-    * hits, never the corpus.
+    * [[bloomSketch]]: (doc_id, h, bloom_hit) per batch segment — probe
+    * positions use the sketch's own carried `mBits`, so a modulus
+    * mismatch is impossible by construction. Exact verification of the
+    * hit minority (a join against the corpus segments) is the caller's
+    * second stage — work proportional to the hits, never the corpus.
     *
-    * Input: batch documents (doc_id, text) + the sketch frame.
+    * Input: batch documents (doc_id, text) + the built sketch.
     * Gate: `d13_bloom_incremental` (routes its probe stage through
     * this).
     */
-  def bloomScreen(batch: DataFrame, sketch: DataFrame,
-                  mBits: Int = DedupQueries.BloomSketch.mBitsDefault)
-      : DataFrame =
-    DedupQueries.BloomSketch.probe(segmentHashes(batch), sketch, mBits)
+  def bloomScreen(batch: DataFrame, sketch: BloomIndex): DataFrame =
+    DedupQueries.BloomSketch.probe(segmentHashes(batch), sketch.words,
+      sketch.mBits)
 
   /** SEMANTIC cross-corpus decontamination — [[decontaminate]]'s
     * embedding-space sibling: flag training vectors whose cosine
@@ -295,11 +323,7 @@ object Graft {
     * additionally verifies the estimate against the exact count).
     */
   def distinctTokenSketch(docs: DataFrame, k: Int = 64): DataFrame =
-    TextAnalysisQueries.kmvParts(TextAnalysisQueries.tokenHashes(docs), k)
-      .select(col("source"), col("n_in_sketch"), col("kth_min"),
-        round(when(col("n_in_sketch") < k, col("n_in_sketch").cast("double"))
-          .otherwise(lit((k - 1).toDouble * 1152921504606846976.0)
-            / col("kth_min")), 4).as("kmv_estimate"))
+    TextAnalysisQueries.distinctTokenSketchOf(docs, k)
 
   // ------------------------------------------------------------------
   // Similarity search
@@ -407,11 +431,15 @@ object Graft {
   def imagePHash(media: Dataset[(Long, Array[Byte])]): DataFrame =
     MultimodalQueries.hashImages(media)
 
-  /** Banded LSH near-duplicate pairs over [[imagePHash]] output: 8×8-bit
-    * chunk candidates (pigeonhole-complete for Hamming ≤ 7), exact
-    * xor+popcount verify at ≤ `maxHamming`. `bucketCap` skips buckets
-    * above the cap — the lever for hyper-duplicated corpora where the
-    * true pair set itself is quadratic.
+  /** Banded LSH near-duplicate pairs over [[imagePHash]] output:
+    * 5-band (13/13/13/13/12-bit) chunk candidates — pigeonhole-complete
+    * for Hamming ≤ 4, so at the default `maxHamming` = 4 no true pair
+    * can be dropped; passing `maxHamming` > 4 keeps the exact verify
+    * but loses the candidate-completeness guarantee (pairs at distance
+    * 5+ are found only probabilistically). Exact xor+popcount verify at
+    * ≤ `maxHamming`. `bucketCap` skips buckets above the cap — the
+    * lever for hyper-duplicated corpora where the true pair set itself
+    * is quadratic.
     *
     * Input: (media_id, lo, hi) — cache/localCheckpoint it first if the
     * hash step is expensive (it feeds both join sides). Output:

@@ -154,6 +154,25 @@ object DedupQueries {
       |                 for i in generate_series(1, len(w)-2)]) s
       |       FROM words)""".stripMargin
 
+  /** Exact duplicate groups by content hash over an arbitrary documents
+    * frame — the [[graft.api.Graft.exactDedup]] body: one
+    * map-side-combined shuffle at any scale.
+    */
+  private[graft] def exactDedupOf(docs: DataFrame, textCol: String = "text",
+                                  idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** [[exactDedupOf]] after lowercasing + whitespace collapse — the
+    * [[graft.api.Graft.normalizedDedup]] body.
+    */
+  private[graft] def normalizedDedupOf(docs: DataFrame,
+                                       textCol: String = "text",
+                                       idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(regexp_replace(lower(col(textCol)), "\\s+", " "))
+        .as("content_hash"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
   /** Exact dedup: hash-groupBy on content, keep min doc_id per group —
     * one map-side-combined shuffle at scale.
     */

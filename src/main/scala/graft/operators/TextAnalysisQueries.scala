@@ -1253,6 +1253,26 @@ object TextAnalysisQueries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_in_sketch"), max(col("h")).as("kth_min"))
 
+  /** The KMV cardinality estimate over [[kmvParts]] columns — THE one
+    * formula site (the facade and the t24 gate both read it): a
+    * not-full sketch reports its exact size (it holds every distinct
+    * hash), a full one reports (k−1)·2⁶⁰/kth_min.
+    */
+  private[graft] def kmvEstimate(k: Int): org.apache.spark.sql.Column =
+    when(col("n_in_sketch") < k, col("n_in_sketch").cast("double"))
+      .otherwise(lit((k - 1).toDouble * 1152921504606846976.0)
+        / col("kth_min"))
+
+  /** The [[graft.api.Graft.distinctTokenSketch]] body: sketch +
+    * estimate, no exact side (production never has one).
+    */
+  private[graft] def distinctTokenSketchOf(
+      docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame =
+    kmvParts(tokenHashes(docs), k)
+      .select(col("source"), col("n_in_sketch"), col("kth_min"),
+        round(kmvEstimate(k), 4).as("kmv_estimate"))
+
   val t24DistinctKmv = QueryDef(
     "t24_distinct_kmv",
     (s, d) => {
@@ -1261,11 +1281,11 @@ object TextAnalysisQueries {
       val sketch = kmvParts(hashed, k)
       val exact = hashed.groupBy(col("source"))
         .agg(count(lit(1)).as("n_exact"))
+      // kmvEstimate's not-full branch reads n_in_sketch where the
+      // oracle text reads n_exact — value-identical (a not-full sketch
+      // contains every distinct hash, so the two counts are equal)
       exact.join(sketch, "source")
-        .withColumn("est",
-          when(col("n_in_sketch") < k, col("n_exact").cast("double"))
-            .otherwise(lit((k - 1).toDouble * 1152921504606846976.0)
-              / col("kth_min")))
+        .withColumn("est", kmvEstimate(k))
         .select(col("source"), col("n_exact"), col("kth_min"),
           round(col("est"), 4).as("kmv_estimate"),
           round(abs(col("est") - col("n_exact")) / col("n_exact"), 4)

@@ -122,10 +122,11 @@ class DedupCapSpec extends AnyFunSuite with BeforeAndAfterAll {
       MultimodalQueries.mm07PerceptualHashDedup.fn(spark, d).collect()
         .map(r => (r.getAs[Long]("ma"), r.getAs[Long]("mb"))).toSet
     val uncapped = run()
-    // 148, up from 141 under round 7's 4×16-bit banding: 8×8-bit bands
-    // are pigeonhole-complete for Hamming ≤ 7, recovering the 7 true
-    // distance-4 pairs whose differing bits straddled all four wide
-    // bands (the recall hole the round-8 fix closed)
+    // 148, up from 141 under round 7's 4×16-bit banding: the 5-band
+    // 13/13/13/13/12-bit layout is pigeonhole-complete for Hamming ≤ 4,
+    // recovering the 7 true distance-4 pairs whose differing bits
+    // straddled all four wide bands (the recall hole the round-8 fix
+    // closed)
     assert(uncapped.size == 148, s"gate output drifted: ${uncapped.size}")
     // cap at 1: every multi-member bucket is skipped -> no pairs at all
     // (the degenerate bound; production would cap in the hundreds)
