@@ -449,19 +449,23 @@ object Graft {
                     bucketCap: Option[Long] = None): DataFrame =
     MultimodalQueries.phashNearDups(hashed, maxHamming, bucketCap)
 
-  /** 32-bit audio energy fingerprint of opaque WAV payloads, decoded
-    * with the real JDK codec: 32 relative |amplitude| windows,
-    * window-mean vs clip-mean compared cross-multiplied in integers.
+  /** 64-bit audio energy fingerprint of opaque WAV payloads, decoded
+    * with the real JDK codec: 64 relative |amplitude| windows,
+    * window-mean vs clip-mean compared cross-multiplied in integers,
+    * packed into two 32-bit words — [[imagePHash]]'s (lo, hi) layout,
+    * so both modalities share one banding scheme.
     * Input: Dataset of (media_id, payload bytes). Output: (media_id,
-    * fp). Gate: `mm08_audio_fp_neardup` (via [[audioNearDups]]).
+    * lo, hi). Gate: `mm08_audio_fp_neardup` (via [[audioNearDups]]).
     */
   def audioFingerprint(media: Dataset[(Long, Array[Byte])]): DataFrame =
     MultimodalQueries.fingerprintAudio(media)
 
-  /** Banded LSH near-dup pairs over [[audioFingerprint]] output:
-    * 5-band (7/7/6/6/6-bit) candidates — pigeonhole-complete for
-    * Hamming ≤ 4 — then exact xor+popcount verify at ≤ `maxHamming`.
-    * Input: (media_id, fp). Output: (ma, mb, hamming), ma < mb,
+  /** Banded LSH near-dup pairs over [[audioFingerprint]] output —
+    * [[imageNearDups]]'s machinery on the audio code: 5-band
+    * (13/13/13/13/12-bit) chunk candidates, pigeonhole-complete for
+    * Hamming ≤ 4 (`maxHamming` > 4 loses the completeness guarantee),
+    * exact xor+popcount verify, `bucketCap` hot-bucket lever.
+    * Input: (media_id, lo, hi). Output: (ma, mb, hamming), ma < mb,
     * unsorted. Gate: `mm08_audio_fp_neardup`.
     */
   def audioNearDups(fps: DataFrame, maxHamming: Int = 4,

@@ -688,16 +688,22 @@ object MultimodalQueries {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** 32-bit audio energy fingerprint of a WAV payload, decoded with the
+  /** 64-bit audio energy fingerprint of a WAV payload, decoded with the
     * REAL JDK codec (mm04's path): the clip's |amplitude| stream
-    * collapses into 32 relative windows (idx = k·32/n — variable
-    * window sizes when 32 ∤ n, counts tracked), and bit w is set iff
+    * collapses into 64 relative windows (idx = k·64/n — variable
+    * window sizes when 64 ∤ n, counts tracked), and bit w is set iff
     * window w's mean |amplitude| beats the clip mean — compared
     * CROSS-MULTIPLIED in integers (S·n > total·c, the mm07 aHash
     * discipline), so no double division can round differently across
-    * engines. Shared by the batch gate and [[graft.api.Graft.audioFingerprint]].
+    * engines. Packed into two 32-bit words — EXACTLY mm07's (lo, hi)
+    * layout, so the image hash's 5-band 13/12-bit chunks
+    * ([[phashBandChunks]], 8192-value selectivity per band) band it
+    * too: the round-8 32-bit code's 6–7-bit chunks capped out at 128
+    * buckets per band, growing linearly-populated at corpus scale —
+    * widening the code is what retires that caveat. Shared by the
+    * batch gate and [[graft.api.Graft.audioFingerprint]].
     */
-  private[graft] def audioFp(payload: Array[Byte]): Long = {
+  private[graft] def audioFp(payload: Array[Byte]): (Long, Long) = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     val fmt = ais.getFormat
@@ -706,123 +712,81 @@ object MultimodalQueries {
     val bytes = ais.readAllBytes()
     ais.close()
     val n = bytes.length / 2
-    val sums = new Array[Long](32)
-    val cnts = new Array[Long](32)
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
     var total = 0L
     var k = 0
     while (k < n) {
       val v = (((bytes(2 * k + 1) & 0xFF) << 8) |
         (bytes(2 * k) & 0xFF)).toShort.toLong
       val a = math.abs(v)
-      val idx = (k * 32 / n).toInt
+      val idx = (k.toLong * 64 / n).toInt
       sums(idx) += a
       cnts(idx) += 1
       total += a
       k += 1
     }
-    var fp = 0L
+    var lo = 0L; var hi = 0L
     var i = 0
-    while (i < 32) {
-      if (sums(i) * n > total * cnts(i)) fp |= 1L << i
+    while (i < 64) {
+      if (sums(i) * n > total * cnts(i)) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
       i += 1
     }
-    fp
+    (lo, hi)
   }
 
   /** Fingerprint every (media_id, payload) audio row — the
-    * [[graft.api.Graft.audioFingerprint]] facade path. */
+    * [[graft.api.Graft.audioFingerprint]] facade path: a linear decode
+    * pass, 8-byte (lo, hi) output per clip. */
   private[graft] def fingerprintAudio(
       media: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { case (id, payload) =>
-      (id, audioFp(payload))
-    }).toDF("media_id", "fp")
+      val (lo, hi) = audioFp(payload)
+      (id, lo, hi)
+    }).toDF("media_id", "lo", "hi")
   }
 
-  /** 5-band (7/7/6/6/6-bit) chunks of a 32-bit fingerprint — 5 disjoint
-    * bands are pigeonhole-complete for Hamming ≤ 4, mm07's
-    * minimum-bands/maximum-width dial applied to the half-size code.
-    */
-  private[graft] def audioBandChunks(fp: Column): Column =
-    array(
-      struct(lit(0).as("band"), fp.bitwiseAND(lit(127L)).as("chunk")),
-      struct(lit(1).as("band"),
-        shiftright(fp, 7).bitwiseAND(lit(127L)).as("chunk")),
-      struct(lit(2).as("band"),
-        shiftright(fp, 14).bitwiseAND(lit(63L)).as("chunk")),
-      struct(lit(3).as("band"),
-        shiftright(fp, 20).bitwiseAND(lit(63L)).as("chunk")),
-      struct(lit(4).as("band"),
-        shiftright(fp, 26).bitwiseAND(lit(63L)).as("chunk")))
-
-  /** Banded near-dup pairs over (media_id, fp) fingerprints — the
-    * [[graft.api.Graft.audioNearDups]] facade path. Unsorted.
-    *
-    * SCALE CAVEAT a 64-bit code doesn't have: a 32-bit fingerprint's
-    * complete-for-≤4 banding leaves only 6–7 bits per chunk (64–128
-    * bucket values per band), so bucket populations grow linearly with
-    * the corpus and the candidate join quadratically — at real corpus
-    * scale either widen the fingerprint (mm07's two-word layout) or
-    * engage `bucketCap` (the phashBucketCap lever) to bound emitted
-    * pairs at cap²/2 per bucket.
+  /** Banded near-dup pairs over (media_id, lo, hi) fingerprints — the
+    * [[graft.api.Graft.audioNearDups]] facade path. The 64-bit code
+    * shares mm07's two-word layout, so this IS [[phashNearDups]]: the
+    * same 5-band 13/12-bit chunks (complete for Hamming ≤ 4, 8192-value
+    * buckets per band) and the same `bucketCap` hot-bucket lever.
+    * Unsorted.
     */
   private[graft] def audioFpNearDups(fps: DataFrame,
                                      maxHamming: Int = 4,
                                      bucketCap: Option[Long] = None)
-      : DataFrame = {
-    val bandedAll = fps.select(col("media_id"), col("fp"),
-      explode(audioBandChunks(col("fp"))).as("bucket"))
-    val banded = bucketCap match {
-      case Some(cap) =>
-        val cool = bandedAll.groupBy(col("bucket"))
-          .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
-          .select(col("bucket"))
-        bandedAll.join(broadcast(cool), Seq("bucket"))
-      case None => bandedAll
-    }
-    banded.alias("x")
-      .join(banded.alias("y"), col("x.bucket") === col("y.bucket") &&
-        col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("ma"), col("y.media_id").as("mb"),
-        expr("CAST(bit_count(x.fp ^ y.fp) AS BIGINT)").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-  }
+      : DataFrame =
+    phashNearDups(fps, maxHamming, bucketCap)
 
   /** Screen `incoming` audio fingerprints against a (small, broadcast)
     * `index` of existing-corpus fingerprints — the at-ingest audio
     * dedup shape ([[graft.streaming.MediaStreams.audioDedupScreen]]
-    * composes it per micro-batch). Both args are (media_id, fp) frames.
+    * composes it per micro-batch). Both args are (media_id, lo, hi)
+    * frames; the 64-bit layout makes this [[phashScreen]] verbatim.
     */
   private[graft] def audioFpScreen(incoming: DataFrame,
-                                   index: DataFrame): DataFrame = {
-    def banded(df: DataFrame) = df.select(col("media_id"), col("fp"),
-      explode(audioBandChunks(col("fp"))).as("bucket"))
-    val in = banded(incoming)
-      .select(col("media_id").as("ma"), col("fp").as("afp"), col("bucket"))
-    val ix = banded(index)
-      .select(col("media_id").as("mb"), col("fp").as("bfp"), col("bucket"))
-    in.join(broadcast(ix), Seq("bucket"))
-      .select(col("ma"), col("mb"),
-        expr("CAST(bit_count(afp ^ bfp) AS BIGINT)").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 4)
-  }
+                                   index: DataFrame): DataFrame =
+    phashScreen(incoming, index)
 
   /** Audio fingerprint near-dup detection — the audio member of the
     * multimodal dedup family (images: mm07; video shots: mm06): decode
-    * with the real codec, fingerprint ([[audioFp]]), 5-band LSH
+    * with the real codec, fingerprint ([[audioFp]] — 64 windows packed
+    * into mm07's two-word layout), the shared 5-band 13/12-bit LSH
     * candidates (complete for the ≤ 4 verify threshold), exact
     * xor+popcount verify. Near-phase clips (the generator's sawtooth
     * offsets collide modulo 2001) produce genuine non-identical
     * near-dups. At 100 TB: decode is a linear pass and 8-byte
-    * fingerprints shuffle — samples never do — but see
-    * [[audioFpNearDups]]'s caveat on 32-bit banding selectivity (widen
-    * the code or engage the bucket cap at corpus scale). Oracle
-    * replays decode →
-    * windows → cross-multiplied bits → packing → banding → Hamming
-    * closed-form from the waveform formula.
+    * fingerprints shuffle — samples never do — and the 8192-value
+    * band buckets keep candidate volume sub-quadratic (the round-8
+    * 32-bit code's 128-value buckets did not; widening retired that
+    * caveat). Oracle replays decode → windows → cross-multiplied bits
+    * → two-word packing → banding → Hamming closed-form from the
+    * waveform formula.
     */
   val mm08AudioFpDedup = QueryDef(
     "mm08_audio_fp_neardup",
@@ -843,7 +807,7 @@ object MultimodalQueries {
            |smp AS (
            |  SELECT media_id, n, k,
            |    abs(((media_id * 31 + k * 17) % 2001) - 1000) AS a,
-           |    CAST((k * 32) // n AS INT) AS idx
+           |    CAST((k * 64) // n AS INT) AS idx
            |  FROM base, LATERAL unnest(generate_series(0, n - 1)) AS t(k)),
            |win AS (
            |  SELECT media_id, idx, max(n) AS n, sum(a) AS s, count(*) AS c
@@ -851,21 +815,25 @@ object MultimodalQueries {
            |tot AS (SELECT media_id, sum(s) AS total FROM win GROUP BY 1),
            |fp AS (
            |  SELECT w.media_id,
-           |    CAST(sum(CASE WHEN s * n > total * c
+           |    CAST(sum(CASE WHEN idx < 32 AND s * n > total * c
            |                  THEN CAST(1 AS BIGINT) << idx ELSE 0 END)
-           |      AS BIGINT) AS fp
+           |      AS BIGINT) AS lo,
+           |    CAST(sum(CASE WHEN idx >= 32 AND s * n > total * c
+           |                  THEN CAST(1 AS BIGINT) << (idx - 32) ELSE 0 END)
+           |      AS BIGINT) AS hi
            |  FROM win w JOIN tot USING (media_id) GROUP BY w.media_id),
            |banded AS (
-           |  SELECT media_id, fp, band,
-           |    CASE WHEN band = 0 THEN fp & 127
-           |         WHEN band = 1 THEN (fp >> 7) & 127
-           |         WHEN band = 2 THEN (fp >> 14) & 63
-           |         WHEN band = 3 THEN (fp >> 20) & 63
-           |         ELSE (fp >> 26) & 63 END AS chunk
+           |  SELECT media_id, lo, hi, band,
+           |    CASE WHEN band = 0 THEN lo & 8191
+           |         WHEN band = 1 THEN (lo >> 13) & 8191
+           |         WHEN band = 2 THEN ((lo >> 26) & 63) + (hi & 127) * 64
+           |         WHEN band = 3 THEN (hi >> 7) & 8191
+           |         ELSE (hi >> 20) & 4095 END AS chunk
            |  FROM fp, (SELECT unnest([0, 1, 2, 3, 4]) AS band) b),
            |cand AS (
            |  SELECT DISTINCT x.media_id AS ma, y.media_id AS mb,
-           |    CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
+           |    CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+           |      AS BIGINT) AS hamming
            |  FROM banded x JOIN banded y
            |    ON x.band = y.band AND x.chunk = y.chunk
            |   AND x.media_id < y.media_id)

@@ -56,10 +56,11 @@ object MediaStreams {
     * stream and batch fingerprint identically by construction), then
     * runs the gated banded screen against the (small, static,
     * broadcast) fingerprint index. No stream state; samples never
-    * leave the arriving batch's partitions — only 8-byte fingerprints
-    * meet the index. MediaStreamsSpec proves the union of micro-batch
-    * outputs equals the batch mm08 gate's cross-pairs between the
-    * streamed and indexed halves.
+    * leave the arriving batch's partitions — only 8-byte (lo, hi)
+    * fingerprints meet the index. `index` is a (media_id, lo, hi)
+    * frame. MediaStreamsSpec proves the union of micro-batch outputs
+    * equals the batch mm08 gate's cross-pairs between the streamed and
+    * indexed halves.
     */
   def audioDedupScreen(media: Dataset[Media], index: DataFrame)
                       (onBatch: DataFrame => Unit)
@@ -70,9 +71,12 @@ object MediaStreams {
         val spark = batch.sparkSession
         import spark.implicits._
         val fps = batch
-          .mapPartitions(_.map(m =>
-            (m.media_id, graft.operators.MultimodalQueries.audioFp(m.payload))))
-          .toDF("media_id", "fp")
+          .mapPartitions(_.map { m =>
+            val (lo, hi) =
+              graft.operators.MultimodalQueries.audioFp(m.payload)
+            (m.media_id, lo, hi)
+          })
+          .toDF("media_id", "lo", "hi")
         onBatch(graft.operators.MultimodalQueries.audioFpScreen(fps, index))
       }
       .start()
