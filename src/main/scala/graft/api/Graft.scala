@@ -416,6 +416,106 @@ object Graft {
     }
   }
 
+  /** Build the product-quantization index (Jégou et al. 2011): train
+    * 4-subspace × 16-dim codebooks (4 centroids each, 2 Lloyd
+    * iterations, deterministic every-125th init) on the corpus, then
+    * store each vector as 4 one-byte codes — 16× smaller than float32.
+    * TRAINS EAGERLY at call time (bounded driver pulls: the init
+    * vectors + per-iteration centroid sums — never the corpus); reuse
+    * the returned handle for repeated searches. At 100 TB the corpus
+    * is touched twice for training and once for encoding; codebooks
+    * (4×4×16 floats) broadcast everywhere; search reads codes, never
+    * raw vectors.
+    *
+    * Input: (vec_id Long, embedding Array[Float]) — 64-dim. Gates:
+    * `e09_ann_pq` / `e16_ann_pq_rerank` (routed through
+    * [[PqIndex.search]]/[[PqIndex.rerank]]); recall harness: e12/e17.
+    */
+  def pqIndex(corpus: DataFrame): PqIndex = {
+    val codebooks = SimilarityQueries.pqTrain(corpus)
+    PqIndex(SimilarityQueries.pqEncode(corpus, codebooks), codebooks,
+      corpus)
+  }
+
+  /** A built PQ index: `codes` = (vec_id, code_0..code_3) — the stored
+    * corpus representation — plus the trained `codebooks` and the raw
+    * corpus handle [[rerank]] fetches exact vectors from.
+    */
+  final case class PqIndex private[api] (
+      codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+      private val corpus: DataFrame) {
+
+    /** ADC top-`k` per query: per-query lookup tables (query·centroid
+      * per subspace) broadcast, 4 table lookups per candidate instead
+      * of a 64-dim dot. Ranks by the asymmetric-distance APPROXIMATION
+      * — quantization loss included; see [[rerank]] for the production
+      * remedy. Self-matches are included (the e09 protocol). Queries:
+      * (vec_id, embedding). Output: (query_id, rnk, vec_id, approx_ip)
+      * sorted. Gate: `e09_ann_pq`.
+      */
+    def search(queries: DataFrame, k: Int = 3): DataFrame =
+      SimilarityQueries.pqAdcRank(codes, codebooks, renamed(queries), k)
+
+    /** Two-stage search: ADC shortlist of `fetch` candidates, then
+      * EXACT cosine over just those raw vectors (a broadcast semi-join
+      * fetch — the corpus is never rescanned, so the exact math costs
+      * O(queries × fetch)). What a production PQ deployment serves:
+      * e17 measures the recall this buys back over raw ADC (e12).
+      * Queries: (vec_id, embedding). Output: (query_id, rank,
+      * neighbor_id, cos) sorted. Gate: `e16_ann_pq_rerank`.
+      */
+    def rerank(queries: DataFrame, fetch: Int = 10, k: Int = 3)
+        : DataFrame = {
+      val q = renamed(queries)
+      val shortlist = SimilarityQueries.pqAdcRank(codes, codebooks, q, fetch)
+        .select(col("query_id"), col("vec_id"))
+      SimilarityQueries.pqRerankStage(corpus, shortlist, q, k)
+    }
+
+    private def renamed(queries: DataFrame): DataFrame =
+      queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+  }
+
+  /** Build the IVF-PQ composite index (Jégou et al. 2011 §IV — the
+    * production vector-compression stack): corpus routes to coarse
+    * cells ([[annIndex]]'s label centroids), each vector's RESIDUAL
+    * from its cell centroid is product-quantized (4 subspaces × 16
+    * dims, 16-centroid codebooks), and the stored reconstruction norm
+    * lets search rank by approximate COSINE. TRAINS EAGERLY (bounded
+    * driver pulls). Storage per vector: cell id + 4 bytes + one float.
+    *
+    * Input: (vec_id Long, embedding Array[Float], label Int). Gate:
+    * `e18_ann_ivfpq` (routed through [[IvfPqIndex.search]]); loss
+    * decomposition: e19.
+    */
+  def ivfPqIndex(corpus: DataFrame): IvfPqIndex = {
+    val (encoded, centroids, codebooks) =
+      SimilarityQueries.ivfPqTrainEncode(corpus)
+    IvfPqIndex(encoded, centroids, codebooks)
+  }
+
+  /** A built IVF-PQ index: `codes` = (vec_id, cell, code_0..code_3,
+    * recon2_0..recon2_3), `centroids` = the tiny coarse table, plus the
+    * trained residual `codebooks`.
+    */
+  final case class IvfPqIndex private[api] (
+      codes: DataFrame, centroids: DataFrame,
+      codebooks: Array[Array[Array[Double]]]) {
+
+    /** Probe the `probes` nearest cells per query, ADC-score their
+      * candidates by (q·c + Σ q_m·r̂_m) / (‖q‖·‖c + r̂‖), top-`k` per
+      * query. Self is excluded (the e01/e05 protocol). Queries:
+      * (vec_id, embedding). Output: (query_id, rnk, vec_id,
+      * approx_cos) sorted. Gate: `e18_ann_ivfpq`.
+      */
+    def search(queries: DataFrame, probes: Int = 2, k: Int = 3)
+        : DataFrame =
+      SimilarityQueries.ivfPqSearch(codes, centroids, codebooks,
+        queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb")), probes, k)
+  }
+
   // ------------------------------------------------------------------
   // Multimodal
   // ------------------------------------------------------------------

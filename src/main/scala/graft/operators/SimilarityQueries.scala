@@ -583,104 +583,146 @@ object SimilarityQueries {
     * shortlist depth `m` — e09 is `m = 3`; e16 re-ranks the `m = 10`
     * shortlist. One definition so the re-rank stage provably searches
     * the exact index it claims to (any drift flips both gates).
+    * Frame-parameterized (corpus and queries in, not (session, dir)) so
+    * [[graft.api.Graft.pqIndex]] exposes the identical path on a user's
+    * own frames — and the gates route THROUGH the facade.
     */
-  private def pqSearch(s: SparkSession, d: String, topM: Int): DataFrame = {
-      val subDim = 16
-      val m = 4 // subspaces
-      val k = 4 // centroids per subspace
-      val iters = 2
-      val e = Tables.embeddings(s, d).cache()
+  private val pqSubDim = 16
+  private def pqSubCol(c: Column, mi: Int): Column =
+    slice(c, mi * pqSubDim + 1, pqSubDim)
+  private def pqCentroidLit(c: Array[Double]): Column =
+    array(c.map(v => lit(v.toFloat)): _*).cast("array<float>")
+  private def pqL2(a: Column, cent: Array[Double]): Column =
+    aggregate(zip_with(a, pqCentroidLit(cent), (x, y) => {
+      val diff = x.cast("double") - y.cast("double"); diff * diff
+    }), lit(0.0), (acc, v) => acc + v)
+  private def pqDot(a: Column, cent: Array[Double]): Column =
+    aggregate(zip_with(a, pqCentroidLit(cent),
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
 
-      def subCol(c: Column, mi: Int): Column =
-        slice(c, mi * subDim + 1, subDim)
-      def centroidLit(c: Array[Double]): Column =
-        array(c.map(v => lit(v.toFloat)): _*).cast("array<float>")
-      def l2(a: Column, cent: Array[Double]): Column =
-        aggregate(zip_with(a, centroidLit(cent), (x, y) => {
-          val diff = x.cast("double") - y.cast("double"); diff * diff
-        }), lit(0.0), (acc, v) => acc + v)
-      def dot(a: Column, cent: Array[Double]): Column =
-        aggregate(zip_with(a, centroidLit(cent),
-          (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
+  /** Train the 4-subspace × 16-dim PQ codebooks on a (vec_id,
+    * embedding) corpus frame: deterministic every-125th init + 2
+    * batched Lloyd iterations over the `vecCol` column. Driver pulls
+    * are BOUNDED — k init vectors plus m×k×16 doubles per iteration —
+    * never the corpus; the corpus is cached only for the duration of
+    * training (try/finally) and touched 2+1 times total.
+    */
+  private[graft] def pqTrain(corpus: DataFrame,
+                             vecCol: String = "embedding",
+                             k: Int = 4)
+      : Array[Array[Array[Double]]] = {
+    val m = 4 // subspaces
+    val iters = 2
+    val e = corpus.cache()
+    try {
+      // deterministic init: subvectors of every 125th vector
+      val initRows = e.filter(pmod(col("vec_id"), lit(125)) === 0)
+        .orderBy(col("vec_id")).limit(k)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val cbs: Array[Array[Array[Double]]] =
+        Array.tabulate(m) { mi =>
+          initRows.map(_.slice(mi * pqSubDim, (mi + 1) * pqSubDim))
+        }
 
-      // training phase: the cache serves exactly these bounded driver
-      // pulls (init + m×iters centroid aggregates); released in the
-      // finally so a failed collect can't strand the cache. The final
-      // encode+search job below is a single uncached pass over the
-      // source — it runs after plan-build time, when the cache would
-      // already be a stale claim.
-      val codebooks: Array[Array[Array[Double]]] =
-        try {
-          // deterministic init: subvectors of every 125th vector
-          val initRows = e.filter(pmod(col("vec_id"), lit(125)) === 0)
-            .orderBy(col("vec_id")).limit(k)
-            .select(col("embedding")).collect()
-            .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-          val cbs: Array[Array[Array[Double]]] =
-            Array.tabulate(m) { mi =>
-              initRows.map(_.slice(mi * subDim, (mi + 1) * subDim))
-            }
+      // per-subspace Lloyd: assign by L2, recompute means (float-cast
+      // on use — the cross-engine rounding protocol). Subspaces are
+      // independent, so each iteration batches ALL m assignments
+      // into ONE job — 2 driver round-trips instead of m×iters —
+      // keyed by (mi, cell): a union of m branches over the cached
+      // corpus, one shuffle of m×k tiny aggregate rows. Identical
+      // math to the sequential per-subspace loop the oracle replays.
+      for (_ <- 1 to iters) {
+        val perSub = (0 until m).map { mi =>
+          val dists = array(cbs(mi).map(c =>
+            pqL2(pqSubCol(col(vecCol), mi), c)): _*)
+          val cell = (array_position(dists, array_min(dists)) - 1).cast("int")
+          e.select(lit(mi).as("mi"), cell.as("cell"), col(vecCol).as("v"))
+        }.reduce(_ unionByName _)
+        val subSums = (0 until pqSubDim).map(i =>
+          sum(element_at(col("v"),
+            col("mi") * pqSubDim + i + 1).cast("double")).as(s"s$i"))
+        val rows = perSub.groupBy(col("mi"), col("cell"))
+          .agg(count(lit(1)).as("n"), subSums: _*)
+          .collect()
+        rows.foreach { r =>
+          val mi = r.getInt(0)
+          val n = r.getLong(2).toDouble
+          cbs(mi)(r.getInt(1)) =
+            (0 until pqSubDim).map(i => r.getDouble(i + 3) / n).toArray
+        }
+      }
+      cbs
+    } finally e.unpersist()
+  }
 
-          // per-subspace Lloyd: assign by L2, recompute means (float-cast
-          // on use — the cross-engine rounding protocol). Subspaces are
-          // independent, so each iteration batches ALL m assignments
-          // into ONE job — 2 driver round-trips instead of m×iters —
-          // keyed by (mi, cell): a union of m branches over the cached
-          // corpus, one shuffle of m×k tiny aggregate rows. Identical
-          // math to the sequential per-subspace loop the oracle replays.
-          for (_ <- 1 to iters) {
-            val perSub = (0 until m).map { mi =>
-              val dists = array(cbs(mi).map(c =>
-                l2(subCol(col("embedding"), mi), c)): _*)
-              val cell = (array_position(dists, array_min(dists)) - 1).cast("int")
-              e.select(lit(mi).as("mi"), cell.as("cell"), col("embedding"))
-            }.reduce(_ unionByName _)
-            val subSums = (0 until subDim).map(i =>
-              sum(element_at(col("embedding"),
-                col("mi") * subDim + i + 1).cast("double")).as(s"s$i"))
-            val rows = perSub.groupBy(col("mi"), col("cell"))
-              .agg(count(lit(1)).as("n"), subSums: _*)
-              .collect()
-            rows.foreach { r =>
-              val mi = r.getInt(0)
-              val n = r.getLong(2).toDouble
-              cbs(mi)(r.getInt(1)) =
-                (0 until subDim).map(i => r.getDouble(i + 3) / n).toArray
-            }
-          }
-          cbs
-        } finally e.unpersist()
+  /** Encode each corpus vector as 4 one-byte codes — the 16×-compressed
+    * representation the index stores. One uncached linear pass.
+    */
+  private[graft] def pqEncode(corpus: DataFrame,
+                              codebooks: Array[Array[Array[Double]]],
+                              vecCol: String = "embedding"): DataFrame =
+    corpus.select(Seq(col("vec_id")) ++ codebooks.indices.map { mi =>
+      val dists = array(codebooks(mi).map(c =>
+        pqL2(pqSubCol(col(vecCol), mi), c)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+        .as(s"code_$mi")
+    }: _*)
 
-      // encode: 4 codes per vector
-      val encoded = e.select(Seq(col("vec_id")) ++ (0 until m).map { mi =>
-        val dists = array(codebooks(mi).map(c =>
-          l2(subCol(col("embedding"), mi), c)): _*)
-        (array_position(dists, array_min(dists)) - 1).cast("int")
-          .as(s"code_$mi")
+  /** ADC rank: (query_id, q_emb) queries against the encoded codes.
+    * Per-query LOOKUP TABLES (query·centroid per subspace) are computed
+    * ONCE on the tiny query side and broadcast — the joined corpus pass
+    * does 4 `element_at`s per (query, vector) pair, never a 64-dim dot:
+    * the asymmetric-distance shape that makes PQ serving read codes,
+    * not vectors. Self-matches are included (the e09 protocol — e12's
+    * recall is measured against the same convention).
+    */
+  private[graft] def pqAdcRank(encoded: DataFrame,
+                               codebooks: Array[Array[Array[Double]]],
+                               queries: DataFrame, topM: Int): DataFrame = {
+    val m = codebooks.length
+    val luts = queries
+      .select(Seq(col("query_id")) ++ (0 until m).map { mi =>
+        array(codebooks(mi).map(c =>
+          pqDot(pqSubCol(col("q_emb"), mi), c)): _*).as(s"ip_$mi")
       }: _*)
+    val withTables = encoded.join(broadcast(luts))
+      .withColumn("approx_ip", expr((0 until m)
+        .map(mi => s"element_at(ip_$mi, code_$mi + 1)").mkString(" + ")))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx_ip").desc, col("vec_id"))
+    withTables
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= topM)
+      .select(col("query_id"), col("rnk"), col("vec_id"),
+        round(col("approx_ip"), 6).as("approx_ip"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 
-      // ADC: per-query lookup tables (query·centroid per subspace)
-      val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val withTables = encoded.join(broadcast(queries))
-        .select(Seq(col("query_id"), col("vec_id")) ++
-          (0 until m).map { mi =>
-            array(codebooks(mi).map(c =>
-              dot(subCol(col("q_emb"), mi), c)): _*).as(s"ip_$mi")
-          } ++ (0 until m).map(mi => col(s"code_$mi")): _*)
-        .withColumn("approx_ip", expr((0 until m)
-          .map(mi => s"element_at(ip_$mi, code_$mi + 1)").mkString(" + ")))
-      val wRank = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("approx_ip").desc, col("vec_id"))
-      val out = withTables
-        .withColumn("rnk", row_number().over(wRank).cast("long"))
-        .filter(col("rnk") <= topM)
-        .select(col("query_id"), col("rnk"), col("vec_id"),
-          round(col("approx_ip"), 6).as("approx_ip"))
-        .orderBy(col("query_id"), col("rnk"))
-      out
+  /** Exact-cosine re-rank of an ADC shortlist (the e16 two-stage shape):
+    * fetch raw vectors for shortlist members and query points via
+    * broadcast joins — the corpus side streams, nothing shuffles, and
+    * the exact math costs O(queries × fetch), not O(queries × corpus).
+    */
+  private[graft] def pqRerankStage(corpus: DataFrame, shortlist: DataFrame,
+                                   queries: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.alias("b")
+      .join(broadcast(shortlist.alias("sl")),
+        col("sl.vec_id") === col("b.vec_id"))
+      .join(broadcast(queries.alias("a")),
+        col("a.query_id") === col("sl.query_id"))
+      .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"),
+        cosine_similarity(col("a.q_emb"), col("b.embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Oracle mirror of [[pqSearch]] — the full unrolled per-subspace
@@ -755,7 +797,13 @@ object SimilarityQueries {
 
   val e09AnnPq = QueryDef(
     "e09_ann_pq",
-    (s, d) => pqSearch(s, d, topM = 3),
+    // routed through the user-facing facade (train + encode + ADC all
+    // behind Graft.pqIndex) so the DuckDB gate re-certifies the public
+    // PQ path every round — the annIndex/e05 pattern
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.api.Graft.pqIndex(e).search(e.filter(col("vec_id") < 5), k = 3)
+    },
     Some(pqSql(topM = 3)))
 
   /** ANN quality evaluation: recall@3 of the IVF index (e05) against
@@ -1050,30 +1098,12 @@ object SimilarityQueries {
     */
   val e16AnnPqRerank = QueryDef(
     "e16_ann_pq_rerank",
+    // routed through Graft.pqIndex(...).rerank — the facade's two-stage
+    // path IS the gate path, so the oracle certifies it every round
     (s, d) => {
-      val m = 10
-      val shortlist = pqSearch(s, d, m)
-        .select(col("query_id"), col("vec_id"))
       val e = Tables.embeddings(s, d)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      // fetch raw vectors for shortlist members and query points via
-      // broadcast joins — the corpus side streams, nothing shuffles
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      e.alias("b")
-        .join(broadcast(shortlist.alias("sl")),
-          col("sl.vec_id") === col("b.vec_id"))
-        .join(broadcast(q.alias("a")),
-          col("a.query_id") === col("sl.query_id"))
-        .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"),
-          cosine_similarity(col("a.q_emb"), col("b.embedding")).as("cos"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("cos"), 6).as("cos"))
-        .orderBy(col("query_id"), col("rank"))
+      graft.api.Graft.pqIndex(e)
+        .rerank(e.filter(col("vec_id") < 5), fetch = 10, k = 3)
     },
     Some(
       s"""WITH pq_full AS (${pqSql(topM = 10)}),
@@ -1266,146 +1296,161 @@ object SimilarityQueries {
     * chained CTEs under the established float-cast / in-order-double
     * protocol.
     */
+  /** Residual of `vec` from the joined `centroid` column — float-exact
+    * cross-engine (float − float in double, cast back to float).
+    */
+  private def ivfPqResOf(vec: Column): Column =
+    zip_with(vec, col("centroid"), (x, y) =>
+      (x.cast("double") - y.cast("double")).cast("float"))
+
+  /** Train + encode the IVF-PQ composite on a (vec_id, embedding,
+    * label) corpus frame: coarse label centroids (e05's), per-subspace
+    * Lloyd on RESIDUALS (16 centroids × 4 subspaces, 2 iterations),
+    * then each vector stored as cell + 4 codes + the per-subspace
+    * reconstruction-norm pieces ‖c + r̂‖² (what lets ADC rank by
+    * approximate COSINE at serve time). Returns (encoded, centroids,
+    * codebooks). Driver pulls are bounded (init + per-iteration
+    * centroid aggregates); the residual frame is cached only for the
+    * duration of training.
+    */
+  private[graft] def ivfPqTrainEncode(corpus: DataFrame)
+      : (DataFrame, DataFrame, Array[Array[Array[Double]]]) = {
+    val m = 4
+    val iters = 2
+    val centroids = labelCentroids(corpus)
+
+    val ares = assignCells(corpus, centroids)
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        ivfPqResOf(col("embedding")).as("res"))
+      .cache()
+
+    // per-subspace Lloyd on residuals — the e09 recipe, trained on
+    // `res`; the cache serves init + iters bounded pulls, released
+    // before the search job (which re-derives ares from the source)
+    val codebooks: Array[Array[Array[Double]]] =
+      try {
+        val initRows = ares.filter(pmod(col("vec_id"), lit(125)) === 0)
+          .orderBy(col("vec_id")).limit(16)
+          .select(col("res")).collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        val cbs: Array[Array[Array[Double]]] =
+          Array.tabulate(m) { mi =>
+            initRows.map(_.slice(mi * pqSubDim, (mi + 1) * pqSubDim))
+          }
+        for (_ <- 1 to iters) {
+          val perSub = (0 until m).map { mi =>
+            val dists = array(cbs(mi).map(c =>
+              pqL2(pqSubCol(col("res"), mi), c)): _*)
+            val cell = (array_position(dists, array_min(dists)) - 1).cast("int")
+            ares.select(lit(mi).as("mi"), cell.as("pk"), col("res"))
+          }.reduce(_ unionByName _)
+          val subSums = (0 until pqSubDim).map(i =>
+            sum(element_at(col("res"),
+              col("mi") * pqSubDim + i + 1).cast("double")).as(s"s$i"))
+          val rows = perSub.groupBy(col("mi"), col("pk"))
+            .agg(count(lit(1)).as("n"), subSums: _*)
+            .collect()
+          rows.foreach { r =>
+            val mi = r.getInt(0)
+            val n = r.getLong(2).toDouble
+            cbs(mi)(r.getInt(1)) =
+              (0 until pqSubDim).map(i => r.getDouble(i + 3) / n).toArray
+          }
+        }
+        cbs
+      } finally ares.unpersist()
+
+    // encode: cell + 4 residual codes per vector, PLUS the stored
+    // reconstruction norm ‖c + r̂‖ — the per-vector scalar every
+    // cosine-serving PQ deployment keeps beside the codes so ADC can
+    // rank by approximate COSINE (a raw inner-product rank is
+    // norm-dominated and useless against a cosine ground truth)
+    val cbArrs = (0 until m).map(mi =>
+      array(codebooks(mi).map(pqCentroidLit): _*))
+    val encoded = ares.join(broadcast(centroids), Seq("cell"))
+      .select(Seq(col("vec_id"), col("cell")) ++
+        (0 until m).map { mi =>
+          val dists = array(codebooks(mi).map(c =>
+            pqL2(pqSubCol(col("res"), mi), c)): _*)
+          (array_position(dists, array_min(dists)) - 1).cast("int")
+            .as(s"code_$mi")
+        } :+ col("centroid"): _*)
+      .select(Seq(col("vec_id"), col("cell")) ++
+        (0 until m).map(mi => col(s"code_$mi")) ++
+        (0 until m).map { mi =>
+          aggregate(zip_with(pqSubCol(col("centroid"), mi),
+            element_at(cbArrs(mi), col(s"code_$mi") + 1),
+            (c, r) => {
+              val v = c.cast("double") + r.cast("double"); v * v
+            }), lit(0.0), (acc, v) => acc + v).as(s"recon2_$mi")
+        }: _*)
+    (encoded, centroids, codebooks)
+  }
+
+  /** IVF-PQ ADC search over [[ivfPqTrainEncode]] output: queries probe
+    * their `probes` nearest cells (e05's window + tie-break), carrying
+    * the correction term q·c and the residual query q − c; candidates
+    * in the probed cells score by
+    * (q·c + Σ_m q_m·r̂_m) / (‖q‖ · ‖c + r̂‖) — 4 lookups per pair into
+    * per-(query, cell) tables, never a raw-vector read. Self is
+    * excluded (the e01/e05 protocol). Left-assoc double chains mirror
+    * the oracle text (addition is order-sensitive at the last ulp).
+    */
+  private[graft] def ivfPqSearch(encoded: DataFrame, centroids: DataFrame,
+                                 codebooks: Array[Array[Array[Double]]],
+                                 queries: DataFrame,
+                                 probes: Int, k: Int): DataFrame = {
+    val m = codebooks.length
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("cell"))
+    val probed = queries
+      .join(broadcast(centroids))
+      .withColumn("cs", cosine_similarity(col("q_emb"), col("centroid")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= probes)
+      .select(col("query_id"), col("cell"),
+        aggregate(zip_with(col("q_emb"), col("centroid"),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("qc"),
+        aggregate(transform(col("q_emb"),
+          x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("qn2"),
+        ivfPqResOf(col("q_emb")).as("qres"))
+
+    val withTables = encoded.join(broadcast(probed), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(Seq(col("query_id"), col("vec_id"), col("qc"), col("qn2")) ++
+        (0 until m).map { mi =>
+          array(codebooks(mi).map(c =>
+            pqDot(pqSubCol(col("qres"), mi), c)): _*).as(s"ip_$mi")
+        } ++ (0 until m).map(mi => col(s"code_$mi")) ++
+        (0 until m).map(mi => col(s"recon2_$mi")): _*)
+      .withColumn("approx_cos",
+        expr("(qc + " + (0 until m)
+          .map(mi => s"element_at(ip_$mi, code_$mi + 1)").mkString(" + ") +
+          ") / (sqrt(qn2) * sqrt(" + (0 until m)
+          .map(mi => s"recon2_$mi").mkString(" + ") + "))"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    withTables
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"),
+        round(col("approx_cos"), 6).as("approx_cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val e18AnnIvfPq = QueryDef(
     "e18_ann_ivfpq",
+    // routed through Graft.ivfPqIndex — the facade's composite-index
+    // path IS the gate path, so the oracle certifies it every round
     (s, d) => {
-      val dim = 64
-      val subDim = 16
-      val m = 4
-      val iters = 2
       val e = Tables.embeddings(s, d)
-      val centroids = labelCentroids(e)
-
-      // residual corpus: (vec_id, cell, res) — float-exact cross-engine
-      // (float − float in double, cast back to float)
-      def resOf(vec: Column): Column =
-        zip_with(vec, col("centroid"), (x, y) =>
-          (x.cast("double") - y.cast("double")).cast("float"))
-      val ares = assignCells(e, centroids)
-        .join(broadcast(centroids), Seq("cell"))
-        .select(col("vec_id"), col("cell"), resOf(col("embedding")).as("res"))
-        .cache()
-
-      def subCol(c: Column, mi: Int): Column = slice(c, mi * subDim + 1, subDim)
-      def centroidLit(c: Array[Double]): Column =
-        array(c.map(v => lit(v.toFloat)): _*).cast("array<float>")
-      def l2(a: Column, cent: Array[Double]): Column =
-        aggregate(zip_with(a, centroidLit(cent), (x, y) => {
-          val diff = x.cast("double") - y.cast("double"); diff * diff
-        }), lit(0.0), (acc, v) => acc + v)
-      def dotLit(a: Column, cent: Array[Double]): Column =
-        aggregate(zip_with(a, centroidLit(cent),
-          (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
-
-      // per-subspace Lloyd on residuals — the e09 recipe, trained on
-      // `res`; the cache serves init + iters bounded pulls, released
-      // before the search job (which re-derives ares from the source)
-      val codebooks: Array[Array[Array[Double]]] =
-        try {
-          val initRows = ares.filter(pmod(col("vec_id"), lit(125)) === 0)
-            .orderBy(col("vec_id")).limit(16)
-            .select(col("res")).collect()
-            .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-          val cbs: Array[Array[Array[Double]]] =
-            Array.tabulate(m) { mi =>
-              initRows.map(_.slice(mi * subDim, (mi + 1) * subDim))
-            }
-          for (_ <- 1 to iters) {
-            val perSub = (0 until m).map { mi =>
-              val dists = array(cbs(mi).map(c =>
-                l2(subCol(col("res"), mi), c)): _*)
-              val cell = (array_position(dists, array_min(dists)) - 1).cast("int")
-              ares.select(lit(mi).as("mi"), cell.as("pk"), col("res"))
-            }.reduce(_ unionByName _)
-            val subSums = (0 until subDim).map(i =>
-              sum(element_at(col("res"),
-                col("mi") * subDim + i + 1).cast("double")).as(s"s$i"))
-            val rows = perSub.groupBy(col("mi"), col("pk"))
-              .agg(count(lit(1)).as("n"), subSums: _*)
-              .collect()
-            rows.foreach { r =>
-              val mi = r.getInt(0)
-              val n = r.getLong(2).toDouble
-              cbs(mi)(r.getInt(1)) =
-                (0 until subDim).map(i => r.getDouble(i + 3) / n).toArray
-            }
-          }
-          cbs
-        } finally ares.unpersist()
-
-      // encode: cell + 4 residual codes per vector, PLUS the stored
-      // reconstruction norm ‖c + r̂‖ — the per-vector scalar every
-      // cosine-serving PQ deployment keeps beside the codes so ADC can
-      // rank by approximate COSINE (a raw inner-product rank is
-      // norm-dominated and useless against a cosine ground truth)
-      val cbArrs = (0 until m).map(mi =>
-        array(codebooks(mi).map(centroidLit): _*))
-      val encoded = ares.join(broadcast(centroids), Seq("cell"))
-        .select(Seq(col("vec_id"), col("cell")) ++
-          (0 until m).map { mi =>
-            val dists = array(codebooks(mi).map(c =>
-              l2(subCol(col("res"), mi), c)): _*)
-            (array_position(dists, array_min(dists)) - 1).cast("int")
-              .as(s"code_$mi")
-          } :+ col("centroid"): _*)
-        .select(Seq(col("vec_id"), col("cell")) ++
-          (0 until m).map(mi => col(s"code_$mi")) ++
-          (0 until m).map { mi =>
-            aggregate(zip_with(subCol(col("centroid"), mi),
-              element_at(cbArrs(mi), col(s"code_$mi") + 1),
-              (c, r) => {
-                val v = c.cast("double") + r.cast("double"); v * v
-              }), lit(0.0), (acc, v) => acc + v).as(s"recon2_$mi")
-          }: _*)
-
-      // queries probe their 2 nearest cells (e05's window + tie-break),
-      // carrying the correction term q·c and the residual query q − c
-      val wProbe = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cs").desc, col("cell"))
-      val probes = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-        .join(broadcast(centroids))
-        .withColumn("cs", cosine_similarity(col("q_emb"), col("centroid")))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= 2)
-        .select(col("query_id"), col("cell"),
-          aggregate(zip_with(col("q_emb"), col("centroid"),
-            (x, y) => x.cast("double") * y.cast("double")),
-            lit(0.0), (acc, v) => acc + v).as("qc"),
-          aggregate(transform(col("q_emb"),
-            x => x.cast("double") * x.cast("double")),
-            lit(0.0), (acc, v) => acc + v).as("qn2"),
-          resOf(col("q_emb")).as("qres"))
-
-      // ADC: per-(query, cell) lookup tables over the residual query;
-      // approximate cosine = (q·c + Σ q_m·r̂_m) / (‖q‖ · ‖c + r̂‖),
-      // left-assoc chains mirroring the oracle text (double addition is
-      // order-sensitive at the last ulp, and the 6-decimal rounding
-      // can't absorb a boundary-straddling ulp)
-      val withTables = encoded.join(broadcast(probes), Seq("cell"))
-        .where(col("query_id") =!= col("vec_id"))
-        .select(Seq(col("query_id"), col("vec_id"), col("qc"), col("qn2")) ++
-          (0 until m).map { mi =>
-            array(codebooks(mi).map(c =>
-              dotLit(subCol(col("qres"), mi), c)): _*).as(s"ip_$mi")
-          } ++ (0 until m).map(mi => col(s"code_$mi")) ++
-          (0 until m).map(mi => col(s"recon2_$mi")): _*)
-        .withColumn("approx_cos",
-          expr("(qc + " + (0 until m)
-            .map(mi => s"element_at(ip_$mi, code_$mi + 1)").mkString(" + ") +
-            ") / (sqrt(qn2) * sqrt(" + (0 until m)
-            .map(mi => s"recon2_$mi").mkString(" + ") + "))"))
-      val wRank = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("approx_cos").desc, col("vec_id"))
-      withTables
-        .withColumn("rnk", row_number().over(wRank).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select(col("query_id"), col("rnk"), col("vec_id"),
-          round(col("approx_cos"), 6).as("approx_cos"))
-        .orderBy(col("query_id"), col("rnk"))
+      graft.api.Graft.ivfPqIndex(e)
+        .search(e.filter(col("vec_id") < 5), probes = 2, k = 3)
     },
     Some(ivfPqSql))
 
