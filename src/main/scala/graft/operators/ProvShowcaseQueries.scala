@@ -16,6 +16,10 @@ object ProvShowcaseQueries {
 
   /** Run a small tracked pipeline (source → mapValues → reduceByKey) over
     * order statuses and return (store, session, reduce-task id).
+    * The sample is DETERMINISTIC (sorted by the unique o_orderkey before
+    * the limit), so every derived store content is value-reproducible —
+    * what lets prov_lineage carry a REAL computed oracle instead of a
+    * rows-only check.
     */
   private def trackedPipeline(s: org.apache.spark.sql.SparkSession,
                               d: String): (String, ProvSession, String) = {
@@ -24,8 +28,10 @@ object ProvShowcaseQueries {
     val store = Files.createTempDirectory("provshowcase").toString
     val sess = ProvSession.create(s, "showcase", store)
     val statuses = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey")).limit(500)
       .select(col("o_orderstatus")).as[String]
-      .limit(500).collect().toSeq
+      .collect().toSeq
     val src = sess.parallelize(statuses, "order statuses")
     val pairs = src.map(st => (st, 1), "to pairs")
     val counts = pairs.reduceByKey(_ + _, "count per status")
@@ -66,17 +72,55 @@ object ProvShowcaseQueries {
     },
     None)
 
-  /** Multi-hop lineage closure of one aggregated element. */
+  /** Multi-hop lineage closure of one aggregated element — the first
+    * provenance row with a REAL cross-engine oracle (previously all
+    * prov_* rows were rows-only): the target element is chosen
+    * deterministically (the aggregate whose status payload is minimal),
+    * and the summarized closure — ancestors per hop × producing task,
+    * with their payload heads — is something DuckDB can RE-DERIVE from
+    * the orders table alone: hop 1 = the (status, 1) pairs for the
+    * target status, hop 2 = their source statuses, both exactly as
+    * numerous as that status is in the deterministic 500-row sample,
+    * and every ancestor's payload head IS the target status. Element
+    * ids are still freshly minted per run — the oracle checks the
+    * id-free content, which is the part lineage capture must get
+    * right.
+    */
   val provLineage = QueryDef(
     "prov_lineage",
     (s, d) => {
       val (store, sess, tid) = trackedPipeline(s, d)
       val q = new ProvenanceQueries(s, store)
       val anElement = q.producedBy(sess.executionId, tid)
+        .orderBy(col("values").getItem(0).getItem(0))
         .select(col("element_id")).head().getString(0)
       q.lineageOf(sess.executionId, anElement)
+        .join(q.elements(sess.executionId)
+          .select(col("element_id").as("id"), col("task_id"),
+            col("values").getItem(0).getItem(0).as("payload_head")), "id")
+        .join(q.tasks(sess.executionId)
+          .select(col("task_id"), col("description")), "task_id")
+        .groupBy(col("hop"), col("description"))
+        .agg(count(lit(1)).as("n_ancestors"),
+          countDistinct(col("payload_head")).as("n_payload_heads"),
+          min(col("payload_head")).as("payload_head"))
+        .orderBy(col("hop"), col("description"))
     },
-    None)
+    Some("""WITH sample AS (
+           |  SELECT o_orderstatus AS st FROM orders
+           |  ORDER BY o_orderkey LIMIT 500),
+           |tgt AS (SELECT min(st) AS st FROM sample),
+           |nf AS (
+           |  SELECT count(*) AS c FROM sample JOIN tgt ON sample.st = tgt.st)
+           |SELECT hop, description, n_ancestors, n_payload_heads,
+           |       payload_head FROM (
+           |  SELECT CAST(1 AS INT) AS hop, 'to pairs' AS description,
+           |    c AS n_ancestors, CAST(1 AS BIGINT) AS n_payload_heads,
+           |    (SELECT st FROM tgt) AS payload_head FROM nf
+           |  UNION ALL
+           |  SELECT CAST(2 AS INT), 'order statuses', c, CAST(1 AS BIGINT),
+           |    (SELECT st FROM tgt) FROM nf)
+           |ORDER BY hop, description""".stripMargin))
 
   /** Documents pipeline under provenance with dropped-record capture ON:
     * filter (short docs dropped → don't-pass lineage) → fingerprint map
