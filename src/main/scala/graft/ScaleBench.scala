@@ -108,7 +108,23 @@ object ScaleBench {
       // d17: semantic decontamination — the fixed-benchmark shape (see
       // d15): replicas grow only the screened corpus, the broadcast
       // benchmark matrix stays base-sized, cost is one linear scan
-      "d17_semantic_decontamination")
+      "d17_semantic_decontamination",
+      // e24: filtered ANN — the keep-set semi-join (25% of N× docs)
+      // restricts in-cell candidates BEFORE ranking; expected to track
+      // e05's cells minus the filtered-out candidates
+      "e24_filtered_ivf",
+      // e25: filtered recall — e24 composed with the exact post-filter
+      // ground truth; the exact side is 5 fixed queries × a linear
+      // corpus scan, the evaluation-harness regime
+      "e25_ann_recall_filtered",
+      // mm08: replica ids synthesize N× distinct clips (waveform phase
+      // depends on media_id), so decode grows N×; the generator's
+      // 2001-phase waveform space saturates at replica scale (mm07's
+      // situation one notch earlier), making the TRUE pair set — and so
+      // the uncapped cell — output-bound, not plan-bound
+      "mm08_audio_fp_neardup",
+      // the production lever for that regime, measured beside it
+      "mm08_audio_fp_neardup@cap500")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
@@ -169,11 +185,21 @@ object ScaleBench {
   private val tableOf: Map[String, String] =
     (Seq("e03_ann_lsh", "e05_ann_ivf", "e07_semantic_dedup", "e08_int8_quant",
       "e09_ann_pq", "e20_binary_quant", "e23_mmr_rerank",
-      "d17_semantic_decontamination")
+      "d17_semantic_decontamination", "e24_filtered_ivf",
+      "e25_ann_recall_filtered")
       .map(_ -> "embeddings") ++
       Seq("q56_asof_attribution", "q58_salted_agg", "q66_event_funnel",
         "q57_range_error_proximity").map(_ -> "events")).toMap
       .withDefaultValue("documents")
+
+  /** Tables a query reads BEYOND its throughput-basis table (drives
+    * replication): the filtered-ANN pair builds its keep set from the
+    * documents table while scanning embeddings.
+    */
+  private val extraTablesOf: Map[String, Set[String]] =
+    Map("e24_filtered_ivf" -> Set("documents"),
+      "e25_ann_recall_filtered" -> Set("documents"))
+      .withDefaultValue(Set.empty)
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -195,7 +221,9 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     // only the tables this run's queries read need replicas
-    val needed: Set[String] = queries.map(tableOf).toSet
+    val needed: Set[String] =
+      queries.map(tableOf).toSet ++ queries.flatMap(n =>
+        extraTablesOf(n.split("@cap").head)).toSet
 
     // SPARK_GRAFT_SCALE_REUSE=1 skips re-replication when the workDir
     // already holds every needed table — re-timing single cells against
@@ -221,7 +249,7 @@ object ScaleBench {
       math.min(a, b)
     }
 
-    runOnce(queries.head, baseDir) // JVM/codegen warmup
+    runOnce(queries.head.split("@cap").head, baseDir) // JVM/codegen warmup
 
     val rowCounts: Map[String, (Long, Long)] =
       needed.toSeq.map { t =>

@@ -798,7 +798,13 @@ object MultimodalQueries {
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.map(id => (id, syntheticWav(id)))))
         .localCheckpoint()
-      graft.api.Graft.audioNearDups(fps)
+      // same hot-bucket lever (and conf) as mm07: on a hyper-duplicated
+      // corpus the TRUE pair set is quadratic in the per-class copy
+      // count, and capping band buckets bounds emitted pairs at cap²/2
+      // per bucket (unset for the gate run — the oracle replays uncapped)
+      graft.api.Graft.audioNearDups(fps,
+          bucketCap = s.conf.getOption("spark.graft.phashBucketCap")
+            .map(_.toLong))
         .orderBy(col("ma"), col("mb"))
     },
     Some("""WITH base AS (
