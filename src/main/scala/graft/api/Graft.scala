@@ -64,19 +64,19 @@ object Graft {
     DedupQueries.normalizedDedupOf(docs, textCol, idCol)
 
   /** MinHash + LSH near-duplicate pairs, exact-Jaccard verified: 64
-    * minhashes over word 3-gram shingles, 16×4 banding for candidates,
+    * minhashes over word 3-gram shingles, banded for candidates,
     * `array_intersect` verification, keep pairs with Jaccard ≥
     * `threshold`. Candidates are banded — never all-pairs — and
     * verification touches only the candidate minority.
     *
-    * RECALL CONTRACT: the fixed 16×4 banding is tuned for the default
-    * `threshold` = 0.8 regime — a J ≥ 0.8 pair survives candidate
-    * generation with probability ≥ 1 − (1 − 0.8⁴)¹⁶ ≈ 1 − 10⁻⁶.
-    * Lowering `threshold` only relaxes the VERIFY filter, not the
-    * banding: at 0.5 a qualifying pair is a candidate only ~64% of the
-    * time, so the returned pair set is silently incomplete. Keep
-    * `threshold` ≥ 0.8 where near-total recall matters (or re-band:
-    * more bands / shorter rows raise recall at lower thresholds).
+    * RECALL CONTRACT: the banding is DERIVED from `threshold` — the
+    * widest rows whose per-pair candidate recall at J = threshold
+    * still clears 99% (16×4 at the default 0.8 ≈ 1 − 10⁻⁶ recall;
+    * 32×2 at 0.5; 8×8 at 0.95 — lower thresholds band finer for
+    * recall, higher thresholds band coarser for candidate
+    * selectivity). So the guarantee holds at ANY threshold;
+    * MinHashRecallSpec proves the 0.5 case equals the exact quadratic
+    * baseline's answer set.
     *
     * Input: (doc_id Long, text String). Output: (da, db, jaccard),
     * da < db, unsorted. Gate: `d04_minhash_lsh`.

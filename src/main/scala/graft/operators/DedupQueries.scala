@@ -251,12 +251,24 @@ object DedupQueries {
   /** d04's body over an arbitrary documents frame (doc_id, text) — the
     * [[graft.api.Graft.minhashDedup]] facade path. Unsorted; the gate
     * adds its output sort.
+    *
+    * The banding is DERIVED from the threshold (round 9): the widest
+    * rows (= most selective buckets) whose per-pair candidate recall
+    * at J = threshold still clears 99% — 1−(1−t^r)^(64/r) ≥ 0.99 over
+    * r ∈ {8, 4, 2, 1}. At the default 0.8 this derives the classic
+    * 16×4 (recall ≈ 1−10⁻⁶, the gate's banding); at 0.5 it derives
+    * 32×2 (recall ≈ 0.9999) where the old fixed 16×4 silently dropped
+    * ~36% of qualifying pairs; at 0.95 it derives 8×8, cutting
+    * candidate volume. MinHashRecallSpec proves the 0.5 case against
+    * the exact quadratic baseline (d03's answer set).
     */
   private[graft] def minhashPairs(docsRaw: DataFrame,
                                   threshold: Double = 0.8): DataFrame = {
     val numHashes = 64
-    val bands = 16
-    val rowsPerBand = numHashes / bands
+    val rowsPerBand = Seq(8, 4, 2, 1).find { r =>
+      1.0 - math.pow(1.0 - math.pow(threshold, r), numHashes / r) >= 0.99
+    }.getOrElse(1)
+    val bands = numHashes / rowsPerBand
     val prime = 2038074743L
 
     // per-doc shingle array + count + signature, all in one pass
