@@ -696,18 +696,33 @@ object SimilarityQueries {
     * not vectors. Self-matches are included (the e09 protocol — e12's
     * recall is measured against the same convention).
     */
+  /** Per-query ADC lookup tables (query·centroid per subspace) over a
+    * (query_id, q_emb) frame — ONE definition shared by the batch rank
+    * and the streaming server ([[graft.streaming.EmbStreams.pqServe]]),
+    * so stream and batch score identically by construction.
+    */
+  private[graft] def pqLuts(queries: DataFrame,
+                            codebooks: Array[Array[Array[Double]]])
+      : DataFrame =
+    queries.select(Seq(col("query_id")) ++ codebooks.indices.map { mi =>
+      array(codebooks(mi).map(c =>
+        pqDot(pqSubCol(col("q_emb"), mi), c)): _*).as(s"ip_$mi")
+    }: _*)
+
+  /** The ADC score over joined LUT + code columns — the left-assoc
+    * element_at chain both the batch rank and the stream server apply.
+    */
+  private[graft] def pqAdcScore(m: Int): Column =
+    expr((0 until m)
+      .map(mi => s"element_at(ip_$mi, code_$mi + 1)").mkString(" + "))
+
   private[graft] def pqAdcRank(encoded: DataFrame,
                                codebooks: Array[Array[Array[Double]]],
                                queries: DataFrame, topM: Int): DataFrame = {
     val m = codebooks.length
-    val luts = queries
-      .select(Seq(col("query_id")) ++ (0 until m).map { mi =>
-        array(codebooks(mi).map(c =>
-          pqDot(pqSubCol(col("q_emb"), mi), c)): _*).as(s"ip_$mi")
-      }: _*)
+    val luts = pqLuts(queries, codebooks)
     val withTables = encoded.join(broadcast(luts))
-      .withColumn("approx_ip", expr((0 until m)
-        .map(mi => s"element_at(ip_$mi, code_$mi + 1)").mkString(" + ")))
+      .withColumn("approx_ip", pqAdcScore(m))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("approx_ip").desc, col("vec_id"))

@@ -113,6 +113,62 @@ object EmbStreams {
       }
   }
 
+  final case class PqHit(query_id: Long, rnk: Long, vec_id: Long,
+                         approx_ip: Double)
+
+  /** Serve an unbounded query stream against the STATIC PQ index (the
+    * stored 4-byte codes + driver-held codebooks from
+    * [[graft.api.Graft.pqIndex]] — the e09-gated building blocks, so
+    * serving searches the gated index) — the compressed-domain sibling
+    * of [[ivfServe]], completing the streaming serving matrix (IVF:
+    * ivfServe; IVF pruned: ivfServePruned; filtered: the e24 semi-join
+    * over ivfServe's frame; PQ: this).
+    *
+    * Plan shape: each micro-batch computes its queries' ADC lookup
+    * tables in one projection (the SHARED
+    * [[graft.operators.SimilarityQueries.pqLuts]] — stream and batch
+    * score identically by construction), broadcasts them (the
+    * micro-batch planner has no stats for a MicroBatchScan — without
+    * the hint the codes side would sort-merge-shuffle every trigger),
+    * joins the code table ONCE (4 `element_at`s per candidate — codes
+    * are read, raw vectors never), and a per-query group emits the
+    * exact top-k with the batch's ordering and 6-decimal half-up
+    * rounding. State: none retained (NoTimeout, state never set).
+    * Self-matches are included — e09's protocol, so
+    * EmbStreamsSpec can assert stream ≡ batch on the gate's own query
+    * ids. At 100 TB the static side is 4 bytes/vector: the entire
+    * serving read is the code table, the memory-compression deployment
+    * PQ exists for.
+    */
+  def pqServe(queries: Dataset[EmbQuery], codes: DataFrame,
+              codebooks: Array[Array[Array[Double]]], k: Int = 3)
+      : Dataset[PqHit] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val luts = graft.operators.SimilarityQueries.pqLuts(
+      queries.toDF().select(col("query_id"), col("embedding").as("q_emb")),
+      codebooks)
+    val scored = broadcast(luts)
+      .join(codes)
+      .withColumn("approx_ip",
+        graft.operators.SimilarityQueries.pqAdcScore(codebooks.length))
+      .select(col("query_id"), col("vec_id"), col("approx_ip"))
+      .as[(Long, Long, Double)]
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, PqHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (qid: Long, rows: Iterator[(Long, Long, Double)], _) =>
+          // same ordering and rounding protocol as the batch pqAdcRank:
+          // approx_ip desc, vec_id asc, half-up 6-decimal rounding
+          rows.toSeq.sortBy(r => (-r._3, r._2)).take(k)
+            .iterator.zipWithIndex.map { case ((_, vid, ip), i) =>
+              PqHit(qid, i + 1L, vid,
+                BigDecimal(ip).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble)
+            }
+      }
+  }
+
   /** Serving with PER-BATCH PARTITION PRUNING — the 100 TB I/O shape.
     * The corpus lives on disk PARTITIONED BY `cell` (hive layout,
     * `write.partitionBy("cell")`); each micro-batch routes its queries

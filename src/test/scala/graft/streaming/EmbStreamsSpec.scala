@@ -71,6 +71,63 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally cached.unpersist()
   }
 
+  test("streaming PQ serving equals batch e09 ADC search on the same queries") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+
+    // index built once, batch-side, through the e09-gated facade; the
+    // 4-byte code table is cached as a real serving deployment would
+    val idx = graft.api.Graft.pqIndex(
+      spark.read.parquet(s"$d/embeddings.parquet"))
+    val codes = idx.codes.cache()
+    try {
+      val ts = Timestamp.valueOf("2026-01-01 09:00:00")
+      val qvecs = spark.read.parquet(s"$d/embeddings.parquet")
+        .filter($"vec_id" < 5).select("vec_id", "embedding").collect()
+        .map(r => EmbQuery(r.getLong(0), ts, r.getSeq[Float](1)))
+      val (b1, b2) = qvecs.splitAt(2)
+
+      val stream = MemoryStream[EmbQuery]
+      val q = EmbStreams.pqServe(stream.toDS(), codes, idx.codebooks)
+        .writeStream.format("memory").queryName("pq_hits")
+        .outputMode(OutputMode.Append())
+        .start()
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+      // the serving plan reads CODES only, never raw vectors, and the
+      // LUT side broadcasts (a shuffled join would re-sort the code
+      // table every trigger)
+      val plan = q
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      q.stop()
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"),
+        s"LUT side must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"the code table must never shuffle for the serving join:\n$plan")
+      // codes-only reads hold by SCHEMA: the joined static side is
+      // idx.codes (vec_id + code_0..3 — pinned by GraftApiSpec), which
+      // carries no raw-vector column to read in the first place
+
+      def asTuples(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("approx_ip"))).toSet
+      val streamed = asTuples(spark.table("pq_hits").collect())
+      val batch = asTuples(
+        graft.operators.SimilarityQueries.e09AnnPq.fn(spark, d).collect())
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"PQ serving diverged from batch e09: " +
+          s"onlyStream=${(streamed -- batch).take(5)} " +
+          s"onlyBatch=${(batch -- streamed).take(5)}")
+    } finally codes.unpersist()
+  }
+
   test("serving micro-batch plan broadcasts the query side; the corpus never shuffles for the join") {
     val spark2 = spark
     import spark2.implicits._
