@@ -579,4 +579,27 @@ object Graft {
     */
   def imageScreen(incoming: DataFrame, index: DataFrame): DataFrame =
     MultimodalQueries.phashScreen(incoming, index)
+
+  /** Per-frame perceptual hashes of opaque video payloads, decoded
+    * with the real JDK GIF reader: one (lo, hi) gray aHash per frame.
+    * Input: Dataset of (media_id, payload bytes). Output: (media_id,
+    * frame_no, n_frames, lo, hi). Gate: `mm09_video_neardup` (via
+    * [[videoNearDups]]).
+    */
+  def videoFrameHashes(media: Dataset[(Long, Array[Byte])]): DataFrame =
+    MultimodalQueries.hashVideoFrames(media)
+
+  /** Temporally-aligned video near-dup pairs over [[videoFrameHashes]]
+    * output: candidates from a (frame position, band, chunk)-keyed
+    * 5-band LSH join, kept when EVERY aligned position (0 until
+    * min(k_a, k_b)) matches at Hamming ≤ `maxHamming` — complete for
+    * the default 4 (position 0 must match, and the banding is complete
+    * there). Input: (media_id, frame_no, n_frames, lo, hi) — cache or
+    * localCheckpoint it first (it feeds the band join and both verify
+    * sides). Output: (ma, mb, n_aligned, max_hamming), ma < mb,
+    * unsorted. Gate: `mm09_video_neardup`.
+    */
+  def videoNearDups(frameHashes: DataFrame, maxHamming: Int = 4,
+                    bucketCap: Option[Long] = None): DataFrame =
+    MultimodalQueries.videoNearDups(frameHashes, maxHamming, bucketCap)
 }

@@ -147,7 +147,7 @@ object MultimodalQueries {
     * is lossless and every expected per-frame stat is recomputable in
     * pure SQL.
     */
-  private[operators] def syntheticGif(id: Long): Array[Byte] = {
+  private[graft] def syntheticGif(id: Long): Array[Byte] = {
     val k = (2 + id % 3).toInt
     val w = 6 + (id % 10).toInt
     val h = 6 + ((id * 3) % 10).toInt
@@ -846,6 +846,205 @@ object MultimodalQueries {
            |SELECT ma, mb, hamming FROM cand
            |WHERE hamming <= 4 ORDER BY ma, mb""".stripMargin))
 
+  /** 64-bit aHash of one decoded GRAYSCALE frame (single-channel block
+    * sums — the GIF palette is gray, so R carries the value; mm07's
+    * 3-channel sum is for RGB stills): 8×8 blocks, block-mean vs
+    * frame-mean cross-multiplied in integers, packed (lo, hi). Frames
+    * smaller than 8×8 leave some blocks empty — an empty block's bit is
+    * 0 on both engines (0 > 0 is false; the oracle's missing group rows
+    * contribute no bit).
+    */
+  private[graft] def frameHash(img: java.awt.image.BufferedImage)
+      : (Long, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((img.getRGB(x, y) >> 16) & 0xFF).toLong
+        val idx = (y * 8 / h) * 8 + (x * 8 / w)
+        sums(idx) += v
+        counts(idx) += 1
+        total += v
+        x += 1
+      }
+      y += 1
+    }
+    var lo = 0L; var hi = 0L
+    var idx = 0
+    while (idx < 64) {
+      if (sums(idx) * w * h > total * counts(idx)) {
+        if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32)
+      }
+      idx += 1
+    }
+    (lo, hi)
+  }
+
+  /** Per-frame perceptual hashes of opaque video payloads, decoded with
+    * the REAL GIF reader (mm03's path) — the
+    * [[graft.api.Graft.videoFrameHashes]] facade path: one linear
+    * decode pass per video, k 8-byte hashes out; pixels never leave the
+    * row's partition.
+    */
+  private[graft] def hashVideoFrames(
+      media: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, payload) =>
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      reader.setInput(iis)
+      val k = reader.getNumImages(true)
+      val rows = (0 until k).map { f =>
+        val (lo, hi) = frameHash(reader.read(f))
+        (id, f.toLong, k.toLong, lo, hi)
+      }
+      reader.dispose()
+      iis.close()
+      rows
+    }).toDF("media_id", "frame_no", "n_frames", "lo", "hi")
+  }
+
+  /** Video near-dup pairs over per-frame hashes — TEMPORALLY ALIGNED:
+    * two videos are near-dups when EVERY aligned frame position
+    * (0 until min(k_a, k_b)) matches at Hamming ≤ `maxHamming`.
+    * Candidates come from a band join keyed by (frame position, band,
+    * chunk) — complete for the rule, since a qualifying pair matches
+    * at position 0 in particular and the 5-band chunks are complete
+    * for ≤ 4 there; keying by position keeps buckets selective (a
+    * frame hash only ever meets same-position hashes). Verification
+    * joins the candidate pairs' aligned positions only — work
+    * proportional to candidates × frames-per-video, never videos².
+    * `bucketCap` is the mm07/mm08 hyper-duplication lever. Unsorted.
+    */
+  private[graft] def videoNearDups(frameHashes: DataFrame,
+                                   maxHamming: Int = 4,
+                                   bucketCap: Option[Long] = None)
+      : DataFrame = {
+    val bandedAll = frameHashes.select(col("media_id"), col("frame_no"),
+      explode(phashBandChunks(col("lo"), col("hi"))).as("b"))
+      .select(col("media_id"),
+        struct(col("frame_no"), col("b.band"), col("b.chunk")).as("bucket"))
+    val banded = bucketCap match {
+      case Some(cap) =>
+        val cool = bandedAll.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
+          .select(col("bucket"))
+        bandedAll.join(broadcast(cool), Seq("bucket"))
+      case None => bandedAll
+    }
+    val cand = banded.alias("x")
+      .join(banded.alias("y"), col("x.bucket") === col("y.bucket") &&
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("ma"), col("y.media_id").as("mb"))
+      .distinct()
+    val a = frameHashes.select(col("media_id").as("ma"),
+      col("frame_no").as("f"), col("lo").as("alo"), col("hi").as("ahi"))
+    val b = frameHashes.select(col("media_id").as("mb"),
+      col("frame_no").as("f"), col("lo").as("blo"), col("hi").as("bhi"))
+    cand.join(a, Seq("ma")).join(b, Seq("mb", "f"))
+      .select(col("ma"), col("mb"),
+        expr("CAST(bit_count(alo ^ blo) + bit_count(ahi ^ bhi) AS BIGINT)")
+          .as("hm"))
+      .groupBy(col("ma"), col("mb"))
+      .agg(count(lit(1)).as("n_aligned"),
+        max(col("hm")).as("max_hamming"),
+        sum(when(col("hm") <= maxHamming, 1L).otherwise(0L)).as("matched"))
+      .filter(col("matched") === col("n_aligned"))
+      .select(col("ma"), col("mb"), col("n_aligned"), col("max_hamming"))
+  }
+
+  /** Video perceptual near-dup detection — the video member of the
+    * multimodal dedup family (stills: mm07; audio: mm08; shot
+    * structure: mm06): real GIF decode → per-frame gray aHash
+    * ([[frameHash]]) → position-keyed 5-band LSH candidates → aligned
+    * per-position exact verify, ALL positions ≤ 4. The generator's
+    * pixel formula shifts by media_id mod 256, so videos sharing
+    * (dims, frame count) differ only by the wraparound redistribution
+    * — genuine non-identical near-dups. At 100 TB: decode is linear,
+    * only 8-byte-per-frame hashes shuffle, candidates are
+    * position-banded, verify touches candidates × min(k) rows. Oracle
+    * replays frames → blocks → bits → packing → banding → aligned
+    * Hamming closed-form from the pixel formula.
+    */
+  val mm09VideoNearDup = QueryDef(
+    "mm09_video_neardup",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val frames = graft.api.Graft.videoFrameHashes(
+        Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, syntheticGif(id)))))
+        .localCheckpoint()
+      graft.api.Graft.videoNearDups(frames,
+          bucketCap = s.conf.getOption("spark.graft.phashBucketCap")
+            .map(_.toLong))
+        .orderBy(col("ma"), col("mb"))
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id AS media_id, 2 + (doc_id % 3) AS k,
+           |         6 + (doc_id % 10) AS w, 6 + ((doc_id * 3) % 10) AS h
+           |  FROM documents),
+           |vframes AS (
+           |  SELECT media_id, k, w, h, unnest(generate_series(0, k - 1)) AS f
+           |  FROM base),
+           |px AS (
+           |  SELECT media_id, f, w, h,
+           |         ((y * 8) // h) * 8 + ((x * 8) // w) AS idx,
+           |         (media_id + 7 * f + 3 * x + 5 * y) % 256 AS v
+           |  FROM vframes,
+           |       LATERAL unnest(generate_series(0, w - 1)) AS tx(x),
+           |       LATERAL unnest(generate_series(0, h - 1)) AS ty(y)),
+           |blocks AS (
+           |  SELECT media_id, f, idx, max(w) AS w, max(h) AS h,
+           |         sum(v) AS s, count(*) AS n
+           |  FROM px GROUP BY media_id, f, idx),
+           |totals AS (
+           |  SELECT media_id, f, sum(s) AS total
+           |  FROM blocks GROUP BY media_id, f),
+           |packed AS (
+           |  SELECT b.media_id, b.f,
+           |    CAST(sum(CASE WHEN idx < 32 AND s * w * h > total * n
+           |                  THEN CAST(1 AS BIGINT) << idx ELSE 0 END)
+           |      AS BIGINT) AS lo,
+           |    CAST(sum(CASE WHEN idx >= 32 AND s * w * h > total * n
+           |                  THEN CAST(1 AS BIGINT) << (idx - 32) ELSE 0 END)
+           |      AS BIGINT) AS hi
+           |  FROM blocks b JOIN totals USING (media_id, f)
+           |  GROUP BY b.media_id, b.f),
+           |banded AS (
+           |  SELECT media_id, f, band,
+           |    CASE WHEN band = 0 THEN lo & 8191
+           |         WHEN band = 1 THEN (lo >> 13) & 8191
+           |         WHEN band = 2 THEN ((lo >> 26) & 63) + (hi & 127) * 64
+           |         WHEN band = 3 THEN (hi >> 7) & 8191
+           |         ELSE (hi >> 20) & 4095 END AS chunk
+           |  FROM packed, (SELECT unnest([0, 1, 2, 3, 4]) AS band) b),
+           |cand AS (
+           |  SELECT DISTINCT x.media_id AS ma, y.media_id AS mb
+           |  FROM banded x JOIN banded y
+           |    ON x.f = y.f AND x.band = y.band AND x.chunk = y.chunk
+           |   AND x.media_id < y.media_id),
+           |aligned AS (
+           |  SELECT c.ma, c.mb,
+           |    bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hm
+           |  FROM cand c
+           |  JOIN packed a ON a.media_id = c.ma
+           |  JOIN packed b ON b.media_id = c.mb AND b.f = a.f)
+           |SELECT ma, mb, CAST(count(*) AS BIGINT) AS n_aligned,
+           |       CAST(max(hm) AS BIGINT) AS max_hamming
+           |FROM aligned GROUP BY ma, mb
+           |HAVING count(*) = sum(CASE WHEN hm <= 4 THEN 1 ELSE 0 END)
+           |ORDER BY ma, mb""".stripMargin))
+
   val mm07PerceptualHashDedup = QueryDef(
     "mm07_phash_neardup",
     (s, d) => {
@@ -909,5 +1108,6 @@ object MultimodalQueries {
 
   def all: Seq[QueryDef] = Seq(mm01MediaTable, mm02DecodeFeatures,
     mm03FrameSample, mm04AudioFeatures, mm05ResizeFeatures,
-    mm06ShotBoundaries, mm07PerceptualHashDedup, mm08AudioFpDedup)
+    mm06ShotBoundaries, mm07PerceptualHashDedup, mm08AudioFpDedup,
+    mm09VideoNearDup)
 }

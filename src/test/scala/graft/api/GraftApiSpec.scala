@@ -338,4 +338,35 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(pairs) == rows(gate("mm07_phash_neardup")) &&
       rows(pairs).nonEmpty)
   }
+
+  test("videoFrameHashes + videoNearDups equals the mm09 gate") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, graft.operators.MultimodalQueries.syntheticGif(id))))
+    val frames = Graft.videoFrameHashes(media).localCheckpoint()
+    val pairs = Graft.videoNearDups(frames)
+    assert(rows(pairs) == rows(gate("mm09_video_neardup")) &&
+      rows(pairs).nonEmpty)
+  }
+
+  test("videoNearDups requires EVERY aligned frame position to match") {
+    val spark2 = spark
+    import spark2.implicits._
+    // three 2-frame videos: 1 and 2 match at both aligned positions
+    // (Hamming 0 and 1); 3 matches 1 and 2 exactly at position 0 — a
+    // guaranteed band candidate — but sits at Hamming 5 at position 1,
+    // so the aligned verify must reject it
+    val far = 6L | (31L << 20)
+    val frames = Seq(
+      (1L, 0L, 2L, 5L, 9L), (1L, 1L, 2L, 6L, 2L),
+      (2L, 0L, 2L, 5L, 9L), (2L, 1L, 2L, 7L, 2L),
+      (3L, 0L, 2L, 5L, 9L), (3L, 1L, 2L, far, 2L)
+    ).toDF("media_id", "frame_no", "n_frames", "lo", "hi")
+    val got = Graft.videoNearDups(frames).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == Set((1L, 2L, 2L, 1L)),
+      s"aligned-verify semantics drifted: ${got.mkString(",")}")
+  }
 }

@@ -133,6 +133,24 @@ class DedupCapSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally spark.conf.unset("spark.graft.phashBucketCap")
   }
 
+  test("mm09 honors the same phashBucketCap conf as mm07/mm08") {
+    val d = "/root/testdata/sf0.001"
+    def run(): Set[(Long, Long)] =
+      MultimodalQueries.mm09VideoNearDup.fn(spark, d).collect()
+        .map(r => (r.getAs[Long]("ma"), r.getAs[Long]("mb"))).toSet
+    val uncapped = run()
+    assert(uncapped.nonEmpty)
+    // cap=1: every multi-member (position, band, chunk) bucket is
+    // skipped -> no candidates at all
+    spark.conf.set("spark.graft.phashBucketCap", "1")
+    try assert(run().isEmpty, "cap=1 must suppress every candidate bucket")
+    finally spark.conf.unset("spark.graft.phashBucketCap")
+    // a cap above every bucket population is a no-op
+    spark.conf.set("spark.graft.phashBucketCap", "1000000")
+    try assert(run() == uncapped, "high cap must be a no-op")
+    finally spark.conf.unset("spark.graft.phashBucketCap")
+  }
+
   test("mm07's phashBucketCap bounds pair output on a hyper-duplicated corpus") {
     val d = "/root/testdata/sf0.001"
     def run(): Set[(Long, Long)] =
