@@ -602,4 +602,15 @@ object Graft {
   def videoNearDups(frameHashes: DataFrame, maxHamming: Int = 4,
                     bucketCap: Option[Long] = None): DataFrame =
     MultimodalQueries.videoNearDups(frameHashes, maxHamming, bucketCap)
+
+  /** Screen incoming videos' frame hashes ([[videoFrameHashes]] output)
+    * against a (small, broadcast) index of existing-corpus frame
+    * hashes, with [[videoNearDups]]'s temporally-aligned rule at
+    * Hamming ≤ 4 — the at-ingest video-dedup shape
+    * ([[graft.streaming.MediaStreams.videoDedupScreen]] composes it per
+    * micro-batch). Output: (ma = incoming id, mb = index id, n_aligned,
+    * max_hamming).
+    */
+  def videoScreen(incoming: DataFrame, index: DataFrame): DataFrame =
+    MultimodalQueries.videoScreen(incoming, index)
 }

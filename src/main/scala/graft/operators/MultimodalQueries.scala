@@ -885,6 +885,29 @@ object MultimodalQueries {
     (lo, hi)
   }
 
+  /** Decode one opaque video payload with the real GIF reader and hash
+    * every frame: (frame_no, n_frames, lo, hi) per frame. The shared
+    * per-payload kernel of [[hashVideoFrames]] and the at-ingest stream
+    * screen ([[graft.streaming.MediaStreams.videoDedupScreen]]), so
+    * stream and batch hash identically by construction.
+    */
+  private[graft] def videoFrameHashesOf(payload: Array[Byte])
+      : Seq[(Long, Long, Long, Long)] = {
+    val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    reader.setInput(iis)
+    val k = reader.getNumImages(true)
+    val rows = (0 until k).map { f =>
+      val (lo, hi) = frameHash(reader.read(f))
+      (f.toLong, k.toLong, lo, hi)
+    }
+    reader.dispose()
+    iis.close()
+    rows
+  }
+
   /** Per-frame perceptual hashes of opaque video payloads, decoded with
     * the REAL GIF reader (mm03's path) — the
     * [[graft.api.Graft.videoFrameHashes]] facade path: one linear
@@ -896,20 +919,71 @@ object MultimodalQueries {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.flatMap { case (id, payload) =>
-      val reader =
-        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      reader.setInput(iis)
-      val k = reader.getNumImages(true)
-      val rows = (0 until k).map { f =>
-        val (lo, hi) = frameHash(reader.read(f))
-        (id, f.toLong, k.toLong, lo, hi)
+      videoFrameHashesOf(payload).map {
+        case (f, k, lo, hi) => (id, f, k, lo, hi)
       }
-      reader.dispose()
-      iis.close()
-      rows
     }).toDF("media_id", "frame_no", "n_frames", "lo", "hi")
+  }
+
+  /** The (frame position, band, chunk) bucket explode over a
+    * (media_id, frame_no, n_frames, lo, hi) frame — [[phashBanded]]
+    * lifted to per-frame hashes. Position-keying keeps buckets
+    * selective (a frame hash only ever meets same-position hashes) and
+    * stays complete for the aligned-verify rule: a qualifying pair
+    * matches at position 0 in particular, where the 5-band chunks are
+    * pigeonhole-complete for Hamming ≤ 4.
+    */
+  private def videoBanded(frameHashes: DataFrame): DataFrame =
+    frameHashes.select(col("media_id"), col("frame_no"),
+      explode(phashBandChunks(col("lo"), col("hi"))).as("b"))
+      .select(col("media_id"),
+        struct(col("frame_no"), col("b.band"), col("b.chunk")).as("bucket"))
+
+  /** Aligned verify shared by [[videoNearDups]] and [[videoScreen]]:
+    * join ONLY the candidate pairs' aligned frame positions
+    * (0 until min(k_a, k_b), via the inner join on frame_no) and keep a
+    * pair when every aligned position sits at Hamming ≤ `maxHamming` —
+    * work proportional to candidates × frames-per-video, never videos².
+    */
+  private def videoAlignedVerify(cand: DataFrame, a: DataFrame,
+                                 b: DataFrame, maxHamming: Int,
+                                 broadcastIndex: Boolean): DataFrame = {
+    val aa = a.select(col("media_id").as("ma"), col("frame_no").as("f"),
+      col("lo").as("alo"), col("hi").as("ahi"))
+    val bb0 = b.select(col("media_id").as("mb"), col("frame_no").as("f"),
+      col("lo").as("blo"), col("hi").as("bhi"))
+    val bb = if (broadcastIndex) broadcast(bb0) else bb0
+    cand.join(aa, Seq("ma")).join(bb, Seq("mb", "f"))
+      .select(col("ma"), col("mb"),
+        expr("CAST(bit_count(alo ^ blo) + bit_count(ahi ^ bhi) AS BIGINT)")
+          .as("hm"))
+      .groupBy(col("ma"), col("mb"))
+      .agg(count(lit(1)).as("n_aligned"),
+        max(col("hm")).as("max_hamming"),
+        sum(when(col("hm") <= maxHamming, 1L).otherwise(0L)).as("matched"))
+      .filter(col("matched") === col("n_aligned"))
+      .select(col("ma"), col("mb"), col("n_aligned"), col("max_hamming"))
+  }
+
+  /** Screen `incoming` per-frame video hashes against a (small, static,
+    * broadcast) `index` of existing-corpus frame hashes with the mm09
+    * temporally-aligned rule — the at-ingest video-dedup shape
+    * ([[graft.streaming.MediaStreams.videoDedupScreen]] composes it per
+    * micro-batch). Both args are (media_id, frame_no, n_frames, lo, hi)
+    * frames; output (ma = incoming id, mb = index id, n_aligned,
+    * max_hamming). Candidates come from the position-keyed band join
+    * against the broadcast index; only candidates' aligned frames are
+    * verified.
+    */
+  private[graft] def videoScreen(incoming: DataFrame,
+                                 index: DataFrame): DataFrame = {
+    val cand = videoBanded(incoming)
+      .select(col("media_id").as("ma"), col("bucket"))
+      .join(broadcast(videoBanded(index)
+        .select(col("media_id").as("mb"), col("bucket"))), Seq("bucket"))
+      .select(col("ma"), col("mb")).distinct()
+    videoAlignedVerify(cand, incoming, index, maxHamming = 4,
+      broadcastIndex = true)
   }
 
   /** Video near-dup pairs over per-frame hashes — TEMPORALLY ALIGNED:
@@ -928,10 +1002,7 @@ object MultimodalQueries {
                                    maxHamming: Int = 4,
                                    bucketCap: Option[Long] = None)
       : DataFrame = {
-    val bandedAll = frameHashes.select(col("media_id"), col("frame_no"),
-      explode(phashBandChunks(col("lo"), col("hi"))).as("b"))
-      .select(col("media_id"),
-        struct(col("frame_no"), col("b.band"), col("b.chunk")).as("bucket"))
+    val bandedAll = videoBanded(frameHashes)
     val banded = bucketCap match {
       case Some(cap) =>
         val cool = bandedAll.groupBy(col("bucket"))
@@ -945,20 +1016,8 @@ object MultimodalQueries {
         col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("ma"), col("y.media_id").as("mb"))
       .distinct()
-    val a = frameHashes.select(col("media_id").as("ma"),
-      col("frame_no").as("f"), col("lo").as("alo"), col("hi").as("ahi"))
-    val b = frameHashes.select(col("media_id").as("mb"),
-      col("frame_no").as("f"), col("lo").as("blo"), col("hi").as("bhi"))
-    cand.join(a, Seq("ma")).join(b, Seq("mb", "f"))
-      .select(col("ma"), col("mb"),
-        expr("CAST(bit_count(alo ^ blo) + bit_count(ahi ^ bhi) AS BIGINT)")
-          .as("hm"))
-      .groupBy(col("ma"), col("mb"))
-      .agg(count(lit(1)).as("n_aligned"),
-        max(col("hm")).as("max_hamming"),
-        sum(when(col("hm") <= maxHamming, 1L).otherwise(0L)).as("matched"))
-      .filter(col("matched") === col("n_aligned"))
-      .select(col("ma"), col("mb"), col("n_aligned"), col("max_hamming"))
+    videoAlignedVerify(cand, frameHashes, frameHashes, maxHamming,
+      broadcastIndex = false)
   }
 
   /** Video perceptual near-dup detection — the video member of the

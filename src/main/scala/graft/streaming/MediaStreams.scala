@@ -81,4 +81,39 @@ object MediaStreams {
       }
       .start()
   }
+
+  /** AT-INGEST video dedup — mm09 as a stream, [[imageDedupScreen]]'s
+    * shape for the video modality with the temporally-aligned rule:
+    * each micro-batch decodes its own GIF payloads and hashes every
+    * frame with the exact gated kernel
+    * ([[graft.operators.MultimodalQueries.videoFrameHashesOf]] —
+    * shared code, so stream and batch hash identically by
+    * construction), then runs the gated screen (`videoScreen`:
+    * position-keyed band candidates against the broadcast index of
+    * existing per-frame hashes, a pair admitted only when EVERY
+    * aligned frame position sits at Hamming ≤ 4). No stream state;
+    * pixels never leave the arriving batch's partitions — only 8-byte
+    * per-frame hashes meet the index. `index` is a (media_id,
+    * frame_no, n_frames, lo, hi) frame. MediaStreamsSpec proves the
+    * union of micro-batch outputs equals the batch mm09 gate's
+    * cross-pairs between the streamed and indexed halves.
+    */
+  def videoDedupScreen(media: Dataset[Media], index: DataFrame)
+                      (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    media.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Media], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val frames = batch
+          .mapPartitions(_.flatMap { m =>
+            graft.operators.MultimodalQueries.videoFrameHashesOf(m.payload)
+              .map { case (f, k, lo, hi) => (m.media_id, f, k, lo, hi) }
+          })
+          .toDF("media_id", "frame_no", "n_frames", "lo", "hi")
+        onBatch(graft.operators.MultimodalQueries.videoScreen(frames, index))
+      }
+      .start()
+  }
 }

@@ -122,4 +122,55 @@ class MediaStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"onlyBatch=${(expected -- flagged).take(5)}")
     } finally index.unpersist()
   }
+
+  test("at-ingest video screen across micro-batches equals the batch mm09 cross-pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val ts = Timestamp.valueOf("2026-01-01 09:00:00")
+
+    val ids = spark.read.parquet(s"$d/documents.parquet")
+      .select($"doc_id").as[Long].collect()
+    val index = graft.api.Graft.videoFrameHashes(
+        spark.createDataset(ids.filter(_ % 2 == 0).toSeq).map(id =>
+          (id, graft.operators.MultimodalQueries.syntheticGif(id))))
+      .cache()
+    try {
+      val arriving = ids.filter(_ % 2 != 0)
+        .map(id => Media(id, ts,
+          graft.operators.MultimodalQueries.syntheticGif(id)))
+      val (b1, b2) = arriving.splitAt(arriving.length / 2)
+
+      val flagged = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+      val stream = MemoryStream[Media]
+      val q = MediaStreams.videoDedupScreen(stream.toDS(), index) { hits =>
+        val rows = hits.collect().map(r =>
+          (r.getAs[Long]("ma"), r.getAs[Long]("mb"),
+            r.getAs[Long]("n_aligned"), r.getAs[Long]("max_hamming")))
+        flagged.synchronized { flagged ++= rows }
+      }
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+      q.stop()
+
+      // the aligned verify is symmetric in (ma, mb) — n_aligned and
+      // max_hamming survive reorientation to (arriving odd, indexed even)
+      val gate = graft.operators.MultimodalQueries.mm09VideoNearDup
+        .fn(spark, d).collect().map(r =>
+          (r.getAs[Long]("ma"), r.getAs[Long]("mb"),
+            r.getAs[Long]("n_aligned"), r.getAs[Long]("max_hamming")))
+      val expected = gate.collect {
+        case (a, b, n, h) if a % 2 != 0 && b % 2 == 0 => (a, b, n, h)
+        case (a, b, n, h) if a % 2 == 0 && b % 2 != 0 => (b, a, n, h)
+      }.toSet
+      assert(expected.nonEmpty, "fixture must produce cross-half pairs")
+      assert(flagged.toSet == expected,
+        s"at-ingest video screen diverged from the batch gate: " +
+          s"onlyStream=${(flagged.toSet -- expected).take(5)} " +
+          s"onlyBatch=${(expected -- flagged).take(5)}")
+    } finally index.unpersist()
+  }
 }
