@@ -124,7 +124,18 @@ object ScaleBench {
       // the uncapped cell — output-bound, not plan-bound
       "mm08_audio_fp_neardup",
       // the production lever for that regime, measured beside it
-      "mm08_audio_fp_neardup@cap500")
+      "mm08_audio_fp_neardup@cap500",
+      // mm09: replica ids synthesize N× distinct videos (frame hashes
+      // depend on doc_id), so multi-frame GIF decode grows N×; the
+      // generator's (w, h, k) space is only 300 classes and the bit
+      // pattern shifts by id mod 256 within a class, so the TRUE
+      // aligned-pair set grows quadratically at replica scale — the
+      // mm07/mm08 output-bound regime with a per-frame decode in front
+      "mm09_video_neardup",
+      // the shared phashBucketCap lever, measured beside it: capped
+      // (position, band, chunk) buckets bound candidates no matter how
+      // duplicated the corpus gets
+      "mm09_video_neardup@cap500")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.

@@ -384,6 +384,21 @@ object Graft {
     def search(queries: DataFrame, probes: Int = 2, k: Int = 3): DataFrame =
       SimilarityQueries.probeAndRank(assigned, probed(queries, probes), k)
 
+    /** Append NEW vectors WITHOUT retraining: the trained centroids are
+      * immutable; arrivals are assigned into the existing cells in one
+      * broadcast pass and unioned with the stored corpus — the
+      * index-freshness operation a production vector store runs between
+      * periodic re-trains. Appended vectors land in their honest
+      * nearest trained cell, so search correctness never degrades; only
+      * cell balance drifts as the live distribution departs the
+      * training snapshot. `newVecs`: (vec_id, embedding). The stored
+      * corpus is never rescanned. Gate: `e26_ivf_append`; streaming
+      * analogue: [[graft.streaming.EmbStreams.ivfAppend]].
+      */
+    def append(newVecs: DataFrame): IvfIndex =
+      IvfIndex(assigned.unionByName(
+        SimilarityQueries.assignCells(newVecs, centroids)), centroids)
+
     /** FILTERED search — ANN with a metadata predicate ("nearest
       * neighbors WHERE ..."): the index stays as built; `keepIds`
       * (a frame with a `vec_id` column — e.g. doc ids passing a

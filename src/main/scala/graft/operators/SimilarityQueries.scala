@@ -298,16 +298,20 @@ object SimilarityQueries {
   }
 
   /** Oracle mirror of [[labelCentroids]] + the assign step — shared CTE
-    * text so e05 and e07 cannot drift.
+    * text so e05/e07/e26 cannot drift. `where` restricts the TRAINING
+    * corpus (e26 trains on the pre-append snapshot); empty = all rows.
     */
-  private val centArrSql: String =
+  private def centArrSqlOver(where: String): String =
     s"""cent AS (
        |  SELECT label AS cell, i,
        |    CAST(sum(CAST(embedding[i] AS DOUBLE)) / count(*) AS FLOAT) AS c
        |  FROM embeddings, LATERAL unnest(generate_series(1, 64)) t(i)
+       |  $where
        |  GROUP BY label, i),
        |cent_arr AS (
        |  SELECT cell, list(c ORDER BY i) AS centroid FROM cent GROUP BY cell)""".stripMargin
+
+  private val centArrSql: String = centArrSqlOver("")
 
   val e05AnnIvf = QueryDef(
     "e05_ann_ivf",
@@ -1892,6 +1896,39 @@ object SimilarityQueries {
          |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
          |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
 
+  /** ANN index maintenance — append WITHOUT retraining: the IVF index
+    * is trained on a snapshot (here vec_id % 5 ≠ 0), then the arrivals
+    * (vec_id % 5 = 0) are assigned into the EXISTING cells in one
+    * broadcast pass ([[graft.api.Graft.IvfIndex.append]]) and searched
+    * alongside the original corpus — the index-freshness operation a
+    * production vector store runs between periodic re-trains (training
+    * is the expensive global step; assignment is an embarrassingly
+    * parallel scan). Appended vectors land in their honest nearest
+    * trained cell, so correctness never degrades — only cell BALANCE
+    * drifts as the live distribution departs the training snapshot,
+    * which is exactly the production trade-off this operator makes.
+    * At 100 TB: centroids broadcast, the append touches only the new
+    * rows, the stored corpus is never rescanned. The streaming
+    * analogue ([[graft.streaming.EmbStreams.ivfAppend]]) assigns each
+    * micro-batch with the same shared kernel.
+    *
+    * Oracle: e05's shared centroid/search CTEs with the training CTE
+    * restricted to the snapshot — assignment is centroid-pure, so
+    * assigning base and arrivals separately (gate) equals assigning
+    * everything at once (oracle).
+    */
+  val e26IvfAppend = QueryDef(
+    "e26_ivf_append",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.api.Graft.annIndex(e.filter(col("vec_id") % 5 =!= 0))
+        .append(e.filter(col("vec_id") % 5 === 0))
+        .search(e.filter(col("vec_id") < 5), probes = 2, k = 3)
+    },
+    Some(
+      s"""WITH ${centArrSqlOver("WHERE vec_id % 5 <> 0")},
+         |${ivfSearchSql("cent_arr", "ASC")}""".stripMargin))
+
   /** e23's body — the [[graft.api.Graft.mmrRerank]] facade path:
     * Maximal Marginal Relevance diversification (Carbonell & Goldstein
     * 1998) of a relevance shortlist. Stage 1 fetches each query's
@@ -2027,5 +2064,6 @@ object SimilarityQueries {
     e10AnnRecall, e11AnnRecallLsh, e12AnnRecallPq, e13AnnRecallKmeans,
     e14AnnRecallInt8, e15AnnRecallTrunc, e16AnnPqRerank, e17AnnRecallRerank,
     e18AnnIvfPq, e19AnnRecallIvfPq, e20BinaryQuant, e21AnnRecallBinary,
-    e22HybridRrf, e23MmrRerank, e24FilteredIvf, e25AnnRecallFiltered)
+    e22HybridRrf, e23MmrRerank, e24FilteredIvf, e25AnnRecallFiltered,
+    e26IvfAppend)
 }

@@ -210,4 +210,31 @@ object EmbStreams {
         } finally probes.unpersist()
       }
       .start()
+
+  final case class EmbArrival(vec_id: Long, ts: Timestamp,
+                              embedding: Seq[Float])
+
+  /** AT-INGEST index append — e26 as a stream, the serving side's
+    * write path: each micro-batch of ARRIVING corpus vectors is
+    * assigned into the trained cells with the exact gated kernel
+    * ([[graft.operators.SimilarityQueries.assignCells]] — shared code,
+    * so stream and batch append identically by construction; the
+    * trained `centroids` stay immutable, [[graft.api.Graft.IvfIndex
+    * .append]]'s contract). `onBatch` receives the assigned (vec_id,
+    * embedding, cell) rows to upsert into the serving store the
+    * [[ivfServe]]/[[ivfServePruned]] readers scan. No stream state;
+    * per-batch cost is one broadcast-centroid pass over the batch.
+    * EmbStreamsSpec proves the union of micro-batch outputs equals the
+    * batch assignment of the same arrivals.
+    */
+  def ivfAppend(arrivals: Dataset[EmbArrival], centroids: DataFrame)
+               (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    arrivals.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[EmbArrival], _: Long) =>
+        onBatch(graft.operators.SimilarityQueries.assignCells(
+          batch.toDF(), centroids))
+      }
+      .start()
 }

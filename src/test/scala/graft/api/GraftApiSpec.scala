@@ -339,6 +339,18 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(pairs).nonEmpty)
   }
 
+  test("annIndex.append equals the e26 gate; empty append is a no-op") {
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 5 === 0)
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Graft.annIndex(base).append(arrivals).search(queries)
+    assert(rows(got) == rows(gate("e26_ivf_append")) && rows(got).nonEmpty)
+    // appending zero vectors changes nothing
+    val idx = Graft.annIndex(emb)
+    assert(rows(idx.append(emb.limit(0)).search(queries))
+      == rows(idx.search(queries)))
+  }
+
   test("videoFrameHashes + videoNearDups equals the mm09 gate") {
     val spark2 = spark
     import spark2.implicits._

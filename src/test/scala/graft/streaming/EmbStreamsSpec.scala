@@ -319,4 +319,45 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"onlyBatch=${(batch -- streamed).take(5)}")
     } finally filtered.unpersist()
   }
+
+  test("streaming ivfAppend equals the batch append assignment") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val ts = Timestamp.valueOf("2026-01-01 09:00:00")
+
+    // centroids trained on the pre-append snapshot (e26's split)
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    val idx = graft.api.Graft.annIndex(e.filter($"vec_id" % 5 =!= 0))
+
+    val arriving = e.filter($"vec_id" % 5 === 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => EmbStreams.EmbArrival(r.getLong(0), ts, r.getSeq[Float](1)))
+    assert(arriving.nonEmpty)
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+
+    val appended = scala.collection.mutable.Set[(Long, Int)]()
+    val stream = MemoryStream[EmbStreams.EmbArrival]
+    val q = EmbStreams.ivfAppend(stream.toDS(), idx.centroids) { assigned =>
+      val rows = assigned.collect().map(r =>
+        (r.getAs[Long]("vec_id"), r.getAs[Int]("cell")))
+      appended.synchronized { appended ++= rows }
+    }
+    stream.addData(b1.toSeq)
+    q.processAllAvailable()
+    stream.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    // batch truth: the same arrivals assigned by the shared gated kernel
+    val expected = graft.operators.SimilarityQueries
+      .assignCells(e.filter($"vec_id" % 5 === 0), idx.centroids)
+      .collect().map(r =>
+        (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toSet
+    assert(expected.nonEmpty && appended.toSet == expected,
+      s"streaming append diverged from batch assignment: " +
+        s"onlyStream=${(appended.toSet -- expected).take(5)} " +
+        s"onlyBatch=${(expected -- appended).take(5)}")
+  }
 }
