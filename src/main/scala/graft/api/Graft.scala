@@ -487,6 +487,25 @@ object Graft {
       SimilarityQueries.pqRerankStage(corpus, shortlist, q, k)
     }
 
+    /** Append NEW vectors WITHOUT retraining — [[IvfIndex.append]]'s
+      * contract for the compressed family: the trained codebooks are
+      * FROZEN; arrivals are encoded against them in one linear pass
+      * and unioned with the stored 4-byte code table (training — the
+      * global two-Lloyd-job step — never re-runs; the stored codes are
+      * never rescanned). Appended vectors get their honest nearest
+      * frozen centroids per subspace, so quantization error only grows
+      * as the live distribution drifts from the training snapshot —
+      * the re-train trigger a production PQ store watches. `newVecs`:
+      * (vec_id, embedding); they also join the [[rerank]] fetch
+      * corpus. Gate: `e27_pq_append`.
+      */
+    def append(newVecs: DataFrame): PqIndex =
+      PqIndex(
+        codes.unionByName(SimilarityQueries.pqEncode(newVecs, codebooks)),
+        codebooks,
+        corpus.select(col("vec_id"), col("embedding")).unionByName(
+          newVecs.select(col("vec_id"), col("embedding"))))
+
     private def renamed(queries: DataFrame): DataFrame =
       queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))

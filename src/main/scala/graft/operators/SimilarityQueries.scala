@@ -764,21 +764,25 @@ object SimilarityQueries {
 
   /** Oracle mirror of [[pqSearch]] — the full unrolled per-subspace
     * Lloyd replay, parameterized by the same shortlist depth.
+    * `trainPred` restricts the TRAINING corpus (init picks + Lloyd
+    * assignments/means — e27 trains on the pre-append snapshot);
+    * encoding and scoring always cover all rows.
     */
-  private def pqSql(topM: Int): String = {
+  private def pqSql(topM: Int, trainPred: Option[String] = None): String = {
       val subDim = 16
       def off(mi: Int) = mi * subDim
       def l2Sql(mi: Int): String =
         s"list_aggregate([(CAST(e.embedding[${off(mi)} + i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))" +
           s" * (CAST(e.embedding[${off(mi)} + i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))" +
           s" for i in generate_series(1, $subDim)], 'sum')"
+      val trainJoinWhere = trainPred.map(p => s" WHERE e.$p").getOrElse("")
       def iteration(mi: Int, n: Int): String =
         s"""pqa${n}_m$mi AS (
            |  SELECT vec_id, embedding, k FROM (
            |    SELECT e.vec_id, e.embedding, c.k,
            |      row_number() OVER (PARTITION BY e.vec_id
            |        ORDER BY ${l2Sql(mi)} ASC, c.k) AS rn
-           |    FROM embeddings e CROSS JOIN pq${n - 1}_m$mi c)
+           |    FROM embeddings e CROSS JOIN pq${n - 1}_m$mi c$trainJoinWhere)
            |  WHERE rn = 1),
            |pqu${n}_m$mi AS (
            |  SELECT k, list(c ORDER BY i) AS centroid FROM (
@@ -795,7 +799,7 @@ object SimilarityQueries {
            |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
            |    embedding[${off(mi) + 1}:${off(mi) + subDim}] AS centroid
            |  FROM (SELECT vec_id, embedding FROM embeddings
-           |        WHERE vec_id % 125 = 0 ORDER BY vec_id LIMIT 4)),
+           |        WHERE vec_id % 125 = 0${trainPred.map(p => s" AND $p").getOrElse("")} ORDER BY vec_id LIMIT 4)),
            |${iteration(mi, 1)},
            |${iteration(mi, 2)},
            |codes_m$mi AS (
@@ -1929,6 +1933,30 @@ object SimilarityQueries {
       s"""WITH ${centArrSqlOver("WHERE vec_id % 5 <> 0")},
          |${ivfSearchSql("cent_arr", "ASC")}""".stripMargin))
 
+  /** PQ index maintenance — e26's contract for the compressed family:
+    * codebooks trained on a snapshot (vec_id % 7 ≠ 0; the split avoids
+    * % 5, which would empty the every-125th init) stay FROZEN; the
+    * arrivals (vec_id % 7 = 0) are encoded against them in one linear
+    * pass ([[graft.api.Graft.PqIndex.append]] — training, the
+    * two-Lloyd-job global step, never re-runs) and the merged 4-byte
+    * code table is ADC-searched as one. Appended vectors get their
+    * honest nearest FROZEN centroids per subspace, so quantization
+    * error only grows as the live distribution drifts from the
+    * training snapshot — the re-train trigger a production PQ store
+    * watches. Oracle: the shared Lloyd replay with its training CTEs
+    * restricted to the snapshot — encoding is codebook-pure, so
+    * train-then-append must equal encode-all-at-once exactly.
+    */
+  val e27PqAppend = QueryDef(
+    "e27_pq_append",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.api.Graft.pqIndex(e.filter(col("vec_id") % 7 =!= 0))
+        .append(e.filter(col("vec_id") % 7 === 0))
+        .search(e.filter(col("vec_id") < 5), k = 3)
+    },
+    Some(pqSql(topM = 3, trainPred = Some("vec_id % 7 <> 0"))))
+
   /** e23's body — the [[graft.api.Graft.mmrRerank]] facade path:
     * Maximal Marginal Relevance diversification (Carbonell & Goldstein
     * 1998) of a relevance shortlist. Stage 1 fetches each query's
@@ -2065,5 +2093,5 @@ object SimilarityQueries {
     e14AnnRecallInt8, e15AnnRecallTrunc, e16AnnPqRerank, e17AnnRecallRerank,
     e18AnnIvfPq, e19AnnRecallIvfPq, e20BinaryQuant, e21AnnRecallBinary,
     e22HybridRrf, e23MmrRerank, e24FilteredIvf, e25AnnRecallFiltered,
-    e26IvfAppend)
+    e26IvfAppend, e27PqAppend)
 }

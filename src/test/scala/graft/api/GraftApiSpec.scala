@@ -351,6 +351,19 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       == rows(idx.search(queries)))
   }
 
+  test("pqIndex.append equals the e27 gate; empty append is a no-op") {
+    val base = emb.filter(col("vec_id") % 7 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 7 === 0)
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Graft.pqIndex(base).append(arrivals).search(queries)
+    assert(rows(got) == rows(gate("e27_pq_append")) && rows(got).nonEmpty)
+    // appending zero vectors changes nothing (search AND rerank paths)
+    val idx = Graft.pqIndex(emb)
+    val idx0 = idx.append(emb.limit(0))
+    assert(rows(idx0.search(queries)) == rows(idx.search(queries)))
+    assert(rows(idx0.rerank(queries)) == rows(idx.rerank(queries)))
+  }
+
   test("videoFrameHashes + videoNearDups equals the mm09 gate") {
     val spark2 = spark
     import spark2.implicits._
