@@ -399,6 +399,21 @@ object Graft {
       IvfIndex(assigned.unionByName(
         SimilarityQueries.assignCells(newVecs, centroids)), centroids)
 
+    /** Cell-occupancy drift report — the RE-TRAIN TRIGGER [[append]]'s
+      * doc points at: assign a non-empty arrival `sample` (vec_id,
+      * embedding) to the trained centroids and compare per-cell
+      * occupancy shares against the stored corpus. All-integer output
+      * (counts + parts-per-million shares): one row per cell — (cell,
+      * n_base, n_new, ppm_base, ppm_new, drift_ppm); Σ drift_ppm / 2
+      * is the total-variation distance in ppm, and the per-cell rows
+      * name WHICH cells drifted. A sample drawn from the indexed
+      * distribution reports ~0 everywhere; re-train when the drift (or
+      * a single hot cell's share) crosses your probe-latency budget.
+      * Gate: `e28_index_drift`.
+      */
+    def drift(sample: DataFrame): DataFrame =
+      SimilarityQueries.cellDrift(assigned, centroids, sample)
+
     /** FILTERED search — ANN with a metadata predicate ("nearest
       * neighbors WHERE ..."): the index stays as built; `keepIds`
       * (a frame with a `vec_id` column — e.g. doc ids passing a

@@ -33,15 +33,23 @@ object SimilarityQueries {
     * e05 and e06), exact in-cell ranking — the SQL mirror of
     * [[probeAndRank]], shared for the same no-drift reason.
     */
-  private def ivfSearchSql(centArr: String, probeCellTieBreak: String,
-                           scoredExtra: String = ""): String =
+  /** The assign CTE alone — every corpus vector to its nearest
+    * centroid cell, the SQL mirror of [[assignCells]]; shared by
+    * [[ivfSearchSql]] and the e28 drift report so the assignment text
+    * cannot drift between searching and monitoring.
+    */
+  private def ivfAssignSql(centArr: String): String =
     s"""assign AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cell) AS rn
        |    FROM embeddings e CROSS JOIN $centArr c)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+
+  private def ivfSearchSql(centArr: String, probeCellTieBreak: String,
+                           scoredExtra: String = ""): String =
+    s"""${ivfAssignSql(centArr)},
        |probes AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cell,
@@ -1957,6 +1965,76 @@ object SimilarityQueries {
     },
     Some(pqSql(topM = 3, trainPred = Some("vec_id % 7 <> 0"))))
 
+  /** The RE-TRAIN TRIGGER e26/e27 watch, as an operator: assign an
+    * arrival `sample` to the index's trained centroids (the shared
+    * [[assignCells]] kernel) and compare per-cell occupancy shares
+    * against the stored corpus. All-integer output — counts plus
+    * parts-per-million shares via integer division — so the report is
+    * bit-exact cross-engine with no float rounding protocol at all.
+    * One row per trained cell: (cell, n_base, n_new, ppm_base,
+    * ppm_new, drift_ppm = |ppm_base − ppm_new|); summing drift_ppm/2
+    * gives the total-variation distance in ppm, but the per-cell rows
+    * also name WHICH cells drifted (the skew that degrades probe
+    * latency). At 100 TB: two map-side-combinable counts + a
+    * cells-sized join; the sample never meets the corpus rows.
+    * Precondition: `sample` is non-empty (shares of nothing are
+    * undefined).
+    */
+  private[graft] def cellDrift(assigned: DataFrame, centroids: DataFrame,
+                               sample: DataFrame): DataFrame = {
+    val base = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+    val nw = assignCells(sample, centroids)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_new"))
+    val joined = centroids.select(col("cell"))
+      .join(base, Seq("cell"), "left")
+      .join(nw, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_base", "n_new"))
+    val totals = joined.agg(sum(col("n_base")).as("t_base"),
+      sum(col("n_new")).as("t_new"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("cell"), col("n_base"), col("n_new"),
+        expr("(n_base * 1000000) div t_base").as("ppm_base"),
+        expr("(n_new * 1000000) div t_new").as("ppm_new"))
+      .withColumn("drift_ppm", abs(col("ppm_base") - col("ppm_new")))
+  }
+
+  /** Index drift report gate — e26's split monitored: the snapshot
+    * index (vec_id % 5 ≠ 0) vs the arrival sample (vec_id % 5 = 0).
+    * Oracle: the shared assign CTE over everything, split by the same
+    * predicate into base/new per-cell counts, ppm via DuckDB's `//`
+    * (both engines floor positive integer division identically).
+    */
+  val e28IndexDrift = QueryDef(
+    "e28_index_drift",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.api.Graft.annIndex(e.filter(col("vec_id") % 5 =!= 0))
+        .drift(e.filter(col("vec_id") % 5 === 0))
+        .orderBy(col("cell"))
+    },
+    Some(
+      s"""WITH ${centArrSqlOver("WHERE vec_id % 5 <> 0")},
+         |${ivfAssignSql("cent_arr")},
+         |base AS (
+         |  SELECT cell, count(*) AS n_base FROM assign
+         |  WHERE vec_id % 5 <> 0 GROUP BY cell),
+         |nw AS (
+         |  SELECT cell, count(*) AS n_new FROM assign
+         |  WHERE vec_id % 5 = 0 GROUP BY cell),
+         |tot AS (
+         |  SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 5 <> 0) AS t_base,
+         |         (SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0) AS t_new),
+         |rep AS (
+         |  SELECT c.cell,
+         |    coalesce(b.n_base, 0) AS n_base, coalesce(n.n_new, 0) AS n_new,
+         |    (coalesce(b.n_base, 0) * 1000000) // t.t_base AS ppm_base,
+         |    (coalesce(n.n_new, 0) * 1000000) // t.t_new AS ppm_new
+         |  FROM cent_arr c LEFT JOIN base b USING (cell)
+         |    LEFT JOIN nw n USING (cell) CROSS JOIN tot t)
+         |SELECT cell, n_base, n_new, ppm_base, ppm_new,
+         |  abs(ppm_base - ppm_new) AS drift_ppm
+         |FROM rep ORDER BY cell""".stripMargin))
+
   /** e23's body — the [[graft.api.Graft.mmrRerank]] facade path:
     * Maximal Marginal Relevance diversification (Carbonell & Goldstein
     * 1998) of a relevance shortlist. Stage 1 fetches each query's
@@ -2093,5 +2171,5 @@ object SimilarityQueries {
     e14AnnRecallInt8, e15AnnRecallTrunc, e16AnnPqRerank, e17AnnRecallRerank,
     e18AnnIvfPq, e19AnnRecallIvfPq, e20BinaryQuant, e21AnnRecallBinary,
     e22HybridRrf, e23MmrRerank, e24FilteredIvf, e25AnnRecallFiltered,
-    e26IvfAppend, e27PqAppend)
+    e26IvfAppend, e27PqAppend, e28IndexDrift)
 }

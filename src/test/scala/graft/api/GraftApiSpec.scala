@@ -351,6 +351,18 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       == rows(idx.search(queries)))
   }
 
+  test("annIndex.drift equals the e28 gate; self-drift is zero") {
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 5 === 0)
+    val got = Graft.annIndex(base).drift(arrivals).orderBy(col("cell"))
+    assert(rows(got) == rows(gate("e28_index_drift")) && rows(got).nonEmpty)
+    // a sample that IS the indexed corpus reports zero drift in every
+    // cell (same assignment, same shares)
+    val self = Graft.annIndex(emb).drift(emb)
+    assert(self.filter(col("drift_ppm") =!= 0L).count() == 0 &&
+      self.count() > 0)
+  }
+
   test("pqIndex.append equals the e27 gate; empty append is a no-op") {
     val base = emb.filter(col("vec_id") % 7 =!= 0)
     val arrivals = emb.filter(col("vec_id") % 7 === 0)
