@@ -563,6 +563,22 @@ object Graft {
       SimilarityQueries.ivfPqSearch(codes, centroids, codebooks,
         queries.select(col("vec_id").as("query_id"),
           col("embedding").as("q_emb")), probes, k)
+
+    /** Append NEW vectors WITHOUT retraining — [[IvfIndex.append]]'s
+      * contract for the composite family: coarse centroids AND
+      * residual codebooks stay FROZEN; arrivals are assigned to their
+      * nearest frozen cell and their residuals encoded against the
+      * frozen codebooks in one linear pass (the same shared encode
+      * kernel the build uses), then unioned with the stored code
+      * table. Quantization error grows only as the live distribution
+      * drifts from the training snapshot — watch [[IvfIndex.drift]]'s
+      * metric on the coarse cells for the re-train trigger. `newVecs`:
+      * (vec_id, embedding). Gate: `e29_ivfpq_append`.
+      */
+    def append(newVecs: DataFrame): IvfPqIndex =
+      IvfPqIndex(codes.unionByName(
+        SimilarityQueries.ivfPqEncode(newVecs, centroids, codebooks)),
+        centroids, codebooks)
   }
 
   // ------------------------------------------------------------------

@@ -1209,8 +1209,15 @@ object SimilarityQueries {
     * `ares` CTE), codes, and ADC with the q·c correction term. All
     * sums in-order double; all stored vectors float-cast.
     */
-  private lazy val ivfPqSql: String = {
+  /** Oracle mirror of the IVF-PQ train+encode+search pipeline.
+    * `trainPred` restricts the TRAINING corpus — coarse centroids,
+    * residual init picks, and both Lloyd iterations (e29 trains on the
+    * pre-append snapshot); residual derivation, encoding, and scoring
+    * always cover all rows.
+    */
+  private def ivfPqSql(trainPred: Option[String] = None): String = {
     val subDim = 16
+    val trainJoinWhere = trainPred.map(p => s" WHERE e.$p").getOrElse("")
     def off(mi: Int) = mi * subDim
     def l2Sql(mi: Int): String =
       s"list_aggregate([(CAST(e.res[${off(mi)} + i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))" +
@@ -1222,7 +1229,7 @@ object SimilarityQueries {
          |    SELECT e.vec_id, e.res, c.k,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${l2Sql(mi)} ASC, c.k) AS rn
-         |    FROM ares e CROSS JOIN rq${n - 1}_m$mi c)
+         |    FROM ares e CROSS JOIN rq${n - 1}_m$mi c$trainJoinWhere)
          |  WHERE rn = 1),
          |rqu${n}_m$mi AS (
          |  SELECT k, list(c ORDER BY i) AS centroid FROM (
@@ -1239,7 +1246,7 @@ object SimilarityQueries {
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
          |    res[${off(mi) + 1}:${off(mi) + subDim}] AS centroid
          |  FROM (SELECT vec_id, res FROM ares
-         |        WHERE vec_id % 125 = 0 ORDER BY vec_id LIMIT 16)),
+         |        WHERE vec_id % 125 = 0${trainPred.map(p => s" AND $p").getOrElse("")} ORDER BY vec_id LIMIT 16)),
          |${iteration(mi, 1)},
          |${iteration(mi, 2)},
          |rcodes_m$mi AS (
@@ -1258,7 +1265,7 @@ object SimilarityQueries {
       s"list_aggregate([(CAST(cc.centroid[${off(mi)} + i] AS DOUBLE) + CAST(c$mi.centroid[i] AS DOUBLE))" +
         s" * (CAST(cc.centroid[${off(mi)} + i] AS DOUBLE) + CAST(c$mi.centroid[i] AS DOUBLE))" +
         s" for i in generate_series(1, $subDim)], 'sum')"
-    s"""WITH $centArrSql,
+    s"""WITH ${trainPred.map(p => centArrSqlOver(s"WHERE $p")).getOrElse(centArrSql)},
        |assign AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cell,
@@ -1362,17 +1369,25 @@ object SimilarityQueries {
     * centroid aggregates); the residual frame is cached only for the
     * duration of training.
     */
+  /** The (vec_id, cell, res) residual frame — assign to the nearest
+    * trained cell, subtract its centroid. The shared first step of
+    * training (over the snapshot) and encoding (over anything,
+    * including e29's appended arrivals).
+    */
+  private def ivfPqResiduals(vecs: DataFrame,
+                             centroids: DataFrame): DataFrame =
+    assignCells(vecs, centroids)
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        ivfPqResOf(col("embedding")).as("res"))
+
   private[graft] def ivfPqTrainEncode(corpus: DataFrame)
       : (DataFrame, DataFrame, Array[Array[Array[Double]]]) = {
     val m = 4
     val iters = 2
     val centroids = labelCentroids(corpus)
 
-    val ares = assignCells(corpus, centroids)
-      .join(broadcast(centroids), Seq("cell"))
-      .select(col("vec_id"), col("cell"),
-        ivfPqResOf(col("embedding")).as("res"))
-      .cache()
+    val ares = ivfPqResiduals(corpus, centroids).cache()
 
     // per-subspace Lloyd on residuals — the e09 recipe, trained on
     // `res`; the cache serves init + iters bounded pulls, released
@@ -1410,14 +1425,27 @@ object SimilarityQueries {
         cbs
       } finally ares.unpersist()
 
-    // encode: cell + 4 residual codes per vector, PLUS the stored
-    // reconstruction norm ‖c + r̂‖ — the per-vector scalar every
-    // cosine-serving PQ deployment keeps beside the codes so ADC can
-    // rank by approximate COSINE (a raw inner-product rank is
-    // norm-dominated and useless against a cosine ground truth)
+    (ivfPqEncode(corpus, centroids, codebooks), centroids, codebooks)
+  }
+
+  /** Encode vectors against FROZEN coarse centroids + residual
+    * codebooks: cell + 4 residual codes per vector, PLUS the stored
+    * reconstruction norm ‖c + r̂‖ — the per-vector scalar every
+    * cosine-serving PQ deployment keeps beside the codes so ADC can
+    * rank by approximate COSINE (a raw inner-product rank is
+    * norm-dominated and useless against a cosine ground truth). One
+    * linear pass; shared by the [[ivfPqTrainEncode]] build and e29's
+    * [[graft.api.Graft.IvfPqIndex.append]] so append-time encoding
+    * cannot drift from build-time encoding.
+    */
+  private[graft] def ivfPqEncode(vecs: DataFrame, centroids: DataFrame,
+                                 codebooks: Array[Array[Array[Double]]])
+      : DataFrame = {
+    val m = codebooks.length
+    val ares = ivfPqResiduals(vecs, centroids)
     val cbArrs = (0 until m).map(mi =>
       array(codebooks(mi).map(pqCentroidLit): _*))
-    val encoded = ares.join(broadcast(centroids), Seq("cell"))
+    ares.join(broadcast(centroids), Seq("cell"))
       .select(Seq(col("vec_id"), col("cell")) ++
         (0 until m).map { mi =>
           val dists = array(codebooks(mi).map(c =>
@@ -1434,7 +1462,6 @@ object SimilarityQueries {
               val v = c.cast("double") + r.cast("double"); v * v
             }), lit(0.0), (acc, v) => acc + v).as(s"recon2_$mi")
         }: _*)
-    (encoded, centroids, codebooks)
   }
 
   /** IVF-PQ ADC search over [[ivfPqTrainEncode]] output: queries probe
@@ -1501,7 +1528,7 @@ object SimilarityQueries {
       graft.api.Graft.ivfPqIndex(e)
         .search(e.filter(col("vec_id") < 5), probes = 2, k = 3)
     },
-    Some(ivfPqSql))
+    Some(ivfPqSql()))
 
   /** Loss decomposition of the IVF-PQ composite (e18), per query: its
     * top-3 scored against the GLOBAL exact top-3 (e01 → `recall3`,
@@ -1542,7 +1569,7 @@ object SimilarityQueries {
         .orderBy(col("query_id"))
     },
     Some(
-      s"""WITH ivfpq_full AS ($ivfPqSql),
+      s"""WITH ivfpq_full AS (${ivfPqSql()}),
          |exact_full AS (${e01KnnBruteForce.oracle.get}),
          |ivf_full AS (${e05AnnIvf.oracle.get}),
          |i AS (SELECT query_id, vec_id AS neighbor_id FROM ivfpq_full WHERE rnk <= 3),
@@ -2035,6 +2062,28 @@ object SimilarityQueries {
          |  abs(ppm_base - ppm_new) AS drift_ppm
          |FROM rep ORDER BY cell""".stripMargin))
 
+  /** IVF-PQ append — the third index family under e26's contract:
+    * coarse centroids AND residual codebooks trained on the snapshot
+    * (vec_id % 7 ≠ 0) stay frozen; arrivals are assigned to their
+    * nearest frozen cell, their residuals encoded against the frozen
+    * codebooks in one linear pass ([[graft.api.Graft.IvfPqIndex
+    * .append]], sharing [[ivfPqEncode]] with the build so append-time
+    * encoding cannot drift), and the merged code table is ADC-searched
+    * as one. Oracle: the shared IVF-PQ replay with coarse training,
+    * residual init, and both Lloyd iterations restricted to the
+    * snapshot — encoding is pure in (centroids, codebooks), so
+    * train-then-append must equal encode-all-at-once exactly.
+    */
+  val e29IvfPqAppend = QueryDef(
+    "e29_ivfpq_append",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.api.Graft.ivfPqIndex(e.filter(col("vec_id") % 7 =!= 0))
+        .append(e.filter(col("vec_id") % 7 === 0))
+        .search(e.filter(col("vec_id") < 5))
+    },
+    Some(ivfPqSql(trainPred = Some("vec_id % 7 <> 0"))))
+
   /** e23's body — the [[graft.api.Graft.mmrRerank]] facade path:
     * Maximal Marginal Relevance diversification (Carbonell & Goldstein
     * 1998) of a relevance shortlist. Stage 1 fetches each query's
@@ -2171,5 +2220,5 @@ object SimilarityQueries {
     e14AnnRecallInt8, e15AnnRecallTrunc, e16AnnPqRerank, e17AnnRecallRerank,
     e18AnnIvfPq, e19AnnRecallIvfPq, e20BinaryQuant, e21AnnRecallBinary,
     e22HybridRrf, e23MmrRerank, e24FilteredIvf, e25AnnRecallFiltered,
-    e26IvfAppend, e27PqAppend, e28IndexDrift)
+    e26IvfAppend, e27PqAppend, e28IndexDrift, e29IvfPqAppend)
 }

@@ -376,6 +376,17 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(idx0.rerank(queries)) == rows(idx.rerank(queries)))
   }
 
+  test("ivfPqIndex.append equals the e29 gate; empty append is a no-op") {
+    val base = emb.filter(col("vec_id") % 7 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 7 === 0)
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Graft.ivfPqIndex(base).append(arrivals).search(queries)
+    assert(rows(got) == rows(gate("e29_ivfpq_append")) && rows(got).nonEmpty)
+    val idx = Graft.ivfPqIndex(emb)
+    assert(rows(idx.append(emb.limit(0)).search(queries))
+      == rows(idx.search(queries)))
+  }
+
   test("videoFrameHashes + videoNearDups equals the mm09 gate") {
     val spark2 = spark
     import spark2.implicits._
