@@ -135,7 +135,15 @@ object ScaleBench {
       // the shared phashBucketCap lever, measured beside it: capped
       // (position, band, chunk) buckets bound candidates no matter how
       // duplicated the corpus gets
-      "mm09_video_neardup@cap500")
+      "mm09_video_neardup@cap500",
+      // e26-e29: the index lifecycle ops — append is one broadcast
+      // assignment/encode pass over the arrivals (the stored corpus is
+      // never rescanned), drift is two map-side-combinable counts; all
+      // four should track e05/e09/e18's linear curves
+      "e26_ivf_append",
+      "e27_pq_append",
+      "e28_index_drift",
+      "e29_ivfpq_append")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
@@ -197,7 +205,8 @@ object ScaleBench {
     (Seq("e03_ann_lsh", "e05_ann_ivf", "e07_semantic_dedup", "e08_int8_quant",
       "e09_ann_pq", "e20_binary_quant", "e23_mmr_rerank",
       "d17_semantic_decontamination", "e24_filtered_ivf",
-      "e25_ann_recall_filtered")
+      "e25_ann_recall_filtered", "e26_ivf_append", "e27_pq_append",
+      "e28_index_drift", "e29_ivfpq_append")
       .map(_ -> "embeddings") ++
       Seq("q56_asof_attribution", "q58_salted_agg", "q66_event_funnel",
         "q57_range_error_proximity").map(_ -> "events")).toMap
