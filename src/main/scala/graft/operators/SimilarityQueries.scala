@@ -2008,13 +2008,26 @@ object SimilarityQueries {
     * undefined).
     */
   private[graft] def cellDrift(assigned: DataFrame, centroids: DataFrame,
-                               sample: DataFrame): DataFrame = {
+                               sample: DataFrame): DataFrame =
+    cellDriftFromCounts(assigned, centroids.select(col("cell")),
+      assignCells(sample, centroids)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_new")))
+
+  /** [[cellDrift]] with the sample's per-cell counts already in hand —
+    * the seam the STREAMING monitor shares
+    * ([[graft.streaming.EmbStreams.driftMonitor]] maintains running
+    * arrival counts as streaming state and reports through this exact
+    * code each trigger, so stream and batch reports cannot drift).
+    * `cells`: one `cell` row per trained cell; `newCounts`:
+    * (cell, n_new).
+    */
+  private[graft] def cellDriftFromCounts(assigned: DataFrame,
+                                         cells: DataFrame,
+                                         newCounts: DataFrame): DataFrame = {
     val base = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
-    val nw = assignCells(sample, centroids)
-      .groupBy(col("cell")).agg(count(lit(1)).as("n_new"))
-    val joined = centroids.select(col("cell"))
+    val joined = cells
       .join(base, Seq("cell"), "left")
-      .join(nw, Seq("cell"), "left")
+      .join(newCounts, Seq("cell"), "left")
       .na.fill(0L, Seq("n_base", "n_new"))
     val totals = joined.agg(sum(col("n_base")).as("t_base"),
       sum(col("n_new")).as("t_new"))

@@ -237,4 +237,53 @@ object EmbStreams {
           batch.toDF(), centroids))
       }
       .start()
+
+  /** AT-INGEST drift monitor — e28 as a stream, the re-train trigger
+    * firing as arrivals land instead of on a scheduled batch scan:
+    * each arriving vector is assigned its cell by a STATELESS in-row
+    * argmax over the broadcast centroid literals (ties to the LOWEST
+    * cell — exactly `assignCells`' tie-break, so the running counts
+    * agree with the batch kernel row-for-row), Spark's streaming
+    * aggregation maintains the RUNNING per-cell arrival counts as
+    * state (Complete mode — ≤ #cells rows of state, constant), and
+    * every trigger emits a full drift report through the exact gated
+    * seam ([[graft.operators.SimilarityQueries .cellDriftFromCounts]])
+    * against the static `assigned` base. `onReport` receives the e28
+    * report shape (cell, n_base, n_new, ppm_base, ppm_new, drift_ppm)
+    * covering ALL arrivals seen so far — fire the re-train when
+    * Σ drift_ppm / 2 (or one hot cell) crosses budget. EmbStreamsSpec
+    * proves the final report equals the batch e28 drift of the same
+    * arrival set.
+    */
+  def driftMonitor(arrivals: Dataset[EmbArrival], assigned: DataFrame,
+                   centroids: Seq[(Int, Array[Float])])
+                  (onReport: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cellStructs = centroids.map { case (cell, c) =>
+      struct(
+        cosine_similarity(col("embedding"),
+          array(c.map(v => lit(v)): _*).cast("array<float>")).as("cs"),
+        lit(-cell).as("negcell"),
+        lit(cell).as("cell"))
+    }
+    val counts = arrivals.toDF()
+      .select(element_at(array_sort(array(cellStructs: _*)), -1)
+        .getField("cell").as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_new"))
+    counts.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val cells = centroids.map(_._1).toDF("cell")
+        // eager localCheckpoint materializes EVERY partition of the
+        // stateful aggregate (the state-store commit contract for
+        // foreachBatch over a Complete-mode stream) and detaches the
+        // report plan from the per-trigger source
+        val counts = batch.localCheckpoint()
+        onReport(graft.operators.SimilarityQueries
+          .cellDriftFromCounts(assigned, cells, counts))
+      }
+      .start()
+  }
 }

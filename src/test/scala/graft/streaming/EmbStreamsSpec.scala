@@ -360,4 +360,54 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"onlyStream=${(appended.toSet -- expected).take(5)} " +
         s"onlyBatch=${(expected -- appended).take(5)}")
   }
+
+  test("streaming drift monitor's final report equals the batch e28 drift") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val ts = Timestamp.valueOf("2026-01-01 09:00:00")
+
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    val idx = graft.api.Graft.annIndex(e.filter($"vec_id" % 5 =!= 0))
+    val assigned = idx.assigned.cache()
+    try {
+      val cents = idx.centroids.collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+
+      val arriving = e.filter($"vec_id" % 5 === 0)
+        .select("vec_id", "embedding").collect()
+        .map(r => EmbStreams.EmbArrival(r.getLong(0), ts, r.getSeq[Float](1)))
+      val (b1, b2) = arriving.splitAt(arriving.length / 2)
+
+      def toTuples(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getAs[Int]("cell"), r.getAs[Long]("n_base"),
+          r.getAs[Long]("n_new"), r.getAs[Long]("ppm_base"),
+          r.getAs[Long]("ppm_new"), r.getAs[Long]("drift_ppm"))).toSet
+
+      var reports = List.empty[Set[(Int, Long, Long, Long, Long, Long)]]
+      val stream = MemoryStream[EmbStreams.EmbArrival]
+      val q = EmbStreams.driftMonitor(stream.toDS(), assigned, cents) { rep =>
+        val t = toTuples(rep.collect())
+        reports.synchronized { reports = t :: reports }
+      }
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+      q.stop()
+
+      // the running state makes each report cover ALL arrivals so far:
+      // the final report must equal the batch e28 drift of the full set
+      val expected = toTuples(
+        idx.drift(e.filter($"vec_id" % 5 === 0)).collect())
+      assert(reports.nonEmpty && expected.nonEmpty)
+      assert(reports.head == expected,
+        s"final streaming report diverged from batch drift: " +
+          s"onlyStream=${(reports.head -- expected).take(5)} " +
+          s"onlyBatch=${(expected -- reports.head).take(5)}")
+      // the mid-stream report counted only the first batch's arrivals
+      assert(reports.last.toSeq.map(_._3).sum == b1.length)
+    } finally assigned.unpersist()
+  }
 }
