@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.{LongType, StringType}
   * use; double registration is harmless, the planner just sees the
   * same candidate twice) and registers the engine's shared primitives
   * as SQL functions — `cosine_similarity`, `minhash_array`,
-  * `minhash_agg`, `count_min`, `hash60`, `phash_bands` — making the
-  * dedup/similarity families first-class in pure-SQL pipelines: the
+  * `minhash_agg`, `count_min`, `hash60`, `phash_bands`,
+  * `gif_frame_hashes` — making the
+  * dedup/similarity/multimodal families first-class in pure-SQL
+  * pipelines: the
   * same codegen'd expressions (or spec-pinned-equal trees) the
   * DataFrame API uses, so SQL callers get identical semantics and
   * performance.
@@ -131,6 +133,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             Multiply(BitwiseAnd(hi, Literal(127L)), Literal(64L)))),
           entry(3, BitwiseAnd(ShiftRight(hi, Literal(7)), Literal(8191L))),
           entry(4, BitwiseAnd(ShiftRight(hi, Literal(20)), Literal(4095L)))))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("gif_frame_hashes"),
+      new ExpressionInfo(classOf[graft.functions.GifFrameHashes].getName,
+        "gif_frame_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"gif_frame_hashes(payload) takes 1 argument, got ${args.length}")
+        graft.functions.GifFrameHashes(args(0))
       }))
   }
 }

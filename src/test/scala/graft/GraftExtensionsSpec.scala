@@ -125,6 +125,32 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rebuiltLo == lo && rebuiltHi == hi)
   }
 
+  test("gif_frame_hashes is callable from SQL and matches the mm09 kernel") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = Seq(1L, 42L, 255L)
+    ids.map(id => (id, graft.operators.MultimodalQueries.syntheticGif(id)))
+      .toDF("media_id", "payload")
+      .createOrReplaceTempView("gif_media")
+    val sql = spark.sql(
+      """SELECT media_id, f.frame_no, f.n_frames, f.lo, f.hi
+        |FROM gif_media
+        |LATERAL VIEW explode(gif_frame_hashes(payload)) t AS f""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // the exact shared kernel the mm09 gate, the batch facade, and the
+    // at-ingest stream screen all hash with
+    val api = ids.flatMap(id =>
+      graft.operators.MultimodalQueries.videoFrameHashesOf(
+        graft.operators.MultimodalQueries.syntheticGif(id))
+        .map { case (f, k, lo, hi) => (id, f, k, lo, hi) }).toSet
+    assert(sql == api && sql.nonEmpty, s"SQL != kernel: $sql vs $api")
+    // non-binary input fails analysis loudly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT gif_frame_hashes(42)").collect()
+    }
+  }
+
   test("the TopKPerKey strategy is injected at session build") {
     import spark.implicits._
     val df = Seq(("a", 3L), ("a", 1L), ("a", 2L), ("b", 9L), ("b", 8L))
