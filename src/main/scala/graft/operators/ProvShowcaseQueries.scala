@@ -49,14 +49,47 @@ object ProvShowcaseQueries {
     },
     None)
 
-  /** Prospective task graph (reference: TaskAPICtrl.kt:22-36). */
+  /** Prospective task graph (reference: TaskAPICtrl.kt:22-36),
+    * summarized ID-FREE so it can carry a real committed-expectation
+    * oracle (the fg_blackbox pattern): one row per task with its
+    * transformation type, upstream count, and sorted upstream
+    * descriptions. For the fixed 3-op tracked pipeline this content is
+    * a run-independent CONSTANT — asserting it is the whole point of a
+    * prospective graph (it is the pipeline's specification; only the
+    * task ids are minted per run, and they are exactly what the
+    * summary drops). The id-bearing nodes+edges shape remains
+    * available via [[ProvenanceQueries.taskGraph]] (the HTML/server
+    * path).
+    */
   val provTaskGraph = QueryDef(
     "prov_task_graph",
     (s, d) => {
       val (store, sess, _) = trackedPipeline(s, d)
-      new ProvenanceQueries(s, store).taskGraph(sess.executionId)
+      val q = new ProvenanceQueries(s, store)
+      val nodes = q.tasks(sess.executionId)
+        .select(col("task_id"), col("description"),
+          col("transformation_type"))
+      val ups = nodes.select(col("task_id").as("sid"),
+        col("description").as("upstream"))
+      nodes.alias("t")
+        .join(q.taskDependencies(sess.executionId).alias("e"),
+          col("e.target") === col("t.task_id"), "left")
+        .join(ups.alias("u"), col("e.source") === col("sid"), "left")
+        .groupBy(col("t.description"), col("t.transformation_type"))
+        .agg(count(col("upstream")).as("n_upstream"),
+          concat_ws(",", sort_array(collect_list(col("upstream"))))
+            .as("upstreams"))
+        .orderBy(col("t.description"))
     },
-    None)
+    // the committed prospective-graph expectation: 3 tasks, RANGE →
+    // MAP → REDUCE_BY_KEY, each wired to its upstream by description
+    Some("""SELECT * FROM (VALUES
+           |  ('count per status', 'REDUCE_BY_KEY', CAST(1 AS BIGINT),
+           |   'to pairs'),
+           |  ('order statuses', 'RANGE', CAST(0 AS BIGINT), ''),
+           |  ('to pairs', 'MAP', CAST(1 AS BIGINT), 'order statuses'))
+           |  t(description, transformation_type, n_upstream, upstreams)
+           |ORDER BY description""".stripMargin))
 
   /** Value table of the aggregation task
     * (reference: DataElementAPICtrl.kt:181-233).
@@ -258,8 +291,12 @@ object ProvShowcaseQueries {
     * reference's SQL layer has none, SURVEY §1.3): a DataFrame pipeline
     * (scan → filter → join → agg) tracked through [[ProvFrame]], with
     * deterministic element ids and lineage flowing as plan columns.
-    * Returns per-task element counts — deterministic because ids derive
-    * from data keys, not random UUIDs.
+    * Returns per-task element counts — and since ProvFrame mints one
+    * element per tracked row, every count is RE-DERIVABLE by DuckDB
+    * from the source tables alone (scan = table cardinality, filter =
+    * predicate count, join = join cardinality, agg = group count), so
+    * this row carries a real cross-engine oracle: capture must count
+    * exactly what the untracked relational pipeline would.
     */
   val provRelational = QueryDef(
     "prov_relational",
@@ -286,7 +323,22 @@ object ProvShowcaseQueries {
         .select(col("description"), col("n_elements"))
         .orderBy(col("description"))
     },
-    None)
+    Some("""SELECT description, n_elements FROM (
+           |  SELECT 'open orders: =(o_orderstatus, ''F'')' AS description,
+           |    (SELECT count(*) FROM orders
+           |     WHERE o_orderstatus = 'F') AS n_elements
+           |  UNION ALL SELECT 'orders-lineitem',
+           |    (SELECT count(*) FROM orders JOIN lineitem
+           |     ON o_orderkey = l_orderkey WHERE o_orderstatus = 'F')
+           |  UNION ALL SELECT 'per returnflag',
+           |    (SELECT count(DISTINCT l_returnflag) FROM lineitem l
+           |     JOIN orders o ON o_orderkey = l_orderkey
+           |     WHERE o_orderstatus = 'F')
+           |  UNION ALL SELECT 'table: lineitem',
+           |    (SELECT count(*) FROM lineitem)
+           |  UNION ALL SELECT 'table: orders',
+           |    (SELECT count(*) FROM orders)
+           |) ORDER BY description""".stripMargin))
 
   def all: Seq[QueryDef] =
     Seq(provFullGraph, provTaskGraph, provValueTable, provLineage,
