@@ -71,10 +71,11 @@ object Graft {
     *
     * RECALL CONTRACT: the banding is DERIVED from `threshold` — the
     * widest rows whose per-pair candidate recall at J = threshold
-    * still clears 99% (16×4 at the default 0.8 ≈ 1 − 10⁻⁶ recall;
-    * 32×2 at 0.5; 8×8 at 0.95 — lower thresholds band finer for
-    * recall, higher thresholds band coarser for candidate
-    * selectivity). So the guarantee holds at ANY threshold;
+    * still clears 99% (16×4 at the default 0.8: recall
+    * 1−(1−0.8⁴)¹⁶ ≈ 99.98% at J exactly = threshold, reaching
+    * ≈ 1−10⁻⁶ by J ≈ 0.87; 32×2 at 0.5; 8×8 at 0.95 — lower
+    * thresholds band finer for recall, higher thresholds band
+    * coarser for candidate selectivity). So the guarantee holds at ANY threshold;
     * MinHashRecallSpec proves the 0.5 case equals the exact quadratic
     * baseline's answer set.
     *
@@ -125,9 +126,14 @@ object Graft {
     // localCheckpoint, not cache(): the broadcast bench side feeds both
     // the band join and the exact-verify join, and checkpoint blocks
     // die with the handle (ContextCleaner) — a cache() here would leave
-    // a session-lifetime CacheManager entry per distinct bench frame
+    // a session-lifetime CacheManager entry per distinct bench frame.
+    // eager = false keeps plan-build lazy (no Spark job until the
+    // caller executes the result). Caveat either way: localCheckpoint
+    // blocks are non-reliable — an executor loss after materialization
+    // fails downstream actions rather than recomputing.
     val benchSigs = DedupQueries
-      .d15Sigs(DedupQueries.shingleArraysOf(bench)).localCheckpoint()
+      .d15Sigs(DedupQueries.shingleArraysOf(bench))
+      .localCheckpoint(eager = false)
     val trainSigs = DedupQueries.d15Sigs(DedupQueries.shingleArraysOf(train))
     DedupQueries.decontScreen(trainSigs, benchSigs, threshold)
   }

@@ -211,27 +211,29 @@ object MultimodalQueries {
             javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(payload))
-          reader.setInput(iis)
-          val k = reader.getNumImages(true)
-          val rows = (0 until k).map { f =>
-            val img = reader.read(f)
-            val w = img.getWidth
-            val h = img.getHeight
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                sum += (img.getRGB(x, y) >> 16) & 0xFF
-                x += 1
+          try {
+            reader.setInput(iis)
+            val k = reader.getNumImages(true)
+            (0 until k).map { f =>
+              val img = reader.read(f)
+              val w = img.getWidth
+              val h = img.getHeight
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  sum += (img.getRGB(x, y) >> 16) & 0xFF
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              (id, f, k.toLong, w, h, sum.toDouble / (w * h))
             }
-            (id, f, k.toLong, w, h, sum.toDouble / (w * h))
+          } finally {
+            reader.dispose()
+            iis.close()
           }
-          reader.dispose()
-          iis.close()
-          rows
         }
       }.toDF("media_id", "frame_no", "n_frames", "width", "height", "mean_v")
         .orderBy(col("media_id"), col("frame_no"))
@@ -443,6 +445,7 @@ object MultimodalQueries {
             javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(payload))
+          try {
           reader.setInput(iis)
           val k = reader.getNumImages(true)
           def gray(f: Int): (Int, Int, Array[Int]) = {
@@ -474,9 +477,11 @@ object MultimodalQueries {
             val mad = sum.toDouble / (cur._1 * cur._2)
             (id, f, mad, mad > 14.0)
           }
-          reader.dispose()
-          iis.close()
           rows
+          } finally {
+            reader.dispose()
+            iis.close()
+          }
         }
       }.toDF("media_id", "frame_no", "mad", "is_cut")
         .orderBy(col("media_id"), col("frame_no"))
@@ -897,15 +902,20 @@ object MultimodalQueries {
       javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
-    reader.setInput(iis)
-    val k = reader.getNumImages(true)
-    val rows = (0 until k).map { f =>
-      val (lo, hi) = frameHash(reader.read(f))
-      (f.toLong, k.toLong, lo, hi)
+    // try/finally: a malformed payload must not leak the native-backed
+    // stream — in the at-ingest screen this kernel re-runs every
+    // micro-batch retry, so a leak compounds
+    try {
+      reader.setInput(iis)
+      val k = reader.getNumImages(true)
+      (0 until k).map { f =>
+        val (lo, hi) = frameHash(reader.read(f))
+        (f.toLong, k.toLong, lo, hi)
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
     }
-    reader.dispose()
-    iis.close()
-    rows
   }
 
   /** Per-frame perceptual hashes of opaque video payloads, decoded with

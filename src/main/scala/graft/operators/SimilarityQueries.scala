@@ -468,6 +468,13 @@ object SimilarityQueries {
     * materialized ONCE (localCheckpoint — blocks die with the handle
     * via the ContextCleaner, no session-lifetime CacheManager entry)
     * and reused across invocations (bench ×5, spec reruns).
+    *
+    * IMMUTABLE-DIR ASSUMPTION: the memo key is (session, dir) with no
+    * data fingerprint — rewriting the parquet under `d` within one
+    * session would serve the stale assignment. That matches the
+    * gate/bench contract (testdata dirs are write-once per run); a
+    * mutable-corpus caller must use a fresh dir (or session) per
+    * snapshot.
     */
   private val assignedMemo =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
@@ -2031,10 +2038,17 @@ object SimilarityQueries {
       .na.fill(0L, Seq("n_base", "n_new"))
     val totals = joined.agg(sum(col("n_base")).as("t_base"),
       sum(col("n_new")).as("t_new"))
+    // loud failure on the documented precondition: an empty base or
+    // sample would otherwise emit null ppm columns that a monitoring
+    // consumer comparing drift_ppm to a threshold silently ignores.
+    // The guard lives INSIDE the ppm expressions (not a droppable
+    // assert column), so column pruning cannot optimize it away.
     joined.crossJoin(broadcast(totals))
       .select(col("cell"), col("n_base"), col("n_new"),
-        expr("(n_base * 1000000) div t_base").as("ppm_base"),
-        expr("(n_new * 1000000) div t_new").as("ppm_new"))
+        expr("(n_base * 1000000) div coalesce(nullif(t_base, 0), " +
+          "raise_error('cellDrift: empty base corpus'))").as("ppm_base"),
+        expr("(n_new * 1000000) div coalesce(nullif(t_new, 0), " +
+          "raise_error('cellDrift: empty arrival sample'))").as("ppm_new"))
       .withColumn("drift_ppm", abs(col("ppm_base") - col("ppm_new")))
   }
 

@@ -281,8 +281,12 @@ object EmbStreams {
         // foreachBatch over a Complete-mode stream) and detaches the
         // report plan from the per-trigger source
         val counts = batch.localCheckpoint()
-        onReport(graft.operators.SimilarityQueries
-          .cellDriftFromCounts(assigned, cells, counts))
+        // an empty trigger (no arrivals yet) has no defined shares —
+        // cellDriftFromCounts raises on a zero total by contract, so
+        // skip the report rather than fail the stream
+        if (!counts.isEmpty)
+          onReport(graft.operators.SimilarityQueries
+            .cellDriftFromCounts(assigned, cells, counts))
       }
       .start()
   }
