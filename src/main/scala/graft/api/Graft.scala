@@ -1,10 +1,11 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{DedupQueries, MultimodalQueries, SimilarityQueries,
   TextAnalysisQueries}
+import graft.sources.IndexStore
 
 /** User-facing facade over the gated operator library: plain
   * DataFrame-in / DataFrame-out calls with documented input schemas, so
@@ -187,6 +188,21 @@ object Graft {
         .groupBy(col("w"))
         .agg(expr("bit_or(word)").as("word")), mBits)
     }
+
+    /** Persist to `dir` ([[graft.sources.IndexStore]] layout) — the
+      * carried `mBits` rides in the manifest, so [[loadBloomIndex]]
+      * restores a sketch that can no more be probed with a mismatched
+      * modulus than a live one.
+      */
+    def save(dir: String): Unit = IndexStore.saveBloom(dir, words, mBits)
+  }
+
+  /** Reopen a [[BloomIndex]] saved with [[BloomIndex.save]]. Loading a
+    * directory holding a different index kind fails loudly.
+    */
+  def loadBloomIndex(spark: SparkSession, dir: String): BloomIndex = {
+    val (words, mBits) = IndexStore.loadBloom(spark, dir)
+    BloomIndex(words, mBits)
   }
 
   /** Screen an arriving batch against an existing corpus's broadcast
@@ -450,6 +466,29 @@ object Graft {
         .filter(col("rn") <= probes)
         .select(col("query_id"), col("q_emb"), col("cell"))
     }
+
+    /** Persist to `dir` ([[graft.sources.IndexStore]] layout): the
+      * assigned corpus lands PARTITIONED BY cell — the exact hive
+      * layout [[graft.streaming.EmbStreams.ivfServePruned]] prunes at
+      * the file level, so a saved index is directly servable — plus
+      * the tiny centroid table and a kind-checked manifest. Re-saving
+      * (e.g. after [[append]]) overwrites in place — the refresh
+      * cycle a production store runs between re-trains.
+      */
+    def save(dir: String): Unit =
+      IndexStore.saveIvf(dir, assigned, centroids)
+  }
+
+  /** Reopen an [[IvfIndex]] saved with [[IvfIndex.save]]: no
+    * re-training, no corpus scan — the handle's frames read the saved
+    * parquet lazily, and search/append/drift run the SAME gated code
+    * paths as on a freshly built index (IndexStoreSpec proves
+    * save → load → search ≡ fresh-build → search bit-for-bit, and
+    * that the e26 append contract holds on a loaded index).
+    */
+  def loadAnnIndex(spark: SparkSession, dir: String): IvfIndex = {
+    val (assigned, centroids) = IndexStore.loadIvf(spark, dir)
+    IvfIndex(assigned, centroids)
   }
 
   /** Build the product-quantization index (Jégou et al. 2011): train
@@ -530,6 +569,30 @@ object Graft {
     private def renamed(queries: DataFrame): DataFrame =
       queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))
+
+    /** Persist to `dir` ([[graft.sources.IndexStore]] layout): the
+      * 4-byte code table, the trained codebooks (doubles round-trip
+      * parquet exactly — a loaded index ADC-scores bit-for-bit), and
+      * the raw (vec_id, embedding) corpus the [[rerank]] stage
+      * fetches from (production stores keep that side on cold
+      * storage; the hot serving read is the codes alone).
+      */
+    def save(dir: String): Unit =
+      IndexStore.savePq(dir, codes, codebooks,
+        corpus.select(col("vec_id"), col("embedding")))
+  }
+
+  /** Reopen a [[PqIndex]] saved with [[PqIndex.save]]: NO re-training
+    * — the frozen codebooks reload from the manifest-checked
+    * directory, so search/rerank/append on the loaded handle run the
+    * SAME gated code paths against the same frozen artifacts
+    * (IndexStoreSpec proves loaded ≡ fresh bit-for-bit on the e09
+    * query set, and that the e27 frozen-codebook append contract
+    * holds on a loaded index).
+    */
+  def loadPqIndex(spark: SparkSession, dir: String): PqIndex = {
+    val (codes, codebooks, corpus) = IndexStore.loadPq(spark, dir)
+    PqIndex(codes, codebooks, corpus)
   }
 
   /** Build the IVF-PQ composite index (Jégou et al. 2011 §IV — the
@@ -585,6 +648,24 @@ object Graft {
       IvfPqIndex(codes.unionByName(
         SimilarityQueries.ivfPqEncode(newVecs, centroids, codebooks)),
         centroids, codebooks)
+
+    /** Persist to `dir` ([[graft.sources.IndexStore]] layout): the
+      * code table partitioned by coarse cell (probe-time scans read
+      * only probed cells' files), the centroids, and the residual
+      * codebooks. Loaded handles search/append bit-identically
+      * (IndexStoreSpec).
+      */
+    def save(dir: String): Unit =
+      IndexStore.saveIvfPq(dir, codes, centroids, codebooks)
+  }
+
+  /** Reopen an [[IvfPqIndex]] saved with [[IvfPqIndex.save]] — frozen
+    * coarse centroids + residual codebooks reload without any
+    * training pass; search/append run the gated kernels.
+    */
+  def loadIvfPqIndex(spark: SparkSession, dir: String): IvfPqIndex = {
+    val (codes, centroids, codebooks) = IndexStore.loadIvfPq(spark, dir)
+    IvfPqIndex(codes, centroids, codebooks)
   }
 
   // ------------------------------------------------------------------

@@ -2111,6 +2111,32 @@ object SimilarityQueries {
     },
     Some(ivfPqSql(trainPred = Some("vec_id % 7 <> 0"))))
 
+  /** DURABLE lifecycle gate — e27 with a JVM-restart seam in the
+    * middle: train the PQ index on the snapshot (vec_id % 7 ≠ 0),
+    * [[graft.api.Graft.PqIndex.save]] the frozen artifacts to disk,
+    * reopen a FRESH handle with [[graft.api.Graft.loadPqIndex]] (no
+    * retraining — the handle under test shares nothing in-memory with
+    * the trained one), append the arrivals against the loaded frozen
+    * codebooks, and search. Oracle: e27's byte-identical SQL — the
+    * round-trip is correct iff it is LOSSLESS (one ulp lost on a
+    * codebook double or one flipped code flips the hash), which is
+    * exactly the property parquet guarantees for every stored type.
+    * At 100 TB the save is one partitioned write; the load is
+    * metadata-only until the search action runs.
+    */
+  val e30IndexPersistence = QueryDef(
+    "e30_index_persistence",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_e30_pq").toString
+      graft.api.Graft.pqIndex(e.filter(col("vec_id") % 7 =!= 0)).save(dir)
+      graft.api.Graft.loadPqIndex(s, dir)
+        .append(e.filter(col("vec_id") % 7 === 0))
+        .search(e.filter(col("vec_id") < 5), k = 3)
+    },
+    Some(pqSql(topM = 3, trainPred = Some("vec_id % 7 <> 0"))))
+
   /** e23's body — the [[graft.api.Graft.mmrRerank]] facade path:
     * Maximal Marginal Relevance diversification (Carbonell & Goldstein
     * 1998) of a relevance shortlist. Stage 1 fetches each query's
@@ -2247,5 +2273,6 @@ object SimilarityQueries {
     e14AnnRecallInt8, e15AnnRecallTrunc, e16AnnPqRerank, e17AnnRecallRerank,
     e18AnnIvfPq, e19AnnRecallIvfPq, e20BinaryQuant, e21AnnRecallBinary,
     e22HybridRrf, e23MmrRerank, e24FilteredIvf, e25AnnRecallFiltered,
-    e26IvfAppend, e27PqAppend, e28IndexDrift, e29IvfPqAppend)
+    e26IvfAppend, e27PqAppend, e28IndexDrift, e29IvfPqAppend,
+    e30IndexPersistence)
 }

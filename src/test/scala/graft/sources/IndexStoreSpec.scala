@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.api.Graft
+
+/** The persistence contract: save → load → search must equal
+  * fresh-build → search BIT-FOR-BIT (same rows, same order, same
+  * doubles — parquet is lossless for every stored type, so equality is
+  * exact, not approximate), and the append/drift contracts (e26/e27/
+  * e29) must hold on a LOADED index exactly as on the in-memory handle
+  * that was saved. This is what makes the lifecycle durable: build →
+  * persist → serve → append → drift across JVM restarts.
+  */
+class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-index-store-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def emb: DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+  private def queries: DataFrame = emb.filter(col("vec_id") < 5)
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-index-store").toString
+
+  /** Ordered, exact row comparison — the outputs under test are
+    * orderBy'd, so bit-for-bit means list equality.
+    */
+  private def exact(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("IVF: save -> load -> search equals fresh-build -> search bit-for-bit") {
+    val fresh = Graft.annIndex(emb)
+    val d = tmp()
+    fresh.save(d)
+    val loaded = Graft.loadAnnIndex(spark, d)
+    val a = exact(fresh.search(queries))
+    assert(a.nonEmpty)
+    assert(exact(loaded.search(queries)) == a)
+  }
+
+  test("IVF: saved assigned corpus is hive-partitioned by cell (the ivfServePruned layout)") {
+    val d = tmp()
+    Graft.annIndex(emb).save(d)
+    val parts = new java.io.File(s"$d/assigned").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    assert(parts.nonEmpty)
+    // and a cell-filtered read prunes to that partition's files alone
+    val one = spark.read.parquet(s"$d/assigned")
+      .where(col("cell") === parts.head.stripPrefix("cell=").toInt)
+    assert(one.count() > 0)
+  }
+
+  test("IVF: e26 append contract holds on a loaded index") {
+    val snapshot = emb.filter(col("vec_id") % 5 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 5 === 0)
+    val fresh = Graft.annIndex(snapshot)
+    val d = tmp()
+    fresh.save(d)
+    val viaLoaded = Graft.loadAnnIndex(spark, d).append(arrivals)
+    assert(exact(viaLoaded.search(queries))
+      == exact(fresh.append(arrivals).search(queries)))
+  }
+
+  test("IVF: drift report on a loaded index equals the fresh handle's") {
+    val snapshot = emb.filter(col("vec_id") % 5 =!= 0)
+    val sample = emb.filter(col("vec_id") % 5 === 0)
+    val fresh = Graft.annIndex(snapshot)
+    val d = tmp()
+    fresh.save(d)
+    assert(exact(Graft.loadAnnIndex(spark, d).drift(sample).orderBy("cell"))
+      == exact(fresh.drift(sample).orderBy("cell")))
+  }
+
+  test("PQ: save -> load -> search and rerank equal fresh bit-for-bit on the e09 query set") {
+    val fresh = Graft.pqIndex(emb)
+    val d = tmp()
+    fresh.save(d)
+    val loaded = Graft.loadPqIndex(spark, d)
+    val s = exact(fresh.search(queries))
+    assert(s.nonEmpty)
+    assert(exact(loaded.search(queries)) == s)
+    assert(exact(loaded.rerank(queries)) == exact(fresh.rerank(queries)))
+  }
+
+  test("PQ: e27 frozen-codebook append contract holds on a loaded index") {
+    val snapshot = emb.filter(col("vec_id") % 7 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 7 === 0)
+    val fresh = Graft.pqIndex(snapshot)
+    val d = tmp()
+    fresh.save(d)
+    val viaLoaded = Graft.loadPqIndex(spark, d).append(arrivals)
+    assert(exact(viaLoaded.search(queries))
+      == exact(fresh.append(arrivals).search(queries)))
+    // the appended vectors also join the rerank fetch corpus
+    assert(exact(viaLoaded.rerank(queries))
+      == exact(fresh.append(arrivals).rerank(queries)))
+  }
+
+  test("IVF-PQ: save -> load -> search equals fresh, and e29 append holds on a loaded index") {
+    val snapshot = emb.filter(col("vec_id") % 7 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 7 === 0)
+    val fresh = Graft.ivfPqIndex(snapshot)
+    val d = tmp()
+    fresh.save(d)
+    val loaded = Graft.loadIvfPqIndex(spark, d)
+    val s = exact(fresh.search(queries))
+    assert(s.nonEmpty)
+    assert(exact(loaded.search(queries)) == s)
+    assert(exact(loaded.append(arrivals).search(queries))
+      == exact(fresh.append(arrivals).search(queries)))
+  }
+
+  test("Bloom: save -> load preserves words and mBits; probe equals the live sketch") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val live = Graft.bloomSketch(Graft.segmentHashes(corpus))
+    val d = tmp()
+    live.save(d)
+    val loaded = Graft.loadBloomIndex(spark, d)
+    assert(loaded.mBits == live.mBits)
+    val a = exact(Graft.bloomScreen(batch, live).orderBy("doc_id", "h"))
+    assert(a.nonEmpty)
+    assert(exact(Graft.bloomScreen(batch, loaded).orderBy("doc_id", "h")) == a)
+    // the merge modulus guard carries over the round-trip
+    assert(exact(loaded.merge(live).words.orderBy("w")).nonEmpty)
+  }
+
+  test("loading a directory of the wrong kind fails loudly") {
+    val d = tmp()
+    Graft.annIndex(emb).save(d)
+    val err = intercept[IllegalArgumentException] {
+      Graft.loadPqIndex(spark, d)
+    }
+    assert(err.getMessage.contains("ivf"))
+  }
+}
