@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.{DedupQueries, MultimodalQueries, SimilarityQueries,
   TextAnalysisQueries}
 import graft.sources.IndexStore
+import graft.streaming.EmbStreams
 
 /** User-facing facade over the gated operator library: plain
   * DataFrame-in / DataFrame-out calls with documented input schemas, so
@@ -477,6 +478,61 @@ object Graft {
       */
     def save(dir: String): Unit =
       IndexStore.saveIvf(dir, assigned, centroids)
+
+    /** The tiny centroid table pulled driver-side ONCE per handle —
+      * the bounded (≤ #cells × 64 floats) pull the streaming serving
+      * surfaces need for their literal-centroid probe projections.
+      */
+    private lazy val pulledCentroids: Seq[(Int, Array[Float])] =
+      centroids.collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+
+    /** Serve an unbounded query stream against this index — delegates
+      * to [[graft.streaming.EmbStreams.ivfServe]] with the handle's
+      * own frames, so streaming serving no longer requires
+      * disassembling the handle into (assigned, centroids). Cache
+      * [[assigned]] first, as a real serving deployment would.
+      * Stream ≡ batch [[search]] is spec-proven (EmbStreamsSpec).
+      */
+    def serve(queries: Dataset[EmbStreams.EmbQuery], nprobe: Int = 2,
+              k: Int = 3): Dataset[EmbStreams.AnnHit] =
+      EmbStreams.ivfServe(queries, assigned, pulledCentroids, nprobe, k)
+
+    /** Partition-pruned serving against a SAVED copy of this index:
+      * `corpusDir` is the cell-partitioned assigned table —
+      * `s"$dir/assigned"` after [[save]]`(dir)` — and each
+      * micro-batch reads only the probed cells' files
+      * ([[graft.streaming.EmbStreams.ivfServePruned]] — the 100 TB
+      * I/O shape). The returned query is started; stop it when done.
+      */
+    def servePruned(queries: Dataset[EmbStreams.EmbQuery],
+                    corpusDir: String, nprobe: Int = 2, k: Int = 3)
+                   (onBatch: DataFrame => Unit)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      EmbStreams.ivfServePruned(queries, corpusDir, pulledCentroids,
+        nprobe, k)(onBatch)
+
+    /** AT-INGEST append — [[append]]'s streaming sibling through the
+      * handle: each micro-batch of arrivals is assigned into the
+      * trained (immutable) cells with the gated kernel and handed to
+      * `onBatch` for upsert into the serving store. Delegates to
+      * [[graft.streaming.EmbStreams.ivfAppend]].
+      */
+    def appendStream(arrivals: Dataset[EmbStreams.EmbArrival])
+                    (onBatch: DataFrame => Unit)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      EmbStreams.ivfAppend(arrivals, centroids)(onBatch)
+
+    /** AT-INGEST drift monitor — [[drift]]'s streaming sibling
+      * through the handle: running per-cell arrival counts as
+      * streaming state, a full e28-shaped report per trigger against
+      * this index's stored base. Delegates to
+      * [[graft.streaming.EmbStreams.driftMonitor]].
+      */
+    def driftMonitor(arrivals: Dataset[EmbStreams.EmbArrival])
+                    (onReport: DataFrame => Unit)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      EmbStreams.driftMonitor(arrivals, assigned, pulledCentroids)(onReport)
   }
 
   /** Reopen an [[IvfIndex]] saved with [[IvfIndex.save]]: no
@@ -580,6 +636,17 @@ object Graft {
     def save(dir: String): Unit =
       IndexStore.savePq(dir, codes, codebooks,
         corpus.select(col("vec_id"), col("embedding")))
+
+    /** Serve an unbounded query stream against this index — delegates
+      * to [[graft.streaming.EmbStreams.pqServe]] with the handle's
+      * own codes + codebooks (no handle disassembly). Cache [[codes]]
+      * first, as a serving deployment would; the per-batch read is
+      * the 4-byte code table alone. Stream ≡ batch [[search]] is
+      * spec-proven (EmbStreamsSpec).
+      */
+    def serve(queries: Dataset[EmbStreams.EmbQuery], k: Int = 3)
+        : Dataset[EmbStreams.PqHit] =
+      EmbStreams.pqServe(queries, codes, codebooks, k)
   }
 
   /** Reopen a [[PqIndex]] saved with [[PqIndex.save]]: NO re-training

@@ -33,11 +33,13 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sqlCtx = spark.sqlContext
     val d = "/root/testdata/sf0.001"
 
-    // index built once, batch-side (the e05-gated building blocks);
-    // the corpus assignment is cached as a real serving index would be
-    val (assigned, centroids) =
-      graft.operators.SimilarityQueries.ivfIndex(spark, d)
-    val cached = assigned.cache()
+    // index built once, batch-side, through the e05-gated facade
+    // handle; serving goes THROUGH the handle (IvfIndex.serve) — no
+    // disassembly into (assigned, centroids). The corpus assignment
+    // is cached as a real serving index would be.
+    val idx = graft.api.Graft.annIndex(
+      spark.read.parquet(s"$d/embeddings.parquet"))
+    val cached = idx.assigned.cache()
     try {
       val ts = Timestamp.valueOf("2026-01-01 09:00:00")
       val qvecs = spark.read.parquet(s"$d/embeddings.parquet")
@@ -47,7 +49,7 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (b1, b2) = qvecs.splitAt(2)
 
       val stream = MemoryStream[EmbQuery]
-      val q = EmbStreams.ivfServe(stream.toDS(), cached, centroids)
+      val q = idx.serve(stream.toDS())
         .writeStream.format("memory").queryName("ann_hits")
         .outputMode(OutputMode.Append())
         .start()
@@ -90,7 +92,10 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (b1, b2) = qvecs.splitAt(2)
 
       val stream = MemoryStream[EmbQuery]
-      val q = EmbStreams.pqServe(stream.toDS(), codes, idx.codebooks)
+      // serving goes THROUGH the handle (PqIndex.serve): the cached
+      // codes frame shares its plan with idx.codes, so the serving
+      // join reads the cache
+      val q = idx.serve(stream.toDS())
         .writeStream.format("memory").queryName("pq_hits")
         .outputMode(OutputMode.Append())
         .start()
@@ -172,11 +177,15 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark2.implicits._
     implicit val sqlCtx = spark.sqlContext
     val d = "/root/testdata/sf0.001"
-    val (assigned, centroids) =
-      graft.operators.SimilarityQueries.ivfIndex(spark, d)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_corpus")
+    // the durable pairing: IvfIndex.save writes the cell-partitioned
+    // layout, and the handle's servePruned reads it back with
+    // per-batch partition pruning — no manual partitionBy plumbing
+    val idx = graft.api.Graft.annIndex(
+      spark.read.parquet(s"$d/embeddings.parquet"))
+    val saveDir = java.nio.file.Files.createTempDirectory("graft_ivf_save")
       .toFile.getAbsolutePath
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    idx.save(saveDir)
+    val dir = s"$saveDir/assigned"
     def parquetFiles(f: java.io.File): Long =
       if (f.isDirectory) f.listFiles().map(parquetFiles).sum
       else if (f.getName.endsWith(".parquet")) 1L else 0L
@@ -192,7 +201,7 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hits = scala.collection.mutable.Set[(Long, Long, Long, Double)]()
     val scannedFiles = new java.util.concurrent.atomic.AtomicLong(-1)
     val stream = MemoryStream[EmbQuery]
-    val q = EmbStreams.ivfServePruned(stream.toDS(), dir, centroids) { batch =>
+    val q = idx.servePruned(stream.toDS(), dir) { batch =>
       val rows = batch.collect()
       hits.synchronized { hits ++= hitTuples(rows.toSeq) }
       // after the action the (adaptive) plan is final; its file scan
@@ -339,7 +348,9 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val appended = scala.collection.mutable.Set[(Long, Int)]()
     val stream = MemoryStream[EmbStreams.EmbArrival]
-    val q = EmbStreams.ivfAppend(stream.toDS(), idx.centroids) { assigned =>
+    // the streaming write path goes THROUGH the handle
+    // (IvfIndex.appendStream) — e26's batch append contract, at ingest
+    val q = idx.appendStream(stream.toDS()) { assigned =>
       val rows = assigned.collect().map(r =>
         (r.getAs[Long]("vec_id"), r.getAs[Int]("cell")))
       appended.synchronized { appended ++= rows }
@@ -372,9 +383,6 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val idx = graft.api.Graft.annIndex(e.filter($"vec_id" % 5 =!= 0))
     val assigned = idx.assigned.cache()
     try {
-      val cents = idx.centroids.collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
-
       val arriving = e.filter($"vec_id" % 5 === 0)
         .select("vec_id", "embedding").collect()
         .map(r => EmbStreams.EmbArrival(r.getLong(0), ts, r.getSeq[Float](1)))
@@ -387,7 +395,10 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
       var reports = List.empty[Set[(Int, Long, Long, Long, Long, Long)]]
       val stream = MemoryStream[EmbStreams.EmbArrival]
-      val q = EmbStreams.driftMonitor(stream.toDS(), assigned, cents) { rep =>
+      // the monitor runs THROUGH the handle (IvfIndex.driftMonitor):
+      // no manual centroid pull, no handle disassembly; the cached
+      // assigned frame shares its plan with idx.assigned
+      val q = idx.driftMonitor(stream.toDS()) { rep =>
         val t = toTuples(rep.collect())
         reports.synchronized { reports = t :: reports }
       }
