@@ -533,6 +533,25 @@ object Graft {
                     (onReport: DataFrame => Unit)
         : org.apache.spark.sql.streaming.StreamingQuery =
       EmbStreams.driftMonitor(arrivals, assigned, pulledCentroids)(onReport)
+
+    /** [[driftMonitor]] over a SLIDING EVENT-TIME WINDOW — the
+      * production trigger watches recent drift, not all-of-history
+      * (cumulative counts converge and drown a drifted last hour).
+      * One e28-shaped report per touched window per trigger; the
+      * watermark evicts closed windows' state and drops late
+      * arrivals. Delegates to
+      * [[graft.streaming.EmbStreams.driftMonitorWindowed]].
+      */
+    def driftMonitorWindowed(arrivals: Dataset[EmbStreams.EmbArrival],
+                             windowMinutes: Int = 10,
+                             slideMinutes: Int = 10,
+                             latenessMinutes: Int = 0)
+                            (onReport: (java.sql.Timestamp,
+                               java.sql.Timestamp, DataFrame) => Unit)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      EmbStreams.driftMonitorWindowed(arrivals, assigned,
+        pulledCentroids, windowMinutes, slideMinutes, latenessMinutes)(
+        onReport)
   }
 
   /** Reopen an [[IvfIndex]] saved with [[IvfIndex.save]]: no

@@ -255,10 +255,14 @@ object EmbStreams {
     * proves the final report equals the batch e28 drift of the same
     * arrival set.
     */
-  def driftMonitor(arrivals: Dataset[EmbArrival], assigned: DataFrame,
-                   centroids: Seq[(Int, Array[Float])])
-                  (onReport: DataFrame => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
+  /** STATELESS in-row cell argmax over broadcast centroid literals —
+    * ties to the LOWEST cell, exactly `assignCells`' tie-break, so
+    * every streaming monitor counts arrivals cell-for-cell like the
+    * batch kernel. Shared by [[driftMonitor]] and
+    * [[driftMonitorWindowed]].
+    */
+  private def cellArgmax(centroids: Seq[(Int, Array[Float])])
+      : org.apache.spark.sql.Column = {
     val cellStructs = centroids.map { case (cell, c) =>
       struct(
         cosine_similarity(col("embedding"),
@@ -266,9 +270,15 @@ object EmbStreams {
         lit(-cell).as("negcell"),
         lit(cell).as("cell"))
     }
+    element_at(array_sort(array(cellStructs: _*)), -1).getField("cell")
+  }
+
+  def driftMonitor(arrivals: Dataset[EmbArrival], assigned: DataFrame,
+                   centroids: Seq[(Int, Array[Float])])
+                  (onReport: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val counts = arrivals.toDF()
-      .select(element_at(array_sort(array(cellStructs: _*)), -1)
-        .getField("cell").as("cell"))
+      .select(cellArgmax(centroids).as("cell"))
       .groupBy(col("cell")).agg(count(lit(1)).as("n_new"))
     counts.writeStream
       .outputMode(OutputMode.Complete())
@@ -287,6 +297,99 @@ object EmbStreams {
         if (!counts.isEmpty)
           onReport(graft.operators.SimilarityQueries
             .cellDriftFromCounts(assigned, cells, counts))
+      }
+      .start()
+  }
+
+  /** WINDOWED drift monitor — [[driftMonitor]] watching RECENT drift
+    * instead of all-of-history: the cumulative monitor's running
+    * counts converge (a week of on-distribution traffic drowns a
+    * drifted last hour), so the production re-train trigger compares
+    * the base against a sliding event-time window of arrivals.
+    *
+    * Shape: the shared [[cellArgmax]] projection assigns each arrival
+    * its cell (stateless, batch tie-break), then Spark's watermarked
+    * windowed aggregation maintains per-(window, cell) counts —
+    * Update mode, so each trigger emits only the (window, cell) rows
+    * that changed, and the watermark EVICTS closed windows' state
+    * (the unbounded-accumulation gap of Complete mode, fixed; a late
+    * arrival past `latenessMinutes` is dropped, never resurrects a
+    * closed window). A driver-side upsert store (≤ active-windows ×
+    * #cells integer rows — the same tiny bound as the streaming
+    * state) folds the updates, prunes windows the watermark has
+    * closed, and per trigger emits one e28-shaped report PER TOUCHED
+    * WINDOW through the exact gated seam
+    * ([[graft.operators.SimilarityQueries.cellDriftFromCounts]]) —
+    * `onReport(windowStart, windowEnd, report)`, where the report
+    * covers exactly that window's arrivals (EmbStreamsSpec proves it
+    * equals batch e28 drift of precisely the in-window arrival set).
+    * Tumbling windows by default; pass `slideMinutes` <
+    * `windowMinutes` for overlapping windows (an arrival then counts
+    * in every window covering it, the standard sliding semantics).
+    */
+  def driftMonitorWindowed(arrivals: Dataset[EmbArrival],
+                           assigned: DataFrame,
+                           centroids: Seq[(Int, Array[Float])],
+                           windowMinutes: Int = 10,
+                           slideMinutes: Int = 10,
+                           latenessMinutes: Int = 0)
+                          (onReport: (Timestamp, Timestamp, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val counts = arrivals.toDF()
+      .withWatermark("ts", s"$latenessMinutes minutes")
+      .select(col("ts"), cellArgmax(centroids).as("cell"))
+      .groupBy(
+        window(col("ts"), s"$windowMinutes minutes",
+          s"$slideMinutes minutes"),
+        col("cell"))
+      .agg(count(lit(1)).as("n_new"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("cell"), col("n_new"))
+
+    // (window -> cell -> running count). Update-mode rows carry the
+    // NEW TOTAL for their (window, cell), so folding is a put, not an
+    // add. Bounded: the watermark closes windows, and closed windows
+    // are pruned below.
+    val store = scala.collection.mutable.Map
+      .empty[(Timestamp, Timestamp), scala.collection.mutable.Map[Int, Long]]
+
+    counts.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        // collect materializes every partition (the state-store commit
+        // contract for foreachBatch over a stateful aggregate); the
+        // batch is ≤ touched-windows × #cells tiny rows by construction
+        val rows = batch.collect()
+        if (rows.nonEmpty) {
+          val cells = centroids.map(_._1).toDF("cell")
+          val reports = store.synchronized {
+            val touched = rows.map { r =>
+              val w = (r.getTimestamp(0), r.getTimestamp(1))
+              store.getOrElseUpdate(w, scala.collection.mutable.Map.empty)
+                .put(r.getInt(2), r.getLong(3))
+              w
+            }.distinct
+            // prune windows the watermark has provably closed: with
+            // watermark = max(event ts) − lateness and every event
+            // landing only in windows ending within windowMinutes of
+            // its ts, any window ending at or before
+            // maxEnd − window − lateness can never update again
+            val maxEnd = store.keys.map(_._2.getTime).max
+            val closed = maxEnd -
+              (windowMinutes + latenessMinutes) * 60000L
+            store.filterInPlace((w, _) => w._2.getTime > closed)
+            touched.toSeq.flatMap(w => store.get(w).map { c =>
+              (w, c.toSeq)
+            })
+          }
+          reports.foreach { case ((ws, we), cellCounts) =>
+            onReport(ws, we, graft.operators.SimilarityQueries
+              .cellDriftFromCounts(assigned, cells,
+                cellCounts.toDF("cell", "n_new")))
+          }
+        }
       }
       .start()
   }

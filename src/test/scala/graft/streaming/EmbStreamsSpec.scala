@@ -421,4 +421,83 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(reports.last.toSeq.map(_._3).sum == b1.length)
     } finally assigned.unpersist()
   }
+
+  test("windowed drift monitor: per-window report equals batch e28 drift of exactly the in-window arrivals; late rows are dropped") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    val idx = graft.api.Graft.annIndex(e.filter($"vec_id" % 5 =!= 0))
+    val assigned = idx.assigned.cache()
+    try {
+      // two 10-minute tumbling windows: even-indexed arrivals land in
+      // [09:00, 09:10), odd-indexed in [09:10, 09:20)
+      val ts1 = Timestamp.valueOf("2026-01-01 09:03:00")
+      val ts2 = Timestamp.valueOf("2026-01-01 09:12:00")
+      val arriving = e.filter($"vec_id" % 5 === 0)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val w1 = arriving.zipWithIndex.filter(_._2 % 2 == 0).map(_._1)
+      val w2 = arriving.zipWithIndex.filter(_._2 % 2 == 1).map(_._1)
+      assert(w1.nonEmpty && w2.nonEmpty)
+
+      def toTuples(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getAs[Int]("cell"), r.getAs[Long]("n_base"),
+          r.getAs[Long]("n_new"), r.getAs[Long]("ppm_base"),
+          r.getAs[Long]("ppm_new"), r.getAs[Long]("drift_ppm"))).toSet
+
+      // latest report per window (Update mode re-reports a window as
+      // its counts grow; the last one is the window's final answer)
+      val latest = scala.collection.mutable.Map
+        .empty[(Timestamp, Timestamp),
+          Set[(Int, Long, Long, Long, Long, Long)]]
+      val reportsPerWindow = scala.collection.mutable.Map
+        .empty[(Timestamp, Timestamp), Int]
+      val stream = MemoryStream[EmbStreams.EmbArrival]
+      val q = idx.driftMonitorWindowed(stream.toDS()) { (ws, we, rep) =>
+        val t = toTuples(rep.collect())
+        latest.synchronized {
+          latest((ws, we)) = t
+          reportsPerWindow((ws, we)) =
+            reportsPerWindow.getOrElse((ws, we), 0) + 1
+        }
+      }
+      stream.addData(w1.map { case (id, emb) =>
+        EmbStreams.EmbArrival(id, ts1, emb) }.toSeq)
+      q.processAllAvailable()
+      stream.addData(w2.map { case (id, emb) =>
+        EmbStreams.EmbArrival(id, ts2, emb) }.toSeq)
+      q.processAllAvailable()
+      val w1Key = (Timestamp.valueOf("2026-01-01 09:00:00"),
+        Timestamp.valueOf("2026-01-01 09:10:00"))
+      val w2Key = (Timestamp.valueOf("2026-01-01 09:10:00"),
+        Timestamp.valueOf("2026-01-01 09:20:00"))
+      val w1ReportsBeforeLate = reportsPerWindow.get(w1Key)
+      // a LATE w1 arrival: by now the watermark sits at ts2 (lateness
+      // 0), so the [09:00, 09:10) window is closed — the row must be
+      // dropped, not resurrect the window
+      stream.addData(Seq(
+        EmbStreams.EmbArrival(arriving.head._1, ts1, arriving.head._2)))
+      q.processAllAvailable()
+      q.stop()
+
+      val w1Ids = w1.map(_._1).toSet
+      val w2Ids = w2.map(_._1).toSet
+      val expected1 = toTuples(idx.drift(
+        e.filter($"vec_id".isInCollection(w1Ids))).collect())
+      val expected2 = toTuples(idx.drift(
+        e.filter($"vec_id".isInCollection(w2Ids))).collect())
+      assert(latest.get(w1Key).contains(expected1),
+        s"window-1 report diverged from batch drift of its arrivals")
+      assert(latest.get(w2Key).contains(expected2),
+        s"window-2 report diverged from batch drift of its arrivals")
+      // the late row produced no further w1 report
+      assert(reportsPerWindow.get(w1Key) == w1ReportsBeforeLate,
+        s"late arrival must not reopen a closed window: $reportsPerWindow")
+      // and only the two real windows ever reported
+      assert(latest.keySet == Set(w1Key, w2Key))
+    } finally assigned.unpersist()
+  }
 }
