@@ -130,20 +130,21 @@ object DedupQueries {
   private[graft] def clusterLabelsOf(docs: DataFrame): DataFrame = {
     val sh = shingleArraysOf(docs)
       .select(col("doc_id"), explode(col("sh")).as("s")).cache()
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("da"), col("s"))
-    val b = sh.select(col("doc_id").as("db"), col("s"))
-    val pairs = a.join(b, Seq("s")).filter(col("da") < col("db"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-      .filter(round(col("c") / (col("na") + col("nb") - col("c")), 4) >= 0.5)
-      .select(col("da"), col("db")).cache()
-    val labels = ConnectedComponents.run(pairs).labels
-      .select(col("doc_id"), col("label").as("canonical_id"))
-    sh.unpersist()
-    pairs.unpersist()
-    labels
+    try {
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("da"), col("s"))
+      val b = sh.select(col("doc_id").as("db"), col("s"))
+      val pairs = a.join(b, Seq("s")).filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+        .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        .filter(round(col("c") / (col("na") + col("nb") - col("c")), 4) >= 0.5)
+        .select(col("da"), col("db")).cache()
+      try
+        ConnectedComponents.run(pairs).labels
+          .select(col("doc_id"), col("label").as("canonical_id"))
+      finally pairs.unpersist()
+    } finally sh.unpersist()
   }
 
   private[graft] val shinglesSql =
@@ -210,7 +211,11 @@ object DedupQueries {
     (s, d) => {
       QueryDef.requireQuadraticOptIn(
         Tables.documents(s, d), "d03_ngram_jaccard", "d04/d08/d09")
-      val sh = shingles(s, d).cache()
+      // lazy localCheckpoint, not cache(): blocks die with the handle
+      // (ContextCleaner) instead of living in CacheManager forever,
+      // and eager = false defers the materializing job to the caller's
+      // first action (same pattern as Graft.decontaminate's bench side)
+      val sh = shingles(s, d).localCheckpoint(eager = false)
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.select(col("doc_id").as("da"), col("s"))
       val b = sh.select(col("doc_id").as("db"), col("s"))
@@ -277,7 +282,9 @@ object DedupQueries {
         graft.functions.MinHashArray.minhash_array(
           expr(s"transform(sh, x -> pmod(xxhash64(x), ${prime}L))"),
           numHashes, 42L, prime).as("sig"))
-      .cache()
+      // lazy localCheckpoint: feeds banding AND both verify joins;
+      // ContextCleaner releases the blocks when the handle dies
+      .localCheckpoint(eager = false)
 
     val bandCols = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
@@ -513,7 +520,7 @@ object DedupQueries {
       val sh = shingles(s, d)
       val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= dfCap).select(col("s"))
-      val shc = sh.join(rare, Seq("s")).cache()
+      val shc = sh.join(rare, Seq("s")).localCheckpoint(eager = false)
       val cnt = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = shc.select(col("doc_id").as("da"), col("s"))
       val b = shc.select(col("doc_id").as("db"), col("s"))
@@ -575,7 +582,7 @@ object DedupQueries {
             expr("transform(sh, x -> pmod(cast(conv(substr(md5(x), 1, 15)," +
               s" 16, 10) as bigint), ${prime}L))"),
             numHashes, 42L, prime).as("sig"))
-        .cache()
+        .localCheckpoint(eager = false)
 
       val bandKeys = (0 until bands).map { bnd =>
         concat_ws(",", lit(bnd) +: (0 until rowsPerBand).map(r =>
@@ -1229,7 +1236,7 @@ object DedupQueries {
         case Some(mx) => col("doc_id") % 10 === 0 && col("doc_id") <= mx.toLong
         case None     => col("doc_id") % 10 === 0
       }
-      val bench = docs.filter(isBench).cache()
+      val bench = docs.filter(isBench).localCheckpoint(eager = false)
       val train = docs.filter(!isBench)
       // decontScreen IS the Graft.decontaminate facade body (the facade
       // sigs each raw side itself; the gate sigs once and filters, the
