@@ -23,6 +23,15 @@ object ProvBench {
 
     val data = (0 until n).map(i => s"k${i % 1000};$i")
 
+    // a 20M-row capture run writes a ~4 GB element store; keeping every
+    // run's store alive exhausts the disk before the x100 cell finishes
+    def rmrf(dir: String): Unit = {
+      import java.nio.file._
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+
     def pipeline(capture: Boolean, async: Boolean = false): Double = {
       val store = java.nio.file.Files.createTempDirectory("provbench").toString
       val s = ProvSession.create(spark, "bench", store, captureEnabled = capture,
@@ -35,7 +44,9 @@ object ProvBench {
         .collect()
       s.close()
       require(out.length == 1000)
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      rmrf(store)
+      dt
     }
 
     // min-of-N steady state (same philosophy as Bench.scala): the first
@@ -57,13 +68,16 @@ object ProvBench {
       val p = line.split(";"); (p(0), p(1).toLong)
     }.toDF("k", "v")
     src.write.mode("overwrite").parquet("/tmp/provbench_rel")
-    def relational(capture: Boolean, async: Boolean = false): Double = {
+    def relational(capture: Boolean, async: Boolean = false,
+                   granularity: RelationalProvenance.Granularity =
+                     RelationalProvenance.Granularity.Element): Double = {
       val store = java.nio.file.Files.createTempDirectory("provbenchrel").toString
       val t0 = System.nanoTime()
       val df = spark.read.parquet("/tmp/provbench_rel")
       val out = if (capture) {
         val s = ProvSession.create(spark, "bench-rel", store, asyncFlush = async)
-        val f = RelationalProvenance.table(s, df, "src", Seq("k", "v"))
+        val f = RelationalProvenance.table(s, df, "src", Seq("k", "v"),
+            granularity)
           .select("widen")(col("k"), col("v"), (col("v") * 2).as("v2"))
           .filter(col("v") % 3 =!= 0)
           .groupByAgg(Seq(col("k")), Seq(sum(col("v2")).as("s")))
@@ -77,12 +91,19 @@ object ProvBench {
           .collect()
       }
       require(out.length == 1000)
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      rmrf(store)
+      dt
     }
     val relOff = best(relational(capture = false))
     val relOn = best(relational(capture = true))
     val relOnAsync = best(relational(capture = true, async = true))
-    println(f"""{"rows":$n,"off_sec":$off%.3f,"on_sec":$on%.3f,"on_async_sec":$onAsync%.3f,"overhead_factor":${on / off}%.2f,"async_overhead_factor":${onAsync / off}%.2f,"rel_off_sec":$relOff%.3f,"rel_on_sec":$relOn%.3f,"rel_on_async_sec":$relOnAsync%.3f,"rel_overhead_factor":${relOn / relOff}%.2f,"rel_async_overhead_factor":${relOnAsync / relOff}%.2f}""")
+    // task granularity: the 20M-row scale lever — task graph + per-task
+    // row counts, zero per-row elements (PARITY "relational capture at
+    // scale")
+    val relTask = best(relational(capture = true,
+      granularity = RelationalProvenance.Granularity.Task))
+    println(f"""{"rows":$n,"off_sec":$off%.3f,"on_sec":$on%.3f,"on_async_sec":$onAsync%.3f,"overhead_factor":${on / off}%.2f,"async_overhead_factor":${onAsync / off}%.2f,"rel_off_sec":$relOff%.3f,"rel_on_sec":$relOn%.3f,"rel_on_async_sec":$relOnAsync%.3f,"rel_overhead_factor":${relOn / relOff}%.2f,"rel_async_overhead_factor":${relOnAsync / relOff}%.2f,"rel_task_on_sec":$relTask%.3f,"rel_task_overhead_factor":${relTask / relOff}%.2f}""")
     spark.stop()
   }
 }

@@ -26,6 +26,12 @@ final class TaskState(
       * UnionRDD.scala:108)
       */
     var elementThunk: Option[() => Dataset[ElementRow]] = None,
+    /** true when `elementThunk` emits the single task-granularity stats
+      * element (relational [[RelationalProvenance.Granularity.Task]])
+      * instead of per-row elements — children dep-link to its
+      * deterministic stats element id.
+      */
+    var statsElement: Boolean = false,
     var flushed: Boolean = false,
     /** this task's stage plan, pre-materialized in topological order by
       * the flush batch so the single element write reads warm caches

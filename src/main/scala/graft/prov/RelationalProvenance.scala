@@ -38,6 +38,32 @@ object RelationalProvenance {
   private[prov] val ID = "_prov_id"
   private[prov] val DEPS = "_prov_deps"
 
+  /** Capture granularity for a relational pipeline — the scale lever
+    * for wide frames, chosen at [[table]] and inherited by every
+    * derived frame.
+    *
+    *  - [[Granularity.Element]] (default): one element per output row,
+    *    full record-level lineage. Capture writes O(rows) element rows
+    *    at flush — ~0.85 µs/element measured, which at 20M+ rows
+    *    dwarfs a codegen'd uncaptured aggregate (PARITY: 73× at 20M).
+    *  - [[Granularity.Task]]: counts + boundaries only. The task
+    *    graph (nodes, edges, schemas, descriptions) is captured
+    *    exactly as before, and each element-creating task flushes ONE
+    *    stats element carrying its output row count, dep-linked to
+    *    its parents' stats elements — so §3.3 queries (taskGraph,
+    *    taskDetail, valueTable, lineageOf/fullGraph over stats
+    *    elements) still answer at task granularity. No per-row
+    *    elements exist, and the per-row id/dep arithmetic collapses
+    *    to constants Catalyst folds away — capture cost becomes a
+    *    handful of count aggregates at flush, independent of row
+    *    width and near-independent of row count.
+    */
+  sealed trait Granularity
+  object Granularity {
+    case object Element extends Granularity
+    case object Task extends Granularity
+  }
+
   /** Root frame over a source DataFrame. `keyCols` must uniquely identify
     * a row (primary key); the element id derives from them, so lineage
     * survives recomputation without caching. Keys beyond the projected
@@ -47,13 +73,17 @@ object RelationalProvenance {
     * caller's contract, not a runtime check.
     */
   def table(session: ProvSession, df: DataFrame, name: String,
-            keyCols: Seq[String]): ProvFrame = {
+            keyCols: Seq[String],
+            granularity: Granularity = Granularity.Element): ProvFrame = {
     require(keyCols.nonEmpty, "keyCols must name a unique row key")
+    val taskLevel = granularity == Granularity.Task
     val task = session.newTask(TransformationType.MAP, Nil, s"table: $name")
     val out = df
-      .withColumn(ID, mintId(session.executionId, task.id, keyCols.map(col)))
+      .withColumn(ID,
+        if (taskLevel) lit("")
+        else mintId(session.executionId, task.id, keyCols.map(col)))
       .withColumn(DEPS, array().cast("array<string>"))
-    attach(session, task, out)
+    attach(session, task, out, taskLevel = taskLevel)
   }
 
   /** Deterministic element id: md5 over execution, task, and the id
@@ -71,13 +101,17 @@ object RelationalProvenance {
   private[prov] def attach(session: ProvSession, task: TaskState,
                            df: DataFrame,
                            createsElements: Boolean = true,
-                           spliced: Boolean = false): ProvFrame = {
+                           spliced: Boolean = false,
+                           taskLevel: Boolean = false): ProvFrame = {
     val userCols = df.columns.filterNot(Set(ID, DEPS)).toSeq
     task.schemaFields = userCols
     task.usingDefaultSchema = false
-    val frame = new ProvFrame(df, task, session, spliced)
+    val frame = new ProvFrame(df, task, session, spliced, taskLevel)
     if (session.captureEnabled && createsElements && !task.ignored) {
-      task.elementThunk = Some(() => frame.elementRows())
+      task.elementThunk =
+        if (taskLevel) Some(() => frame.statsRows())
+        else Some(() => frame.elementRows())
+      task.statsElement = taskLevel
       // frames are NOT session-persisted (deterministic ids need no
       // cache) — hand the plan to the flush batch for TRANSIENT caching
       // so downstream tasks' branches read it instead of replaying the
@@ -86,6 +120,32 @@ object RelationalProvenance {
       task.transientCache = true
     } else if (!createsElements) task.elementThunk = None
     frame
+  }
+
+  /** Deterministic id of a task's stats element (task granularity). */
+  private[prov] def statsElementId(executionId: String,
+                                   taskId: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"$executionId${taskId}__task_stats__"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Nearest ancestors that emit a stats element, splicing through
+    * pass-through, ignored, and element-granularity tasks — the dep
+    * targets for a stats element's task-level lineage.
+    */
+  private[prov] def nearestStatsAncestors(session: ProvSession,
+                                          task: TaskState): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    def walk(ids: Seq[String]): Unit = ids.foreach { id =>
+      session.taskById(id).foreach { t =>
+        if (t.statsElement && !t.ignored) seen += t.id
+        else walk(t.parents)
+      }
+    }
+    walk(task.parents)
+    seen.toSeq
   }
 }
 
@@ -101,13 +161,32 @@ final class ProvFrame private[prov] (
       * ids, ID = id-part token), row-wise — so a union mixing an ignored
       * and a non-ignored input stays correct per row.
       */
-    private[prov] val spliced: Boolean = false) {
+    private[prov] val spliced: Boolean = false,
+    /** true under [[RelationalProvenance.Granularity.Task]]: no per-row
+      * elements; ID/DEPS are constant placeholders (Catalyst folds the
+      * arithmetic away) and flush emits one stats element per task.
+      */
+    private[prov] val taskLevel: Boolean = false) {
 
   import RelationalProvenance._
 
   def taskId: String = task.id
   private def spark = df.sparkSession
   private def execId = session.executionId
+
+  /** Element id under the granularity knob: blank constant in task
+    * mode (the withColumn keeps every combinator's shape uniform while
+    * Catalyst constant-folds the whole minting tree away).
+    */
+  private def mintOrBlank(taskId: String, parts: Seq[Column]): Column =
+    if (taskLevel) lit("") else mintId(execId, taskId, parts)
+
+  /** Dep array under the knob: empty constant in task mode, so any
+    * collect_set/collect_list feeding it is pruned or degenerates to a
+    * one-value set.
+    */
+  private def depsOrBlank(deps: Column): Column =
+    if (taskLevel) array().cast("array<string>") else deps
 
   /** User-visible columns (provenance columns stripped). */
   def result: DataFrame = df.drop(ID, DEPS)
@@ -126,6 +205,29 @@ final class ProvFrame private[prov] (
       col(ID).as("element_id"),
       array(array(cols.map(c => col(c).cast("string")): _*)).as("values"),
       col(DEPS).as("deps")
+    ).as[ElementRow](ProvSession.elementRowEnc)
+  }
+
+  /** The single task-granularity element: `[["__n_rows__", count]]`,
+    * id = md5(execution | task | "__task_stats__") (deterministic, so
+    * recomputation and flush retries mint the same id), deps = the
+    * stats elements of the nearest element-creating, non-ignored
+    * ancestor tasks — so fullGraph/lineageOf render the task-level DAG
+    * through ordinary element dependencies. One tiny aggregate per
+    * task, computed by the flush append job.
+    */
+  private[prov] def statsRows(): Dataset[ElementRow] = {
+    val deps = RelationalProvenance
+      .nearestStatsAncestors(session, task)
+      .map(tid => RelationalProvenance.statsElementId(execId, tid))
+    df.groupBy().agg(count(lit(1)).as("n")).select(
+      lit(execId).as("execution_id"),
+      lit(task.id).as("task_id"),
+      lit(RelationalProvenance.statsElementId(execId, task.id))
+        .as("element_id"),
+      array(array(lit("__n_rows__"), col("n").cast("string"))).as("values"),
+      (if (deps.isEmpty) array().cast("array<string>")
+       else array(deps.map(lit): _*)).as("deps")
     ).as[ElementRow](ProvSession.elementRowEnc)
   }
 
@@ -178,10 +280,10 @@ final class ProvFrame private[prov] (
     val out = df
       .withColumn("_prov_pd", pdeps).withColumn("_prov_pi", pid)
       .select(cols :+ col("_prov_pd") :+ col("_prov_pi"): _*)
-      .withColumn(ID, mintId(execId, t.id, Seq(col("_prov_pi"))))
-      .withColumn(DEPS, col("_prov_pd"))
+      .withColumn(ID, mintOrBlank(t.id, Seq(col("_prov_pi"))))
+      .withColumn(DEPS, depsOrBlank(col("_prov_pd")))
       .drop("_prov_pd", "_prov_pi")
-    attach(session, t, out)
+    attach(session, t, out, taskLevel = taskLevel)
   }
 
   /** Explode an array column into one row per element — flatMap-style
@@ -208,11 +310,11 @@ final class ProvFrame private[prov] (
       .withColumn("_prov_pd", pdeps).withColumn("_prov_pi", pid)
       .select(userCols.map(col) ++ Seq(col("_prov_pd"), col("_prov_pi"),
         posexplode(arrayCol).as(Seq("_prov_pos", outputCol))): _*)
-      .withColumn(ID, mintId(execId, t.id,
+      .withColumn(ID, mintOrBlank(t.id,
         Seq(col("_prov_pi"), col("_prov_pos").cast("string"))))
-      .withColumn(DEPS, col("_prov_pd"))
+      .withColumn(DEPS, depsOrBlank(col("_prov_pd")))
       .drop("_prov_pd", "_prov_pi", "_prov_pos")
-    attach(session, t, out)
+    attach(session, t, out, taskLevel = taskLevel)
   }
 
   /** Filter. With `ProvSession.captureDropped`, rejected rows feed
@@ -228,11 +330,11 @@ final class ProvFrame private[prov] (
     val (pdeps, pid) = asParent
     val out = df.filter(cond)
       .withColumn("_prov_pd", pdeps).withColumn("_prov_pi", pid)
-      .withColumn(ID, mintId(execId, t.id, Seq(col("_prov_pi"))))
-      .withColumn(DEPS, col("_prov_pd"))
+      .withColumn(ID, mintOrBlank(t.id, Seq(col("_prov_pi"))))
+      .withColumn(DEPS, depsOrBlank(col("_prov_pd")))
       .drop("_prov_pd", "_prov_pi")
-    val frame = attach(session, t, out)
-    if (session.captureEnabled && session.captureDropped) {
+    val frame = attach(session, t, out, taskLevel = taskLevel)
+    if (session.captureEnabled && session.captureDropped && !taskLevel) {
       val eid = execId
       val tid = t.id
       val desc = description
@@ -272,8 +374,9 @@ final class ProvFrame private[prov] (
       else collect_set(col("_prov_pi"))
     val out = base.groupBy(cols.map(col): _*)
       .agg(depAgg.as(DEPS))
-      .withColumn(ID, mintId(execId, t.id, cols.map(col)))
-    attach(session, t, out)
+      .withColumn(DEPS, depsOrBlank(col(DEPS)))
+      .withColumn(ID, mintOrBlank(t.id, cols.map(col)))
+    attach(session, t, out, taskLevel = taskLevel)
   }
 
   /** Equi-join on shared column names; each output row depends on both
@@ -293,6 +396,8 @@ final class ProvFrame private[prov] (
                            on: Either[Seq[String], Column],
                            joinType: String,
                            description: String): ProvFrame = {
+    require(taskLevel == other.taskLevel,
+      "cannot join frames of different capture granularity")
     val ttype = joinType.toLowerCase.replace("_", "") match {
       case "inner"               => TransformationType.JOIN
       case "left" | "leftouter"  => TransformationType.LEFT_OUTER_JOIN
@@ -313,12 +418,13 @@ final class ProvFrame private[prov] (
       case Right(c)   => l.join(r, c, joinType)
     }
     val out = joined
-      .withColumn(ID, mintId(execId, t.id,
+      .withColumn(ID, mintOrBlank(t.id,
         Seq(col("_prov_li"), col("_prov_ri"))))
-      .withColumn(DEPS, flatten(org.apache.spark.sql.functions.filter(
-        array(col("_prov_ld"), col("_prov_rd")), _.isNotNull)))
+      .withColumn(DEPS, depsOrBlank(flatten(
+        org.apache.spark.sql.functions.filter(
+          array(col("_prov_ld"), col("_prov_rd")), _.isNotNull))))
       .drop("_prov_ld", "_prov_li", "_prov_rd", "_prov_ri")
-    attach(session, t, out)
+    attach(session, t, out, taskLevel = taskLevel)
   }
 
   /** Grouped aggregation: one element per group whose deps are ALL
@@ -343,8 +449,9 @@ final class ProvFrame private[prov] (
       .agg(aggs.head, (aggs.tail :+ depAgg.as(DEPS)): _*)
     val keyNames = grouped.columns.take(keys.length).toSeq
     val out = grouped
-      .withColumn(ID, mintId(execId, t.id, keyNames.map(col)))
-    attach(session, t, out)
+      .withColumn(DEPS, depsOrBlank(col(DEPS)))
+      .withColumn(ID, mintOrBlank(t.id, keyNames.map(col)))
+    attach(session, t, out, taskLevel = taskLevel)
   }
 
   /** Windowed running aggregates with EXACT frame lineage — a surface
@@ -383,30 +490,32 @@ final class ProvFrame private[prov] (
       acc.withColumn(n, a.over(w))
     }
     val out = withAggs
-      .withColumn(ID, mintId(execId, t.id, Seq(col("_prov_pi"))))
-      .withColumn(DEPS, frameDeps)
+      .withColumn(ID, mintOrBlank(t.id, Seq(col("_prov_pi"))))
+      .withColumn(DEPS, depsOrBlank(frameDeps))
       .drop("_prov_pi")
-    attach(session, t, out)
+    attach(session, t, out, taskLevel = taskLevel)
   }
 
   // ---- pass-through ops (no elements; reference: UnionRDD.scala:108) --
 
   def union(other: ProvFrame, description: String = "union"): ProvFrame = {
+    require(taskLevel == other.taskLevel,
+      "cannot union frames of different capture granularity")
     val t = session.newTask(TransformationType.UNION,
       Seq(task.id, other.task.id), description)
     attach(session, t, passThroughDf.unionByName(other.passThroughDf),
-      createsElements = false, spliced = true)
+      createsElements = false, spliced = true, taskLevel = taskLevel)
   }
 
   def orderBy(cols: Column*): ProvFrame = {
     val t = session.newTask(TransformationType.SORT_BY_KEY, Seq(task.id), "orderBy")
     attach(session, t, passThroughDf.orderBy(cols: _*),
-      createsElements = false, spliced = true)
+      createsElements = false, spliced = true, taskLevel = taskLevel)
   }
 
   def limit(n: Int): ProvFrame = {
     val t = session.newTask(TransformationType.COALESCED, Seq(task.id), s"limit($n)")
     attach(session, t, passThroughDf.limit(n),
-      createsElements = false, spliced = true)
+      createsElements = false, spliced = true, taskLevel = taskLevel)
   }
 }

@@ -278,4 +278,103 @@ class RelationalProvenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getAs[String]("element_id")).toSet
     assert(leafDeps.count(rootIds.contains) == 2)
   }
+
+  test("task granularity: one stats element per task, counts exact, task-level DAG, user result unchanged") {
+    import RelationalProvenance.Granularity
+    val (sess, store) = newSession()
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+    val lineitem = spark.read.parquet(s"$d/lineitem.parquet")
+
+    val o = RelationalProvenance.table(sess, orders, "orders",
+      Seq("o_orderkey"), Granularity.Task)
+    val l = RelationalProvenance.table(sess, lineitem, "lineitem",
+      Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice"), Granularity.Task)
+    val of = o.filter(col("o_orderstatus") === "F", "open orders")
+    val j = of.join(l, col("o_orderkey") === col("l_orderkey"), "inner", "o⋈l")
+    val agg = j.groupByAgg(Seq(col("l_returnflag")),
+      Seq(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty")), "per flag")
+    val res = agg.result.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // user result matches the bare DataFrame pipeline exactly
+    val bare = orders.filter(col("o_orderstatus") === "F")
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res == bare)
+
+    sess.flush()
+    sess.close()
+
+    val q = new ProvenanceQueries(spark, store)
+    val els = q.elements(sess.executionId).collect()
+    // exactly ONE stats element per element-creating task, none per row
+    val byTask = els.groupBy(_.getAs[String]("task_id"))
+      .view.mapValues(_.length).toMap
+    assert(byTask == Map(o.taskId -> 1, l.taskId -> 1,
+      of.taskId -> 1, j.taskId -> 1, agg.taskId -> 1))
+    // each stats element carries the task's true output row count
+    def statsOf(tid: String) = {
+      val e = els.find(_.getAs[String]("task_id") == tid).get
+      val grid = e.getSeq[Seq[String]](e.fieldIndex("values"))
+      assert(grid.head.head == "__n_rows__")
+      (e.getAs[String]("element_id"), grid.head(1).toLong,
+        e.getSeq[String](e.fieldIndex("deps")).toSet)
+    }
+    val (oId, oN, oDeps) = statsOf(o.taskId)
+    val (lId, lN, _) = statsOf(l.taskId)
+    val (ofId, ofN, ofDeps) = statsOf(of.taskId)
+    val (jId, jN, jDeps) = statsOf(j.taskId)
+    val (_, aggN, aggDeps) = statsOf(agg.taskId)
+    assert(oN == orders.count() && lN == lineitem.count())
+    assert(ofN == orders.filter(col("o_orderstatus") === "F").count())
+    assert(jN == orders.filter(col("o_orderstatus") === "F")
+      .join(lineitem, col("o_orderkey") === col("l_orderkey")).count())
+    assert(aggN == res.size)
+    // stats elements dep-link the task-level DAG
+    assert(oDeps.isEmpty && ofDeps == Set(oId) &&
+      jDeps == Set(ofId, lId) && aggDeps == Set(jId))
+    // multi-hop lineage over stats elements reaches both source tables
+    val aggStatsId = statsOf(agg.taskId)._1
+    val lineageIds = q.lineageOf(sess.executionId, aggStatsId)
+      .select(col("id")).collect().map(_.getString(0)).toSet
+    assert(Set(oId, lId, ofId, jId).subsetOf(lineageIds))
+    // §3.3 task queries still answer
+    assert(q.taskGraph(sess.executionId).count() >= 5)
+    val detail = q.taskDetail(sess.executionId, j.taskId).collect()
+      .map(r => r.getAs[String]("relation")).toSeq
+    assert(detail.count(_ == "parent") == 2 && detail.contains("child"))
+    // valueTable answers at task granularity: the count row
+    val vt = q.valueTable(sess.executionId, agg.taskId).collect()
+    assert(vt.length == 1 &&
+      vt.head.getSeq[String](vt.head.fieldIndex("row_values")) ==
+        Seq("__n_rows__", aggN.toString))
+  }
+
+  test("task granularity: per-row id arithmetic constant-folds away; ignored frames splice through") {
+    import RelationalProvenance.Granularity
+    import spark.implicits._
+    val (sess, store) = newSession()
+    val src = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val t = RelationalProvenance.table(sess, src, "src", Seq("k"),
+      Granularity.Task)
+    val mid = t.select("widen")(col("k"), (col("v") * 2).as("v2")).ignoreIt()
+    val leaf = mid.filter(col("v2") > 25.0, "big")
+    // no md5 survives optimization anywhere in the task-mode plan — the
+    // element-granularity minting tree must be constant-folded away
+    assert(!leaf.df.queryExecution.optimizedPlan.toString.contains("md5"),
+      "task-granularity plan still mints per-row ids")
+    sess.flush()
+    sess.close()
+    val q = new ProvenanceQueries(spark, store)
+    val els = q.elements(sess.executionId).collect()
+    assert(!els.exists(_.getAs[String]("task_id") == mid.taskId))
+    val srcStats = els.find(_.getAs[String]("task_id") == t.taskId).get
+    val leafStats = els.find(_.getAs[String]("task_id") == leaf.taskId).get
+    // the ignored mid task splices through: leaf stats dep = src stats
+    assert(leafStats.getSeq[String](leafStats.fieldIndex("deps")) ==
+      Seq(srcStats.getAs[String]("element_id")))
+    val grid = leafStats.getSeq[Seq[String]](leafStats.fieldIndex("values"))
+    assert(grid.head(1).toLong == 2L) // v2 ∈ {20, 40, 60}, two pass > 25
+  }
 }
