@@ -40,14 +40,58 @@ object ProvShowcaseQueries {
     (store, sess, counts.taskId)
   }
 
-  /** Full retrospective graph (reference: DataElementAPICtrl.kt:41-103). */
+  /** Full retrospective graph (reference: DataElementAPICtrl.kt:41-103),
+    * summarized ID-FREE: element-node counts per producing task and
+    * lineage-edge counts per (target task, source task) pair. For the
+    * tracked pipeline both are DuckDB-derivable from orders alone —
+    * sample size N element nodes at the source and map tasks,
+    * distinct-status nodes at the reduce task, and N edges along each
+    * task hop (every pair depends on exactly one status, every group
+    * on all its pairs) — so the graph row carries a real cross-engine
+    * oracle. The id-bearing node/edge shape remains available via
+    * [[ProvenanceQueries.fullGraph]] (the HTML/server path).
+    */
   val provFullGraph = QueryDef(
     "prov_full_graph",
     (s, d) => {
       val (store, sess, _) = trackedPipeline(s, d)
-      new ProvenanceQueries(s, store).fullGraph(sess.executionId)
+      val q = new ProvenanceQueries(s, store)
+      val g = q.fullGraph(sess.executionId)
+      val desc = q.tasks(sess.executionId)
+        .select(col("task_id"), col("description"))
+      val srcTask = q.elements(sess.executionId)
+        .select(col("element_id").as("source"),
+          col("task_id").as("src_tid"))
+      val nodes = g.filter(col("kind") === "element")
+        .join(desc, "task_id")
+        .groupBy(col("kind"), col("description").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("src", lit(""))
+      val edges = g.filter(col("kind") === "edge")
+        .join(desc, "task_id")
+        .join(srcTask, "source")
+        .join(desc.select(col("task_id").as("src_tid"),
+          col("description").as("src")), "src_tid")
+        .groupBy(col("kind"), col("description").as("dst"), col("src"))
+        .agg(count(lit(1)).as("n"))
+      nodes.select(col("kind"), col("dst"), col("src"), col("n"))
+        .unionByName(edges.select(col("kind"), col("dst"), col("src"),
+          col("n")))
+        .orderBy(col("kind"), col("dst"), col("src"))
     },
-    None)
+    Some("""WITH sample AS (
+           |  SELECT o_orderstatus AS st FROM orders
+           |  ORDER BY o_orderkey LIMIT 500),
+           |n AS (SELECT count(*) AS c, count(DISTINCT st) AS g FROM sample)
+           |SELECT kind, dst, src, n FROM (
+           |  SELECT 'element' AS kind, 'order statuses' AS dst,
+           |         '' AS src, c AS n FROM n
+           |  UNION ALL SELECT 'element', 'to pairs', '', c FROM n
+           |  UNION ALL SELECT 'element', 'count per status', '', g FROM n
+           |  UNION ALL SELECT 'edge', 'to pairs', 'order statuses', c FROM n
+           |  UNION ALL SELECT 'edge', 'count per status', 'to pairs', c
+           |    FROM n)
+           |ORDER BY kind, dst, src""".stripMargin))
 
   /** Prospective task graph (reference: TaskAPICtrl.kt:22-36),
     * summarized ID-FREE so it can carry a real committed-expectation
@@ -92,18 +136,32 @@ object ProvShowcaseQueries {
            |ORDER BY description""".stripMargin))
 
   /** Value table of the aggregation task
-    * (reference: DataElementAPICtrl.kt:181-233).
+    * (reference: DataElementAPICtrl.kt:181-233), summarized ID-FREE
+    * (the round-9 prov_task_graph pattern): the (header, row) multiset
+    * of the reduce task over the deterministic 500-row status sample
+    * IS the per-status count table, which DuckDB re-derives from
+    * orders alone — so the row carries a real cross-engine oracle.
+    * Element ids stay available via [[ProvenanceQueries.valueTable]]
+    * (the HTML/server path); they are exactly what the summary drops.
     */
   val provValueTable = QueryDef(
     "prov_value_table",
     (s, d) => {
       val (store, sess, tid) = trackedPipeline(s, d)
       new ProvenanceQueries(s, store).valueTable(sess.executionId, tid)
-        .select(col("element_id"),
-                concat_ws(",", col("schema_fields")).as("header"),
-                concat_ws(",", col("row_values")).as("row"))
+        .select(concat_ws(",", col("schema_fields")).as("header"),
+                concat_ws(",", col("row_values")).as("row_csv"))
+        .orderBy(col("row_csv"))
     },
-    None)
+    // header = reduceByKey's default (Key, Value) schema; rows = the
+    // per-status counts of the sorted-500 sample
+    Some("""WITH sample AS (
+           |  SELECT o_orderstatus AS st FROM orders
+           |  ORDER BY o_orderkey LIMIT 500)
+           |SELECT 'Key,Value' AS header,
+           |       st || ',' || CAST(cnt AS VARCHAR) AS row_csv
+           |FROM (SELECT st, count(*) AS cnt FROM sample GROUP BY st)
+           |ORDER BY row_csv""".stripMargin))
 
   /** Multi-hop lineage closure of one aggregated element — the first
     * provenance row with a REAL cross-engine oracle (previously all
@@ -340,7 +398,63 @@ object ProvShowcaseQueries {
            |    (SELECT count(*) FROM orders)
            |) ORDER BY description""".stripMargin))
 
+  /** The relational granularity knob under the gate: the SAME pipeline
+    * as prov_relational captured at
+    * [[RelationalProvenance.Granularity.Task]] — one stats element per
+    * task carrying its output row count, ZERO per-row elements (the
+    * 100 TB capture mode; PARITY "relational capture at scale"). The
+    * per-task counts DuckDB re-derives from the source tables are
+    * identical to the element-granularity row's, so the scale lever
+    * itself is oracle-gated: task-level capture must count exactly
+    * what record-level capture would.
+    */
+  val provRelationalTask = QueryDef(
+    "prov_relational_task",
+    (s, d) => {
+      val store = Files.createTempDirectory("provreltask").toString
+      val sess = ProvSession.create(s, "relational-task", store)
+      val o = RelationalProvenance.table(sess, Tables.orders(s, d),
+        "orders", Seq("o_orderkey"), RelationalProvenance.Granularity.Task)
+      val l = RelationalProvenance.table(sess, Tables.lineitem(s, d),
+        "lineitem", Seq("l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey", "l_extendedprice"),
+        RelationalProvenance.Granularity.Task)
+      val of = o.filter(col("o_orderstatus") === "F", "open orders")
+      val j = of.join(l, col("o_orderkey") === col("l_orderkey"),
+        "inner", "orders-lineitem")
+      val agg = j.groupByAgg(Seq(col("l_returnflag")),
+        Seq(count(lit(1)).as("n")), "per returnflag")
+      agg.result.collect()
+      sess.close()
+      val q = new ProvenanceQueries(s, store)
+      q.elements(sess.executionId)
+        .select(col("task_id"),
+          element_at(element_at(col("values"), 1), 2).cast("long")
+            .as("n_rows"))
+        .join(q.tasks(sess.executionId)
+          .select(col("task_id"), col("description")), "task_id")
+        .select(col("description"), col("n_rows"))
+        .orderBy(col("description"))
+    },
+    Some("""SELECT description, n_rows FROM (
+           |  SELECT 'open orders: =(o_orderstatus, ''F'')' AS description,
+           |    (SELECT count(*) FROM orders
+           |     WHERE o_orderstatus = 'F') AS n_rows
+           |  UNION ALL SELECT 'orders-lineitem',
+           |    (SELECT count(*) FROM orders JOIN lineitem
+           |     ON o_orderkey = l_orderkey WHERE o_orderstatus = 'F')
+           |  UNION ALL SELECT 'per returnflag',
+           |    (SELECT count(DISTINCT l_returnflag) FROM lineitem l
+           |     JOIN orders o ON o_orderkey = l_orderkey
+           |     WHERE o_orderstatus = 'F')
+           |  UNION ALL SELECT 'table: lineitem',
+           |    (SELECT count(*) FROM lineitem)
+           |  UNION ALL SELECT 'table: orders',
+           |    (SELECT count(*) FROM orders)
+           |) ORDER BY description""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(provFullGraph, provTaskGraph, provValueTable, provLineage,
-      provDocsPipeline, provEventsPipeline, provEventsStream, provRelational)
+      provDocsPipeline, provEventsPipeline, provEventsStream,
+      provRelational, provRelationalTask)
 }
