@@ -787,6 +787,14 @@ object Graft {
                     bucketCap: Option[Long] = None): DataFrame =
     MultimodalQueries.phashNearDups(hashed, maxHamming, bucketCap)
 
+  /** [[imageNearDups]] collapsed to a one-row pair count (`n_pairs`) —
+    * the countOnly mode ([[audioNearDupCount]]'s rationale; mm07's
+    * uncapped x100 cell is output-bound by hyper-duplication).
+    */
+  def imageNearDupCount(hashed: DataFrame, maxHamming: Int = 4,
+                        bucketCap: Option[Long] = None): DataFrame =
+    MultimodalQueries.phashNearDupCount(hashed, maxHamming, bucketCap)
+
   /** 64-bit audio energy fingerprint of opaque WAV payloads, decoded
     * with the real JDK codec: 64 relative |amplitude| windows,
     * window-mean vs clip-mean compared cross-multiplied in integers,
@@ -809,6 +817,17 @@ object Graft {
   def audioNearDups(fps: DataFrame, maxHamming: Int = 4,
                     bucketCap: Option[Long] = None): DataFrame =
     MultimodalQueries.audioFpNearDups(fps, maxHamming, bucketCap)
+
+  /** [[audioNearDups]] collapsed to a one-row pair count (`n_pairs`) —
+    * the countOnly mode for output-bound regimes: on a hyper-duplicated
+    * corpus the TRUE pair set is quadratic in the per-class copy count,
+    * and materializing it dominates any run; the count keeps the
+    * candidate/verify plan identical and collapses the output through a
+    * map-side-combinable aggregate. Gate: `mm08_audio_neardup_count`.
+    */
+  def audioNearDupCount(fps: DataFrame, maxHamming: Int = 4,
+                        bucketCap: Option[Long] = None): DataFrame =
+    MultimodalQueries.audioFpNearDupCount(fps, maxHamming, bucketCap)
 
   /** Screen incoming image hashes against a small broadcast index of
     * existing-corpus hashes — the at-ingest dedup shape
@@ -840,6 +859,15 @@ object Graft {
   def videoNearDups(frameHashes: DataFrame, maxHamming: Int = 4,
                     bucketCap: Option[Long] = None): DataFrame =
     MultimodalQueries.videoNearDups(frameHashes, maxHamming, bucketCap)
+
+  /** [[videoNearDups]] collapsed to a one-row pair count (`n_pairs`) —
+    * the countOnly mode ([[audioNearDupCount]]'s rationale; PARITY's
+    * uncapped mm09 xN cells are output-bound, not plan-bound).
+    * Gate: `mm09_video_neardup_count`.
+    */
+  def videoNearDupCount(frameHashes: DataFrame, maxHamming: Int = 4,
+                        bucketCap: Option[Long] = None): DataFrame =
+    MultimodalQueries.videoNearDupCount(frameHashes, maxHamming, bucketCap)
 
   /** Screen incoming videos' frame hashes ([[videoFrameHashes]] output)
     * against a (small, broadcast) index of existing-corpus frame

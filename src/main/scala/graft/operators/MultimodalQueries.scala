@@ -693,6 +693,24 @@ object MultimodalQueries {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Aggregate pair COUNT of a near-dup pair frame — the output-bound
+    * regime's measurement lever (hyper-duplicated corpora make the
+    * TRUE pair set quadratic, so materializing — let alone globally
+    * sorting — it dominates any run): the candidate/verify plan stays
+    * identical and the output collapses to one row through a
+    * map-side-combinable global aggregate. countOnly = count(pairs)
+    * is spec-pinned (MultimodalOpsSpec).
+    */
+  private[graft] def nearDupPairCount(pairs: DataFrame): DataFrame =
+    pairs.agg(count(lit(1)).as("n_pairs"))
+
+  /** [[phashNearDups]] collapsed to its pair count. */
+  private[graft] def phashNearDupCount(hashed: DataFrame,
+                                       maxHamming: Int = 4,
+                                       bucketCap: Option[Long] = None)
+      : DataFrame =
+    nearDupPairCount(phashNearDups(hashed, maxHamming, bucketCap))
+
   /** 64-bit audio energy fingerprint of a WAV payload, decoded with the
     * REAL JDK codec (mm04's path): the clip's |amplitude| stream
     * collapses into 64 relative windows (idx = k·64/n — variable
@@ -767,6 +785,13 @@ object MultimodalQueries {
                                      bucketCap: Option[Long] = None)
       : DataFrame =
     phashNearDups(fps, maxHamming, bucketCap)
+
+  /** [[audioFpNearDups]] collapsed to its pair count. */
+  private[graft] def audioFpNearDupCount(fps: DataFrame,
+                                         maxHamming: Int = 4,
+                                         bucketCap: Option[Long] = None)
+      : DataFrame =
+    nearDupPairCount(audioFpNearDups(fps, maxHamming, bucketCap))
 
   /** Screen `incoming` audio fingerprints against a (small, broadcast)
     * `index` of existing-corpus fingerprints — the at-ingest audio
@@ -1030,6 +1055,13 @@ object MultimodalQueries {
       broadcastIndex = false)
   }
 
+  /** [[videoNearDups]] collapsed to its pair count. */
+  private[graft] def videoNearDupCount(frameHashes: DataFrame,
+                                       maxHamming: Int = 4,
+                                       bucketCap: Option[Long] = None)
+      : DataFrame =
+    nearDupPairCount(videoNearDups(frameHashes, maxHamming, bucketCap))
+
   /** Video perceptual near-dup detection — the video member of the
     * multimodal dedup family (stills: mm07; audio: mm08; shot
     * structure: mm06): real GIF decode → per-frame gray aHash
@@ -1175,8 +1207,50 @@ object MultimodalQueries {
            |SELECT ma, mb, hamming FROM cand
            |WHERE hamming <= 4 ORDER BY ma, mb""".stripMargin))
 
+  /** mm08's countOnly mode under the gate: the SAME decode → fingerprint
+    * → band → verify plan, collapsed to its pair count (no global sort,
+    * one output row) — the lever that makes the output-bound
+    * hyper-duplication regime measurable (PARITY: uncapped xN cells are
+    * output-bound, not plan-bound). Oracle = the mm08 oracle wrapped in
+    * count(*), so countOnly = count(pairs) holds cross-engine too.
+    */
+  val mm08AudioFpCount = QueryDef(
+    "mm08_audio_neardup_count",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val fps = graft.api.Graft.audioFingerprint(
+        Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, syntheticWav(id)))))
+        .localCheckpoint()
+      graft.api.Graft.audioNearDupCount(fps,
+        bucketCap = s.conf.getOption("spark.graft.phashBucketCap")
+          .map(_.toLong))
+    },
+    mm08AudioFpDedup.oracle.map(o =>
+      s"SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM ($o) AS p"))
+
+  /** mm09's countOnly mode under the gate — see [[mm08AudioFpCount]]. */
+  val mm09VideoCount = QueryDef(
+    "mm09_video_neardup_count",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val frames = graft.api.Graft.videoFrameHashes(
+        Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, syntheticGif(id)))))
+        .localCheckpoint()
+      graft.api.Graft.videoNearDupCount(frames,
+        bucketCap = s.conf.getOption("spark.graft.phashBucketCap")
+          .map(_.toLong))
+    },
+    mm09VideoNearDup.oracle.map(o =>
+      s"SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM ($o) AS p"))
+
   def all: Seq[QueryDef] = Seq(mm01MediaTable, mm02DecodeFeatures,
     mm03FrameSample, mm04AudioFeatures, mm05ResizeFeatures,
     mm06ShotBoundaries, mm07PerceptualHashDedup, mm08AudioFpDedup,
-    mm09VideoNearDup)
+    mm09VideoNearDup, mm08AudioFpCount, mm09VideoCount)
 }

@@ -417,4 +417,27 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSet == Set((1L, 2L, 2L, 1L)),
       s"aligned-verify semantics drifted: ${got.mkString(",")}")
   }
+
+  test("nearDupCount = count(pairs) for image/audio/video; cap binds identically") {
+    val spark2 = spark
+    import spark2.implicits._
+    // fingerprints with genuine duplicates (identical every lcm(4,5)=20
+    // ids) — image and audio share the (media_id, lo, hi) layout
+    val fps = (0L until 40L).map(i => (i, (i % 4) * 3L, (i % 5) * 7L))
+      .toDF("media_id", "lo", "hi")
+    def one(df: DataFrame): Long = df.head().getLong(0)
+    val nImg = Graft.imageNearDups(fps).count()
+    assert(nImg > 0 && one(Graft.imageNearDupCount(fps)) == nImg)
+    assert(one(Graft.audioNearDupCount(fps)) ==
+      Graft.audioNearDups(fps).count())
+    assert(one(Graft.audioNearDupCount(fps, bucketCap = Some(3L))) ==
+      Graft.audioNearDups(fps, bucketCap = Some(3L)).count())
+    val frames = Seq(
+      (1L, 0L, 2L, 5L, 9L), (1L, 1L, 2L, 6L, 2L),
+      (2L, 0L, 2L, 5L, 9L), (2L, 1L, 2L, 7L, 2L),
+      (3L, 0L, 2L, 5L, 9L), (3L, 1L, 2L, 6L, 3L)
+    ).toDF("media_id", "frame_no", "n_frames", "lo", "hi")
+    val nVid = Graft.videoNearDups(frames).count()
+    assert(nVid > 0 && one(Graft.videoNearDupCount(frames)) == nVid)
+  }
 }
