@@ -112,12 +112,19 @@ object RelationalProvenance {
         if (taskLevel) Some(() => frame.statsRows())
         else Some(() => frame.elementRows())
       task.statsElement = taskLevel
-      // frames are NOT session-persisted (deterministic ids need no
-      // cache) — hand the plan to the flush batch for TRANSIENT caching
-      // so downstream tasks' branches read it instead of replaying the
-      // chain (released when the batch finishes)
-      task.flushPlan = Some(df)
-      task.transientCache = true
+      if (!taskLevel) {
+        // frames are NOT session-persisted (deterministic ids need no
+        // cache) — hand the plan to the flush batch for TRANSIENT caching
+        // so downstream tasks' branches read it instead of replaying the
+        // chain (released when the batch finishes)
+        task.flushPlan = Some(df)
+        task.transientCache = true
+      }
+      // task mode: no flush plan at all — a stats count is a codegen'd
+      // columnar aggregate over the (constant-folded) chain, cheaper to
+      // recompute per branch than to transiently cache multi-million-row
+      // frames whose rows the flush never writes (measured at 20M rows:
+      // caching 6.7 s vs chain-replay counts ~1.5 s)
     } else if (!createsElements) task.elementThunk = None
     frame
   }
