@@ -16,7 +16,7 @@ object Bench {
     * broadcast cross-corpus decontamination), multimodal decode
     * (per-frame GIF shot detection + perceptual-hash image dedup),
     * ANN (brute force + PQ + trained-IVF recall + the index-lifecycle
-    * append), fingerprinting,
+    * append + the save/load persistence round-trip), fingerprinting,
     * sequence packing, the C4 composite filter + bigram-LM
     * perplexity, and the two heaviest
     * SQL shapes (top-k custom operator, Q21-style multi-correlated
@@ -33,6 +33,7 @@ object Bench {
     "mm07_phash_neardup",
     "e01_knn_bruteforce", "e09_ann_pq", "e16_ann_pq_rerank",
     "e22_hybrid_rrf", "e23_mmr_rerank", "e26_ivf_append",
+    "e30_index_persistence",
     "t04_fingerprint", "t11_sequence_packing", "t15_c4_filter",
     "t21_quality_classifier", "t22_bigram_perplexity",
     "q42_topk_per_key_custom",

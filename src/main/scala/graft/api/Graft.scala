@@ -743,6 +743,21 @@ object Graft {
       */
     def save(dir: String): Unit =
       IndexStore.saveIvfPq(dir, codes, centroids, codebooks)
+
+    /** Serve an unbounded query stream against this index — delegates
+      * to [[graft.streaming.EmbStreams.ivfPqServe]] with the handle's
+      * own frozen artifacts (no handle disassembly): each micro-batch
+      * runs the EXACT e18-gated [[search]] kernel, so stream ≡ batch
+      * by construction (EmbStreamsSpec). Cache [[codes]] first, as a
+      * serving deployment would. `onBatch` receives each batch's
+      * (query_id, rnk, vec_id, approx_cos); stop the returned query
+      * when done.
+      */
+    def serve(queries: Dataset[EmbStreams.EmbQuery], nprobe: Int = 2,
+              k: Int = 3)(onBatch: DataFrame => Unit)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      EmbStreams.ivfPqServe(queries, codes, centroids, codebooks,
+        nprobe, k)(onBatch)
   }
 
   /** Reopen an [[IvfPqIndex]] saved with [[IvfPqIndex.save]] — frozen

@@ -215,9 +215,12 @@ object ProvShowcaseQueries {
 
   /** Documents pipeline under provenance with dropped-record capture ON:
     * filter (short docs dropped → don't-pass lineage) → fingerprint map
-    * → distinct. Returns per-task element counts incl. the synthetic
-    * don't-pass elements — the full FilterMapPartitionsRDD semantics
-    * through the driver gate.
+    * → distinct. Returns per-task counts — elements per task, plus the
+    * DROPPED-RECORD total carried by the per-partition don't-pass
+    * markers' deps (the full FilterMapPartitionsRDD semantics) — all
+    * re-derivable by DuckDB from the documents table (round 10: the
+    * deterministic sample + string fingerprint turned this from a
+    * rows-only check into a real cross-engine oracle).
     */
   val provDocsPipeline = QueryDef(
     "prov_docs_pipeline",
@@ -227,37 +230,71 @@ object ProvShowcaseQueries {
       val store = Files.createTempDirectory("provdocs").toString
       val sess = ProvSession.create(s, "docs-pipeline", store,
         captureDropped = true)
+      // deterministic sample (sorted by the unique doc_id before the
+      // limit) + a STRING fingerprint (sorted distinct tokens), so every
+      // per-task count below is a value DuckDB re-derives from the
+      // documents table with its own list functions
       val texts = Tables.documents(s, d)
-        .select(col("text")).as[String].limit(200).collect().toSeq
+        .orderBy(col("doc_id")).limit(200)
+        .select(col("text")).as[String].collect().toSeq
       val src = sess.parallelize(texts, "documents")
       val kept = src.filter(_.length >= 200, "drop short docs")
-      val prints = kept.map(t => t.split(" ").distinct.sorted.mkString("|").hashCode,
+      val prints = kept.map(t => t.split(" ").distinct.sorted.mkString("|"),
         "fingerprint")
       val uniq = prints.distinct()
       uniq.count()
       sess.close()
+      // summarized id-free AND partition-independent: don't-pass markers
+      // are minted per partition (their element count varies with
+      // parallelism), but their deps are exactly the dropped records'
+      // ids — sum(size(deps)) is the dropped-record count, stable at any
+      // partitioning
       val q = new ProvenanceQueries(s, store)
       q.elements(sess.executionId)
-        .withColumn("is_dont_pass",
+        .withColumn("is_dp",
           col("values").getItem(0).getItem(0).startsWith("don't-pass"))
-        .groupBy(col("task_id"), col("is_dont_pass"))
-        .agg(count(lit(1)).as("n_elements"))
+        .withColumn("kind", when(col("is_dp"), lit("dropped_records"))
+          .otherwise(lit("element")))
+        .withColumn("unit", when(col("is_dp"), size(col("deps")))
+          .otherwise(lit(1)))
+        .groupBy(col("task_id"), col("kind"))
+        .agg(sum(col("unit")).cast("long").as("n"))
         .join(q.tasks(sess.executionId).select(col("task_id"),
           col("description")), "task_id")
-        .select(col("description"), col("is_dont_pass"), col("n_elements"))
-        .orderBy(col("description"), col("is_dont_pass"))
+        .select(col("description"), col("kind"), col("n"))
+        .orderBy(col("description"), col("kind"))
     },
-    None)
+    Some("""WITH sample AS (
+           |  SELECT text FROM documents ORDER BY doc_id LIMIT 200),
+           |tot AS (SELECT count(*) AS n_docs FROM sample),
+           |k AS (SELECT count(*) AS kept FROM sample
+           |      WHERE length(text) >= 200),
+           |u AS (SELECT count(DISTINCT array_to_string(list_sort(
+           |        list_distinct(string_split(text, ' '))), '|')) AS uniq
+           |      FROM sample WHERE length(text) >= 200)
+           |SELECT description, kind, n FROM (
+           |  SELECT 'documents' AS description, 'element' AS kind,
+           |         n_docs AS n FROM tot
+           |  UNION ALL SELECT 'drop short docs', 'element', kept FROM k
+           |  UNION ALL SELECT 'drop short docs', 'dropped_records',
+           |    n_docs - kept FROM tot, k
+           |  UNION ALL SELECT 'fingerprint', 'element', kept FROM k
+           |  UNION ALL SELECT 'distinct', 'element', uniq FROM u)
+           |ORDER BY description, kind""".stripMargin))
 
   /** Events pipeline under provenance — the reference's entry-point-A
     * lifecycle (SparkSci entry point: ingest → transforms → aggregate →
     * retrospective query) over the events table: an hour-truncated
     * event sample → key by (hour, event_type) → reduceByKey computing
     * (count, sum) — the batch shape of a windowed aggregation — then
-    * the multi-hop lineage closure of one aggregated bucket, summarized
-    * per hop × producing task. Closes the last capability × surface
+    * per-task element counts plus the aggregation's lineage fan-in
+    * histogram (each agg element's dep count = its bucket's event
+    * count), all DuckDB-re-derivable from the events table (round 10:
+    * the id-free summary turned this from a rows-only check into a
+    * real cross-engine oracle). Closes the last capability × surface
     * cell: docs, FileGroup and relational all had prov_* showcases;
-    * events did not.
+    * events did not. Multi-hop closure semantics stay gated via
+    * [[provLineage]].
     */
   val provEventsPipeline = QueryDef(
     "prov_events_pipeline",
@@ -280,22 +317,45 @@ object ProvShowcaseQueries {
         "hourly agg")
       agg.collect()
       sess.close()
+      // summarized id-free (round 10): per-task element counts + the
+      // aggregation's lineage FAN-IN histogram — each agg element's dep
+      // count IS its (hour, type) bucket's event count, so the whole
+      // histogram is a value DuckDB re-derives from the events table;
+      // capture must fan in exactly as many lineage edges per bucket as
+      // the untracked aggregation would consume rows
       val q = new ProvenanceQueries(s, store)
-      // deterministic bucket: order agg elements by their value payload
-      // (element ids are freshly minted per run, values are not)
-      val el = q.producedBy(sess.executionId, agg.taskId)
-        .orderBy(to_json(col("values")))
-        .select(col("element_id")).head().getString(0)
-      q.lineageOf(sess.executionId, el)
-        .join(q.elements(sess.executionId)
-          .select(col("element_id").as("id"), col("task_id")), "id")
-        .join(q.tasks(sess.executionId)
-          .select(col("task_id"), col("description")), "task_id")
-        .groupBy(col("hop"), col("description"))
-        .agg(count(lit(1)).as("n_ancestors"))
-        .orderBy(col("hop"), col("description"))
+      val els = q.elements(sess.executionId)
+      val descs = q.tasks(sess.executionId)
+        .select(col("task_id"), col("description"))
+      val counts = els.groupBy(col("task_id"))
+        .agg(count(lit(1)).as("n"))
+        .join(descs, "task_id")
+        .select(lit("elements").as("kind"),
+          col("description").as("key"), col("n"))
+      val fanin = els.join(descs, "task_id")
+        .filter(col("description") === "hourly agg")
+        .select(size(col("deps")).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n"))
+        .select(lit("fanin").as("kind"),
+          format_string("%04d", col("sz")).as("key"), col("n"))
+      counts.unionByName(fanin).orderBy(col("kind"), col("key"))
     },
-    None)
+    Some("""WITH smp AS (
+           |  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+           |         event_type, value
+           |  FROM events ORDER BY hour_us, event_type, value LIMIT 300),
+           |g AS (SELECT hour_us, event_type, count(*) AS sz
+           |      FROM smp GROUP BY 1, 2)
+           |SELECT kind, key, n FROM (
+           |  SELECT 'elements' AS kind, 'events sample' AS key,
+           |         (SELECT count(*) FROM smp) AS n
+           |  UNION ALL SELECT 'elements', 'key by hour+type',
+           |    (SELECT count(*) FROM smp)
+           |  UNION ALL SELECT 'elements', 'hourly agg',
+           |    (SELECT count(*) FROM g)
+           |  UNION ALL SELECT 'fanin', printf('%04d', sz),
+           |    count(*) FROM g GROUP BY sz)
+           |ORDER BY kind, key""".stripMargin))
 
   /** Record-level STREAMING lineage over the events table — the last
     * capability × surface cell as a showcase (the mechanism itself is

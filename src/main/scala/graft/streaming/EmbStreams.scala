@@ -393,4 +393,39 @@ object EmbStreams {
       }
       .start()
   }
+
+  /** Serve an unbounded query stream against the STATIC IVF-PQ index —
+    * the composite family's serving surface, completing the matrix
+    * (IVF: [[ivfServe]]; IVF pruned: [[ivfServePruned]]; PQ:
+    * [[pqServe]]; IVF-PQ: this). The [[ivfServePruned]] shape: each
+    * micro-batch's queries run through the EXACT e18-gated batch
+    * kernel ([[graft.operators.SimilarityQueries.ivfPqSearch]] — cell
+    * probing, residual ADC tables, approximate-cosine ranking,
+    * 6-decimal rounding, self excluded), so serving equals the gate by
+    * construction rather than by a re-implementation's discipline (the
+    * kernel's per-query window runs batch-side inside foreachBatch,
+    * where windows are legal; its partitions are one query's ≤
+    * corpus × nprobe / #cells candidates). Per batch the static read
+    * is the code table + tiny centroid side — cache `codes` first, as
+    * a serving deployment would. `onBatch` receives (query_id, rnk,
+    * vec_id, approx_cos); the returned query must be stopped by the
+    * caller. Stream ≡ batch [[graft.api.Graft.IvfPqIndex.search]] is
+    * spec-proven (EmbStreamsSpec).
+    */
+  def ivfPqServe(queries: Dataset[EmbQuery], codes: DataFrame,
+                 centroids: DataFrame,
+                 codebooks: Array[Array[Array[Double]]],
+                 nprobe: Int = 2, k: Int = 3)
+                (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[EmbQuery], _: Long) =>
+        onBatch(graft.operators.SimilarityQueries.ivfPqSearch(
+          codes, centroids, codebooks,
+          batch.toDF().select(col("query_id"),
+            col("embedding").cast("array<float>").as("q_emb")),
+          nprobe, k))
+      }
+      .start()
 }

@@ -162,23 +162,24 @@ class RowsOnlyQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "threshold 0.4 should drop at least one near-duplicate at sf0.001")
   }
 
-  test("prov_events_pipeline: lineage closure has the exact two-hop shape") {
+  test("prov_events_pipeline: element counts conserve and fan-in covers the sample") {
     val rows = q("prov_events_pipeline").collect()
     assert(rows.nonEmpty)
-    // ancestors of one aggregated (hour, type) bucket: hop 1 is its
-    // contributing pair elements, hop 2 their source elements — nothing
-    // else can appear in the closure of a 3-task linear pipeline
-    val byHop = rows.groupBy(_.getAs[Int]("hop"))
-    assert(byHop.keySet == Set(1, 2), s"hops must be {1, 2}: ${byHop.keySet}")
-    assert(byHop(1).map(_.getAs[String]("description")).toSet ==
-      Set("key by hour+type"))
-    assert(byHop(2).map(_.getAs[String]("description")).toSet ==
-      Set("events sample"))
-    // map is 1→1, so the bucket's pair-element and source-element
-    // ancestor counts must agree (count conservation through the hop)
-    val n1 = byHop(1).map(_.getAs[Long]("n_ancestors")).sum
-    val n2 = byHop(2).map(_.getAs[Long]("n_ancestors")).sum
-    assert(n1 == n2 && n1 > 0, s"ancestor counts must agree: $n1 vs $n2")
+    val elements = rows.filter(_.getAs[String]("kind") == "elements")
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("n")).toMap
+    // map is 1→1: source and pair element counts must agree; the agg
+    // has at least one bucket and no more buckets than pairs
+    assert(elements("events sample") == elements("key by hour+type"))
+    val nAgg = elements("hourly agg")
+    assert(nAgg >= 1 && nAgg <= elements("events sample"))
+    // the fan-in histogram partitions the sample exactly: sum over
+    // buckets of (bucket_size × n_buckets) = sample size, and the
+    // number of buckets in the histogram = agg element count
+    val fanin = rows.filter(_.getAs[String]("kind") == "fanin")
+      .map(r => r.getAs[String]("key").toInt -> r.getAs[Long]("n"))
+    assert(fanin.map { case (sz, n) => sz * n }.sum ==
+      elements("events sample"))
+    assert(fanin.map(_._2).sum == nAgg)
   }
 
   test("prov showcases return consistent graph shapes") {

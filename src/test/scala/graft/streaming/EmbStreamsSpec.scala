@@ -500,4 +500,46 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(latest.keySet == Set(w1Key, w2Key))
     } finally assigned.unpersist()
   }
+
+  test("streaming IVF-PQ serving through the handle equals batch e18 search") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+
+    // index built once through the e18-gated facade; serving goes
+    // THROUGH the handle (IvfPqIndex.serve) — per batch it runs the
+    // exact gated search kernel, so equality here is by construction,
+    // and this test pins that the plumbing (renames, batch boundaries,
+    // probe/k defaults) preserves it across micro-batches
+    val idx = graft.api.Graft.ivfPqIndex(emb)
+    val codes = idx.codes.cache()
+    try {
+      val ts = Timestamp.valueOf("2026-01-01 09:00:00")
+      val qvecs = emb.filter($"vec_id" < 5).select("vec_id", "embedding")
+        .collect().map(r => EmbQuery(r.getLong(0), ts, r.getSeq[Float](1)))
+      val (b1, b2) = qvecs.splitAt(2)
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Double)]
+      val stream = MemoryStream[EmbQuery]
+      val q = idx.serve(stream.toDS()) { hits =>
+        val rows = hits.collect().map(r =>
+          (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+            r.getAs[Long]("vec_id"), r.getAs[Double]("approx_cos")))
+        got.synchronized { got ++= rows }
+      }
+      try {
+        stream.addData(b1.toSeq); q.processAllAvailable()
+        stream.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val batch = idx.search(emb.filter($"vec_id" < 5)).collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("approx_cos"))).toSet
+      assert(got.nonEmpty && got.toSet == batch,
+        s"IVF-PQ serving diverged from batch e18: " +
+          s"onlyStream=${(got.toSet -- batch).take(5)} " +
+          s"onlyBatch=${(batch -- got.toSet).take(5)}")
+    } finally codes.unpersist()
+  }
 }
