@@ -666,6 +666,22 @@ object Graft {
     def serve(queries: Dataset[EmbStreams.EmbQuery], k: Int = 3)
         : Dataset[EmbStreams.PqHit] =
       EmbStreams.pqServe(queries, codes, codebooks, k)
+
+    /** Code-occupancy drift of an arrival `sample` vs the stored code
+      * table — the RE-TRAIN TRIGGER a frozen-codebook store watches
+      * ([[IvfIndex.drift]]'s contract for the compressed family):
+      * quantization error grows exactly as live code usage drifts
+      * from the training distribution. One all-integer row per
+      * (subspace, code): (m, code, n_base, n_new, ppm_base, ppm_new,
+      * drift_ppm), ppm shares normalized per subspace; Σ drift_ppm/2
+      * per subspace is that subspace's total-variation distance in
+      * ppm. The sample encodes through the shared [[append]] kernel,
+      * so monitoring cannot diverge from what append would store.
+      * `sample`: (vec_id, embedding), non-empty.
+      * Gate: `e31_pq_code_drift`.
+      */
+    def drift(sample: DataFrame): DataFrame =
+      SimilarityQueries.pqCodeDrift(codes, codebooks, sample)
   }
 
   /** Reopen a [[PqIndex]] saved with [[PqIndex.save]]: NO re-training
@@ -758,6 +774,20 @@ object Graft {
         : org.apache.spark.sql.streaming.StreamingQuery =
       EmbStreams.ivfPqServe(queries, codes, centroids, codebooks,
         nprobe, k)(onBatch)
+
+    /** Coarse-cell drift of an arrival `sample` vs the stored code
+      * table — [[IvfIndex.drift]]'s report for the composite family:
+      * the coarse quantizer IS an IVF structure (shared
+      * centroids/assignment kernels), cell-balance drift is what
+      * degrades probe latency, and the stored `codes` table carries
+      * each vector's cell, so this delegates to the exact e28-gated
+      * kernel with no re-assignment of the stored corpus. Watch
+      * residual-code drift separately via [[PqIndex.drift]]'s axis.
+      * `sample`: (vec_id, embedding), non-empty.
+      * Gate: `e32_ivfpq_drift`.
+      */
+    def drift(sample: DataFrame): DataFrame =
+      SimilarityQueries.cellDrift(codes, centroids, sample)
   }
 
   /** Reopen an [[IvfPqIndex]] saved with [[IvfPqIndex.save]] — frozen

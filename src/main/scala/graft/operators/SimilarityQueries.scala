@@ -783,7 +783,12 @@ object SimilarityQueries {
     * assignments/means — e27 trains on the pre-append snapshot);
     * encoding and scoring always cover all rows.
     */
-  private def pqSql(topM: Int, trainPred: Option[String] = None): String = {
+  /** The training + encoding prefix of [[pqSql]] — every CTE through
+    * `enc` (vec_id, code0..code3) — extracted so drift-shaped oracles
+    * (e31) can aggregate the codes without duplicating the Lloyd
+    * replay. Text is byte-identical to what [[pqSql]] always embedded.
+    */
+  private def pqEncCtes(trainPred: Option[String] = None): String = {
       val subDim = 16
       def off(mi: Int) = mi * subDim
       def l2Sql(mi: Int): String =
@@ -824,14 +829,20 @@ object SimilarityQueries {
            |        ORDER BY ${l2Sql(mi)} ASC, c.k) AS rn
            |    FROM embeddings e CROSS JOIN pq2_m$mi c)
            |  WHERE rn = 1)""".stripMargin
-      def dotSql(mi: Int): String =
-        s"list_aggregate([CAST(q.q_emb[${off(mi)} + i] AS DOUBLE) * CAST(c$mi.centroid[i] AS DOUBLE)" +
-          s" for i in generate_series(1, $subDim)], 'sum')"
-      s"""WITH ${(0 until 4).map(subspace).mkString(",\n")},
+      s"""${(0 until 4).map(subspace).mkString(",\n")},
          |enc AS (
          |  SELECT vec_id, code0, code1, code2, code3
          |  FROM codes_m0 JOIN codes_m1 USING (vec_id)
-         |    JOIN codes_m2 USING (vec_id) JOIN codes_m3 USING (vec_id)),
+         |    JOIN codes_m2 USING (vec_id) JOIN codes_m3 USING (vec_id))""".stripMargin
+  }
+
+  private def pqSql(topM: Int, trainPred: Option[String] = None): String = {
+      val subDim = 16
+      def off(mi: Int) = mi * subDim
+      def dotSql(mi: Int): String =
+        s"list_aggregate([CAST(q.q_emb[${off(mi)} + i] AS DOUBLE) * CAST(c$mi.centroid[i] AS DOUBLE)" +
+          s" for i in generate_series(1, $subDim)], 'sum')"
+      s"""WITH ${pqEncCtes(trainPred)},
          |q AS (SELECT vec_id AS query_id, embedding AS q_emb
          |      FROM embeddings WHERE vec_id < 5),
          |scored AS (
@@ -2052,6 +2063,55 @@ object SimilarityQueries {
       .withColumn("drift_ppm", abs(col("ppm_base") - col("ppm_new")))
   }
 
+  /** [[cellDrift]]'s contract for the COMPRESSED family — the re-train
+    * trigger a frozen-codebook PQ store actually watches: encode the
+    * arrival `sample` against the frozen `codebooks` (the shared
+    * [[pqEncode]] kernel — drift monitoring cannot diverge from what
+    * append stores) and compare per-(subspace, code) occupancy shares
+    * against the stored code table. Quantization error under frozen
+    * codebooks grows exactly as live code usage drifts from the
+    * training distribution, and the per-subspace rows name WHICH
+    * subspace degraded. All-integer output (e28's ppm protocol — no
+    * float rounding protocol at all): one row per (m, code) of the
+    * codebook grid, ppm shares normalized PER SUBSPACE (each vector
+    * contributes one code to every subspace, so each subspace's total
+    * is the corpus size). At 100 TB: two map-side-combinable unpivoted
+    * counts over 4-byte codes + a grid-sized join; the sample never
+    * meets the stored rows. Precondition: non-empty base and sample.
+    */
+  private[graft] def pqCodeDrift(codes: DataFrame,
+                                 codebooks: Array[Array[Array[Double]]],
+                                 sample: DataFrame): DataFrame = {
+    val m = codebooks.length
+    val k = codebooks(0).length
+    val spark = codes.sparkSession
+    import spark.implicits._
+    def unpivot(c: DataFrame): DataFrame = c.select(expr(
+      s"stack($m, ${(0 until m)
+        .map(mi => s"$mi, code_$mi").mkString(", ")}) AS (m, code)"))
+    val base = unpivot(codes)
+      .groupBy(col("m"), col("code")).agg(count(lit(1)).as("n_base"))
+    val nw = unpivot(pqEncode(sample, codebooks))
+      .groupBy(col("m"), col("code")).agg(count(lit(1)).as("n_new"))
+    val grid = (for { mi <- 0 until m; c <- 0 until k } yield (mi, c))
+      .toDF("m", "code")
+    val joined = grid
+      .join(base, Seq("m", "code"), "left")
+      .join(nw, Seq("m", "code"), "left")
+      .na.fill(0L, Seq("n_base", "n_new"))
+    // per-subspace totals (all equal to the corpus/sample sizes, but
+    // computed per m so the shape generalizes to ragged codebooks)
+    val totals = joined.groupBy(col("m"))
+      .agg(sum(col("n_base")).as("t_base"), sum(col("n_new")).as("t_new"))
+    joined.join(broadcast(totals), Seq("m"))
+      .select(col("m"), col("code"), col("n_base"), col("n_new"),
+        expr("(n_base * 1000000) div coalesce(nullif(t_base, 0), " +
+          "raise_error('pqCodeDrift: empty base corpus'))").as("ppm_base"),
+        expr("(n_new * 1000000) div coalesce(nullif(t_new, 0), " +
+          "raise_error('pqCodeDrift: empty arrival sample'))").as("ppm_new"))
+      .withColumn("drift_ppm", abs(col("ppm_base") - col("ppm_new")))
+  }
+
   /** Index drift report gate — e26's split monitored: the snapshot
     * index (vec_id % 5 ≠ 0) vs the arrival sample (vec_id % 5 = 0).
     * Oracle: the shared assign CTE over everything, split by the same
@@ -2136,6 +2196,98 @@ object SimilarityQueries {
         .search(e.filter(col("vec_id") < 5), k = 3)
     },
     Some(pqSql(topM = 3, trainPred = Some("vec_id % 7 <> 0"))))
+
+  /** PQ code-occupancy drift gate — e28's monitoring contract for the
+    * compressed family, on e27's split: codebooks train on the
+    * snapshot (vec_id % 7 ≠ 0), the arrivals (% 7 = 0) are encoded
+    * against the frozen codebooks, and per-(subspace, code) occupancy
+    * shares are compared in ppm. Oracle: the shared Lloyd-replay
+    * encoding CTEs ([[pqEncCtes]] — the exact text inside e09/e27/e30's
+    * oracles), unpivoted and split by the same predicate, with DuckDB's
+    * `//` integer division (both engines floor positive division
+    * identically — the e28 all-integer protocol).
+    */
+  val e31PqCodeDrift = QueryDef(
+    "e31_pq_code_drift",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.api.Graft.pqIndex(e.filter(col("vec_id") % 7 =!= 0))
+        .drift(e.filter(col("vec_id") % 7 === 0))
+        .orderBy(col("m"), col("code"))
+    },
+    Some(
+      s"""WITH ${pqEncCtes(trainPred = Some("vec_id % 7 <> 0"))},
+         |unp AS (
+         |  SELECT 0 AS m, code0 AS code, vec_id FROM enc
+         |  UNION ALL SELECT 1, code1, vec_id FROM enc
+         |  UNION ALL SELECT 2, code2, vec_id FROM enc
+         |  UNION ALL SELECT 3, code3, vec_id FROM enc),
+         |grid AS (
+         |  -- the trained codebook grid itself (k per subspace is the
+         |  -- init-pick count, which the snapshot size determines)
+         |  SELECT 0 AS m, k AS code FROM pq2_m0
+         |  UNION ALL SELECT 1, k FROM pq2_m1
+         |  UNION ALL SELECT 2, k FROM pq2_m2
+         |  UNION ALL SELECT 3, k FROM pq2_m3),
+         |base AS (
+         |  SELECT m, code, count(*) AS n_base FROM unp
+         |  WHERE vec_id % 7 <> 0 GROUP BY m, code),
+         |nw AS (
+         |  SELECT m, code, count(*) AS n_new FROM unp
+         |  WHERE vec_id % 7 = 0 GROUP BY m, code),
+         |tot AS (
+         |  SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 <> 0) AS t_base,
+         |         (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 0) AS t_new),
+         |rep AS (
+         |  SELECT g.m, g.code,
+         |    coalesce(b.n_base, 0) AS n_base, coalesce(n.n_new, 0) AS n_new,
+         |    (coalesce(b.n_base, 0) * 1000000) // t.t_base AS ppm_base,
+         |    (coalesce(n.n_new, 0) * 1000000) // t.t_new AS ppm_new
+         |  FROM grid g LEFT JOIN base b USING (m, code)
+         |    LEFT JOIN nw n USING (m, code) CROSS JOIN tot t)
+         |SELECT m, code, n_base, n_new, ppm_base, ppm_new,
+         |  abs(ppm_base - ppm_new) AS drift_ppm
+         |FROM rep ORDER BY m, code""".stripMargin))
+
+  /** IVF-PQ coarse-cell drift gate — e28's monitoring contract for the
+    * composite family: the coarse quantizer IS an IVF structure (both
+    * families share [[labelCentroids]]/[[assignCells]]), so
+    * `IvfPqIndex.drift` delegates to the exact e28-gated [[cellDrift]]
+    * kernel with the stored code table (which carries `cell`) as the
+    * base — cell-balance drift is what degrades IVF-PQ probe latency,
+    * and residual-code drift is e31's separate axis. Split on % 7 (the
+    * PQ-family convention). Oracle: e28's text with the % 7 predicate.
+    */
+  val e32IvfPqDrift = QueryDef(
+    "e32_ivfpq_drift",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.api.Graft.ivfPqIndex(e.filter(col("vec_id") % 7 =!= 0))
+        .drift(e.filter(col("vec_id") % 7 === 0))
+        .orderBy(col("cell"))
+    },
+    Some(
+      s"""WITH ${centArrSqlOver("WHERE vec_id % 7 <> 0")},
+         |${ivfAssignSql("cent_arr")},
+         |base AS (
+         |  SELECT cell, count(*) AS n_base FROM assign
+         |  WHERE vec_id % 7 <> 0 GROUP BY cell),
+         |nw AS (
+         |  SELECT cell, count(*) AS n_new FROM assign
+         |  WHERE vec_id % 7 = 0 GROUP BY cell),
+         |tot AS (
+         |  SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 <> 0) AS t_base,
+         |         (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 0) AS t_new),
+         |rep AS (
+         |  SELECT c.cell,
+         |    coalesce(b.n_base, 0) AS n_base, coalesce(n.n_new, 0) AS n_new,
+         |    (coalesce(b.n_base, 0) * 1000000) // t.t_base AS ppm_base,
+         |    (coalesce(n.n_new, 0) * 1000000) // t.t_new AS ppm_new
+         |  FROM cent_arr c LEFT JOIN base b USING (cell)
+         |    LEFT JOIN nw n USING (cell) CROSS JOIN tot t)
+         |SELECT cell, n_base, n_new, ppm_base, ppm_new,
+         |  abs(ppm_base - ppm_new) AS drift_ppm
+         |FROM rep ORDER BY cell""".stripMargin))
 
   /** e23's body — the [[graft.api.Graft.mmrRerank]] facade path:
     * Maximal Marginal Relevance diversification (Carbonell & Goldstein
@@ -2274,5 +2426,5 @@ object SimilarityQueries {
     e18AnnIvfPq, e19AnnRecallIvfPq, e20BinaryQuant, e21AnnRecallBinary,
     e22HybridRrf, e23MmrRerank, e24FilteredIvf, e25AnnRecallFiltered,
     e26IvfAppend, e27PqAppend, e28IndexDrift, e29IvfPqAppend,
-    e30IndexPersistence)
+    e30IndexPersistence, e31PqCodeDrift, e32IvfPqDrift)
 }

@@ -387,6 +387,29 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       == rows(idx.search(queries)))
   }
 
+  test("pqIndex.drift equals the e31 gate; self-drift is zero") {
+    val base = emb.filter(col("vec_id") % 7 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 7 === 0)
+    val got = Graft.pqIndex(base).drift(arrivals)
+      .orderBy(col("m"), col("code"))
+    assert(rows(got) == rows(gate("e31_pq_code_drift")) && rows(got).nonEmpty)
+    // a sample that IS the indexed corpus occupies every (subspace,
+    // code) in the same shares — zero drift in every row
+    val self = Graft.pqIndex(emb).drift(emb)
+    assert(self.filter(col("drift_ppm") =!= 0L).count() == 0 &&
+      self.count() > 0)
+  }
+
+  test("ivfPqIndex.drift equals the e32 gate; self-drift is zero") {
+    val base = emb.filter(col("vec_id") % 7 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 7 === 0)
+    val got = Graft.ivfPqIndex(base).drift(arrivals).orderBy(col("cell"))
+    assert(rows(got) == rows(gate("e32_ivfpq_drift")) && rows(got).nonEmpty)
+    val self = Graft.ivfPqIndex(emb).drift(emb)
+    assert(self.filter(col("drift_ppm") =!= 0L).count() == 0 &&
+      self.count() > 0)
+  }
+
   test("videoFrameHashes + videoNearDups equals the mm09 gate") {
     val spark2 = spark
     import spark2.implicits._
