@@ -143,7 +143,12 @@ object ScaleBench {
       "e26_ivf_append",
       "e27_pq_append",
       "e28_index_drift",
-      "e29_ivfpq_append")
+      "e29_ivfpq_append",
+      // e31/e32: the drift reports for the PQ and IVF-PQ families -
+      // like e28, two map-side-combinable counts against a frozen
+      // training side; expected to track e27/e29's encode curves
+      "e31_pq_code_drift",
+      "e32_ivfpq_drift")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
@@ -206,7 +211,8 @@ object ScaleBench {
       "e09_ann_pq", "e20_binary_quant", "e23_mmr_rerank",
       "d17_semantic_decontamination", "e24_filtered_ivf",
       "e25_ann_recall_filtered", "e26_ivf_append", "e27_pq_append",
-      "e28_index_drift", "e29_ivfpq_append")
+      "e28_index_drift", "e29_ivfpq_append",
+      "e31_pq_code_drift", "e32_ivfpq_drift")
       .map(_ -> "embeddings") ++
       Seq("q56_asof_attribution", "q58_salted_agg", "q66_event_funnel",
         "q57_range_error_proximity").map(_ -> "events")).toMap
