@@ -422,6 +422,25 @@ object Graft {
       IvfIndex(assigned.unionByName(
         SimilarityQueries.assignCells(newVecs, centroids)), centroids)
 
+    /** [[append]] made DURABLE: assign the arrivals with this handle's
+      * (frozen) centroids — the exact gated kernel — and write them
+      * INTO the saved layout at `dir` (parquet append; files land only
+      * in the touched cells' directories, the stored corpus is never
+      * rewritten), then reopen the store. `dir` must hold the index
+      * this handle was saved to / loaded from (kind-checked; a
+      * mismatched centroid set would mis-cell the arrivals — the same
+      * contract as re-saving after [[append]], minus rewriting the
+      * corpus). A JVM restart between the append and the next load
+      * changes nothing: the returned handle and a freshly loaded one
+      * read the same files. Gate: `e33_durable_append` (the PQ
+      * family's seam; IndexStoreSpec covers all three).
+      */
+    def appendDurable(dir: String, newVecs: DataFrame): IvfIndex = {
+      IndexStore.appendIvf(dir,
+        SimilarityQueries.assignCells(newVecs, centroids))
+      loadAnnIndex(newVecs.sparkSession, dir)
+    }
+
     /** Cell-occupancy drift report — the RE-TRAIN TRIGGER [[append]]'s
       * doc points at: assign a non-empty arrival `sample` (vec_id,
       * embedding) to the trained centroids and compare per-cell
@@ -641,6 +660,20 @@ object Graft {
         corpus.select(col("vec_id"), col("embedding")).unionByName(
           newVecs.select(col("vec_id"), col("embedding"))))
 
+    /** [[append]] made DURABLE ([[IvfIndex.appendDurable]]'s contract
+      * for the compressed family): encode the arrivals against this
+      * handle's FROZEN codebooks (the exact gated kernel) and append
+      * their codes + raw vectors INTO the saved layout at `dir`, then
+      * reopen the store — a restarted JVM's `loadPqIndex(dir)` serves
+      * the appended corpus. Gate: `e33_durable_append`.
+      */
+    def appendDurable(dir: String, newVecs: DataFrame): PqIndex = {
+      IndexStore.appendPq(dir,
+        SimilarityQueries.pqEncode(newVecs, codebooks),
+        newVecs.select(col("vec_id"), col("embedding")))
+      loadPqIndex(newVecs.sparkSession, dir)
+    }
+
     private def renamed(queries: DataFrame): DataFrame =
       queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))
@@ -750,6 +783,19 @@ object Graft {
       IvfPqIndex(codes.unionByName(
         SimilarityQueries.ivfPqEncode(newVecs, centroids, codebooks)),
         centroids, codebooks)
+
+    /** [[append]] made DURABLE ([[IvfIndex.appendDurable]]'s contract
+      * for the composite family): encode the arrivals against the
+      * frozen coarse centroids + residual codebooks (the exact gated
+      * kernel) and append the code rows INTO the saved
+      * cell-partitioned layout at `dir`, then reopen the store.
+      * Gate: `e33_durable_append`.
+      */
+    def appendDurable(dir: String, newVecs: DataFrame): IvfPqIndex = {
+      IndexStore.appendIvfPq(dir,
+        SimilarityQueries.ivfPqEncode(newVecs, centroids, codebooks))
+      loadIvfPqIndex(newVecs.sparkSession, dir)
+    }
 
     /** Persist to `dir` ([[graft.sources.IndexStore]] layout): the
       * code table partitioned by coarse cell (probe-time scans read

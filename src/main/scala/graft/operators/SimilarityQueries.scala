@@ -2197,6 +2197,31 @@ object SimilarityQueries {
     },
     Some(pqSql(topM = 3, trainPred = Some("vec_id % 7 <> 0"))))
 
+  /** Durable-append gate — e30's restart seam EXTENDED through the
+    * WRITE path: train on the snapshot, save, reopen a fresh handle,
+    * append the arrivals INTO the saved layout
+    * ([[graft.api.Graft.PqIndex.appendDurable]] — parquet append, the
+    * stored rows are never rewritten), then search through a SECOND
+    * completely fresh handle that shares nothing in-memory with
+    * either predecessor. Oracle: e27's byte-identical SQL — durable
+    * append is correct iff the on-disk union equals
+    * encode-all-at-once, which holds exactly because encoding is pure
+    * in the frozen codebooks and parquet append is lossless.
+    */
+  val e33DurableAppend = QueryDef(
+    "e33_durable_append",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_e33_pq").toString
+      graft.api.Graft.pqIndex(e.filter(col("vec_id") % 7 =!= 0)).save(dir)
+      graft.api.Graft.loadPqIndex(s, dir)
+        .appendDurable(dir, e.filter(col("vec_id") % 7 === 0))
+      graft.api.Graft.loadPqIndex(s, dir)
+        .search(e.filter(col("vec_id") < 5), k = 3)
+    },
+    Some(pqSql(topM = 3, trainPred = Some("vec_id % 7 <> 0"))))
+
   /** PQ code-occupancy drift gate — e28's monitoring contract for the
     * compressed family, on e27's split: codebooks train on the
     * snapshot (vec_id % 7 ≠ 0), the arrivals (% 7 = 0) are encoded
@@ -2426,5 +2451,5 @@ object SimilarityQueries {
     e18AnnIvfPq, e19AnnRecallIvfPq, e20BinaryQuant, e21AnnRecallBinary,
     e22HybridRrf, e23MmrRerank, e24FilteredIvf, e25AnnRecallFiltered,
     e26IvfAppend, e27PqAppend, e28IndexDrift, e29IvfPqAppend,
-    e30IndexPersistence, e31PqCodeDrift, e32IvfPqDrift)
+    e30IndexPersistence, e31PqCodeDrift, e32IvfPqDrift, e33DurableAppend)
 }

@@ -119,6 +119,21 @@ object IndexStore {
     writeManifest(spark, dir, "ivf")
   }
 
+  /** DURABLE append — write already-assigned arrival rows (vec_id,
+    * embedding, cell) INTO the saved cell-partitioned layout. The
+    * stored rows are never rewritten: this is a parquet append that
+    * adds files to (only) the touched cells' directories, so append
+    * cost is one partitioned write of the arrivals and a restarted
+    * JVM's [[loadIvf]] sees the union. Kind-checked first, so an
+    * arrival batch cannot land in a PQ directory.
+    */
+  def appendIvf(dir: String, assignedArrivals: DataFrame): Unit = {
+    readManifest(assignedArrivals.sparkSession, dir, "ivf")
+    assignedArrivals.select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell").parquet(s"$dir/assigned")
+  }
+
   /** (assigned, centroids) — column order and types normalized back to
     * the build-time shape (a hive partition column reads back at the
     * end of the schema; `select` + cast restores the contract).
@@ -147,6 +162,25 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/corpus")
     writeCodebooks(spark, dir, codebooks)
     writeManifest(spark, dir, "pq")
+  }
+
+  /** DURABLE append for the PQ layout: encoded arrival codes append to
+    * `codes/`, their raw vectors to `corpus/` (the rerank fetch side).
+    * Two independent parquet appends — on a failure between them the
+    * corpus may briefly lead the codes (rerank fetches by shortlist
+    * vec_id, so an orphan corpus row is unreachable until its code
+    * lands; re-running the append is the remedy). Kind-checked first.
+    */
+  def appendPq(dir: String, codesArrivals: DataFrame,
+               corpusArrivals: DataFrame): Unit = {
+    val spark = codesArrivals.sparkSession
+    readManifest(spark, dir, "pq")
+    val m = readCodebooks(spark, dir).length
+    corpusArrivals.select(col("vec_id"), col("embedding"))
+      .write.mode(SaveMode.Append).parquet(s"$dir/corpus")
+    codesArrivals
+      .select(col("vec_id") +: (0 until m).map(mi => col(s"code_$mi")): _*)
+      .write.mode(SaveMode.Append).parquet(s"$dir/codes")
   }
 
   /** (codes, codebooks, corpus). */
@@ -180,6 +214,22 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
     writeCodebooks(spark, dir, codebooks)
     writeManifest(spark, dir, "ivfpq")
+  }
+
+  /** DURABLE append for the IVF-PQ layout: encoded arrival rows
+    * (cell + codes + reconstruction norms) append into the
+    * cell-partitioned code table — files land only in the touched
+    * cells' directories. Kind-checked first.
+    */
+  def appendIvfPq(dir: String, codesArrivals: DataFrame): Unit = {
+    val spark = codesArrivals.sparkSession
+    readManifest(spark, dir, "ivfpq")
+    val m = readCodebooks(spark, dir).length
+    codesArrivals.select(Seq(col("vec_id"), col("cell")) ++
+        (0 until m).map(mi => col(s"code_$mi")) ++
+        (0 until m).map(mi => col(s"recon2_$mi")): _*)
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell").parquet(s"$dir/codes")
   }
 
   /** (codes, centroids, codebooks). */

@@ -141,6 +141,44 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact(loaded.merge(live).words.orderBy("w")).nonEmpty)
   }
 
+  test("durable append: all three families write INTO the layout; a fresh load sees the union") {
+    val snapshot7 = emb.filter(col("vec_id") % 7 =!= 0)
+    val arrivals7 = emb.filter(col("vec_id") % 7 === 0)
+    // PQ: appendDurable ≡ in-memory append, through a handle that
+    // shares nothing with the appender (the restart seam)
+    val dPq = tmp()
+    val freshPq = Graft.pqIndex(snapshot7)
+    freshPq.save(dPq)
+    Graft.loadPqIndex(spark, dPq).appendDurable(dPq, arrivals7)
+    val reloadedPq = Graft.loadPqIndex(spark, dPq)
+    assert(exact(reloadedPq.search(queries))
+      == exact(freshPq.append(arrivals7).search(queries)))
+    assert(exact(reloadedPq.rerank(queries))
+      == exact(freshPq.append(arrivals7).rerank(queries)))
+    // IVF (different split — the % 5 snapshot matches e26)
+    val snapshot5 = emb.filter(col("vec_id") % 5 =!= 0)
+    val arrivals5 = emb.filter(col("vec_id") % 5 === 0)
+    val dIvf = tmp()
+    val freshIvf = Graft.annIndex(snapshot5)
+    freshIvf.save(dIvf)
+    Graft.loadAnnIndex(spark, dIvf).appendDurable(dIvf, arrivals5)
+    assert(exact(Graft.loadAnnIndex(spark, dIvf).search(queries))
+      == exact(freshIvf.append(arrivals5).search(queries)))
+    // IVF-PQ
+    val dIp = tmp()
+    val freshIp = Graft.ivfPqIndex(snapshot7)
+    freshIp.save(dIp)
+    Graft.loadIvfPqIndex(spark, dIp).appendDurable(dIp, arrivals7)
+    assert(exact(Graft.loadIvfPqIndex(spark, dIp).search(queries))
+      == exact(freshIp.append(arrivals7).search(queries)))
+    // appending into a directory of the wrong kind fails loudly
+    // before any write
+    val err = intercept[IllegalArgumentException] {
+      Graft.loadPqIndex(spark, dPq).appendDurable(dIvf, arrivals7)
+    }
+    assert(err.getMessage.contains("ivf"))
+  }
+
   test("loading a directory of the wrong kind fails loudly") {
     val d = tmp()
     Graft.annIndex(emb).save(d)
