@@ -715,6 +715,19 @@ object Graft {
       */
     def drift(sample: DataFrame): DataFrame =
       SimilarityQueries.pqCodeDrift(codes, codebooks, sample)
+
+    /** [[drift]] AT INGEST — delegates to
+      * [[graft.streaming.EmbStreams.pqDriftMonitor]] with this
+      * handle's frozen artifacts: running per-(subspace, code) arrival
+      * counts as streaming state (≤ m × k rows), one e31-shaped
+      * report per trigger through the gated seam. Stream ≡ batch
+      * [[drift]] is spec-proven (EmbStreamsSpec). Stop the returned
+      * query when done.
+      */
+    def driftMonitor(arrivals: Dataset[EmbStreams.EmbArrival])
+                    (onReport: DataFrame => Unit)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      EmbStreams.pqDriftMonitor(arrivals, codes, codebooks)(onReport)
   }
 
   /** Reopen a [[PqIndex]] saved with [[PqIndex.save]]: NO re-training

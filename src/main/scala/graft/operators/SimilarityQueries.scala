@@ -2081,18 +2081,36 @@ object SimilarityQueries {
     */
   private[graft] def pqCodeDrift(codes: DataFrame,
                                  codebooks: Array[Array[Array[Double]]],
-                                 sample: DataFrame): DataFrame = {
+                                 sample: DataFrame): DataFrame =
+    pqCodeDriftFromCounts(codes, codebooks,
+      pqCodeUnpivot(pqEncode(sample, codebooks), codebooks.length)
+        .groupBy(col("m"), col("code")).agg(count(lit(1)).as("n_new")))
+
+  /** (m, code) unpivot of a code table — one row per (vector,
+    * subspace). Shared by [[pqCodeDrift]]'s both sides and the
+    * streaming monitor's count projection.
+    */
+  private[graft] def pqCodeUnpivot(c: DataFrame, m: Int): DataFrame =
+    c.select(expr(
+      s"stack($m, ${(0 until m)
+        .map(mi => s"$mi, code_$mi").mkString(", ")}) AS (m, code)"))
+
+  /** [[pqCodeDrift]] with the sample's per-(subspace, code) counts
+    * already in hand — the seam the STREAMING monitor shares
+    * ([[graft.streaming.EmbStreams.pqDriftMonitor]] maintains running
+    * arrival counts as streaming state and reports through this exact
+    * code each trigger). `newCounts`: (m, code, n_new).
+    */
+  private[graft] def pqCodeDriftFromCounts(codes: DataFrame,
+                                           codebooks: Array[Array[Array[Double]]],
+                                           newCounts: DataFrame): DataFrame = {
     val m = codebooks.length
     val k = codebooks(0).length
     val spark = codes.sparkSession
     import spark.implicits._
-    def unpivot(c: DataFrame): DataFrame = c.select(expr(
-      s"stack($m, ${(0 until m)
-        .map(mi => s"$mi, code_$mi").mkString(", ")}) AS (m, code)"))
-    val base = unpivot(codes)
+    val base = pqCodeUnpivot(codes, m)
       .groupBy(col("m"), col("code")).agg(count(lit(1)).as("n_base"))
-    val nw = unpivot(pqEncode(sample, codebooks))
-      .groupBy(col("m"), col("code")).agg(count(lit(1)).as("n_new"))
+    val nw = newCounts
     val grid = (for { mi <- 0 until m; c <- 0 until k } yield (mi, c))
       .toDF("m", "code")
     val joined = grid

@@ -394,6 +394,49 @@ object EmbStreams {
       .start()
   }
 
+  /** AT-INGEST PQ code drift — e31 as a stream, [[driftMonitor]]'s
+    * pattern for the compressed family: each arriving vector's
+    * per-subspace codes come from a STATELESS projection against the
+    * frozen codebook literals (EXACTLY the gated
+    * [[graft.operators.SimilarityQueries.pqEncode]] expressions, so
+    * the running counts agree with the batch kernel row-for-row),
+    * Spark's streaming aggregation maintains the RUNNING per-(m, code)
+    * counts as state (Complete mode — ≤ subspaces × codebook-size
+    * rows, constant), and every trigger emits a full e31-shaped
+    * report through the exact gated seam
+    * ([[graft.operators.SimilarityQueries.pqCodeDriftFromCounts]])
+    * against the stored `codes` table. `onReport` receives (m, code,
+    * n_base, n_new, ppm_base, ppm_new, drift_ppm) covering ALL
+    * arrivals so far — fire the re-train when a subspace's
+    * Σ drift_ppm / 2 crosses budget. EmbStreamsSpec proves the final
+    * report equals the batch e31 drift of the same arrival set.
+    */
+  def pqDriftMonitor(arrivals: Dataset[EmbArrival], codes: DataFrame,
+                     codebooks: Array[Array[Array[Double]]])
+                    (onReport: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val counts = graft.operators.SimilarityQueries
+      .pqCodeUnpivot(
+        graft.operators.SimilarityQueries.pqEncode(
+          arrivals.toDF().select(col("vec_id"),
+            col("embedding").cast("array<float>").as("embedding")),
+          codebooks),
+        codebooks.length)
+      .groupBy(col("m"), col("code")).agg(count(lit(1)).as("n_new"))
+    counts.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // eager localCheckpoint materializes EVERY partition of the
+        // stateful aggregate (the state-store commit contract) and
+        // detaches the report plan from the per-trigger source
+        val c = batch.localCheckpoint()
+        if (!c.isEmpty)
+          onReport(graft.operators.SimilarityQueries
+            .pqCodeDriftFromCounts(codes, codebooks, c))
+      }
+      .start()
+  }
+
   /** Serve an unbounded query stream against the STATIC IVF-PQ index —
     * the composite family's serving surface, completing the matrix
     * (IVF: [[ivfServe]]; IVF pruned: [[ivfServePruned]]; PQ:
