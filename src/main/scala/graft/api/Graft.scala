@@ -847,6 +847,26 @@ object Graft {
       */
     def drift(sample: DataFrame): DataFrame =
       SimilarityQueries.cellDrift(codes, centroids, sample)
+
+    /** The composite family's SECOND drift axis ([[drift]] watches
+      * coarse cell balance; this watches RESIDUAL code usage): encode
+      * the sample through the exact gated [[append]] kernel (cell
+      * assign → residual → per-subspace argmin against the frozen
+      * codebooks) and compare per-(subspace, code) occupancy shares
+      * against the stored composite code table — [[PqIndex.drift]]'s
+      * all-integer report through the same gated seam. Coarse drift
+      * degrades probe latency; residual-code drift degrades
+      * quantization fidelity — a production store watches both.
+      * `sample`: (vec_id, embedding), non-empty.
+      * Gate: `e34_ivfpq_residual_drift`.
+      */
+    def residualDrift(sample: DataFrame): DataFrame =
+      SimilarityQueries.pqCodeDriftFromCounts(codes, codebooks,
+        SimilarityQueries.pqCodeUnpivot(
+          SimilarityQueries.ivfPqEncode(sample, centroids, codebooks),
+          codebooks.length)
+          .groupBy(col("m"), col("code"))
+          .agg(count(lit(1)).as("n_new")))
   }
 
   /** Reopen an [[IvfPqIndex]] saved with [[IvfPqIndex.save]] — frozen

@@ -1233,7 +1233,13 @@ object SimilarityQueries {
     * pre-append snapshot); residual derivation, encoding, and scoring
     * always cover all rows.
     */
-  private def ivfPqSql(trainPred: Option[String] = None): String = {
+  /** The coarse-assign + residual-train + encode prefix of
+    * [[ivfPqSql]] — every CTE through `enc` (vec_id, cell,
+    * code0..code3) — extracted so drift-shaped oracles (e34) can
+    * aggregate the composite codes without duplicating the replay.
+    * Text is byte-identical to what [[ivfPqSql]] always embedded.
+    */
+  private def ivfPqEncCtes(trainPred: Option[String] = None): String = {
     val subDim = 16
     val trainJoinWhere = trainPred.map(p => s" WHERE e.$p").getOrElse("")
     def off(mi: Int) = mi * subDim
@@ -1274,16 +1280,7 @@ object SimilarityQueries {
          |        ORDER BY ${l2Sql(mi)} ASC, c.k) AS rn
          |    FROM ares e CROSS JOIN rq2_m$mi c)
          |  WHERE rn = 1)""".stripMargin
-    def lutSql(mi: Int): String =
-      s"list_aggregate([CAST(s.qres[${off(mi)} + i] AS DOUBLE) * CAST(c$mi.centroid[i] AS DOUBLE)" +
-        s" for i in generate_series(1, $subDim)], 'sum')"
-    // mirror of the Spark encode-time stored norm: per-subspace in-order
-    // Σ (c_i + r̂_i)², chained left-assoc across subspaces by the caller
-    def recon2Sql(mi: Int): String =
-      s"list_aggregate([(CAST(cc.centroid[${off(mi)} + i] AS DOUBLE) + CAST(c$mi.centroid[i] AS DOUBLE))" +
-        s" * (CAST(cc.centroid[${off(mi)} + i] AS DOUBLE) + CAST(c$mi.centroid[i] AS DOUBLE))" +
-        s" for i in generate_series(1, $subDim)], 'sum')"
-    s"""WITH ${trainPred.map(p => centArrSqlOver(s"WHERE $p")).getOrElse(centArrSql)},
+    s"""${trainPred.map(p => centArrSqlOver(s"WHERE $p")).getOrElse(centArrSql)},
        |assign AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cell,
@@ -1301,7 +1298,22 @@ object SimilarityQueries {
        |  SELECT a.vec_id, a.cell, code0, code1, code2, code3
        |  FROM ares a JOIN rcodes_m0 USING (vec_id)
        |    JOIN rcodes_m1 USING (vec_id) JOIN rcodes_m2 USING (vec_id)
-       |    JOIN rcodes_m3 USING (vec_id)),
+       |    JOIN rcodes_m3 USING (vec_id))""".stripMargin
+  }
+
+  private def ivfPqSql(trainPred: Option[String] = None): String = {
+    val subDim = 16
+    def off(mi: Int) = mi * subDim
+    def lutSql(mi: Int): String =
+      s"list_aggregate([CAST(s.qres[${off(mi)} + i] AS DOUBLE) * CAST(c$mi.centroid[i] AS DOUBLE)" +
+        s" for i in generate_series(1, $subDim)], 'sum')"
+    // mirror of the Spark encode-time stored norm: per-subspace in-order
+    // Σ (c_i + r̂_i)², chained left-assoc across subspaces by the caller
+    def recon2Sql(mi: Int): String =
+      s"list_aggregate([(CAST(cc.centroid[${off(mi)} + i] AS DOUBLE) + CAST(c$mi.centroid[i] AS DOUBLE))" +
+        s" * (CAST(cc.centroid[${off(mi)} + i] AS DOUBLE) + CAST(c$mi.centroid[i] AS DOUBLE))" +
+        s" for i in generate_series(1, $subDim)], 'sum')"
+    s"""WITH ${ivfPqEncCtes(trainPred)},
        |q AS (SELECT vec_id AS query_id, embedding AS q_emb
        |      FROM embeddings WHERE vec_id < 5),
        |probes AS (
@@ -2292,6 +2304,59 @@ object SimilarityQueries {
          |  abs(ppm_base - ppm_new) AS drift_ppm
          |FROM rep ORDER BY m, code""".stripMargin))
 
+  /** IVF-PQ RESIDUAL-code drift gate — the composite family's second
+    * drift axis (e32 watches the coarse cells; this watches the
+    * residual code usage the frozen codebooks quantize): the arrival
+    * sample encodes through the shared [[ivfPqEncode]] kernel (cell
+    * assign → residual → per-subspace argmin — exactly what
+    * [[graft.api.Graft.IvfPqIndex.append]] stores) and per-(subspace,
+    * code) occupancy shares compare in ppm against the stored
+    * composite code table, through the exact e31-gated
+    * [[pqCodeDriftFromCounts]] seam. Oracle: the shared composite
+    * replay ([[ivfPqEncCtes]] — the text inside e18/e19/e29's
+    * oracles), unpivoted and split by the e29 predicate, grid from
+    * the trained residual-codebook CTEs.
+    */
+  val e34IvfPqResidualDrift = QueryDef(
+    "e34_ivfpq_residual_drift",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.api.Graft.ivfPqIndex(e.filter(col("vec_id") % 7 =!= 0))
+        .residualDrift(e.filter(col("vec_id") % 7 === 0))
+        .orderBy(col("m"), col("code"))
+    },
+    Some(
+      s"""WITH ${ivfPqEncCtes(trainPred = Some("vec_id % 7 <> 0"))},
+         |unp AS (
+         |  SELECT 0 AS m, code0 AS code, vec_id FROM enc
+         |  UNION ALL SELECT 1, code1, vec_id FROM enc
+         |  UNION ALL SELECT 2, code2, vec_id FROM enc
+         |  UNION ALL SELECT 3, code3, vec_id FROM enc),
+         |grid AS (
+         |  SELECT 0 AS m, k AS code FROM rq2_m0
+         |  UNION ALL SELECT 1, k FROM rq2_m1
+         |  UNION ALL SELECT 2, k FROM rq2_m2
+         |  UNION ALL SELECT 3, k FROM rq2_m3),
+         |base AS (
+         |  SELECT m, code, count(*) AS n_base FROM unp
+         |  WHERE vec_id % 7 <> 0 GROUP BY m, code),
+         |nw AS (
+         |  SELECT m, code, count(*) AS n_new FROM unp
+         |  WHERE vec_id % 7 = 0 GROUP BY m, code),
+         |tot AS (
+         |  SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 <> 0) AS t_base,
+         |         (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 0) AS t_new),
+         |rep AS (
+         |  SELECT g.m, g.code,
+         |    coalesce(b.n_base, 0) AS n_base, coalesce(n.n_new, 0) AS n_new,
+         |    (coalesce(b.n_base, 0) * 1000000) // t.t_base AS ppm_base,
+         |    (coalesce(n.n_new, 0) * 1000000) // t.t_new AS ppm_new
+         |  FROM grid g LEFT JOIN base b USING (m, code)
+         |    LEFT JOIN nw n USING (m, code) CROSS JOIN tot t)
+         |SELECT m, code, n_base, n_new, ppm_base, ppm_new,
+         |  abs(ppm_base - ppm_new) AS drift_ppm
+         |FROM rep ORDER BY m, code""".stripMargin))
+
   /** IVF-PQ coarse-cell drift gate — e28's monitoring contract for the
     * composite family: the coarse quantizer IS an IVF structure (both
     * families share [[labelCentroids]]/[[assignCells]]), so
@@ -2469,5 +2534,6 @@ object SimilarityQueries {
     e18AnnIvfPq, e19AnnRecallIvfPq, e20BinaryQuant, e21AnnRecallBinary,
     e22HybridRrf, e23MmrRerank, e24FilteredIvf, e25AnnRecallFiltered,
     e26IvfAppend, e27PqAppend, e28IndexDrift, e29IvfPqAppend,
-    e30IndexPersistence, e31PqCodeDrift, e32IvfPqDrift, e33DurableAppend)
+    e30IndexPersistence, e31PqCodeDrift, e32IvfPqDrift, e33DurableAppend,
+    e34IvfPqResidualDrift)
 }

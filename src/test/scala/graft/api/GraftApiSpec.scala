@@ -410,6 +410,18 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       self.count() > 0)
   }
 
+  test("ivfPqIndex.residualDrift equals the e34 gate; self-drift is zero") {
+    val base = emb.filter(col("vec_id") % 7 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 7 === 0)
+    val got = Graft.ivfPqIndex(base).residualDrift(arrivals)
+      .orderBy(col("m"), col("code"))
+    assert(rows(got) == rows(gate("e34_ivfpq_residual_drift")) &&
+      rows(got).nonEmpty)
+    val self = Graft.ivfPqIndex(emb).residualDrift(emb)
+    assert(self.filter(col("drift_ppm") =!= 0L).count() == 0 &&
+      self.count() > 0)
+  }
+
   test("videoFrameHashes + videoNearDups equals the mm09 gate") {
     val spark2 = spark
     import spark2.implicits._
