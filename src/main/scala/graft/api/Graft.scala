@@ -867,6 +867,28 @@ object Graft {
           codebooks.length)
           .groupBy(col("m"), col("code"))
           .agg(count(lit(1)).as("n_new")))
+
+    /** The tiny coarse-centroid table pulled driver-side ONCE per
+      * handle ([[IvfIndex]]'s bounded pull, ≤ #cells × 64 floats) —
+      * what the streaming monitor's literal-centroid argmax needs.
+      */
+    private lazy val pulledCentroids: Seq[(Int, Array[Float])] =
+      centroids.collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+
+    /** [[drift]] AT INGEST — the coarse-cell monitor through the
+      * handle: the stored composite code table already carries each
+      * vector's `cell`, so this delegates to the exact e28-shaped
+      * [[graft.streaming.EmbStreams.driftMonitor]] with the handle's
+      * own frozen artifacts (running per-cell counts as Complete-mode
+      * state, one report per trigger). Stream ≡ batch [[drift]] is
+      * spec-proven (EmbStreamsSpec). Stop the returned query when
+      * done.
+      */
+    def driftMonitor(arrivals: Dataset[EmbStreams.EmbArrival])
+                    (onReport: DataFrame => Unit)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      EmbStreams.driftMonitor(arrivals, codes, pulledCentroids)(onReport)
   }
 
   /** Reopen an [[IvfPqIndex]] saved with [[IvfPqIndex.save]] — frozen
