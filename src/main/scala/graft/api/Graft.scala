@@ -585,6 +585,18 @@ object Graft {
     IvfIndex(assigned, centroids)
   }
 
+  /** Compact a saved index directory (any kind) — the maintenance op
+    * after many small [[IvfIndex.appendDurable]]-style batches: each
+    * big table is rewritten (one file per cell for the partitioned
+    * families) through a temp dir and swapped in by rename; results
+    * are bit-identical and handles opened after the compact read the
+    * same rows from far fewer files. See
+    * [[graft.sources.IndexStore.compact]] for the crash-safety
+    * contract.
+    */
+  def compactIndex(spark: SparkSession, dir: String): Unit =
+    IndexStore.compact(spark, dir)
+
   /** Build the product-quantization index (Jégou et al. 2011): train
     * 4-subspace × 16-dim codebooks (4 centroids each, 2 Lloyd
     * iterations, deterministic every-125th init) on the corpus, then

@@ -248,6 +248,68 @@ object IndexStore {
   }
 
   // ------------------------------------------------------------------
+  // Maintenance
+  // ------------------------------------------------------------------
+
+  /** COMPACT a saved index's big tables in place — the maintenance op
+    * a store runs after many small [[appendIvf]]/[[appendPq]]/
+    * [[appendIvfPq]] batches (each append adds a file set per touched
+    * partition; a year of micro-batch appends is a year of small
+    * files). Each table is rewritten through a temp directory and
+    * swapped in via filesystem rename (Hadoop `FileSystem`, so the
+    * same code compacts local disk or HDFS-style stores):
+    * cell-partitioned tables land one file per cell (a `repartition`
+    * on the partition column puts each cell in exactly one task),
+    * flat tables coalesce to ⌈bytes / target⌉ files (default target
+    * 128 MB per file — `spark.graft.compactTargetBytes`). The rewrite
+    * fully materializes into the temp dir BEFORE the original is
+    * removed, so a crash leaves either the old or the new complete
+    * table (plus, at worst, an orphaned `.compact` temp dir the next
+    * compact clears). Readers opened before the swap may fail
+    * mid-scan — the standard table-maintenance caveat; reopen handles
+    * after compacting. Results are bit-identical (IndexStoreSpec).
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val kind = spark.read.parquet(s"$dir/manifest")
+      .collect()(0).getAs[String]("kind")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def swap(sub: String, partitioned: Boolean): Unit = {
+      val src = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val fs = src.getFileSystem(hconf)
+      if (!fs.exists(src)) return
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/$sub.compact")
+      fs.delete(tmp, true)
+      val df = spark.read.parquet(src.toString)
+      if (partitioned)
+        df.repartition(col("cell"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("cell").parquet(tmp.toString)
+      else {
+        val targetBytes = spark.conf
+          .getOption("spark.graft.compactTargetBytes")
+          .map(_.toLong).getOrElse(128L * 1024 * 1024)
+        val bytes = fs.getContentSummary(src).getLength
+        val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+        df.coalesce(nFiles.toInt)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      }
+      fs.delete(src, true)
+      require(fs.rename(tmp, src),
+        s"compact: rename $tmp -> $src failed; recover from $tmp")
+    }
+    kind match {
+      case "ivf" => swap("assigned", partitioned = true)
+      case "pq" =>
+        swap("codes", partitioned = false)
+        swap("corpus", partitioned = false)
+      case "ivfpq" => swap("codes", partitioned = true)
+      case "bloom" => swap("words", partitioned = false)
+      case other => throw new IllegalStateException(
+        s"$dir/manifest: unknown kind '$other'")
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Bloom
   // ------------------------------------------------------------------
 

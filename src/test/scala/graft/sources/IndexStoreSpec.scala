@@ -179,6 +179,44 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("ivf"))
   }
 
+  test("compact: small durable appends collapse to few files; reads bit-identical") {
+    def parquetFiles(d: String, sub: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$d/$sub"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val snapshot = emb.filter(col("vec_id") % 7 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 7 === 0)
+    // PQ (flat tables)
+    val dPq = tmp()
+    Graft.pqIndex(snapshot).save(dPq)
+    for (i <- 0 until 3)
+      Graft.loadPqIndex(spark, dPq)
+        .appendDurable(dPq, arrivals.filter(col("vec_id") % 3 === i))
+    val beforePq = exact(Graft.loadPqIndex(spark, dPq).search(queries))
+    val filesPq = parquetFiles(dPq, "codes")
+    Graft.compactIndex(spark, dPq)
+    assert(parquetFiles(dPq, "codes") < filesPq,
+      s"codes file count must drop: $filesPq -> ${parquetFiles(dPq, "codes")}")
+    assert(exact(Graft.loadPqIndex(spark, dPq).search(queries)) == beforePq)
+    // IVF (cell-partitioned): compaction lands ONE file per cell
+    val dIvf = tmp()
+    Graft.annIndex(snapshot).save(dIvf)
+    for (i <- 0 until 3)
+      Graft.loadAnnIndex(spark, dIvf)
+        .appendDurable(dIvf, arrivals.filter(col("vec_id") % 3 === i))
+    val beforeIvf = exact(Graft.loadAnnIndex(spark, dIvf).search(queries))
+    Graft.compactIndex(spark, dIvf)
+    val cells = new java.io.File(s"$dIvf/assigned").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cells.nonEmpty && cells.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "each cell directory must hold exactly one file after compact")
+    assert(exact(Graft.loadAnnIndex(spark, dIvf).search(queries))
+      == beforeIvf)
+  }
+
   test("loading a directory of the wrong kind fails loudly") {
     val d = tmp()
     Graft.annIndex(emb).save(d)
