@@ -148,7 +148,10 @@ object ScaleBench {
       // like e28, two map-side-combinable counts against a frozen
       // training side; expected to track e27/e29's encode curves
       "e31_pq_code_drift",
-      "e32_ivfpq_drift")
+      "e32_ivfpq_drift",
+      // e33: the durable-append seam - e27's encode plus one
+      // partitioned write of the arrivals and a store re-open
+      "e33_durable_append")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
@@ -212,7 +215,7 @@ object ScaleBench {
       "d17_semantic_decontamination", "e24_filtered_ivf",
       "e25_ann_recall_filtered", "e26_ivf_append", "e27_pq_append",
       "e28_index_drift", "e29_ivfpq_append",
-      "e31_pq_code_drift", "e32_ivfpq_drift")
+      "e31_pq_code_drift", "e32_ivfpq_drift", "e33_durable_append")
       .map(_ -> "embeddings") ++
       Seq("q56_asof_attribution", "q58_salted_agg", "q66_event_funnel",
         "q57_range_error_proximity").map(_ -> "events")).toMap

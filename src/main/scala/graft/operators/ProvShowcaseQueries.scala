@@ -367,7 +367,10 @@ object ProvShowcaseQueries {
     * element kind, the elements minted and the lineage edges they
     * carry — record elements are dep-free leaves, aggregate updates
     * carry one dep per in-horizon record, so the dep total audits the
-    * horizon bound itself. Ids are freshly minted per run → rows-only.
+    * horizon bound itself. Round 10: the two-batch replay makes the
+    * watermark trajectory deterministic, so the horizon-bounded dep
+    * counts carry a real DuckDB oracle — the board's last rows-only
+    * row graduated.
     */
   val provEventsStream = QueryDef(
     "prov_events_stream",
@@ -403,7 +406,35 @@ object ProvShowcaseQueries {
           sum(size(col("deps"))).as("n_lineage_edges"))
         .orderBy(col("kind"))
     },
-    None)
+    // round 10: the watermark horizon is itself deterministic for the
+    // fixed two-batch replay (batch 1 runs at watermark 0; batch 2 at
+    // max(batch-1 ts) − 10 min; the sorted split means no late drops),
+    // so DuckDB re-derives every count: 200 dep-free record elements,
+    // one agg update per (user, batch-with-events) whose deps are that
+    // user's records still inside the horizon — the LAST prov row
+    // graduates from rows-only to a real cross-engine oracle
+    Some("""WITH smp AS (
+           |  SELECT event_id, user_id, epoch_ms(ts) AS tms,
+           |         row_number() OVER (ORDER BY ts, event_id) AS rn
+           |  FROM (SELECT * FROM events ORDER BY ts, event_id LIMIT 200)),
+           |b1 AS (SELECT * FROM smp WHERE rn <= 100),
+           |b2u AS (SELECT DISTINCT user_id FROM smp WHERE rn > 100),
+           |wm2 AS (SELECT max(tms) - 600000 AS wm FROM b1),
+           |a1 AS (SELECT user_id, count(*) AS deps FROM b1 GROUP BY user_id),
+           |a2 AS (
+           |  SELECT u.user_id,
+           |    (SELECT count(*) FROM smp s WHERE s.user_id = u.user_id
+           |       AND s.tms >= (SELECT wm FROM wm2)) AS deps
+           |  FROM b2u u)
+           |SELECT kind, n_elements, n_lineage_edges FROM (
+           |  SELECT 'agg_update' AS kind,
+           |    (SELECT count(*) FROM a1) + (SELECT count(*) FROM a2)
+           |      AS n_elements,
+           |    CAST((SELECT sum(deps) FROM a1) + (SELECT sum(deps) FROM a2)
+           |      AS BIGINT) AS n_lineage_edges
+           |  UNION ALL
+           |  SELECT 'record', (SELECT count(*) FROM smp), CAST(0 AS BIGINT))
+           |ORDER BY kind""".stripMargin))
 
   /** Relational-surface provenance (beyond reference parity — the
     * reference's SQL layer has none, SURVEY §1.3): a DataFrame pipeline
