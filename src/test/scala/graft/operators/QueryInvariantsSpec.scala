@@ -7,14 +7,15 @@ import org.scalatest.BeforeAndAfterAll
 
 import graft.SparkEntry
 
-/** Semantic invariants for approximate/derived-output queries. Most of
-  * these have since been upgraded to full DuckDB gates (d05/mm02/e03/
-  * e05/e06 — engine-shared hashes, hyperplanes, unrolled k-means); the
-  * invariant assertions stay as EXTRA coverage of the defining
-  * properties (Hamming bounds, ranking shape, recall, determinism),
-  * which a hash-match alone does not articulate.
+/** Semantic invariants for approximate/derived-output queries.
+  * Historically named RowsOnlyQueriesSpec — every query here has since
+  * been upgraded to a full DuckDB gate (round 10 closed the last one:
+  * the board is oracles-everywhere); the invariant assertions stay as
+  * EXTRA coverage of the defining properties (Hamming bounds, ranking
+  * shape, recall, determinism, horizon-bounded lineage), which a
+  * hash-match alone does not articulate.
   */
-class RowsOnlyQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
+class QueryInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[8]")
