@@ -901,6 +901,21 @@ object Graft {
                     (onReport: DataFrame => Unit)
         : org.apache.spark.sql.streaming.StreamingQuery =
       EmbStreams.driftMonitor(arrivals, codes, pulledCentroids)(onReport)
+
+    /** [[residualDrift]] AT INGEST — the composite family's second
+      * monitoring axis as a stream: each micro-batch encodes through
+      * the exact gated [[append]] kernel and the running
+      * per-(subspace, code) counts report through the e34 seam.
+      * Delegates to
+      * [[graft.streaming.EmbStreams.ivfPqResidualDriftMonitor]];
+      * stream ≡ batch is spec-proven (EmbStreamsSpec). Stop the
+      * returned query when done.
+      */
+    def residualDriftMonitor(arrivals: Dataset[EmbStreams.EmbArrival])
+                            (onReport: DataFrame => Unit)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      EmbStreams.ivfPqResidualDriftMonitor(arrivals, codes, centroids,
+        codebooks)(onReport)
   }
 
   /** Reopen an [[IvfPqIndex]] saved with [[IvfPqIndex.save]] — frozen

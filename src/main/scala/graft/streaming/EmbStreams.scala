@@ -437,6 +437,60 @@ object EmbStreams {
       .start()
   }
 
+  /** AT-INGEST IVF-PQ RESIDUAL-code drift — e34 as a stream, the
+    * composite family's second monitoring axis at ingest (the coarse
+    * axis streams via [[driftMonitor]] over the stored cells): each
+    * micro-batch of arrivals encodes through the EXACT e29/e34-gated
+    * kernel ([[graft.operators.SimilarityQueries.ivfPqEncode]] — cell
+    * assign, residual, per-subspace argmin against the frozen
+    * codebooks; its window runs batch-side inside foreachBatch, where
+    * windows are legal, so the stream cannot diverge from the gate by
+    * construction), a driver-side fold keeps the RUNNING per-(m, code)
+    * counts (≤ subspaces × codebook-size integers — the same bound
+    * the Complete-mode monitors hold as stream state), and every
+    * non-empty trigger reports through the gated
+    * [[graft.operators.SimilarityQueries.pqCodeDriftFromCounts]] seam
+    * against the stored composite code table. EmbStreamsSpec proves
+    * the final report equals the batch e34 drift of the same
+    * arrivals. Stop the returned query when done.
+    */
+  def ivfPqResidualDriftMonitor(arrivals: Dataset[EmbArrival],
+                                codes: DataFrame, centroids: DataFrame,
+                                codebooks: Array[Array[Array[Double]]])
+                               (onReport: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val running = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    arrivals.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[EmbArrival], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val counts = graft.operators.SimilarityQueries
+          .pqCodeUnpivot(
+            graft.operators.SimilarityQueries.ivfPqEncode(
+              batch.toDF().select(col("vec_id"),
+                col("embedding").cast("array<float>").as("embedding")),
+              centroids, codebooks),
+            codebooks.length)
+          .groupBy(col("m"), col("code")).agg(count(lit(1)).as("n"))
+          .collect()
+        if (counts.nonEmpty) {
+          val snapshot = running.synchronized {
+            counts.foreach { r =>
+              val key = (r.getInt(0), r.getInt(1))
+              running(key) = running.getOrElse(key, 0L) + r.getLong(2)
+            }
+            running.toSeq
+          }
+          onReport(graft.operators.SimilarityQueries
+            .pqCodeDriftFromCounts(codes, codebooks,
+              snapshot.map { case ((m, c), n) => (m, c, n) }
+                .toDF("m", "code", "n_new")))
+        }
+      }
+      .start()
+  }
+
   /** Serve an unbounded query stream against the STATIC IVF-PQ index —
     * the composite family's serving surface, completing the matrix
     * (IVF: [[ivfServe]]; IVF pruned: [[ivfServePruned]]; PQ:

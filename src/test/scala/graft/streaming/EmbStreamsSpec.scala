@@ -468,6 +468,52 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally codes.unpersist()
   }
 
+  test("streaming IVF-PQ residual drift monitor's final report equals the batch e34 drift") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val ts = Timestamp.valueOf("2026-01-01 09:00:00")
+
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    val idx = graft.api.Graft.ivfPqIndex(e.filter($"vec_id" % 7 =!= 0))
+    val codes = idx.codes.cache()
+    try {
+      val arriving = e.filter($"vec_id" % 7 === 0)
+        .select("vec_id", "embedding").collect()
+        .map(r => EmbStreams.EmbArrival(r.getLong(0), ts, r.getSeq[Float](1)))
+      val (b1, b2) = arriving.splitAt(arriving.length / 2)
+
+      def toTuples(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getAs[Int]("m"), r.getAs[Int]("code"), r.getAs[Long]("n_base"),
+          r.getAs[Long]("n_new"), r.getAs[Long]("ppm_base"),
+          r.getAs[Long]("ppm_new"), r.getAs[Long]("drift_ppm"))).toSet
+
+      var reports = List.empty[Set[(Int, Int, Long, Long, Long, Long, Long)]]
+      val stream = MemoryStream[EmbStreams.EmbArrival]
+      val q = idx.residualDriftMonitor(stream.toDS()) { rep =>
+        val t = toTuples(rep.collect())
+        reports.synchronized { reports = t :: reports }
+      }
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+      q.stop()
+
+      val expected = toTuples(
+        idx.residualDrift(e.filter($"vec_id" % 7 === 0)).collect())
+      assert(reports.nonEmpty && expected.nonEmpty)
+      assert(reports.head == expected,
+        s"final IVF-PQ residual report diverged from batch e34 drift: " +
+          s"onlyStream=${(reports.head -- expected).take(5)} " +
+          s"onlyBatch=${(expected -- reports.head).take(5)}")
+      // each arrival contributes one code per subspace
+      assert(reports.last.toSeq.map(_._4).sum ==
+        b1.length.toLong * idx.codebooks.length)
+    } finally codes.unpersist()
+  }
+
   test("streaming PQ code-drift monitor's final report equals the batch e31 drift") {
     val spark2 = spark
     import spark2.implicits._
