@@ -597,6 +597,35 @@ object Graft {
   def compactIndex(spark: SparkSession, dir: String): Unit =
     IndexStore.compact(spark, dir)
 
+  /** The saved index's append-epoch AUDIT LOG, ordered: one (seq, op,
+    * n_rows, ts_millis) row per lifecycle op that touched `dir` —
+    * `save` and `compact` record the primary table's on-disk total,
+    * `append` the on-disk DELTA, `vacuum` the orphan dirs removed.
+    * Row counts come from the written parquet footers (metadata-speed
+    * at any scale), so the log records what actually landed — the
+    * operational answer to "who grew this index and by how much".
+    * Gate: `e35_index_epochs` (the deterministic (seq, op, n_rows)
+    * projection vs counts DuckDB derives from the source table).
+    */
+  def indexEpochs(spark: SparkSession, dir: String): DataFrame =
+    IndexStore.epochs(spark, dir)
+
+  /** Introspect a saved index directory (any kind): one row per
+    * stored table — (kind, version, table, n_rows, n_files, bytes).
+    * Many files per row is the [[compactIndex]] signal; row counts
+    * are footer-metadata reads, never column scans.
+    */
+  def describeIndex(spark: SparkSession, dir: String): DataFrame =
+    IndexStore.describe(spark, dir)
+
+  /** Remove orphaned `.compact` temp dirs a crashed [[compactIndex]]
+    * can leave behind (the swap materializes the rewrite FULLY before
+    * removing the original, so an orphan is never the live table).
+    * Returns the number removed; records a `vacuum` epoch when > 0.
+    */
+  def vacuumIndex(spark: SparkSession, dir: String): Int =
+    IndexStore.vacuum(spark, dir)
+
   /** Build the product-quantization index (Jégou et al. 2011): train
     * 4-subspace × 16-dim codebooks (4 centroids each, 2 Lloyd
     * iterations, deterministic every-125th init) on the corpus, then

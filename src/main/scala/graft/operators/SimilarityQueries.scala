@@ -2357,6 +2357,42 @@ object SimilarityQueries {
          |  abs(ppm_base - ppm_new) AS drift_ppm
          |FROM rep ORDER BY m, code""".stripMargin))
 
+  /** Append-epoch AUDIT gate — the durable store's bookkeeping axis:
+    * run a full save → durable-append → compact lifecycle on an IVF
+    * index (e26's % 5 split) and read back the
+    * [[graft.sources.IndexStore]] epoch log. The deterministic
+    * projection (seq, op, n_rows) is gated — `n_rows` is counted FROM
+    * THE WRITTEN FILES, so the gate proves the audit records what
+    * actually landed: the save's total is the snapshot count, the
+    * append's DELTA is the arrival count, the compact's total is the
+    * whole corpus — all three derivable by DuckDB from the source
+    * table alone (timestamps are wall-clock and excluded). At 100 TB
+    * every count is a parquet-footer metadata read.
+    */
+  val e35IndexEpochs = QueryDef(
+    "e35_index_epochs",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_e35_ivf").toString
+      graft.api.Graft.annIndex(e.filter(col("vec_id") % 5 =!= 0)).save(dir)
+      graft.api.Graft.loadAnnIndex(s, dir)
+        .appendDurable(dir, e.filter(col("vec_id") % 5 === 0))
+      graft.api.Graft.compactIndex(s, dir)
+      graft.api.Graft.indexEpochs(s, dir)
+        .select(col("seq"), col("op"), col("n_rows"))
+        .orderBy(col("seq"))
+    },
+    Some(
+      """SELECT seq, op, n_rows FROM (
+        |  SELECT 1 AS seq, 'save' AS op,
+        |    (SELECT count(*) FROM embeddings WHERE vec_id % 5 <> 0) AS n_rows
+        |  UNION ALL SELECT 2, 'append',
+        |    (SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0)
+        |  UNION ALL SELECT 3, 'compact',
+        |    (SELECT count(*) FROM embeddings)
+        |) ORDER BY seq""".stripMargin))
+
   /** IVF-PQ coarse-cell drift gate — e28's monitoring contract for the
     * composite family: the coarse quantizer IS an IVF structure (both
     * families share [[labelCentroids]]/[[assignCells]]), so
@@ -2535,5 +2571,5 @@ object SimilarityQueries {
     e22HybridRrf, e23MmrRerank, e24FilteredIvf, e25AnnRecallFiltered,
     e26IvfAppend, e27PqAppend, e28IndexDrift, e29IvfPqAppend,
     e30IndexPersistence, e31PqCodeDrift, e32IvfPqDrift, e33DurableAppend,
-    e34IvfPqResidualDrift)
+    e34IvfPqResidualDrift, e35IndexEpochs)
 }

@@ -31,6 +31,9 @@ import org.apache.spark.sql.functions._
   *   - `corpus/` — (vec_id, embedding) raw vectors (PQ only — the
   *     [[graft.api.Graft.PqIndex.rerank]] fetch side; production
   *     stores keep these on cold storage next to the hot codes).
+  *   - `epochs/` — the append-epoch AUDIT LOG: one (seq, op, n_rows,
+  *     ts_millis) row per lifecycle op (save/append/compact/vacuum),
+  *     with `n_rows` counted from the written files. See [[Epoch]].
   *
   * Writes use overwrite semantics per sub-path (re-saving an appended
   * index over its own directory is the normal refresh cycle). All
@@ -51,6 +54,20 @@ object IndexStore {
   val Version = 1
 
   final case class Manifest(kind: String, version: Int, m_bits: Long)
+
+  /** One audit row per lifecycle op — the append-epoch log a
+    * production store reads to answer "what happened to this index
+    * and when": (seq, op, n_rows, ts_millis). `n_rows` is counted
+    * FROM THE WRITTEN FILES (parquet footers carry row counts, so the
+    * count is metadata-speed at any scale) — the audit records what
+    * actually landed, not what the caller claimed: save/compact
+    * record the table's on-disk total, append records the on-disk
+    * DELTA, vacuum the number of orphaned temp dirs removed. `seq` is
+    * read-max-plus-one — the store's single-writer assumption (the
+    * same one parquet append itself carries).
+    */
+  final case class Epoch(seq: Int, op: String, n_rows: Long,
+                         ts_millis: Long)
 
   private def writeManifest(spark: SparkSession, dir: String, kind: String,
                             mBits: Long = 0L): Unit = {
@@ -77,6 +94,41 @@ object IndexStore {
       s"$dir was written by layout version ${r.version}; this build reads $Version")
     r
   }
+
+  /** Row count of a written parquet table — metadata-speed (footer
+    * row counts; no column data is read), 0 if the path is absent.
+    */
+  private def diskRows(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path).count() else 0L
+  }
+
+  private def recordEpoch(spark: SparkSession, dir: String, op: String,
+                          nRows: Long): Unit = {
+    import spark.implicits._
+    val path = s"$dir/epochs"
+    val prev = new org.apache.hadoop.fs.Path(path)
+    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next =
+      if (fs.exists(prev))
+        spark.read.parquet(path).agg(max(col("seq"))).collect()(0)
+          .getInt(0) + 1
+      else 1
+    Seq(Epoch(next, op, nRows, System.currentTimeMillis()))
+      .toDF().coalesce(1)
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** The audit log, ordered: (seq, op, n_rows, ts_millis). Facade:
+    * [[graft.api.Graft.indexEpochs]]. Gate: `e35_index_epochs` (the
+    * deterministic (seq, op, n_rows) projection — row counts are
+    * derivable from the source table, timestamps are wall-clock).
+    */
+  def epochs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/epochs")
+      .select(col("seq"), col("op"), col("n_rows"), col("ts_millis"))
+      .orderBy(col("seq"))
 
   private def writeCodebooks(spark: SparkSession, dir: String,
                              cbs: Array[Array[Array[Double]]]): Unit = {
@@ -117,6 +169,7 @@ object IndexStore {
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
     writeManifest(spark, dir, "ivf")
+    recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/assigned"))
   }
 
   /** DURABLE append — write already-assigned arrival rows (vec_id,
@@ -128,10 +181,14 @@ object IndexStore {
     * arrival batch cannot land in a PQ directory.
     */
   def appendIvf(dir: String, assignedArrivals: DataFrame): Unit = {
-    readManifest(assignedArrivals.sparkSession, dir, "ivf")
+    val spark = assignedArrivals.sparkSession
+    readManifest(spark, dir, "ivf")
+    val before = diskRows(spark, s"$dir/assigned")
     assignedArrivals.select(col("vec_id"), col("embedding"), col("cell"))
       .write.mode(SaveMode.Append)
       .partitionBy("cell").parquet(s"$dir/assigned")
+    recordEpoch(spark, dir, "append",
+      diskRows(spark, s"$dir/assigned") - before)
   }
 
   /** (assigned, centroids) — column order and types normalized back to
@@ -162,6 +219,7 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/corpus")
     writeCodebooks(spark, dir, codebooks)
     writeManifest(spark, dir, "pq")
+    recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/codes"))
   }
 
   /** DURABLE append for the PQ layout: encoded arrival codes append to
@@ -176,11 +234,14 @@ object IndexStore {
     val spark = codesArrivals.sparkSession
     readManifest(spark, dir, "pq")
     val m = readCodebooks(spark, dir).length
+    val before = diskRows(spark, s"$dir/codes")
     corpusArrivals.select(col("vec_id"), col("embedding"))
       .write.mode(SaveMode.Append).parquet(s"$dir/corpus")
     codesArrivals
       .select(col("vec_id") +: (0 until m).map(mi => col(s"code_$mi")): _*)
       .write.mode(SaveMode.Append).parquet(s"$dir/codes")
+    recordEpoch(spark, dir, "append",
+      diskRows(spark, s"$dir/codes") - before)
   }
 
   /** (codes, codebooks, corpus). */
@@ -214,6 +275,7 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
     writeCodebooks(spark, dir, codebooks)
     writeManifest(spark, dir, "ivfpq")
+    recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/codes"))
   }
 
   /** DURABLE append for the IVF-PQ layout: encoded arrival rows
@@ -225,11 +287,14 @@ object IndexStore {
     val spark = codesArrivals.sparkSession
     readManifest(spark, dir, "ivfpq")
     val m = readCodebooks(spark, dir).length
+    val before = diskRows(spark, s"$dir/codes")
     codesArrivals.select(Seq(col("vec_id"), col("cell")) ++
         (0 until m).map(mi => col(s"code_$mi")) ++
         (0 until m).map(mi => col(s"recon2_$mi")): _*)
       .write.mode(SaveMode.Append)
       .partitionBy("cell").parquet(s"$dir/codes")
+    recordEpoch(spark, dir, "append",
+      diskRows(spark, s"$dir/codes") - before)
   }
 
   /** (codes, centroids, codebooks). */
@@ -297,16 +362,75 @@ object IndexStore {
       require(fs.rename(tmp, src),
         s"compact: rename $tmp -> $src failed; recover from $tmp")
     }
-    kind match {
-      case "ivf" => swap("assigned", partitioned = true)
+    val primary = kind match {
+      case "ivf" =>
+        swap("assigned", partitioned = true); "assigned"
       case "pq" =>
         swap("codes", partitioned = false)
-        swap("corpus", partitioned = false)
-      case "ivfpq" => swap("codes", partitioned = true)
-      case "bloom" => swap("words", partitioned = false)
+        swap("corpus", partitioned = false); "codes"
+      case "ivfpq" =>
+        swap("codes", partitioned = true); "codes"
+      case "bloom" =>
+        swap("words", partitioned = false); "words"
       case other => throw new IllegalStateException(
         s"$dir/manifest: unknown kind '$other'")
     }
+    // the epoch log itself accretes one small file per lifecycle op —
+    // collapse it with the big tables, then record this compaction
+    swap("epochs", partitioned = false)
+    recordEpoch(spark, dir, "compact", diskRows(spark, s"$dir/$primary"))
+  }
+
+  /** Remove orphaned `.compact` temp dirs — the debris a crash
+    * mid-[[compact]] can leave (the swap materializes fully into
+    * `<table>.compact` before the original is removed, so the orphan
+    * is always a COMPLETE or ABANDONED copy, never the live table).
+    * Returns the number of dirs removed; records a `vacuum` epoch
+    * when anything was. Safe to run any time — live tables never end
+    * in `.compact`.
+    */
+  def vacuum(spark: SparkSession, dir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphans = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.endsWith(".compact"))
+    orphans.foreach(s => fs.delete(s.getPath, true))
+    if (orphans.nonEmpty)
+      recordEpoch(spark, dir, "vacuum", orphans.length.toLong)
+    orphans.length
+  }
+
+  /** Introspection: one row per stored table — (kind, version, table,
+    * n_rows, n_files, bytes). Row counts are footer-metadata reads;
+    * file/byte counts are a filesystem walk. The operational answer
+    * to "how big is this index and does it need a [[compact]]" (many
+    * files per row ⇒ yes). Facade: [[graft.api.Graft.describeIndex]].
+    */
+  def describe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val man = spark.read.parquet(s"$dir/manifest").collect()(0)
+    val kind = man.getAs[String]("kind")
+    val version = man.getAs[Int]("version")
+    val tables = (kind match {
+      case "ivf" => Seq("assigned", "centroids")
+      case "pq" => Seq("codes", "codebooks", "corpus")
+      case "ivfpq" => Seq("codes", "centroids", "codebooks")
+      case "bloom" => Seq("words")
+      case other => throw new IllegalStateException(
+        s"$dir/manifest: unknown kind '$other'")
+    }) :+ "epochs"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rows = tables.flatMap { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) None
+      else {
+        val sum = fs.getContentSummary(p)
+        Some((kind, version, t, diskRows(spark, s"$dir/$t"),
+          sum.getFileCount, sum.getLength))
+      }
+    }
+    rows.toDF("kind", "version", "table", "n_rows", "n_files", "bytes")
   }
 
   // ------------------------------------------------------------------
@@ -318,6 +442,7 @@ object IndexStore {
     words.select(col("w"), col("word"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/words")
     writeManifest(spark, dir, "bloom", mBits.toLong)
+    recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/words"))
   }
 
   /** (words, mBits) — the carried modulus survives the round-trip, so

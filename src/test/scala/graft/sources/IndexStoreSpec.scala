@@ -217,6 +217,63 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       == beforeIvf)
   }
 
+  test("epoch audit: save/append/compact record (seq, op, n_rows) counted from the written files") {
+    val snapshot = emb.filter(col("vec_id") % 5 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 5 === 0)
+    val d = tmp()
+    Graft.annIndex(snapshot).save(d)
+    Graft.loadAnnIndex(spark, d).appendDurable(d, arrivals)
+    Graft.compactIndex(spark, d)
+    val log = exact(Graft.indexEpochs(spark, d)
+      .select(col("seq"), col("op"), col("n_rows")))
+    assert(log == Seq(
+      Seq(1, "save", snapshot.count()),
+      Seq(2, "append", arrivals.count()),
+      Seq(3, "compact", emb.count())))
+    // timestamps are present and non-decreasing
+    val ts = Graft.indexEpochs(spark, d).select(col("ts_millis"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ts == ts.sorted && ts.forall(_ > 0))
+  }
+
+  test("vacuum: removes only orphaned .compact dirs and records the epoch") {
+    val d = tmp()
+    Graft.annIndex(emb).save(d)
+    val before = exact(Graft.loadAnnIndex(spark, d).search(queries))
+    // simulate a crash mid-compact: a complete-but-unswapped temp dir
+    val orphan = new java.io.File(s"$d/assigned.compact")
+    assert(orphan.mkdir())
+    Files.write(orphan.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(Graft.vacuumIndex(spark, d) == 1)
+    assert(!orphan.exists())
+    // live tables untouched; a second vacuum is a no-op
+    assert(exact(Graft.loadAnnIndex(spark, d).search(queries)) == before)
+    assert(Graft.vacuumIndex(spark, d) == 0)
+    val ops = Graft.indexEpochs(spark, d).select(col("op"))
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("save", "vacuum"))
+  }
+
+  test("describe: one row per stored table with rows/files/bytes, for every kind") {
+    val dIvf = tmp()
+    Graft.annIndex(emb).save(dIvf)
+    val ivfDesc = Graft.describeIndex(spark, dIvf)
+      .collect().map(r => r.getAs[String]("table") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_files"),
+          r.getAs[Long]("bytes"))).toMap
+    assert(ivfDesc.keySet == Set("assigned", "centroids", "epochs"))
+    assert(ivfDesc("assigned")._1 == emb.count())
+    assert(ivfDesc.values.forall { case (_, f, b) => f > 0 && b > 0 })
+    val dPq = tmp()
+    Graft.pqIndex(emb).save(dPq)
+    assert(Graft.describeIndex(spark, dPq).select(col("table"))
+      .collect().map(_.getString(0)).toSet
+      == Set("codes", "codebooks", "corpus", "epochs"))
+    assert(Graft.describeIndex(spark, dPq)
+      .filter(col("kind") =!= "pq").count() == 0)
+  }
+
   test("loading a directory of the wrong kind fails loudly") {
     val d = tmp()
     Graft.annIndex(emb).save(d)
