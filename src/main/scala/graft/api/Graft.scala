@@ -441,6 +441,20 @@ object Graft {
       loadAnnIndex(newVecs.sparkSession, dir)
     }
 
+    /** Export a SHARD: assign `vecs` with this handle's frozen
+      * centroids (the exact gated [[append]] kernel) and save them as
+      * a self-contained index directory — the map step of a PARALLEL
+      * index build. Train once, run N shard jobs over disjoint corpus
+      * slices (each writes its own directory: no write contention, no
+      * coordination), then fold them into the serving directory with
+      * [[mergeIndex]] — which moves files by rename, never reading a
+      * data byte, and value-checks the artifacts so a shard from a
+      * DIFFERENT training run is refused. Gate: `e36_shard_merge`.
+      */
+    def shard(dir: String, vecs: DataFrame): Unit =
+      IndexStore.saveIvf(dir,
+        SimilarityQueries.assignCells(vecs, centroids), centroids)
+
     /** Cell-occupancy drift report — the RE-TRAIN TRIGGER [[append]]'s
       * doc points at: assign a non-empty arrival `sample` (vec_id,
       * embedding) to the trained centroids and compare per-cell
@@ -626,6 +640,22 @@ object Graft {
   def vacuumIndex(spark: SparkSession, dir: String): Int =
     IndexStore.vacuum(spark, dir)
 
+  /** Fold a shard index directory into `dstDir` — the reduce step of
+    * a PARALLEL index build (train once → N independent
+    * [[IvfIndex.shard]]/[[PqIndex.shard]]/[[IvfPqIndex.shard]] jobs
+    * over disjoint corpus slices, each writing its own directory → N
+    * merges into the serving directory). The data tables move by
+    * FILESYSTEM RENAME (per cell directory for the partitioned
+    * families) — metadata-speed at any corpus size; the frozen
+    * artifacts are compared VALUE-BY-VALUE first, so a shard from a
+    * different training run fails loudly instead of silently
+    * mis-celling half the corpus. Bloom directories union by bit_or
+    * (mergeable-sketch semantics). Records a `merge` epoch; the
+    * consumed shard directory is deleted. Gate: `e36_shard_merge`.
+    */
+  def mergeIndex(spark: SparkSession, dstDir: String, srcDir: String): Unit =
+    IndexStore.merge(spark, dstDir, srcDir)
+
   /** Build the product-quantization index (Jégou et al. 2011): train
     * 4-subspace × 16-dim codebooks (4 centroids each, 2 Lloyd
     * iterations, deterministic every-125th init) on the corpus, then
@@ -714,6 +744,19 @@ object Graft {
         newVecs.select(col("vec_id"), col("embedding")))
       loadPqIndex(newVecs.sparkSession, dir)
     }
+
+    /** Export a SHARD ([[IvfIndex.shard]]'s contract for the
+      * compressed family): encode `vecs` against this handle's FROZEN
+      * codebooks and save codes + raw rerank vectors as a
+      * self-contained index directory, foldable into the serving
+      * directory by [[mergeIndex]] (file renames; codebooks
+      * value-checked, so shards from a different training run are
+      * refused). IndexStoreSpec proves sharded ≡ appended.
+      */
+    def shard(dir: String, vecs: DataFrame): Unit =
+      IndexStore.savePq(dir,
+        SimilarityQueries.pqEncode(vecs, codebooks), codebooks,
+        vecs.select(col("vec_id"), col("embedding")))
 
     private def renamed(queries: DataFrame): DataFrame =
       queries.select(col("vec_id").as("query_id"),
@@ -850,6 +893,18 @@ object Graft {
         SimilarityQueries.ivfPqEncode(newVecs, centroids, codebooks))
       loadIvfPqIndex(newVecs.sparkSession, dir)
     }
+
+    /** Export a SHARD ([[IvfIndex.shard]]'s contract for the
+      * composite family): encode `vecs` against the frozen coarse
+      * centroids + residual codebooks and save the cell-partitioned
+      * code rows as a self-contained index directory, foldable by
+      * [[mergeIndex]] (per-cell file renames; BOTH artifact sets
+      * value-checked). IndexStoreSpec proves sharded ≡ appended.
+      */
+    def shard(dir: String, vecs: DataFrame): Unit =
+      IndexStore.saveIvfPq(dir,
+        SimilarityQueries.ivfPqEncode(vecs, centroids, codebooks),
+        centroids, codebooks)
 
     /** Persist to `dir` ([[graft.sources.IndexStore]] layout): the
       * code table partitioned by coarse cell (probe-time scans read

@@ -2393,6 +2393,40 @@ object SimilarityQueries {
         |    (SELECT count(*) FROM embeddings)
         |) ORDER BY seq""".stripMargin))
 
+  /** Parallel shard-build gate — the distributed index-construction
+    * pattern at 100 TB: train the artifacts ONCE on a snapshot
+    * (vec_id % 5 ≠ 0), export the arrivals as TWO independent shard
+    * directories ([[graft.api.Graft.IvfIndex.shard]] — each encodes
+    * its slice with the frozen centroids, the exact e26 append
+    * kernel, and writes a self-contained index dir: no write
+    * contention between shard jobs), then fold both into the serving
+    * directory with [[graft.api.Graft.mergeIndex]] — file RENAMES,
+    * value-checked artifacts — and search through a fresh handle.
+    * Assignment is centroid-pure and merge moves files verbatim, so
+    * shard-and-merge must equal assign-all-at-once exactly: the
+    * oracle is e26's text, byte-identical.
+    */
+  val e36ShardMerge = QueryDef(
+    "e36_shard_merge",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_e36_shards").toString
+      val idx = graft.api.Graft.annIndex(e.filter(col("vec_id") % 5 =!= 0))
+      idx.save(s"$root/main")
+      idx.shard(s"$root/s1",
+        e.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 0))
+      idx.shard(s"$root/s2",
+        e.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 1))
+      graft.api.Graft.mergeIndex(s, s"$root/main", s"$root/s1")
+      graft.api.Graft.mergeIndex(s, s"$root/main", s"$root/s2")
+      graft.api.Graft.loadAnnIndex(s, s"$root/main")
+        .search(e.filter(col("vec_id") < 5), probes = 2, k = 3)
+    },
+    Some(
+      s"""WITH ${centArrSqlOver("WHERE vec_id % 5 <> 0")},
+         |${ivfSearchSql("cent_arr", "ASC")}""".stripMargin))
+
   /** IVF-PQ coarse-cell drift gate — e28's monitoring contract for the
     * composite family: the coarse quantizer IS an IVF structure (both
     * families share [[labelCentroids]]/[[assignCells]]), so
@@ -2571,5 +2605,5 @@ object SimilarityQueries {
     e22HybridRrf, e23MmrRerank, e24FilteredIvf, e25AnnRecallFiltered,
     e26IvfAppend, e27PqAppend, e28IndexDrift, e29IvfPqAppend,
     e30IndexPersistence, e31PqCodeDrift, e32IvfPqDrift, e33DurableAppend,
-    e34IvfPqResidualDrift, e35IndexEpochs)
+    e34IvfPqResidualDrift, e35IndexEpochs, e36ShardMerge)
 }

@@ -381,6 +381,141 @@ object IndexStore {
     recordEpoch(spark, dir, "compact", diskRows(spark, s"$dir/$primary"))
   }
 
+  /** MERGE a shard index directory into `dstDir` — the reduce step of
+    * a PARALLEL index build: train the artifacts once, let N
+    * independent jobs encode disjoint corpus slices into their own
+    * shard directories ([[graft.api.Graft.IvfIndex.shard]] et al. —
+    * no write contention, no coordination), then fold the shards into
+    * the serving directory. Both directories must hold the SAME kind
+    * and IDENTICAL frozen artifacts (centroids / codebooks / mBits —
+    * compared value-by-value, so merging two independently trained
+    * indexes fails loudly instead of silently mis-celling half the
+    * corpus). The big data tables move by FILESYSTEM RENAME — per
+    * partition directory for the cell-partitioned families —
+    * so a merge is metadata-speed regardless of corpus size (the
+    * 100 TB property: the reduce step never reads a data byte). The
+    * Bloom kind is the exception by nature: its union is a bit_or
+    * fold over the word rows (mergeable-sketch semantics), rewritten
+    * through a temp dir + rename swap. Records a `merge` epoch with
+    * the on-disk row delta, then DELETES the consumed shard
+    * directory.
+    */
+  def merge(spark: SparkSession, dstDir: String, srcDir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def manifestOf(dir: String): Manifest =
+      spark.read.parquet(s"$dir/manifest").collect() match {
+        case Array(row) => Manifest(row.getAs[String]("kind"),
+          row.getAs[Int]("version"), row.getAs[Long]("m_bits"))
+        case rows => throw new IllegalStateException(
+          s"$dir/manifest: expected exactly 1 row, found ${rows.length}")
+      }
+    val dm = manifestOf(dstDir)
+    val sm = manifestOf(srcDir)
+    require(dm.kind == sm.kind,
+      s"cannot merge a '${sm.kind}' shard into a '${dm.kind}' index")
+    require(dm.version == Version && sm.version == Version,
+      s"layout version mismatch: $dstDir=${dm.version}, $srcDir=${sm.version}; this build reads $Version")
+    require(dm.m_bits == sm.m_bits,
+      s"cannot merge Bloom sketches of different sizes: ${dm.m_bits} vs ${sm.m_bits}")
+
+    def requireSameCentroids(): Unit = {
+      def pulled(dir: String) = spark.read.parquet(s"$dir/centroids")
+        .select(col("cell"), col("centroid")).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+      require(pulled(dstDir) == pulled(srcDir),
+        s"$srcDir was built against different centroids than $dstDir — " +
+          "merging would mis-cell its rows; shards must come from the " +
+          "same trained handle")
+    }
+    def requireSameCodebooks(): Unit = {
+      val a = readCodebooks(spark, dstDir)
+      val b = readCodebooks(spark, srcDir)
+      require(a.length == b.length && a.indices.forall(mi =>
+        a(mi).length == b(mi).length && a(mi).indices.forall(ci =>
+          a(mi)(ci).sameElements(b(mi)(ci)))),
+        s"$srcDir was built against different codebooks than $dstDir — " +
+          "merging would mix incompatible code spaces; shards must come " +
+          "from the same trained handle")
+    }
+
+    /** Move every data file of `srcDir/table` into `dstDir/table` by
+      * rename (with its checksum sibling on checksummed filesystems).
+      * Parquet part filenames carry a write-UUID, so collisions mean
+      * the same shard was merged twice — refused, not overwritten.
+      */
+    def moveFiles(fs: org.apache.hadoop.fs.FileSystem,
+                  from: org.apache.hadoop.fs.Path,
+                  to: org.apache.hadoop.fs.Path): Unit = {
+      if (!fs.exists(to)) fs.mkdirs(to)
+      fs.listStatus(from).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) moveFiles(fs, st.getPath,
+          new org.apache.hadoop.fs.Path(to, name))
+        else if (!name.startsWith("_") && !name.startsWith(".")) {
+          val dstFile = new org.apache.hadoop.fs.Path(to, name)
+          require(!fs.exists(dstFile),
+            s"merge: $dstFile already exists — was this shard merged twice?")
+          require(fs.rename(st.getPath, dstFile),
+            s"merge: rename ${st.getPath} -> $dstFile failed")
+          val crc = new org.apache.hadoop.fs.Path(from, s".$name.crc")
+          if (fs.exists(crc))
+            fs.rename(crc, new org.apache.hadoop.fs.Path(to, s".$name.crc"))
+        }
+      }
+    }
+    def moveTable(table: String): Unit = {
+      val from = new org.apache.hadoop.fs.Path(s"$srcDir/$table")
+      val fs = from.getFileSystem(hconf)
+      if (fs.exists(from))
+        moveFiles(fs, from, new org.apache.hadoop.fs.Path(s"$dstDir/$table"))
+    }
+
+    def moveAndLog(primary: String, alsoMove: Seq[String] = Nil): Unit = {
+      val before = diskRows(spark, s"$dstDir/$primary")
+      moveTable(primary)
+      alsoMove.foreach(moveTable)
+      recordEpoch(spark, dstDir, "merge",
+        diskRows(spark, s"$dstDir/$primary") - before)
+    }
+    dm.kind match {
+      case "ivf" =>
+        requireSameCentroids()
+        moveAndLog("assigned")
+      case "pq" =>
+        requireSameCodebooks()
+        moveAndLog("codes", Seq("corpus"))
+      case "ivfpq" =>
+        requireSameCentroids(); requireSameCodebooks()
+        moveAndLog("codes")
+      case "bloom" =>
+        // mergeable-sketch semantics: bit_or fold, not a file move —
+        // materialize the union FULLY into a temp dir before touching
+        // the live table (compact's crash-safety order)
+        val before = diskRows(spark, s"$dstDir/words")
+        val merged = spark.read.parquet(s"$dstDir/words")
+          .unionByName(spark.read.parquet(s"$srcDir/words"))
+          .groupBy(col("w")).agg(expr("bit_or(word)").as("word"))
+        val live = new org.apache.hadoop.fs.Path(s"$dstDir/words")
+        val fs = live.getFileSystem(hconf)
+        val tmp = new org.apache.hadoop.fs.Path(s"$dstDir/words.compact")
+        fs.delete(tmp, true)
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        fs.delete(live, true)
+        require(fs.rename(tmp, live),
+          s"merge: rename $tmp -> $live failed; recover from $tmp")
+        // record vs the pre-merge count (bit_or can collapse rows)
+        recordEpoch(spark, dstDir, "merge",
+          diskRows(spark, s"$dstDir/words") - before)
+        val srcRoot = new org.apache.hadoop.fs.Path(srcDir)
+        fs.delete(srcRoot, true)
+        return
+      case other => throw new IllegalStateException(
+        s"$dstDir/manifest: unknown kind '$other'")
+    }
+    val srcRoot = new org.apache.hadoop.fs.Path(srcDir)
+    srcRoot.getFileSystem(hconf).delete(srcRoot, true)
+  }
+
   /** Remove orphaned `.compact` temp dirs — the debris a crash
     * mid-[[compact]] can leave (the swap materializes fully into
     * `<table>.compact` before the original is removed, so the orphan

@@ -274,6 +274,96 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("kind") =!= "pq").count() == 0)
   }
 
+  test("shard + merge: IVF parallel build equals the append path; shards consumed; epochs logged") {
+    val snapshot = emb.filter(col("vec_id") % 5 =!= 0)
+    val a1 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 0)
+    val a2 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 1)
+    val idx = Graft.annIndex(snapshot)
+    val root = tmp()
+    idx.save(s"$root/main")
+    idx.shard(s"$root/s1", a1)
+    idx.shard(s"$root/s2", a2)
+    Graft.mergeIndex(spark, s"$root/main", s"$root/s1")
+    Graft.mergeIndex(spark, s"$root/main", s"$root/s2")
+    val merged = Graft.loadAnnIndex(spark, s"$root/main")
+    assert(exact(merged.search(queries))
+      == exact(idx.append(a1.unionByName(a2)).search(queries)))
+    // consumed shards are gone; the audit names what each merge moved
+    assert(!new java.io.File(s"$root/s1").exists())
+    assert(!new java.io.File(s"$root/s2").exists())
+    val log = exact(Graft.indexEpochs(spark, s"$root/main")
+      .select(col("seq"), col("op"), col("n_rows")))
+    assert(log == Seq(
+      Seq(1, "save", snapshot.count()),
+      Seq(2, "merge", a1.count()),
+      Seq(3, "merge", a2.count())))
+  }
+
+  test("shard + merge: PQ search and rerank equal the append path") {
+    val snapshot = emb.filter(col("vec_id") % 7 =!= 0)
+    val a1 = emb.filter(col("vec_id") % 7 === 0 && col("vec_id") % 2 === 0)
+    val a2 = emb.filter(col("vec_id") % 7 === 0 && col("vec_id") % 2 === 1)
+    val idx = Graft.pqIndex(snapshot)
+    val root = tmp()
+    idx.save(s"$root/main")
+    idx.shard(s"$root/s1", a1)
+    idx.shard(s"$root/s2", a2)
+    Graft.mergeIndex(spark, s"$root/main", s"$root/s1")
+    Graft.mergeIndex(spark, s"$root/main", s"$root/s2")
+    val merged = Graft.loadPqIndex(spark, s"$root/main")
+    val viaAppend = idx.append(a1.unionByName(a2))
+    assert(exact(merged.search(queries)) == exact(viaAppend.search(queries)))
+    assert(exact(merged.rerank(queries)) == exact(viaAppend.rerank(queries)))
+  }
+
+  test("shard + merge: IVF-PQ equals the append path") {
+    // % 7 split, e29's protocol: % 5 empties the every-125th codebook init
+    val snapshot = emb.filter(col("vec_id") % 7 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 7 === 0)
+    val idx = Graft.ivfPqIndex(snapshot)
+    val root = tmp()
+    idx.save(s"$root/main")
+    idx.shard(s"$root/s1", arrivals)
+    Graft.mergeIndex(spark, s"$root/main", s"$root/s1")
+    assert(exact(Graft.loadIvfPqIndex(spark, s"$root/main").search(queries))
+      == exact(idx.append(arrivals).search(queries)))
+  }
+
+  test("merge: Bloom directories union by bit_or, equal to the in-memory merge") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val s1 = Graft.bloomSketch(Graft.segmentHashes(half1))
+    val s2 = Graft.bloomSketch(Graft.segmentHashes(half2))
+    val root = tmp()
+    s1.save(s"$root/main")
+    s2.save(s"$root/shard")
+    Graft.mergeIndex(spark, s"$root/main", s"$root/shard")
+    val loaded = Graft.loadBloomIndex(spark, s"$root/main")
+    assert(loaded.mBits == s1.mBits)
+    assert(exact(loaded.words.orderBy("w"))
+      == exact(s1.merge(s2).words.orderBy("w")))
+    assert(!new java.io.File(s"$root/shard").exists())
+  }
+
+  test("merge: a shard from a DIFFERENT training run is refused; so is a kind mismatch") {
+    val root = tmp()
+    Graft.annIndex(emb.filter(col("vec_id") % 5 =!= 0)).save(s"$root/main")
+    // independently trained centroids differ -> artifact check fires
+    Graft.annIndex(emb.filter(col("vec_id") % 3 =!= 0)).save(s"$root/other")
+    val err = intercept[IllegalArgumentException] {
+      Graft.mergeIndex(spark, s"$root/main", s"$root/other")
+    }
+    assert(err.getMessage.contains("different centroids"))
+    // the refused shard and the dst are both intact
+    assert(new java.io.File(s"$root/other/assigned").exists())
+    Graft.pqIndex(emb).save(s"$root/pq")
+    val kindErr = intercept[IllegalArgumentException] {
+      Graft.mergeIndex(spark, s"$root/main", s"$root/pq")
+    }
+    assert(kindErr.getMessage.contains("'pq'"))
+  }
+
   test("loading a directory of the wrong kind fails loudly") {
     val d = tmp()
     Graft.annIndex(emb).save(d)
