@@ -151,7 +151,13 @@ object ScaleBench {
       "e32_ivfpq_drift",
       // e33: the durable-append seam - e27's encode plus one
       // partitioned write of the arrivals and a store re-open
-      "e33_durable_append")
+      "e33_durable_append",
+      // e36: the parallel-build seam - one save of the snapshot + two
+      // shard encodes/writes of the arrival halves (all linear), then
+      // two merges that move files by RENAME (metadata-speed: the
+      // reduce step's cost must NOT grow with corpus size - the cell
+      // should track e33's write-bound curve, the merges adding ~0)
+      "e36_shard_merge")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
@@ -215,7 +221,8 @@ object ScaleBench {
       "d17_semantic_decontamination", "e24_filtered_ivf",
       "e25_ann_recall_filtered", "e26_ivf_append", "e27_pq_append",
       "e28_index_drift", "e29_ivfpq_append",
-      "e31_pq_code_drift", "e32_ivfpq_drift", "e33_durable_append")
+      "e31_pq_code_drift", "e32_ivfpq_drift", "e33_durable_append",
+      "e36_shard_merge")
       .map(_ -> "embeddings") ++
       Seq("q56_asof_attribution", "q58_salted_agg", "q66_event_funnel",
         "q57_range_error_proximity").map(_ -> "events")).toMap
