@@ -559,13 +559,18 @@ object Graft {
     /** AT-INGEST drift monitor — [[drift]]'s streaming sibling
       * through the handle: running per-cell arrival counts as
       * streaming state, a full e28-shaped report per trigger against
-      * this index's stored base. Delegates to
-      * [[graft.streaming.EmbStreams.driftMonitor]].
+      * this index's stored base. Pass `checkpointDir` to make the
+      * monitor RESTARTABLE: the running counts live in Spark's state
+      * store under the checkpoint, so a restarted monitor resumes
+      * them without reprocessing committed arrivals (spec-proven).
+      * Delegates to [[graft.streaming.EmbStreams.driftMonitor]].
       */
-    def driftMonitor(arrivals: Dataset[EmbStreams.EmbArrival])
+    def driftMonitor(arrivals: Dataset[EmbStreams.EmbArrival],
+                     checkpointDir: Option[String] = None)
                     (onReport: DataFrame => Unit)
         : org.apache.spark.sql.streaming.StreamingQuery =
-      EmbStreams.driftMonitor(arrivals, assigned, pulledCentroids)(onReport)
+      EmbStreams.driftMonitor(arrivals, assigned, pulledCentroids,
+        checkpointDir)(onReport)
 
     /** [[driftMonitor]] over a SLIDING EVENT-TIME WINDOW — the
       * production trigger watches recent drift, not all-of-history
@@ -808,10 +813,12 @@ object Graft {
       * [[drift]] is spec-proven (EmbStreamsSpec). Stop the returned
       * query when done.
       */
-    def driftMonitor(arrivals: Dataset[EmbStreams.EmbArrival])
+    def driftMonitor(arrivals: Dataset[EmbStreams.EmbArrival],
+                     checkpointDir: Option[String] = None)
                     (onReport: DataFrame => Unit)
         : org.apache.spark.sql.streaming.StreamingQuery =
-      EmbStreams.pqDriftMonitor(arrivals, codes, codebooks)(onReport)
+      EmbStreams.pqDriftMonitor(arrivals, codes, codebooks,
+        checkpointDir)(onReport)
   }
 
   /** Reopen a [[PqIndex]] saved with [[PqIndex.save]]: NO re-training
@@ -981,10 +988,12 @@ object Graft {
       * spec-proven (EmbStreamsSpec). Stop the returned query when
       * done.
       */
-    def driftMonitor(arrivals: Dataset[EmbStreams.EmbArrival])
+    def driftMonitor(arrivals: Dataset[EmbStreams.EmbArrival],
+                     checkpointDir: Option[String] = None)
                     (onReport: DataFrame => Unit)
         : org.apache.spark.sql.streaming.StreamingQuery =
-      EmbStreams.driftMonitor(arrivals, codes, pulledCentroids)(onReport)
+      EmbStreams.driftMonitor(arrivals, codes, pulledCentroids,
+        checkpointDir)(onReport)
 
     /** [[residualDrift]] AT INGEST — the composite family's second
       * monitoring axis as a stream: each micro-batch encodes through

@@ -273,14 +273,24 @@ object EmbStreams {
     element_at(array_sort(array(cellStructs: _*)), -1).getField("cell")
   }
 
+  /** `checkpointDir`: pass a durable location to make the monitor
+    * RESTARTABLE — the running per-cell counts live in Spark's state
+    * store under the checkpoint, so a stopped (or crashed) monitor
+    * restarted on the same dir RESUMES its counts without
+    * reprocessing committed arrivals (EmbStreamsSpec proves the
+    * post-restart report equals batch e28 over ALL arrivals, old and
+    * new). None (the default) uses a temp checkpoint that dies with
+    * the query — fine for tests, not for the production trigger.
+    */
   def driftMonitor(arrivals: Dataset[EmbArrival], assigned: DataFrame,
-                   centroids: Seq[(Int, Array[Float])])
+                   centroids: Seq[(Int, Array[Float])],
+                   checkpointDir: Option[String] = None)
                   (onReport: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val counts = arrivals.toDF()
       .select(cellArgmax(centroids).as("cell"))
       .groupBy(col("cell")).agg(count(lit(1)).as("n_new"))
-    counts.writeStream
+    val w = counts.writeStream
       .outputMode(OutputMode.Complete())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
@@ -298,7 +308,7 @@ object EmbStreams {
           onReport(graft.operators.SimilarityQueries
             .cellDriftFromCounts(assigned, cells, counts))
       }
-      .start()
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
   }
 
   /** WINDOWED drift monitor — [[driftMonitor]] watching RECENT drift
@@ -411,8 +421,13 @@ object EmbStreams {
     * Σ drift_ppm / 2 crosses budget. EmbStreamsSpec proves the final
     * report equals the batch e31 drift of the same arrival set.
     */
+  /** `checkpointDir`: as on [[driftMonitor]] — a durable checkpoint
+    * makes the running per-(m, code) state-store counts survive a
+    * query restart without reprocessing committed arrivals.
+    */
   def pqDriftMonitor(arrivals: Dataset[EmbArrival], codes: DataFrame,
-                     codebooks: Array[Array[Array[Double]]])
+                     codebooks: Array[Array[Array[Double]]],
+                     checkpointDir: Option[String] = None)
                     (onReport: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val counts = graft.operators.SimilarityQueries
@@ -423,7 +438,7 @@ object EmbStreams {
           codebooks),
         codebooks.length)
       .groupBy(col("m"), col("code")).agg(count(lit(1)).as("n_new"))
-    counts.writeStream
+    val w = counts.writeStream
       .outputMode(OutputMode.Complete())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // eager localCheckpoint materializes EVERY partition of the
@@ -434,7 +449,7 @@ object EmbStreams {
           onReport(graft.operators.SimilarityQueries
             .pqCodeDriftFromCounts(codes, codebooks, c))
       }
-      .start()
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
   }
 
   /** AT-INGEST IVF-PQ RESIDUAL-code drift — e34 as a stream, the

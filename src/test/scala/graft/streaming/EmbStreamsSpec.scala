@@ -422,6 +422,65 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally assigned.unpersist()
   }
 
+  test("drift monitor restarted on its checkpoint RESUMES counts without reprocessing committed arrivals") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val ts = Timestamp.valueOf("2026-01-01 09:00:00")
+
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    val idx = graft.api.Graft.annIndex(e.filter($"vec_id" % 5 =!= 0))
+    val assigned = idx.assigned.cache()
+    try {
+      val arriving = e.filter($"vec_id" % 5 === 0)
+        .select("vec_id", "embedding").collect()
+        .map(r => EmbStreams.EmbArrival(r.getLong(0), ts, r.getSeq[Float](1)))
+      val (b1, b2) = arriving.splitAt(arriving.length / 2)
+
+      def toTuples(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getAs[Int]("cell"), r.getAs[Long]("n_base"),
+          r.getAs[Long]("n_new"), r.getAs[Long]("ppm_base"),
+          r.getAs[Long]("ppm_new"), r.getAs[Long]("drift_ppm"))).toSet
+
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft-drift-cp").toString
+      val stream = MemoryStream[EmbStreams.EmbArrival]
+
+      // life 1: process b1 on a durable checkpoint, then STOP
+      val q1 = idx.driftMonitor(stream.toDS(), Some(cp)) { _ => () }
+      stream.addData(b1.toSeq)
+      q1.processAllAvailable()
+      q1.stop()
+
+      // b2 arrives while the monitor is down
+      stream.addData(b2.toSeq)
+
+      // life 2: restart on the SAME checkpoint
+      var reports = List.empty[Set[(Int, Long, Long, Long, Long, Long)]]
+      val q2 = idx.driftMonitor(stream.toDS(), Some(cp)) { rep =>
+        val t = toTuples(rep.collect())
+        reports.synchronized { reports = t :: reports }
+      }
+      q2.processAllAvailable()
+      val inputRows = q2.recentProgress.map(_.numInputRows).sum
+      q2.stop()
+
+      // the restarted monitor read ONLY the uncommitted arrivals ...
+      assert(inputRows == b2.length,
+        s"restart reprocessed committed arrivals: read $inputRows rows, " +
+          s"expected only the ${b2.length} new ones")
+      // ... yet its report covers ALL arrivals — the running counts
+      // were RESTORED from the state store, not recomputed
+      val expected = toTuples(
+        idx.drift(e.filter($"vec_id" % 5 === 0)).collect())
+      assert(reports.nonEmpty && reports.head == expected,
+        s"post-restart report diverged from batch drift over all arrivals: " +
+          s"onlyStream=${(reports.headOption.getOrElse(Set.empty) -- expected).take(5)} " +
+          s"onlyBatch=${(expected -- reports.headOption.getOrElse(Set.empty)).take(5)}")
+    } finally assigned.unpersist()
+  }
+
   test("streaming IVF-PQ coarse drift monitor's final report equals the batch e32 drift") {
     val spark2 = spark
     import spark2.implicits._
