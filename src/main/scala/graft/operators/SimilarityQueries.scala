@@ -48,7 +48,8 @@ object SimilarityQueries {
        |  WHERE rn = 1)""".stripMargin
 
   private def ivfSearchSql(centArr: String, probeCellTieBreak: String,
-                           scoredExtra: String = ""): String =
+                           scoredExtra: String = "",
+                           probes: Int = 2): String =
     s"""${ivfAssignSql(centArr)},
        |probes AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb, cell FROM (
@@ -56,7 +57,7 @@ object SimilarityQueries {
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cell $probeCellTieBreak) AS rn
        |    FROM embeddings e CROSS JOIN $centArr c WHERE e.vec_id < 5)
-       |  WHERE rn <= 2),
+       |  WHERE rn <= $probes),
        |scored AS (
        |  SELECT a.query_id, b.vec_id AS neighbor_id,
        |    ${cosSql("a.q_emb", "b.embedding")} AS cos
@@ -2427,6 +2428,62 @@ object SimilarityQueries {
       s"""WITH ${centArrSqlOver("WHERE vec_id % 5 <> 0")},
          |${ivfSearchSql("cent_arr", "ASC")}""".stripMargin))
 
+  /** Recall-vs-nprobe SWEEP — the tuning artifact an ANN deployment
+    * actually reads before picking its probe count: recall@3 of the
+    * same built IVF index at probes ∈ {1, 2, 3}, one row per
+    * (probes, query). The index is built ONCE and the exact ground
+    * truth (e01) computed ONCE; each sweep point re-probes the same
+    * broadcast structures, so sweeping costs probes × the search
+    * stage, never probes × (train + exact). Recall is monotone
+    * non-decreasing in probes by construction (a superset of cells
+    * can only add candidates) — the gate certifies the whole
+    * latency/recall trade-off curve, not one chosen point. Oracle:
+    * three nested copies of the e05 replay text at rn ≤ 1/2/3 (the
+    * shared [[ivfSearchSql]] with its new probes parameter — the
+    * default path stays byte-identical, e05/e24/e26 re-gate green)
+    * unioned and recall-joined against e01's text, the e10 pattern.
+    */
+  val e37RecallSweep = QueryDef(
+    "e37_recall_sweep",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = graft.api.Graft.annIndex(e)
+      val q = e.filter(col("vec_id") < 5)
+      val exact3 = e01KnnBruteForce.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+      (1 to 3).map { p =>
+        idx.search(q, probes = p, k = 3)
+          .select(lit(p).as("probes"), col("query_id"), col("neighbor_id"))
+      }.reduce(_ unionByName _)
+        .join(exact3,
+          col("query_id") === col("eq") && col("neighbor_id") === col("en"),
+          "left")
+        .groupBy(col("probes"), col("query_id"))
+        .agg(count(col("en")).as("n_matched"),
+          round(count(col("en")) / 3.0, 4).as("recall3"))
+        .orderBy(col("probes"), col("query_id"))
+    },
+    Some {
+      def ivfAt(p: Int) =
+        s"""WITH $centArrSql,
+           |${ivfSearchSql("cent_arr", "ASC", probes = p)}""".stripMargin
+      s"""WITH x1 AS (${ivfAt(1)}),
+         |x2 AS (${ivfAt(2)}),
+         |x3 AS (${ivfAt(3)}),
+         |exact_full AS (${e01KnnBruteForce.oracle.get}),
+         |ex AS (SELECT query_id, neighbor_id FROM exact_full WHERE rank <= 3),
+         |u AS (
+         |  SELECT 1 AS probes, query_id, neighbor_id FROM x1
+         |  UNION ALL SELECT 2, query_id, neighbor_id FROM x2
+         |  UNION ALL SELECT 3, query_id, neighbor_id FROM x3)
+         |SELECT u.probes, u.query_id, count(ex.neighbor_id) AS n_matched,
+         |  round(count(ex.neighbor_id) / 3.0, 4) AS recall3
+         |FROM u LEFT JOIN ex
+         |  ON u.query_id = ex.query_id AND u.neighbor_id = ex.neighbor_id
+         |GROUP BY u.probes, u.query_id
+         |ORDER BY u.probes, u.query_id""".stripMargin
+    })
+
   /** IVF-PQ coarse-cell drift gate — e28's monitoring contract for the
     * composite family: the coarse quantizer IS an IVF structure (both
     * families share [[labelCentroids]]/[[assignCells]]), so
@@ -2605,5 +2662,5 @@ object SimilarityQueries {
     e22HybridRrf, e23MmrRerank, e24FilteredIvf, e25AnnRecallFiltered,
     e26IvfAppend, e27PqAppend, e28IndexDrift, e29IvfPqAppend,
     e30IndexPersistence, e31PqCodeDrift, e32IvfPqDrift, e33DurableAppend,
-    e34IvfPqResidualDrift, e35IndexEpochs, e36ShardMerge)
+    e34IvfPqResidualDrift, e35IndexEpochs, e36ShardMerge, e37RecallSweep)
 }

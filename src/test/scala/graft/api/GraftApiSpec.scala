@@ -475,4 +475,22 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nVid = Graft.videoNearDups(frames).count()
     assert(nVid > 0 && one(Graft.videoNearDupCount(frames)) == nVid)
   }
+
+  test("recall sweep: recall@3 is monotone non-decreasing in probes, per query") {
+    val sweep = gate("e37_recall_sweep").collect()
+      .map(r => (r.getAs[Int]("probes"), r.getLong(1), r.getLong(2)))
+    assert(sweep.nonEmpty)
+    val byQuery = sweep.groupBy(_._2).values
+    byQuery.foreach { qRows =>
+      val ordered = qRows.sortBy(_._1).map(_._3)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b },
+        s"recall regressed as probes grew: ${qRows.toSeq.sortBy(_._1)}")
+    }
+    // probing EVERY cell must reach the index's ceiling: the widest
+    // sweep point equals e05-at-2-probes or better on every query
+    val at2 = sweep.filter(_._1 == 2).map(t => t._2 -> t._3).toMap
+    sweep.filter(_._1 == 3).foreach { case (_, q, n) =>
+      assert(n >= at2(q))
+    }
+  }
 }
