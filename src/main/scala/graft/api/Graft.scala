@@ -661,6 +661,18 @@ object Graft {
   def mergeIndex(spark: SparkSession, dstDir: String, srcDir: String): Unit =
     IndexStore.merge(spark, dstDir, srcDir)
 
+  /** Clear a stale `.write.lock` left in a saved index directory by a
+    * CRASHED writer. Every mutating store op (save / appendDurable /
+    * compact / merge / vacuum) holds this single-writer lock — the
+    * store's append, epoch-seq, and compact-swap protocols all assume
+    * one writer, so a concurrent mutator fails loudly with the
+    * holder's pid@host instead of silently interleaving files. Only
+    * break the lock when that holder is known dead. Returns true if a
+    * lock was removed.
+    */
+  def breakIndexLock(spark: SparkSession, dir: String): Boolean =
+    IndexStore.breakLock(spark, dir)
+
   /** Build the product-quantization index (Jégou et al. 2011): train
     * 4-subspace × 16-dim codebooks (4 centroids each, 2 Lloyd
     * iterations, deterministic every-125th init) on the corpus, then

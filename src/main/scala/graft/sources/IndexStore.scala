@@ -69,6 +69,58 @@ object IndexStore {
   final case class Epoch(seq: Int, op: String, n_rows: Long,
                          ts_millis: Long)
 
+  /** Single-writer guard for every MUTATING op (save / append /
+    * compact / merge / vacuum): an atomic create-if-absent of
+    * `<dir>/.write.lock` (Hadoop `create(path, overwrite = false)` —
+    * atomic on local disk and HDFS-style stores alike), released in
+    * finally. The store's append, epoch-seq, and compact-swap
+    * protocols all assume ONE writer; without the lock two racing
+    * appendDurable calls would interleave files and mint duplicate
+    * epoch seqs silently. A second writer fails LOUDLY instead, with
+    * the holder's pid@host + timestamp in the message. A crashed
+    * holder leaves the lock behind — clear it explicitly with
+    * [[breakLock]] ([[graft.api.Graft.breakIndexLock]]); nothing
+    * auto-expires, because a slow writer is indistinguishable from a
+    * dead one without coordination. Readers never take the lock.
+    */
+  private def withWriteLock[T](spark: SparkSession, dir: String)
+                              (body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/.write.lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.PathExistsException =>
+          val holder =
+            try {
+              val in = fs.open(lock)
+              try scala.io.Source.fromInputStream(in).mkString
+              finally in.close()
+            } catch { case _: Exception => "unknown" }
+          throw new IllegalStateException(
+            s"$dir is locked by another writer [$holder]. If that " +
+              "writer crashed, clear the lock with Graft.breakIndexLock.")
+      }
+    try {
+      out.write((java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getName + " @ " + System.currentTimeMillis())
+        .getBytes("UTF-8"))
+    } finally out.close()
+    try body finally fs.delete(lock, false)
+  }
+
+  /** Remove a stale `.write.lock` left by a crashed writer. Returns
+    * true if a lock was removed. Only call when the holder named in
+    * the lock (pid@host) is known dead — breaking a LIVE writer's
+    * lock re-admits the interleaving the lock exists to prevent.
+    */
+  def breakLock(spark: SparkSession, dir: String): Boolean = {
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/.write.lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(lock, false)
+  }
+
   private def writeManifest(spark: SparkSession, dir: String, kind: String,
                             mBits: Long = 0L): Unit = {
     import spark.implicits._
@@ -162,14 +214,16 @@ object IndexStore {
   def saveIvf(dir: String, assigned: DataFrame,
               centroids: DataFrame): Unit = {
     val spark = assigned.sparkSession
-    assigned.select(col("vec_id"), col("embedding"), col("cell"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("cell").parquet(s"$dir/assigned")
-    centroids.select(col("cell"), col("centroid"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
-    writeManifest(spark, dir, "ivf")
-    recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/assigned"))
+    withWriteLock(spark, dir) {
+      assigned.select(col("vec_id"), col("embedding"), col("cell"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("cell").parquet(s"$dir/assigned")
+      centroids.select(col("cell"), col("centroid"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+      writeManifest(spark, dir, "ivf")
+      recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/assigned"))
+    }
   }
 
   /** DURABLE append — write already-assigned arrival rows (vec_id,
@@ -183,12 +237,14 @@ object IndexStore {
   def appendIvf(dir: String, assignedArrivals: DataFrame): Unit = {
     val spark = assignedArrivals.sparkSession
     readManifest(spark, dir, "ivf")
-    val before = diskRows(spark, s"$dir/assigned")
-    assignedArrivals.select(col("vec_id"), col("embedding"), col("cell"))
-      .write.mode(SaveMode.Append)
-      .partitionBy("cell").parquet(s"$dir/assigned")
-    recordEpoch(spark, dir, "append",
-      diskRows(spark, s"$dir/assigned") - before)
+    withWriteLock(spark, dir) {
+      val before = diskRows(spark, s"$dir/assigned")
+      assignedArrivals.select(col("vec_id"), col("embedding"), col("cell"))
+        .write.mode(SaveMode.Append)
+        .partitionBy("cell").parquet(s"$dir/assigned")
+      recordEpoch(spark, dir, "append",
+        diskRows(spark, s"$dir/assigned") - before)
+    }
   }
 
   /** (assigned, centroids) — column order and types normalized back to
@@ -213,13 +269,15 @@ object IndexStore {
              corpus: DataFrame): Unit = {
     val spark = codes.sparkSession
     val m = codebooks.length
-    codes.select(col("vec_id") +: (0 until m).map(mi => col(s"code_$mi")): _*)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
-    corpus.select(col("vec_id"), col("embedding"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/corpus")
-    writeCodebooks(spark, dir, codebooks)
-    writeManifest(spark, dir, "pq")
-    recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/codes"))
+    withWriteLock(spark, dir) {
+      codes.select(col("vec_id") +: (0 until m).map(mi => col(s"code_$mi")): _*)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
+      corpus.select(col("vec_id"), col("embedding"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/corpus")
+      writeCodebooks(spark, dir, codebooks)
+      writeManifest(spark, dir, "pq")
+      recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/codes"))
+    }
   }
 
   /** DURABLE append for the PQ layout: encoded arrival codes append to
@@ -234,14 +292,16 @@ object IndexStore {
     val spark = codesArrivals.sparkSession
     readManifest(spark, dir, "pq")
     val m = readCodebooks(spark, dir).length
-    val before = diskRows(spark, s"$dir/codes")
-    corpusArrivals.select(col("vec_id"), col("embedding"))
-      .write.mode(SaveMode.Append).parquet(s"$dir/corpus")
-    codesArrivals
-      .select(col("vec_id") +: (0 until m).map(mi => col(s"code_$mi")): _*)
-      .write.mode(SaveMode.Append).parquet(s"$dir/codes")
-    recordEpoch(spark, dir, "append",
-      diskRows(spark, s"$dir/codes") - before)
+    withWriteLock(spark, dir) {
+      val before = diskRows(spark, s"$dir/codes")
+      corpusArrivals.select(col("vec_id"), col("embedding"))
+        .write.mode(SaveMode.Append).parquet(s"$dir/corpus")
+      codesArrivals
+        .select(col("vec_id") +: (0 until m).map(mi => col(s"code_$mi")): _*)
+        .write.mode(SaveMode.Append).parquet(s"$dir/codes")
+      recordEpoch(spark, dir, "append",
+        diskRows(spark, s"$dir/codes") - before)
+    }
   }
 
   /** (codes, codebooks, corpus). */
@@ -265,17 +325,19 @@ object IndexStore {
                 codebooks: Array[Array[Array[Double]]]): Unit = {
     val spark = codes.sparkSession
     val m = codebooks.length
-    codes.select(Seq(col("vec_id"), col("cell")) ++
-        (0 until m).map(mi => col(s"code_$mi")) ++
-        (0 until m).map(mi => col(s"recon2_$mi")): _*)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("cell").parquet(s"$dir/codes")
-    centroids.select(col("cell"), col("centroid"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
-    writeCodebooks(spark, dir, codebooks)
-    writeManifest(spark, dir, "ivfpq")
-    recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/codes"))
+    withWriteLock(spark, dir) {
+      codes.select(Seq(col("vec_id"), col("cell")) ++
+          (0 until m).map(mi => col(s"code_$mi")) ++
+          (0 until m).map(mi => col(s"recon2_$mi")): _*)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("cell").parquet(s"$dir/codes")
+      centroids.select(col("cell"), col("centroid"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+      writeCodebooks(spark, dir, codebooks)
+      writeManifest(spark, dir, "ivfpq")
+      recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/codes"))
+    }
   }
 
   /** DURABLE append for the IVF-PQ layout: encoded arrival rows
@@ -287,14 +349,16 @@ object IndexStore {
     val spark = codesArrivals.sparkSession
     readManifest(spark, dir, "ivfpq")
     val m = readCodebooks(spark, dir).length
-    val before = diskRows(spark, s"$dir/codes")
-    codesArrivals.select(Seq(col("vec_id"), col("cell")) ++
-        (0 until m).map(mi => col(s"code_$mi")) ++
-        (0 until m).map(mi => col(s"recon2_$mi")): _*)
-      .write.mode(SaveMode.Append)
-      .partitionBy("cell").parquet(s"$dir/codes")
-    recordEpoch(spark, dir, "append",
-      diskRows(spark, s"$dir/codes") - before)
+    withWriteLock(spark, dir) {
+      val before = diskRows(spark, s"$dir/codes")
+      codesArrivals.select(Seq(col("vec_id"), col("cell")) ++
+          (0 until m).map(mi => col(s"code_$mi")) ++
+          (0 until m).map(mi => col(s"recon2_$mi")): _*)
+        .write.mode(SaveMode.Append)
+        .partitionBy("cell").parquet(s"$dir/codes")
+      recordEpoch(spark, dir, "append",
+        diskRows(spark, s"$dir/codes") - before)
+    }
   }
 
   /** (codes, centroids, codebooks). */
@@ -334,7 +398,7 @@ object IndexStore {
     * mid-scan — the standard table-maintenance caveat; reopen handles
     * after compacting. Results are bit-identical (IndexStoreSpec).
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String): Unit = withWriteLock(spark, dir) {
     val kind = spark.read.parquet(s"$dir/manifest")
       .collect()(0).getAs[String]("kind")
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -477,43 +541,42 @@ object IndexStore {
       recordEpoch(spark, dstDir, "merge",
         diskRows(spark, s"$dstDir/$primary") - before)
     }
-    dm.kind match {
-      case "ivf" =>
-        requireSameCentroids()
-        moveAndLog("assigned")
-      case "pq" =>
-        requireSameCodebooks()
-        moveAndLog("codes", Seq("corpus"))
-      case "ivfpq" =>
-        requireSameCentroids(); requireSameCodebooks()
-        moveAndLog("codes")
-      case "bloom" =>
-        // mergeable-sketch semantics: bit_or fold, not a file move —
-        // materialize the union FULLY into a temp dir before touching
-        // the live table (compact's crash-safety order)
-        val before = diskRows(spark, s"$dstDir/words")
-        val merged = spark.read.parquet(s"$dstDir/words")
-          .unionByName(spark.read.parquet(s"$srcDir/words"))
-          .groupBy(col("w")).agg(expr("bit_or(word)").as("word"))
-        val live = new org.apache.hadoop.fs.Path(s"$dstDir/words")
-        val fs = live.getFileSystem(hconf)
-        val tmp = new org.apache.hadoop.fs.Path(s"$dstDir/words.compact")
-        fs.delete(tmp, true)
-        merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        fs.delete(live, true)
-        require(fs.rename(tmp, live),
-          s"merge: rename $tmp -> $live failed; recover from $tmp")
-        // record vs the pre-merge count (bit_or can collapse rows)
-        recordEpoch(spark, dstDir, "merge",
-          diskRows(spark, s"$dstDir/words") - before)
-        val srcRoot = new org.apache.hadoop.fs.Path(srcDir)
-        fs.delete(srcRoot, true)
-        return
-      case other => throw new IllegalStateException(
-        s"$dstDir/manifest: unknown kind '$other'")
+    withWriteLock(spark, dstDir) {
+      dm.kind match {
+        case "ivf" =>
+          requireSameCentroids()
+          moveAndLog("assigned")
+        case "pq" =>
+          requireSameCodebooks()
+          moveAndLog("codes", Seq("corpus"))
+        case "ivfpq" =>
+          requireSameCentroids(); requireSameCodebooks()
+          moveAndLog("codes")
+        case "bloom" =>
+          // mergeable-sketch semantics: bit_or fold, not a file move —
+          // materialize the union FULLY into a temp dir before touching
+          // the live table (compact's crash-safety order)
+          val before = diskRows(spark, s"$dstDir/words")
+          val merged = spark.read.parquet(s"$dstDir/words")
+            .unionByName(spark.read.parquet(s"$srcDir/words"))
+            .groupBy(col("w")).agg(expr("bit_or(word)").as("word"))
+          val live = new org.apache.hadoop.fs.Path(s"$dstDir/words")
+          val fs = live.getFileSystem(hconf)
+          val tmp = new org.apache.hadoop.fs.Path(s"$dstDir/words.compact")
+          fs.delete(tmp, true)
+          merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          fs.delete(live, true)
+          require(fs.rename(tmp, live),
+            s"merge: rename $tmp -> $live failed; recover from $tmp")
+          // record vs the pre-merge count (bit_or can collapse rows)
+          recordEpoch(spark, dstDir, "merge",
+            diskRows(spark, s"$dstDir/words") - before)
+        case other => throw new IllegalStateException(
+          s"$dstDir/manifest: unknown kind '$other'")
+      }
+      val srcRoot = new org.apache.hadoop.fs.Path(srcDir)
+      srcRoot.getFileSystem(hconf).delete(srcRoot, true)
     }
-    val srcRoot = new org.apache.hadoop.fs.Path(srcDir)
-    srcRoot.getFileSystem(hconf).delete(srcRoot, true)
   }
 
   /** Remove orphaned `.compact` temp dirs — the debris a crash
@@ -524,16 +587,17 @@ object IndexStore {
     * when anything was. Safe to run any time — live tables never end
     * in `.compact`.
     */
-  def vacuum(spark: SparkSession, dir: String): Int = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val orphans = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.endsWith(".compact"))
-    orphans.foreach(s => fs.delete(s.getPath, true))
-    if (orphans.nonEmpty)
-      recordEpoch(spark, dir, "vacuum", orphans.length.toLong)
-    orphans.length
-  }
+  def vacuum(spark: SparkSession, dir: String): Int =
+    withWriteLock(spark, dir) {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val orphans = fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.endsWith(".compact"))
+      orphans.foreach(s => fs.delete(s.getPath, true))
+      if (orphans.nonEmpty)
+        recordEpoch(spark, dir, "vacuum", orphans.length.toLong)
+      orphans.length
+    }
 
   /** Introspection: one row per stored table — (kind, version, table,
     * n_rows, n_files, bytes). Row counts are footer-metadata reads;
@@ -574,10 +638,12 @@ object IndexStore {
 
   def saveBloom(dir: String, words: DataFrame, mBits: Int): Unit = {
     val spark = words.sparkSession
-    words.select(col("w"), col("word"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/words")
-    writeManifest(spark, dir, "bloom", mBits.toLong)
-    recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/words"))
+    withWriteLock(spark, dir) {
+      words.select(col("w"), col("word"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/words")
+      writeManifest(spark, dir, "bloom", mBits.toLong)
+      recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/words"))
+    }
   }
 
   /** (words, mBits) — the carried modulus survives the round-trip, so

@@ -364,6 +364,39 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kindErr.getMessage.contains("'pq'"))
   }
 
+  test("single-writer lock: a concurrent mutator fails loudly; breakLock re-admits; reads never block") {
+    val d = tmp()
+    Graft.annIndex(emb.filter(col("vec_id") % 5 =!= 0)).save(d)
+    val arrivals = emb.filter(col("vec_id") % 5 === 0)
+    // simulate a live (or crashed) writer holding the lock
+    Files.write(java.nio.file.Paths.get(d, ".write.lock"),
+      "12345@otherhost @ 1700000000000".getBytes("UTF-8"))
+    val idx = Graft.loadAnnIndex(spark, d)
+    val err = intercept[IllegalStateException] {
+      idx.appendDurable(d, arrivals)
+    }
+    assert(err.getMessage.contains("locked by another writer")
+      && err.getMessage.contains("12345@otherhost"))
+    val compactErr = intercept[IllegalStateException] {
+      Graft.compactIndex(spark, d)
+    }
+    assert(compactErr.getMessage.contains("locked"))
+    // reads never take the lock
+    assert(exact(idx.search(queries)).nonEmpty)
+    assert(Graft.describeIndex(spark, d).count() > 0)
+    // the refused append wrote nothing - no files, no epoch
+    assert(exact(Graft.indexEpochs(spark, d).select(col("op")))
+      == Seq(Seq("save")))
+    // operator clears the dead holder's lock; mutation proceeds
+    assert(Graft.breakIndexLock(spark, d))
+    idx.appendDurable(d, arrivals)
+    assert(exact(Graft.indexEpochs(spark, d).select(col("op")))
+      == Seq(Seq("save"), Seq("append")))
+    // ...and the lock is released afterwards: a second mutation works
+    Graft.compactIndex(spark, d)
+    assert(!new java.io.File(s"$d/.write.lock").exists())
+  }
+
   test("loading a directory of the wrong kind fails loudly") {
     val d = tmp()
     Graft.annIndex(emb).save(d)
