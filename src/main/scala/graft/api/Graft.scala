@@ -583,13 +583,14 @@ object Graft {
     def driftMonitorWindowed(arrivals: Dataset[EmbStreams.EmbArrival],
                              windowMinutes: Int = 10,
                              slideMinutes: Int = 10,
-                             latenessMinutes: Int = 0)
+                             latenessMinutes: Int = 0,
+                             checkpointDir: Option[String] = None)
                             (onReport: (java.sql.Timestamp,
                                java.sql.Timestamp, DataFrame) => Unit)
         : org.apache.spark.sql.streaming.StreamingQuery =
       EmbStreams.driftMonitorWindowed(arrivals, assigned,
-        pulledCentroids, windowMinutes, slideMinutes, latenessMinutes)(
-        onReport)
+        pulledCentroids, windowMinutes, slideMinutes, latenessMinutes,
+        checkpointDir)(onReport)
   }
 
   /** Reopen an [[IvfIndex]] saved with [[IvfIndex.save]]: no

@@ -336,13 +336,27 @@ object EmbStreams {
     * Tumbling windows by default; pass `slideMinutes` <
     * `windowMinutes` for overlapping windows (an arrival then counts
     * in every window covering it, the standard sliding semantics).
+    *
+    * `checkpointDir` makes the windowed monitor RESTARTABLE like
+    * [[driftMonitor]], with one extra wrinkle this method handles:
+    * Spark restores the per-(window, cell) aggregation state, but
+    * Update mode re-emits a (window, cell) total only when NEW data
+    * touches it — so a naively restarted driver-side fold would drop
+    * the cells counted before the restart from its reports. On start
+    * against a previously-committed checkpoint, the fold is therefore
+    * SEEDED from the checkpoint itself via Spark's state-store reader
+    * (`spark.read.format("statestore")` — the open windows' totals,
+    * exactly what the pruned fold held at stop). EmbStreamsSpec
+    * proves a stop/restart straddling one window still reports that
+    * window's FULL arrival set.
     */
   def driftMonitorWindowed(arrivals: Dataset[EmbArrival],
                            assigned: DataFrame,
                            centroids: Seq[(Int, Array[Float])],
                            windowMinutes: Int = 10,
                            slideMinutes: Int = 10,
-                           latenessMinutes: Int = 0)
+                           latenessMinutes: Int = 0,
+                           checkpointDir: Option[String] = None)
                           (onReport: (Timestamp, Timestamp, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val counts = arrivals.toDF()
@@ -363,7 +377,30 @@ object EmbStreams {
     val store = scala.collection.mutable.Map
       .empty[(Timestamp, Timestamp), scala.collection.mutable.Map[Int, Long]]
 
-    counts.writeStream
+    // restart seed: the checkpoint's state store holds exactly the
+    // open windows' (window, cell) totals the fold had at stop
+    checkpointDir.foreach { cp =>
+      val spark = arrivals.sparkSession
+      val commits = new org.apache.hadoop.fs.Path(s"$cp/commits")
+      val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val committed = fs.exists(commits) &&
+        fs.listStatus(commits).exists(s => !s.getPath.getName.startsWith("."))
+      if (committed) {
+        spark.read.format("statestore").load(cp)
+          .select(col("key.window.start"), col("key.window.end"),
+            col("key.cell"), col("value"))
+          .collect()
+          .foreach { r =>
+            store
+              .getOrElseUpdate((r.getTimestamp(0), r.getTimestamp(1)),
+                scala.collection.mutable.Map.empty)
+              // the count(1) buffer is the value struct's single field
+              .put(r.getInt(2), r.getStruct(3).getLong(0))
+          }
+      }
+    }
+
+    val w0 = counts.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
@@ -401,7 +438,7 @@ object EmbStreams {
           }
         }
       }
-      .start()
+    checkpointDir.fold(w0)(d => w0.option("checkpointLocation", d)).start()
   }
 
   /** AT-INGEST PQ code drift — e31 as a stream, [[driftMonitor]]'s

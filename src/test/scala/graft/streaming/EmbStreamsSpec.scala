@@ -701,6 +701,74 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally assigned.unpersist()
   }
 
+  test("windowed drift monitor restarted mid-window reports the window's FULL arrival set") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    val idx = graft.api.Graft.annIndex(e.filter($"vec_id" % 5 =!= 0))
+    val assigned = idx.assigned.cache()
+    try {
+      val ts1 = Timestamp.valueOf("2026-01-01 09:03:00")
+      val arriving = e.filter($"vec_id" % 5 === 0)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      // both halves land in the SAME [09:00, 09:10) window — the
+      // restart seam cuts through one open window
+      val (h1, h2) = arriving.splitAt(arriving.length / 2)
+
+      def toTuples(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getAs[Int]("cell"), r.getAs[Long]("n_base"),
+          r.getAs[Long]("n_new"), r.getAs[Long]("ppm_base"),
+          r.getAs[Long]("ppm_new"), r.getAs[Long]("drift_ppm"))).toSet
+
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft-winmon-cp").toString
+      val stream = MemoryStream[EmbStreams.EmbArrival]
+
+      // life 1: half the window's arrivals, then STOP mid-window
+      val q1 = idx.driftMonitorWindowed(stream.toDS(),
+        checkpointDir = Some(cp)) { (_, _, _) => () }
+      stream.addData(h1.map { case (id, v) =>
+        EmbStreams.EmbArrival(id, ts1, v) }.toSeq)
+      q1.processAllAvailable()
+      q1.stop()
+
+      // the window's other half arrives while the monitor is down
+      stream.addData(h2.map { case (id, v) =>
+        EmbStreams.EmbArrival(id, ts1, v) }.toSeq)
+
+      // life 2: the restarted fold must be SEEDED from the checkpoint
+      // (Update mode re-emits only cells h2 touches; the cells only h1
+      // hit live solely in the restored state)
+      val latest = scala.collection.mutable.Map
+        .empty[(Timestamp, Timestamp),
+          Set[(Int, Long, Long, Long, Long, Long)]]
+      val q2 = idx.driftMonitorWindowed(stream.toDS(),
+        checkpointDir = Some(cp)) { (ws, we, rep) =>
+        val t = toTuples(rep.collect())
+        latest.synchronized { latest((ws, we)) = t }
+      }
+      q2.processAllAvailable()
+      val inputRows = q2.recentProgress.map(_.numInputRows).sum
+      q2.stop()
+
+      assert(inputRows == h2.length,
+        s"restart reprocessed committed arrivals: read $inputRows, " +
+          s"expected only the ${h2.length} new ones")
+      val wKey = (Timestamp.valueOf("2026-01-01 09:00:00"),
+        Timestamp.valueOf("2026-01-01 09:10:00"))
+      val expected = toTuples(idx.drift(
+        e.filter($"vec_id" % 5 === 0)).collect())
+      assert(latest.get(wKey).contains(expected),
+        s"post-restart window report diverged from batch drift of the " +
+          s"FULL window: got=${latest.get(wKey).map(_.take(5))} " +
+          s"expectedSample=${expected.take(5)}")
+    } finally assigned.unpersist()
+  }
+
   test("streaming IVF-PQ serving through the handle equals batch e18 search") {
     val spark2 = spark
     import spark2.implicits._
