@@ -157,7 +157,13 @@ object ScaleBench {
       // two merges that move files by RENAME (metadata-speed: the
       // reduce step's cost must NOT grow with corpus size - the cell
       // should track e33's write-bound curve, the merges adding ~0)
-      "e36_shard_merge")
+      "e36_shard_merge",
+      // e35: prices the MAINTENANCE loop - save + durable append +
+      // COMPACT (a full rewrite of the big table through a temp-dir
+      // swap) + the footer-metadata epoch reads; the compact is the
+      // dominant term and is itself one partitioned write, so the
+      // cell should run ~2x e36's write-bound curve
+      "e35_index_epochs")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
@@ -222,7 +228,7 @@ object ScaleBench {
       "e25_ann_recall_filtered", "e26_ivf_append", "e27_pq_append",
       "e28_index_drift", "e29_ivfpq_append",
       "e31_pq_code_drift", "e32_ivfpq_drift", "e33_durable_append",
-      "e36_shard_merge")
+      "e36_shard_merge", "e35_index_epochs")
       .map(_ -> "embeddings") ++
       Seq("q56_asof_attribution", "q58_salted_agg", "q66_event_funnel",
         "q57_range_error_proximity").map(_ -> "events")).toMap
