@@ -2484,6 +2484,71 @@ object SimilarityQueries {
          |ORDER BY u.probes, u.query_id""".stripMargin
     })
 
+  /** Rerank fetch-size SWEEP — [[e37RecallSweep]]'s contract for the
+    * two-stage PQ family, the OTHER tuning knob a deployment sets:
+    * recall@3 of [[graft.api.Graft.PqIndex.rerank]] at fetch ∈
+    * {5, 10, 20} (the ADC shortlist size stage 2's exact math pays
+    * for), one row per (fetch, query). The index trains ONCE and the
+    * exact ground truth (e01) computes ONCE; each sweep point re-ranks
+    * a different-size prefix of the same ADC ordering, so recall is
+    * monotone non-decreasing in fetch (a shortlist prefix's exact
+    * top-3 can only improve as the prefix grows — spec-asserted) and
+    * the curve prices exactly what buying more stage-2 fetches
+    * returns. Oracle: three copies of e16's rerank text at
+    * `pqSql(topM = fetch)` recall-joined against e01, the e37 shape.
+    */
+  val e38RerankSweep = QueryDef(
+    "e38_rerank_sweep",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = graft.api.Graft.pqIndex(e)
+      val q = e.filter(col("vec_id") < 5)
+      val exact3 = e01KnnBruteForce.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+      Seq(5, 10, 20).map { f =>
+        idx.rerank(q, fetch = f, k = 3)
+          .select(lit(f).as("fetch"), col("query_id"), col("neighbor_id"))
+      }.reduce(_ unionByName _)
+        .join(exact3,
+          col("query_id") === col("eq") && col("neighbor_id") === col("en"),
+          "left")
+        .groupBy(col("fetch"), col("query_id"))
+        .agg(count(col("en")).as("n_matched"),
+          round(count(col("en")) / 3.0, 4).as("recall3"))
+        .orderBy(col("fetch"), col("query_id"))
+    },
+    Some {
+      def rerankAt(f: Int) =
+        s"""WITH pq_full AS (${pqSql(topM = f)}),
+           |scored AS (
+           |  SELECT sl.query_id, b.vec_id AS neighbor_id,
+           |    ${cosSql("q.embedding", "b.embedding")} AS cos
+           |  FROM pq_full sl
+           |  JOIN embeddings b ON b.vec_id = sl.vec_id
+           |  JOIN embeddings q ON q.vec_id = sl.query_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3""".stripMargin
+      s"""WITH r5 AS (${rerankAt(5)}),
+         |r10 AS (${rerankAt(10)}),
+         |r20 AS (${rerankAt(20)}),
+         |exact_full AS (${e01KnnBruteForce.oracle.get}),
+         |ex AS (SELECT query_id, neighbor_id FROM exact_full WHERE rank <= 3),
+         |u AS (
+         |  SELECT 5 AS fetch, query_id, neighbor_id FROM r5
+         |  UNION ALL SELECT 10, query_id, neighbor_id FROM r10
+         |  UNION ALL SELECT 20, query_id, neighbor_id FROM r20)
+         |SELECT u.fetch, u.query_id, count(ex.neighbor_id) AS n_matched,
+         |  round(count(ex.neighbor_id) / 3.0, 4) AS recall3
+         |FROM u LEFT JOIN ex
+         |  ON u.query_id = ex.query_id AND u.neighbor_id = ex.neighbor_id
+         |GROUP BY u.fetch, u.query_id
+         |ORDER BY u.fetch, u.query_id""".stripMargin
+    })
+
   /** IVF-PQ coarse-cell drift gate — e28's monitoring contract for the
     * composite family: the coarse quantizer IS an IVF structure (both
     * families share [[labelCentroids]]/[[assignCells]]), so
@@ -2662,5 +2727,6 @@ object SimilarityQueries {
     e22HybridRrf, e23MmrRerank, e24FilteredIvf, e25AnnRecallFiltered,
     e26IvfAppend, e27PqAppend, e28IndexDrift, e29IvfPqAppend,
     e30IndexPersistence, e31PqCodeDrift, e32IvfPqDrift, e33DurableAppend,
-    e34IvfPqResidualDrift, e35IndexEpochs, e36ShardMerge, e37RecallSweep)
+    e34IvfPqResidualDrift, e35IndexEpochs, e36ShardMerge, e37RecallSweep,
+    e38RerankSweep)
 }

@@ -493,4 +493,15 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(n >= at2(q))
     }
   }
+
+  test("rerank sweep: recall@3 is monotone non-decreasing in fetch, per query") {
+    val sweep = gate("e38_rerank_sweep").collect()
+      .map(r => (r.getAs[Int]("fetch"), r.getLong(1), r.getLong(2)))
+    assert(sweep.nonEmpty)
+    sweep.groupBy(_._2).values.foreach { qRows =>
+      val ordered = qRows.sortBy(_._1).map(_._3)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b },
+        s"recall regressed as fetch grew: ${qRows.toSeq.sortBy(_._1)}")
+    }
+  }
 }
