@@ -556,6 +556,22 @@ object Graft {
         : org.apache.spark.sql.streaming.StreamingQuery =
       EmbStreams.ivfAppend(arrivals, centroids)(onBatch)
 
+    /** [[appendStream]] writing INTO the saved layout at `dir` —
+      * streaming ingest made durable: each micro-batch appends under
+      * the store's single-writer lock, and with a `checkpointDir` a
+      * redelivered batch is skipped via a per-batch-id marker (the
+      * foreachBatch idempotency recipe). A restarted JVM's
+      * [[loadAnnIndex]] serves everything ingested so far. Delegates
+      * to [[graft.streaming.EmbStreams.ivfAppendDurable]];
+      * IndexStoreSpec proves streamed ≡ batch [[appendDurable]] and
+      * that a marked batch id is not re-appended.
+      */
+    def appendStreamDurable(arrivals: Dataset[EmbStreams.EmbArrival],
+                            dir: String,
+                            checkpointDir: Option[String] = None)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      EmbStreams.ivfAppendDurable(arrivals, centroids, dir, checkpointDir)
+
     /** AT-INGEST drift monitor — [[drift]]'s streaming sibling
       * through the handle: running per-cell arrival counts as
       * streaming state, a full e28-shaped report per trigger against

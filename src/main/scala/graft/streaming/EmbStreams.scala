@@ -238,6 +238,44 @@ object EmbStreams {
       }
       .start()
 
+  /** [[ivfAppend]] writing INTO the saved [[graft.sources.IndexStore]]
+    * layout — streaming ingest made durable: each micro-batch is
+    * assigned with the gated kernel and parquet-appended to
+    * `dir/assigned` under the store's single-writer lock, so a
+    * restarted JVM's `loadAnnIndex(dir)` serves everything ingested
+    * so far. With a `checkpointDir` the sink is IDEMPOTENT under
+    * replay: a per-batch-id marker file (`_stream_commits/batch-N`)
+    * is written after the append, and a redelivered batch id is
+    * skipped — the standard foreachBatch exactly-once recipe; the
+    * crash window between append and marker can still duplicate that
+    * one batch (the non-transactional-sink caveat — run
+    * [[dedupWithinWatermark]] upstream if arrivals may repeat).
+    * Without a checkpoint, batch ids restart at 0 every run, so
+    * markers are not consulted (a fresh run must not skip real data).
+    */
+  def ivfAppendDurable(arrivals: Dataset[EmbArrival],
+                       centroids: DataFrame, dir: String,
+                       checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = arrivals.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[EmbArrival], batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$dir/_stream_commits/batch-$batchId")
+        val fs = marker.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val committed = checkpointDir.isDefined && fs.exists(marker)
+        if (!committed) {
+          graft.sources.IndexStore.appendIvf(dir,
+            graft.operators.SimilarityQueries.assignCells(
+              batch.toDF(), centroids))
+          if (checkpointDir.isDefined) fs.create(marker, true).close()
+        }
+      }
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
+
   /** AT-INGEST drift monitor — e28 as a stream, the re-train trigger
     * firing as arrivals land instead of on a scheduled batch scan:
     * each arriving vector is assigned its cell by a STATELESS in-row

@@ -397,6 +397,53 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new java.io.File(s"$d/.write.lock").exists())
   }
 
+  test("streaming durable append: streamed batches land in the layout; a marked batch id is skipped") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val snapshot = emb.filter(col("vec_id") % 5 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 5 === 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => graft.streaming.EmbStreams.EmbArrival(r.getLong(0),
+        java.sql.Timestamp.valueOf("2026-01-01 09:00:00"),
+        r.getSeq[Float](1)))
+    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
+    val idx = Graft.annIndex(snapshot)
+    val d = tmp()
+    idx.save(d)
+    val cp = Files.createTempDirectory("graft-ingest-cp").toString
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.EmbStreams.EmbArrival]
+    val q = idx.appendStreamDurable(stream.toDS(), d, Some(cp))
+    stream.addData(b1.toSeq)
+    q.processAllAvailable()
+    stream.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    // a restarted JVM's load serves snapshot + both streamed batches,
+    // equal to the batch append path
+    val expect = exact(idx.append(
+      emb.filter(col("vec_id") % 5 === 0)).search(queries))
+    assert(exact(Graft.loadAnnIndex(spark, d).search(queries)) == expect)
+    val ops = Graft.indexEpochs(spark, d).select(col("op"))
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("save", "append", "append"))
+
+    // idempotency: a batch id already marked committed is SKIPPED —
+    // pre-mark the next id and stream more data under it
+    val before = spark.read.parquet(s"$d/assigned").count()
+    Files.createFile(java.nio.file.Paths.get(
+      s"$d/_stream_commits/batch-2"))
+    val q2 = idx.appendStreamDurable(stream.toDS(), d, Some(cp))
+    stream.addData(b1.toSeq) // would re-append were the marker ignored
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(s"$d/assigned").count() == before,
+      "a marked (already-committed) batch id was re-appended")
+  }
+
   test("loading a directory of the wrong kind fails loudly") {
     val d = tmp()
     Graft.annIndex(emb).save(d)
