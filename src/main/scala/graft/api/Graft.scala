@@ -779,6 +779,17 @@ object Graft {
       loadPqIndex(newVecs.sparkSession, dir)
     }
 
+    /** Streaming ingest INTO the saved PQ layout at `dir` —
+      * [[IvfIndex.appendStreamDurable]]'s contract for the compressed
+      * family (frozen-codebook encode per micro-batch, single-writer
+      * lock, per-batch-id marker idempotency with a checkpoint).
+      */
+    def appendStreamDurable(arrivals: Dataset[EmbStreams.EmbArrival],
+                            dir: String,
+                            checkpointDir: Option[String] = None)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      EmbStreams.pqAppendDurable(arrivals, codebooks, dir, checkpointDir)
+
     /** Export a SHARD ([[IvfIndex.shard]]'s contract for the
       * compressed family): encode `vecs` against this handle's FROZEN
       * codebooks and save codes + raw rerank vectors as a
@@ -929,6 +940,19 @@ object Graft {
         SimilarityQueries.ivfPqEncode(newVecs, centroids, codebooks))
       loadIvfPqIndex(newVecs.sparkSession, dir)
     }
+
+    /** Streaming ingest INTO the saved IVF-PQ layout at `dir` —
+      * [[IvfIndex.appendStreamDurable]]'s contract for the composite
+      * family (frozen coarse + residual encode per micro-batch,
+      * single-writer lock, per-batch-id marker idempotency with a
+      * checkpoint).
+      */
+    def appendStreamDurable(arrivals: Dataset[EmbStreams.EmbArrival],
+                            dir: String,
+                            checkpointDir: Option[String] = None)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      EmbStreams.ivfPqAppendDurable(arrivals, centroids, codebooks, dir,
+        checkpointDir)
 
     /** Export a SHARD ([[IvfIndex.shard]]'s contract for the
       * composite family): encode `vecs` against the frozen coarse

@@ -256,6 +256,57 @@ object EmbStreams {
   def ivfAppendDurable(arrivals: Dataset[EmbArrival],
                        centroids: DataFrame, dir: String,
                        checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    durableIngest(arrivals, dir, checkpointDir) { batch =>
+      graft.sources.IndexStore.appendIvf(dir,
+        graft.operators.SimilarityQueries.assignCells(
+          batch.toDF(), centroids))
+    }
+
+  /** [[ivfAppendDurable]]'s contract for the compressed family: each
+    * micro-batch encodes against the FROZEN codebooks (the gated
+    * `pqEncode` kernel) and appends codes + raw rerank vectors to the
+    * saved PQ layout. Same marker-file idempotency.
+    */
+  def pqAppendDurable(arrivals: Dataset[EmbArrival],
+                      codebooks: Array[Array[Array[Double]]], dir: String,
+                      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    durableIngest(arrivals, dir, checkpointDir) { batch =>
+      val vecs = batch.toDF().select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      graft.sources.IndexStore.appendPq(dir,
+        graft.operators.SimilarityQueries.pqEncode(vecs, codebooks), vecs)
+    }
+
+  /** [[ivfAppendDurable]]'s contract for the composite family: each
+    * micro-batch encodes against the frozen coarse centroids +
+    * residual codebooks (the gated `ivfPqEncode` kernel, run
+    * batch-side where its window is legal) and appends into the saved
+    * cell-partitioned code table. Same marker-file idempotency.
+    */
+  def ivfPqAppendDurable(arrivals: Dataset[EmbArrival],
+                         centroids: DataFrame,
+                         codebooks: Array[Array[Array[Double]]],
+                         dir: String,
+                         checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    durableIngest(arrivals, dir, checkpointDir) { batch =>
+      graft.sources.IndexStore.appendIvfPq(dir,
+        graft.operators.SimilarityQueries.ivfPqEncode(
+          batch.toDF().select(col("vec_id"),
+            col("embedding").cast("array<float>").as("embedding")),
+          centroids, codebooks))
+    }
+
+  /** Shared durable-ingest foreachBatch shell: append under the
+    * store's single-writer lock, with per-batch-id marker idempotency
+    * when a checkpoint makes batch ids stable across restarts (see
+    * [[ivfAppendDurable]]'s scaladoc for the crash-window caveat).
+    */
+  private def durableIngest(arrivals: Dataset[EmbArrival], dir: String,
+                            checkpointDir: Option[String])
+                           (append: Dataset[EmbArrival] => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = arrivals.writeStream
       .outputMode(OutputMode.Append())
@@ -267,9 +318,7 @@ object EmbStreams {
           spark.sparkContext.hadoopConfiguration)
         val committed = checkpointDir.isDefined && fs.exists(marker)
         if (!committed) {
-          graft.sources.IndexStore.appendIvf(dir,
-            graft.operators.SimilarityQueries.assignCells(
-              batch.toDF(), centroids))
+          append(batch)
           if (checkpointDir.isDefined) fs.create(marker, true).close()
         }
       }

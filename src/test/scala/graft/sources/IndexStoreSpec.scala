@@ -444,6 +444,51 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a marked (already-committed) batch id was re-appended")
   }
 
+  test("streaming durable append: PQ and IVF-PQ families match their batch append paths") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val snapshot = emb.filter(col("vec_id") % 7 =!= 0)
+    val arrivalsDf = emb.filter(col("vec_id") % 7 === 0)
+    val arrivals = arrivalsDf.select("vec_id", "embedding").collect()
+      .map(r => graft.streaming.EmbStreams.EmbArrival(r.getLong(0),
+        java.sql.Timestamp.valueOf("2026-01-01 09:00:00"),
+        r.getSeq[Float](1)))
+    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
+
+    def ingest(start: org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.EmbStreams.EmbArrival]
+        => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.EmbStreams.EmbArrival]
+      val q = start(stream)
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      q.stop()
+    }
+
+    val pqIdx = Graft.pqIndex(snapshot)
+    val dPq = tmp()
+    pqIdx.save(dPq)
+    ingest(s => pqIdx.appendStreamDurable(s.toDS(), dPq))
+    val pqLoaded = Graft.loadPqIndex(spark, dPq)
+    val pqExpect = pqIdx.append(arrivalsDf)
+    assert(exact(pqLoaded.search(queries))
+      == exact(pqExpect.search(queries)))
+    assert(exact(pqLoaded.rerank(queries))
+      == exact(pqExpect.rerank(queries)))
+
+    val cIdx = Graft.ivfPqIndex(snapshot)
+    val dC = tmp()
+    cIdx.save(dC)
+    ingest(s => cIdx.appendStreamDurable(s.toDS(), dC))
+    assert(exact(Graft.loadIvfPqIndex(spark, dC).search(queries))
+      == exact(cIdx.append(arrivalsDf).search(queries)))
+    assert(Graft.indexEpochs(spark, dC).select(col("op"))
+      .collect().map(_.getString(0)).toSeq
+      == Seq("save", "append", "append"))
+  }
+
   test("loading a directory of the wrong kind fails loudly") {
     val d = tmp()
     Graft.annIndex(emb).save(d)
