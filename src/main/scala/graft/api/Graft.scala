@@ -730,6 +730,20 @@ object Graft {
     def search(queries: DataFrame, k: Int = 3): DataFrame =
       SimilarityQueries.pqAdcRank(codes, codebooks, renamed(queries), k)
 
+    /** FILTERED ADC search — [[IvfIndex.searchWhere]]'s contract for
+      * the compressed family: `keepIds` (a frame with a `vec_id`
+      * column) restricts candidates via a semi-join over the 4-byte
+      * code table BEFORE ranking; the index stays as built, and fewer
+      * than k predicate-passing candidates yield fewer rows. Gate:
+      * `e39_filtered_pq`.
+      */
+    def searchWhere(queries: DataFrame, keepIds: DataFrame, k: Int = 3)
+        : DataFrame =
+      SimilarityQueries.pqAdcRank(
+        codes.join(keepIds.select(col("vec_id")), Seq("vec_id"),
+          "left_semi"),
+        codebooks, renamed(queries), k)
+
     /** Two-stage search: ADC shortlist of `fetch` candidates, then
       * EXACT cosine over just those raw vectors (a broadcast semi-join
       * fetch — the corpus is never rescanned, so the exact math costs
@@ -909,6 +923,20 @@ object Graft {
     def search(queries: DataFrame, probes: Int = 2, k: Int = 3)
         : DataFrame =
       SimilarityQueries.ivfPqSearch(codes, centroids, codebooks,
+        queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb")), probes, k)
+
+    /** FILTERED composite search — [[IvfIndex.searchWhere]]'s contract
+      * for the IVF-PQ family: the predicate semi-join lands on the
+      * cell-partitioned code table BEFORE probing and ADC-cosine
+      * ranking; the index stays as built. Gate: `e40_filtered_ivfpq`.
+      */
+    def searchWhere(queries: DataFrame, keepIds: DataFrame,
+                    probes: Int = 2, k: Int = 3): DataFrame =
+      SimilarityQueries.ivfPqSearch(
+        codes.join(keepIds.select(col("vec_id")), Seq("vec_id"),
+          "left_semi"),
+        centroids, codebooks,
         queries.select(col("vec_id").as("query_id"),
           col("embedding").as("q_emb")), probes, k)
 

@@ -837,7 +837,8 @@ object SimilarityQueries {
          |    JOIN codes_m2 USING (vec_id) JOIN codes_m3 USING (vec_id))""".stripMargin
   }
 
-  private def pqSql(topM: Int, trainPred: Option[String] = None): String = {
+  private def pqSql(topM: Int, trainPred: Option[String] = None,
+                    scoredExtra: String = ""): String = {
       val subDim = 16
       def off(mi: Int) = mi * subDim
       def dotSql(mi: Int): String =
@@ -853,7 +854,7 @@ object SimilarityQueries {
          |    JOIN pq2_m0 c0 ON c0.k = enc.code0
          |    JOIN pq2_m1 c1 ON c1.k = enc.code1
          |    JOIN pq2_m2 c2 ON c2.k = enc.code2
-         |    JOIN pq2_m3 c3 ON c3.k = enc.code3),
+         |    JOIN pq2_m3 c3 ON c3.k = enc.code3$scoredExtra),
          |ranked AS (
          |  SELECT query_id, vec_id, approx_ip,
          |    row_number() OVER (PARTITION BY query_id
@@ -1302,7 +1303,8 @@ object SimilarityQueries {
        |    JOIN rcodes_m3 USING (vec_id))""".stripMargin
   }
 
-  private def ivfPqSql(trainPred: Option[String] = None): String = {
+  private def ivfPqSql(trainPred: Option[String] = None,
+                       scoredExtra: String = ""): String = {
     val subDim = 16
     def off(mi: Int) = mi * subDim
     def lutSql(mi: Int): String =
@@ -1343,7 +1345,7 @@ object SimilarityQueries {
        |    JOIN rq2_m0 c0 ON c0.k = e.code0
        |    JOIN rq2_m1 c1 ON c1.k = e.code1
        |    JOIN rq2_m2 c2 ON c2.k = e.code2
-       |    JOIN rq2_m3 c3 ON c3.k = e.code3
+       |    JOIN rq2_m3 c3 ON c3.k = e.code3$scoredExtra
        |  WHERE s.query_id <> e.vec_id),
        |ranked AS (
        |  SELECT query_id, vec_id, approx_cos,
@@ -2428,6 +2430,55 @@ object SimilarityQueries {
       s"""WITH ${centArrSqlOver("WHERE vec_id % 5 <> 0")},
          |${ivfSearchSql("cent_arr", "ASC")}""".stripMargin))
 
+  /** FILTERED search for the compressed family — e24's contract on
+    * the PQ index: the code table stays as built; `keepIds` restricts
+    * candidates via a semi-join BEFORE ADC ranking, so a metadata
+    * predicate ("nearest neighbors WHERE source ∈ …") costs one
+    * semi-join over 4-byte codes, never a raw-vector read or an index
+    * rebuild. Self included (the e09 protocol); fewer than k
+    * predicate-passing candidates yield fewer than k rows. Oracle:
+    * e09's shared Lloyd-replay text with the keep join injected into
+    * the scored stage (the e24 injection pattern — the default path
+    * stays byte-identical).
+    */
+  val e39FilteredPq = QueryDef(
+    "e39_filtered_pq",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val keep = Tables.documents(s, d)
+        .filter(col("source")
+          .isin("src0", "src1", "src2", "src3", "src4"))
+        .select(col("doc_id").as("vec_id"))
+      graft.api.Graft.pqIndex(e)
+        .searchWhere(e.filter(col("vec_id") < 5), keep, k = 3)
+    },
+    Some(pqSql(topM = 3, scoredExtra =
+      "\n    JOIN documents d ON d.doc_id = enc.vec_id AND d.source IN " +
+        "('src0', 'src1', 'src2', 'src3', 'src4')")))
+
+  /** FILTERED search for the composite family — e24's contract on the
+    * IVF-PQ index: the predicate semi-join lands on the
+    * cell-partitioned code table BEFORE probing and ADC-cosine
+    * ranking. Self excluded (the e18 protocol). Oracle: e18's shared
+    * composite replay with the keep join injected into the scored
+    * stage. With e24 this gives all three index families the filtered
+    * surface.
+    */
+  val e40FilteredIvfPq = QueryDef(
+    "e40_filtered_ivfpq",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val keep = Tables.documents(s, d)
+        .filter(col("source")
+          .isin("src0", "src1", "src2", "src3", "src4"))
+        .select(col("doc_id").as("vec_id"))
+      graft.api.Graft.ivfPqIndex(e)
+        .searchWhere(e.filter(col("vec_id") < 5), keep)
+    },
+    Some(ivfPqSql(scoredExtra =
+      "\n    JOIN documents d ON d.doc_id = e.vec_id AND d.source IN " +
+        "('src0', 'src1', 'src2', 'src3', 'src4')")))
+
   /** Recall-vs-nprobe SWEEP — the tuning artifact an ANN deployment
     * actually reads before picking its probe count: recall@3 of the
     * same built IVF index at probes ∈ {1, 2, 3}, one row per
@@ -2728,5 +2779,5 @@ object SimilarityQueries {
     e26IvfAppend, e27PqAppend, e28IndexDrift, e29IvfPqAppend,
     e30IndexPersistence, e31PqCodeDrift, e32IvfPqDrift, e33DurableAppend,
     e34IvfPqResidualDrift, e35IndexEpochs, e36ShardMerge, e37RecallSweep,
-    e38RerankSweep)
+    e38RerankSweep, e39FilteredPq, e40FilteredIvfPq)
 }

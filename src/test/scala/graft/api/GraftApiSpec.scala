@@ -494,6 +494,22 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("filtered PQ / IVF-PQ search returns only keep-set candidates") {
+    val keep = emb.filter(col("label") === 0).select(col("vec_id"))
+    val keepIds = keep.collect().map(_.getLong(0)).toSet
+    val q = emb.filter(col("vec_id") < 5)
+    val pqHits = Graft.pqIndex(emb).searchWhere(q, keep)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    assert(pqHits.nonEmpty && pqHits.forall(keepIds))
+    val cHits = Graft.ivfPqIndex(emb).searchWhere(q, keep)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    assert(cHits.nonEmpty && cHits.forall(keepIds))
+    // an empty keep set yields zero rows, never an error
+    assert(Graft.pqIndex(emb)
+      .searchWhere(q, emb.filter(lit(false)).select(col("vec_id")))
+      .count() == 0)
+  }
+
   test("rerank sweep: recall@3 is monotone non-decreasing in fetch, per query") {
     val sweep = gate("e38_rerank_sweep").collect()
       .map(r => (r.getAs[Int]("fetch"), r.getLong(1), r.getLong(2)))
