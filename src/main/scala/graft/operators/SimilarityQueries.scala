@@ -2536,6 +2536,64 @@ object SimilarityQueries {
          |  AND i.neighbor_id = exact.neighbor_id
          |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
 
+  /** recall@3 of FILTERED IVF-PQ search (e40) against the post-filter
+    * exact ground truth — the e25/e41 yardstick on the COMPOSITE
+    * family, closing the 3×3 filtered matrix (search + recall on IVF,
+    * PQ, IVF-PQ). Here both sides are self-EXCLUDED (the e18
+    * protocol matches knnOf), so unlike e41 the number is pure loss:
+    * routing loss (probed cells may miss a predicate-passing true
+    * neighbor) × residual quantization loss, under the filter. The
+    * ground truth is exact top-3 over the predicate-PASSING corpus —
+    * a filtered search is judged on what it was allowed to return.
+    */
+  val e42FilteredIvfPqRecall = QueryDef(
+    "e42_filtered_ivfpq_recall",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val keep = Tables.documents(s, d)
+        .filter(col("source")
+          .isin("src0", "src1", "src2", "src3", "src4"))
+        .select(col("doc_id").as("vec_id"))
+      val exact3 = knnOf(e.join(keep, Seq("vec_id"), "left_semi"),
+          e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"),
+              col("embedding").as("q_emb")), 3)
+        .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+      val f3 = e40FilteredIvfPq.fn(s, d).filter(col("rnk") <= 3)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      f3.join(exact3,
+          col("query_id") === col("eq") && col("neighbor_id") === col("en"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("en")).as("n_matched"),
+          round(count(col("en")) / 3.0, 4).as("recall3"))
+        .orderBy(col("query_id"))
+    },
+    Some(
+      s"""WITH fivfpq_full AS (${e40FilteredIvfPq.oracle.get}),
+         |keep AS (
+         |  SELECT doc_id AS vec_id FROM documents
+         |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+         |fscored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+         |  JOIN keep k ON b.vec_id = k.vec_id),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM fscored) WHERE rank <= 3),
+         |i AS (SELECT query_id, vec_id AS neighbor_id FROM fivfpq_full
+         |      WHERE rnk <= 3)
+         |SELECT i.query_id, count(exact.neighbor_id) AS n_matched,
+         |  round(count(exact.neighbor_id) / 3.0, 4) AS recall3
+         |FROM i LEFT JOIN exact
+         |  ON i.query_id = exact.query_id
+         |  AND i.neighbor_id = exact.neighbor_id
+         |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
+
   /** Recall-vs-nprobe SWEEP — the tuning artifact an ANN deployment
     * actually reads before picking its probe count: recall@3 of the
     * same built IVF index at probes ∈ {1, 2, 3}, one row per
@@ -2836,5 +2894,6 @@ object SimilarityQueries {
     e26IvfAppend, e27PqAppend, e28IndexDrift, e29IvfPqAppend,
     e30IndexPersistence, e31PqCodeDrift, e32IvfPqDrift, e33DurableAppend,
     e34IvfPqResidualDrift, e35IndexEpochs, e36ShardMerge, e37RecallSweep,
-    e38RerankSweep, e39FilteredPq, e40FilteredIvfPq, e41FilteredPqRecall)
+    e38RerankSweep, e39FilteredPq, e40FilteredIvfPq, e41FilteredPqRecall,
+    e42FilteredIvfPqRecall)
 }

@@ -125,6 +125,25 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       == exact(fresh.append(arrivals).search(queries)))
   }
 
+  test("filtered search on a loaded index equals fresh, all three families") {
+    // the durability × filter cross: searchWhere (e24/e39/e40) runs the
+    // same gated kernel on a loaded handle as on the handle that saved
+    val keep = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      .select(col("doc_id").as("vec_id"))
+    val dIvf = tmp(); val dPq = tmp(); val dC = tmp()
+    val ivf = Graft.annIndex(emb); ivf.save(dIvf)
+    val pq = Graft.pqIndex(emb); pq.save(dPq)
+    val c = Graft.ivfPqIndex(emb); c.save(dC)
+    val a = exact(ivf.searchWhere(queries, keep))
+    assert(a.nonEmpty)
+    assert(exact(Graft.loadAnnIndex(spark, dIvf).searchWhere(queries, keep)) == a)
+    assert(exact(Graft.loadPqIndex(spark, dPq).searchWhere(queries, keep))
+      == exact(pq.searchWhere(queries, keep)))
+    assert(exact(Graft.loadIvfPqIndex(spark, dC).searchWhere(queries, keep))
+      == exact(c.searchWhere(queries, keep)))
+  }
+
   test("Bloom: save -> load preserves words and mBits; probe equals the live sketch") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val corpus = docs.filter(col("doc_id") % 3 =!= 0)
