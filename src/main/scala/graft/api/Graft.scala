@@ -926,6 +926,31 @@ object Graft {
         queries.select(col("vec_id").as("query_id"),
           col("embedding").as("q_emb")), probes, k)
 
+    /** Two-stage composite search — [[PqIndex.rerank]]'s contract for
+      * the IVF-PQ family: probe + ADC shortlist of `fetch` candidates
+      * in the compressed domain, then EXACT cosine over just those raw
+      * vectors, fetched from the caller-supplied `corpus` via a
+      * broadcast semi-join. Unlike [[PqIndex]], this handle
+      * deliberately stores NO raw vectors (cell + 4 bytes + one float
+      * per vector is its whole footprint — the composite's selling
+      * point at 100 TB), so rerank fetches from the source table the
+      * embeddings already live in: O(queries × fetch) rows read, the
+      * corpus never rescanned, the index layout unchanged (a LOADED
+      * handle reranks identically). Self is excluded end-to-end (the
+      * e18 protocol carries through the shortlist). Output: (query_id,
+      * rank, neighbor_id, cos) sorted. Gate: `e43_ivfpq_rerank`.
+      */
+    def rerank(queries: DataFrame, corpus: DataFrame, probes: Int = 2,
+               fetch: Int = 10, k: Int = 3): DataFrame = {
+      val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+      val shortlist = SimilarityQueries.ivfPqSearch(
+          codes, centroids, codebooks, q, probes, fetch)
+        .select(col("query_id"), col("vec_id"))
+      SimilarityQueries.pqRerankStage(
+        corpus.select(col("vec_id"), col("embedding")), shortlist, q, k)
+    }
+
     /** FILTERED composite search — [[IvfIndex.searchWhere]]'s contract
       * for the IVF-PQ family: the predicate semi-join lands on the
       * cell-partitioned code table BEFORE probing and ADC-cosine

@@ -1304,7 +1304,8 @@ object SimilarityQueries {
   }
 
   private def ivfPqSql(trainPred: Option[String] = None,
-                       scoredExtra: String = ""): String = {
+                       scoredExtra: String = "",
+                       topM: Int = 3): String = {
     val subDim = 16
     def off(mi: Int) = mi * subDim
     def lutSql(mi: Int): String =
@@ -1353,7 +1354,7 @@ object SimilarityQueries {
        |      ORDER BY approx_cos DESC, vec_id) AS rnk
        |  FROM scored)
        |SELECT query_id, rnk, vec_id, round(approx_cos, 6) AS approx_cos
-       |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+       |FROM ranked WHERE rnk <= $topM ORDER BY query_id, rnk""".stripMargin
   }
 
   /** IVF-PQ composite index (Jégou et al. 2011 §IV — the full
@@ -2594,6 +2595,82 @@ object SimilarityQueries {
          |  AND i.neighbor_id = exact.neighbor_id
          |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
 
+  /** Two-stage composite ANN — e16's re-ranking pattern on the IVF-PQ
+    * index (Jégou et al. 2011 §V.D applied to the full stack): probe +
+    * ADC shortlist of 10 in the compressed domain, then EXACT cosine
+    * over just those 10 raw vectors → top-3. The composite handle
+    * stores NO raw vectors (its footprint is cell + 4 bytes + one
+    * float per vector), so stage 2 fetches the shortlist's vectors
+    * from the SOURCE table by broadcast semi-join — O(queries × 10)
+    * rows, the corpus never rescanned, and a LOADED index reranks
+    * identically since rerank adds nothing to the stored layout.
+    * Self excluded end-to-end (the e18 protocol; unlike e16, both
+    * this and the e01 ground truth exclude self, so e44's recall is
+    * the pure payoff number). Oracle: e18's replay at shortlist depth
+    * 10 (the new topM parameter — default path byte-identical) with
+    * e16's exact-rescore tail.
+    */
+  val e43IvfPqRerank = QueryDef(
+    "e43_ivfpq_rerank",
+    // routed through Graft.ivfPqIndex(...).rerank — the facade's
+    // two-stage composite path IS the gate path
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.api.Graft.ivfPqIndex(e)
+        .rerank(e.filter(col("vec_id") < 5), e, fetch = 10, k = 3)
+    },
+    Some(
+      s"""WITH sl_full AS (${ivfPqSql(topM = 10)}),
+         |scored AS (
+         |  SELECT sl.query_id, b.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "b.embedding")} AS cos
+         |  FROM sl_full sl
+         |  JOIN embeddings b ON b.vec_id = sl.vec_id
+         |  JOIN embeddings q ON q.vec_id = sl.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
+  /** recall@3 of the re-ranked composite (e43) against the exact top-3
+    * (e01) — the payoff measurement for two-stage IVF-PQ: e19 scores
+    * the raw ADC composite (routing × quantization loss), e44 scores
+    * the same index after the exact re-rank, and the difference is
+    * what re-ranking buys back. Both sides self-excluded, so this is
+    * the clean number (e17 carries a protocol asymmetry; e44 doesn't).
+    * What re-rank CANNOT recover is routing loss — a true neighbor
+    * outside the probed cells never reaches the shortlist — so
+    * e44 ≤ e37's recall ceiling at the same probe count, per query.
+    */
+  val e44RecallIvfPqRerank = QueryDef(
+    "e44_ivfpq_rerank_recall",
+    (s, d) => {
+      val rr3 = e43IvfPqRerank.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact3 = e01KnnBruteForce.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+      rr3.join(exact3,
+          col("query_id") === col("eq") && col("neighbor_id") === col("en"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("en")).as("n_matched"),
+          round(count(col("en")) / 3.0, 4).as("recall3"))
+        .orderBy(col("query_id"))
+    },
+    Some(
+      s"""WITH rr_full AS (${e43IvfPqRerank.oracle.get}),
+         |exact_full AS (${e01KnnBruteForce.oracle.get}),
+         |i AS (SELECT query_id, neighbor_id FROM rr_full WHERE rank <= 3),
+         |e AS (SELECT query_id, neighbor_id FROM exact_full WHERE rank <= 3)
+         |SELECT i.query_id, count(e.neighbor_id) AS n_matched,
+         |  round(count(e.neighbor_id) / 3.0, 4) AS recall3
+         |FROM i LEFT JOIN e
+         |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin))
+
   /** Recall-vs-nprobe SWEEP — the tuning artifact an ANN deployment
     * actually reads before picking its probe count: recall@3 of the
     * same built IVF index at probes ∈ {1, 2, 3}, one row per
@@ -2895,5 +2972,5 @@ object SimilarityQueries {
     e30IndexPersistence, e31PqCodeDrift, e32IvfPqDrift, e33DurableAppend,
     e34IvfPqResidualDrift, e35IndexEpochs, e36ShardMerge, e37RecallSweep,
     e38RerankSweep, e39FilteredPq, e40FilteredIvfPq, e41FilteredPqRecall,
-    e42FilteredIvfPqRecall)
+    e42FilteredIvfPqRecall, e43IvfPqRerank, e44RecallIvfPqRerank)
 }
