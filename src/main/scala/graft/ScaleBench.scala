@@ -163,7 +163,13 @@ object ScaleBench {
       // swap) + the footer-metadata epoch reads; the compact is the
       // dominant term and is itself one partitioned write, so the
       // cell should run ~2x e36's write-bound curve
-      "e35_index_epochs")
+      "e35_index_epochs",
+      // e43: two-stage composite serve - the full e18 train + probe +
+      // ADC pass to a depth-10 shortlist, then an exact rescore of
+      // O(queries x 10) rows fetched by broadcast semi-join against
+      // the source table; the rerank tail is CONSTANT in corpus size,
+      // so the cell should track the composite build/search curve
+      "e43_ivfpq_rerank")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
@@ -228,7 +234,7 @@ object ScaleBench {
       "e25_ann_recall_filtered", "e26_ivf_append", "e27_pq_append",
       "e28_index_drift", "e29_ivfpq_append",
       "e31_pq_code_drift", "e32_ivfpq_drift", "e33_durable_append",
-      "e36_shard_merge", "e35_index_epochs")
+      "e36_shard_merge", "e35_index_epochs", "e43_ivfpq_rerank")
       .map(_ -> "embeddings") ++
       Seq("q56_asof_attribution", "q58_salted_agg", "q66_event_funnel",
         "q57_range_error_proximity").map(_ -> "events")).toMap

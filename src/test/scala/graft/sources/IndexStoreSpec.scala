@@ -123,6 +123,10 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact(loaded.search(queries)) == s)
     assert(exact(loaded.append(arrivals).search(queries))
       == exact(fresh.append(arrivals).search(queries)))
+    // rerank adds nothing to the stored layout, so a loaded handle
+    // reranks identically (raw vectors come from the source table)
+    assert(exact(loaded.rerank(queries, snapshot))
+      == exact(fresh.rerank(queries, snapshot)))
   }
 
   test("filtered search on a loaded index equals fresh, all three families") {
