@@ -164,6 +164,12 @@ object ScaleBench {
       // dominant term and is itself one partitioned write, so the
       // cell should run ~2x e36's write-bound curve
       "e35_index_epochs",
+      // d18: df-capped near-dup clustering - the capped pair graph +
+      // connected components; replica-disjoint shingles keep the pair
+      // graph and the component count linear in replicas, so the cell
+      // prices the capped inverted-index join + O(log n) CC rounds
+      // (the exact d06 path stays excluded by design with d03/e02)
+      "d18_clusters_capped",
       // e43: two-stage composite serve - the full e18 train + probe +
       // ADC pass to a depth-10 shortlist, then an exact rescore of
       // O(queries x 10) rows fetched by broadcast semi-join against

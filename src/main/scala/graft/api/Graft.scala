@@ -109,9 +109,31 @@ object Graft {
     * Input: (doc_id Long, text String). Output: (doc_id, canonical_id),
     * unsorted. Gate: `d06_dedup_clusters` (via its per-(session, dir)
     * memo over this same body).
+    *
+    * EXACT-QUADRATIC FENCE: the shingle inverted-index self-join fans
+    * a shingle appearing in k documents out to k² pairs, so inputs
+    * above `spark.graft.quadraticMaxRows` throw unless
+    * `spark.graft.allowQuadratic=true` — use the `maxDocFreq` overload
+    * as the scale path.
     */
   def nearDupClusters(docs: DataFrame): DataFrame =
     DedupQueries.clusterLabelsOf(docs)
+
+  /** [[nearDupClusters]]'s SCALE PATH — d08's document-frequency cap
+    * feeding the same connected components: shingles occurring in more
+    * than `maxDocFreq` documents are excluded from BOTH the inverted
+    * index and the per-doc set sizes, bounding self-join fan-out at
+    * (maxDocFreq choose 2) pairs per shingle no matter how hot a
+    * boilerplate stop-phrase gets (a hyper-duplicated class is
+    * [[exactDedup]]'s job, not the pairwise verifier's). When no
+    * shingle exceeds the cap the labels EQUAL the exact path
+    * (DedupCapSpec proves it). Unfenced — the cap is the fence.
+    *
+    * Input: (doc_id Long, text String). Output: (doc_id, canonical_id),
+    * unsorted. Gate: `d18_clusters_capped`.
+    */
+  def nearDupClusters(docs: DataFrame, maxDocFreq: Int): DataFrame =
+    DedupQueries.clusterLabelsOfCapped(docs, maxDocFreq)
 
   /** Cross-corpus fuzzy decontamination: flag training documents whose
     * shingle Jaccard against ANY benchmark document reaches `threshold`.
@@ -470,6 +492,18 @@ object Graft {
     def drift(sample: DataFrame): DataFrame =
       SimilarityQueries.cellDrift(assigned, centroids, sample)
 
+    /** DELETE vectors from the LIVE handle — [[deleteFromIndex]]'s
+      * in-memory sibling: the rows anti-join out of the assigned
+      * corpus (broadcast — the delete set is small by contract), the
+      * trained centroids stay frozen, and search/serve over the
+      * returned handle can never surface a deleted vector. Durable
+      * stores delete via [[deleteFromIndex]] + reload instead.
+      * `ids`: any frame with a `vec_id` column.
+      */
+    def delete(ids: DataFrame): IvfIndex =
+      copy(assigned = assigned.join(
+        broadcast(ids.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
+
     /** FILTERED search — ANN with a metadata predicate ("nearest
       * neighbors WHERE ..."): the index stays as built; `keepIds`
       * (a frame with a `vec_id` column — e.g. doc ids passing a
@@ -633,6 +667,30 @@ object Graft {
   def compactIndex(spark: SparkSession, dir: String): Unit =
     IndexStore.compact(spark, dir)
 
+  /** DELETE vectors from a saved index (any vector kind) — the
+    * lifecycle's REMOVE path (takedowns, TTL expiry,
+    * dedup-after-ingest): `ids` (any frame with a `vec_id` column)
+    * append into a small `tombstones/` side table — the stored rows
+    * are never touched — and every subsequent load anti-joins them
+    * out (a BROADCAST anti-join: tombstones stay tiny until the next
+    * [[compactIndex]], which rewrites the big tables without the
+    * deleted rows and clears the tombstones — the log-structured
+    * delete). Records a `delete` epoch. Bloom sketches are refused
+    * (entries share bits; removal means rebuild).
+    *
+    * Semantics: a tombstone wins over ANY row with that vec_id —
+    * including rows appended after the delete — until a compact
+    * clears it; re-ingest a deleted id only after compacting.
+    * Caveat: [[IvfIndex.servePruned]] reads the assigned table by
+    * PATH (not through a loaded handle) — compact after deleting, or
+    * serve through [[loadAnnIndex]]'s handle, before pruned serving.
+    * Gates: `e45_index_delete` (tombstone-masked search) /
+    * `e46_delete_compact` (compaction applies + clears them).
+    */
+  def deleteFromIndex(spark: SparkSession, dir: String,
+                      ids: DataFrame): Unit =
+    IndexStore.delete(spark, dir, ids)
+
   /** The saved index's append-epoch AUDIT LOG, ordered: one (seq, op,
     * n_rows, ts_millis) row per lifecycle op that touched `dir` —
     * `save` and `compact` record the primary table's on-disk total,
@@ -729,6 +787,18 @@ object Graft {
       */
     def search(queries: DataFrame, k: Int = 3): DataFrame =
       SimilarityQueries.pqAdcRank(codes, codebooks, renamed(queries), k)
+
+    /** DELETE vectors from the LIVE handle — [[IvfIndex.delete]]'s
+      * contract for the compressed family: the ids anti-join out of
+      * BOTH the code table (ADC candidates) and the raw corpus (the
+      * [[rerank]] fetch side), so neither stage can surface a deleted
+      * vector. Codebooks stay frozen.
+      */
+    def delete(ids: DataFrame): PqIndex = {
+      val t = broadcast(ids.select(col("vec_id")))
+      copy(codes = codes.join(t, Seq("vec_id"), "left_anti"),
+        corpus = corpus.join(t, Seq("vec_id"), "left_anti"))
+    }
 
     /** FILTERED ADC search — [[IvfIndex.searchWhere]]'s contract for
       * the compressed family: `keepIds` (a frame with a `vec_id`
@@ -950,6 +1020,17 @@ object Graft {
       SimilarityQueries.pqRerankStage(
         corpus.select(col("vec_id"), col("embedding")), shortlist, q, k)
     }
+
+    /** DELETE vectors from the LIVE handle — [[IvfIndex.delete]]'s
+      * contract for the composite family: the ids anti-join out of
+      * the cell-partitioned code table (broadcast); coarse centroids
+      * and residual codebooks stay frozen. [[rerank]] fetches only
+      * shortlist survivors, so a deleted vector can't resurface
+      * through the exact stage either.
+      */
+    def delete(ids: DataFrame): IvfPqIndex =
+      copy(codes = codes.join(
+        broadcast(ids.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
 
     /** FILTERED composite search — [[IvfIndex.searchWhere]]'s contract
       * for the IVF-PQ family: the predicate semi-join lands on the

@@ -75,7 +75,10 @@ object VectorStoreDemo {
     // 6. The re-train trigger: per-cell occupancy drift of an arrival
     //    sample vs the stored corpus (all-integer ppm report).
     val drift = idx2.drift(late)
-    val tv = drift.agg(sum(col("drift_ppm"))).head().getLong(0) / 2
+    // coalesce: sum over zero rows is null — an empty report must read
+    // as zero drift, not crash the demo
+    val tv = drift.agg(coalesce(sum(col("drift_ppm")), lit(0L)))
+      .head().getLong(0) / 2
     println(s"[6] drift report: total-variation ${tv} ppm over " +
       s"${drift.count()} cells")
 

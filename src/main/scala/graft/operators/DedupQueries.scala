@@ -128,23 +128,60 @@ object DedupQueries {
     * ConnectedComponents), so the returned handle is cheap to reuse.
     */
   private[graft] def clusterLabelsOf(docs: DataFrame): DataFrame = {
+    // the same opt-in fence as d03/e02: the exact shingle inverted-index
+    // self-join fans a shingle in k docs out to k² pairs — above the
+    // guard size the df-capped variant is the scale path
+    QueryDef.requireQuadraticOptIn(docs,
+      "nearDupClusters (exact Jaccard pair graph)",
+      "nearDupClusters(docs, maxDocFreq) — the df-capped variant")
     val sh = shingleArraysOf(docs)
       .select(col("doc_id"), explode(col("sh")).as("s")).cache()
-    try {
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("da"), col("s"))
-      val b = sh.select(col("doc_id").as("db"), col("s"))
-      val pairs = a.join(b, Seq("s")).filter(col("da") < col("db"))
-        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-        .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-        .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-        .filter(round(col("c") / (col("na") + col("nb") - col("c")), 4) >= 0.5)
-        .select(col("da"), col("db")).cache()
-      try
-        ConnectedComponents.run(pairs).labels
-          .select(col("doc_id"), col("label").as("canonical_id"))
-      finally pairs.unpersist()
-    } finally sh.unpersist()
+    try clusterLabelsFromShingles(sh) finally sh.unpersist()
+  }
+
+  /** [[clusterLabelsOf]] with d08's document-frequency cap — the SCALE
+    * path for near-dup clustering: shingles occurring in more than
+    * `maxDocFreq` documents are excluded from BOTH the inverted index
+    * and the per-doc set sizes (exactly d08's mitigation, feeding the
+    * same ConnectedComponents), bounding the self-join fan-out at
+    * (maxDocFreq choose 2) pairs per shingle no matter how hot a
+    * stop-phrase gets. Dropping a ubiquitous shingle only removes an
+    * uninformative feature: when no shingle exceeds the cap the result
+    * EQUALS the exact path (DedupCapSpec). Unfenced — the cap is the
+    * fence. Gate: `d18_clusters_capped`.
+    */
+  private[graft] def clusterLabelsOfCapped(docs: DataFrame,
+                                           maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1 (got $maxDocFreq)")
+    val sh0 = shingleArraysOf(docs)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select(col("s"))
+    // lazy localCheckpoint (d08's pattern): blocks die with the handle
+    // via the ContextCleaner instead of living in CacheManager forever
+    val sh = sh0.join(rare, Seq("s")).localCheckpoint(eager = false)
+    clusterLabelsFromShingles(sh)
+  }
+
+  /** The shared pair-graph → connected-components core: `sh` is the
+    * exploded (doc_id, s) shingle table (df-capped or not) — Jaccard
+    * ≥ 0.5 pairs over its inverted index, each doc labeled with its
+    * component's min doc_id.
+    */
+  private def clusterLabelsFromShingles(sh: DataFrame): DataFrame = {
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("da"), col("s"))
+    val b = sh.select(col("doc_id").as("db"), col("s"))
+    val pairs = a.join(b, Seq("s")).filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .filter(round(col("c") / (col("na") + col("nb") - col("c")), 4) >= 0.5)
+      .select(col("da"), col("db")).cache()
+    try
+      ConnectedComponents.run(pairs).labels
+        .select(col("doc_id"), col("label").as("canonical_id"))
+    finally pairs.unpersist()
   }
 
   private[graft] val shinglesSql =
@@ -425,6 +462,43 @@ object DedupQueries {
             |common AS (
             |  SELECT a.doc_id da, b.doc_id db, count(*) c
             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |pairs AS (
+            |  SELECT da, db FROM common
+            |  JOIN cnt x ON da = x.doc_id JOIN cnt y ON db = y.doc_id
+            |  WHERE round(c * 1.0 / (x.n + y.n - c), 4) >= 0.5),
+            |edges AS (
+            |  SELECT da, db FROM pairs UNION SELECT db, da FROM pairs),
+            |reach(src, dst) AS (
+            |  SELECT da, db FROM edges
+            |  UNION
+            |  SELECT r.src, e.db FROM reach r JOIN edges e ON r.dst = e.da
+            |  WHERE r.src <> e.db)
+            |SELECT doc_id, least(doc_id, min(dst)) AS canonical_id FROM (
+            |  SELECT src AS doc_id, dst FROM reach)
+            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** d06's clustering through the DF-CAPPED scale path — d08's
+    * document-frequency mitigation feeding the same connected
+    * components: shingles in more than 100 documents are dropped from
+    * BOTH the inverted index and the set sizes before the pair graph,
+    * so the self-join fan-out is bounded at (cap choose 2) per shingle
+    * at any corpus size (the production shape; the exact d06 path is
+    * fenced by [[QueryDef.requireQuadraticOptIn]]). Oracle: d06's
+    * recursive-CTE closure over the identically capped shingle table.
+    */
+  val d18ClustersCapped = QueryDef(
+    "d18_clusters_capped",
+    (s, d) => graft.api.Graft
+      .nearDupClusters(Tables.documents(s, d), maxDocFreq = 100)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE $shinglesSql,
+            |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+            |shc AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+            |cnt AS (SELECT doc_id, count(*) n FROM shc GROUP BY 1),
+            |common AS (
+            |  SELECT a.doc_id da, b.doc_id db, count(*) c
+            |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
             |  GROUP BY 1, 2),
             |pairs AS (
             |  SELECT da, db FROM common
@@ -1385,5 +1459,5 @@ object DedupQueries {
     d05SimHash, d06DedupClusters, d07KeepList, d08JaccardCapped,
     d09MinHashCapped, d10SegmentDedup, d11IntraDocDedup, d12SubstringDedup,
     d13BloomIncremental, d14SourceOverlap, d15CrossDecontamination,
-    d16QualityKeeper, d17SemanticDecontamination)
+    d16QualityKeeper, d17SemanticDecontamination, d18ClustersCapped)
 }

@@ -2431,6 +2431,61 @@ object SimilarityQueries {
       s"""WITH ${centArrSqlOver("WHERE vec_id % 5 <> 0")},
          |${ivfSearchSql("cent_arr", "ASC")}""".stripMargin))
 
+  /** Index DELETE gate — the lifecycle's REMOVE path: build + save the
+    * IVF index over the whole corpus, tombstone every vec_id % 11 = 3
+    * ([[graft.api.Graft.deleteFromIndex]] — one small parquet append,
+    * the stored rows never touched), and search through a FRESH loaded
+    * handle. The load's broadcast anti-join must make the deleted
+    * vectors unreachable as neighbors while leaving everything else —
+    * centroids, assignment, ranking — bit-identical, so the oracle is
+    * e05's exact text with only the candidate predicate injected
+    * (queries still include a deleted id: deleting a vector revokes it
+    * as a NEIGHBOR, not as a query).
+    */
+  val e45IndexDelete = QueryDef(
+    "e45_index_delete",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_e45_ivf").toString
+      graft.api.Graft.annIndex(e).save(dir)
+      graft.api.Graft.deleteFromIndex(s, dir,
+        e.filter(col("vec_id") % 11 === 3).select(col("vec_id")))
+      graft.api.Graft.loadAnnIndex(s, dir)
+        .search(e.filter(col("vec_id") < 5), probes = 2, k = 3)
+    },
+    Some(
+      s"""WITH $centArrSql,
+         |${ivfSearchSql("cent_arr", "ASC",
+        scoredExtra = " AND b.vec_id % 11 <> 3")}""".stripMargin))
+
+  /** Delete-then-COMPACT gate — e45 with the tombstones APPLIED: after
+    * [[graft.api.Graft.compactIndex]] the deleted rows are physically
+    * rewritten out of the cell-partitioned table and the tombstone
+    * side table is cleared, so the same search answer must now come
+    * from the data files alone (same oracle text as e45 — the delete
+    * surviving compaction IS the gated property; IndexStoreSpec
+    * additionally proves the tombstone table is gone and re-ingest
+    * becomes visible).
+    */
+  val e46DeleteCompact = QueryDef(
+    "e46_delete_compact",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_e46_ivf").toString
+      graft.api.Graft.annIndex(e).save(dir)
+      graft.api.Graft.deleteFromIndex(s, dir,
+        e.filter(col("vec_id") % 11 === 3).select(col("vec_id")))
+      graft.api.Graft.compactIndex(s, dir)
+      graft.api.Graft.loadAnnIndex(s, dir)
+        .search(e.filter(col("vec_id") < 5), probes = 2, k = 3)
+    },
+    Some(
+      s"""WITH $centArrSql,
+         |${ivfSearchSql("cent_arr", "ASC",
+        scoredExtra = " AND b.vec_id % 11 <> 3")}""".stripMargin))
+
   /** FILTERED search for the compressed family — e24's contract on
     * the PQ index: the code table stays as built; `keepIds` restricts
     * candidates via a semi-join BEFORE ADC ranking, so a metadata
@@ -2972,5 +3027,6 @@ object SimilarityQueries {
     e30IndexPersistence, e31PqCodeDrift, e32IvfPqDrift, e33DurableAppend,
     e34IvfPqResidualDrift, e35IndexEpochs, e36ShardMerge, e37RecallSweep,
     e38RerankSweep, e39FilteredPq, e40FilteredIvfPq, e41FilteredPqRecall,
-    e42FilteredIvfPqRecall, e43IvfPqRerank, e44RecallIvfPqRerank)
+    e42FilteredIvfPqRecall, e43IvfPqRerank, e44RecallIvfPqRerank,
+    e45IndexDelete, e46DeleteCompact)
 }

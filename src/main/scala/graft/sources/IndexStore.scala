@@ -102,12 +102,29 @@ object IndexStore {
             s"$dir is locked by another writer [$holder]. If that " +
               "writer crashed, clear the lock with Graft.breakIndexLock.")
       }
+    // the lock exists from here on — ONE try/finally owns its deletion,
+    // so a failure writing the holder info can't strand a lock file
+    // with no live holder behind it
     try {
-      out.write((java.lang.management.ManagementFactory
-        .getRuntimeMXBean.getName + " @ " + System.currentTimeMillis())
-        .getBytes("UTF-8"))
-    } finally out.close()
-    try body finally fs.delete(lock, false)
+      try {
+        out.write((java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getName + " @ " + System.currentTimeMillis())
+          .getBytes("UTF-8"))
+      } finally out.close()
+      body
+    } finally fs.delete(lock, false)
+  }
+
+  /** Two-directory [[withWriteLock]] for ops that mutate BOTH sides
+    * ([[merge]] reads-then-deletes its source shard): locks acquire in
+    * PATH ORDER, so two concurrent merges over the same pair cannot
+    * deadlock, and a racing single-dir writer on either side fails
+    * loudly against whichever lock it meets.
+    */
+  private def withWriteLocks[T](spark: SparkSession, dirA: String,
+                                dirB: String)(body: => T): T = {
+    val Seq(first, second) = Seq(dirA, dirB).sorted
+    withWriteLock(spark, first)(withWriteLock(spark, second)(body))
   }
 
   /** Remove a stale `.write.lock` left by a crashed writer. Returns
@@ -171,6 +188,63 @@ object IndexStore {
       .toDF().coalesce(1)
       .write.mode(SaveMode.Append).parquet(path)
   }
+
+  private def manifestKind(spark: SparkSession, dir: String): String =
+    spark.read.parquet(s"$dir/manifest").collect()(0).getAs[String]("kind")
+
+  // ------------------------------------------------------------------
+  // Tombstones (deletes)
+  // ------------------------------------------------------------------
+
+  /** DELETE vectors from a saved index — the lifecycle's REMOVE path
+    * (takedowns, TTL expiry, dedup-after-ingest): the store is
+    * append-only, so a delete writes the ids into a `tombstones/`
+    * side table (one small parquet append — the stored rows are never
+    * touched) and every load anti-joins it out. Tombstones stay tiny
+    * until [[compact]], which REWRITES the big tables without the
+    * tombstoned rows and clears the table — the standard
+    * log-structured delete. Records a `delete` epoch with the on-disk
+    * tombstone delta. Bloom sketches are refused: their bits are
+    * shared across entries, so removal means rebuild.
+    *
+    * Semantics: a tombstone wins over ANY row with that vec_id,
+    * including rows appended AFTER the delete — re-ingesting a
+    * deleted id becomes visible only after a [[compact]] clears the
+    * tombstones. `ids`: any frame with a `vec_id` column.
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val kind = manifestKind(spark, dir)
+    require(kind != "bloom",
+      s"$dir holds a Bloom sketch: entries share bits, so deletion " +
+        "requires a rebuild, not a tombstone")
+    withWriteLock(spark, dir) {
+      val before = diskRows(spark, s"$dir/tombstones")
+      ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(s"$dir/tombstones")
+      recordEpoch(spark, dir, "delete",
+        diskRows(spark, s"$dir/tombstones") - before)
+    }
+  }
+
+  /** The live tombstone set, if any — (vec_id) rows. */
+  def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(p.toString).select(col("vec_id")))
+    else None
+  }
+
+  /** Anti-join the tombstone set out of a loaded big table — a
+    * BROADCAST anti-join (tombstones are small by contract until the
+    * next compact applies them), so masking costs one in-row hash
+    * probe per scanned row, never a shuffle of the corpus.
+    */
+  private def maskTombstones(spark: SparkSession, dir: String,
+                             df: DataFrame): DataFrame =
+    tombstones(spark, dir).fold(df)(t =>
+      df.join(broadcast(t), Seq("vec_id"), "left_anti"))
 
   /** The audit log, ordered: (seq, op, n_rows, ts_millis). Facade:
     * [[graft.api.Graft.indexEpochs]]. Gate: `e35_index_epochs` (the
@@ -250,11 +324,14 @@ object IndexStore {
   /** (assigned, centroids) — column order and types normalized back to
     * the build-time shape (a hive partition column reads back at the
     * end of the schema; `select` + cast restores the contract).
+    * Tombstoned rows ([[delete]]) are anti-joined out, so a loaded
+    * handle's search/serve never surfaces a deleted vector.
     */
   def loadIvf(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     readManifest(spark, dir, "ivf")
-    val assigned = spark.read.parquet(s"$dir/assigned")
-      .select(col("vec_id"), col("embedding"), col("cell").cast("int"))
+    val assigned = maskTombstones(spark, dir,
+      spark.read.parquet(s"$dir/assigned")
+        .select(col("vec_id"), col("embedding"), col("cell").cast("int")))
     val centroids = spark.read.parquet(s"$dir/centroids")
       .select(col("cell"), col("centroid"))
     (assigned, centroids)
@@ -304,16 +381,22 @@ object IndexStore {
     }
   }
 
-  /** (codes, codebooks, corpus). */
+  /** (codes, codebooks, corpus). Tombstoned rows ([[delete]]) are
+    * anti-joined out of BOTH the code table and the rerank corpus, so
+    * neither ADC ranking nor the exact re-rank fetch can surface a
+    * deleted vector.
+    */
   def loadPq(spark: SparkSession, dir: String)
       : (DataFrame, Array[Array[Array[Double]]], DataFrame) = {
     readManifest(spark, dir, "pq")
     val codebooks = readCodebooks(spark, dir)
     val m = codebooks.length
-    val codes = spark.read.parquet(s"$dir/codes")
-      .select(col("vec_id") +: (0 until m).map(mi => col(s"code_$mi")): _*)
-    val corpus = spark.read.parquet(s"$dir/corpus")
-      .select(col("vec_id"), col("embedding"))
+    val codes = maskTombstones(spark, dir,
+      spark.read.parquet(s"$dir/codes")
+        .select(col("vec_id") +: (0 until m).map(mi => col(s"code_$mi")): _*))
+    val corpus = maskTombstones(spark, dir,
+      spark.read.parquet(s"$dir/corpus")
+        .select(col("vec_id"), col("embedding")))
     (codes, codebooks, corpus)
   }
 
@@ -361,16 +444,19 @@ object IndexStore {
     }
   }
 
-  /** (codes, centroids, codebooks). */
+  /** (codes, centroids, codebooks). Tombstoned rows ([[delete]]) are
+    * anti-joined out of the code table.
+    */
   def loadIvfPq(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, Array[Array[Array[Double]]]) = {
     readManifest(spark, dir, "ivfpq")
     val codebooks = readCodebooks(spark, dir)
     val m = codebooks.length
-    val codes = spark.read.parquet(s"$dir/codes")
-      .select(Seq(col("vec_id"), col("cell").cast("int")) ++
-        (0 until m).map(mi => col(s"code_$mi")) ++
-        (0 until m).map(mi => col(s"recon2_$mi")): _*)
+    val codes = maskTombstones(spark, dir,
+      spark.read.parquet(s"$dir/codes")
+        .select(Seq(col("vec_id"), col("cell").cast("int")) ++
+          (0 until m).map(mi => col(s"code_$mi")) ++
+          (0 until m).map(mi => col(s"recon2_$mi")): _*))
     val centroids = spark.read.parquet(s"$dir/centroids")
       .select(col("cell"), col("centroid"))
     (codes, centroids, codebooks)
@@ -399,16 +485,26 @@ object IndexStore {
     * after compacting. Results are bit-identical (IndexStoreSpec).
     */
   def compact(spark: SparkSession, dir: String): Unit = withWriteLock(spark, dir) {
-    val kind = spark.read.parquet(s"$dir/manifest")
-      .collect()(0).getAs[String]("kind")
+    val kind = manifestKind(spark, dir)
     val hconf = spark.sparkContext.hadoopConfiguration
-    def swap(sub: String, partitioned: Boolean): Unit = {
+    // compaction is where tombstones get APPLIED: vec_id-keyed tables
+    // rewrite without the deleted rows, then the tombstone table is
+    // cleared. A crash after some swaps but before the clear is safe —
+    // loads keep masking, and anti-joining an already-removed id is a
+    // no-op, so re-running compact converges.
+    val tomb = tombstones(spark, dir)
+    def swap(sub: String, partitioned: Boolean,
+             applyTombstones: Boolean = false): Unit = {
       val src = new org.apache.hadoop.fs.Path(s"$dir/$sub")
       val fs = src.getFileSystem(hconf)
       if (!fs.exists(src)) return
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/$sub.compact")
       fs.delete(tmp, true)
-      val df = spark.read.parquet(src.toString)
+      val raw = spark.read.parquet(src.toString)
+      val df =
+        if (applyTombstones) tomb.fold(raw)(t =>
+          raw.join(broadcast(t), Seq("vec_id"), "left_anti"))
+        else raw
       if (partitioned)
         df.repartition(col("cell"))
           .write.mode(SaveMode.Overwrite)
@@ -428,12 +524,15 @@ object IndexStore {
     }
     val primary = kind match {
       case "ivf" =>
-        swap("assigned", partitioned = true); "assigned"
+        swap("assigned", partitioned = true, applyTombstones = true)
+        "assigned"
       case "pq" =>
-        swap("codes", partitioned = false)
-        swap("corpus", partitioned = false); "codes"
+        swap("codes", partitioned = false, applyTombstones = true)
+        swap("corpus", partitioned = false, applyTombstones = true)
+        "codes"
       case "ivfpq" =>
-        swap("codes", partitioned = true); "codes"
+        swap("codes", partitioned = true, applyTombstones = true)
+        "codes"
       case "bloom" =>
         swap("words", partitioned = false); "words"
       case other => throw new IllegalStateException(
@@ -442,6 +541,12 @@ object IndexStore {
     // the epoch log itself accretes one small file per lifecycle op —
     // collapse it with the big tables, then record this compaction
     swap("epochs", partitioned = false)
+    // tombstones are now applied — clear them so a later re-ingest of
+    // a deleted id becomes visible (the documented delete contract)
+    if (tomb.isDefined) {
+      val t = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      t.getFileSystem(hconf).delete(t, true)
+    }
     recordEpoch(spark, dir, "compact", diskRows(spark, s"$dir/$primary"))
   }
 
@@ -463,6 +568,18 @@ object IndexStore {
     * through a temp dir + rename swap. Records a `merge` epoch with
     * the on-disk row delta, then DELETES the consumed shard
     * directory.
+    *
+    * Concurrency: BOTH directories' write locks are taken
+    * (path-ordered, so concurrent merges cannot deadlock) — the shard
+    * is read and finally deleted, so a racing `appendDurable` into it
+    * fails loudly on the shard's lock instead of appending rows that
+    * the merge would silently delete with the directory.
+    *
+    * Crash-atomicity: a `.merge.intent` file in dst brackets the file
+    * moves (see the protocol comment in the body) — a crashed merge
+    * leaves the intent behind and is COMPLETED by re-running
+    * merge(dst, same shard); merging a different shard while an
+    * intent is pending is refused.
     */
   def merge(spark: SparkSession, dstDir: String, srcDir: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -473,14 +590,15 @@ object IndexStore {
         case rows => throw new IllegalStateException(
           s"$dir/manifest: expected exactly 1 row, found ${rows.length}")
       }
-    val dm = manifestOf(dstDir)
-    val sm = manifestOf(srcDir)
-    require(dm.kind == sm.kind,
-      s"cannot merge a '${sm.kind}' shard into a '${dm.kind}' index")
-    require(dm.version == Version && sm.version == Version,
-      s"layout version mismatch: $dstDir=${dm.version}, $srcDir=${sm.version}; this build reads $Version")
-    require(dm.m_bits == sm.m_bits,
-      s"cannot merge Bloom sketches of different sizes: ${dm.m_bits} vs ${sm.m_bits}")
+
+    def validateCompat(dm: Manifest, sm: Manifest): Unit = {
+      require(dm.kind == sm.kind,
+        s"cannot merge a '${sm.kind}' shard into a '${dm.kind}' index")
+      require(dm.version == Version && sm.version == Version,
+        s"layout version mismatch: $dstDir=${dm.version}, $srcDir=${sm.version}; this build reads $Version")
+      require(dm.m_bits == sm.m_bits,
+        s"cannot merge Bloom sketches of different sizes: ${dm.m_bits} vs ${sm.m_bits}")
+    }
 
     def requireSameCentroids(): Unit = {
       def pulled(dir: String) = spark.read.parquet(s"$dir/centroids")
@@ -534,49 +652,136 @@ object IndexStore {
         moveFiles(fs, from, new org.apache.hadoop.fs.Path(s"$dstDir/$table"))
     }
 
-    def moveAndLog(primary: String, alsoMove: Seq[String] = Nil): Unit = {
-      val before = diskRows(spark, s"$dstDir/$primary")
-      moveTable(primary)
-      alsoMove.foreach(moveTable)
-      recordEpoch(spark, dstDir, "merge",
-        diskRows(spark, s"$dstDir/$primary") - before)
+    /** Apply the kind's data movement — file renames for the vector
+      * families (plus the shard's tombstones, which are globally valid
+      * vec_id facts), the bit_or fold for Bloom (idempotent under
+      * re-application, so a crash-resume re-fold is harmless).
+      */
+    /** Value-check the frozen artifacts for the kind — runs BEFORE the
+      * intent is stamped, so a refused shard (different training run)
+      * leaves no pending-merge state behind.
+      */
+    def validateArtifacts(kind: String): Unit = kind match {
+      case "ivf" => requireSameCentroids()
+      case "pq" => requireSameCodebooks()
+      case "ivfpq" => requireSameCentroids(); requireSameCodebooks()
+      case "bloom" => ()
+      case other => throw new IllegalStateException(
+        s"$dstDir/manifest: unknown kind '$other'")
     }
-    withWriteLock(spark, dstDir) {
-      dm.kind match {
-        case "ivf" =>
-          requireSameCentroids()
-          moveAndLog("assigned")
-        case "pq" =>
-          requireSameCodebooks()
-          moveAndLog("codes", Seq("corpus"))
-        case "ivfpq" =>
-          requireSameCentroids(); requireSameCodebooks()
-          moveAndLog("codes")
-        case "bloom" =>
-          // mergeable-sketch semantics: bit_or fold, not a file move —
-          // materialize the union FULLY into a temp dir before touching
-          // the live table (compact's crash-safety order)
-          val before = diskRows(spark, s"$dstDir/words")
-          val merged = spark.read.parquet(s"$dstDir/words")
-            .unionByName(spark.read.parquet(s"$srcDir/words"))
-            .groupBy(col("w")).agg(expr("bit_or(word)").as("word"))
-          val live = new org.apache.hadoop.fs.Path(s"$dstDir/words")
-          val fs = live.getFileSystem(hconf)
-          val tmp = new org.apache.hadoop.fs.Path(s"$dstDir/words.compact")
-          fs.delete(tmp, true)
-          merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-          fs.delete(live, true)
-          require(fs.rename(tmp, live),
-            s"merge: rename $tmp -> $live failed; recover from $tmp")
-          // record vs the pre-merge count (bit_or can collapse rows)
-          recordEpoch(spark, dstDir, "merge",
-            diskRows(spark, s"$dstDir/words") - before)
-        case other => throw new IllegalStateException(
-          s"$dstDir/manifest: unknown kind '$other'")
+
+    def applyMove(kind: String): Unit = kind match {
+      case "ivf" =>
+        moveTable("assigned"); moveTable("tombstones")
+      case "pq" =>
+        moveTable("codes"); moveTable("corpus"); moveTable("tombstones")
+      case "ivfpq" =>
+        moveTable("codes"); moveTable("tombstones")
+      case "bloom" =>
+        // mergeable-sketch semantics: bit_or fold, not a file move —
+        // materialize the union FULLY into a temp dir before touching
+        // the live table (compact's crash-safety order)
+        val merged = spark.read.parquet(s"$dstDir/words")
+          .unionByName(spark.read.parquet(s"$srcDir/words"))
+          .groupBy(col("w")).agg(expr("bit_or(word)").as("word"))
+        val live = new org.apache.hadoop.fs.Path(s"$dstDir/words")
+        val fs = live.getFileSystem(hconf)
+        val tmp = new org.apache.hadoop.fs.Path(s"$dstDir/words.compact")
+        fs.delete(tmp, true)
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        fs.delete(live, true)
+        require(fs.rename(tmp, live),
+          s"merge: rename $tmp -> $live failed; recover from $tmp")
+      case other => throw new IllegalStateException(
+        s"$dstDir/manifest: unknown kind '$other'")
+    }
+
+    def primaryOf(kind: String): String = kind match {
+      case "ivf" => "assigned"
+      case "pq" | "ivfpq" => "codes"
+      case "bloom" => "words"
+      case other => throw new IllegalStateException(
+        s"$dstDir/manifest: unknown kind '$other'")
+    }
+
+    // CRASH-ATOMICITY PROTOCOL: a `.merge.intent` file (shard path +
+    // the destination's pre-merge row count) is written in dst BEFORE
+    // any file moves and removed as the LAST step. Every move is a
+    // rename, so a crashed merge is RESUMABLE: re-running
+    // merge(dst, same shard) moves whatever files remain (already-
+    // moved ones are gone from the shard; the duplicate-file check
+    // still refuses a genuinely different double merge), deletes the
+    // drained shard, and records the epoch against the INTENT's
+    // pre-merge count — so the audit delta covers the whole shard, not
+    // just the resumed remainder. A merge of a DIFFERENT shard while
+    // an intent is pending fails loudly (finish the crashed one
+    // first). Residual window: a crash between the epoch write and the
+    // intent removal makes the resume record a duplicate merge epoch —
+    // visible in the audit log, never a data defect.
+    val intent = new org.apache.hadoop.fs.Path(s"$dstDir/.merge.intent")
+    val dstFs = intent.getFileSystem(hconf)
+    val srcRoot = new org.apache.hadoop.fs.Path(srcDir)
+    val srcFs = srcRoot.getFileSystem(hconf)
+
+    def readIntent(): Option[(String, Long)] =
+      if (!dstFs.exists(intent)) None
+      else {
+        val in = dstFs.open(intent)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.split("\n", 2) match {
+          case Array(src, before) => Some((src, before.trim.toLong))
+          case _ => throw new IllegalStateException(
+            s"$intent is unreadable; reconcile manually, then delete it")
+        }
       }
-      val srcRoot = new org.apache.hadoop.fs.Path(srcDir)
-      srcRoot.getFileSystem(hconf).delete(srcRoot, true)
+
+    def body(): Unit = {
+      val dm = manifestOf(dstDir)
+      val primary = primaryOf(dm.kind)
+      readIntent() match {
+        case Some((pendingSrc, _)) if pendingSrc != srcDir =>
+          throw new IllegalStateException(
+            s"$dstDir has an unfinished merge of '$pendingSrc' (crashed " +
+              "mid-merge). Complete it first by re-running " +
+              s"merge($dstDir, $pendingSrc) — moves are rename-idempotent " +
+              "— then retry this one.")
+        case Some((_, before)) =>
+          // RESUME the crashed merge of this same shard
+          if (srcFs.exists(srcRoot)) {
+            validateCompat(dm, manifestOf(srcDir))
+            validateArtifacts(dm.kind)
+            applyMove(dm.kind)
+            srcFs.delete(srcRoot, true)
+          }
+          recordEpoch(spark, dstDir, "merge",
+            diskRows(spark, s"$dstDir/$primary") - before)
+          dstFs.delete(intent, false)
+        case None =>
+          validateCompat(dm, manifestOf(srcDir))
+          validateArtifacts(dm.kind)
+          val before = diskRows(spark, s"$dstDir/$primary")
+          // create-if-absent: two racing merges into dst can't both
+          // stamp an intent (belt to the write lock's suspenders)
+          val out = dstFs.create(intent, false)
+          try out.write(s"$srcDir\n$before".getBytes("UTF-8"))
+          finally out.close()
+          applyMove(dm.kind)
+          srcFs.delete(srcRoot, true)
+          recordEpoch(spark, dstDir, "merge",
+            diskRows(spark, s"$dstDir/$primary") - before)
+          dstFs.delete(intent, false)
+      }
     }
+
+    // BOTH directories lock (path-ordered, deadlock-free): merge reads
+    // and finally DELETES the shard, so a racing appendDurable into it
+    // must fail loudly on the shard's lock rather than lose its rows
+    // with the directory. On a resume after the shard was already
+    // consumed, only dst's lock exists to take.
+    if (srcFs.exists(srcRoot)) withWriteLocks(spark, dstDir, srcDir)(body())
+    else withWriteLock(spark, dstDir)(body())
   }
 
   /** Remove orphaned `.compact` temp dirs — the debris a crash
@@ -617,7 +822,7 @@ object IndexStore {
       case "bloom" => Seq("words")
       case other => throw new IllegalStateException(
         s"$dir/manifest: unknown kind '$other'")
-    }) :+ "epochs"
+    }) ++ Seq("tombstones", "epochs")
     val hconf = spark.sparkContext.hadoopConfiguration
     val rows = tables.flatMap { t =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$t")

@@ -244,14 +244,18 @@ object EmbStreams {
     * `dir/assigned` under the store's single-writer lock, so a
     * restarted JVM's `loadAnnIndex(dir)` serves everything ingested
     * so far. With a `checkpointDir` the sink is IDEMPOTENT under
-    * replay: a per-batch-id marker file (`_stream_commits/batch-N`)
-    * is written after the append, and a redelivered batch id is
-    * skipped — the standard foreachBatch exactly-once recipe; the
-    * crash window between append and marker can still duplicate that
-    * one batch (the non-transactional-sink caveat — run
-    * [[dedupWithinWatermark]] upstream if arrivals may repeat).
-    * Without a checkpoint, batch ids restart at 0 every run, so
-    * markers are not consulted (a fresh run must not skip real data).
+    * replay: a per-batch-id marker file
+    * (`<checkpointDir>/_graft_commits/batch-N` — under the CHECKPOINT,
+    * because batch ids are scoped to it: a later ingest into the same
+    * index with a fresh checkpoint restarts at batch 0 and must not
+    * skip on a previous run's markers) is written after the append,
+    * and a redelivered batch id is skipped — the standard foreachBatch
+    * exactly-once recipe; the crash window between append and marker
+    * can still duplicate that one batch (the non-transactional-sink
+    * caveat — run [[dedupWithinWatermark]] upstream if arrivals may
+    * repeat). Without a checkpoint, batch ids restart at 0 every run,
+    * so markers are not consulted (a fresh run must not skip real
+    * data).
     */
   def ivfAppendDurable(arrivals: Dataset[EmbArrival],
                        centroids: DataFrame, dir: String,
@@ -311,15 +315,24 @@ object EmbStreams {
     val w = arrivals.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[EmbArrival], batchId: Long) =>
-        val spark = batch.sparkSession
-        val marker = new org.apache.hadoop.fs.Path(
-          s"$dir/_stream_commits/batch-$batchId")
-        val fs = marker.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val committed = checkpointDir.isDefined && fs.exists(marker)
-        if (!committed) {
-          append(batch)
-          if (checkpointDir.isDefined) fs.create(marker, true).close()
+        // markers live UNDER THE CHECKPOINT, not the index dir: batch
+        // ids are scoped to a checkpoint, so a later ingest into the
+        // same index with a NEW checkpoint restarts at batch 0 and
+        // must not find (and silently skip on) a previous run's
+        // markers. The checkpoint and its markers share one lifetime
+        // by construction.
+        checkpointDir match {
+          case None => append(batch)
+          case Some(cp) =>
+            val spark = batch.sparkSession
+            val marker = new org.apache.hadoop.fs.Path(
+              s"$cp/_graft_commits/batch-$batchId")
+            val fs = marker.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(marker)) {
+              append(batch)
+              fs.create(marker, true).close()
+            }
         }
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()

@@ -175,4 +175,50 @@ class DedupCapSpec extends AnyFunSuite with BeforeAndAfterAll {
     try assert(run() == uncapped, "high cap must be a no-op")
     finally spark.conf.unset("spark.graft.phashBucketCap")
   }
+
+  test("capped nearDupClusters equals the exact path when no shingle exceeds the cap") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two 3-doc near-dup chains + singles; every shingle's df is <= 3
+    val base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base2 = "one two three four five six seven eight nine ten eleven"
+    val docs = Seq(
+      (1L, base1), (2L, base1 + " lambda"), (3L, base1 + " lambda mu"),
+      (10L, base2), (11L, base2 + " twelve"),
+      (20L, "totally unrelated words that share nothing with others at all"))
+      .toDF("doc_id", "text")
+    def labels(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("canonical_id"))).toSet
+    val exact = labels(graft.api.Graft.nearDupClusters(docs))
+    val capped = labels(graft.api.Graft.nearDupClusters(docs, maxDocFreq = 3))
+    assert(capped == exact,
+      s"cap above every shingle's df must be a no-op: $capped vs $exact")
+    assert(exact.nonEmpty)
+  }
+
+  test("capped nearDupClusters drops pairs held together only by over-cap shingles") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a hot 3-token boilerplate phrase shared by EVERY doc; docs 1/2
+    // are real near-dups beyond it, docs 10/11 share ONLY the phrase
+    // (their Jaccard over capped shingles is 0) — the scale-killer
+    // shape: one stop-phrase shingle fanning out k² pairs
+    val hot = "click here now"
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"$a $hot"), (2L, s"$a extra $hot"),
+      (10L, s"completely different text body one $hot"),
+      (11L, s"some other unrelated words entirely two $hot"))
+      .toDF("doc_id", "text")
+    val capped = graft.api.Graft.nearDupClusters(docs, maxDocFreq = 3)
+      .collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("canonical_id"))).toSet
+    // 1-2 still cluster on their real overlap; 10/11 must NOT appear
+    // (their only common shingle is the over-cap hot phrase)
+    assert(capped.contains((1L, 1L)) && capped.contains((2L, 1L)),
+      s"real near-dups lost under the cap: $capped")
+    assert(!capped.exists(p => p._1 == 10L || p._1 == 11L),
+      s"hot-shingle-only pair survived the cap: $capped")
+  }
 }

@@ -53,6 +53,30 @@ class QuadraticGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     DedupQueries.d03NgramJaccard.fn(spark, dir).collect()
   }
 
+  test("nearDupClusters trips above the threshold; the df-capped variant does not") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (0L until 20L)
+      .map(i => (i, s"document body number $i with several common tokens"))
+      .toDF("doc_id", "text")
+
+    withConf("spark.graft.quadraticMaxRows" -> "10") {
+      val ex = intercept[IllegalArgumentException] {
+        graft.api.Graft.nearDupClusters(docs)
+      }
+      assert(ex.getMessage.contains("maxDocFreq"))
+      assert(ex.getMessage.contains("quadratic"))
+      // the capped variant IS the scale path — no fence, runs clean
+      graft.api.Graft.nearDupClusters(docs, maxDocFreq = 100).collect()
+    }
+    withConf("spark.graft.quadraticMaxRows" -> "10",
+      "spark.graft.allowQuadratic" -> "true") {
+      graft.api.Graft.nearDupClusters(docs).collect()
+    }
+    // default threshold (50 000) passes 20 rows untouched
+    graft.api.Graft.nearDupClusters(docs).collect()
+  }
+
   test("e02 trips above the threshold") {
     val spark2 = spark
     import spark2.implicits._

@@ -455,16 +455,32 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ops == Seq("save", "append", "append"))
 
     // idempotency: a batch id already marked committed is SKIPPED —
-    // pre-mark the next id and stream more data under it
+    // pre-mark the next id (markers live UNDER THE CHECKPOINT, whose
+    // lifetime batch ids are scoped to) and stream more data under it
     val before = spark.read.parquet(s"$d/assigned").count()
     Files.createFile(java.nio.file.Paths.get(
-      s"$d/_stream_commits/batch-2"))
+      s"$cp/_graft_commits/batch-2"))
     val q2 = idx.appendStreamDurable(stream.toDS(), d, Some(cp))
     stream.addData(b1.toSeq) // would re-append were the marker ignored
     q2.processAllAvailable()
     q2.stop()
     assert(spark.read.parquet(s"$d/assigned").count() == before,
       "a marked (already-committed) batch id was re-appended")
+
+    // a SECOND ingest into the same index under a FRESH checkpoint
+    // restarts at batch 0 — its batches must append, not be skipped on
+    // the previous run's markers (markers are checkpoint-scoped)
+    val stream2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.EmbStreams.EmbArrival]
+    val cp2 = Files.createTempDirectory("graft-ingest-cp2").toString
+    val fresh = b1.map(a => a.copy(vec_id = a.vec_id + 900000L))
+    val q3 = idx.appendStreamDurable(stream2.toDS(), d, Some(cp2))
+    stream2.addData(fresh.toSeq)
+    q3.processAllAvailable()
+    q3.stop()
+    assert(spark.read.parquet(s"$d/assigned").count() ==
+      before + fresh.length,
+      "a fresh-checkpoint ingest's batch 0 was skipped on stale markers")
   }
 
   test("streaming durable append: PQ and IVF-PQ families match their batch append paths") {
@@ -519,5 +535,178 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       Graft.loadPqIndex(spark, d)
     }
     assert(err.getMessage.contains("ivf"))
+  }
+
+  test("delete: insert-then-delete returns to the never-inserted index, all three families, live + loaded") {
+    val kept = emb.filter(col("vec_id") % 7 =!= 0)
+    val extra = emb.filter(col("vec_id") % 7 === 0)
+    val extraIds = extra.select(col("vec_id"))
+
+    // IVF — live handle
+    val ivf = Graft.annIndex(kept)
+    val ivfBase = exact(ivf.search(queries))
+    assert(ivfBase.nonEmpty)
+    assert(exact(ivf.append(extra).delete(extraIds).search(queries))
+      == ivfBase)
+    // IVF — durable: append into the layout, tombstone, reload
+    val dIvf = tmp()
+    ivf.save(dIvf)
+    Graft.loadAnnIndex(spark, dIvf).appendDurable(dIvf, extra)
+    Graft.deleteFromIndex(spark, dIvf, extraIds)
+    assert(exact(Graft.loadAnnIndex(spark, dIvf).search(queries))
+      == ivfBase)
+    val ivfOps = Graft.indexEpochs(spark, dIvf).select(col("op"))
+      .collect().map(_.getString(0)).toSeq
+    assert(ivfOps == Seq("save", "append", "delete"))
+
+    // PQ — live handle (search AND the rerank fetch side)
+    val pq = Graft.pqIndex(kept)
+    val pqBase = exact(pq.search(queries))
+    val pqRerankBase = exact(pq.rerank(queries))
+    val pqDel = pq.append(extra).delete(extraIds)
+    assert(exact(pqDel.search(queries)) == pqBase)
+    assert(exact(pqDel.rerank(queries)) == pqRerankBase)
+    // PQ — durable
+    val dPq = tmp()
+    pq.save(dPq)
+    Graft.loadPqIndex(spark, dPq).appendDurable(dPq, extra)
+    Graft.deleteFromIndex(spark, dPq, extraIds)
+    val pqLoaded = Graft.loadPqIndex(spark, dPq)
+    assert(exact(pqLoaded.search(queries)) == pqBase)
+    assert(exact(pqLoaded.rerank(queries)) == pqRerankBase)
+
+    // IVF-PQ — live handle
+    val ivfpq = Graft.ivfPqIndex(kept)
+    val ivfpqBase = exact(ivfpq.search(queries))
+    assert(exact(ivfpq.append(extra).delete(extraIds).search(queries))
+      == ivfpqBase)
+    // IVF-PQ — durable
+    val dIvfPq = tmp()
+    ivfpq.save(dIvfPq)
+    Graft.loadIvfPqIndex(spark, dIvfPq).appendDurable(dIvfPq, extra)
+    Graft.deleteFromIndex(spark, dIvfPq, extraIds)
+    assert(exact(Graft.loadIvfPqIndex(spark, dIvfPq).search(queries))
+      == ivfpqBase)
+  }
+
+  test("delete: tombstones win over later appends until compact applies and clears them") {
+    val kept = emb.filter(col("vec_id") % 5 =!= 0)
+    val extra = emb.filter(col("vec_id") % 5 === 0)
+    val extraIds = extra.select(col("vec_id"))
+    val ivf = Graft.annIndex(kept)
+    val base = exact(ivf.search(queries))
+    val d = tmp()
+    ivf.save(d)
+
+    // delete FIRST, append the same ids AFTER: the tombstone wins
+    Graft.deleteFromIndex(spark, d, extraIds)
+    Graft.loadAnnIndex(spark, d).appendDurable(d, extra)
+    assert(exact(Graft.loadAnnIndex(spark, d).search(queries)) == base,
+      "a post-delete append of a tombstoned id must stay masked")
+
+    // compact: applies the tombstones (rows physically gone), clears
+    // the side table, search unchanged
+    Graft.compactIndex(spark, d)
+    assert(!new java.io.File(s"$d/tombstones").exists(),
+      "compact must clear applied tombstones")
+    assert(exact(Graft.loadAnnIndex(spark, d).search(queries)) == base)
+    assert(spark.read.parquet(s"$d/assigned")
+      .filter(col("vec_id") % 5 === 0).count() == 0,
+      "compact must rewrite tombstoned rows out of the data files")
+
+    // after the clear, re-ingest becomes visible (the documented
+    // delete contract)
+    Graft.loadAnnIndex(spark, d).appendDurable(d, extra)
+    assert(exact(Graft.loadAnnIndex(spark, d).search(queries))
+      == exact(ivf.append(extra).search(queries)))
+
+    // describe surfaces the tombstone table while it exists
+    Graft.deleteFromIndex(spark, d, extraIds)
+    assert(Graft.describeIndex(spark, d).select(col("table"))
+      .collect().map(_.getString(0)).toSet
+      == Set("assigned", "centroids", "tombstones", "epochs"))
+  }
+
+  test("delete: a Bloom sketch refuses tombstones") {
+    val d = tmp()
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Graft.bloomSketch(Graft.segmentHashes(docs)).save(d)
+    val err = intercept[IllegalArgumentException] {
+      Graft.deleteFromIndex(spark, d, Seq(1L).toDF("vec_id"))
+    }
+    assert(err.getMessage.contains("Bloom"))
+  }
+
+  test("merge takes BOTH locks: a locked shard (a still-running writer) refuses the merge") {
+    val snapshot = emb.filter(col("vec_id") % 5 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 5 === 0)
+    val idx = Graft.annIndex(snapshot)
+    val root = tmp()
+    idx.save(s"$root/main")
+    idx.shard(s"$root/s1", arrivals)
+
+    // a writer still holds the SHARD's lock — the merge must fail
+    // loudly instead of consuming (and deleting) rows mid-write
+    Files.write(java.nio.file.Paths.get(s"$root/s1", ".write.lock"),
+      "777@shardwriter @ 1700000000000".getBytes("UTF-8"))
+    val err = intercept[IllegalStateException] {
+      Graft.mergeIndex(spark, s"$root/main", s"$root/s1")
+    }
+    assert(err.getMessage.contains("locked by another writer")
+      && err.getMessage.contains("777@shardwriter"))
+    // nothing moved, nothing deleted, no epoch minted
+    assert(new java.io.File(s"$root/s1/assigned").exists())
+    assert(exact(Graft.indexEpochs(spark, s"$root/main").select(col("op")))
+      == Seq(Seq("save")))
+    // ...and no intent left behind (the refusal happened before it)
+    assert(!new java.io.File(s"$root/main/.merge.intent").exists())
+
+    // clear the writer's lock: the merge proceeds and consumes the shard
+    assert(Graft.breakIndexLock(spark, s"$root/s1"))
+    Graft.mergeIndex(spark, s"$root/main", s"$root/s1")
+    assert(!new java.io.File(s"$root/s1").exists())
+    assert(exact(Graft.loadAnnIndex(spark, s"$root/main").search(queries))
+      == exact(idx.append(arrivals).search(queries)))
+  }
+
+  test("merge crash protocol: a pending intent refuses other shards and the same shard RESUMES") {
+    val snapshot = emb.filter(col("vec_id") % 5 =!= 0)
+    val arr1 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 0)
+    val arr2 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 1)
+    val idx = Graft.annIndex(snapshot)
+    val root = tmp()
+    idx.save(s"$root/main")
+    idx.shard(s"$root/s1", arr1)
+    idx.shard(s"$root/s2", arr2)
+
+    // simulate a merge of s1 that crashed right after stamping its
+    // intent (no files moved yet)
+    val before = spark.read.parquet(s"$root/main/assigned").count()
+    Files.write(java.nio.file.Paths.get(s"$root/main", ".merge.intent"),
+      s"$root/s1\n$before".getBytes("UTF-8"))
+
+    // a DIFFERENT shard is refused while the intent is pending
+    val err = intercept[IllegalStateException] {
+      Graft.mergeIndex(spark, s"$root/main", s"$root/s2")
+    }
+    assert(err.getMessage.contains("unfinished merge"))
+    assert(new java.io.File(s"$root/s2/assigned").exists())
+
+    // re-running the SAME shard resumes: files move, shard consumed,
+    // intent cleared, epoch delta covers the whole shard
+    Graft.mergeIndex(spark, s"$root/main", s"$root/s1")
+    assert(!new java.io.File(s"$root/s1").exists())
+    assert(!new java.io.File(s"$root/main/.merge.intent").exists())
+    val mergeRows = Graft.indexEpochs(spark, s"$root/main")
+      .filter(col("op") === "merge").select(col("n_rows"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(mergeRows == Seq(arr1.count()))
+
+    // and the queue unblocks
+    Graft.mergeIndex(spark, s"$root/main", s"$root/s2")
+    assert(exact(Graft.loadAnnIndex(spark, s"$root/main").search(queries))
+      == exact(idx.append(arr1.unionByName(arr2)).search(queries)))
   }
 }
