@@ -492,6 +492,44 @@ object Graft {
     def drift(sample: DataFrame): DataFrame =
       SimilarityQueries.cellDrift(assigned, centroids, sample)
 
+    /** DRIFT-TRIGGERED RETRAIN — closes the monitor → action loop the
+      * drift reports (e28/e31/e32/e34) point at: compute [[drift]] of
+      * the `arrivals` sample and, when the total-variation distance
+      * (Σ drift_ppm / 2) exceeds `maxDriftPpm`, retrain the coarse
+      * centroids ON STORED ∪ ARRIVALS and re-cell everything,
+      * returning a NEW handle; at or below the threshold, return
+      * `this` unchanged — a byte-identical no-op (same object), so a
+      * scheduled `retrainIf` costs only the drift report until drift
+      * actually crosses budget.
+      *
+      * The retrain is one WARM-STARTED Lloyd step from the serving
+      * state: every stored row keeps the cell it serves from, the
+      * arrivals take their honest nearest cell under the current
+      * centroids (the exact [[append]] kernel), and that union —
+      * labels := serving cells — feeds the same [[annIndex]] training
+      * a fresh build runs (per-cell float-cast means, then re-assign
+      * all rows to the new centroids). Gate: `e47_ivf_retrain` (the
+      * whole retrain replayed by the oracle); a negative threshold
+      * forces the retrain (the scheduled-rebuild shape).
+      *
+      * At 100 TB: the drift report is two map-side-combinable counts;
+      * a triggered retrain is one mean-agg over the union plus one
+      * broadcast re-assignment pass — the same cost as the original
+      * build, paid only when the report says the cells went stale.
+      * `arrivals`: (vec_id, embedding), non-empty.
+      */
+    def retrainIf(arrivals: DataFrame, maxDriftPpm: Long): IvfIndex = {
+      val tv = totalVariationPpm(drift(arrivals))
+      if (tv <= maxDriftPpm) this
+      else {
+        val relabeled = assigned
+          .select(col("vec_id"), col("embedding"), col("cell"))
+          .unionByName(SimilarityQueries.assignCells(arrivals, centroids))
+          .withColumnRenamed("cell", "label")
+        annIndex(relabeled)
+      }
+    }
+
     /** DELETE vectors from the LIVE handle — [[deleteFromIndex]]'s
       * in-memory sibling: the rows anti-join out of the assigned
       * corpus (broadcast — the delete set is small by contract), the
@@ -748,6 +786,26 @@ object Graft {
   def breakIndexLock(spark: SparkSession, dir: String): Boolean =
     IndexStore.breakLock(spark, dir)
 
+  /** Σ drift_ppm / 2 of an e28-shaped report — the total-variation
+    * distance in ppm the retrain triggers threshold on. Empty report
+    * (no cells) reads as zero drift, not null.
+    */
+  private def totalVariationPpm(report: DataFrame): Long =
+    report.agg(coalesce(sum(col("drift_ppm")), lit(0L)))
+      .head().getLong(0) / 2
+
+  /** The WORST single subspace's total-variation distance (ppm) of a
+    * per-(subspace, code) drift report — the threshold axis for the
+    * compressed families: one degraded subspace degrades every
+    * distance computed through it, so the trigger watches the max,
+    * not the average.
+    */
+  private def worstSubspaceTvPpm(report: DataFrame): Long =
+    report.groupBy(col("m"))
+      .agg((sum(col("drift_ppm")) / 2).cast("long").as("tv"))
+      .agg(coalesce(max(col("tv")), lit(0L)))
+      .head().getLong(0)
+
   /** Build the product-quantization index (Jégou et al. 2011): train
     * 4-subspace × 16-dim codebooks (4 centroids each, 2 Lloyd
     * iterations, deterministic every-125th init) on the corpus, then
@@ -787,6 +845,26 @@ object Graft {
       */
     def search(queries: DataFrame, k: Int = 3): DataFrame =
       SimilarityQueries.pqAdcRank(codes, codebooks, renamed(queries), k)
+
+    /** DRIFT-TRIGGERED RETRAIN — [[IvfIndex.retrainIf]]'s contract
+      * for the compressed family, thresholded on [[drift]]'s
+      * per-(subspace, code) report: when the WORST single subspace's
+      * total-variation distance (Σ drift_ppm / 2 within that
+      * subspace — one degraded subspace degrades every ADC distance
+      * computed through it) exceeds `maxDriftPpm`, retrain the
+      * codebooks on STORED ∪ ARRIVALS (the handle keeps its raw
+      * corpus — the rerank fetch side — so the union needs no caller
+      * input) and re-encode everything via the same [[pqIndex]]
+      * training a fresh build runs; otherwise return `this` unchanged
+      * (byte-identical no-op). A negative threshold forces the
+      * retrain. `arrivals`: (vec_id, embedding), non-empty.
+      */
+    def retrainIf(arrivals: DataFrame, maxDriftPpm: Long): PqIndex = {
+      val worst = worstSubspaceTvPpm(drift(arrivals))
+      if (worst <= maxDriftPpm) this
+      else pqIndex(corpus.select(col("vec_id"), col("embedding"))
+        .unionByName(arrivals.select(col("vec_id"), col("embedding"))))
+    }
 
     /** DELETE vectors from the LIVE handle — [[IvfIndex.delete]]'s
       * contract for the compressed family: the ids anti-join out of
@@ -1019,6 +1097,38 @@ object Graft {
         .select(col("query_id"), col("vec_id"))
       SimilarityQueries.pqRerankStage(
         corpus.select(col("vec_id"), col("embedding")), shortlist, q, k)
+    }
+
+    /** DRIFT-TRIGGERED RETRAIN — [[IvfIndex.retrainIf]]'s contract
+      * for the composite family, thresholded on the RESIDUAL axis
+      * ([[residualDrift]] — quantization fidelity is what a frozen
+      * residual codebook loses first; watch the coarse axis via
+      * [[drift]]/[[IvfIndex.retrainIf]] semantics separately): when
+      * the worst subspace's total-variation distance exceeds
+      * `maxDriftPpm`, rebuild coarse centroids AND residual codebooks
+      * on `corpus` ∪ `arrivals` and re-encode, returning a new
+      * handle; otherwise `this` unchanged (byte-identical no-op).
+      *
+      * Like [[rerank]], the raw vectors come from the caller: this
+      * handle deliberately stores no embeddings (cell + 4 bytes + one
+      * float per vector is its whole footprint), so `corpus` must be
+      * the stored source table. The union is re-labeled by its
+      * serving cells under the CURRENT centroids (the warm-started
+      * Lloyd step [[IvfIndex.retrainIf]] documents) and fed to the
+      * same [[ivfPqIndex]] training a fresh build runs. A negative
+      * threshold forces the retrain. `arrivals`: (vec_id, embedding),
+      * non-empty.
+      */
+    def retrainIf(corpus: DataFrame, arrivals: DataFrame,
+                  maxDriftPpm: Long): IvfPqIndex = {
+      val worst = worstSubspaceTvPpm(residualDrift(arrivals))
+      if (worst <= maxDriftPpm) this
+      else {
+        val union = corpus.select(col("vec_id"), col("embedding"))
+          .unionByName(arrivals.select(col("vec_id"), col("embedding")))
+        ivfPqIndex(SimilarityQueries.assignCells(union, centroids)
+          .withColumnRenamed("cell", "label"))
+      }
     }
 
     /** DELETE vectors from the LIVE handle — [[IvfIndex.delete]]'s

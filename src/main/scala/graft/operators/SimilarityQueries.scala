@@ -470,12 +470,16 @@ object SimilarityQueries {
     * via the ContextCleaner, no session-lifetime CacheManager entry)
     * and reused across invocations (bench ×5, spec reruns).
     *
-    * IMMUTABLE-DIR ASSUMPTION: the memo key is (session, dir) with no
-    * data fingerprint — rewriting the parquet under `d` within one
-    * session would serve the stale assignment. That matches the
-    * gate/bench contract (testdata dirs are write-once per run); a
-    * mutable-corpus caller must use a fresh dir (or session) per
-    * snapshot.
+    * Invalidation: the memo is generation-checked exactly like d06's
+    * cluster memo — [[invalidateAssigned]] drops the entry and bumps
+    * the (session, dir) generation, so a rewritten corpus dir never
+    * serves a stale assignment within a session, and a compute that
+    * was already in flight when the invalidation arrived is DISCARDED
+    * rather than cached (it may have read the old data). The compute
+    * runs OUTSIDE the monitor (the assignment is a real Spark job;
+    * holding the lock through it would serialize unrelated dirs and
+    * block invalidation); a concurrent duplicate compute for the same
+    * dir is possible and harmless — identical labels, last put wins.
     */
   private val assignedMemo =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
@@ -484,15 +488,56 @@ object SimilarityQueries {
           e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
         size() > 16
     }
-  private def assignedOf(s: SparkSession, d: String): DataFrame =
+  private val assignedGen =
+    new java.util.HashMap[(SparkSession, String), java.lang.Long]()
+  private def assignedGenOf(key: (SparkSession, String)): Long =
+    Option(assignedGen.get(key)).map(_.longValue).getOrElse(0L)
+
+  /** Observe the current generation for (s, d) — pair with
+    * [[putAssignedIfCurrent]]; package-private so ClusterMemoSpec can
+    * exercise the invalidate-during-compute race deterministically.
+    */
+  private[operators] def assignedGeneration(s: SparkSession,
+                                            d: String): Long =
+    assignedMemo.synchronized(assignedGenOf((s, d)))
+
+  /** Insert a computed assignment only if no invalidation happened
+    * since `startGen` was observed; returns whether the put happened.
+    */
+  private[operators] def putAssignedIfCurrent(s: SparkSession, d: String,
+                                              startGen: Long,
+                                              a: DataFrame): Boolean =
     assignedMemo.synchronized {
-      Option(assignedMemo.get((s, d))).getOrElse {
-        val e = Tables.embeddings(s, d)
-        val a = assignCells(e, labelCentroids(e)).localCheckpoint()
-        assignedMemo.put((s, d), a)
-        a
-      }
+      val key = (s, d)
+      val ok = assignedGenOf(key) == startGen
+      if (ok) assignedMemo.put(key, a)
+      ok
     }
+
+  /** Drop the memoized cell assignment for `d` (e.g. after rewriting
+    * its embeddings); the next e07 call recomputes from the current
+    * data. Any assignment in flight at the moment of invalidation is
+    * discarded rather than cached.
+    */
+  def invalidateAssigned(s: SparkSession, d: String): Unit =
+    assignedMemo.synchronized {
+      val key = (s, d)
+      assignedMemo.remove(key)
+      assignedGen.put(key, java.lang.Long.valueOf(assignedGenOf(key) + 1L))
+      ()
+    }
+
+  private def assignedOf(s: SparkSession, d: String): DataFrame = {
+    val key = (s, d)
+    val (cached, startGen) = assignedMemo.synchronized(
+      (Option(assignedMemo.get(key)), assignedGenOf(key)))
+    cached.getOrElse {
+      val e = Tables.embeddings(s, d)
+      val a = assignCells(e, labelCentroids(e)).localCheckpoint()
+      putAssignedIfCurrent(s, d, startGen, a)
+      a
+    }
+  }
 
   val e07SemanticDedup = QueryDef(
     "e07_semantic_dedup",
@@ -2486,6 +2531,47 @@ object SimilarityQueries {
          |${ivfSearchSql("cent_arr", "ASC",
         scoredExtra = " AND b.vec_id % 11 <> 3")}""".stripMargin))
 
+  /** DRIFT-TRIGGERED RETRAIN gate — the monitor → action closure: an
+    * IVF index trained on the snapshot (vec_id % 7 ≠ 0) receives the
+    * arrivals (% 7 = 0) through
+    * [[graft.api.Graft.IvfIndex.retrainIf]] with a forcing threshold,
+    * so the coarse centroids RETRAIN on stored ∪ arrivals via the
+    * warm-started Lloyd step (labels := serving cells under the OLD
+    * centroids) and everything re-cells. The oracle replays the whole
+    * loop: old centroids from the snapshot (e05's shared CTE text),
+    * the union assigned under them (the shared assign text), per-cell
+    * float-cast means as the NEW centroids, then the e05 search tail
+    * against those — so the gate pins training, re-assignment, and
+    * search of the retrained index cross-engine. The no-op side (at
+    * or below threshold returns `this` unchanged) is spec-pinned
+    * (GraftApiSpec).
+    */
+  val e47IvfRetrain = QueryDef(
+    "e47_ivf_retrain",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.api.Graft.annIndex(e.filter(col("vec_id") % 7 =!= 0))
+        .retrainIf(e.filter(col("vec_id") % 7 === 0), maxDriftPpm = -1L)
+        .search(e.filter(col("vec_id") < 5), probes = 2, k = 3)
+    },
+    Some(
+      s"""WITH ${centArrSqlOver("WHERE vec_id % 7 <> 0")},
+         |assign0 AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent_arr c)
+         |  WHERE rn = 1),
+         |cent2 AS (
+         |  SELECT a.cell, i,
+         |    CAST(sum(CAST(a.embedding[i] AS DOUBLE)) / count(*) AS FLOAT) AS c
+         |  FROM assign0 a, LATERAL unnest(generate_series(1, 64)) t(i)
+         |  GROUP BY a.cell, i),
+         |cent2_arr AS (
+         |  SELECT cell, list(c ORDER BY i) AS centroid FROM cent2 GROUP BY cell),
+         |${ivfSearchSql("cent2_arr", "ASC")}""".stripMargin))
+
   /** FILTERED search for the compressed family — e24's contract on
     * the PQ index: the code table stays as built; `keepIds` restricts
     * candidates via a semi-join BEFORE ADC ranking, so a metadata
@@ -3028,5 +3114,5 @@ object SimilarityQueries {
     e34IvfPqResidualDrift, e35IndexEpochs, e36ShardMerge, e37RecallSweep,
     e38RerankSweep, e39FilteredPq, e40FilteredIvfPq, e41FilteredPqRecall,
     e42FilteredIvfPqRecall, e43IvfPqRerank, e44RecallIvfPqRerank,
-    e45IndexDelete, e46DeleteCompact)
+    e45IndexDelete, e46DeleteCompact, e47IvfRetrain)
 }

@@ -510,6 +510,55 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 0)
   }
 
+  test("retrainIf: below threshold is a byte-identical no-op; forced retrain equals a fresh build on the relabeled union") {
+    val snapshot = emb.filter(col("vec_id") % 7 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 7 === 0)
+    val q = emb.filter(col("vec_id") < 5)
+
+    // IVF: a sample drawn FROM the indexed distribution can't drift
+    // past a generous threshold -> the very same handle comes back
+    val ivf = Graft.annIndex(snapshot)
+    assert(ivf.retrainIf(snapshot.limit(50), Long.MaxValue) eq ivf)
+    // forced retrain (negative threshold) == fresh annIndex on the
+    // union re-labeled by its serving cells under the OLD centroids
+    val relabeled = snapshot
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .join(ivf.assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cell").as("label"))
+      .unionByName(graft.operators.SimilarityQueries
+        .assignCells(arrivals, ivf.centroids)
+        .withColumnRenamed("cell", "label"))
+    val expected = Graft.annIndex(relabeled)
+    val retrained = ivf.retrainIf(arrivals, maxDriftPpm = -1L)
+    def exact(df: DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    assert(exact(retrained.centroids.orderBy("cell"))
+      == exact(expected.centroids.orderBy("cell")))
+    assert(exact(retrained.search(q)) == exact(expected.search(q)))
+
+    // PQ: no-op identity below threshold; forced retrain == pqIndex
+    // over stored ∪ arrivals (the handle carries its own raw corpus)
+    val pq = Graft.pqIndex(snapshot)
+    assert(pq.retrainIf(snapshot.limit(50), Long.MaxValue) eq pq)
+    val pqExpected = Graft.pqIndex(
+      snapshot.select(col("vec_id"), col("embedding"))
+        .unionByName(arrivals.select(col("vec_id"), col("embedding"))))
+    assert(exact(pq.retrainIf(arrivals, -1L).search(q))
+      == exact(pqExpected.search(q)))
+
+    // IVF-PQ: residual-axis trigger; raw corpus caller-supplied
+    val c = Graft.ivfPqIndex(snapshot)
+    assert(c.retrainIf(snapshot, snapshot.limit(50), Long.MaxValue) eq c)
+    val cExpected = Graft.ivfPqIndex(graft.operators.SimilarityQueries
+      .assignCells(
+        snapshot.select(col("vec_id"), col("embedding"))
+          .unionByName(arrivals.select(col("vec_id"), col("embedding"))),
+        c.centroids)
+      .withColumnRenamed("cell", "label"))
+    assert(exact(c.retrainIf(snapshot, arrivals, -1L).search(q))
+      == exact(cExpected.search(q)))
+  }
+
   test("rerank sweep: recall@3 is monotone non-decreasing in fetch, per query") {
     val sweep = gate("e38_rerank_sweep").collect()
       .map(r => (r.getAs[Int]("fetch"), r.getLong(1), r.getLong(2)))

@@ -85,4 +85,42 @@ class ClusterMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     val l1 = DedupQueries.clusterLabels(spark, dir)
     assert(l1 eq DedupQueries.clusterLabels(spark, dir))
   }
+
+  test("e07 assignment memo: stale after rewrite until invalidateAssigned; in-flight puts refused") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("assignedMemo").toString
+    val src = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    def verdicts(): Long =
+      SimilarityQueries.e07SemanticDedup.fn(spark, dir).count()
+
+    // one verdict row per corpus vector
+    val full = verdicts()
+    assert(full == src.count())
+
+    // rewrite the dir to HALF the corpus: the memoized assignment is
+    // a materialized handle (localCheckpoint), so without invalidation
+    // the memo keeps serving the old assignment's row set
+    val half = src.filter(org.apache.spark.sql.functions
+      .col("vec_id") % 2 === 0)
+    half.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    SimilarityQueries.invalidateAssigned(spark, dir)
+    assert(verdicts() == half.count(),
+      "post-invalidation e07 must recompute from the rewritten corpus")
+
+    // the invalidate-during-compute race, replayed deterministically:
+    // a compute that observed the OLD generation must not re-insert
+    val genBefore = SimilarityQueries.assignedGeneration(spark, dir)
+    SimilarityQueries.invalidateAssigned(spark, dir)
+    assert(!SimilarityQueries.putAssignedIfCurrent(spark, dir, genBefore,
+      half.toDF()),
+      "stale assignment put accepted after invalidation")
+    // current-generation put is accepted
+    assert(SimilarityQueries.putAssignedIfCurrent(spark, dir,
+      SimilarityQueries.assignedGeneration(spark, dir), half.toDF()))
+    SimilarityQueries.invalidateAssigned(spark, dir)
+  }
 }
