@@ -170,6 +170,17 @@ object ScaleBench {
       // prices the capped inverted-index join + O(log n) CC rounds
       // (the exact d06 path stays excluded by design with d03/e02)
       "d18_clusters_capped",
+      // e45: the REMOVE path priced end-to-end - save the full index,
+      // tombstone ~1/11 of the ids (one small parquet append), search
+      // through a loaded handle whose broadcast anti-join masks them;
+      // expected to track e30's write-bound save curve (the delete
+      // itself is corpus-size-independent)
+      "e45_index_delete",
+      // e47: the retrain closure - drift report (two map-side counts)
+      // + a forced retrain (one mean-agg over the union + one
+      // broadcast re-assign pass) + the e05 search; must track the
+      // original build's linear curve, since a retrain IS a rebuild
+      "e47_ivf_retrain",
       // e43: two-stage composite serve - the full e18 train + probe +
       // ADC pass to a depth-10 shortlist, then an exact rescore of
       // O(queries x 10) rows fetched by broadcast semi-join against
@@ -240,7 +251,8 @@ object ScaleBench {
       "e25_ann_recall_filtered", "e26_ivf_append", "e27_pq_append",
       "e28_index_drift", "e29_ivfpq_append",
       "e31_pq_code_drift", "e32_ivfpq_drift", "e33_durable_append",
-      "e36_shard_merge", "e35_index_epochs", "e43_ivfpq_rerank")
+      "e36_shard_merge", "e35_index_epochs", "e43_ivfpq_rerank",
+      "e45_index_delete", "e47_ivf_retrain")
       .map(_ -> "embeddings") ++
       Seq("q56_asof_attribution", "q58_salted_agg", "q66_event_funnel",
         "q57_range_error_proximity").map(_ -> "events")).toMap
