@@ -243,6 +243,132 @@ object Graft {
     DedupQueries.BloomSketch.probe(segmentHashes(batch), sketch.words,
       sketch.mBits)
 
+  /** Build the DURABLE LSH dedup index — the dedup family's analogue
+    * of [[annIndex]]: MinHash signatures (the d09 md5-derived,
+    * DuckDB-replayable protocol) + the threshold-derived band-bucket
+    * table over the corpus, persisted once, then arriving documents
+    * SCREEN against it without ever rescanning or re-signing the
+    * stored corpus — near-dup-dedup-at-ingest against a 100 TB corpus
+    * costs one signature pass over the batch plus a bucket probe.
+    * Signatures are a pure function of the text (no trained
+    * artifacts), so append-encode ≡ build-encode by construction.
+    *
+    * Input: (doc_id Long, text String). Gate: `d19_lsh_index_screen`
+    * (save → load → screen, full mechanics replayed by the oracle).
+    */
+  def lshIndex(docs: DataFrame, threshold: Double = 0.8): LshIndex = {
+    val numHashes = 64
+    val rowsPerBand = DedupQueries.derivedRowsPerBand(threshold, numHashes)
+    val sigs = DedupQueries.lshSignatures(docs, numHashes)
+    LshIndex(sigs, DedupQueries.lshBandRows(sigs, rowsPerBand, numHashes),
+      threshold, numHashes, rowsPerBand)
+  }
+
+  /** A built LSH dedup index: `sigs` = (vec_id, sig) MinHash
+    * signatures of the stored corpus, `bands` = (vec_id, band, bkey)
+    * bucket rows, plus the banding parameters screening replays.
+    */
+  final case class LshIndex private[api] (
+      sigs: DataFrame, bands: DataFrame, threshold: Double,
+      numHashes: Int, rowsPerBand: Int) {
+
+    /** Near-dup verdicts for an arriving batch vs the STORED corpus:
+      * the batch's band keys probe the stored buckets (incoming side
+      * broadcast — the stored band table never shuffles), candidates
+      * verify by the MinHash estimate thresholded on the integer
+      * match count. `bucketCap` excludes stored buckets above `cap`
+      * members (d09's hot-bucket mitigation). Output: (doc_id,
+      * stored_id, est_jaccard), unsorted.
+      */
+    def screen(newDocs: DataFrame,
+               bucketCap: Option[Int] = None): DataFrame =
+      DedupQueries.lshScreenOf(sigs, bands, newDocs, threshold,
+        rowsPerBand, bucketCap, numHashes)
+
+    /** Screen an unbounded document stream against this index — the
+      * at-ingest shape: each micro-batch runs the exact gated
+      * [[screen]] kernel; `onBatch` receives its verdicts. Stop the
+      * returned query when done.
+      */
+    def screenStream(incoming: Dataset[graft.streaming.DocStreams.Doc],
+                     bucketCap: Option[Int] = None)
+                    (onBatch: DataFrame => Unit)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      incoming.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .foreachBatch {
+          (batch: Dataset[graft.streaming.DocStreams.Doc], _: Long) =>
+            onBatch(screen(
+              batch.toDF().select(col("doc_id"), col("text")), bucketCap))
+        }
+        .start()
+
+    /** Add NEW documents to the LIVE handle — signatures are a pure
+      * text function, so append cannot drift from build.
+      */
+    def append(docs: DataFrame): LshIndex = {
+      val newSigs = DedupQueries.lshSignatures(docs, numHashes)
+      copy(sigs = sigs.unionByName(newSigs),
+        bands = bands.unionByName(
+          DedupQueries.lshBandRows(newSigs, rowsPerBand, numHashes)))
+    }
+
+    /** [[append]] made DURABLE: sign the arrivals and parquet-append
+      * signatures + band rows INTO the saved layout at `dir` (band
+      * rows land only under their bands' partition dirs), then
+      * reopen. Epoch op `append` with the signature-row delta.
+      */
+    def appendDurable(dir: String, docs: DataFrame): LshIndex = {
+      val newSigs = DedupQueries.lshSignatures(docs, numHashes)
+      IndexStore.appendLsh(dir, newSigs,
+        DedupQueries.lshBandRows(newSigs, rowsPerBand, numHashes))
+      loadLshIndex(docs.sparkSession, dir)
+    }
+
+    /** DELETE documents from the LIVE handle — [[IvfIndex.delete]]'s
+      * contract for the dedup index: the ids anti-join out of BOTH
+      * the signature and band tables. Durable stores delete via
+      * [[deleteFromIndex]] (`ids` keyed by `vec_id` = doc_id).
+      */
+    def delete(ids: DataFrame): LshIndex = {
+      val t = broadcast(ids.select(col("vec_id")))
+      copy(sigs = sigs.join(t, Seq("vec_id"), "left_anti"),
+        bands = bands.join(t, Seq("vec_id"), "left_anti"))
+    }
+
+    /** Export a SHARD: sign `docs` and save them as a self-contained
+      * LSH index directory — the map step of a parallel index build,
+      * foldable by [[mergeIndex]] (per-band-dir renames; the banding
+      * PARAMETERS are value-checked, so a shard banded differently is
+      * refused).
+      */
+    def shard(dir: String, docs: DataFrame): Unit = {
+      val newSigs = DedupQueries.lshSignatures(docs, numHashes)
+      IndexStore.saveLsh(dir, newSigs,
+        DedupQueries.lshBandRows(newSigs, rowsPerBand, numHashes),
+        threshold, numHashes, rowsPerBand)
+    }
+
+    /** Persist to `dir` ([[graft.sources.IndexStore]] layout): flat
+      * signature table + the band table PARTITIONED BY band + the
+      * one-row params table; compact/vacuum/describe/epochs/delete
+      * all apply unchanged.
+      */
+    def save(dir: String): Unit =
+      IndexStore.saveLsh(dir, sigs, bands, threshold, numHashes,
+        rowsPerBand)
+  }
+
+  /** Reopen an [[LshIndex]] saved with [[LshIndex.save]] — no
+    * re-signing; screening runs the gated kernel, tombstoned ids are
+    * anti-joined out of both tables.
+    */
+  def loadLshIndex(spark: SparkSession, dir: String): LshIndex = {
+    val (sigs, bands, threshold, numHashes, rowsPerBand) =
+      IndexStore.loadLsh(spark, dir)
+    LshIndex(sigs, bands, threshold, numHashes, rowsPerBand)
+  }
+
   /** SEMANTIC cross-corpus decontamination — [[decontaminate]]'s
     * embedding-space sibling: flag training vectors whose cosine
     * against ANY benchmark vector reaches `threshold` (a paraphrased
@@ -617,6 +743,25 @@ object Graft {
       EmbStreams.ivfServePruned(queries, corpusDir, pulledCentroids,
         nprobe, k)(onBatch)
 
+    /** [[servePruned]] against the WHOLE saved store at `storeDir` —
+      * tombstone-aware: reads the cell-partitioned table at
+      * `storeDir/assigned` with per-batch file-level pruning AND
+      * anti-joins the store's live tombstone set ([[deleteFromIndex]])
+      * out of every scanned batch, so pruned serving never surfaces a
+      * deleted vector even BEFORE the next [[compactIndex]] applies
+      * the tombstones (the [[servePruned]] raw-path caveat, closed).
+      * The tombstone set is read once at query start — stop and
+      * restart the stream to pick up later deletes, exactly like
+      * re-opening a handle.
+      */
+    def servePrunedStore(queries: Dataset[EmbStreams.EmbQuery],
+                         storeDir: String, nprobe: Int = 2, k: Int = 3)
+                        (onBatch: DataFrame => Unit)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      EmbStreams.ivfServePruned(queries, s"$storeDir/assigned",
+        pulledCentroids, nprobe, k,
+        IndexStore.tombstones(centroids.sparkSession, storeDir))(onBatch)
+
     /** AT-INGEST append — [[append]]'s streaming sibling through the
       * handle: each micro-batch of arrivals is assigned into the
       * trained (immutable) cells with the gated kernel and handed to
@@ -720,8 +865,10 @@ object Graft {
     * including rows appended after the delete — until a compact
     * clears it; re-ingest a deleted id only after compacting.
     * Caveat: [[IvfIndex.servePruned]] reads the assigned table by
-    * PATH (not through a loaded handle) — compact after deleting, or
-    * serve through [[loadAnnIndex]]'s handle, before pruned serving.
+    * RAW PATH (not through a loaded handle) and so still sees
+    * tombstoned rows — use [[IvfIndex.servePrunedStore]] (which
+    * anti-joins the store's tombstones after the partition filter),
+    * or compact first.
     * Gates: `e45_index_delete` (tombstone-masked search) /
     * `e46_delete_compact` (compaction applies + clears them).
     */

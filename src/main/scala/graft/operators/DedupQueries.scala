@@ -304,12 +304,22 @@ object DedupQueries {
     * candidate volume. MinHashRecallSpec proves the 0.5 case against
     * the exact quadratic baseline (d03's answer set).
     */
+  /** Widest rows-per-band whose per-pair candidate recall at
+    * J = threshold still clears 99% — 1−(1−t^r)^(n/r) ≥ 0.99 over
+    * r ∈ {8, 4, 2, 1}. The round-9 derivation, shared by d04 and the
+    * durable LSH index so their banding cannot drift.
+    */
+  private[graft] def derivedRowsPerBand(threshold: Double,
+                                        numHashes: Int = 64): Int =
+    Seq(8, 4, 2, 1).find { r =>
+      1.0 - math.pow(1.0 - math.pow(threshold, r),
+        numHashes.toDouble / r) >= 0.99
+    }.getOrElse(1)
+
   private[graft] def minhashPairs(docsRaw: DataFrame,
                                   threshold: Double = 0.8): DataFrame = {
     val numHashes = 64
-    val rowsPerBand = Seq(8, 4, 2, 1).find { r =>
-      1.0 - math.pow(1.0 - math.pow(threshold, r), numHashes / r) >= 0.99
-    }.getOrElse(1)
+    val rowsPerBand = derivedRowsPerBand(threshold, numHashes)
     val bands = numHashes / rowsPerBand
     val prime = 2038074743L
 
@@ -1454,10 +1464,184 @@ object DedupQueries {
             |          * sqrt(list_aggregate([CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1,64)],'sum')))) >= 0.35
             |ORDER BY train_id, bench_id""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // Durable LSH dedup index (d19) — the dedup family's analogue of the
+  // vector store: persist the corpus's MinHash band index once, then
+  // SCREEN arriving documents against it without ever rescanning (or
+  // re-signing) the stored corpus.
+  // ------------------------------------------------------------------
+
+  /** The LSH index's universal-hash modulus — d09's, so the whole
+    * signature protocol (md5-derived shingle hashes + the inlined
+    * [[graft.functions.MinHashArray.coefficients]]) stays DuckDB-
+    * replayable bit-for-bit: unlike d04's xxhash64 signatures, a
+    * persisted index must gate its own mechanics (the screen verdict
+    * is the minhash ESTIMATE, not an exact Jaccard, so there is no
+    * exact answer to gate against instead).
+    */
+  private[graft] val lshPrime = 2038074743L
+
+  /** (vec_id, sig) MinHash signatures over a documents frame — the
+    * stored-id column is named `vec_id` so the index plugs into the
+    * store's shared tombstone/delete machinery unchanged. Docs with
+    * fewer than 3 tokens carry no shingles and are absent (both
+    * engines' shingle CTEs agree).
+    */
+  private[graft] def lshSignatures(docs: DataFrame,
+                                   numHashes: Int = 64): DataFrame =
+    shingleArraysOf(docs)
+      .select(col("doc_id").as("vec_id"),
+        graft.functions.MinHashArray.minhash_array(
+          expr("transform(sh, x -> pmod(cast(conv(substr(md5(x), 1, 15)," +
+            s" 16, 10) as bigint), ${lshPrime}L))"),
+          numHashes, 42L, lshPrime).as("sig"))
+
+  /** (vec_id, band, bkey) band-bucket rows of a signature table —
+    * d09's string keys (band id prefix + the band's signature slice),
+    * so joining on `bkey` alone implies the band matches. The `band`
+    * column rides along as the store's partition column (per-band
+    * directories make the shard merge a per-dir rename).
+    */
+  private[graft] def lshBandRows(sigs: DataFrame, rowsPerBand: Int,
+                                 numHashes: Int = 64): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val bandStructs = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws(",", lit(bnd) +: (0 until rowsPerBand).map(r =>
+          col("sig").getItem(bnd * rowsPerBand + r)): _*).as("bkey"))
+    }
+    sigs.select(col("vec_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"),
+        col("b.bkey").as("bkey"))
+  }
+
+  /** SCREEN arriving documents against a stored LSH index — the
+    * at-ingest near-dup verdict: sign the batch with the shared
+    * protocol, probe the stored band buckets (the incoming side is
+    * BROADCAST into the join, so the stored band table never
+    * shuffles — the d15/d17 asymmetric shape: at 100 TB the corpus
+    * index is scanned once per batch and moves nothing), then verify
+    * candidates by the MinHash similarity ESTIMATE — matching
+    * signature positions / numHashes, the unbiased Jaccard estimator
+    * — thresholded on the INTEGER match count (⌈n·t⌉), so both
+    * engines compare integers, never rounded doubles. `bucketCap`
+    * excludes stored buckets holding more than `cap` members from
+    * candidate generation (d09's hot-bucket mitigation — boilerplate
+    * mega-buckets are d01/d02 territory), bounding per-bucket fan-out.
+    *
+    * Output: (doc_id [arriving], stored_id, est_jaccard), unsorted.
+    */
+  private[graft] def lshScreenOf(storedSigs: DataFrame,
+                                 storedBands: DataFrame,
+                                 newDocs: DataFrame, threshold: Double,
+                                 rowsPerBand: Int,
+                                 bucketCap: Option[Int] = None,
+                                 numHashes: Int = 64): DataFrame = {
+    // lazy localCheckpoint: the batch's signatures feed banding AND
+    // the verify join; blocks die with the handle (ContextCleaner)
+    val inSigs = lshSignatures(newDocs, numHashes)
+      .localCheckpoint(eager = false)
+    val inBands = lshBandRows(inSigs, rowsPerBand, numHashes)
+      .select(col("vec_id").as("new_id"), col("bkey"))
+    val sBands = bucketCap.fold(storedBands) { cap =>
+      // one map-side-combined count; hot buckets never reach the join
+      val cool = storedBands.groupBy(col("bkey"))
+        .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
+        .select(col("bkey"))
+      storedBands.join(cool, Seq("bkey"))
+    }
+    val cand = sBands
+      .join(broadcast(inBands), Seq("bkey"))
+      .select(col("new_id"), col("vec_id").as("stored_id"))
+      .distinct()
+    val minMatches = math.ceil(numHashes * threshold).toInt
+    // verify: candidates (small — bucket collisions only) broadcast
+    // against the stored signature table; the estimate is a pure
+    // in-row fold over the two 64-long arrays
+    val withNew = cand.join(broadcast(
+      inSigs.select(col("vec_id").as("new_id"), col("sig").as("sa"))),
+      Seq("new_id"))
+    storedSigs.select(col("vec_id").as("stored_id"), col("sig").as("sb"))
+      .join(broadcast(withNew), Seq("stored_id"))
+      .withColumn("cm", expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> " +
+          "CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"))
+      .filter(col("cm") >= minMatches)
+      .select(col("new_id").as("doc_id"), col("stored_id"),
+        round(col("cm") / lit(numHashes.toDouble), 4).as("est_jaccard"))
+  }
+
+  /** Durable LSH screen gate — e30's restart seam for the DEDUP
+    * family: build the band index over the stored corpus
+    * (doc_id % 3 ≠ 0), save it, reopen a FRESH handle
+    * ([[graft.api.Graft.loadLshIndex]] — no re-signing), and screen
+    * the arriving docs (% 3 = 0) against it. Oracle: the full
+    * mechanics replay — d09's md5-derived signature protocol with the
+    * universal-hash coefficients inlined as literals, string band
+    * keys, the bucket join, and the integer match-count verify — so
+    * the gate pins signatures, banding, candidate generation, AND the
+    * estimate arithmetic of the loaded index cross-engine (cm/64 is
+    * an exact binary fraction; the 4dp round cannot straddle).
+    */
+  val d19LshIndexScreen = QueryDef(
+    "d19_lsh_index_screen",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_d19_lsh").toString
+      graft.api.Graft.lshIndex(docs.filter(col("doc_id") % 3 =!= 0))
+        .save(dir)
+      graft.api.Graft.loadLshIndex(s, dir)
+        .screen(docs.filter(col("doc_id") % 3 === 0))
+        .orderBy(col("doc_id"), col("stored_id"))
+    },
+    Some {
+      val (a, b) = graft.functions.MinHashArray.coefficients(64, 42L)
+      val sigCols = (0 until 64)
+        .map(k => s"min((h * ${a(k)} + ${b(k)}) % $lshPrime) AS m$k")
+        .mkString(",\n    ")
+      val bandCases = (0 until 16).map { bnd =>
+        val parts = (0 until 4).map(r => s"m${bnd * 4 + r}")
+          .mkString(" || ',' || ")
+        s"WHEN $bnd THEN '$bnd,' || $parts"
+      }.mkString("\n      ")
+      val matchSum = (0 until 64)
+        .map(k => s"CASE WHEN x.m$k = y.m$k THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $shinglesSql,
+         |hashes AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $lshPrime AS h
+         |  FROM sh),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigCols
+         |  FROM hashes GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id,
+         |    CASE band
+         |      $bandCases
+         |    END AS bkey
+         |  FROM sig, (SELECT unnest(generate_series(0, 15)) AS band) tb),
+         |cand AS (
+         |  SELECT DISTINCT i.doc_id AS new_id, st.doc_id AS stored_id
+         |  FROM bands i JOIN bands st ON i.bkey = st.bkey
+         |  WHERE i.doc_id % 3 = 0 AND st.doc_id % 3 <> 0),
+         |est AS (
+         |  SELECT c.new_id, c.stored_id, ($matchSum) AS cm
+         |  FROM cand c
+         |  JOIN sig x ON x.doc_id = c.new_id
+         |  JOIN sig y ON y.doc_id = c.stored_id)
+         |SELECT new_id AS doc_id, stored_id,
+         |  round(cm / 64.0, 4) AS est_jaccard
+         |FROM est WHERE cm >= 52
+         |ORDER BY doc_id, stored_id""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     d01ExactDedup, d02NormalizedDedup, d03NgramJaccard, d04MinHashLsh,
     d05SimHash, d06DedupClusters, d07KeepList, d08JaccardCapped,
     d09MinHashCapped, d10SegmentDedup, d11IntraDocDedup, d12SubstringDedup,
     d13BloomIncremental, d14SourceOverlap, d15CrossDecontamination,
-    d16QualityKeeper, d17SemanticDecontamination, d18ClustersCapped)
+    d16QualityKeeper, d17SemanticDecontamination, d18ClustersCapped,
+    d19LshIndexScreen)
 }

@@ -494,7 +494,8 @@ object IndexStore {
     // no-op, so re-running compact converges.
     val tomb = tombstones(spark, dir)
     def swap(sub: String, partitioned: Boolean,
-             applyTombstones: Boolean = false): Unit = {
+             applyTombstones: Boolean = false,
+             partCol: String = "cell"): Unit = {
       val src = new org.apache.hadoop.fs.Path(s"$dir/$sub")
       val fs = src.getFileSystem(hconf)
       if (!fs.exists(src)) return
@@ -506,9 +507,9 @@ object IndexStore {
           raw.join(broadcast(t), Seq("vec_id"), "left_anti"))
         else raw
       if (partitioned)
-        df.repartition(col("cell"))
+        df.repartition(col(partCol))
           .write.mode(SaveMode.Overwrite)
-          .partitionBy("cell").parquet(tmp.toString)
+          .partitionBy(partCol).parquet(tmp.toString)
       else {
         val targetBytes = spark.conf
           .getOption("spark.graft.compactTargetBytes")
@@ -533,6 +534,11 @@ object IndexStore {
       case "ivfpq" =>
         swap("codes", partitioned = true, applyTombstones = true)
         "codes"
+      case "lsh" =>
+        swap("sigs", partitioned = false, applyTombstones = true)
+        swap("bands", partitioned = true, applyTombstones = true,
+          partCol = "band")
+        "sigs"
       case "bloom" =>
         swap("words", partitioned = false); "words"
       case other => throw new IllegalStateException(
@@ -597,7 +603,8 @@ object IndexStore {
       require(dm.version == Version && sm.version == Version,
         s"layout version mismatch: $dstDir=${dm.version}, $srcDir=${sm.version}; this build reads $Version")
       require(dm.m_bits == sm.m_bits,
-        s"cannot merge Bloom sketches of different sizes: ${dm.m_bits} vs ${sm.m_bits}")
+        "cannot merge stores with different size parameters " +
+          s"(Bloom bits / LSH rows-per-band): ${dm.m_bits} vs ${sm.m_bits}")
     }
 
     def requireSameCentroids(): Unit = {
@@ -661,10 +668,21 @@ object IndexStore {
       * intent is stamped, so a refused shard (different training run)
       * leaves no pending-merge state behind.
       */
+    def requireSameParams(): Unit = {
+      def pulled(dir: String) = spark.read.parquet(s"$dir/params")
+        .select(col("threshold"), col("num_hashes"), col("rows_per_band"))
+        .collect().map(r => (r.getDouble(0), r.getInt(1), r.getInt(2)))
+        .toSeq
+      require(pulled(dstDir) == pulled(srcDir),
+        s"$srcDir was banded with different LSH parameters than $dstDir " +
+          "— merging would mix incompatible bucket spaces")
+    }
+
     def validateArtifacts(kind: String): Unit = kind match {
       case "ivf" => requireSameCentroids()
       case "pq" => requireSameCodebooks()
       case "ivfpq" => requireSameCentroids(); requireSameCodebooks()
+      case "lsh" => requireSameParams()
       case "bloom" => ()
       case other => throw new IllegalStateException(
         s"$dstDir/manifest: unknown kind '$other'")
@@ -677,6 +695,8 @@ object IndexStore {
         moveTable("codes"); moveTable("corpus"); moveTable("tombstones")
       case "ivfpq" =>
         moveTable("codes"); moveTable("tombstones")
+      case "lsh" =>
+        moveTable("sigs"); moveTable("bands"); moveTable("tombstones")
       case "bloom" =>
         // mergeable-sketch semantics: bit_or fold, not a file move —
         // materialize the union FULLY into a temp dir before touching
@@ -699,6 +719,7 @@ object IndexStore {
     def primaryOf(kind: String): String = kind match {
       case "ivf" => "assigned"
       case "pq" | "ivfpq" => "codes"
+      case "lsh" => "sigs"
       case "bloom" => "words"
       case other => throw new IllegalStateException(
         s"$dstDir/manifest: unknown kind '$other'")
@@ -819,6 +840,7 @@ object IndexStore {
       case "ivf" => Seq("assigned", "centroids")
       case "pq" => Seq("codes", "codebooks", "corpus")
       case "ivfpq" => Seq("codes", "centroids", "codebooks")
+      case "lsh" => Seq("sigs", "bands", "params")
       case "bloom" => Seq("words")
       case other => throw new IllegalStateException(
         s"$dir/manifest: unknown kind '$other'")
@@ -835,6 +857,84 @@ object IndexStore {
       }
     }
     rows.toDF("kind", "version", "table", "n_rows", "n_files", "bytes")
+  }
+
+  // ------------------------------------------------------------------
+  // LSH (durable MinHash band index — the dedup family's store kind)
+  // ------------------------------------------------------------------
+
+  /** Layout: `sigs/` = (vec_id, sig array<long>) flat; `bands/` =
+    * (vec_id, bkey, band) PARTITIONED BY band (per-band dirs make the
+    * shard merge a per-directory rename, like the IVF families'
+    * cells); `params/` = ONE row (threshold, num_hashes,
+    * rows_per_band) — the banding parameters screening must replay
+    * (value-checked on merge, like centroids/codebooks). `m_bits`
+    * carries rows_per_band as a cheap load-time cross-check.
+    */
+  def saveLsh(dir: String, sigs: DataFrame, bands: DataFrame,
+              threshold: Double, numHashes: Int,
+              rowsPerBand: Int): Unit = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    withWriteLock(spark, dir) {
+      sigs.select(col("vec_id"), col("sig"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/sigs")
+      bands.select(col("vec_id"), col("bkey"), col("band"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("band").parquet(s"$dir/bands")
+      Seq((threshold, numHashes, rowsPerBand))
+        .toDF("threshold", "num_hashes", "rows_per_band")
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
+      writeManifest(spark, dir, "lsh", rowsPerBand.toLong)
+      recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/sigs"))
+    }
+  }
+
+  /** DURABLE append for the LSH layout: new docs' signatures and band
+    * rows parquet-append (band rows land only under their bands'
+    * partition dirs). Signatures are a pure function of the text —
+    * no trained artifacts to freeze — so append-encode cannot drift
+    * from build-encode by construction. Kind-checked first.
+    */
+  def appendLsh(dir: String, sigsNew: DataFrame,
+                bandsNew: DataFrame): Unit = {
+    val spark = sigsNew.sparkSession
+    readManifest(spark, dir, "lsh")
+    withWriteLock(spark, dir) {
+      val before = diskRows(spark, s"$dir/sigs")
+      sigsNew.select(col("vec_id"), col("sig"))
+        .write.mode(SaveMode.Append).parquet(s"$dir/sigs")
+      bandsNew.select(col("vec_id"), col("bkey"), col("band"))
+        .write.mode(SaveMode.Append)
+        .partitionBy("band").parquet(s"$dir/bands")
+      recordEpoch(spark, dir, "append",
+        diskRows(spark, s"$dir/sigs") - before)
+    }
+  }
+
+  /** (sigs, bands, threshold, numHashes, rowsPerBand) — tombstoned
+    * rows ([[delete]]) anti-joined out of BOTH tables, so neither
+    * candidate generation nor the estimate verify can surface a
+    * deleted document.
+    */
+  def loadLsh(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Double, Int, Int) = {
+    val man = readManifest(spark, dir, "lsh")
+    val p = spark.read.parquet(s"$dir/params").collect() match {
+      case Array(row) => (row.getAs[Double]("threshold"),
+        row.getAs[Int]("num_hashes"), row.getAs[Int]("rows_per_band"))
+      case rows => throw new IllegalStateException(
+        s"$dir/params: expected exactly 1 row, found ${rows.length}")
+    }
+    require(p._3.toLong == man.m_bits,
+      s"$dir: params/manifest disagree on rows_per_band (${p._3} vs ${man.m_bits})")
+    val sigs = maskTombstones(spark, dir,
+      spark.read.parquet(s"$dir/sigs").select(col("vec_id"), col("sig")))
+    val bands = maskTombstones(spark, dir,
+      spark.read.parquet(s"$dir/bands")
+        .select(col("vec_id"), col("bkey"), col("band").cast("int")))
+    (sigs, bands, p._1, p._2, p._3)
   }
 
   // ------------------------------------------------------------------

@@ -188,7 +188,8 @@ object EmbStreams {
     */
   def ivfServePruned(queries: Dataset[EmbQuery], corpusDir: String,
                      centroids: Seq[(Int, Array[Float])],
-                     nprobe: Int = 2, k: Int = 3)
+                     nprobe: Int = 2, k: Int = 3,
+                     tombstones: Option[DataFrame] = None)
                     (onBatch: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
@@ -201,9 +202,15 @@ object EmbStreams {
           val cells = probes.select(col("cell")).distinct()
             .collect().map(_.getInt(0))
           if (cells.nonEmpty) {
-            val corpus = spark.read.parquet(corpusDir)
+            val scanned = spark.read.parquet(corpusDir)
               .where(col("cell").isin(cells.map(Integer.valueOf): _*))
               .select(col("vec_id"), col("embedding"), col("cell"))
+            // tombstone mask AFTER the partition filter: the broadcast
+            // anti-join probes only the already-pruned cells' rows, so
+            // deletes cost one in-row hash probe, never a wider scan
+            val corpus = tombstones.fold(scanned)(t => scanned.join(
+              broadcast(t.select(col("vec_id"))), Seq("vec_id"),
+              "left_anti"))
             onBatch(graft.operators.SimilarityQueries
               .probeAndRank(corpus, probes, k))
           }

@@ -1,0 +1,191 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.api.Graft
+
+/** The durable LSH dedup index's lifecycle contract — the dedup
+  * family's sibling of IndexStoreSpec: save → load → screen must equal
+  * the live handle bit-for-bit (signatures are integers, the estimate
+  * is an exact binary fraction), append/shard/merge/delete must
+  * compose with the shared store machinery, and the at-ingest stream
+  * must equal the batch screen.
+  */
+class LshIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-lsh-index-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def stored: DataFrame = docs.filter(col("doc_id") % 3 =!= 0)
+  private def incoming: DataFrame = docs.filter(col("doc_id") % 3 === 0)
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-lsh-index").toString
+
+  private def verdicts(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("stored_id"), r.getAs[Double]("est_jaccard"))).toSet
+
+  test("save -> load -> screen equals the live handle bit-for-bit") {
+    val live = Graft.lshIndex(stored)
+    val d = tmp()
+    live.save(d)
+    val a = verdicts(live.screen(incoming))
+    assert(a.nonEmpty, "the sf0.001 corpus must contain near-dups")
+    assert(verdicts(Graft.loadLshIndex(spark, d).screen(incoming)) == a)
+    // every estimate clears the integer threshold (ceil(64*0.8) = 52)
+    assert(a.forall(_._3 >= 52.0 / 64))
+  }
+
+  test("saved band table is hive-partitioned by band; params round-trip") {
+    val d = tmp()
+    Graft.lshIndex(stored, threshold = 0.5).save(d)
+    val parts = new java.io.File(s"$d/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("band="))
+    // threshold 0.5 derives 32x2 banding (the round-9 curve)
+    assert(parts.length == 32, s"expected 32 band dirs, got ${parts.length}")
+    val loaded = Graft.loadLshIndex(spark, d)
+    assert(loaded.threshold == 0.5 && loaded.rowsPerBand == 2
+      && loaded.numHashes == 64)
+  }
+
+  test("append and appendDurable equal build-all-at-once; epochs logged") {
+    val half1 = stored.filter(col("doc_id") % 2 === 0)
+    val half2 = stored.filter(col("doc_id") % 2 =!= 0)
+    val full = Graft.lshIndex(stored)
+    val expect = verdicts(full.screen(incoming))
+
+    // live append
+    assert(verdicts(Graft.lshIndex(half1).append(half2).screen(incoming))
+      == expect)
+
+    // durable append through a fresh handle (the restart seam)
+    val d = tmp()
+    Graft.lshIndex(half1).save(d)
+    Graft.loadLshIndex(spark, d).appendDurable(d, half2)
+    assert(verdicts(Graft.loadLshIndex(spark, d).screen(incoming))
+      == expect)
+    val ops = Graft.indexEpochs(spark, d).select(col("op"))
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("save", "append"))
+    // the append epoch's delta counts SIGNATURE rows (docs), not bands
+    val deltas = Graft.indexEpochs(spark, d)
+      .filter(col("op") === "append").select(col("n_rows"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(deltas == Seq(graft.operators.DedupQueries
+      .lshSignatures(half2).count()))
+  }
+
+  test("delete: insert-then-delete returns to never-inserted; compact applies; describe covers lsh") {
+    val extraIds = incoming.select(col("doc_id").as("vec_id"))
+    val base = Graft.lshIndex(stored)
+    // screen a DISJOINT probe set so deleted docs appear only as
+    // stored candidates: probe with the stored docs themselves
+    val probe = stored.limit(50)
+    val expect = verdicts(base.screen(probe))
+
+    // live: add the incoming docs to the index, then delete them
+    assert(verdicts(base.append(incoming).delete(extraIds).screen(probe))
+      == expect)
+
+    // durable: tombstones mask on load; compact applies + clears
+    val d = tmp()
+    base.save(d)
+    Graft.loadLshIndex(spark, d).appendDurable(d, incoming)
+    Graft.deleteFromIndex(spark, d, extraIds)
+    assert(verdicts(Graft.loadLshIndex(spark, d).screen(probe)) == expect)
+    Graft.compactIndex(spark, d)
+    assert(!new java.io.File(s"$d/tombstones").exists())
+    assert(verdicts(Graft.loadLshIndex(spark, d).screen(probe)) == expect)
+    assert(spark.read.parquet(s"$d/sigs")
+      .filter(col("vec_id") % 3 === 0).count() == 0,
+      "compact must rewrite tombstoned signatures out of the files")
+
+    val tables = Graft.describeIndex(spark, d).select(col("table"))
+      .collect().map(_.getString(0)).toSet
+    assert(tables == Set("sigs", "bands", "params", "epochs"))
+  }
+
+  test("shard + merge equals the append path; mismatched banding params are refused") {
+    val half1 = stored.filter(col("doc_id") % 2 === 0)
+    val half2 = stored.filter(col("doc_id") % 2 =!= 0)
+    val root = tmp()
+    val idx = Graft.lshIndex(half1)
+    idx.save(s"$root/main")
+    idx.shard(s"$root/s1", half2)
+    Graft.mergeIndex(spark, s"$root/main", s"$root/s1")
+    assert(!new java.io.File(s"$root/s1").exists())
+    assert(verdicts(Graft.loadLshIndex(spark, s"$root/main")
+      .screen(incoming))
+      == verdicts(Graft.lshIndex(stored).screen(incoming)))
+
+    // a shard banded at a different threshold (same rows-per-band, so
+    // only the params table differs) is refused before any file moves
+    Graft.lshIndex(half2, threshold = 0.82).save(s"$root/other")
+    val err = intercept[IllegalArgumentException] {
+      Graft.mergeIndex(spark, s"$root/main", s"$root/other")
+    }
+    assert(err.getMessage.contains("LSH parameters"))
+    assert(new java.io.File(s"$root/other/sigs").exists())
+
+    // different rows-per-band trips the manifest size check instead
+    Graft.lshIndex(half2, threshold = 0.95).save(s"$root/coarse")
+    val err2 = intercept[IllegalArgumentException] {
+      Graft.mergeIndex(spark, s"$root/main", s"$root/coarse")
+    }
+    assert(err2.getMessage.contains("size parameters"))
+  }
+
+  test("bucketCap drops hot-bucket boilerplate; screenStream equals batch screen") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 60 identical stored docs (one hot bucket per band) + one
+    // ordinary stored doc; the arriving batch contains a copy of both
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val normal = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val storedDocs = ((0L until 60L).map(i => (i, boiler)) :+ (100L, normal))
+      .toDF("doc_id", "text")
+    val arriving = Seq((1000L, boiler), (1001L, normal))
+      .toDF("doc_id", "text")
+    val idx = Graft.lshIndex(storedDocs)
+
+    val uncapped = verdicts(idx.screen(arriving))
+    assert(uncapped.count(_._1 == 1000L) == 60) // every clique member
+    assert(uncapped.exists(v => v._1 == 1001L && v._2 == 100L))
+
+    val capped = verdicts(idx.screen(arriving, bucketCap = Some(50)))
+    assert(capped == uncapped.filter(_._1 == 1001L),
+      s"cap failed to drop the boilerplate clique: $capped")
+
+    // the at-ingest stream runs the same kernel per micro-batch
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.DocStreams.Doc]
+    val hits = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val q = idx.screenStream(stream.toDS()) { batch =>
+      hits.synchronized { hits ++= verdicts(batch) }
+    }
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 09:00:00")
+    stream.addData(graft.streaming.DocStreams.Doc(1000L, ts, boiler),
+      graft.streaming.DocStreams.Doc(1001L, ts, normal))
+    q.processAllAvailable()
+    q.stop()
+    assert(hits.toSet == uncapped)
+  }
+}

@@ -810,4 +810,74 @@ class EmbStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"onlyBatch=${(batch -- got.toSet).take(5)}")
     } finally codes.unpersist()
   }
+  test("servePrunedStore masks tombstones; raw-path servePruned still sees them until compact") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val idx = graft.api.Graft.annIndex(emb)
+    val saveDir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_tomb").toString
+    idx.save(saveDir)
+    // delete the CURRENT top-3 neighbors of the query set, so the
+    // tombstones are guaranteed to matter: the raw path must surface
+    // them, the masked paths must not
+    val baseline = graft.api.Graft.loadAnnIndex(spark, saveDir)
+      .search(emb.filter($"vec_id" < 5)).collect()
+      .map(_.getAs[Long]("neighbor_id")).toSet
+    assert(baseline.nonEmpty)
+    graft.api.Graft.deleteFromIndex(spark, saveDir,
+      baseline.toSeq.toDF("vec_id"))
+    val deleted = baseline
+
+    val ts = Timestamp.valueOf("2026-01-01 09:00:00")
+    val qvecs = emb.filter($"vec_id" < 5)
+      .select("vec_id", "embedding").collect()
+      .map(r => EmbQuery(r.getLong(0), ts, r.getSeq[Float](1)))
+
+    def served(store: Boolean): Set[(Long, Long, Long, Double)] = {
+      val hits = scala.collection.mutable
+        .Set[(Long, Long, Long, Double)]()
+      val stream = MemoryStream[EmbQuery]
+      val loaded = graft.api.Graft.loadAnnIndex(spark, saveDir)
+      val q =
+        if (store) loaded.servePrunedStore(stream.toDS(), saveDir) { b =>
+          hits.synchronized { hits ++= hitTuples(b.collect().toSeq) }
+        }
+        else loaded.servePruned(stream.toDS(), s"$saveDir/assigned") { b =>
+          hits.synchronized { hits ++= hitTuples(b.collect().toSeq) }
+        }
+      stream.addData(qvecs.toSeq)
+      q.processAllAvailable()
+      q.stop()
+      hits.toSet
+    }
+
+    // the store-dir variant excludes every tombstoned id BEFORE any
+    // compact, and equals the loaded handle's (masked) batch search
+    val masked = served(store = true)
+    assert(masked.nonEmpty)
+    assert(masked.forall(h => !deleted(h._3)),
+      "a tombstoned vector surfaced through servePrunedStore")
+    val batch = graft.api.Graft.loadAnnIndex(spark, saveDir)
+      .search(emb.filter($"vec_id" < 5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(masked == batch,
+      "servePrunedStore diverged from the masked batch search")
+
+    // the raw-path caveat is real: before compact the raw assigned
+    // table still holds the rows (the documented reason the store-dir
+    // variant exists)
+    val raw = served(store = false)
+    assert(raw.exists(h => deleted(h._3)),
+      "expected the raw path to still see tombstoned rows pre-compact")
+
+    // after compact both paths agree
+    graft.api.Graft.compactIndex(spark, saveDir)
+    assert(served(store = false) == masked)
+    assert(served(store = true) == masked)
+  }
+
 }
