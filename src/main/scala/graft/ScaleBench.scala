@@ -170,6 +170,13 @@ object ScaleBench {
       // prices the capped inverted-index join + O(log n) CC rounds
       // (the exact d06 path stays excluded by design with d03/e02)
       "d18_clusters_capped",
+      // d19: the durable dedup index priced end-to-end - sign + save
+      // the stored 2/3 of the replica corpus (the build, write-bound
+      // and linear), then screen the arriving 1/3 against it;
+      // replica-disjoint shingles keep bucket populations linear, so
+      // N x rows is honestly N x signing + N x bucket probes (the
+      // e30 shape for the dedup family)
+      "d19_lsh_index_screen",
       // e45: the REMOVE path priced end-to-end - save the full index,
       // tombstone ~1/11 of the ids (one small parquet append), search
       // through a loaded handle whose broadcast anti-join masks them;

@@ -218,6 +218,19 @@ object Graft {
       * modulus than a live one.
       */
     def save(dir: String): Unit = IndexStore.saveBloom(dir, words, mBits)
+
+    /** [[merge]] made DURABLE — the d13 incremental-ingest loop
+      * against a saved sketch: sketch the arriving batch under this
+      * handle's modulus and bit_or-fold it INTO the stored word table
+      * (temp-dir + rename swap; idempotent under crash-retry because
+      * bit_or is), then reopen. Epoch op `append`. A restarted JVM's
+      * [[loadBloomIndex]] probes everything ingested so far.
+      */
+    def appendDurable(dir: String, docs: DataFrame): BloomIndex = {
+      IndexStore.appendBloom(dir,
+        DedupQueries.BloomSketch.sketchOf(segmentHashes(docs), mBits))
+      loadBloomIndex(docs.sparkSession, dir)
+    }
   }
 
   /** Reopen a [[BloomIndex]] saved with [[BloomIndex.save]]. Loading a

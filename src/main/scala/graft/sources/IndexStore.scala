@@ -951,6 +951,37 @@ object IndexStore {
     }
   }
 
+  /** DURABLE append for the Bloom layout — the d13 incremental-ingest
+    * property made durable: the new batch's word rows bit_or-fold
+    * into the stored table (mergeable-sketch semantics — the same
+    * fold [[merge]]'s bloom branch runs), rewritten through a temp
+    * dir + rename swap (compact's crash-safety order; re-running a
+    * crashed append is harmless because bit_or is idempotent).
+    * Records an `append` epoch with the word-row delta (bit_or can
+    * collapse rows, so the delta may be less than the batch's words).
+    */
+  def appendBloom(dir: String, newWords: DataFrame): Unit = {
+    val spark = newWords.sparkSession
+    readManifest(spark, dir, "bloom")
+    withWriteLock(spark, dir) {
+      val before = diskRows(spark, s"$dir/words")
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val merged = spark.read.parquet(s"$dir/words")
+        .unionByName(newWords.select(col("w"), col("word")))
+        .groupBy(col("w")).agg(expr("bit_or(word)").as("word"))
+      val live = new org.apache.hadoop.fs.Path(s"$dir/words")
+      val fs = live.getFileSystem(hconf)
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/words.compact")
+      fs.delete(tmp, true)
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(live, true)
+      require(fs.rename(tmp, live),
+        s"appendBloom: rename $tmp -> $live failed; recover from $tmp")
+      recordEpoch(spark, dir, "append",
+        diskRows(spark, s"$dir/words") - before)
+    }
+  }
+
   /** (words, mBits) — the carried modulus survives the round-trip, so
     * a probe against a loaded sketch can no more mismatch its modulus
     * than against a live one.

@@ -394,6 +394,22 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"e16 must never shuffle the corpus for the re-rank join:\n$p")
   }
 
+  test("d19 screen broadcasts the arriving batch; the stored index never shuffle-joins") {
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val idx = graft.api.Graft.lshIndex(docs.filter(col("doc_id") % 3 =!= 0))
+    val screen = idx.screen(docs.filter(col("doc_id") % 3 === 0))
+    val p = screen.queryExecution.executedPlan.toString
+    // with auto-broadcast disabled, all three joins must still be
+    // explicit broadcasts: the bucket probe (incoming band keys into
+    // the stored band table) and both verify fetches (candidates into
+    // the signature tables) — the stored side never shuffles
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"d19 screen must broadcast the batch side of all three joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"d19 screen must never shuffle the stored index:\n$p")
+  }
+
   test("d13 bloom sketches merge: bit_or of split sketches = union sketch") {
     // the incremental-ingest property d13's scaladoc claims: sketching
     // two halves of a corpus separately and bit_or-merging the word

@@ -639,6 +639,29 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("Bloom"))
   }
 
+  test("Bloom durable append: bit_or into the stored words equals the union sketch") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val probe = docs.limit(40)
+
+    val d = tmp()
+    Graft.bloomSketch(Graft.segmentHashes(half1)).save(d)
+    val appended = Graft.loadBloomIndex(spark, d).appendDurable(d, half2)
+    // durable-appended sketch ≡ the sketch built over the union in one
+    // pass (the incremental-ingest property, now across a restart)
+    val whole = Graft.bloomSketch(Graft.segmentHashes(docs))
+    assert(exact(Graft.bloomScreen(probe, appended).orderBy("doc_id", "h"))
+      == exact(Graft.bloomScreen(probe, whole).orderBy("doc_id", "h")))
+    // ...and so does a completely fresh handle (the restart seam)
+    assert(exact(Graft.bloomScreen(probe, Graft.loadBloomIndex(spark, d))
+      .orderBy("doc_id", "h"))
+      == exact(Graft.bloomScreen(probe, whole).orderBy("doc_id", "h")))
+    val ops = Graft.indexEpochs(spark, d).select(col("op"))
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("save", "append"))
+  }
+
   test("merge takes BOTH locks: a locked shard (a still-running writer) refuses the merge") {
     val snapshot = emb.filter(col("vec_id") % 5 =!= 0)
     val arrivals = emb.filter(col("vec_id") % 5 === 0)
