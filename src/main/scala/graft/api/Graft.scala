@@ -382,6 +382,73 @@ object Graft {
     LshIndex(sigs, bands, threshold, numHashes, rowsPerBand)
   }
 
+  /** The DEDUP-AT-INGEST PIPELINE as one stream — screen ∘ append
+    * composed per micro-batch against the saved LSH index at `dir`:
+    * each batch (1) screens against the index AS OF that batch (the
+    * store reloads per batch, so batch N sees batches 1..N−1's
+    * survivors — a near-dup of an EARLIER batch's survivor is
+    * caught), (2) durably appends only the batch's non-duplicates
+    * (docs with no verdict row), and (3) hands the batch's verdicts
+    * to `onVerdicts`. The result: the stored corpus grows first-seen
+    * survivors only — the exact loop a training-data pipeline runs at
+    * ingest, with the corpus never rescanned or re-signed.
+    *
+    * Screening is vs the STORED corpus only: two near-dups arriving
+    * in the SAME batch both survive (and an exact redelivery in one
+    * batch appends twice) — run
+    * [[graft.streaming.EventStreams.dedupWithinWatermark]]-style
+    * upstream dedup if batches may carry internal duplicates. With a
+    * `checkpointDir` the append is idempotent under replay (the
+    * checkpoint-scoped marker recipe [[IvfIndex.appendStreamDurable]]
+    * documents, same crash-window caveat). LshIndexSpec proves
+    * cross-batch survivor visibility, first-seen semantics, and
+    * marked-batch skip.
+    */
+  def lshIngestStreamDurable(dir: String,
+                             incoming: Dataset[graft.streaming.DocStreams.Doc],
+                             checkpointDir: Option[String] = None,
+                             bucketCap: Option[Int] = None)
+                            (onVerdicts: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = incoming.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch {
+        (batch: Dataset[graft.streaming.DocStreams.Doc], batchId: Long) =>
+          val spark = batch.sparkSession
+          def process(): Unit = {
+            val cur = loadLshIndex(spark, dir)
+            val docs = batch.toDF().select(col("doc_id"), col("text"))
+            // materialize the verdicts BEFORE the append mutates the
+            // directory the screen plan reads (eager localCheckpoint)
+            val verdicts = cur.screen(docs, bucketCap).localCheckpoint()
+            val survivors = docs.join(
+              verdicts.select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+            if (!survivors.isEmpty) {
+              val sigsNew =
+                DedupQueries.lshSignatures(survivors, cur.numHashes)
+              IndexStore.appendLsh(dir, sigsNew,
+                DedupQueries.lshBandRows(sigsNew, cur.rowsPerBand,
+                  cur.numHashes))
+            }
+            onVerdicts(verdicts)
+          }
+          checkpointDir match {
+            case None => process()
+            case Some(cp) =>
+              val marker = new org.apache.hadoop.fs.Path(
+                s"$cp/_graft_commits/batch-$batchId")
+              val fs = marker.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              if (!fs.exists(marker)) {
+                process()
+                fs.create(marker, true).close()
+              }
+          }
+      }
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
+
   /** SEMANTIC cross-corpus decontamination — [[decontaminate]]'s
     * embedding-space sibling: flag training vectors whose cosine
     * against ANY benchmark vector reaches `threshold` (a paraphrased

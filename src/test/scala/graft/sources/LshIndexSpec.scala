@@ -152,6 +152,60 @@ class LshIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err2.getMessage.contains("size parameters"))
   }
 
+  test("dedup-at-ingest pipeline: survivors append, cross-batch dups are caught, marked batches skip") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // identical text = est 1.0 (deterministic hit at any threshold);
+    // disjoint text = zero shared shingles (deterministically no hit)
+    val storedTxt = "zero one two three four five six seven eight nine"
+    val aTxt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val cTxt = "red orange yellow green blue indigo violet ultra infra deep"
+    val d = tmp()
+    Graft.lshIndex(Seq((1L, storedTxt)).toDF("doc_id", "text")).save(d)
+
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 09:00:00")
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.DocStreams.Doc]
+    val verdicts = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val cp = Files.createTempDirectory("graft-lsh-ingest-cp").toString
+    val q = Graft.lshIngestStreamDurable(d, stream.toDS(), Some(cp)) { b =>
+      verdicts.synchronized {
+        verdicts ++= b.collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("stored_id"), r.getAs[Double]("est_jaccard")))
+      }
+    }
+    // batch 1: doc 10 is novel (survives), doc 11 duplicates STORED 1
+    stream.addData(graft.streaming.DocStreams.Doc(10L, ts, aTxt),
+      graft.streaming.DocStreams.Doc(11L, ts, storedTxt))
+    q.processAllAvailable()
+    // batch 2: doc 20 duplicates batch-1 SURVIVOR 10 (cross-batch
+    // visibility), doc 21 is novel
+    stream.addData(graft.streaming.DocStreams.Doc(20L, ts, aTxt),
+      graft.streaming.DocStreams.Doc(21L, ts, cTxt))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(verdicts.toSet == Set((11L, 1L, 1.0), (20L, 10L, 1.0)),
+      s"wrong verdicts: $verdicts")
+    // the stored corpus grew by exactly the first-seen survivors
+    val storedIds = spark.read.parquet(s"$d/sigs")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(storedIds == Set(1L, 10L, 21L), s"stored: $storedIds")
+
+    // a marked batch id is skipped: pre-mark the next id and replay
+    val before = spark.read.parquet(s"$d/sigs").count()
+    Files.createFile(java.nio.file.Paths.get(
+      s"$cp/_graft_commits/batch-2"))
+    val q2 = Graft.lshIngestStreamDurable(d, stream.toDS(), Some(cp))(_ => ())
+    stream.addData(graft.streaming.DocStreams.Doc(30L, ts,
+      "completely fresh words that would otherwise certainly survive here"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(s"$d/sigs").count() == before,
+      "a marked (already-committed) ingest batch was re-appended")
+  }
+
   test("bucketCap drops hot-bucket boilerplate; screenStream equals batch screen") {
     val spark2 = spark
     import spark2.implicits._
