@@ -382,6 +382,148 @@ object Graft {
     LshIndex(sigs, bands, threshold, numHashes, rowsPerBand)
   }
 
+  /** Build the DURABLE BM25 index — lexical retrieval's persistent
+    * half (the dense half is [[annIndex]]; [[hybridSearch]] fuses
+    * them): postings (vec_id, tok, tf), doc lengths, and the
+    * document-frequency table, buildable once and persisted as store
+    * kind `bm25`. Searching costs ONE token-keyed equi-join over the
+    * postings with the idf-annotated query terms broadcast (e22's
+    * gated lexical kernel — shared code) — at 100 TB the postings
+    * never shuffle for candidate generation.
+    *
+    * Input: (doc_id Long, text String). Gate: `e48_bm25_store`
+    * (save → load → searchText vs the full BM25 SQL replay).
+    */
+  def bm25Index(docs: DataFrame): Bm25Index = {
+    val (postings, doclen, df) = SimilarityQueries.bm25Build(docs)
+    Bm25Index(postings, doclen, df)
+  }
+
+  /** A built BM25 index: `postings` = (vec_id, tok, tf), `doclen` =
+    * (vec_id, dl), `df` = (tok, df) — Lucene-style scoring artifacts
+    * (k1/b are SEARCH-time parameters, not baked into the layout).
+    */
+  final case class Bm25Index private[api] (
+      postings: DataFrame, doclen: DataFrame, df: DataFrame) {
+
+    /** BM25 top-`k` per query. `queries`: (query_id Long, text
+      * String); query-side term frequency is ignored (the e22
+      * convention — each distinct query term scores once). Output:
+      * (query_id, rank, doc_id, s_bm25) sorted; s_bm25 carries the
+      * float-cast 4dp protocol, ranks tie-break on doc id.
+      */
+    def searchText(queries: DataFrame, k: Int = 5, k1: Double = 1.2,
+                   b: Double = 0.75): DataFrame = {
+      val terms = queries
+        .select(col("query_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      SimilarityQueries.bm25Rank(postings, doclen, df, terms, k, k1, b)
+        .select(col("query_id"), col("r_bm25").cast("long").as("rank"),
+          col("did").as("doc_id"), col("s_bm25"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
+    /** Add NEW documents to the LIVE handle: postings/doclen union;
+      * the df AGGREGATE merges by union + sum (disjoint doc sets, so
+      * per-term counts add exactly).
+      */
+    def append(docs: DataFrame): Bm25Index = {
+      val (p2, dl2, df2) = SimilarityQueries.bm25Build(docs)
+      Bm25Index(postings.unionByName(p2), doclen.unionByName(dl2),
+        df.unionByName(df2).groupBy(col("tok"))
+          .agg(sum(col("df")).as("df")))
+    }
+
+    /** [[append]] made DURABLE — postings/doclen parquet-append, the
+      * df table folds through a temp swap, and `doclen` lands LAST as
+      * the commit point (scoring inner-joins it, so a crashed append
+      * leaves the batch unscoreable, not half-scored — see
+      * [[graft.sources.IndexStore.appendBm25]] for the recovery
+      * recipe). Then reopen.
+      */
+    def appendDurable(dir: String, docs: DataFrame): Bm25Index = {
+      val (p2, dl2, df2) = SimilarityQueries.bm25Build(docs)
+      IndexStore.appendBm25(dir, p2, dl2, df2)
+      loadBm25Index(docs.sparkSession, dir)
+    }
+
+    /** DELETE documents from the LIVE handle: postings and doclen
+      * anti-join (candidates and length normalization exclude them
+      * immediately); `df` deliberately keeps counting them until a
+      * [[compactIndex]] recomputes it — Lucene's
+      * deleted-docs-count-in-idf-until-merge semantics, documented
+      * rather than hidden (recomputing df per delete would scan the
+      * postings every time).
+      */
+    def delete(ids: DataFrame): Bm25Index = {
+      val t = broadcast(ids.select(col("vec_id")))
+      copy(postings = postings.join(t, Seq("vec_id"), "left_anti"),
+        doclen = doclen.join(t, Seq("vec_id"), "left_anti"))
+    }
+
+    /** Export a SHARD over `docs` — foldable by [[mergeIndex]]
+      * (postings/doclen move by rename; df folds by union + sum).
+      */
+    def shard(dir: String, docs: DataFrame): Unit = {
+      val (p2, dl2, df2) = SimilarityQueries.bm25Build(docs)
+      IndexStore.saveBm25(dir, p2, dl2, df2)
+    }
+
+    /** Persist to `dir` ([[graft.sources.IndexStore]] layout). */
+    def save(dir: String): Unit =
+      IndexStore.saveBm25(dir, postings, doclen, df)
+  }
+
+  /** Reopen a [[Bm25Index]] saved with [[Bm25Index.save]] —
+    * tombstoned docs anti-join out of postings/doclen; df reflects
+    * deletes after the next compact (the documented Lucene
+    * semantics).
+    */
+  def loadBm25Index(spark: SparkSession, dir: String): Bm25Index = {
+    val (postings, doclen, df) = IndexStore.loadBm25(spark, dir)
+    Bm25Index(postings, doclen, df)
+  }
+
+  /** HYBRID retrieval over the two PERSISTED index halves — e22's
+    * reciprocal-rank fusion (Cormack et al. 2009) with the scans
+    * replaced by the stores, exactly the deployment e22's scaladoc
+    * promises: the lexical ranking comes from a [[Bm25Index]] (one
+    * broadcast token join over the postings), the dense ranking from
+    * an [[IvfIndex]] (probe-pruned cells), each cut to top-`fetch`
+    * per query, fused by Σ 1/(60 + rank) with absent lists
+    * contributing 0, top-`k` emitted. `queries`: (query_id Long,
+    * text String, embedding Array[Float]). Output: (query_id, rank,
+    * doc_id, rrf) sorted. The fusion arithmetic is rational in
+    * integer ranks — exact at any scale; the fused lists are
+    * ≤ fetch × #queries rows, trivially small. Spec-pinned against
+    * hand-fused component searches (Bm25IndexSpec).
+    */
+  def hybridSearch(lexical: Bm25Index, dense: IvfIndex,
+                   queries: DataFrame, k: Int = 5, fetch: Int = 20,
+                   probes: Int = 2): DataFrame = {
+    val bmTop = lexical
+      .searchText(queries.select(col("query_id"), col("text")), fetch)
+      .select(col("query_id"), col("doc_id").as("did"),
+        col("rank").as("r_bm25"))
+    val cosTop = dense
+      .search(queries.select(col("query_id").as("vec_id"),
+        col("embedding")), probes, fetch)
+      .select(col("query_id"), col("neighbor_id").as("did"),
+        col("rank").as("r_cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("did"))
+    bmTop.join(cosTop, Seq("query_id", "did"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (col("r_bm25") + 60), lit(0.0)) +
+          coalesce(lit(1.0) / (col("r_cos") + 60), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("did").as("doc_id"),
+        col("rrf"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The DEDUP-AT-INGEST PIPELINE as one stream — screen ∘ append
     * composed per micro-batch against the saved LSH index at `dir`:
     * each batch (1) screens against the index AS OF that batch (the

@@ -1812,50 +1812,81 @@ object SimilarityQueries {
     * deployment swaps the scans for an inverted index and an ANN index
     * (e05/e18), which share exactly this fusion step.
     */
+  /** The BM25 index artifacts over a documents frame — `postings` =
+    * (vec_id, tok, tf), `doclen` = (vec_id, dl), `df` = (tok, df) —
+    * the id column named `vec_id` so the durable store's shared
+    * tombstone machinery applies unchanged. Shared by e22's lexical
+    * side and [[graft.api.Graft.bm25Index]], so the gated scoring and
+    * the persisted index cannot drift.
+    */
+  private[graft] def bm25Build(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val toks = docs.select(col("doc_id").as("vec_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val postings = toks.groupBy(col("vec_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val doclen = toks.groupBy(col("vec_id")).agg(count(lit(1)).as("dl"))
+    val df = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    (postings, doclen, df)
+  }
+
+  /** BM25 ranking of `queries` = (query_id, terms) — `terms` is the
+    * DISTINCT (query_id, tok) pair frame (query-side term frequency
+    * is ignored, the e22 convention) — against the index artifacts:
+    * the per-term idf folds into the BROADCAST query-term side first,
+    * so the corpus-sized postings table is touched by exactly ONE
+    * token-keyed equi-join with a broadcast build side (e22's
+    * scale-critical shape, shared code). Determinism protocol: the
+    * term-sum is float-cast before 4dp rounding; ranks tie-break on
+    * doc id. Output: (query_id, did, s_bm25, r_bm25) for ranks ≤ k.
+    */
+  private[graft] def bm25Rank(postings: DataFrame, doclen: DataFrame,
+                              dfTable: DataFrame, terms: DataFrame,
+                              k: Int, k1: Double = 1.2,
+                              b: Double = 0.75,
+                              excludeSelf: Boolean = false): DataFrame = {
+    val stats = doclen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val qterms = broadcast(terms.select(col("query_id").as("qid"),
+        col("tok")))
+      .join(dfTable, Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .select(col("qid"), col("tok"), col("idf"), col("avgdl"))
+    val scored0 = broadcast(qterms)
+      .join(postings.withColumnRenamed("vec_id", "did"), Seq("tok"))
+    val scored = (if (excludeSelf) scored0.filter(col("qid") =!= col("did"))
+      else scored0)
+      .join(doclen.withColumnRenamed("vec_id", "did"), Seq("did"))
+      .withColumn("term_score",
+        col("idf") * col("tf") / (col("tf")
+          + (col("dl") / col("avgdl") * b + (1.0 - b)) * k1))
+      .groupBy(col("qid"), col("did"))
+      .agg(round(sum(col("term_score")).cast("float"), 4).as("s_bm25"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("s_bm25").desc, col("did"))
+    scored.withColumn("r_bm25", row_number().over(w))
+      .filter(col("r_bm25") <= k)
+      .select(col("qid").as("query_id"), col("did"), col("s_bm25"),
+        col("r_bm25"))
+  }
+
   val e22HybridRrf = QueryDef(
     "e22_hybrid_rrf",
     (s, d) => {
-      val k1 = 1.2
-      val b = 0.75
       val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tok"))
-      val tf = toks.groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n"),
-        avg(col("dl")).as("avgdl"))
-      val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      // The scale-critical shape, made EXPLICIT rather than left to
-      // auto-broadcast (which ScalePatternsSpec turns off, and which
-      // bad stats could miss at 100 TB): the per-term idf is folded
-      // into the tiny query-term side FIRST (qterms broadcast into the
-      // vocab-sized df table, stats is one broadcast row), so the
-      // corpus-sized postings table `tf` is touched by exactly one
-      // token-keyed equi-join whose build side is the broadcast,
-      // idf-annotated query terms. The postings never shuffle for
-      // candidate generation — only the candidate subset meets `dl`.
-      val qterms = broadcast(tf.filter(col("doc_id") < 5)
-          .select(col("doc_id").as("qid"), col("tok")))
-        .join(df_, Seq("tok"))
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-        .select(col("qid"), col("tok"), col("idf"), col("avgdl"))
-      val bmScored = broadcast(qterms)
-        .join(tf.withColumnRenamed("doc_id", "did"), Seq("tok"))
-        .filter(col("qid") =!= col("did"))
-        .join(dl.withColumnRenamed("doc_id", "did"), Seq("did"))
-        .withColumn("term_score",
-          col("idf") * col("tf") / (col("tf")
-            + (col("dl") / col("avgdl") * b + (1.0 - b)) * k1))
-        .groupBy(col("qid"), col("did"))
-        .agg(round(sum(col("term_score")).cast("float"), 4).as("s_bm25"))
-      val wBm = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("s_bm25").desc, col("did"))
-      val bmTop = bmScored.withColumn("r_bm25", row_number().over(wBm))
-        .filter(col("r_bm25") <= 20)
-        .select(col("qid"), col("did"), col("r_bm25"))
+      // the scale-critical lexical shape lives in the shared kernels
+      // (see bm25Rank's scaladoc): idf folds into the broadcast
+      // query-term side FIRST, postings meet exactly one token-keyed
+      // equi-join with a broadcast build side — shared with the
+      // durable bm25 store so the gate covers the persisted path's
+      // scoring byte-for-byte
+      val (postings, doclen, df_) = bm25Build(docs)
+      val terms = postings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("tok"))
+      val bmTop = bm25Rank(postings, doclen, df_, terms, k = 20,
+          excludeSelf = true)
+        .select(col("query_id").as("qid"), col("did"), col("r_bm25"))
       val emb = Tables.embeddings(s, d)
         .join(docs.select(col("doc_id")), col("vec_id") === col("doc_id"))
         .select(col("vec_id"), col("embedding"))
@@ -2572,6 +2603,56 @@ object SimilarityQueries {
          |  SELECT cell, list(c ORDER BY i) AS centroid FROM cent2 GROUP BY cell),
          |${ivfSearchSql("cent2_arr", "ASC")}""".stripMargin))
 
+  /** Durable BM25 store gate — e30's restart seam for LEXICAL
+    * retrieval: build the postings/doclen/df artifacts over the whole
+    * corpus, save as store kind `bm25`, reopen a FRESH handle, and
+    * rank the five query docs' text through the shared
+    * [[bm25Rank]] kernel (self included — a stored doc queried with
+    * its own text legitimately tops its own list). Oracle: e22's
+    * lexical CTEs verbatim minus the self-exclusion, rank ≤ 5 — the
+    * round-trip is correct iff lossless (Long tfs, Long dls, Long
+    * dfs — parquet-exact), and the scoring carries the float-cast
+    * 4dp protocol that already gates e22. The score column is
+    * deliberately NOT in the gate projection: ranks pin it through
+    * the deterministic tie-break.
+    */
+  val e48Bm25Store = QueryDef(
+    "e48_bm25_store",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_e48_bm25").toString
+      graft.api.Graft.bm25Index(docs).save(dir)
+      graft.api.Graft.loadBm25Index(s, dir)
+        .searchText(docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text")), k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+    },
+    Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |qterms AS (SELECT doc_id AS qid, tok FROM tf WHERE doc_id < 5),
+         |bm AS (
+         |  SELECT qid, t.doc_id AS did,
+         |    round(CAST(sum(
+         |      ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |        * t.tf / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         |    ) AS FLOAT), 4) AS s_bm25
+         |  FROM qterms q JOIN tf t USING (tok)
+         |    JOIN df USING (tok) JOIN dl ON t.doc_id = dl.doc_id, stats
+         |  GROUP BY qid, t.doc_id)
+         |SELECT query_id, rank, doc_id FROM (
+         |  SELECT qid AS query_id, did AS doc_id,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY s_bm25 DESC, did) AS BIGINT) AS rank
+         |  FROM bm)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
   /** FILTERED search for the compressed family — e24's contract on
     * the PQ index: the code table stays as built; `keepIds` restricts
     * candidates via a semi-join BEFORE ADC ranking, so a metadata
@@ -3114,5 +3195,5 @@ object SimilarityQueries {
     e34IvfPqResidualDrift, e35IndexEpochs, e36ShardMerge, e37RecallSweep,
     e38RerankSweep, e39FilteredPq, e40FilteredIvfPq, e41FilteredPqRecall,
     e42FilteredIvfPqRecall, e43IvfPqRerank, e44RecallIvfPqRerank,
-    e45IndexDelete, e46DeleteCompact, e47IvfRetrain)
+    e45IndexDelete, e46DeleteCompact, e47IvfRetrain, e48Bm25Store)
 }

@@ -539,6 +539,23 @@ object IndexStore {
         swap("bands", partitioned = true, applyTombstones = true,
           partCol = "band")
         "sigs"
+      case "bm25" =>
+        swap("postings", partitioned = false, applyTombstones = true)
+        swap("doclen", partitioned = false, applyTombstones = true)
+        // recompute df FROM the compacted postings — heals the
+        // documented delete staleness (Lucene's merge semantics) and
+        // any crashed-append drift in one pass
+        val dfNew = spark.read.parquet(s"$dir/postings")
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val live = new org.apache.hadoop.fs.Path(s"$dir/df")
+        val fs = live.getFileSystem(hconf)
+        val tmp = new org.apache.hadoop.fs.Path(s"$dir/df.compact")
+        fs.delete(tmp, true)
+        dfNew.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        fs.delete(live, true)
+        require(fs.rename(tmp, live),
+          s"compact: rename $tmp -> $live failed; recover from $tmp")
+        "doclen"
       case "bloom" =>
         swap("words", partitioned = false); "words"
       case other => throw new IllegalStateException(
@@ -683,7 +700,7 @@ object IndexStore {
       case "pq" => requireSameCodebooks()
       case "ivfpq" => requireSameCentroids(); requireSameCodebooks()
       case "lsh" => requireSameParams()
-      case "bloom" => ()
+      case "bm25" | "bloom" => ()
       case other => throw new IllegalStateException(
         s"$dstDir/manifest: unknown kind '$other'")
     }
@@ -697,6 +714,32 @@ object IndexStore {
         moveTable("codes"); moveTable("tombstones")
       case "lsh" =>
         moveTable("sigs"); moveTable("bands"); moveTable("tombstones")
+      case "bm25" =>
+        // postings/doclen move by rename; df is an AGGREGATE, so it
+        // FOLDS (union + sum through a temp swap). Folding is not
+        // rename-idempotent, so the shard's df table is deleted the
+        // moment the fold commits: a crash-resume skips an
+        // already-consumed fold (guard below). The residual window
+        // (crash between the fold's rename and the shard-df delete)
+        // can double-count df — healable, because compact RECOMPUTES
+        // df from the postings; documented, never silent data loss.
+        moveTable("postings"); moveTable("doclen")
+        moveTable("tombstones")
+        val srcDf = new org.apache.hadoop.fs.Path(s"$srcDir/df")
+        val fs = srcDf.getFileSystem(hconf)
+        if (fs.exists(srcDf)) {
+          val folded = spark.read.parquet(s"$dstDir/df")
+            .unionByName(spark.read.parquet(s"$srcDir/df"))
+            .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+          val live = new org.apache.hadoop.fs.Path(s"$dstDir/df")
+          val tmp = new org.apache.hadoop.fs.Path(s"$dstDir/df.compact")
+          fs.delete(tmp, true)
+          folded.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          fs.delete(live, true)
+          require(fs.rename(tmp, live),
+            s"merge: rename $tmp -> $live failed; recover from $tmp")
+          fs.delete(srcDf, true)
+        }
       case "bloom" =>
         // mergeable-sketch semantics: bit_or fold, not a file move —
         // materialize the union FULLY into a temp dir before touching
@@ -720,6 +763,7 @@ object IndexStore {
       case "ivf" => "assigned"
       case "pq" | "ivfpq" => "codes"
       case "lsh" => "sigs"
+      case "bm25" => "doclen"
       case "bloom" => "words"
       case other => throw new IllegalStateException(
         s"$dstDir/manifest: unknown kind '$other'")
@@ -841,6 +885,7 @@ object IndexStore {
       case "pq" => Seq("codes", "codebooks", "corpus")
       case "ivfpq" => Seq("codes", "centroids", "codebooks")
       case "lsh" => Seq("sigs", "bands", "params")
+      case "bm25" => Seq("postings", "doclen", "df")
       case "bloom" => Seq("words")
       case other => throw new IllegalStateException(
         s"$dir/manifest: unknown kind '$other'")
@@ -857,6 +902,89 @@ object IndexStore {
       }
     }
     rows.toDF("kind", "version", "table", "n_rows", "n_files", "bytes")
+  }
+
+  // ------------------------------------------------------------------
+  // BM25 (durable postings index — lexical retrieval)
+  // ------------------------------------------------------------------
+
+  /** Layout: `postings/` = (vec_id, tok, tf), `doclen/` = (vec_id,
+    * dl), `df/` = (tok, df). `df` is an AGGREGATE over the postings —
+    * appends fold it (union + sum through a temp-dir swap, the Bloom
+    * pattern) rather than appending, and [[compact]] RECOMPUTES it
+    * from the compacted postings, which heals both delete staleness
+    * and any crashed-append drift.
+    */
+  def saveBm25(dir: String, postings: DataFrame, doclen: DataFrame,
+               df: DataFrame): Unit = {
+    val spark = postings.sparkSession
+    withWriteLock(spark, dir) {
+      postings.select(col("vec_id"), col("tok"), col("tf"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
+      doclen.select(col("vec_id"), col("dl"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclen")
+      df.select(col("tok"), col("df"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/df")
+      writeManifest(spark, dir, "bm25")
+      recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/doclen"))
+    }
+  }
+
+  /** DURABLE append for the BM25 layout, ordered so `doclen` is the
+    * COMMIT POINT: postings append first, the document-frequency
+    * table folds second (vocab-sized union + sum through a temp
+    * swap), doc lengths land last — scoring inner-joins `doclen`, so
+    * a crash mid-append leaves the batch's documents UNSCOREABLE
+    * rather than partially scored. Recovery from a crashed append:
+    * tombstone the batch's ids ([[delete]]), [[compact]] (which also
+    * recomputes `df` from the surviving postings), then re-append.
+    */
+  def appendBm25(dir: String, postingsNew: DataFrame,
+                 doclenNew: DataFrame, dfNew: DataFrame): Unit = {
+    val spark = postingsNew.sparkSession
+    readManifest(spark, dir, "bm25")
+    withWriteLock(spark, dir) {
+      val before = diskRows(spark, s"$dir/doclen")
+      postingsNew.select(col("vec_id"), col("tok"), col("tf"))
+        .write.mode(SaveMode.Append).parquet(s"$dir/postings")
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val folded = spark.read.parquet(s"$dir/df")
+        .unionByName(dfNew.select(col("tok"), col("df")))
+        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+      val live = new org.apache.hadoop.fs.Path(s"$dir/df")
+      val fs = live.getFileSystem(hconf)
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/df.compact")
+      fs.delete(tmp, true)
+      folded.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(live, true)
+      require(fs.rename(tmp, live),
+        s"appendBm25: rename $tmp -> $live failed; recover from $tmp")
+      doclenNew.select(col("vec_id"), col("dl"))
+        .write.mode(SaveMode.Append).parquet(s"$dir/doclen")
+      recordEpoch(spark, dir, "append",
+        diskRows(spark, s"$dir/doclen") - before)
+    }
+  }
+
+  /** (postings, doclen, df). Tombstoned documents ([[delete]]) are
+    * anti-joined out of postings and doclen, so they can neither be
+    * candidates nor influence length normalization; `df` still counts
+    * them until the next [[compact]] recomputes it — idf is slightly
+    * stale after deletes, exactly Lucene's deleted-docs-until-merge
+    * semantics, documented rather than hidden.
+    */
+  def loadBm25(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    readManifest(spark, dir, "bm25")
+    val postings = maskTombstones(spark, dir,
+      spark.read.parquet(s"$dir/postings")
+        .select(col("vec_id"), col("tok"), col("tf")))
+    val doclen = maskTombstones(spark, dir,
+      spark.read.parquet(s"$dir/doclen")
+        .select(col("vec_id"), col("dl")))
+    val df = spark.read.parquet(s"$dir/df")
+      .select(col("tok"), col("df"))
+    (postings, doclen, df)
   }
 
   // ------------------------------------------------------------------

@@ -1,0 +1,163 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.api.Graft
+
+/** The durable BM25 store's lifecycle contract: save → load →
+  * searchText ≡ live bit-for-bit (Long tf/dl/df round-trip parquet
+  * exactly; scores carry e22's float-cast protocol), append/shard/
+  * merge fold the df aggregate correctly, deletes exclude documents
+  * immediately with Lucene's idf-stale-until-compact semantics, and
+  * hybridSearch fuses the two persisted halves exactly as e22's gated
+  * RRF step.
+  */
+class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-bm25-index-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def queries: DataFrame = docs.filter(col("doc_id") < 5)
+    .select(col("doc_id").as("query_id"), col("text"))
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-bm25-index").toString
+
+  private def exact(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("save -> load -> searchText equals the live handle bit-for-bit") {
+    val live = Graft.bm25Index(docs)
+    val d = tmp()
+    live.save(d)
+    val a = exact(live.searchText(queries))
+    assert(a.nonEmpty)
+    assert(exact(Graft.loadBm25Index(spark, d).searchText(queries)) == a)
+  }
+
+  test("append and appendDurable equal build-all-at-once (the df fold is exact)") {
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val expect = exact(Graft.bm25Index(docs).searchText(queries))
+
+    assert(exact(Graft.bm25Index(half1).append(half2)
+      .searchText(queries)) == expect)
+
+    val d = tmp()
+    Graft.bm25Index(half1).save(d)
+    Graft.loadBm25Index(spark, d).appendDurable(d, half2)
+    assert(exact(Graft.loadBm25Index(spark, d).searchText(queries))
+      == expect)
+    val ops = Graft.indexEpochs(spark, d).select(col("op"))
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("save", "append"))
+    // the df table folded, not appended: one row per term
+    val dfDups = spark.read.parquet(s"$d/df")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count()
+    assert(dfDups == 0, "df must fold to one row per term")
+  }
+
+  test("delete excludes docs immediately; idf heals at compact (Lucene semantics)") {
+    val kept = docs.filter(col("doc_id") % 7 =!= 0)
+    val extra = docs.filter(col("doc_id") % 7 === 0)
+    val extraIds = extra.select(col("doc_id").as("vec_id"))
+    val neverInserted = exact(Graft.bm25Index(kept).searchText(queries))
+
+    // live: deleted docs vanish from results at once
+    val deleted = Graft.bm25Index(docs).delete(extraIds)
+    val extraSet = extra.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val liveHits = deleted.searchText(queries).collect()
+      .map(_.getAs[Long]("doc_id"))
+    assert(liveHits.nonEmpty && !liveHits.exists(extraSet),
+      "a deleted doc surfaced in live BM25 results")
+
+    // durable: tombstones mask on load; compact recomputes df, after
+    // which search equals the never-inserted build EXACTLY
+    val d = tmp()
+    Graft.bm25Index(kept).save(d)
+    Graft.loadBm25Index(spark, d).appendDurable(d, extra)
+    Graft.deleteFromIndex(spark, d, extraIds)
+    val preCompact = Graft.loadBm25Index(spark, d).searchText(queries)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(!preCompact.exists(extraSet))
+    Graft.compactIndex(spark, d)
+    assert(!new java.io.File(s"$d/tombstones").exists())
+    assert(exact(Graft.loadBm25Index(spark, d).searchText(queries))
+      == neverInserted,
+      "post-compact BM25 must equal the never-inserted build exactly")
+    val tables = Graft.describeIndex(spark, d).select(col("table"))
+      .collect().map(_.getString(0)).toSet
+    assert(tables == Set("postings", "doclen", "df", "epochs"))
+  }
+
+  test("shard + merge equals the append path (df folds across shards)") {
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val root = tmp()
+    val idx = Graft.bm25Index(half1)
+    idx.save(s"$root/main")
+    idx.shard(s"$root/s1", half2)
+    Graft.mergeIndex(spark, s"$root/main", s"$root/s1")
+    assert(!new java.io.File(s"$root/s1").exists())
+    assert(exact(Graft.loadBm25Index(spark, s"$root/main")
+      .searchText(queries))
+      == exact(Graft.bm25Index(docs).searchText(queries)))
+  }
+
+  test("hybridSearch over the two persisted halves equals hand-fused component ranks") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dLex = tmp(); val dDense = tmp()
+    Graft.bm25Index(docs).save(dLex)
+    Graft.annIndex(emb).save(dDense)
+    val lex = Graft.loadBm25Index(spark, dLex)
+    val dense = Graft.loadAnnIndex(spark, dDense)
+    val q = queries
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding")),
+        Seq("query_id"))
+
+    val fused = Graft.hybridSearch(lex, dense, q, k = 5, fetch = 20)
+    val got = fused.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty)
+
+    // hand-fuse the component searches with e22's formula
+    val bm = lex.searchText(q.select(col("query_id"), col("text")), 20)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("doc_id"))
+        -> r.getAs[Long]("rank")).toMap
+    val cos = dense.search(q.select(col("query_id").as("vec_id"),
+        col("embedding")), 2, 20)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))
+        -> r.getAs[Long]("rank")).toMap
+    val keys = bm.keySet ++ cos.keySet
+    val expect = keys.groupBy(_._1).flatMap { case (qid, ks) =>
+      ks.toSeq.map { k =>
+        val rrf = bm.get(k).map(r => 1.0 / (r + 60)).getOrElse(0.0) +
+          cos.get(k).map(r => 1.0 / (r + 60)).getOrElse(0.0)
+        (qid, k._2, BigDecimal(rrf).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex.map {
+        case ((q2, did, rrf), i) => (q2, (i + 1).toLong, did, rrf)
+      }
+    }.toSeq
+    assert(got.toSet == expect.toSet,
+      s"fusion diverged:\n got=$got\n exp=$expect")
+  }
+}
