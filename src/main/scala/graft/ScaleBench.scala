@@ -177,6 +177,13 @@ object ScaleBench {
       // N x rows is honestly N x signing + N x bucket probes (the
       // e30 shape for the dedup family)
       "d19_lsh_index_screen",
+      // e48: the durable lexical index priced end-to-end - build +
+      // save postings/doclen/df over the replica corpus (write-bound,
+      // linear: posting rows = corpus tokens), then one broadcast
+      // token join ranks the 5 fixed queries; replica-disjoint token
+      // spaces (the r{i}_ prefix) grow the vocab linearly - the
+      // honest worst case for the df fold
+      "e48_bm25_store",
       // e45: the REMOVE path priced end-to-end - save the full index,
       // tombstone ~1/11 of the ids (one small parquet append), search
       // through a loaded handle whose broadcast anti-join masks them;

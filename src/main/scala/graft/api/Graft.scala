@@ -231,6 +231,22 @@ object Graft {
         DedupQueries.BloomSketch.sketchOf(segmentHashes(docs), mBits))
       loadBloomIndex(docs.sparkSession, dir)
     }
+
+    /** [[appendDurable]]'s streaming sibling — each micro-batch of
+      * arriving documents sketches under this handle's modulus and
+      * bit_or-folds INTO the saved layout (checkpoint-scoped marker
+      * idempotency, the [[IvfIndex.appendStreamDurable]] recipe —
+      * doubly safe here because the fold itself is idempotent).
+      */
+    def appendStreamDurable(arrivals: Dataset[graft.streaming.DocStreams.Doc],
+                            dir: String,
+                            checkpointDir: Option[String] = None)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      EmbStreams.durableIngest(arrivals, checkpointDir) { batch =>
+        IndexStore.appendBloom(dir, DedupQueries.BloomSketch.sketchOf(
+          segmentHashes(batch.toDF().select(col("doc_id"), col("text"))),
+          mBits))
+      }
   }
 
   /** Reopen a [[BloomIndex]] saved with [[BloomIndex.save]]. Loading a
@@ -447,6 +463,22 @@ object Graft {
       IndexStore.appendBm25(dir, p2, dl2, df2)
       loadBm25Index(docs.sparkSession, dir)
     }
+
+    /** [[appendDurable]]'s streaming sibling — each micro-batch of
+      * arriving documents builds its postings/doclen/df slice with
+      * the shared kernel and appends INTO the saved layout
+      * (checkpoint-scoped marker idempotency; doclen stays the
+      * per-batch commit point).
+      */
+    def appendStreamDurable(arrivals: Dataset[graft.streaming.DocStreams.Doc],
+                            dir: String,
+                            checkpointDir: Option[String] = None)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      EmbStreams.durableIngest(arrivals, checkpointDir) { batch =>
+        val (p2, dl2, df2) = SimilarityQueries.bm25Build(
+          batch.toDF().select(col("doc_id"), col("text")))
+        IndexStore.appendBm25(dir, p2, dl2, df2)
+      }
 
     /** DELETE documents from the LIVE handle: postings and doclen
       * anti-join (candidates and length normalization exclude them

@@ -268,7 +268,7 @@ object EmbStreams {
                        centroids: DataFrame, dir: String,
                        checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    durableIngest(arrivals, dir, checkpointDir) { batch =>
+    durableIngest(arrivals, checkpointDir) { batch =>
       graft.sources.IndexStore.appendIvf(dir,
         graft.operators.SimilarityQueries.assignCells(
           batch.toDF(), centroids))
@@ -283,7 +283,7 @@ object EmbStreams {
                       codebooks: Array[Array[Array[Double]]], dir: String,
                       checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    durableIngest(arrivals, dir, checkpointDir) { batch =>
+    durableIngest(arrivals, checkpointDir) { batch =>
       val vecs = batch.toDF().select(col("vec_id"),
         col("embedding").cast("array<float>").as("embedding"))
       graft.sources.IndexStore.appendPq(dir,
@@ -302,7 +302,7 @@ object EmbStreams {
                          dir: String,
                          checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    durableIngest(arrivals, dir, checkpointDir) { batch =>
+    durableIngest(arrivals, checkpointDir) { batch =>
       graft.sources.IndexStore.appendIvfPq(dir,
         graft.operators.SimilarityQueries.ivfPqEncode(
           batch.toDF().select(col("vec_id"),
@@ -315,13 +315,13 @@ object EmbStreams {
     * when a checkpoint makes batch ids stable across restarts (see
     * [[ivfAppendDurable]]'s scaladoc for the crash-window caveat).
     */
-  private def durableIngest(arrivals: Dataset[EmbArrival], dir: String,
-                            checkpointDir: Option[String])
-                           (append: Dataset[EmbArrival] => Unit)
+  private[graft] def durableIngest[T](arrivals: Dataset[T],
+                                      checkpointDir: Option[String])
+                                     (append: Dataset[T] => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = arrivals.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[EmbArrival], batchId: Long) =>
+      .foreachBatch { (batch: Dataset[T], batchId: Long) =>
         // markers live UNDER THE CHECKPOINT, not the index dir: batch
         // ids are scoped to a checkpoint, so a later ingest into the
         // same index with a NEW checkpoint restarts at batch 0 and

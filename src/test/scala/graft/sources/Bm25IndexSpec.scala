@@ -122,6 +122,53 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       == exact(Graft.bm25Index(docs).searchText(queries)))
   }
 
+  test("streaming durable ingest (BM25 + Bloom) equals the batch append path") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 09:00:00")
+    val arrivals = half2.select(col("doc_id"), col("text")).collect()
+      .map(r => graft.streaming.DocStreams.Doc(r.getLong(0), ts,
+        r.getString(1)))
+    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
+
+    // BM25: two streamed micro-batches land in the layout
+    val dBm = tmp()
+    val bm = Graft.bm25Index(half1)
+    bm.save(dBm)
+    val s1 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.DocStreams.Doc]
+    val q1 = bm.appendStreamDurable(s1.toDS(), dBm,
+      Some(Files.createTempDirectory("bm25-cp").toString))
+    s1.addData(b1.toSeq); q1.processAllAvailable()
+    s1.addData(b2.toSeq); q1.processAllAvailable()
+    q1.stop()
+    assert(exact(Graft.loadBm25Index(spark, dBm).searchText(queries))
+      == exact(Graft.bm25Index(docs).searchText(queries)))
+    assert(Graft.indexEpochs(spark, dBm).select(col("op"))
+      .collect().map(_.getString(0)).toSeq
+      == Seq("save", "append", "append"))
+
+    // Bloom: streamed folds equal the one-pass union sketch
+    val dBl = tmp()
+    val bl = Graft.bloomSketch(Graft.segmentHashes(half1))
+    bl.save(dBl)
+    val s2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.DocStreams.Doc]
+    val q2 = bl.appendStreamDurable(s2.toDS(), dBl,
+      Some(Files.createTempDirectory("bloom-cp").toString))
+    s2.addData(b1.toSeq); q2.processAllAvailable()
+    s2.addData(b2.toSeq); q2.processAllAvailable()
+    q2.stop()
+    val probe = docs.limit(40)
+    val whole = Graft.bloomSketch(Graft.segmentHashes(docs))
+    assert(exact(Graft.bloomScreen(probe,
+      Graft.loadBloomIndex(spark, dBl)).orderBy("doc_id", "h"))
+      == exact(Graft.bloomScreen(probe, whole).orderBy("doc_id", "h")))
+  }
+
   test("hybridSearch over the two persisted halves equals hand-fused component ranks") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val dLex = tmp(); val dDense = tmp()
