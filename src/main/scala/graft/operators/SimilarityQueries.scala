@@ -1821,11 +1821,20 @@ object SimilarityQueries {
     */
   private[graft] def bm25Build(docs: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val toks = docs.select(col("doc_id").as("vec_id"),
-      explode(split(col("text"), " ")).as("tok"))
-    val postings = toks.groupBy(col("vec_id"), col("tok"))
+    // ONE tokenize and ONE wide (vec_id, tok) shuffle: doclen is the
+    // per-doc tf-sum and df the per-term row count, both derived FROM
+    // the postings (map-side-combinable aggs over far fewer rows than
+    // the raw token stream) — the postings subtree is lazily
+    // checkpointed so the three artifacts share its blocks instead of
+    // re-tokenizing the corpus per artifact (blocks die with the
+    // handle via the ContextCleaner)
+    val postings = docs.select(col("doc_id").as("vec_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("vec_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val doclen = toks.groupBy(col("vec_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(eager = false)
+    val doclen = postings.groupBy(col("vec_id"))
+      .agg(sum(col("tf")).as("dl"))
     val df = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     (postings, doclen, df)
   }
