@@ -642,6 +642,25 @@ object Graft {
   // Quality / text analysis
   // ------------------------------------------------------------------
 
+  /** Deterministic per-source MIXTURE SAMPLING — turn per-domain
+    * weights into an actual training mixture: keep each document iff
+    * its md5-derived uniform hash over (doc_id, `salt`) falls under
+    * its source's rate (truncated to ppm). Per-row independent and
+    * SEED-STABLE — the same (doc, salt) keeps or drops identically on
+    * every run, engine, and partitioning, so mixtures are
+    * reproducible and resumable; different salts draw independent
+    * resamples. Zero shuffles: the rate table broadcasts, the corpus
+    * streams through one linear pass. Sources absent from `rates`
+    * drop entirely.
+    *
+    * Input: docs with (doc_id Long, `sourceCol` String). Output: the
+    * sampled rows, all input columns. Gate: `t27_mixture_sample`.
+    */
+  def sampleMixture(docs: DataFrame, rates: Map[String, Double],
+                    salt: Long = 0L,
+                    sourceCol: String = "source"): DataFrame =
+    TextAnalysisQueries.sampleMixtureOf(docs, rates, salt, sourceCol)
+
   /** Deterministic greedy packing of documents into fixed-`budget`
     * token training sequences: global running token offset via
     * per-partition prefix sums + broadcast partition offsets (no

@@ -1423,6 +1423,51 @@ object TextAnalysisQueries {
            |    AS chunk_md5
            |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin))
 
+  /** Deterministic per-source MIXTURE SAMPLING — the data-mixing step
+    * that turns per-domain weights (t12's report, t20's DSIR weights)
+    * into an actual training set: keep a document iff its md5-derived
+    * uniform hash (over doc_id + a salt) falls under its source's
+    * rate, truncated to ppm. Per-row independent and seed-stable: the
+    * same (doc, salt) keeps or drops identically on every run, any
+    * engine, any partitioning — reproducible mixtures with zero
+    * shuffles (the rate table broadcasts, the corpus streams through
+    * one linear pass). Different salts give independent resamples.
+    * Sources absent from `rates` are dropped (rate 0). The md5
+    * protocol is the d05/d09 one, so DuckDB replays the keep/drop
+    * decision bit-for-bit.
+    */
+  private[graft] def sampleMixtureOf(docs: DataFrame,
+                                     rates: Map[String, Double],
+                                     salt: Long = 0L,
+                                     sourceCol: String = "source")
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rdf = rates.toSeq.toDF(sourceCol, "rate")
+      .withColumn("keep_ppm",
+        round(col("rate") * 1000000, 0).cast("long"))
+      .select(col(sourceCol), col("keep_ppm"))
+    docs.join(broadcast(rdf), Seq(sourceCol))
+      .filter(expr(("cast(conv(substr(md5(concat(cast(doc_id as " +
+        s"string), ':mix:$salt')), 1, 15), 16, 10) as bigint)")) %
+        1000000L < col("keep_ppm"))
+      .drop("keep_ppm")
+  }
+
+  val t27MixtureSample = QueryDef(
+    "t27_mixture_sample",
+    (s, d) => graft.api.Graft.sampleMixture(Tables.documents(s, d),
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25,
+          "src3" -> 0.1))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id")),
+    Some(
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix:0'), 1, 15))::BIGINT % 1000000
+        |  < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+        |      WHEN 'src2' THEN 250000 WHEN 'src3' THEN 100000 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05CorpusReport, t06Winnowing, t07BpeTokenCount, t08Contamination,
@@ -1431,5 +1476,5 @@ object TextAnalysisQueries {
     t16StratifiedSplit, t17UnigramPerplexity, t18DomainDivergence,
     t19HeavyHittersCms, t20DsirWeights, t21QualityClassifier,
     t22BigramPerplexity, t23QualityBins, t24DistinctKmv, t25NgramNovelty,
-    t26DocChunks)
+    t26DocChunks, t27MixtureSample)
 }

@@ -510,6 +510,28 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 0)
   }
 
+  test("sampleMixture is seed-stable, rate-faithful, and salt-independent") {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25,
+      "src3" -> 0.1)
+    val a = Graft.sampleMixture(docs, rates)
+    // facade equals the gate row set
+    assert(rows(a.select(col("doc_id"), col("source")))
+      == rows(gate("t27_mixture_sample")))
+    // seed-stable: the same salt re-draws the identical sample
+    assert(rows(Graft.sampleMixture(docs, rates)) == rows(a))
+    // rate-faithful: rate 1.0 keeps every src0 doc; absent sources drop
+    val bySrc = a.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == totals("src0"))
+    assert(bySrc.keySet.subsetOf(rates.keySet))
+    // a different salt draws a different (but same-law) sample
+    val b = Graft.sampleMixture(docs, rates, salt = 7L)
+    assert(rows(b) != rows(a))
+    assert(b.filter(col("source") === "src0").count() == totals("src0"))
+  }
+
   test("retrainIf: below threshold is a byte-identical no-op; forced retrain equals a fresh build on the relabeled union") {
     val snapshot = emb.filter(col("vec_id") % 7 =!= 0)
     val arrivals = emb.filter(col("vec_id") % 7 === 0)
