@@ -1820,6 +1820,77 @@ object Graft {
   def imageScreen(incoming: DataFrame, index: DataFrame): DataFrame =
     MultimodalQueries.phashScreen(incoming, index)
 
+  /** Build the DURABLE perceptual-hash index — the media dedup
+    * family's store kind: persist the corpus's 64-bit aHashes once
+    * (16 bytes a media object; decode happened exactly once, at
+    * [[imagePHash]] time) and screen arriving images against it
+    * forever. `hashed`: an [[imagePHash]]-shaped (media_id, lo, hi)
+    * frame. Gate: `mm10_phash_index_screen` (save → load → screen vs
+    * the exact new-vs-stored Hamming answer — the 5-band layout is
+    * pigeonhole-complete at the ≤ 4 threshold, so banded ≡ exact).
+    */
+  def phashIndex(hashed: DataFrame): PhashIndex =
+    PhashIndex(hashed.select(col("media_id"), col("lo"), col("hi")))
+
+  /** A built pHash index: `hashes` = (media_id, lo, hi). */
+  final case class PhashIndex private[api] (hashes: DataFrame) {
+
+    /** Near-dup verdicts for arriving hashes vs the STORED corpus:
+      * the batch's banded hashes BROADCAST into the stored band
+      * projection (the stored table never shuffles — at 100 TB one
+      * linear pass over 16-byte rows per batch); exact Hamming ≤
+      * `maxHamming` verifies. `bucketCap` skips stored buckets above
+      * `cap` members (hyper-duplicated classes are exact-dedup's
+      * job). `incoming`: (media_id, lo, hi). Output: (ma [arriving],
+      * mb [stored], hamming), unsorted.
+      */
+    def screen(incoming: DataFrame, maxHamming: Int = 4,
+               bucketCap: Option[Long] = None): DataFrame =
+      MultimodalQueries.phashScreenStored(hashes, incoming, maxHamming,
+        bucketCap)
+
+    /** Add newly hashed media to the LIVE handle. */
+    def append(hashed: DataFrame): PhashIndex =
+      copy(hashes = hashes.unionByName(
+        hashed.select(col("media_id"), col("lo"), col("hi"))))
+
+    /** [[append]] made DURABLE — one parquet append of the arrivals'
+      * hashes into the saved layout, then reopen.
+      */
+    def appendDurable(dir: String, hashed: DataFrame): PhashIndex = {
+      IndexStore.appendPhash(dir, hashed
+        .select(col("media_id").as("vec_id"), col("lo"), col("hi")))
+      loadPhashIndex(hashed.sparkSession, dir)
+    }
+
+    /** DELETE media from the LIVE handle (durable stores delete via
+      * [[deleteFromIndex]] with `vec_id` = media_id).
+      */
+    def delete(ids: DataFrame): PhashIndex =
+      copy(hashes = hashes.join(
+        broadcast(ids.select(col("vec_id").as("media_id"))),
+        Seq("media_id"), "left_anti"))
+
+    /** Export a SHARD of hashed media — foldable by [[mergeIndex]]. */
+    def shard(dir: String, hashed: DataFrame): Unit =
+      IndexStore.savePhash(dir, hashed
+        .select(col("media_id").as("vec_id"), col("lo"), col("hi")))
+
+    /** Persist to `dir` ([[graft.sources.IndexStore]] layout);
+      * compact/vacuum/describe/epochs/delete apply unchanged.
+      */
+    def save(dir: String): Unit =
+      IndexStore.savePhash(dir, hashes
+        .select(col("media_id").as("vec_id"), col("lo"), col("hi")))
+  }
+
+  /** Reopen a [[PhashIndex]] saved with [[PhashIndex.save]] —
+    * tombstoned media anti-joined out.
+    */
+  def loadPhashIndex(spark: SparkSession, dir: String): PhashIndex =
+    PhashIndex(IndexStore.loadPhash(spark, dir)
+      .select(col("vec_id").as("media_id"), col("lo"), col("hi")))
+
   /** Per-frame perceptual hashes of opaque video payloads, decoded
     * with the real JDK GIF reader: one (lo, hi) gray aHash per frame.
     * Input: Dataset of (media_id, payload bytes). Output: (media_id,

@@ -663,6 +663,43 @@ object MultimodalQueries {
       .filter(col("hamming") <= 4)
   }
 
+  /** [[phashScreen]] with the broadcast FLIPPED for a PERSISTED index:
+    * the stored corpus is the big side at scale, so the arriving
+    * batch's banded hashes broadcast into the stored band projection
+    * (one linear pass over the stored hashes, never a shuffle — the
+    * d15/d17/d19 asymmetric shape). The 5-band 13/13/13/13/12-bit
+    * layout is pigeonhole-COMPLETE for Hamming ≤ 4, so the uncapped
+    * screen equals the exact all-pairs new-vs-stored answer — which is
+    * what the mm10 gate's banding-free oracle checks. `bucketCap` is
+    * the d09 hot-bucket lever over the STORED buckets.
+    */
+  private[graft] def phashScreenStored(stored: DataFrame,
+                                       incoming: DataFrame,
+                                       maxHamming: Int = 4,
+                                       bucketCap: Option[Long] = None)
+      : DataFrame = {
+    val ix0 = phashBanded(stored)
+    val ix = bucketCap match {
+      case Some(cap) =>
+        val cool = ix0.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
+          .select(col("bucket"))
+        ix0.join(broadcast(cool), Seq("bucket"))
+      case None => ix0
+    }
+    val in = phashBanded(incoming)
+      .select(col("media_id").as("ma"), col("lo").as("alo"),
+        col("hi").as("ahi"), col("bucket"))
+    ix.select(col("media_id").as("mb"), col("lo").as("blo"),
+        col("hi").as("bhi"), col("bucket"))
+      .join(broadcast(in), Seq("bucket"))
+      .select(col("ma"), col("mb"),
+        expr("CAST(bit_count(alo ^ blo) + bit_count(ahi ^ bhi) AS BIGINT)")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** mm07's banded self-join over a (media_id, lo, hi) frame — the
     * [[graft.api.Graft.imageNearDups]] facade path. `bucketCap` is the
     * d09 hot-bucket lever for hyper-duplicated corpora, where the TRUE
@@ -1249,8 +1286,68 @@ object MultimodalQueries {
     mm09VideoNearDup.oracle.map(o =>
       s"SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM ($o) AS p"))
 
+  /** Durable pHash index gate — e30's restart seam for the MEDIA dedup
+    * family: decode + hash the stored corpus (media_id % 3 ≠ 0 — the
+    * real JDK codec path mm07 gates), persist the hash table as store
+    * kind `phash`, reopen a FRESH handle, and screen the arriving
+    * images (% 3 = 0) against it through [[phashScreenStored]] (the
+    * arriving batch broadcasts; the stored table never shuffles).
+    * Oracle: the mm07 hash-synthesis CTEs (DuckDB reconstructs every
+    * aHash from the generator's id-determined pixels) followed by the
+    * EXACT new-vs-stored Hamming ≤ 4 join, with NO banding — the
+    * 5-band layout is pigeonhole-complete for Hamming ≤ 4, so the
+    * banded screen must equal the exact answer, and the gate checks
+    * precisely that (plus losslessness of the save → load seam).
+    */
+  val mm10PhashIndexScreen = QueryDef(
+    "mm10_phash_index_screen",
+    (s, d) => {
+      val hashed = phashed(s, d).localCheckpoint()
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_mm10_phash").toString
+      graft.api.Graft.phashIndex(
+        hashed.filter(col("media_id") % 3 =!= 0)).save(dir)
+      graft.api.Graft.loadPhashIndex(s, dir)
+        .screen(hashed.filter(col("media_id") % 3 === 0))
+        .orderBy(col("ma"), col("mb"))
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id AS media_id,
+           |         8 + (doc_id % 24) AS w,
+           |         8 + ((doc_id * 7) % 24) AS h
+           |  FROM documents),
+           |px AS (
+           |  SELECT media_id, w, h,
+           |         ((y * 8) // h) * 8 + ((x * 8) // w) AS idx,
+           |         ((media_id + 3 * x + 5 * y) % 256)
+           |           + ((2 * media_id + 7 * x + 11 * y) % 256)
+           |           + ((3 * media_id + 13 * x + 17 * y) % 256) AS gsum
+           |  FROM base,
+           |       LATERAL unnest(generate_series(0, w - 1)) AS tx(x),
+           |       LATERAL unnest(generate_series(0, h - 1)) AS ty(y)),
+           |blocks AS (
+           |  SELECT media_id, idx, max(w) AS w, max(h) AS h,
+           |         sum(gsum) AS s, count(*) AS n
+           |  FROM px GROUP BY media_id, idx),
+           |totals AS (
+           |  SELECT media_id, sum(s) AS total FROM blocks GROUP BY media_id),
+           |packed AS (
+           |  SELECT b.media_id,
+           |    CAST(sum(CASE WHEN idx < 32 AND s * w * h > total * n
+           |                  THEN CAST(1 AS BIGINT) << idx ELSE 0 END) AS BIGINT) AS lo,
+           |    CAST(sum(CASE WHEN idx >= 32 AND s * w * h > total * n
+           |                  THEN CAST(1 AS BIGINT) << (idx - 32) ELSE 0 END) AS BIGINT) AS hi
+           |  FROM blocks b JOIN totals USING (media_id) GROUP BY b.media_id)
+           |SELECT i.media_id AS ma, st.media_id AS mb,
+           |  CAST(bit_count(xor(i.lo, st.lo)) + bit_count(xor(i.hi, st.hi)) AS BIGINT) AS hamming
+           |FROM packed i JOIN packed st
+           |  ON i.media_id % 3 = 0 AND st.media_id % 3 <> 0
+           |WHERE bit_count(xor(i.lo, st.lo)) + bit_count(xor(i.hi, st.hi)) <= 4
+           |ORDER BY ma, mb""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(mm01MediaTable, mm02DecodeFeatures,
     mm03FrameSample, mm04AudioFeatures, mm05ResizeFeatures,
     mm06ShotBoundaries, mm07PerceptualHashDedup, mm08AudioFpDedup,
-    mm09VideoNearDup, mm08AudioFpCount, mm09VideoCount)
+    mm09VideoNearDup, mm08AudioFpCount, mm09VideoCount,
+    mm10PhashIndexScreen)
 }

@@ -539,6 +539,9 @@ object IndexStore {
         swap("bands", partitioned = true, applyTombstones = true,
           partCol = "band")
         "sigs"
+      case "phash" =>
+        swap("hashes", partitioned = false, applyTombstones = true)
+        "hashes"
       case "bm25" =>
         swap("postings", partitioned = false, applyTombstones = true)
         swap("doclen", partitioned = false, applyTombstones = true)
@@ -700,7 +703,7 @@ object IndexStore {
       case "pq" => requireSameCodebooks()
       case "ivfpq" => requireSameCentroids(); requireSameCodebooks()
       case "lsh" => requireSameParams()
-      case "bm25" | "bloom" => ()
+      case "bm25" | "bloom" | "phash" => ()
       case other => throw new IllegalStateException(
         s"$dstDir/manifest: unknown kind '$other'")
     }
@@ -714,6 +717,8 @@ object IndexStore {
         moveTable("codes"); moveTable("tombstones")
       case "lsh" =>
         moveTable("sigs"); moveTable("bands"); moveTable("tombstones")
+      case "phash" =>
+        moveTable("hashes"); moveTable("tombstones")
       case "bm25" =>
         // postings/doclen move by rename; df is an AGGREGATE, so it
         // FOLDS (union + sum through a temp swap). Folding is not
@@ -764,6 +769,7 @@ object IndexStore {
       case "pq" | "ivfpq" => "codes"
       case "lsh" => "sigs"
       case "bm25" => "doclen"
+      case "phash" => "hashes"
       case "bloom" => "words"
       case other => throw new IllegalStateException(
         s"$dstDir/manifest: unknown kind '$other'")
@@ -886,6 +892,7 @@ object IndexStore {
       case "ivfpq" => Seq("codes", "centroids", "codebooks")
       case "lsh" => Seq("sigs", "bands", "params")
       case "bm25" => Seq("postings", "doclen", "df")
+      case "phash" => Seq("hashes")
       case "bloom" => Seq("words")
       case other => throw new IllegalStateException(
         s"$dir/manifest: unknown kind '$other'")
@@ -902,6 +909,47 @@ object IndexStore {
       }
     }
     rows.toDF("kind", "version", "table", "n_rows", "n_files", "bytes")
+  }
+
+  // ------------------------------------------------------------------
+  // pHash (durable perceptual-hash index — media dedup)
+  // ------------------------------------------------------------------
+
+  /** Layout: `hashes/` = (vec_id, lo, hi) — the 64-bit aHash table,
+    * 16 bytes a media object; decode happens ONCE at build/append
+    * (hashing is a pure function of the payload), screening reads
+    * hashes only.
+    */
+  def savePhash(dir: String, hashes: DataFrame): Unit = {
+    val spark = hashes.sparkSession
+    withWriteLock(spark, dir) {
+      hashes.select(col("vec_id"), col("lo"), col("hi"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/hashes")
+      writeManifest(spark, dir, "phash")
+      recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/hashes"))
+    }
+  }
+
+  /** DURABLE append for the pHash layout — one parquet append of the
+    * arrivals' hashes; the stored rows are never rewritten.
+    */
+  def appendPhash(dir: String, hashesNew: DataFrame): Unit = {
+    val spark = hashesNew.sparkSession
+    readManifest(spark, dir, "phash")
+    withWriteLock(spark, dir) {
+      val before = diskRows(spark, s"$dir/hashes")
+      hashesNew.select(col("vec_id"), col("lo"), col("hi"))
+        .write.mode(SaveMode.Append).parquet(s"$dir/hashes")
+      recordEpoch(spark, dir, "append",
+        diskRows(spark, s"$dir/hashes") - before)
+    }
+  }
+
+  /** (vec_id, lo, hi) — tombstoned media ([[delete]]) anti-joined. */
+  def loadPhash(spark: SparkSession, dir: String): DataFrame = {
+    readManifest(spark, dir, "phash")
+    maskTombstones(spark, dir, spark.read.parquet(s"$dir/hashes")
+      .select(col("vec_id"), col("lo"), col("hi")))
   }
 
   // ------------------------------------------------------------------

@@ -206,6 +206,71 @@ class LshIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a marked (already-committed) ingest batch was re-appended")
   }
 
+  test("phash index: load ≡ live, append ≡ build-all, insert-then-delete ≡ never-inserted, shards merge") {
+    val spark2 = spark
+    import spark2.implicits._
+    // deterministic synthetic hashes: near-dups differ by ≤ 4 bits
+    def h(id: Long, lo: Long, hi: Long) = (id, lo, hi)
+    val storedRows = Seq(
+      h(1L, 0x1234567890abcdefL, 0x0f0f0f0f0f0f0f0fL),
+      h(2L, 0x1234567890abcdeeL, 0x0f0f0f0f0f0f0f0fL), // 1 bit off #1
+      h(3L, -0x123456789L, 0x7777777777777777L))
+    val stored = storedRows.toDF("media_id", "lo", "hi")
+    val extra = Seq(h(50L, 0x5555555555555555L, 0x3333333333333333L))
+      .toDF("media_id", "lo", "hi")
+    val incoming = Seq(
+      h(100L, 0x1234567890abcdefL, 0x0f0f0f0f0f0f0f1fL), // 1 bit off #1
+      h(101L, 0x5555555555555555L, 0x3333333333333337L), // 2 bits off #50
+      h(102L, -0x4242424242424242L, 0x4242424242424242L)) // matches none
+      .toDF("media_id", "lo", "hi")
+    def verdicts(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("ma"), r.getAs[Long]("mb"),
+        r.getAs[Long]("hamming"))).toSet
+
+    val live = Graft.phashIndex(stored)
+    val base = verdicts(live.screen(incoming))
+    assert(base.map(v => (v._1, v._2)) == Set((100L, 1L), (100L, 2L)),
+      s"unexpected screen verdicts: $base")
+
+    val d = tmp()
+    live.save(d)
+    assert(verdicts(Graft.loadPhashIndex(spark, d).screen(incoming))
+      == base)
+
+    // append ≡ build-all (doc 101 now matches the appended 50)
+    val all = verdicts(Graft.phashIndex(stored.unionByName(extra))
+      .screen(incoming))
+    assert(verdicts(live.append(extra).screen(incoming)) == all)
+    Graft.loadPhashIndex(spark, d).appendDurable(d, extra)
+    assert(verdicts(Graft.loadPhashIndex(spark, d).screen(incoming))
+      == all)
+    assert(all.exists(v => v._1 == 101L && v._2 == 50L))
+
+    // insert-then-delete returns to never-inserted; compact applies
+    Graft.deleteFromIndex(spark, d, Seq(50L).toDF("vec_id"))
+    assert(verdicts(Graft.loadPhashIndex(spark, d).screen(incoming))
+      == base)
+    Graft.compactIndex(spark, d)
+    assert(!new java.io.File(s"$d/tombstones").exists())
+    assert(verdicts(Graft.loadPhashIndex(spark, d).screen(incoming))
+      == base)
+
+    // shard + merge
+    val root = tmp()
+    Graft.phashIndex(stored).save(s"$root/main")
+    Graft.phashIndex(stored).shard(s"$root/s1", extra)
+    Graft.mergeIndex(spark, s"$root/main", s"$root/s1")
+    assert(verdicts(Graft.loadPhashIndex(spark, s"$root/main")
+      .screen(incoming)) == all)
+
+    // bucketCap: cap 1 keeps singleton buckets — the 1-bit-apart
+    // stored pair #1/#2 shares 4 of 5 band buckets, so both drop from
+    // those; their DIFFERING band still screens them (cap binds per
+    // bucket, not per media)
+    val capped = verdicts(live.screen(incoming, bucketCap = Some(1L)))
+    assert(capped.subsetOf(base))
+  }
+
   test("bucketCap drops hot-bucket boilerplate; screenStream equals batch screen") {
     val spark2 = spark
     import spark2.implicits._
