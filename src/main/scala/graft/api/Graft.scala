@@ -567,21 +567,27 @@ object Graft {
     * survivors only — the exact loop a training-data pipeline runs at
     * ingest, with the corpus never rescanned or re-signed.
     *
-    * Screening is vs the STORED corpus only: two near-dups arriving
-    * in the SAME batch both survive (and an exact redelivery in one
-    * batch appends twice) — run
+    * Screening is vs the STORED corpus by default: two near-dups
+    * arriving in the SAME batch both survive (and an exact redelivery
+    * in one batch appends twice) — run
     * [[graft.streaming.EventStreams.dedupWithinWatermark]]-style
-    * upstream dedup if batches may carry internal duplicates. With a
-    * `checkpointDir` the append is idempotent under replay (the
-    * checkpoint-scoped marker recipe [[IvfIndex.appendStreamDurable]]
-    * documents, same crash-window caveat). LshIndexSpec proves
-    * cross-batch survivor visibility, first-seen semantics, and
+    * upstream dedup if batches may carry internal duplicates, or set
+    * `dedupWithinBatch` to ALSO cluster each batch internally
+    * (Jaccard ≥ 0.5 connected components via the d18 df-capped path —
+    * a micro-batch is small, but the cap keeps even a pathological
+    * one bounded) and keep only each cluster's min-doc_id
+    * representative before the stored screen. With a `checkpointDir`
+    * the append is idempotent under replay (the checkpoint-scoped
+    * marker recipe [[IvfIndex.appendStreamDurable]] documents, same
+    * crash-window caveat). LshIndexSpec proves cross-batch survivor
+    * visibility, first-seen semantics, within-batch clustering, and
     * marked-batch skip.
     */
   def lshIngestStreamDurable(dir: String,
                              incoming: Dataset[graft.streaming.DocStreams.Doc],
                              checkpointDir: Option[String] = None,
-                             bucketCap: Option[Int] = None)
+                             bucketCap: Option[Int] = None,
+                             dedupWithinBatch: Boolean = false)
                             (onVerdicts: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = incoming.writeStream
@@ -591,7 +597,18 @@ object Graft {
           val spark = batch.sparkSession
           def process(): Unit = {
             val cur = loadLshIndex(spark, dir)
-            val docs = batch.toDF().select(col("doc_id"), col("text"))
+            val raw = batch.toDF().select(col("doc_id"), col("text"))
+            val docs =
+              if (!dedupWithinBatch) raw
+              else {
+                // batch-local first-seen: cluster the batch's own
+                // near-dups and keep each cluster's min-id member
+                val labels = DedupQueries
+                  .clusterLabelsOfCapped(raw, maxDocFreq = 1000)
+                  .filter(col("doc_id") =!= col("canonical_id"))
+                  .select(col("doc_id"))
+                raw.join(broadcast(labels), Seq("doc_id"), "left_anti")
+              }
             // materialize the verdicts BEFORE the append mutates the
             // directory the screen plan reads (eager localCheckpoint)
             val verdicts = cur.screen(docs, bucketCap).localCheckpoint()

@@ -206,6 +206,36 @@ class LshIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a marked (already-committed) ingest batch was re-appended")
   }
 
+  test("dedupWithinBatch keeps each batch-local cluster's min-id member") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val seed = "zero one two three four five six seven eight nine"
+    val novel = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = tmp()
+    Graft.lshIndex(Seq((1L, seed)).toDF("doc_id", "text")).save(d)
+
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 09:00:00")
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.DocStreams.Doc]
+    val q = Graft.lshIngestStreamDurable(d, stream.toDS(),
+      dedupWithinBatch = true)(_ => ())
+    // one batch: three copies of a novel doc + one dup of STORED 1;
+    // within-batch clustering must keep only min-id 10, and 30 is
+    // caught by the stored screen
+    stream.addData(
+      graft.streaming.DocStreams.Doc(10L, ts, novel),
+      graft.streaming.DocStreams.Doc(11L, ts, novel),
+      graft.streaming.DocStreams.Doc(12L, ts, novel),
+      graft.streaming.DocStreams.Doc(30L, ts, seed))
+    q.processAllAvailable()
+    q.stop()
+    val storedIds = spark.read.parquet(s"$d/sigs")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(storedIds == Set(1L, 10L),
+      s"within-batch dedup failed: stored = $storedIds")
+  }
+
   test("phash index: load ≡ live, append ≡ build-all, insert-then-delete ≡ never-inserted, shards merge") {
     val spark2 = spark
     import spark2.implicits._
