@@ -410,6 +410,47 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"d19 screen must never shuffle the stored index:\n$p")
   }
 
+  test("tombstone masks and the loaded BM25 search are broadcast joins, never corpus shuffles") {
+    val d = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val spark2 = spark
+    import spark2.implicits._
+
+    // IVF with tombstones: the delete mask must ride the scan as a
+    // broadcast LeftAnti hash join even with auto-broadcast off
+    val dIvf = java.nio.file.Files
+      .createTempDirectory("graft_plan_tomb").toString
+    graft.api.Graft.annIndex(emb).save(dIvf)
+    graft.api.Graft.deleteFromIndex(spark, dIvf,
+      Seq(3L, 14L).toDF("vec_id"))
+    val p1 = graft.api.Graft.loadAnnIndex(spark, dIvf)
+      .search(emb.filter(col("vec_id") < 5))
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastHashJoin") && p1.contains("LeftAnti"),
+      s"tombstone mask must be a broadcast anti-join:\n$p1")
+    assert(!p1.contains("SortMergeJoin"),
+      s"tombstone mask must never shuffle the corpus:\n$p1")
+
+    // loaded BM25 searchText: idf-annotated query terms broadcast into
+    // the postings scan (the e22 kernel shape, through the store)
+    val dBm = java.nio.file.Files
+      .createTempDirectory("graft_plan_bm25").toString
+    graft.api.Graft.bm25Index(docs).save(dBm)
+    val p2 = graft.api.Graft.loadBm25Index(spark, dBm)
+      .searchText(docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text")))
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p2).size >= 2,
+      s"loaded BM25 search must broadcast the query-term side:\n$p2")
+    // the ONE allowed shuffle join is candidates <-> doclen (both
+    // sides candidate/corpus-proportional — e22's documented shape:
+    // "only the candidate subset meets dl"); the postings join itself
+    // must stay broadcast-side
+    assert("SortMergeJoin".r.findAllIn(p2).size <= 1,
+      s"loaded BM25 search grew an extra shuffle join:\n$p2")
+  }
+
   test("d13 bloom sketches merge: bit_or of split sketches = union sketch") {
     // the incremental-ingest property d13's scaladoc claims: sketching
     // two halves of a corpus separately and bit_or-merging the word
