@@ -556,6 +556,38 @@ object Graft {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** A hybrid query: id + event time + the text for the lexical half
+    * + the embedding for the dense half.
+    */
+  final case class HybridQuery(query_id: Long,
+                               ts: java.sql.Timestamp,
+                               text: String,
+                               embedding: Seq[Float])
+
+  /** [[hybridSearch]] SERVED over an unbounded query stream — the
+    * retrieval deployment shape: each micro-batch runs the exact
+    * batch fusion (BM25 top-`fetch` from the lexical store ⊕ IVF
+    * top-`fetch` from the dense store under RRF — shared code, so
+    * stream ≡ batch by construction, spec-proven). Cache the two
+    * stores' big frames first, as a serving deployment would.
+    * `onBatch` receives each batch's (query_id, rank, doc_id, rrf);
+    * stop the returned query when done.
+    */
+  def hybridServe(lexical: Bm25Index, dense: IvfIndex,
+                  queries: Dataset[HybridQuery], k: Int = 5,
+                  fetch: Int = 20, probes: Int = 2)
+                 (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: Dataset[HybridQuery], _: Long) =>
+        onBatch(hybridSearch(lexical, dense,
+          batch.toDF().select(col("query_id"), col("text"),
+            col("embedding").cast("array<float>").as("embedding")),
+          k, fetch, probes))
+      }
+      .start()
+
   /** The DEDUP-AT-INGEST PIPELINE as one stream — screen ∘ append
     * composed per micro-batch against the saved LSH index at `dir`:
     * each batch (1) screens against the index AS OF that batch (the

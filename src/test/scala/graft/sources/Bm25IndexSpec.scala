@@ -206,5 +206,29 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toSeq
     assert(got.toSet == expect.toSet,
       s"fusion diverged:\n got=$got\n exp=$expect")
+
+    // the STREAMED hybrid serving runs the same fusion per micro-batch
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 09:00:00")
+    val hq = q.collect().map(r => Graft.HybridQuery(
+      r.getAs[Long]("query_id"), ts, r.getAs[String]("text"),
+      r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    val (b1, b2) = hq.splitAt(2)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Graft.HybridQuery]
+    val hits = scala.collection.mutable.Set[(Long, Long, Long, Double)]()
+    val sq = Graft.hybridServe(lex, dense, stream.toDS()) { b =>
+      hits.synchronized {
+        hits ++= b.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getDouble(3)))
+      }
+    }
+    stream.addData(b1.toSeq); sq.processAllAvailable()
+    stream.addData(b2.toSeq); sq.processAllAvailable()
+    sq.stop()
+    assert(hits.toSet == got.toSet,
+      "streamed hybrid serving diverged from the batch fusion")
   }
 }
