@@ -308,6 +308,12 @@ object Graft {
       * match count. `bucketCap` excludes stored buckets above `cap`
       * members (d09's hot-bucket mitigation). Output: (doc_id,
       * stored_id, est_jaccard), unsorted.
+      *
+      * SIZE CONTRACT: `newDocs` is an INGEST BATCH — its banded keys
+      * broadcast to every executor, so screen in bounded batches
+      * (the streaming surfaces do this naturally); an oversized batch
+      * fails loudly at the broadcast, never silently shuffles the
+      * stored index.
       */
     def screen(newDocs: DataFrame,
                bucketCap: Option[Int] = None): DataFrame =
@@ -1890,8 +1896,11 @@ object Graft {
       * linear pass over 16-byte rows per batch); exact Hamming ≤
       * `maxHamming` verifies. `bucketCap` skips stored buckets above
       * `cap` members (hyper-duplicated classes are exact-dedup's
-      * job). `incoming`: (media_id, lo, hi). Output: (ma [arriving],
-      * mb [stored], hamming), unsorted.
+      * job). `incoming`: (media_id, lo, hi) — an INGEST BATCH by
+      * size contract (its banded rows broadcast; oversized batches
+      * fail loudly at the broadcast rather than silently shuffling
+      * the stored table). Output: (ma [arriving], mb [stored],
+      * hamming), unsorted.
       */
     def screen(incoming: DataFrame, maxHamming: Int = 4,
                bucketCap: Option[Long] = None): DataFrame =
