@@ -170,6 +170,13 @@ object ScaleBench {
       // prices the capped inverted-index join + O(log n) CC rounds
       // (the exact d06 path stays excluded by design with d03/e02)
       "d18_clusters_capped",
+      // t27: mixture sampling - the zero-shuffle linear baseline for
+      // the mixing step (broadcast rate table + one filter pass)
+      "t27_mixture_sample",
+      // mm10: the durable media-dedup index - decode + hash the
+      // stored 2/3 (decode-bound, linear - the mm07 curve) + one
+      // 16-byte/row save + the broadcast-batch banded screen
+      "mm10_phash_index_screen",
       // d19: the durable dedup index priced end-to-end - sign + save
       // the stored 2/3 of the replica corpus (the build, write-bound
       // and linear), then screen the arriving 1/3 against it;
