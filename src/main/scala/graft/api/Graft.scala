@@ -625,7 +625,8 @@ object Graft {
                              incoming: Dataset[graft.streaming.DocStreams.Doc],
                              checkpointDir: Option[String] = None,
                              bucketCap: Option[Int] = None,
-                             dedupWithinBatch: Boolean = false)
+                             dedupWithinBatch: Boolean = false,
+                             withinBatchMaxDocFreq: Int = 1000)
                             (onVerdicts: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = incoming.writeStream
@@ -642,7 +643,7 @@ object Graft {
                 // batch-local first-seen: cluster the batch's own
                 // near-dups and keep each cluster's min-id member
                 val labels = DedupQueries
-                  .clusterLabelsOfCapped(raw, maxDocFreq = 1000)
+                  .clusterLabelsOfCapped(raw, withinBatchMaxDocFreq)
                   .filter(col("doc_id") =!= col("canonical_id"))
                   .select(col("doc_id"))
                 raw.join(broadcast(labels), Seq("doc_id"), "left_anti")
