@@ -447,8 +447,16 @@ object Graft {
     }
 
     /** Add NEW documents to the LIVE handle: postings/doclen union;
-      * the df AGGREGATE merges by union + sum (disjoint doc sets, so
-      * per-term counts add exactly).
+      * the df AGGREGATE merges by union + sum.
+      *
+      * ID CONTRACT: `docs` must carry doc_ids DISJOINT from the
+      * indexed corpus — the df sum is exact only when no document is
+      * counted twice, so appending an already-indexed doc_id silently
+      * double-counts its postings rows and df contribution (skewing
+      * idf until a [[Graft.compactIndex]] recomputes df on the
+      * durable path; the live handle has no heal). Same contract as
+      * [[appendDurable]]/[[appendStreamDurable]] — pass
+      * `requireNewIds = true` there to enforce it.
       */
     def append(docs: DataFrame): Bm25Index = {
       val (p2, dl2, df2) = SimilarityQueries.bm25Build(docs)
@@ -462,11 +470,15 @@ object Graft {
       * the commit point (scoring inner-joins it, so a crashed append
       * leaves the batch unscoreable, not half-scored — see
       * [[graft.sources.IndexStore.appendBm25]] for the recovery
-      * recipe). Then reopen.
+      * recipe). Then reopen. [[append]]'s disjoint-id contract
+      * applies — `requireNewIds = true` enforces it with one
+      * broadcast semi-join of the batch ids (fails loudly on overlap
+      * instead of silently double-counting df).
       */
-    def appendDurable(dir: String, docs: DataFrame): Bm25Index = {
+    def appendDurable(dir: String, docs: DataFrame,
+                      requireNewIds: Boolean = false): Bm25Index = {
       val (p2, dl2, df2) = SimilarityQueries.bm25Build(docs)
-      IndexStore.appendBm25(dir, p2, dl2, df2)
+      IndexStore.appendBm25(dir, p2, dl2, df2, requireNewIds)
       loadBm25Index(docs.sparkSession, dir)
     }
 
@@ -474,16 +486,20 @@ object Graft {
       * arriving documents builds its postings/doclen/df slice with
       * the shared kernel and appends INTO the saved layout
       * (checkpoint-scoped marker idempotency; doclen stays the
-      * per-batch commit point).
+      * per-batch commit point). [[append]]'s disjoint-id contract
+      * applies per batch — `requireNewIds = true` fails a batch that
+      * re-delivers an already-indexed doc_id instead of silently
+      * double-counting its df.
       */
     def appendStreamDurable(arrivals: Dataset[graft.streaming.DocStreams.Doc],
                             dir: String,
-                            checkpointDir: Option[String] = None)
+                            checkpointDir: Option[String] = None,
+                            requireNewIds: Boolean = false)
         : org.apache.spark.sql.streaming.StreamingQuery =
       EmbStreams.durableIngest(arrivals, checkpointDir) { batch =>
         val (p2, dl2, df2) = SimilarityQueries.bm25Build(
           batch.toDF().select(col("doc_id"), col("text")))
-        IndexStore.appendBm25(dir, p2, dl2, df2)
+        IndexStore.appendBm25(dir, p2, dl2, df2, requireNewIds)
       }
 
     /** DELETE documents from the LIVE handle: postings and doclen
@@ -1079,17 +1095,29 @@ object Graft {
       * out of every scanned batch, so pruned serving never surfaces a
       * deleted vector even BEFORE the next [[compactIndex]] applies
       * the tombstones (the [[servePruned]] raw-path caveat, closed).
-      * The tombstone set is read once at query start — stop and
+      * The tombstone ids are COLLECTED once at query start (small by
+      * the delete contract) into a local snapshot, so a concurrent
+      * [[compactIndex]] that applies-and-clears the tombstone files
+      * mid-stream cannot fail later micro-batches — the snapshot
+      * semantics hold regardless of store maintenance. Stop and
       * restart the stream to pick up later deletes, exactly like
       * re-opening a handle.
       */
     def servePrunedStore(queries: Dataset[EmbStreams.EmbQuery],
                          storeDir: String, nprobe: Int = 2, k: Int = 3)
                         (onBatch: DataFrame => Unit)
-        : org.apache.spark.sql.streaming.StreamingQuery =
+        : org.apache.spark.sql.streaming.StreamingQuery = {
+      val spark = centroids.sparkSession
+      // eager snapshot: a LocalRelation of the tombstone ids — immune
+      // to the tombstones/ dir being deleted by a concurrent compact
+      val snapshot = IndexStore.tombstones(spark, storeDir).map { t =>
+        import spark.implicits._
+        t.select(col("vec_id").cast("long")).as[Long]
+          .collect().toSeq.toDF("vec_id")
+      }
       EmbStreams.ivfServePruned(queries, s"$storeDir/assigned",
-        pulledCentroids, nprobe, k,
-        IndexStore.tombstones(centroids.sparkSession, storeDir))(onBatch)
+        pulledCentroids, nprobe, k, snapshot)(onBatch)
+    }
 
     /** AT-INGEST append — [[append]]'s streaming sibling through the
       * handle: each micro-batch of arrivals is assigned into the

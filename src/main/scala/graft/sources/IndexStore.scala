@@ -192,6 +192,38 @@ object IndexStore {
   private def manifestKind(spark: SparkSession, dir: String): String =
     spark.read.parquet(s"$dir/manifest").collect()(0).getAs[String]("kind")
 
+  /** Crash-safe replacement of the live table at `live` with the
+    * FULLY MATERIALIZED rewrite at `tmp` — the swap step every
+    * rewrite-through-a-temp-dir op ([[compact]], the df/words folds in
+    * [[appendBm25]]/[[appendBloom]]/[[merge]]) ends with. Ordering is
+    * the whole point: the live table renames ASIDE to `<live>.old`
+    * FIRST, the rewrite renames in, and the aside copy deletes LAST —
+    * so at every instant a complete copy of the table exists under
+    * `live`, `<live>.old`, or both, and [[vacuum]] can always restore
+    * rather than ever facing a window where the `.compact` dir is the
+    * sole copy (the pre-round-12 ordering deleted live before renaming
+    * tmp in; a crash in that window made a later vacuum destroy the
+    * only copy). An `.old` dir found NEXT TO a live table is debris
+    * from a crash after the swap committed — safe to clear.
+    */
+  private def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+                       tmp: org.apache.hadoop.fs.Path,
+                       live: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(live.toString + ".old")
+    if (fs.exists(old)) {
+      // debris: if the live table is missing, a previous swap crashed
+      // between its two renames — restore, then proceed normally
+      if (!fs.exists(live)) require(fs.rename(old, live),
+        s"swap: restore $old -> $live failed; recover manually")
+      else fs.delete(old, true)
+    }
+    if (fs.exists(live))
+      require(fs.rename(live, old), s"swap: rename $live -> $old failed")
+    require(fs.rename(tmp, live),
+      s"swap: rename $tmp -> $live failed; the table is intact at $old")
+    fs.delete(old, true)
+  }
+
   // ------------------------------------------------------------------
   // Tombstones (deletes)
   // ------------------------------------------------------------------
@@ -519,9 +551,7 @@ object IndexStore {
         df.coalesce(nFiles.toInt)
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       }
-      fs.delete(src, true)
-      require(fs.rename(tmp, src),
-        s"compact: rename $tmp -> $src failed; recover from $tmp")
+      swapInto(fs, tmp, src)
     }
     val primary = kind match {
       case "ivf" =>
@@ -555,9 +585,7 @@ object IndexStore {
         val tmp = new org.apache.hadoop.fs.Path(s"$dir/df.compact")
         fs.delete(tmp, true)
         dfNew.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        fs.delete(live, true)
-        require(fs.rename(tmp, live),
-          s"compact: rename $tmp -> $live failed; recover from $tmp")
+        swapInto(fs, tmp, live)
         "doclen"
       case "bloom" =>
         swap("words", partitioned = false); "words"
@@ -740,9 +768,7 @@ object IndexStore {
           val tmp = new org.apache.hadoop.fs.Path(s"$dstDir/df.compact")
           fs.delete(tmp, true)
           folded.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-          fs.delete(live, true)
-          require(fs.rename(tmp, live),
-            s"merge: rename $tmp -> $live failed; recover from $tmp")
+          swapInto(fs, tmp, live)
           fs.delete(srcDf, true)
         }
       case "bloom" =>
@@ -757,9 +783,7 @@ object IndexStore {
         val tmp = new org.apache.hadoop.fs.Path(s"$dstDir/words.compact")
         fs.delete(tmp, true)
         merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        fs.delete(live, true)
-        require(fs.rename(tmp, live),
-          s"merge: rename $tmp -> $live failed; recover from $tmp")
+        swapInto(fs, tmp, live)
       case other => throw new IllegalStateException(
         s"$dstDir/manifest: unknown kind '$other'")
     }
@@ -855,24 +879,53 @@ object IndexStore {
     else withWriteLock(spark, dstDir)(body())
   }
 
-  /** Remove orphaned `.compact` temp dirs — the debris a crash
-    * mid-[[compact]] can leave (the swap materializes fully into
-    * `<table>.compact` before the original is removed, so the orphan
-    * is always a COMPLETE or ABANDONED copy, never the live table).
-    * Returns the number of dirs removed; records a `vacuum` epoch
-    * when anything was. Safe to run any time — live tables never end
-    * in `.compact`.
+  /** Clear the debris a crash mid-rewrite can leave — `.compact` temp
+    * dirs (abandoned rewrites) and `.old` aside dirs (committed
+    * [[swapInto]]s that crashed before their final delete) — after a
+    * RESTORE pass that guarantees vacuum never deletes the sole copy
+    * of a table: an aside or temp dir whose live sibling is MISSING
+    * (a crash between [[swapInto]]'s renames) is renamed back into
+    * place (`.old` preferred — it is the pre-rewrite original; a
+    * `.compact` is restored only when no live and no `.old` exist,
+    * i.e. it is provably the only complete copy). Returns the number
+    * of dirs removed or restored; records a `vacuum` epoch when
+    * anything was. Safe to run any time.
     */
   def vacuum(spark: SparkSession, dir: String): Int =
     withWriteLock(spark, dir) {
       val root = new org.apache.hadoop.fs.Path(dir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val orphans = fs.listStatus(root)
-        .filter(s => s.isDirectory && s.getPath.getName.endsWith(".compact"))
-      orphans.foreach(s => fs.delete(s.getPath, true))
-      if (orphans.nonEmpty)
-        recordEpoch(spark, dir, "vacuum", orphans.length.toLong)
-      orphans.length
+      def liveOf(p: org.apache.hadoop.fs.Path, suffix: String) =
+        new org.apache.hadoop.fs.Path(root,
+          p.getName.stripSuffix(suffix))
+      val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      // restore pass: .old first (the pre-rewrite original), then a
+      // .compact that is the only copy left
+      var touched = 0
+      dirs.filter(_.getName.endsWith(".old")).foreach { p =>
+        val live = liveOf(p, ".old")
+        if (!fs.exists(live)) {
+          require(fs.rename(p, live),
+            s"vacuum: restore $p -> $live failed; recover manually")
+          touched += 1
+        }
+      }
+      dirs.filter(_.getName.endsWith(".compact")).foreach { p =>
+        val live = liveOf(p, ".compact")
+        if (!fs.exists(live)) {
+          require(fs.rename(p, live),
+            s"vacuum: restore $p -> $live failed; recover manually")
+          touched += 1
+        }
+      }
+      // debris pass: whatever remains has a live sibling — safe to drop
+      fs.listStatus(root).filter(s => s.isDirectory && {
+        val n = s.getPath.getName
+        n.endsWith(".compact") || n.endsWith(".old")
+      }).foreach { s => fs.delete(s.getPath, true); touched += 1 }
+      if (touched > 0)
+        recordEpoch(spark, dir, "vacuum", touched.toLong)
+      touched
     }
 
   /** Introspection: one row per stored table — (kind, version, table,
@@ -986,12 +1039,34 @@ object IndexStore {
     * rather than partially scored. Recovery from a crashed append:
     * tombstone the batch's ids ([[delete]]), [[compact]] (which also
     * recomputes `df` from the surviving postings), then re-append.
+    *
+    * ID CONTRACT: the batch's `vec_id`s must be DISJOINT from the
+    * stored corpus — the df fold sums per-term counts, which is exact
+    * only when no document is counted twice; re-appending an
+    * already-indexed id silently double-counts its postings rows AND
+    * its df contribution (skewing idf until the next [[compact]]
+    * recomputes df). Set `requireNewIds = true` to enforce the
+    * contract with one broadcast semi-join of the batch's ids against
+    * the stored `doclen` (batch-sized work — the stored table never
+    * shuffles) and fail loudly on overlap instead.
     */
   def appendBm25(dir: String, postingsNew: DataFrame,
-                 doclenNew: DataFrame, dfNew: DataFrame): Unit = {
+                 doclenNew: DataFrame, dfNew: DataFrame,
+                 requireNewIds: Boolean = false): Unit = {
     val spark = postingsNew.sparkSession
     readManifest(spark, dir, "bm25")
     withWriteLock(spark, dir) {
+      if (requireNewIds) {
+        val dup = spark.read.parquet(s"$dir/doclen")
+          .join(broadcast(doclenNew.select(col("vec_id"))),
+            Seq("vec_id"), "left_semi")
+          .limit(5).select(col("vec_id")).collect().map(_.getLong(0))
+        require(dup.isEmpty,
+          s"appendBm25: batch re-appends already-indexed doc ids " +
+            s"(${dup.mkString(", ")}${if (dup.length == 5) ", …" else ""})" +
+            " — the df fold would double-count them; delete + compact " +
+            "first, or append only new documents")
+      }
       val before = diskRows(spark, s"$dir/doclen")
       postingsNew.select(col("vec_id"), col("tok"), col("tf"))
         .write.mode(SaveMode.Append).parquet(s"$dir/postings")
@@ -1004,9 +1079,7 @@ object IndexStore {
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/df.compact")
       fs.delete(tmp, true)
       folded.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      fs.delete(live, true)
-      require(fs.rename(tmp, live),
-        s"appendBm25: rename $tmp -> $live failed; recover from $tmp")
+      swapInto(fs, tmp, live)
       doclenNew.select(col("vec_id"), col("dl"))
         .write.mode(SaveMode.Append).parquet(s"$dir/doclen")
       recordEpoch(spark, dir, "append",
@@ -1150,9 +1223,7 @@ object IndexStore {
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/words.compact")
       fs.delete(tmp, true)
       merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      fs.delete(live, true)
-      require(fs.rename(tmp, live),
-        s"appendBloom: rename $tmp -> $live failed; recover from $tmp")
+      swapInto(fs, tmp, live)
       recordEpoch(spark, dir, "append",
         diskRows(spark, s"$dir/words") - before)
     }

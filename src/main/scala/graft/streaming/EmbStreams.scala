@@ -314,6 +314,17 @@ object EmbStreams {
     * store's single-writer lock, with per-batch-id marker idempotency
     * when a checkpoint makes batch ids stable across restarts (see
     * [[ivfAppendDurable]]'s scaladoc for the crash-window caveat).
+    *
+    * UPGRADE NOTE (marker location change): markers moved from the
+    * index dir (`<dir>/_stream_commits/`) to the checkpoint
+    * (`<cp>/_graft_commits/`) so their lifetime is scoped to the
+    * checkpoint's batch-id sequence. A stream restarted from a
+    * checkpoint created BEFORE that change ignores its old markers
+    * and may re-append its last committed batch(es) ONCE — a one-time
+    * duplicate-batch risk on upgrade, remedied like any crashed
+    * append (tombstone the duplicate ids + compact). New checkpoints
+    * are unaffected; no deployed pre-change streams exist in this
+    * repo's test surface.
     */
   private[graft] def durableIngest[T](arrivals: Dataset[T],
                                       checkpointDir: Option[String])

@@ -278,6 +278,56 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ops == Seq("save", "vacuum"))
   }
 
+  test("vacuum: restores a table stranded mid-swap instead of deleting the sole copy") {
+    val d = tmp()
+    Graft.annIndex(emb).save(d)
+    val before = exact(Graft.loadAnnIndex(spark, d).search(queries))
+    val live = new java.io.File(s"$d/assigned")
+    // crash window 1 (between swapInto's renames): live renamed aside,
+    // rewrite not yet in place — .old is the sole complete copy
+    val aside = new java.io.File(s"$d/assigned.old")
+    assert(live.renameTo(aside))
+    val junk = new java.io.File(s"$d/assigned.compact")
+    assert(junk.mkdir())
+    assert(Graft.vacuumIndex(spark, d) == 2) // 1 restore + 1 debris
+    assert(live.exists() && !aside.exists() && !junk.exists())
+    assert(exact(Graft.loadAnnIndex(spark, d).search(queries)) == before)
+    // crash window 2 (rewrite renamed in, aside not yet deleted):
+    // .old has a live sibling — debris, cleared without touching live
+    assert(aside.mkdir())
+    assert(Graft.vacuumIndex(spark, d) == 1)
+    assert(live.exists() && !aside.exists())
+    assert(exact(Graft.loadAnnIndex(spark, d).search(queries)) == before)
+    // sole-copy .compact (a crash under the PRE-swapInto ordering, or
+    // a manual rescue): restored, never deleted
+    assert(live.renameTo(junk))
+    assert(Graft.vacuumIndex(spark, d) == 1)
+    assert(live.exists() && !junk.exists())
+    assert(exact(Graft.loadAnnIndex(spark, d).search(queries)) == before)
+  }
+
+  test("appendBm25 requireNewIds: a batch re-appending an indexed doc id fails loudly") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val d = tmp()
+    Graft.bm25Index(docs.filter(col("doc_id") % 3 =!= 0)).save(d)
+    val idx = Graft.loadBm25Index(spark, d)
+    val overlapping = docs.filter(col("doc_id") % 3 === 0)
+      .unionByName(docs.filter(col("doc_id") === 1)) // 1 is indexed
+    val e = intercept[IllegalArgumentException] {
+      idx.appendDurable(d, overlapping, requireNewIds = true)
+    }
+    assert(e.getMessage.contains("double-count"))
+    // disjoint batch passes with the check on, and scores equal the
+    // unchecked path
+    val clean = idx.appendDurable(d, docs.filter(col("doc_id") % 3 === 0),
+      requireNewIds = true)
+    val q = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    assert(exact(clean.searchText(q)) ==
+      exact(Graft.bm25Index(docs).searchText(q)))
+  }
+
   test("describe: one row per stored table with rows/files/bytes, for every kind") {
     val dIvf = tmp()
     Graft.annIndex(emb).save(dIvf)
