@@ -296,10 +296,14 @@ object Graft {
   /** A built LSH dedup index: `sigs` = (vec_id, sig) MinHash
     * signatures of the stored corpus, `bands` = (vec_id, band, bkey)
     * bucket rows, plus the banding parameters screening replays.
+    * `probeBuckets` > 0 marks a handle LOADED from a bucketed (v2)
+    * store: its frames carry the store's `sb`/`bb` partition columns
+    * and [[screen]] prunes its scans to the batch's buckets' files
+    * (0 = live-built or v1 — screens run unpruned).
     */
   final case class LshIndex private[api] (
       sigs: DataFrame, bands: DataFrame, threshold: Double,
-      numHashes: Int, rowsPerBand: Int) {
+      numHashes: Int, rowsPerBand: Int, probeBuckets: Int = 0) {
 
     /** Near-dup verdicts for an arriving batch vs the STORED corpus:
       * the batch's band keys probe the stored buckets (incoming side
@@ -318,7 +322,7 @@ object Graft {
     def screen(newDocs: DataFrame,
                bucketCap: Option[Int] = None): DataFrame =
       DedupQueries.lshScreenOf(sigs, bands, newDocs, threshold,
-        rowsPerBand, bucketCap, numHashes)
+        rowsPerBand, bucketCap, numHashes, probeBuckets)
 
     /** Screen an unbounded document stream against this index — the
       * at-ingest shape: each micro-batch runs the exact gated
@@ -339,13 +343,17 @@ object Graft {
         .start()
 
     /** Add NEW documents to the LIVE handle — signatures are a pure
-      * text function, so append cannot drift from build.
+      * text function, so append cannot drift from build. On a LOADED
+      * handle the result reverts to unpruned screening (the union is
+      * no longer file-backed); [[appendDurable]] keeps the pruned
+      * path.
       */
     def append(docs: DataFrame): LshIndex = {
       val newSigs = DedupQueries.lshSignatures(docs, numHashes)
-      copy(sigs = sigs.unionByName(newSigs),
-        bands = bands.unionByName(
-          DedupQueries.lshBandRows(newSigs, rowsPerBand, numHashes)))
+      copy(sigs = sigs.drop("sb").unionByName(newSigs),
+        bands = bands.drop("bb").unionByName(
+          DedupQueries.lshBandRows(newSigs, rowsPerBand, numHashes)),
+        probeBuckets = 0)
     }
 
     /** [[append]] made DURABLE: sign the arrivals and parquet-append
@@ -399,9 +407,9 @@ object Graft {
     * anti-joined out of both tables.
     */
   def loadLshIndex(spark: SparkSession, dir: String): LshIndex = {
-    val (sigs, bands, threshold, numHashes, rowsPerBand) =
+    val (sigs, bands, threshold, numHashes, rowsPerBand, nBuckets) =
       IndexStore.loadLsh(spark, dir)
-    LshIndex(sigs, bands, threshold, numHashes, rowsPerBand)
+    LshIndex(sigs, bands, threshold, numHashes, rowsPerBand, nBuckets)
   }
 
   /** Build the DURABLE BM25 index — lexical retrieval's persistent
@@ -424,15 +432,30 @@ object Graft {
   /** A built BM25 index: `postings` = (vec_id, tok, tf), `doclen` =
     * (vec_id, dl), `df` = (tok, df) — Lucene-style scoring artifacts
     * (k1/b are SEARCH-time parameters, not baked into the layout).
+    * `probeBuckets` > 0 marks a handle LOADED from a bucketed (v2)
+    * store: the token-keyed frames carry the store's `tb` partition
+    * column and [[searchText]] prunes the postings/df scans to the
+    * query terms' buckets' files (0 = live-built or v1 — unpruned).
+    * A handle loaded from a DENORMALIZED store ([[save]]'s
+    * `denormDl`) additionally carries `dl` on its postings rows, and
+    * search skips the candidates↔doclen join entirely.
     */
   final case class Bm25Index private[api] (
-      postings: DataFrame, doclen: DataFrame, df: DataFrame) {
+      postings: DataFrame, doclen: DataFrame, df: DataFrame,
+      probeBuckets: Int = 0) {
 
     /** BM25 top-`k` per query. `queries`: (query_id Long, text
       * String); query-side term frequency is ignored (the e22
       * convention — each distinct query term scores once). Output:
       * (query_id, rank, doc_id, s_bm25) sorted; s_bm25 carries the
       * float-cast 4dp protocol, ranks tie-break on doc id.
+      *
+      * On a bucketed store the query terms derive their `tb` buckets
+      * with the store's own expression and the literal set (pulled
+      * driver-side from the SMALL query side) prunes the postings and
+      * df scans at the file level — search I/O is O(query terms'
+      * buckets), not O(index). `queries` is a QUERY BATCH by size
+      * contract (its idf-annotated terms broadcast).
       */
     def searchText(queries: DataFrame, k: Int = 5, k1: Double = 1.2,
                    b: Double = 0.75): DataFrame = {
@@ -440,7 +463,22 @@ object Graft {
         .select(col("query_id"),
           explode(split(col("text"), " ")).as("tok"))
         .distinct()
-      SimilarityQueries.bm25Rank(postings, doclen, df, terms, k, k1, b)
+        .localCheckpoint(eager = false)
+      val (p, d) =
+        if (probeBuckets > 0 && postings.columns.contains("tb")) {
+          val tbs = terms
+            .select(pmod(hash(col("tok")), lit(probeBuckets)).as("tb"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          if (tbs.isEmpty)
+            (postings.filter(lit(false)), df.filter(lit(false)))
+          else (postings.filter(col("tb").isInCollection(tbs)),
+            if (df.columns.contains("tb"))
+              df.filter(col("tb").isInCollection(tbs))
+            else df)
+        } else (postings, df)
+      SimilarityQueries.bm25Rank(p, doclen, d, terms, k, k1, b,
+          excludeSelf = false,
+          dlOnPostings = postings.columns.contains("dl"))
         .select(col("query_id"), col("r_bm25").cast("long").as("rank"),
           col("did").as("doc_id"), col("s_bm25"))
         .orderBy(col("query_id"), col("rank"))
@@ -460,8 +498,13 @@ object Graft {
       */
     def append(docs: DataFrame): Bm25Index = {
       val (p2, dl2, df2) = SimilarityQueries.bm25Build(docs)
-      Bm25Index(postings.unionByName(p2), doclen.unionByName(dl2),
-        df.unionByName(df2).groupBy(col("tok"))
+      // a loaded handle's frames may carry store-layout columns
+      // (tb buckets, denormalized dl) — the live union drops them and
+      // reverts to unpruned, normalized screening; appendDurable
+      // keeps the stored layout
+      Bm25Index(postings.drop("tb", "dl").unionByName(p2),
+        doclen.unionByName(dl2),
+        df.drop("tb").unionByName(df2).groupBy(col("tok"))
           .agg(sum(col("df")).as("df")))
     }
 
@@ -524,19 +567,26 @@ object Graft {
       IndexStore.saveBm25(dir, p2, dl2, df2)
     }
 
-    /** Persist to `dir` ([[graft.sources.IndexStore]] layout). */
-    def save(dir: String): Unit =
-      IndexStore.saveBm25(dir, postings, doclen, df)
+    /** Persist to `dir` ([[graft.sources.IndexStore]] layout).
+      * `denormDl = true` carries each doc's length on its postings
+      * rows so a loaded handle's search needs NO doclen join — see
+      * [[graft.sources.IndexStore.saveBm25]] for the crash-commit
+      * trade that keeps normalized the default.
+      */
+    def save(dir: String, denormDl: Boolean = false): Unit =
+      IndexStore.saveBm25(dir, postings, doclen, df, denormDl)
   }
 
   /** Reopen a [[Bm25Index]] saved with [[Bm25Index.save]] —
     * tombstoned docs anti-join out of postings/doclen; df reflects
     * deletes after the next compact (the documented Lucene
-    * semantics).
+    * semantics). A bucketed store's handle prunes its searches to
+    * the query terms' buckets' files; a denormalized store's handle
+    * searches without the doclen join.
     */
   def loadBm25Index(spark: SparkSession, dir: String): Bm25Index = {
-    val (postings, doclen, df) = IndexStore.loadBm25(spark, dir)
-    Bm25Index(postings, doclen, df)
+    val (postings, doclen, df, nBuckets) = IndexStore.loadBm25(spark, dir)
+    Bm25Index(postings, doclen, df, nBuckets)
   }
 
   /** HYBRID retrieval over the two PERSISTED index halves — e22's
@@ -1916,8 +1966,17 @@ object Graft {
   def phashIndex(hashed: DataFrame): PhashIndex =
     PhashIndex(hashed.select(col("media_id"), col("lo"), col("hi")))
 
-  /** A built pHash index: `hashes` = (media_id, lo, hi). */
-  final case class PhashIndex private[api] (hashes: DataFrame) {
+  /** A built pHash index: `hashes` = (media_id, lo, hi). A handle
+    * LOADED from a bucketed (v2) store also carries `storedBands` —
+    * the persisted banded projection, partitioned by its `pb` probe
+    * bucket — and [[screen]] prunes its scan to the batch's buckets'
+    * files instead of banding the whole hash table per call
+    * (`probeBuckets` = the store's modulus; None/0 = live-built or
+    * v1 — screens band `hashes` in-plan, unpruned).
+    */
+  final case class PhashIndex private[api] (
+      hashes: DataFrame, storedBands: Option[DataFrame] = None,
+      probeBuckets: Int = 0) {
 
     /** Near-dup verdicts for arriving hashes vs the STORED corpus:
       * the batch's banded hashes BROADCAST into the stored band
@@ -1933,12 +1992,21 @@ object Graft {
       */
     def screen(incoming: DataFrame, maxHamming: Int = 4,
                bucketCap: Option[Long] = None): DataFrame =
-      MultimodalQueries.phashScreenStored(hashes, incoming, maxHamming,
-        bucketCap)
+      storedBands match {
+        case Some(bands) if probeBuckets > 0 =>
+          MultimodalQueries.phashScreenBands(bands, incoming,
+            maxHamming, bucketCap, probeBuckets)
+        case _ =>
+          MultimodalQueries.phashScreenStored(hashes, incoming,
+            maxHamming, bucketCap)
+      }
 
-    /** Add newly hashed media to the LIVE handle. */
+    /** Add newly hashed media to the LIVE handle. On a LOADED handle
+      * the result reverts to unpruned screening (the union is no
+      * longer file-backed); [[appendDurable]] keeps the pruned path.
+      */
     def append(hashed: DataFrame): PhashIndex =
-      copy(hashes = hashes.unionByName(
+      PhashIndex(hashes.unionByName(
         hashed.select(col("media_id"), col("lo"), col("hi"))))
 
     /** [[append]] made DURABLE — one parquet append of the arrivals'
@@ -1951,12 +2019,16 @@ object Graft {
     }
 
     /** DELETE media from the LIVE handle (durable stores delete via
-      * [[deleteFromIndex]] with `vec_id` = media_id).
+      * [[deleteFromIndex]] with `vec_id` = media_id). Deleting rows
+      * never invalidates pruning, so a loaded handle keeps its
+      * pruned-band path (masked the same way).
       */
-    def delete(ids: DataFrame): PhashIndex =
-      copy(hashes = hashes.join(
-        broadcast(ids.select(col("vec_id").as("media_id"))),
-        Seq("media_id"), "left_anti"))
+    def delete(ids: DataFrame): PhashIndex = {
+      val t = broadcast(ids.select(col("vec_id").as("media_id")))
+      copy(hashes = hashes.join(t, Seq("media_id"), "left_anti"),
+        storedBands = storedBands.map(
+          _.join(t, Seq("media_id"), "left_anti")))
+    }
 
     /** Export a SHARD of hashed media — foldable by [[mergeIndex]]. */
     def shard(dir: String, hashed: DataFrame): Unit =
@@ -1972,11 +2044,17 @@ object Graft {
   }
 
   /** Reopen a [[PhashIndex]] saved with [[PhashIndex.save]] —
-    * tombstoned media anti-joined out.
+    * tombstoned media anti-joined out. On a bucketed store the handle
+    * also opens the persisted banded projection, so [[PhashIndex
+    * .screen]] prunes to the batch's buckets' files.
     */
-  def loadPhashIndex(spark: SparkSession, dir: String): PhashIndex =
+  def loadPhashIndex(spark: SparkSession, dir: String): PhashIndex = {
+    val bands = IndexStore.loadPhashBands(spark, dir)
     PhashIndex(IndexStore.loadPhash(spark, dir)
-      .select(col("vec_id").as("media_id"), col("lo"), col("hi")))
+      .select(col("vec_id").as("media_id"), col("lo"), col("hi")),
+      bands.map(_._1.withColumnRenamed("vec_id", "media_id")),
+      bands.fold(0)(_._2))
+  }
 
   /** Per-frame perceptual hashes of opaque video payloads, decoded
     * with the real JDK GIF reader: one (lo, hi) gray aHash per frame.

@@ -1536,24 +1536,67 @@ object DedupQueries {
                                  newDocs: DataFrame, threshold: Double,
                                  rowsPerBand: Int,
                                  bucketCap: Option[Int] = None,
-                                 numHashes: Int = 64): DataFrame = {
+                                 numHashes: Int = 64,
+                                 probeBuckets: Int = 0): DataFrame = {
     // lazy localCheckpoint: the batch's signatures feed banding AND
     // the verify join; blocks die with the handle (ContextCleaner)
     val inSigs = lshSignatures(newDocs, numHashes)
       .localCheckpoint(eager = false)
     val inBands = lshBandRows(inSigs, rowsPerBand, numHashes)
       .select(col("vec_id").as("new_id"), col("bkey"))
-    val sBands = bucketCap.fold(storedBands) { cap =>
-      // one map-side-combined count; hot buckets never reach the join
-      val cool = storedBands.groupBy(col("bkey"))
-        .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
-        .select(col("bkey"))
-      storedBands.join(cool, Seq("bkey"))
+    def candOf(bands: DataFrame): DataFrame = {
+      val sBands = bucketCap.fold(bands) { cap =>
+        // one map-side-combined count; hot buckets never reach the
+        // join. On the pruned path the count runs over the pruned
+        // table — exact for every probed bkey, whose full population
+        // shares its bucket value and so survives the prune
+        val cool = bands.groupBy(col("bkey"))
+          .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
+          .select(col("bkey"))
+        bands.join(cool, Seq("bkey"))
+      }
+      sBands.join(broadcast(inBands), Seq("bkey"))
+        .select(col("new_id"), col("vec_id").as("stored_id"))
+        .distinct()
     }
-    val cand = sBands
-      .join(broadcast(inBands), Seq("bkey"))
-      .select(col("new_id"), col("vec_id").as("stored_id"))
-      .distinct()
+    // PROBE PRUNING (bucketed stores): the batch's band keys derive
+    // their bucket values with the store's own expression — pmod(hash
+    // (bkey), n) — and the literal set (≤ n ints, pulled driver-side
+    // from the SMALL batch side only) filters the stored band table on
+    // its partition column. Catalyst pushes the filter through the
+    // tombstone mask to the scan as a PartitionFilter, so the probe
+    // reads only the matching buckets' FILES, and the candidate pairs
+    // (small by the size contract — bucket collisions only; the
+    // unpruned path broadcasts the same set) pull driver-side WITH
+    // their sig-table buckets, so the verify scan prunes to the
+    // candidates' sb dirs and the band table is probed exactly ONCE
+    // per screen. Per-batch screen I/O is O(batch's buckets), not
+    // O(index). Correctness is containment: any stored row sharing a
+    // probe key with the batch has the same bucket value by
+    // construction, so pruning removes only non-candidates.
+    val (cand, prunedSigs) =
+      if (probeBuckets > 0 && storedBands.columns.contains("bb") &&
+          storedSigs.columns.contains("sb")) {
+        val bbs = inBands
+          .select(pmod(hash(col("bkey")), lit(probeBuckets)).as("bb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val prunedBands =
+          if (bbs.isEmpty) storedBands.filter(lit(false))
+          else storedBands.filter(col("bb").isInCollection(bbs))
+        val pulled = candOf(prunedBands)
+          .withColumn("sb", pmod(hash(col("stored_id")),
+            lit(probeBuckets)))
+          .collect()
+        val spark = storedSigs.sparkSession
+        import spark.implicits._
+        val localCand = pulled.map(r => (r.getLong(0), r.getLong(1)))
+          .toSeq.toDF("new_id", "stored_id")
+        val sbs = pulled.map(_.getInt(2)).distinct.toSeq
+        val sigsPr =
+          if (sbs.isEmpty) storedSigs.filter(lit(false))
+          else storedSigs.filter(col("sb").isInCollection(sbs))
+        (localCand, sigsPr)
+      } else (candOf(storedBands), storedSigs)
     val minMatches = math.ceil(numHashes * threshold).toInt
     // verify: candidates (small — bucket collisions only) broadcast
     // against the stored signature table; the estimate is a pure
@@ -1561,7 +1604,7 @@ object DedupQueries {
     val withNew = cand.join(broadcast(
       inSigs.select(col("vec_id").as("new_id"), col("sig").as("sa"))),
       Seq("new_id"))
-    storedSigs.select(col("vec_id").as("stored_id"), col("sig").as("sb"))
+    prunedSigs.select(col("vec_id").as("stored_id"), col("sig").as("sb"))
       .join(broadcast(withNew), Seq("stored_id"))
       .withColumn("cm", expr(
         "aggregate(zip_with(sa, sb, (x, y) -> " +

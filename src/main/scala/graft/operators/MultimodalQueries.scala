@@ -700,6 +700,60 @@ object MultimodalQueries {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** [[phashScreenStored]] over a PERSISTED banded projection — the
+    * probe-pruned path for a bucketed (v2) pHash store: the stored
+    * side arrives ALREADY BANDED (`storedBands` = (media_id, lo, hi,
+    * band, chunk, pb) — [[graft.sources.IndexStore]]'s `bands/`
+    * table, partitioned by `pb = band·n + pmod(chunk, n)`), the
+    * incoming batch derives its `pb` values with the same expression,
+    * and the literal set (≤ 5n ints, pulled driver-side from the
+    * SMALL batch) filters the stored scan on its partition column —
+    * so the screen reads only the matching buckets' FILES instead of
+    * banding the whole hash table per micro-batch. Candidates still
+    * join on the full (band, chunk) key and verify by exact Hamming
+    * inline (lo/hi ride on the band rows — no second table touch), so
+    * the output is IDENTICAL to [[phashScreenStored]] over the same
+    * corpus: pruning removes only rows whose (band, chunk) cannot
+    * match (containment: equal key ⇒ equal pb). `bucketCap` counts
+    * over the pruned rows — exact for every probed bucket, whose full
+    * population shares its pb.
+    */
+  private[graft] def phashScreenBands(storedBands: DataFrame,
+                                      incoming: DataFrame,
+                                      maxHamming: Int = 4,
+                                      bucketCap: Option[Long] = None,
+                                      nBuckets: Int = 16): DataFrame = {
+    val in = phashBanded(incoming)
+      .select(col("media_id").as("ma"), col("lo").as("alo"),
+        col("hi").as("ahi"), col("bucket.band").as("band"),
+        col("bucket.chunk").as("chunk"))
+      .localCheckpoint(eager = false)
+    val pbs = in
+      .select((col("band") * nBuckets + pmod(col("chunk"),
+        lit(nBuckets.toLong))).cast("int").as("pb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned =
+      if (pbs.isEmpty) storedBands.filter(lit(false))
+      else storedBands.filter(col("pb").isInCollection(pbs))
+    val ix0 = pruned.select(col("media_id").as("mb"),
+      col("lo").as("blo"), col("hi").as("bhi"), col("band"),
+      col("chunk"))
+    val ix = bucketCap match {
+      case Some(cap) =>
+        val cool = ix0.groupBy(col("band"), col("chunk"))
+          .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
+          .select(col("band"), col("chunk"))
+        ix0.join(broadcast(cool), Seq("band", "chunk"))
+      case None => ix0
+    }
+    ix.join(broadcast(in), Seq("band", "chunk"))
+      .select(col("ma"), col("mb"),
+        expr("CAST(bit_count(alo ^ blo) + bit_count(ahi ^ bhi) AS BIGINT)")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** mm07's banded self-join over a (media_id, lo, hi) frame — the
     * [[graft.api.Graft.imageNearDups]] facade path. `bucketCap` is the
     * d09 hot-bucket lever for hyper-duplicated corpora, where the TRUE

@@ -1853,7 +1853,8 @@ object SimilarityQueries {
                               dfTable: DataFrame, terms: DataFrame,
                               k: Int, k1: Double = 1.2,
                               b: Double = 0.75,
-                              excludeSelf: Boolean = false): DataFrame = {
+                              excludeSelf: Boolean = false,
+                              dlOnPostings: Boolean = false): DataFrame = {
     val stats = doclen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
     val qterms = broadcast(terms.select(col("query_id").as("qid"),
         col("tok")))
@@ -1864,9 +1865,15 @@ object SimilarityQueries {
       .select(col("qid"), col("tok"), col("idf"), col("avgdl"))
     val scored0 = broadcast(qterms)
       .join(postings.withColumnRenamed("vec_id", "did"), Seq("tok"))
-    val scored = (if (excludeSelf) scored0.filter(col("qid") =!= col("did"))
+    val scoredQ = (if (excludeSelf) scored0.filter(col("qid") =!= col("did"))
       else scored0)
-      .join(doclen.withColumnRenamed("vec_id", "did"), Seq("did"))
+    // dlOnPostings: a denormalized store carries each doc's length on
+    // its postings rows, so the candidates↔doclen shuffle join
+    // disappears from the search plan (doclen is touched only by the
+    // tiny broadcast stats aggregate above)
+    val scored = (if (dlOnPostings) scoredQ
+      else scoredQ
+        .join(doclen.withColumnRenamed("vec_id", "did"), Seq("did")))
       .withColumn("term_score",
         col("idf") * col("tf") / (col("tf")
           + (col("dl") / col("avgdl") * b + (1.0 - b)) * k1))

@@ -50,10 +50,37 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
-  /** Bumped only on layout changes; checked on load. */
-  val Version = 1
+  /** Bumped only on layout changes; checked on load. Version 2 adds
+    * PROBE BUCKETS to the scan-heavy kinds — derived partition
+    * columns on the tables a screen/search probes by literal keys
+    * (`bb = pmod(hash(bkey), n)` on the LSH band table, `sb` on its
+    * signature table, `tb = pmod(hash(tok), n)` on BM25 postings/df,
+    * `pb = band·n + pmod(chunk, n)` on a new pHash band table) — so a
+    * probe prunes to the matching buckets' FILES instead of scanning
+    * the whole stored table per micro-batch, exactly the IVF family's
+    * probed-cell pruning. Version-1 directories still LOAD and accept
+    * appends/compacts (writers follow the STORED layout, probes simply
+    * run unpruned); merging across versions or bucket moduli is
+    * refused — rebuild (or re-save a loaded handle) to upgrade.
+    */
+  val Version = 2
 
-  final case class Manifest(kind: String, version: Int, m_bits: Long)
+  /** `n_buckets` = the probe-bucket modulus the layout was written
+    * with (0 = unbucketed: version-1 dirs, or a v2 save under
+    * `spark.graft.probeBuckets = 0`). Probers MUST bucket their keys
+    * with the same modulus, which is why it lives in the manifest.
+    */
+  final case class Manifest(kind: String, version: Int, m_bits: Long,
+                            n_buckets: Long = 0L)
+
+  /** The save-time probe-bucket modulus: `spark.graft.probeBuckets`
+    * (default 16; 0 disables bucketing). More buckets = finer probe
+    * pruning but more partition directories — at 100 TB raise it to
+    * O(cluster parallelism); the tests' corpora stay at the default.
+    */
+  private def probeBuckets(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.probeBuckets")
+      .map(_.toInt).getOrElse(16)
 
   /** One audit row per lifecycle op — the append-epoch log a
     * production store reads to answer "what happened to this index
@@ -139,28 +166,33 @@ object IndexStore {
   }
 
   private def writeManifest(spark: SparkSession, dir: String, kind: String,
-                            mBits: Long = 0L): Unit = {
+                            mBits: Long = 0L, nBuckets: Long = 0L): Unit = {
     import spark.implicits._
-    Seq(Manifest(kind, Version, mBits)).toDF()
+    Seq(Manifest(kind, Version, mBits, nBuckets)).toDF()
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
   }
 
   /** Read + validate the manifest: wrong `kind` or unknown `version`
-    * fails loudly with the path in the message.
+    * fails loudly with the path in the message. Version-1 manifests
+    * (no `n_buckets` column) read back with `n_buckets = 0` —
+    * loadable, unpruned.
     */
   private def readManifest(spark: SparkSession, dir: String,
                            expectKind: String): Manifest = {
-    val r = spark.read.parquet(s"$dir/manifest").collect() match {
+    val df = spark.read.parquet(s"$dir/manifest")
+    val hasBuckets = df.columns.contains("n_buckets")
+    val r = df.collect() match {
       case Array(row) => Manifest(row.getAs[String]("kind"),
-        row.getAs[Int]("version"), row.getAs[Long]("m_bits"))
+        row.getAs[Int]("version"), row.getAs[Long]("m_bits"),
+        if (hasBuckets) row.getAs[Long]("n_buckets") else 0L)
       case rows => throw new IllegalStateException(
         s"$dir/manifest: expected exactly 1 row, found ${rows.length}")
     }
     require(r.kind == expectKind,
       s"$dir holds a '${r.kind}' index, not the requested '$expectKind'")
-    require(r.version == Version,
-      s"$dir was written by layout version ${r.version}; this build reads $Version")
+    require(r.version >= 1 && r.version <= Version,
+      s"$dir was written by layout version ${r.version}; this build reads <= $Version")
     r
   }
 
@@ -525,23 +557,32 @@ object IndexStore {
     // loads keep masking, and anti-joining an already-removed id is a
     // no-op, so re-running compact converges.
     val tomb = tombstones(spark, dir)
-    def swap(sub: String, partitioned: Boolean,
-             applyTombstones: Boolean = false,
-             partCol: String = "cell"): Unit = {
+    val nBuckets = {
+      val m = spark.read.parquet(s"$dir/manifest")
+      if (m.columns.contains("n_buckets"))
+        m.collect()(0).getAs[Long]("n_buckets").toInt
+      else 0
+    }
+    // partition columns follow the STORED layout: the requested cols
+    // are filtered to those actually present, so a v1 (unbucketed)
+    // table compacts flat and a v2 one keeps its probe buckets
+    def swap(sub: String, partCols: Seq[String],
+             applyTombstones: Boolean = false): Unit = {
       val src = new org.apache.hadoop.fs.Path(s"$dir/$sub")
       val fs = src.getFileSystem(hconf)
       if (!fs.exists(src)) return
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/$sub.compact")
       fs.delete(tmp, true)
       val raw = spark.read.parquet(src.toString)
+      val pc = partCols.filter(raw.columns.contains)
       val df =
         if (applyTombstones) tomb.fold(raw)(t =>
           raw.join(broadcast(t), Seq("vec_id"), "left_anti"))
         else raw
-      if (partitioned)
-        df.repartition(col(partCol))
+      if (pc.nonEmpty)
+        df.repartition(pc.map(col): _*)
           .write.mode(SaveMode.Overwrite)
-          .partitionBy(partCol).parquet(tmp.toString)
+          .partitionBy(pc: _*).parquet(tmp.toString)
       else {
         val targetBytes = spark.conf
           .getOption("spark.graft.compactTargetBytes")
@@ -555,26 +596,39 @@ object IndexStore {
     }
     val primary = kind match {
       case "ivf" =>
-        swap("assigned", partitioned = true, applyTombstones = true)
+        swap("assigned", Seq("cell"), applyTombstones = true)
         "assigned"
       case "pq" =>
-        swap("codes", partitioned = false, applyTombstones = true)
-        swap("corpus", partitioned = false, applyTombstones = true)
+        swap("codes", Nil, applyTombstones = true)
+        swap("corpus", Nil, applyTombstones = true)
         "codes"
       case "ivfpq" =>
-        swap("codes", partitioned = true, applyTombstones = true)
+        swap("codes", Seq("cell"), applyTombstones = true)
         "codes"
       case "lsh" =>
-        swap("sigs", partitioned = false, applyTombstones = true)
-        swap("bands", partitioned = true, applyTombstones = true,
-          partCol = "band")
+        swap("sigs", Seq("sb"), applyTombstones = true)
+        swap("bands", Seq("band", "bb"), applyTombstones = true)
         "sigs"
       case "phash" =>
-        swap("hashes", partitioned = false, applyTombstones = true)
+        swap("hashes", Nil, applyTombstones = true)
+        // bands/ is a pure function of hashes/ — REBUILD from the
+        // compacted table (tombstones land for free) rather than swap
+        if (nBuckets > 0) {
+          val live = new org.apache.hadoop.fs.Path(s"$dir/bands")
+          val fs = live.getFileSystem(hconf)
+          val tmp = new org.apache.hadoop.fs.Path(s"$dir/bands.compact")
+          fs.delete(tmp, true)
+          phashBandRows(spark.read.parquet(s"$dir/hashes")
+              .select(col("vec_id"), col("lo"), col("hi")), nBuckets)
+            .repartition(col("pb"))
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("pb").parquet(tmp.toString)
+          swapInto(fs, tmp, live)
+        }
         "hashes"
       case "bm25" =>
-        swap("postings", partitioned = false, applyTombstones = true)
-        swap("doclen", partitioned = false, applyTombstones = true)
+        swap("postings", Seq("tb"), applyTombstones = true)
+        swap("doclen", Nil, applyTombstones = true)
         // recompute df FROM the compacted postings — heals the
         // documented delete staleness (Lucene's merge semantics) and
         // any crashed-append drift in one pass
@@ -584,17 +638,22 @@ object IndexStore {
         val fs = live.getFileSystem(hconf)
         val tmp = new org.apache.hadoop.fs.Path(s"$dir/df.compact")
         fs.delete(tmp, true)
-        dfNew.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        if (nBuckets > 0)
+          bm25WithTb(dfNew, nBuckets, Seq("tok", "df"))
+            .repartition(col("tb"))
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("tb").parquet(tmp.toString)
+        else dfNew.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         swapInto(fs, tmp, live)
         "doclen"
       case "bloom" =>
-        swap("words", partitioned = false); "words"
+        swap("words", Nil); "words"
       case other => throw new IllegalStateException(
         s"$dir/manifest: unknown kind '$other'")
     }
     // the epoch log itself accretes one small file per lifecycle op —
     // collapse it with the big tables, then record this compaction
-    swap("epochs", partitioned = false)
+    swap("epochs", Nil)
     // tombstones are now applied — clear them so a later re-ingest of
     // a deleted id becomes visible (the documented delete contract)
     if (tomb.isDefined) {
@@ -637,22 +696,30 @@ object IndexStore {
     */
   def merge(spark: SparkSession, dstDir: String, srcDir: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    def manifestOf(dir: String): Manifest =
-      spark.read.parquet(s"$dir/manifest").collect() match {
+    def manifestOf(dir: String): Manifest = {
+      val df = spark.read.parquet(s"$dir/manifest")
+      val hasBuckets = df.columns.contains("n_buckets")
+      df.collect() match {
         case Array(row) => Manifest(row.getAs[String]("kind"),
-          row.getAs[Int]("version"), row.getAs[Long]("m_bits"))
+          row.getAs[Int]("version"), row.getAs[Long]("m_bits"),
+          if (hasBuckets) row.getAs[Long]("n_buckets") else 0L)
         case rows => throw new IllegalStateException(
           s"$dir/manifest: expected exactly 1 row, found ${rows.length}")
       }
+    }
 
     def validateCompat(dm: Manifest, sm: Manifest): Unit = {
       require(dm.kind == sm.kind,
         s"cannot merge a '${sm.kind}' shard into a '${dm.kind}' index")
-      require(dm.version == Version && sm.version == Version,
-        s"layout version mismatch: $dstDir=${dm.version}, $srcDir=${sm.version}; this build reads $Version")
+      require(dm.version == sm.version && dm.version <= Version,
+        s"layout version mismatch: $dstDir=${dm.version}, $srcDir=${sm.version}; this build reads <= $Version")
       require(dm.m_bits == sm.m_bits,
         "cannot merge stores with different size parameters " +
           s"(Bloom bits / LSH rows-per-band): ${dm.m_bits} vs ${sm.m_bits}")
+      require(dm.n_buckets == sm.n_buckets,
+        "cannot merge stores with different probe-bucket moduli " +
+          s"(${dm.n_buckets} vs ${sm.n_buckets}) — their partition " +
+          "values would interleave incompatibly; rebuild one side")
     }
 
     def requireSameCentroids(): Unit = {
@@ -731,7 +798,15 @@ object IndexStore {
       case "pq" => requireSameCodebooks()
       case "ivfpq" => requireSameCentroids(); requireSameCodebooks()
       case "lsh" => requireSameParams()
-      case "bm25" | "bloom" | "phash" => ()
+      case "bm25" =>
+        // postings files rename across — a denormalized (dl-carrying)
+        // and a normalized shard cannot share one table
+        def denorm(d: String) = spark.read.parquet(s"$d/postings")
+          .columns.contains("dl")
+        require(denorm(dstDir) == denorm(srcDir),
+          s"cannot merge: one of $dstDir / $srcDir is a denormalized " +
+            "(dl-on-postings) bm25 store and the other is not")
+      case "bloom" | "phash" => ()
       case other => throw new IllegalStateException(
         s"$dstDir/manifest: unknown kind '$other'")
     }
@@ -746,7 +821,7 @@ object IndexStore {
       case "lsh" =>
         moveTable("sigs"); moveTable("bands"); moveTable("tombstones")
       case "phash" =>
-        moveTable("hashes"); moveTable("tombstones")
+        moveTable("hashes"); moveTable("bands"); moveTable("tombstones")
       case "bm25" =>
         // postings/doclen move by rename; df is an AGGREGATE, so it
         // FOLDS (union + sum through a temp swap). Folding is not
@@ -761,13 +836,20 @@ object IndexStore {
         val srcDf = new org.apache.hadoop.fs.Path(s"$srcDir/df")
         val fs = srcDf.getFileSystem(hconf)
         if (fs.exists(srcDf)) {
+          val nb = manifestOf(dstDir).n_buckets.toInt
           val folded = spark.read.parquet(s"$dstDir/df")
-            .unionByName(spark.read.parquet(s"$srcDir/df"))
+            .select(col("tok"), col("df"))
+            .unionByName(spark.read.parquet(s"$srcDir/df")
+              .select(col("tok"), col("df")))
             .groupBy(col("tok")).agg(sum(col("df")).as("df"))
           val live = new org.apache.hadoop.fs.Path(s"$dstDir/df")
           val tmp = new org.apache.hadoop.fs.Path(s"$dstDir/df.compact")
           fs.delete(tmp, true)
-          folded.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          if (nb > 0)
+            bm25WithTb(folded, nb, Seq("tok", "df"))
+              .write.mode(SaveMode.Overwrite)
+              .partitionBy("tb").parquet(tmp.toString)
+          else folded.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
           swapInto(fs, tmp, live)
           fs.delete(srcDf, true)
         }
@@ -945,7 +1027,7 @@ object IndexStore {
       case "ivfpq" => Seq("codes", "centroids", "codebooks")
       case "lsh" => Seq("sigs", "bands", "params")
       case "bm25" => Seq("postings", "doclen", "df")
-      case "phash" => Seq("hashes")
+      case "phash" => Seq("hashes", "bands")
       case "bloom" => Seq("words")
       case other => throw new IllegalStateException(
         s"$dir/manifest: unknown kind '$other'")
@@ -968,31 +1050,66 @@ object IndexStore {
   // pHash (durable perceptual-hash index — media dedup)
   // ------------------------------------------------------------------
 
-  /** Layout: `hashes/` = (vec_id, lo, hi) — the 64-bit aHash table,
-    * 16 bytes a media object; decode happens ONCE at build/append
-    * (hashing is a pure function of the payload), screening reads
-    * hashes only.
+  /** The pHash layout's banded projection with its probe-bucket
+    * partition column: one row per (object, band) — the 5-band
+    * 13/13/13/13/12-bit chunks of [[graft.operators.MultimodalQueries
+    * .phashBandChunks]], with `lo`/`hi` riding along so a screen
+    * verifies Hamming INLINE on the pruned scan (no second table
+    * touch) — partitioned by `pb = band · n + pmod(chunk, n)` (one
+    * column encodes both, so a probe prunes with a single isin over
+    * its batch's literal pb values; chunk bits are hash-uniform, so
+    * pmod spreads them without re-hashing).
+    */
+  private def phashBandRows(hashes: DataFrame, nb: Int): DataFrame =
+    hashes.select(col("vec_id"), col("lo"), col("hi"),
+        explode(graft.operators.MultimodalQueries
+          .phashBandChunks(col("lo"), col("hi"))).as("b"))
+      .select(col("vec_id"), col("lo"), col("hi"),
+        col("b.band").as("band"), col("b.chunk").as("chunk"),
+        (col("b.band") * nb + pmod(col("b.chunk"), lit(nb.toLong)))
+          .cast("int").as("pb"))
+
+  /** Layout: `hashes/` = (vec_id, lo, hi) — the canonical 64-bit
+    * aHash table, 16 bytes a media object; decode happens ONCE at
+    * build/append (hashing is a pure function of the payload).
+    * Bucketed (v2) stores ADD `bands/` — the 5-band LSH projection
+    * partitioned by `pb` — so a screen prunes its scan to the batch's
+    * buckets' files instead of banding the whole hash table per
+    * micro-batch; `bands/` is a pure function of `hashes/` (5 rows ×
+    * 24 B per object), rebuilt rather than healed on [[compact]].
     */
   def savePhash(dir: String, hashes: DataFrame): Unit = {
     val spark = hashes.sparkSession
+    val nb = probeBuckets(spark)
     withWriteLock(spark, dir) {
       hashes.select(col("vec_id"), col("lo"), col("hi"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/hashes")
-      writeManifest(spark, dir, "phash")
+      if (nb > 0)
+        phashBandRows(hashes, nb)
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("pb").parquet(s"$dir/bands")
+      writeManifest(spark, dir, "phash", 0L, nb.toLong)
       recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/hashes"))
     }
   }
 
   /** DURABLE append for the pHash layout — one parquet append of the
-    * arrivals' hashes; the stored rows are never rewritten.
+    * arrivals' hashes (plus their band rows on a bucketed store,
+    * landing only under their buckets' dirs); the stored rows are
+    * never rewritten. Bucket modulus follows the STORED layout.
     */
   def appendPhash(dir: String, hashesNew: DataFrame): Unit = {
     val spark = hashesNew.sparkSession
-    readManifest(spark, dir, "phash")
+    val nb = readManifest(spark, dir, "phash").n_buckets.toInt
     withWriteLock(spark, dir) {
       val before = diskRows(spark, s"$dir/hashes")
       hashesNew.select(col("vec_id"), col("lo"), col("hi"))
         .write.mode(SaveMode.Append).parquet(s"$dir/hashes")
+      if (nb > 0)
+        phashBandRows(hashesNew.select(col("vec_id"), col("lo"),
+            col("hi")), nb)
+          .write.mode(SaveMode.Append)
+          .partitionBy("pb").parquet(s"$dir/bands")
       recordEpoch(spark, dir, "append",
         diskRows(spark, s"$dir/hashes") - before)
     }
@@ -1005,28 +1122,86 @@ object IndexStore {
       .select(col("vec_id"), col("lo"), col("hi")))
   }
 
+  /** The banded projection of a bucketed pHash store, tombstone-
+    * masked, with its `pb` partition column and the bucket modulus —
+    * None for an unbucketed (v1) store, where screens fall back to
+    * banding [[loadPhash]]'s table in-plan.
+    */
+  def loadPhashBands(spark: SparkSession, dir: String)
+      : Option[(DataFrame, Int)] = {
+    val nb = readManifest(spark, dir, "phash").n_buckets.toInt
+    if (nb <= 0) None
+    else Some((maskTombstones(spark, dir,
+      spark.read.parquet(s"$dir/bands")
+        .select(col("vec_id"), col("lo"), col("hi"), col("band"),
+          col("chunk"), col("pb").cast("int"))), nb))
+  }
+
   // ------------------------------------------------------------------
   // BM25 (durable postings index — lexical retrieval)
   // ------------------------------------------------------------------
 
-  /** Layout: `postings/` = (vec_id, tok, tf), `doclen/` = (vec_id,
-    * dl), `df/` = (tok, df). `df` is an AGGREGATE over the postings —
+  /** The BM25 layout's probe-bucket column: `tb = pmod(hash(tok),
+    * n_buckets)` on both token-keyed tables — a search's query terms
+    * derive their buckets with the same expression and prune the
+    * postings/df scans to the matching partition dirs.
+    */
+  private def bm25WithTb(df: DataFrame, nb: Int,
+                         cols: Seq[String]): DataFrame =
+    df.select(cols.map(col) :+
+      pmod(hash(col("tok")), lit(nb)).as("tb"): _*)
+
+  /** Layout: `postings/` = (vec_id, tok, tf) PARTITIONED BY
+    * `tb = pmod(hash(tok), n_buckets)` (query terms derive their
+    * buckets with the same expression, so a search scans only the
+    * matching dirs' files — the probed-cell trick for lexical
+    * retrieval); `doclen/` = (vec_id, dl) flat; `df/` = (tok, df),
+    * also tb-partitioned. `df` is an AGGREGATE over the postings —
     * appends fold it (union + sum through a temp-dir swap, the Bloom
     * pattern) rather than appending, and [[compact]] RECOMPUTES it
     * from the compacted postings, which heals both delete staleness
     * and any crashed-append drift.
+    *
+    * `denormDl = true` ADDITIONALLY carries each document's length
+    * `dl` on its postings rows (one doc-keyed join at save time) so
+    * search needs NO doclen join at all — the candidates↔doclen
+    * shuffle disappears from the serving plan. The trade: a crash
+    * mid-append can leave a batch's documents PARTIALLY scoreable
+    * (some postings rows landed, each self-sufficient), whereas the
+    * default normalized layout keeps `doclen` as the commit point
+    * (unscoreable until the batch fully lands). Pick denormalized for
+    * read-heavy serving where idempotent-replay ingest (checkpointed
+    * streams) already guards the append path; default otherwise.
     */
   def saveBm25(dir: String, postings: DataFrame, doclen: DataFrame,
-               df: DataFrame): Unit = {
+               df: DataFrame, denormDl: Boolean = false): Unit = {
     val spark = postings.sparkSession
+    val nb = probeBuckets(spark)
     withWriteLock(spark, dir) {
-      postings.select(col("vec_id"), col("tok"), col("tf"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
+      val p0 =
+        if (!denormDl) postings.select(col("vec_id"), col("tok"), col("tf"))
+        else if (postings.columns.contains("dl"))
+          postings.select(col("vec_id"), col("tok"), col("tf"), col("dl"))
+        else postings.select(col("vec_id"), col("tok"), col("tf"))
+          .join(doclen.select(col("vec_id"), col("dl")), Seq("vec_id"))
+      val pCols = Seq("vec_id", "tok", "tf") ++
+        (if (denormDl) Seq("dl") else Nil)
+      if (nb > 0) {
+        bm25WithTb(p0, nb, pCols)
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("tb").parquet(s"$dir/postings")
+        bm25WithTb(df, nb, Seq("tok", "df"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("tb").parquet(s"$dir/df")
+      } else {
+        p0.select(pCols.map(col): _*)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
+        df.select(col("tok"), col("df"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/df")
+      }
       doclen.select(col("vec_id"), col("dl"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclen")
-      df.select(col("tok"), col("df"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/df")
-      writeManifest(spark, dir, "bm25")
+      writeManifest(spark, dir, "bm25", 0L, nb.toLong)
       recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/doclen"))
     }
   }
@@ -1054,7 +1229,11 @@ object IndexStore {
                  doclenNew: DataFrame, dfNew: DataFrame,
                  requireNewIds: Boolean = false): Unit = {
     val spark = postingsNew.sparkSession
-    readManifest(spark, dir, "bm25")
+    val nb = readManifest(spark, dir, "bm25").n_buckets.toInt
+    // follow the STORED layout: bucket modulus from the manifest,
+    // denormalized dl iff the stored postings carry it
+    val denormDl = spark.read.parquet(s"$dir/postings")
+      .columns.contains("dl")
     withWriteLock(spark, dir) {
       if (requireNewIds) {
         val dup = spark.read.parquet(s"$dir/doclen")
@@ -1068,17 +1247,33 @@ object IndexStore {
             "first, or append only new documents")
       }
       val before = diskRows(spark, s"$dir/doclen")
-      postingsNew.select(col("vec_id"), col("tok"), col("tf"))
+      val p0 =
+        if (!denormDl)
+          postingsNew.select(col("vec_id"), col("tok"), col("tf"))
+        else postingsNew.select(col("vec_id"), col("tok"), col("tf"))
+          .join(doclenNew.select(col("vec_id"), col("dl")), Seq("vec_id"))
+      val pCols = Seq("vec_id", "tok", "tf") ++
+        (if (denormDl) Seq("dl") else Nil)
+      if (nb > 0)
+        bm25WithTb(p0, nb, pCols)
+          .write.mode(SaveMode.Append)
+          .partitionBy("tb").parquet(s"$dir/postings")
+      else p0.select(pCols.map(col): _*)
         .write.mode(SaveMode.Append).parquet(s"$dir/postings")
       val hconf = spark.sparkContext.hadoopConfiguration
       val folded = spark.read.parquet(s"$dir/df")
+        .select(col("tok"), col("df"))
         .unionByName(dfNew.select(col("tok"), col("df")))
         .groupBy(col("tok")).agg(sum(col("df")).as("df"))
       val live = new org.apache.hadoop.fs.Path(s"$dir/df")
       val fs = live.getFileSystem(hconf)
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/df.compact")
       fs.delete(tmp, true)
-      folded.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      if (nb > 0)
+        bm25WithTb(folded, nb, Seq("tok", "df"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("tb").parquet(tmp.toString)
+      else folded.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       swapInto(fs, tmp, live)
       doclenNew.select(col("vec_id"), col("dl"))
         .write.mode(SaveMode.Append).parquet(s"$dir/doclen")
@@ -1087,88 +1282,147 @@ object IndexStore {
     }
   }
 
-  /** (postings, doclen, df). Tombstoned documents ([[delete]]) are
-    * anti-joined out of postings and doclen, so they can neither be
-    * candidates nor influence length normalization; `df` still counts
-    * them until the next [[compact]] recomputes it — idf is slightly
-    * stale after deletes, exactly Lucene's deleted-docs-until-merge
-    * semantics, documented rather than hidden.
+  /** (postings, doclen, df, nBuckets). Tombstoned documents
+    * ([[delete]]) are anti-joined out of postings and doclen, so they
+    * can neither be candidates nor influence length normalization;
+    * `df` still counts them until the next [[compact]] recomputes
+    * it — idf is slightly stale after deletes, exactly Lucene's
+    * deleted-docs-until-merge semantics, documented rather than
+    * hidden. On a bucketed layout the token-keyed frames keep their
+    * `tb` partition column (search filters on the query terms'
+    * literal buckets → file-level pruning); a denormalized store's
+    * postings keep their `dl` column (search skips the doclen join).
     */
   def loadBm25(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
-    readManifest(spark, dir, "bm25")
-    val postings = maskTombstones(spark, dir,
-      spark.read.parquet(s"$dir/postings")
-        .select(col("vec_id"), col("tok"), col("tf")))
+      : (DataFrame, DataFrame, DataFrame, Int) = {
+    val man = readManifest(spark, dir, "bm25")
+    val nb = man.n_buckets.toInt
+    val raw = spark.read.parquet(s"$dir/postings")
+    val pCols = Seq(col("vec_id"), col("tok"), col("tf")) ++
+      (if (raw.columns.contains("dl")) Seq(col("dl")) else Nil) ++
+      (if (nb > 0) Seq(col("tb").cast("int")) else Nil)
+    val postings = maskTombstones(spark, dir, raw.select(pCols: _*))
     val doclen = maskTombstones(spark, dir,
       spark.read.parquet(s"$dir/doclen")
         .select(col("vec_id"), col("dl")))
-    val df = spark.read.parquet(s"$dir/df")
-      .select(col("tok"), col("df"))
-    (postings, doclen, df)
+    val dfCols = Seq(col("tok"), col("df")) ++
+      (if (nb > 0) Seq(col("tb").cast("int")) else Nil)
+    val df = spark.read.parquet(s"$dir/df").select(dfCols: _*)
+    (postings, doclen, df, nb)
   }
 
   // ------------------------------------------------------------------
   // LSH (durable MinHash band index — the dedup family's store kind)
   // ------------------------------------------------------------------
 
-  /** Layout: `sigs/` = (vec_id, sig array<long>) flat; `bands/` =
-    * (vec_id, bkey, band) PARTITIONED BY band (per-band dirs make the
-    * shard merge a per-directory rename, like the IVF families'
-    * cells); `params/` = ONE row (threshold, num_hashes,
-    * rows_per_band) — the banding parameters screening must replay
-    * (value-checked on merge, like centroids/codebooks). `m_bits`
-    * carries rows_per_band as a cheap load-time cross-check.
+  /** The LSH layout's derived probe-bucket columns — `bb` buckets the
+    * band table by its probe key (`bkey` — the string already embeds
+    * the band id, so `hash(bkey)` is band-aware), `sb` buckets the
+    * signature table by the candidate key (`vec_id`). Spark's
+    * `hash()` (Murmur3, fixed seed) is deterministic across sessions
+    * and versions — the same guarantee bucketed tables rely on — so a
+    * prober recomputing the same expression over its batch keys
+    * derives exactly the stored partition values.
+    */
+  private def lshWithBb(bands: DataFrame, nb: Int): DataFrame =
+    bands.select(col("vec_id"), col("bkey"), col("band"),
+      pmod(hash(col("bkey")), lit(nb)).as("bb"))
+  private def lshWithSb(sigs: DataFrame, nb: Int): DataFrame =
+    sigs.select(col("vec_id"), col("sig"),
+      pmod(hash(col("vec_id")), lit(nb)).as("sb"))
+
+  /** Layout: `sigs/` = (vec_id, sig array<long>) PARTITIONED BY
+    * `sb = pmod(hash(vec_id), n_buckets)`; `bands/` = (vec_id, bkey,
+    * band) PARTITIONED BY (band, `bb = pmod(hash(bkey), n_buckets)`)
+    * (per-band dirs make the shard merge a per-directory rename, like
+    * the IVF families' cells; the `bb` sub-dirs are what lets a
+    * screen prune its scan to the batch's buckets' FILES — the
+    * probed-cell trick applied to the dedup store); `params/` = ONE
+    * row (threshold, num_hashes, rows_per_band) — the banding
+    * parameters screening must replay (value-checked on merge, like
+    * centroids/codebooks). `m_bits` carries rows_per_band as a cheap
+    * load-time cross-check; the manifest's `n_buckets` carries the
+    * bucket modulus probers must replay (0 under
+    * `spark.graft.probeBuckets = 0` → flat v1-style tables).
     */
   def saveLsh(dir: String, sigs: DataFrame, bands: DataFrame,
               threshold: Double, numHashes: Int,
               rowsPerBand: Int): Unit = {
     val spark = sigs.sparkSession
     import spark.implicits._
+    val nb = probeBuckets(spark)
     withWriteLock(spark, dir) {
-      sigs.select(col("vec_id"), col("sig"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/sigs")
-      bands.select(col("vec_id"), col("bkey"), col("band"))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("band").parquet(s"$dir/bands")
+      if (nb > 0)
+        lshWithSb(sigs, nb)
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("sb").parquet(s"$dir/sigs")
+      else
+        sigs.select(col("vec_id"), col("sig"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/sigs")
+      if (nb > 0)
+        lshWithBb(bands, nb)
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("band", "bb").parquet(s"$dir/bands")
+      else
+        bands.select(col("vec_id"), col("bkey"), col("band"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("band").parquet(s"$dir/bands")
       Seq((threshold, numHashes, rowsPerBand))
         .toDF("threshold", "num_hashes", "rows_per_band")
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
-      writeManifest(spark, dir, "lsh", rowsPerBand.toLong)
+      writeManifest(spark, dir, "lsh", rowsPerBand.toLong, nb.toLong)
       recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/sigs"))
     }
   }
 
   /** DURABLE append for the LSH layout: new docs' signatures and band
     * rows parquet-append (band rows land only under their bands'
-    * partition dirs). Signatures are a pure function of the text —
-    * no trained artifacts to freeze — so append-encode cannot drift
-    * from build-encode by construction. Kind-checked first.
+    * partition dirs). Bucket columns follow the STORED layout (the
+    * manifest's modulus, not the session conf — so appends can never
+    * mix moduli within one table). Signatures are a pure function of
+    * the text — no trained artifacts to freeze — so append-encode
+    * cannot drift from build-encode by construction. Kind-checked
+    * first.
     */
   def appendLsh(dir: String, sigsNew: DataFrame,
                 bandsNew: DataFrame): Unit = {
     val spark = sigsNew.sparkSession
-    readManifest(spark, dir, "lsh")
+    val nb = readManifest(spark, dir, "lsh").n_buckets.toInt
     withWriteLock(spark, dir) {
       val before = diskRows(spark, s"$dir/sigs")
-      sigsNew.select(col("vec_id"), col("sig"))
-        .write.mode(SaveMode.Append).parquet(s"$dir/sigs")
-      bandsNew.select(col("vec_id"), col("bkey"), col("band"))
-        .write.mode(SaveMode.Append)
-        .partitionBy("band").parquet(s"$dir/bands")
+      if (nb > 0)
+        lshWithSb(sigsNew, nb)
+          .write.mode(SaveMode.Append)
+          .partitionBy("sb").parquet(s"$dir/sigs")
+      else
+        sigsNew.select(col("vec_id"), col("sig"))
+          .write.mode(SaveMode.Append).parquet(s"$dir/sigs")
+      if (nb > 0)
+        lshWithBb(bandsNew, nb)
+          .write.mode(SaveMode.Append)
+          .partitionBy("band", "bb").parquet(s"$dir/bands")
+      else
+        bandsNew.select(col("vec_id"), col("bkey"), col("band"))
+          .write.mode(SaveMode.Append)
+          .partitionBy("band").parquet(s"$dir/bands")
       recordEpoch(spark, dir, "append",
         diskRows(spark, s"$dir/sigs") - before)
     }
   }
 
-  /** (sigs, bands, threshold, numHashes, rowsPerBand) — tombstoned
-    * rows ([[delete]]) anti-joined out of BOTH tables, so neither
-    * candidate generation nor the estimate verify can surface a
-    * deleted document.
+  /** (sigs, bands, threshold, numHashes, rowsPerBand, nBuckets) —
+    * tombstoned rows ([[delete]]) anti-joined out of BOTH tables, so
+    * neither candidate generation nor the estimate verify can surface
+    * a deleted document. On a bucketed (v2) layout the frames KEEP
+    * their `sb`/`bb` partition columns — a screen filters on them
+    * with the batch's literal bucket values and Catalyst pushes the
+    * filter through the mask join to the scan as a PartitionFilter,
+    * pruning at the file level. `nBuckets` = 0 means unbucketed
+    * (v1 dir, or saved with bucketing off) — screens run unpruned.
     */
   def loadLsh(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, Double, Int, Int) = {
+      : (DataFrame, DataFrame, Double, Int, Int, Int) = {
     val man = readManifest(spark, dir, "lsh")
     val p = spark.read.parquet(s"$dir/params").collect() match {
       case Array(row) => (row.getAs[Double]("threshold"),
@@ -1178,12 +1432,17 @@ object IndexStore {
     }
     require(p._3.toLong == man.m_bits,
       s"$dir: params/manifest disagree on rows_per_band (${p._3} vs ${man.m_bits})")
+    val nb = man.n_buckets.toInt
+    val sigCols = Seq(col("vec_id"), col("sig")) ++
+      (if (nb > 0) Seq(col("sb").cast("int")) else Nil)
+    val bandCols = Seq(col("vec_id"), col("bkey"),
+      col("band").cast("int")) ++
+      (if (nb > 0) Seq(col("bb").cast("int")) else Nil)
     val sigs = maskTombstones(spark, dir,
-      spark.read.parquet(s"$dir/sigs").select(col("vec_id"), col("sig")))
+      spark.read.parquet(s"$dir/sigs").select(sigCols: _*))
     val bands = maskTombstones(spark, dir,
-      spark.read.parquet(s"$dir/bands")
-        .select(col("vec_id"), col("bkey"), col("band").cast("int")))
-    (sigs, bands, p._1, p._2, p._3)
+      spark.read.parquet(s"$dir/bands").select(bandCols: _*))
+    (sigs, bands, p._1, p._2, p._3, nb)
   }
 
   // ------------------------------------------------------------------

@@ -1,0 +1,289 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.api.Graft
+
+/** The round-12 scale contract: a screen/search against a LOADED
+  * store must read only the probe keys' buckets' FILES, not the whole
+  * stored table — the IVF family's probed-cell pruning
+  * (EmbStreamsSpec) extended to the LSH / BM25 / pHash store kinds.
+  * Three things are pinned per kind: (1) the pruned path returns
+  * EXACTLY the unpruned/live result (pruning is containment — equal
+  * probe key ⇒ equal bucket value — so it can only drop
+  * non-candidates); (2) the executed plan's file scan carries a
+  * partition filter on the bucket column; (3) the scan's `numFiles`
+  * metric is strictly below the table's on-disk file count. Plus the
+  * layout upgrade/merge contracts: a version-1 (unbucketed) manifest
+  * still loads and screens, and merging stores with different bucket
+  * moduli is refused.
+  */
+class ProbePruningSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-probe-pruning-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs: DataFrame = spark.read
+    .parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-probe-pruning").toString
+
+  private def sorted(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  /** All FileSourceScanExec nodes of an EXECUTED plan whose relation
+    * path contains `table`, unwrapping AQE wrapper nodes (the
+    * EmbStreamsSpec traversal — collectLeaves() can't see through
+    * AdaptiveSparkPlanExec / QueryStageExec).
+    */
+  private def scansIn(plan: org.apache.spark.sql.execution.SparkPlan,
+                      table: String)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.execution.FileSourceScanExec]
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        if (f.relation.location.rootPaths.exists(
+          _.toString.contains(table))) out += f
+        f.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(plan)
+    out.toSeq
+  }
+
+  private def scansOf(df: DataFrame, table: String)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    scansIn(df.queryExecution.executedPlan, table)
+
+  /** Run `body` with a QueryExecutionListener capturing the executed
+    * plan of EVERY action it triggers — including a kernel's internal
+    * candidate pulls, whose scans never appear in the returned
+    * frame's own plan — then return the captured plans (after
+    * draining the async listener bus).
+    */
+  private def capturingPlans[T](body: => T)
+      : (T, Seq[org.apache.spark.sql.execution.SparkPlan]) = {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = seen.add(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val r = body
+      // the listener bus dispatches asynchronously — give it a beat
+      val deadline = System.currentTimeMillis() + 15000
+      while (seen.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(300)
+      (r, seen.toArray(Array.empty[
+        org.apache.spark.sql.execution.SparkPlan]).toSeq)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  private def filesOnDisk(path: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(path))
+  }
+
+  /** Assert the scan of `table` among `scans` pruned: it has a
+    * partition filter on `bucketCol` and read strictly fewer files
+    * than the table holds.
+    */
+  private def assertScansPruned(
+      scans: Seq[org.apache.spark.sql.execution.FileSourceScanExec],
+      storeDir: String, table: String, bucketCol: String): Unit = {
+    assert(scans.nonEmpty, s"no $table scan found in the executed plan")
+    assert(scans.exists(_.partitionFilters.exists(
+        _.references.exists(_.name == bucketCol))),
+      s"$table scan carries no partition filter on $bucketCol: " +
+        scans.map(_.partitionFilters).mkString("; "))
+    val read = scans.map(_.metrics("numFiles").value).min
+    val total = filesOnDisk(s"$storeDir/$table")
+    assert(read < total,
+      s"$table scan read $read of $total files — no file-level pruning")
+  }
+
+  private def assertPruned(out: DataFrame, storeDir: String,
+                           table: String, bucketCol: String): Unit =
+    assertScansPruned(scansOf(out, table), storeDir, table, bucketCol)
+
+  test("LSH store: loaded screen equals the live screen, and prunes bands+sigs scans to the batch's buckets' files") {
+    // 32 buckets so one doc's 16 band keys can never cover the bucket
+    // space — pruning is then guaranteed observable, not probabilistic
+    spark.conf.set("spark.graft.probeBuckets", "32")
+    try {
+      val stored = docs.filter(col("doc_id") % 3 =!= 0)
+      // ONE doc: its 16 band keys hit at most 16 of the 32 buckets,
+      // so band-table pruning is guaranteed observable (doc 0's
+      // near-dups 50/82 are in the stored side — the d19 fixture)
+      val batch = docs.filter(col("doc_id") === 0)
+      val live = Graft.lshIndex(stored)
+      val d = tmp()
+      live.save(d)
+      val loaded = Graft.loadLshIndex(spark, d)
+      assert(loaded.probeBuckets == 32)
+      // the band probe runs inside the kernel's candidate pull (its
+      // scan never appears in the returned frame's plan) — capture
+      // every action's executed plan to see it
+      val (out, plans) = capturingPlans {
+        val o = loaded.screen(batch)
+        assert(o.count() > 0, "screen found nothing — weak fixture")
+        o
+      }
+      assert(sorted(out) == sorted(live.screen(batch)))
+      out.collect()
+      assertScansPruned(plans.flatMap(scansIn(_, "bands")),
+        d, "bands", "bb")
+      assertPruned(out, d, "sigs", "sb")
+    } finally spark.conf.unset("spark.graft.probeBuckets")
+  }
+
+  test("BM25 store: loaded search equals the live ranking and prunes the postings+df scans to the query terms' buckets") {
+    spark.conf.set("spark.graft.probeBuckets", "32")
+    try {
+      val d = tmp()
+      Graft.bm25Index(docs).save(d)
+      val loaded = Graft.loadBm25Index(spark, d)
+      assert(loaded.probeBuckets == 32)
+      // a short query (few terms) so the term-bucket set cannot cover
+      // the bucket space
+      val q = docs.filter(col("doc_id") === 7)
+        .select(col("doc_id").as("query_id"),
+          expr("array_join(slice(split(text, ' '), 1, 6), ' ')")
+            .as("text"))
+      val out = loaded.searchText(q, k = 5)
+      assert(sorted(out) == sorted(Graft.bm25Index(docs).searchText(q, k = 5)))
+      assert(out.count() > 0)
+      out.collect()
+      assertPruned(out, d, "postings", "tb")
+      assertPruned(out, d, "df", "tb")
+    } finally spark.conf.unset("spark.graft.probeBuckets")
+  }
+
+  test("pHash store: loaded screen equals the in-plan banding and prunes the bands scan to the batch's buckets") {
+    spark.conf.set("spark.graft.probeBuckets", "32")
+    try {
+      // deterministic 32-bit-word hashes in consecutive-id pairs one
+      // bit apart: every even id (the batch) has its odd sibling (the
+      // stored near-dup) at Hamming 1
+      val media = spark.range(0, 240).toDF("media_id")
+        .withColumn("lo", expr(
+          "xxhash64(media_id div 2) & 4294967295 ^ (media_id % 2)"))
+        .withColumn("hi", expr(
+          "xxhash64(media_id div 2 + 999) & 4294967295"))
+        .select(col("media_id"), col("lo"), col("hi"))
+      val stored = media.filter(col("media_id") % 2 === 1)
+      val batch = media.filter(col("media_id") % 2 === 0 &&
+        col("media_id") < 6) // 3 probes → ≤15 of 160 pb values
+      val live = Graft.phashIndex(stored)
+      val d = tmp()
+      live.save(d)
+      val loaded = Graft.loadPhashIndex(spark, d)
+      assert(loaded.probeBuckets == 32 && loaded.storedBands.isDefined)
+      val out = loaded.screen(batch)
+      assert(sorted(out) == sorted(live.screen(batch)))
+      assert(out.count() > 0, "screen found nothing — weak fixture")
+      out.collect()
+      assertPruned(out, d, "bands", "pb")
+      // bucketCap on the pruned path still equals the live capped path
+      val capped = loaded.screen(batch, bucketCap = Some(3L))
+      assert(sorted(capped) ==
+        sorted(live.screen(batch, bucketCap = Some(3L))))
+    } finally spark.conf.unset("spark.graft.probeBuckets")
+  }
+
+  test("denormalized BM25 store: search skips the doclen join (one stats-only doclen scan) and ranks identically") {
+    val dNorm = tmp(); val dDen = tmp()
+    Graft.bm25Index(docs).save(dNorm)
+    Graft.bm25Index(docs).save(dDen, denormDl = true)
+    val q = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val norm = Graft.loadBm25Index(spark, dNorm).searchText(q)
+    val den = Graft.loadBm25Index(spark, dDen).searchText(q)
+    assert(sorted(den) == sorted(norm))
+    den.collect(); norm.collect()
+    // the normalized plan joins doclen for dl (stats scan + join scan);
+    // the denormalized plan touches doclen ONLY for the tiny stats agg
+    assert(scansOf(norm, "doclen").size == 2)
+    assert(scansOf(den, "doclen").size == 1)
+    // appends follow the stored layout: the appended store still
+    // carries dl on postings and still skips the join
+    val d2 = tmp()
+    Graft.bm25Index(docs.filter(col("doc_id") % 3 =!= 0))
+      .save(d2, denormDl = true)
+    val appended = Graft.loadBm25Index(spark, d2)
+      .appendDurable(d2, docs.filter(col("doc_id") % 3 === 0))
+    val out2 = appended.searchText(q)
+    assert(sorted(out2) == sorted(norm))
+    out2.collect()
+    assert(scansOf(out2, "doclen").size == 1)
+  }
+
+  test("a version-1 (unbucketed, 3-column manifest) LSH store still loads and screens, unpruned") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.probeBuckets", "0") // flat v1-style tables
+    val d = tmp()
+    try {
+      val stored = docs.filter(col("doc_id") % 3 =!= 0)
+      Graft.lshIndex(stored).save(d)
+    } finally spark.conf.unset("spark.graft.probeBuckets")
+    // regress the manifest to the version-1 shape (no n_buckets column)
+    val man = spark.read.parquet(s"$d/manifest")
+      .select(col("kind"), col("m_bits")).collect()(0)
+    Seq((man.getString(0), 1, man.getLong(1)))
+      .toDF("kind", "version", "m_bits").coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/manifest")
+    val loaded = Graft.loadLshIndex(spark, d)
+    assert(loaded.probeBuckets == 0)
+    val batch = docs.filter(col("doc_id") % 60 === 0)
+    assert(sorted(loaded.screen(batch)) ==
+      sorted(Graft.lshIndex(docs.filter(col("doc_id") % 3 =!= 0))
+        .screen(batch)))
+    // and a v1 store ACCEPTS durable appends (writers follow the
+    // stored layout — no bucket columns are invented)
+    val app = loaded.appendDurable(d, docs.filter(col("doc_id") % 3 === 0)
+      .filter(col("doc_id") % 2 === 0))
+    assert(app.probeBuckets == 0)
+  }
+
+  test("merge refuses stores with different probe-bucket moduli") {
+    val dA = tmp(); val dB = tmp()
+    spark.conf.set("spark.graft.probeBuckets", "16")
+    Graft.bm25Index(docs.filter(col("doc_id") % 2 === 0)).save(dA)
+    spark.conf.set("spark.graft.probeBuckets", "8")
+    Graft.bm25Index(docs.filter(col("doc_id") % 2 =!= 0)).save(dB)
+    spark.conf.unset("spark.graft.probeBuckets")
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.merge(spark, dA, dB)
+    }
+    assert(e.getMessage.contains("probe-bucket"))
+  }
+}
