@@ -1304,10 +1304,12 @@ object Graft {
   def describeIndex(spark: SparkSession, dir: String): DataFrame =
     IndexStore.describe(spark, dir)
 
-  /** Remove orphaned `.compact` temp dirs a crashed [[compactIndex]]
-    * can leave behind (the swap materializes the rewrite FULLY before
-    * removing the original, so an orphan is never the live table).
-    * Returns the number removed; records a `vacuum` epoch when > 0.
+  /** Clear the debris a crashed rewrite can leave behind (`.compact`
+    * temp dirs, `.old` aside dirs) — after a RESTORE pass that renames
+    * an aside or temp copy back into place when the live table is
+    * missing, so vacuum can never delete the sole copy of a table
+    * stranded mid-swap. Returns the number of dirs removed or
+    * restored; records a `vacuum` epoch when > 0.
     */
   def vacuumIndex(spark: SparkSession, dir: String): Int =
     IndexStore.vacuum(spark, dir)
@@ -1339,6 +1341,55 @@ object Graft {
     */
   def breakIndexLock(spark: SparkSession, dir: String): Boolean =
     IndexStore.breakLock(spark, dir)
+
+  /** PUBLISH a built index directory as the next GENERATION under
+    * `root` — the blue/green retrain-publish seam (ROADMAP #4,
+    * closed): [[IvfIndex.retrainIf]] (or any build) produces a live
+    * handle, `save(buildDir)` freezes it, and publish renames it to
+    * `root/g-<n>/` and stamps a `_PUBLISHED` marker — one rename +
+    * one marker create, so the flip is atomic from every reader's
+    * point of view: a serving fleet resolves [[currentIndexGeneration]]
+    * at handle-open and picks up the retrained index on its next
+    * open, while handles already serving the old generation keep
+    * reading their (never-mutated) directory — no reader can observe
+    * a mixed generation. A crash between rename and marker leaves a
+    * complete-but-invisible generation; re-publishing the same
+    * `root/g-<n>` path just stamps the marker. Returns the
+    * generation number. Spec: IndexStoreSpec's blue/green cases.
+    */
+  def publishIndex(spark: SparkSession, root: String,
+                   buildDir: String): Int =
+    IndexStore.publishGeneration(spark, root, buildDir)
+
+  /** The current (highest published) generation under a
+    * [[publishIndex]] root — (generation, directory); None before the
+    * first publish. Load it with the kind's loader
+    * ([[loadAnnIndex]] / [[loadBm25Index]] / [[loadLshIndex]] / …) —
+    * or [[loadCurrentAnnIndex]] for the IVF family.
+    */
+  def currentIndexGeneration(spark: SparkSession, root: String)
+      : Option[(Int, String)] =
+    IndexStore.currentGeneration(spark, root)
+
+  /** [[loadAnnIndex]] of the CURRENT generation under a
+    * [[publishIndex]] root — fails loudly if nothing is published.
+    */
+  def loadCurrentAnnIndex(spark: SparkSession, root: String): IvfIndex =
+    currentIndexGeneration(spark, root) match {
+      case Some((_, dir)) => loadAnnIndex(spark, dir)
+      case None => throw new IllegalStateException(
+        s"$root holds no published index generation")
+    }
+
+  /** Drop published generations older than the newest `keep` under a
+    * [[publishIndex]] root — the old-blue cleanup once the new
+    * generation proves out (stop readers still on the old one first).
+    * Unpublished build dirs are never touched. Returns the number
+    * removed.
+    */
+  def vacuumIndexGenerations(spark: SparkSession, root: String,
+                             keep: Int = 1): Int =
+    IndexStore.vacuumGenerations(spark, root, keep)
 
   /** Σ drift_ppm / 2 of an e28-shaped report — the total-variation
     * distance in ppm the retrain triggers threshold on. Empty report

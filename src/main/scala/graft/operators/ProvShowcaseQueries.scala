@@ -41,7 +41,10 @@ object ProvShowcaseQueries {
   }
 
   /** Full retrospective graph (reference: DataElementAPICtrl.kt:41-103),
-    * summarized ID-FREE: element-node counts per producing task and
+    * summarized ID-FREE through the PUBLIC facade
+    * [[ProvenanceQueries.graphSummary]] (round-12: the projection was
+    * lifted out of this gate into the API — facade ≡ gate, like every
+    * other surface): element-node counts per producing task and
     * lineage-edge counts per (target task, source task) pair. For the
     * tracked pipeline both are DuckDB-derivable from orders alone —
     * sample size N element nodes at the source and map tasks,
@@ -55,29 +58,7 @@ object ProvShowcaseQueries {
     "prov_full_graph",
     (s, d) => {
       val (store, sess, _) = trackedPipeline(s, d)
-      val q = new ProvenanceQueries(s, store)
-      val g = q.fullGraph(sess.executionId)
-      val desc = q.tasks(sess.executionId)
-        .select(col("task_id"), col("description"))
-      val srcTask = q.elements(sess.executionId)
-        .select(col("element_id").as("source"),
-          col("task_id").as("src_tid"))
-      val nodes = g.filter(col("kind") === "element")
-        .join(desc, "task_id")
-        .groupBy(col("kind"), col("description").as("dst"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("src", lit(""))
-      val edges = g.filter(col("kind") === "edge")
-        .join(desc, "task_id")
-        .join(srcTask, "source")
-        .join(desc.select(col("task_id").as("src_tid"),
-          col("description").as("src")), "src_tid")
-        .groupBy(col("kind"), col("description").as("dst"), col("src"))
-        .agg(count(lit(1)).as("n"))
-      nodes.select(col("kind"), col("dst"), col("src"), col("n"))
-        .unionByName(edges.select(col("kind"), col("dst"), col("src"),
-          col("n")))
-        .orderBy(col("kind"), col("dst"), col("src"))
+      new ProvenanceQueries(s, store).graphSummary(sess.executionId)
     },
     Some("""WITH sample AS (
            |  SELECT o_orderstatus AS st FROM orders

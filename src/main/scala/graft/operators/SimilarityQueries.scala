@@ -2669,6 +2669,59 @@ object SimilarityQueries {
          |  FROM bm)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+  /** Denormalized BM25 store gate — e48 with `denormDl = true`: the
+    * postings rows carry each document's length, so the loaded
+    * handle's search plan has NO candidates↔doclen join (doclen is
+    * touched only by the one-row stats aggregate — ProbePruningSpec
+    * pins the plan shape; this gate pins the SCORES cross-engine:
+    * same oracle text as e48, because denormalization must be
+    * invisible to the ranking).
+    */
+  val e49Bm25DenormSearch = QueryDef(
+    "e49_bm25_denorm_search",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_e49_bm25dn").toString
+      graft.api.Graft.bm25Index(docs).save(dir, denormDl = true)
+      graft.api.Graft.loadBm25Index(s, dir)
+        .searchText(docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text")), k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+    },
+    e48Bm25Store.oracle)
+
+  /** Blue/green publish gate — the retrain lifecycle END-TO-END
+    * through the generation pointer: build over the base corpus,
+    * save + publish as generation 1, force a retrain over the
+    * arrivals ([[graft.api.Graft.IvfIndex.retrainIf]], e47's exact
+    * kernel), save + publish as generation 2, then search THROUGH THE
+    * RESOLVED CURRENT generation ([[graft.api.Graft
+    * .loadCurrentAnnIndex]]). Oracle: e47's full retrain replay —
+    * identical text, because the publish seam must be invisible to
+    * the search (one rename + one marker; no data transformation).
+    */
+  val e50PublishedRetrainSearch = QueryDef(
+    "e50_published_retrain_search",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_e50_gens").toString + "/gens"
+      val b1 = java.nio.file.Files
+        .createTempDirectory("graft_e50_b1").toString + "/idx"
+      graft.api.Graft.annIndex(e.filter(col("vec_id") % 7 =!= 0)).save(b1)
+      graft.api.Graft.publishIndex(s, root, b1)
+      val b2 = java.nio.file.Files
+        .createTempDirectory("graft_e50_b2").toString + "/idx"
+      graft.api.Graft.loadCurrentAnnIndex(s, root)
+        .retrainIf(e.filter(col("vec_id") % 7 === 0), maxDriftPpm = -1L)
+        .save(b2)
+      graft.api.Graft.publishIndex(s, root, b2)
+      graft.api.Graft.loadCurrentAnnIndex(s, root)
+        .search(e.filter(col("vec_id") < 5), probes = 2, k = 3)
+    },
+    e47IvfRetrain.oracle)
+
   /** FILTERED search for the compressed family — e24's contract on
     * the PQ index: the code table stays as built; `keepIds` restricts
     * candidates via a semi-join BEFORE ADC ranking, so a metadata
@@ -3211,5 +3264,6 @@ object SimilarityQueries {
     e34IvfPqResidualDrift, e35IndexEpochs, e36ShardMerge, e37RecallSweep,
     e38RerankSweep, e39FilteredPq, e40FilteredIvfPq, e41FilteredPqRecall,
     e42FilteredIvfPqRecall, e43IvfPqRerank, e44RecallIvfPqRerank,
-    e45IndexDelete, e46DeleteCompact, e47IvfRetrain, e48Bm25Store)
+    e45IndexDelete, e46DeleteCompact, e47IvfRetrain, e48Bm25Store,
+    e49Bm25DenormSearch, e50PublishedRetrainSearch)
 }

@@ -75,6 +75,43 @@ final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
     nodes.unionByName(edges)
   }
 
+  /** ID-FREE summary of [[fullGraph]] — element-node counts per
+    * producing task DESCRIPTION and lineage-edge counts per
+    * (target task, source task) description pair: the projection a
+    * dashboard or a cross-run diff wants (internal element/task ids
+    * differ between runs of the same pipeline; descriptions and
+    * counts do not). Output: (kind, dst, src, n) ordered — `src` is
+    * empty for element rows. Scale: counts aggregate map-side over
+    * the element/edge tables; the only joins are against the
+    * O(#tasks) description table (broadcast-sized by construction).
+    * Gate: `prov_full_graph` calls this facade and checks it against
+    * a DuckDB derivation from the tracked pipeline's inputs.
+    */
+  def graphSummary(executionId: String): DataFrame = {
+    val g = fullGraph(executionId)
+    val desc = tasks(executionId)
+      .select(col("task_id"), col("description"))
+    val srcTask = elements(executionId)
+      .select(col("element_id").as("source"),
+        col("task_id").as("src_tid"))
+    val nodes = g.filter(col("kind") === "element")
+      .join(desc, "task_id")
+      .groupBy(col("kind"), col("description").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("src", lit(""))
+    val edges = g.filter(col("kind") === "edge")
+      .join(desc, "task_id")
+      .join(srcTask, "source")
+      .join(desc.select(col("task_id").as("src_tid"),
+        col("description").as("src")), "src_tid")
+      .groupBy(col("kind"), col("description").as("dst"), col("src"))
+      .agg(count(lit(1)).as("n"))
+    nodes.select(col("kind"), col("dst"), col("src"), col("n"))
+      .unionByName(edges.select(col("kind"), col("dst"), col("src"),
+        col("n")))
+      .orderBy(col("kind"), col("dst"), col("src"))
+  }
+
   /** Elements produced by one task, optionally with their consumed
     * sources (reference: DataElementAPICtrl.kt:105-179). Pass-through
     * tasks (UNION etc.) own no elements; like the reference's

@@ -1010,6 +1010,121 @@ object IndexStore {
       touched
     }
 
+  // ------------------------------------------------------------------
+  // Generations (blue/green publish)
+  // ------------------------------------------------------------------
+
+  /** PUBLISH a built index directory as the next GENERATION under
+    * `root` — the blue/green seam the retrain lifecycle needs:
+    * `retrainIf` returns a live handle, `save(buildDir)` freezes it,
+    * and publish makes it current ATOMICALLY without ever touching
+    * the directory readers are serving from (a multi-table in-place
+    * swap cannot be atomic; a pointer flip can).
+    *
+    * Layout: `root/g-<n>/` are complete store directories; an empty
+    * `_PUBLISHED` marker INSIDE a generation makes it visible, and
+    * "current" = the highest-numbered published generation
+    * ([[currentGeneration]]). Publish = one rename of `buildDir` into
+    * `root/g-<next>/` (same filesystem — renames, not copies) + one
+    * marker create, in that order — so a crash between them leaves a
+    * complete-but-invisible generation (readers keep resolving the
+    * old one; re-running `publish(root, "root/g-<n>")` just stamps
+    * the marker). Readers NEVER lock: a handle loaded from a resolved
+    * generation keeps serving that directory bit-for-bit while newer
+    * generations publish — no reader can observe a mixed generation,
+    * because no generation is ever mutated after publish (appends
+    * belong in the build step of the NEXT generation).
+    *
+    * Returns the published generation number. Concurrent publishes
+    * serialize on root's write lock.
+    */
+  def publishGeneration(spark: SparkSession, root: String,
+                        buildDir: String): Int = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
+    withWriteLock(spark, root) {
+      val build = new org.apache.hadoop.fs.Path(buildDir)
+      require(fs.exists(build), s"publish: $buildDir does not exist")
+      require(fs.exists(new org.apache.hadoop.fs.Path(build, "manifest")),
+        s"publish: $buildDir holds no manifest — not a saved index")
+      val gens = generationsOf(fs, rootPath)
+      // resume path: the build dir IS an unpublished generation (a
+      // crash after the rename, before the marker) — just stamp it
+      val resumed = gens.find { case (_, p, _) =>
+        org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(p)
+          .toString ==
+          org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+            build).toString
+      }
+      val (gen, dst) = resumed match {
+        case Some((n, p, _)) => (n, p)
+        case None =>
+          val next = (gens.map(_._1) :+ 0).max + 1
+          val dst = new org.apache.hadoop.fs.Path(rootPath, s"g-$next")
+          require(fs.rename(build, dst),
+            s"publish: rename $buildDir -> $dst failed (same filesystem required)")
+          (next, dst)
+      }
+      val marker = new org.apache.hadoop.fs.Path(dst, "_PUBLISHED")
+      if (!fs.exists(marker)) fs.create(marker, false).close()
+      gen
+    }
+  }
+
+  private def generationsOf(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path)
+      : Seq[(Int, org.apache.hadoop.fs.Path, Boolean)] =
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("g-"))
+      .flatMap { s =>
+        s.getPath.getName.stripPrefix("g-").toIntOption.map { n =>
+          (n, s.getPath,
+            fs.exists(new org.apache.hadoop.fs.Path(s.getPath,
+              "_PUBLISHED")))
+        }
+      }
+
+  /** The CURRENT generation under a [[publishGeneration]] root —
+    * (generation number, directory) of the highest-numbered PUBLISHED
+    * generation; None if nothing is published yet. One filesystem
+    * listing — resolve once per handle open, exactly like opening a
+    * store directory.
+    */
+  def currentGeneration(spark: SparkSession, root: String)
+      : Option[(Int, String)] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) None
+    else generationsOf(fs, rootPath).filter(_._3)
+      .sortBy(_._1).lastOption.map { case (n, p, _) => (n, p.toString) }
+  }
+
+  /** Drop PUBLISHED generations older than the newest `keep` — the
+    * old-blue cleanup after a green generation proves out. Refuses
+    * `keep < 1` (never deletes the current generation) and never
+    * touches UNPUBLISHED directories (a crash-before-marker build is
+    * completed by re-publishing it, not vacuumed — delete it
+    * explicitly if abandoned). Serving readers that resolved an old
+    * generation before the vacuum lose their files — stop or restart
+    * them first, the standard table-maintenance caveat. Returns the
+    * number of generations removed.
+    */
+  def vacuumGenerations(spark: SparkSession, root: String,
+                        keep: Int = 1): Int = {
+    require(keep >= 1, s"vacuumGenerations: keep must be >= 1, got $keep")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return 0
+    withWriteLock(spark, root) {
+      val published = generationsOf(fs, rootPath).filter(_._3)
+        .sortBy(_._1)
+      val drop = published.dropRight(keep)
+      drop.foreach { case (_, p, _) => fs.delete(p, true) }
+      drop.length
+    }
+  }
+
   /** Introspection: one row per stored table — (kind, version, table,
     * n_rows, n_files, bytes). Row counts are footer-metadata reads;
     * file/byte counts are a filesystem walk. The operational answer

@@ -625,6 +625,13 @@ class ProvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.elements(s.executionId).count() == 8)
     assert(q.elementDependencies(s.executionId).count() == 6)
     assert(q.fullGraph(s.executionId).count() == 8 + 6)
+    // the id-free public summary (round-12 facade, the prov_full_graph
+    // gate's projection): per-task element counts 3/3/2 and one edge
+    // row of 3 lineage edges per task hop
+    val gs = q.graphSummary(s.executionId).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSeq
+    assert(gs.filter(_._1 == "element").map(_._2).sorted == Seq(2L, 3L, 3L))
+    assert(gs.filter(_._1 == "edge").map(_._2) == Seq(3L, 3L))
     assert(q.producedBy(s.executionId, red.task.id).count() == 2)
     val vt = q.valueTable(s.executionId, red.task.id).collect()
     assert(vt.length == 2 && vt.head.getAs[scala.collection.Seq[String]]("schema_fields").toSeq == Seq("Key", "Value"))

@@ -328,6 +328,61 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       exact(Graft.bm25Index(docs).searchText(q)))
   }
 
+  test("blue/green publish: the generation flip is atomic, a serving handle never sees a mixed generation, old gens vacuum away") {
+    val root = tmp() + "/gens"
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 5 === 0)
+    // generation 1: the base build
+    val b1 = tmp()
+    Graft.annIndex(base).save(b1)
+    assert(Graft.publishIndex(spark, root, b1) == 1)
+    assert(Graft.currentIndexGeneration(spark, root).map(_._1)
+      == Some(1))
+    val gen1 = Graft.loadCurrentAnnIndex(spark, root)
+    val r1 = exact(gen1.search(queries))
+    // generation 2: a forced retrain over base ∪ arrivals, built and
+    // published WHILE gen1 serves
+    val retrained = gen1.retrainIf(arrivals, maxDriftPpm = -1)
+    val r2 = exact(retrained.search(queries))
+    val b2 = tmp()
+    retrained.save(b2)
+    assert(Graft.publishIndex(spark, root, b2) == 2)
+    // the already-open handle keeps serving generation 1 BIT-FOR-BIT
+    // (its directory was never mutated — no mixed generation exists)
+    assert(exact(gen1.search(queries)) == r1)
+    // a fresh open resolves generation 2 and serves the retrain
+    assert(exact(Graft.loadCurrentAnnIndex(spark, root).search(queries))
+      == r2)
+    // crash-before-marker: a complete build renamed into the root but
+    // unstamped is INVISIBLE, survives vacuum, and re-publishing the
+    // same path completes the flip
+    val b3 = tmp()
+    Graft.annIndex(emb).save(b3)
+    assert(new java.io.File(b3)
+      .renameTo(new java.io.File(s"$root/g-3")))
+    assert(Graft.currentIndexGeneration(spark, root).map(_._1)
+      == Some(2))
+    assert(Graft.vacuumIndexGenerations(spark, root, keep = 2) == 0)
+    assert(new java.io.File(s"$root/g-3").exists())
+    assert(Graft.publishIndex(spark, root, s"$root/g-3") == 3)
+    assert(Graft.currentIndexGeneration(spark, root).map(_._1)
+      == Some(3))
+    // old blue cleans away; current survives; keep < 1 refused
+    assert(Graft.vacuumIndexGenerations(spark, root) == 2)
+    assert(!new java.io.File(s"$root/g-1").exists())
+    assert(Graft.currentIndexGeneration(spark, root).map(_._1)
+      == Some(3))
+    assert(Graft.loadCurrentAnnIndex(spark, root)
+      .search(queries).count() > 0)
+    intercept[IllegalArgumentException] {
+      Graft.vacuumIndexGenerations(spark, root, keep = 0)
+    }
+    // publishing a non-index dir is refused
+    intercept[IllegalArgumentException] {
+      Graft.publishIndex(spark, root, tmp())
+    }
+  }
+
   test("describe: one row per stored table with rows/files/bytes, for every kind") {
     val dIvf = tmp()
     Graft.annIndex(emb).save(dIvf)
