@@ -299,11 +299,18 @@ object Graft {
     * `probeBuckets` > 0 marks a handle LOADED from a bucketed (v2)
     * store: its frames carry the store's `sb`/`bb` partition columns
     * and [[screen]] prunes its scans to the batch's buckets' files
-    * (0 = live-built or v1 — screens run unpruned).
+    * (0 = live-built or v1 — screens run unpruned). `bkeyBloom` is
+    * the store's band-key Bloom sketch ((w, word) frame, bit size):
+    * [[screen]] probes the batch's band keys against it FIRST, so a
+    * definitely-novel key never touches the stored tables at all —
+    * sound because a Bloom has no false negatives (a rejected key
+    * matches no stored bucket; FPs only cost probes, never change a
+    * verdict).
     */
   final case class LshIndex private[api] (
       sigs: DataFrame, bands: DataFrame, threshold: Double,
-      numHashes: Int, rowsPerBand: Int, probeBuckets: Int = 0) {
+      numHashes: Int, rowsPerBand: Int, probeBuckets: Int = 0,
+      bkeyBloom: Option[(DataFrame, Int)] = None) {
 
     /** Near-dup verdicts for an arriving batch vs the STORED corpus:
       * the batch's band keys probe the stored buckets (incoming side
@@ -317,12 +324,15 @@ object Graft {
       * broadcast to every executor, so screen in bounded batches
       * (the streaming surfaces do this naturally); an oversized batch
       * fails loudly at the broadcast, never silently shuffles the
-      * stored index.
+      * stored index. Set `spark.graft.maxScreenBatchRows` to PIN the
+      * contract at a named boundary instead: over-threshold batches
+      * then fail with a message that says why, before any store I/O
+      * (ProbePruningSpec drives the failure).
       */
     def screen(newDocs: DataFrame,
                bucketCap: Option[Int] = None): DataFrame =
       DedupQueries.lshScreenOf(sigs, bands, newDocs, threshold,
-        rowsPerBand, bucketCap, numHashes, probeBuckets)
+        rowsPerBand, bucketCap, numHashes, probeBuckets, bkeyBloom)
 
     /** Screen an unbounded document stream against this index — the
       * at-ingest shape: each micro-batch runs the exact gated
@@ -353,7 +363,7 @@ object Graft {
       copy(sigs = sigs.drop("sb").unionByName(newSigs),
         bands = bands.drop("bb").unionByName(
           DedupQueries.lshBandRows(newSigs, rowsPerBand, numHashes)),
-        probeBuckets = 0)
+        probeBuckets = 0, bkeyBloom = None)
     }
 
     /** [[append]] made DURABLE: sign the arrivals and parquet-append
@@ -407,9 +417,10 @@ object Graft {
     * anti-joined out of both tables.
     */
   def loadLshIndex(spark: SparkSession, dir: String): LshIndex = {
-    val (sigs, bands, threshold, numHashes, rowsPerBand, nBuckets) =
-      IndexStore.loadLsh(spark, dir)
-    LshIndex(sigs, bands, threshold, numHashes, rowsPerBand, nBuckets)
+    val (sigs, bands, threshold, numHashes, rowsPerBand, nBuckets,
+      bloom) = IndexStore.loadLsh(spark, dir)
+    LshIndex(sigs, bands, threshold, numHashes, rowsPerBand, nBuckets,
+      bloom)
   }
 
   /** Build the DURABLE BM25 index — lexical retrieval's persistent
@@ -680,7 +691,15 @@ object Graft {
     * (Jaccard ≥ 0.5 connected components via the d18 df-capped path —
     * a micro-batch is small, but the cap keeps even a pathological
     * one bounded) and keep only each cluster's min-doc_id
-    * representative before the stored screen. With a `checkpointDir`
+    * representative before the stored screen.
+    *
+    * Scale shape per batch (round 12): the reloaded handle screens
+    * through the store's band-key BLOOM PREFILTER (definitely-novel
+    * band keys never touch the stored tables) and, on a bucketed
+    * store, probe-time FILE PRUNING (the probe reads only the
+    * batch's buckets' files) — so per-batch cost is O(batch work),
+    * not O(index size); appends fold the survivors' band keys into
+    * the sketch. With a `checkpointDir`
     * the append is idempotent under replay (the checkpoint-scoped
     * marker recipe [[IvfIndex.appendStreamDurable]] documents, same
     * crash-window caveat). LshIndexSpec proves cross-batch survivor
@@ -2038,8 +2057,9 @@ object Graft {
       * job). `incoming`: (media_id, lo, hi) — an INGEST BATCH by
       * size contract (its banded rows broadcast; oversized batches
       * fail loudly at the broadcast rather than silently shuffling
-      * the stored table). Output: (ma [arriving], mb [stored],
-      * hamming), unsorted.
+      * the stored table — or, with `spark.graft.maxScreenBatchRows`
+      * set, at that named boundary with a message that says why).
+      * Output: (ma [arriving], mb [stored], hamming), unsorted.
       */
     def screen(incoming: DataFrame, maxHamming: Int = 4,
                bucketCap: Option[Long] = None): DataFrame =

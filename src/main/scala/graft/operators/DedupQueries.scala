@@ -1531,19 +1531,61 @@ object DedupQueries {
     *
     * Output: (doc_id [arriving], stored_id, est_jaccard), unsorted.
     */
+  /** ENFORCE the screens' documented size contract, opt-in via
+    * `spark.graft.maxScreenBatchRows`: the incoming batch BROADCASTS
+    * to every executor, so an oversized batch must fail LOUDLY at a
+    * named boundary — this check — rather than deep in Spark's
+    * broadcast machinery (whose 8 GB/512M-row ceilings surface as
+    * opaque executor errors). Unset (the default) costs nothing; set,
+    * it costs one early-stopping count of the batch. The streaming
+    * surfaces bound batches naturally; set this when batch sizing is
+    * outside your control.
+    */
+  private[graft] def enforceScreenBatchContract(batch: DataFrame,
+                                                what: String): Unit =
+    batch.sparkSession.conf.getOption("spark.graft.maxScreenBatchRows")
+      .map(_.toLong).foreach { max =>
+        if (batch.limit((max + 1).toInt).count() > max)
+          throw new IllegalStateException(
+            s"$what batch exceeds spark.graft.maxScreenBatchRows=$max: " +
+              "the incoming side of a screen BROADCASTS to every " +
+              "executor by the size contract — an oversized batch " +
+              "would fail at the broadcast (or OOM) instead; split " +
+              "the input into bounded micro-batches (the streaming " +
+              "surfaces do this naturally)")
+      }
+
   private[graft] def lshScreenOf(storedSigs: DataFrame,
                                  storedBands: DataFrame,
                                  newDocs: DataFrame, threshold: Double,
                                  rowsPerBand: Int,
                                  bucketCap: Option[Int] = None,
                                  numHashes: Int = 64,
-                                 probeBuckets: Int = 0): DataFrame = {
+                                 probeBuckets: Int = 0,
+                                 bkeyBloom: Option[(DataFrame, Int)] = None)
+      : DataFrame = {
+    enforceScreenBatchContract(newDocs, "lsh screen")
     // lazy localCheckpoint: the batch's signatures feed banding AND
     // the verify join; blocks die with the handle (ContextCleaner)
     val inSigs = lshSignatures(newDocs, numHashes)
       .localCheckpoint(eager = false)
-    val inBands = lshBandRows(inSigs, rowsPerBand, numHashes)
+    val inBandsAll = lshBandRows(inSigs, rowsPerBand, numHashes)
       .select(col("vec_id").as("new_id"), col("bkey"))
+    // BLOOM PREFILTER (stored sketch over the index's band keys): an
+    // incoming bkey the sketch rejects provably matches NO stored
+    // bucket (no false negatives), so its band row drops BEFORE any
+    // store I/O — a batch of novel documents costs its own signing
+    // plus a broadcast sketch probe and touches (almost) nothing
+    // stored. False positives only add probes; verdicts are
+    // UNCHANGED by construction (LshIndexSpec pins it).
+    val inBands = bkeyBloom.fold(inBandsAll) { case (words, mBits) =>
+      val keep = BloomSketch.probe(
+          inBandsAll.select(col("new_id").as("doc_id"),
+            col("bkey").as("h")).distinct(), words, mBits)
+        .filter(col("bloom_hit"))
+        .select(col("doc_id").as("new_id"), col("h").as("bkey"))
+      inBandsAll.join(broadcast(keep), Seq("new_id", "bkey"))
+    }
     def candOf(bands: DataFrame): DataFrame = {
       val sBands = bucketCap.fold(bands) { cap =>
         // one map-side-combined count; hot buckets never reach the

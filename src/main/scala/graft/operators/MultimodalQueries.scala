@@ -678,6 +678,8 @@ object MultimodalQueries {
                                        maxHamming: Int = 4,
                                        bucketCap: Option[Long] = None)
       : DataFrame = {
+    graft.operators.DedupQueries
+      .enforceScreenBatchContract(incoming, "phash screen")
     val ix0 = phashBanded(stored)
     val ix = bucketCap match {
       case Some(cap) =>
@@ -723,6 +725,8 @@ object MultimodalQueries {
                                       maxHamming: Int = 4,
                                       bucketCap: Option[Long] = None,
                                       nBuckets: Int = 16): DataFrame = {
+    graft.operators.DedupQueries
+      .enforceScreenBatchContract(incoming, "phash screen")
     val in = phashBanded(incoming)
       .select(col("media_id").as("ma"), col("lo").as("alo"),
         col("hi").as("ahi"), col("bucket.band").as("band"),

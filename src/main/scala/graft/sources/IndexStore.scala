@@ -608,6 +608,20 @@ object IndexStore {
       case "lsh" =>
         swap("sigs", Seq("sb"), applyTombstones = true)
         swap("bands", Seq("band", "bb"), applyTombstones = true)
+        // the band-key Bloom is a pure function of the band table —
+        // REBUILD from the compacted rows (the only way a Bloom can
+        // "forget" tombstoned keys)
+        bkbloomBitsOf(spark, dir).foreach { mBits =>
+          val live = new org.apache.hadoop.fs.Path(s"$dir/bkbloom")
+          val fs = live.getFileSystem(hconf)
+          val tmp = new org.apache.hadoop.fs.Path(s"$dir/bkbloom.compact")
+          fs.delete(tmp, true)
+          bkeySketchOf(spark.read.parquet(s"$dir/bands")
+              .select(col("bkey")), mBits)
+            .coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          swapInto(fs, tmp, live)
+        }
         "sigs"
       case "phash" =>
         swap("hashes", Nil, applyTombstones = true)
@@ -791,6 +805,9 @@ object IndexStore {
       require(pulled(dstDir) == pulled(srcDir),
         s"$srcDir was banded with different LSH parameters than $dstDir " +
           "— merging would mix incompatible bucket spaces")
+      require(bkbloomBitsOf(spark, dstDir) == bkbloomBitsOf(spark, srcDir),
+        s"$srcDir and $dstDir carry band-key Blooms of different sizes " +
+          "— their words cannot bit_or-fold; rebuild one side")
     }
 
     def validateArtifacts(kind: String): Unit = kind match {
@@ -820,6 +837,23 @@ object IndexStore {
         moveTable("codes"); moveTable("tombstones")
       case "lsh" =>
         moveTable("sigs"); moveTable("bands"); moveTable("tombstones")
+        // the band-key Bloom FOLDS (bit_or — idempotent, so a
+        // crash-resume re-fold is harmless); the shard's sketch is
+        // deleted with its directory at the end of the merge
+        val srcBk = new org.apache.hadoop.fs.Path(s"$srcDir/bkbloom")
+        val bkFs = srcBk.getFileSystem(hconf)
+        if (bkFs.exists(srcBk) &&
+            bkFs.exists(new org.apache.hadoop.fs.Path(s"$dstDir/bkbloom"))) {
+          val folded = spark.read.parquet(s"$dstDir/bkbloom")
+            .unionByName(spark.read.parquet(s"$srcDir/bkbloom"))
+            .groupBy(col("w")).agg(expr("bit_or(word)").as("word"))
+          val live = new org.apache.hadoop.fs.Path(s"$dstDir/bkbloom")
+          val tmp = new org.apache.hadoop.fs.Path(s"$dstDir/bkbloom.compact")
+          bkFs.delete(tmp, true)
+          folded.coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          swapInto(bkFs, tmp, live)
+        }
       case "phash" =>
         moveTable("hashes"); moveTable("bands"); moveTable("tombstones")
       case "bm25" =>
@@ -1140,7 +1174,7 @@ object IndexStore {
       case "ivf" => Seq("assigned", "centroids")
       case "pq" => Seq("codes", "codebooks", "corpus")
       case "ivfpq" => Seq("codes", "centroids", "codebooks")
-      case "lsh" => Seq("sigs", "bands", "params")
+      case "lsh" => Seq("sigs", "bands", "params", "bkbloom")
       case "bm25" => Seq("postings", "doclen", "df")
       case "phash" => Seq("hashes", "bands")
       case "bloom" => Seq("words")
@@ -1446,18 +1480,37 @@ object IndexStore {
     sigs.select(col("vec_id"), col("sig"),
       pmod(hash(col("vec_id")), lit(nb)).as("sb"))
 
+  /** The LSH store's BAND-KEY Bloom sketch — the ingest loop's cheap
+    * membership prefilter: a Bloom over every stored `bkey`, probed
+    * by an incoming batch's band keys BEFORE the band table is
+    * touched. A bkey the sketch rejects provably matches NO stored
+    * bucket (Bloom has no false negatives), so dropping its band row
+    * changes no verdict — false positives only cost an unnecessary
+    * probe. (A Bloom over document TEXTS — the obvious alternative —
+    * could not soundly skip anything: a text-negative doc can still
+    * be a NEAR-dup, and acting on a text-positive without
+    * verification would let FPs alter verdicts.) ~128 KB at the
+    * default 2^20 bits; rebuilt from the band table on [[compact]]
+    * (pure function), bit_or-folded on append/merge (mergeable-sketch
+    * semantics). The modulus rides in `params/` as `bkbloom_bits`.
+    */
+  private def bkeySketchOf(bands: DataFrame, mBits: Int): DataFrame =
+    graft.operators.DedupQueries.BloomSketch.sketchOf(
+      bands.select(col("bkey").as("h")), mBits)
+
   /** Layout: `sigs/` = (vec_id, sig array<long>) PARTITIONED BY
     * `sb = pmod(hash(vec_id), n_buckets)`; `bands/` = (vec_id, bkey,
     * band) PARTITIONED BY (band, `bb = pmod(hash(bkey), n_buckets)`)
     * (per-band dirs make the shard merge a per-directory rename, like
     * the IVF families' cells; the `bb` sub-dirs are what lets a
     * screen prune its scan to the batch's buckets' FILES — the
-    * probed-cell trick applied to the dedup store); `params/` = ONE
-    * row (threshold, num_hashes, rows_per_band) — the banding
-    * parameters screening must replay (value-checked on merge, like
-    * centroids/codebooks). `m_bits` carries rows_per_band as a cheap
-    * load-time cross-check; the manifest's `n_buckets` carries the
-    * bucket modulus probers must replay (0 under
+    * probed-cell trick applied to the dedup store); `bkbloom/` = the
+    * [[bkeySketchOf]] band-key Bloom (w, word) rows; `params/` = ONE
+    * row (threshold, num_hashes, rows_per_band, bkbloom_bits) — the
+    * banding parameters screening must replay (value-checked on
+    * merge, like centroids/codebooks). `m_bits` carries rows_per_band
+    * as a cheap load-time cross-check; the manifest's `n_buckets`
+    * carries the bucket modulus probers must replay (0 under
     * `spark.graft.probeBuckets = 0` → flat v1-style tables).
     */
   def saveLsh(dir: String, sigs: DataFrame, bands: DataFrame,
@@ -1466,6 +1519,7 @@ object IndexStore {
     val spark = sigs.sparkSession
     import spark.implicits._
     val nb = probeBuckets(spark)
+    val bloomBits = graft.operators.DedupQueries.BloomSketch.mBitsOf(spark)
     withWriteLock(spark, dir) {
       if (nb > 0)
         lshWithSb(sigs, nb)
@@ -1482,8 +1536,10 @@ object IndexStore {
         bands.select(col("vec_id"), col("bkey"), col("band"))
           .write.mode(SaveMode.Overwrite)
           .partitionBy("band").parquet(s"$dir/bands")
-      Seq((threshold, numHashes, rowsPerBand))
-        .toDF("threshold", "num_hashes", "rows_per_band")
+      bkeySketchOf(bands, bloomBits).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/bkbloom")
+      Seq((threshold, numHashes, rowsPerBand, bloomBits))
+        .toDF("threshold", "num_hashes", "rows_per_band", "bkbloom_bits")
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
       writeManifest(spark, dir, "lsh", rowsPerBand.toLong, nb.toLong)
@@ -1521,23 +1577,55 @@ object IndexStore {
         bandsNew.select(col("vec_id"), col("bkey"), col("band"))
           .write.mode(SaveMode.Append)
           .partitionBy("band").parquet(s"$dir/bands")
+      // fold the new band keys into the bkey Bloom (bit_or — the
+      // mergeable-sketch semantics; idempotent under replay). Stores
+      // saved before the sketch existed simply have none to maintain.
+      bkbloomBitsOf(spark, dir).foreach { mBits =>
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val folded = spark.read.parquet(s"$dir/bkbloom")
+          .unionByName(bkeySketchOf(bandsNew, mBits))
+          .groupBy(col("w")).agg(expr("bit_or(word)").as("word"))
+        val live = new org.apache.hadoop.fs.Path(s"$dir/bkbloom")
+        val fs = live.getFileSystem(hconf)
+        val tmp = new org.apache.hadoop.fs.Path(s"$dir/bkbloom.compact")
+        fs.delete(tmp, true)
+        folded.coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        swapInto(fs, tmp, live)
+      }
       recordEpoch(spark, dir, "append",
         diskRows(spark, s"$dir/sigs") - before)
     }
   }
 
-  /** (sigs, bands, threshold, numHashes, rowsPerBand, nBuckets) —
-    * tombstoned rows ([[delete]]) anti-joined out of BOTH tables, so
-    * neither candidate generation nor the estimate verify can surface
-    * a deleted document. On a bucketed (v2) layout the frames KEEP
-    * their `sb`/`bb` partition columns — a screen filters on them
-    * with the batch's literal bucket values and Catalyst pushes the
-    * filter through the mask join to the scan as a PartitionFilter,
-    * pruning at the file level. `nBuckets` = 0 means unbucketed
-    * (v1 dir, or saved with bucketing off) — screens run unpruned.
+  /** The stored band-key Bloom's bit size, None for pre-sketch stores
+    * (params rows without the `bkbloom_bits` column).
+    */
+  private def bkbloomBitsOf(spark: SparkSession,
+                            dir: String): Option[Int] = {
+    val p = spark.read.parquet(s"$dir/params")
+    if (!p.columns.contains("bkbloom_bits")) None
+    else Some(p.collect()(0).getAs[Int]("bkbloom_bits"))
+  }
+
+  /** (sigs, bands, threshold, numHashes, rowsPerBand, nBuckets,
+    * bkeyBloom) — tombstoned rows ([[delete]]) anti-joined out of
+    * BOTH tables, so neither candidate generation nor the estimate
+    * verify can surface a deleted document. On a bucketed (v2) layout
+    * the frames KEEP their `sb`/`bb` partition columns — a screen
+    * filters on them with the batch's literal bucket values and
+    * Catalyst pushes the filter through the mask join to the scan as
+    * a PartitionFilter, pruning at the file level. `nBuckets` = 0
+    * means unbucketed (v1 dir, or saved with bucketing off) — screens
+    * run unpruned. `bkeyBloom` = the stored band-key Bloom
+    * ((w, word) frame, bit size) the screen prefilters with; None for
+    * pre-sketch stores. (The sketch may over-approximate after
+    * deletes — Blooms cannot forget — which is SAFE: extra probes,
+    * never a lost verdict; [[compact]] rebuilds it exactly.)
     */
   def loadLsh(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, Double, Int, Int, Int) = {
+      : (DataFrame, DataFrame, Double, Int, Int, Int,
+         Option[(DataFrame, Int)]) = {
     val man = readManifest(spark, dir, "lsh")
     val p = spark.read.parquet(s"$dir/params").collect() match {
       case Array(row) => (row.getAs[Double]("threshold"),
@@ -1557,7 +1645,11 @@ object IndexStore {
       spark.read.parquet(s"$dir/sigs").select(sigCols: _*))
     val bands = maskTombstones(spark, dir,
       spark.read.parquet(s"$dir/bands").select(bandCols: _*))
-    (sigs, bands, p._1, p._2, p._3, nb)
+    val bloom = bkbloomBitsOf(spark, dir).map { mBits =>
+      (spark.read.parquet(s"$dir/bkbloom")
+        .select(col("w"), col("word")), mBits)
+    }
+    (sigs, bands, p._1, p._2, p._3, nb, bloom)
   }
 
   // ------------------------------------------------------------------

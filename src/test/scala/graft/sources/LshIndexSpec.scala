@@ -119,7 +119,7 @@ class LshIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val tables = Graft.describeIndex(spark, d).select(col("table"))
       .collect().map(_.getString(0)).toSet
-    assert(tables == Set("sigs", "bands", "params", "epochs"))
+    assert(tables == Set("sigs", "bands", "params", "bkbloom", "epochs"))
   }
 
   test("shard + merge equals the append path; mismatched banding params are refused") {

@@ -274,6 +274,77 @@ class ProbePruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.probeBuckets == 0)
   }
 
+  test("bkey Bloom prefilter: a definitely-novel batch touches NO stored files; verdicts unchanged across append and compact") {
+    import spark.implicits._
+    val stored = docs.filter(col("doc_id") % 3 =!= 0)
+    val d = tmp()
+    Graft.lshIndex(stored).save(d)
+    assert(new java.io.File(s"$d/bkbloom").exists())
+    val loaded = Graft.loadLshIndex(spark, d)
+    assert(loaded.bkeyBloom.isDefined)
+    // baseline: verdicts equal the live (sketch-free) handle — the
+    // prefilter can drop only provable non-candidates
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    assert(sorted(loaded.screen(batch)) ==
+      sorted(Graft.lshIndex(stored).screen(batch)))
+    // a batch of synthetic text sharing no shingle with the corpus:
+    // every band key is Bloom-rejected, so the screen plan reads
+    // NEITHER stored table — zero store I/O for novel data
+    val novel = (0 until 8).map(i => (10000L + i,
+      (0 until 12).map(t => s"zzqx${i}w$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = loaded.screen(novel)
+    assert(out.count() == 0)
+    assert(scansOf(out, "bands").isEmpty && scansOf(out, "sigs").isEmpty,
+      "a fully-rejected batch must not scan the stored tables")
+    // appendDurable folds the arrivals' band keys into the sketch: an
+    // appended doc re-screens against itself afterwards
+    val app = Graft.loadLshIndex(spark, d).appendDurable(d, batch)
+    val self = sorted(app.screen(docs.filter(col("doc_id") === 0)))
+    assert(self.nonEmpty)
+    // compact REBUILDS the sketch from the compacted bands; verdicts
+    // hold through it
+    Graft.compactIndex(spark, d)
+    val after = Graft.loadLshIndex(spark, d)
+    assert(after.bkeyBloom.isDefined)
+    assert(sorted(after.screen(docs.filter(col("doc_id") === 0))) == self)
+    assert(sorted(after.screen(novel)).isEmpty)
+  }
+
+  test("screen batch size contract: an over-threshold batch fails loudly at the named boundary, before any store I/O") {
+    spark.conf.set("spark.graft.maxScreenBatchRows", "5")
+    try {
+      val stored = docs.filter(col("doc_id") % 3 =!= 0)
+      val d = tmp()
+      Graft.lshIndex(stored).save(d)
+      val loaded = Graft.loadLshIndex(spark, d)
+      val oversized = docs.filter(col("doc_id") % 3 === 0).limit(20)
+      val e = intercept[IllegalStateException] {
+        loaded.screen(oversized).count()
+      }
+      assert(e.getMessage.contains("BROADCAST") &&
+        e.getMessage.contains("maxScreenBatchRows"),
+        s"wrong failure: ${e.getMessage}")
+      // a within-contract batch still screens
+      assert(loaded.screen(docs.filter(col("doc_id") === 0)).count() > 0)
+      // same boundary on the phash screen
+      import spark.implicits._
+      val media = spark.range(0, 240).toDF("media_id")
+        .withColumn("lo", expr(
+          "xxhash64(media_id div 2) & 4294967295 ^ (media_id % 2)"))
+        .withColumn("hi", expr(
+          "xxhash64(media_id div 2 + 999) & 4294967295"))
+        .select(col("media_id"), col("lo"), col("hi"))
+      val dp = tmp()
+      Graft.phashIndex(media.filter(col("media_id") % 2 === 1)).save(dp)
+      val e2 = intercept[IllegalStateException] {
+        Graft.loadPhashIndex(spark, dp)
+          .screen(media.filter(col("media_id") % 2 === 0)).count()
+      }
+      assert(e2.getMessage.contains("BROADCAST"))
+    } finally spark.conf.unset("spark.graft.maxScreenBatchRows")
+  }
+
   test("merge refuses stores with different probe-bucket moduli") {
     val dA = tmp(); val dB = tmp()
     spark.conf.set("spark.graft.probeBuckets", "16")
