@@ -207,7 +207,18 @@ object ScaleBench {
       // O(queries x 10) rows fetched by broadcast semi-join against
       // the source table; the rerank tail is CONSTANT in corpus size,
       // so the cell should track the composite build/search curve
-      "e43_ivfpq_rerank")
+      "e43_ivfpq_rerank",
+      // e49: e48 with the denormalized-dl layout - the build adds one
+      // doc-keyed join at save; the search loses the doclen join;
+      // expected to track e48's write-bound curve (the serving-side
+      // I/O win is ScreenBench's subject, not this end-to-end cell)
+      "e49_bm25_denorm_search",
+      // e50: the blue/green composite - e47's build + retrain + search
+      // plus two publishes; the publish overhead is ONE rename + ONE
+      // marker create per generation, so the cell must track e47's
+      // curve with a constant metadata tail (the 100 TB property of
+      // the pointer flip)
+      "e50_published_retrain_search")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
@@ -273,7 +284,8 @@ object ScaleBench {
       "e28_index_drift", "e29_ivfpq_append",
       "e31_pq_code_drift", "e32_ivfpq_drift", "e33_durable_append",
       "e36_shard_merge", "e35_index_epochs", "e43_ivfpq_rerank",
-      "e45_index_delete", "e47_ivf_retrain")
+      "e45_index_delete", "e47_ivf_retrain",
+      "e50_published_retrain_search")
       .map(_ -> "embeddings") ++
       Seq("q56_asof_attribution", "q58_salted_agg", "q66_event_funnel",
         "q57_range_error_proximity").map(_ -> "events")).toMap
