@@ -671,6 +671,49 @@ object Graft {
       }
       .start()
 
+  /** GENERATION-AWARE [[hybridServe]] — bound to TWO [[publishIndex]]
+    * roots (the lexical BM25 store's and the dense IVF store's)
+    * instead of two frozen handles: every micro-batch re-resolves
+    * both [[currentIndexGeneration]]s and fuses through the current
+    * pair, so retraining EITHER side and publishing flips a live
+    * retrieval fleet on its next batch with no restart. Handles
+    * reload only when a generation number changes (steady-state
+    * batches cost [[hybridServe]] plus two filesystem listings);
+    * each batch resolves once, so no batch mixes generations on
+    * either side. `onBatch` receives ((lexical gen, dense gen),
+    * fused hits).
+    */
+  def hybridServeCurrent(lexRoot: String, denseRoot: String,
+                         queries: Dataset[HybridQuery], k: Int = 5,
+                         fetch: Int = 20, probes: Int = 2)
+                        (onBatch: ((Int, Int), DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // foreachBatch bodies run sequentially on the stream's microbatch
+    // thread, so plain closure state is safe
+    var cached: Option[((Int, Int), Bm25Index, IvfIndex)] = None
+    queries.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: Dataset[HybridQuery], _: Long) =>
+        val spark = batch.sparkSession
+        def genOf(root: String): (Int, String) =
+          currentIndexGeneration(spark, root).getOrElse(
+            throw new IllegalStateException(
+              s"$root holds no published index generation"))
+        val (lexGen, lexDir) = genOf(lexRoot)
+        val (denGen, denDir) = genOf(denseRoot)
+        val key = (lexGen, denGen)
+        if (!cached.exists(_._1 == key))
+          cached = Some((key, loadBm25Index(spark, lexDir),
+            loadAnnIndex(spark, denDir)))
+        val (_, lex, den) = cached.get
+        onBatch(key, hybridSearch(lex, den,
+          batch.toDF().select(col("query_id"), col("text"),
+            col("embedding").cast("array<float>").as("embedding")),
+          k, fetch, probes))
+      }
+      .start()
+  }
+
   /** The DEDUP-AT-INGEST PIPELINE as one stream — screen ∘ append
     * composed per micro-batch against the saved LSH index at `dir`:
     * each batch (1) screens against the index AS OF that batch (the
@@ -759,6 +802,10 @@ object Graft {
                 process()
                 fs.create(marker, true).close()
               }
+              // retention: markers older than the redelivery window
+              // are dead weight — sweep to the newest K (see
+              // EmbStreams.sweepMarkers)
+              graft.streaming.EmbStreams.sweepMarkers(spark, cp, batchId)
           }
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
@@ -1316,12 +1363,29 @@ object Graft {
     IndexStore.epochs(spark, dir)
 
   /** Introspect a saved index directory (any kind): one row per
-    * stored table — (kind, version, table, n_rows, n_files, bytes).
-    * Many files per row is the [[compactIndex]] signal; row counts
-    * are footer-metadata reads, never column scans.
+    * stored table — (kind, version, table, n_rows, n_files, bytes,
+    * holder, heartbeat_age_ms, stale_suspect). Many files per row is
+    * the [[compactIndex]] signal; row counts are footer-metadata
+    * reads, never column scans. A LOCKED store adds one
+    * `_write_lock` row: live writers heartbeat the lock's mtime, so
+    * `stale_suspect = true` (no beat for
+    * `spark.graft.lockStaleAfterMs`, default 60 s) flags a presumed-
+    * crashed holder — confirm via the named pid@host, then
+    * [[breakIndexLock]]. See [[indexLockInfo]] for the lock alone.
     */
   def describeIndex(spark: SparkSession, dir: String): DataFrame =
     IndexStore.describe(spark, dir)
+
+  /** The store's write lock, observed — (holder pid@host + acquire
+    * millis, heartbeat age millis, stale suspect); None when
+    * unlocked. The detection half of the lock-lease story: a crashed
+    * holder stops heartbeating and goes stale within one interval; a
+    * slow-but-alive writer never does. Detection only — breaking the
+    * lock stays the operator's explicit [[breakIndexLock]] call.
+    */
+  def indexLockInfo(spark: SparkSession, dir: String)
+      : Option[(String, Long, Boolean)] =
+    IndexStore.lockInfo(spark, dir)
 
   /** Clear the debris a crashed rewrite can leave behind (`.compact`
     * temp dirs, `.old` aside dirs) — after a RESTORE pass that renames
@@ -1390,15 +1454,74 @@ object Graft {
       : Option[(Int, String)] =
     IndexStore.currentGeneration(spark, root)
 
-  /** [[loadAnnIndex]] of the CURRENT generation under a
-    * [[publishIndex]] root — fails loudly if nothing is published.
+  /** Resolve the CURRENT generation under a [[publishIndex]] root and
+    * open it with `loader` — the kind-generic form every
+    * `loadCurrent*` convenience derives from, and the one to reach
+    * for when the kind's loader takes extra arguments. Fails loudly
+    * if nothing is published.
     */
-  def loadCurrentAnnIndex(spark: SparkSession, root: String): IvfIndex =
+  def loadCurrent[T](spark: SparkSession, root: String)
+                    (loader: String => T): T =
     currentIndexGeneration(spark, root) match {
-      case Some((_, dir)) => loadAnnIndex(spark, dir)
+      case Some((_, dir)) => loader(dir)
       case None => throw new IllegalStateException(
         s"$root holds no published index generation")
     }
+
+  /** [[loadAnnIndex]] of the CURRENT generation under a
+    * [[publishIndex]] root — fails loudly if nothing is published.
+    * Every store kind has the same convenience: the blue/green root
+    * is kind-agnostic, so a dedup pipeline's LSH store and a
+    * retrieval pipeline's BM25 store retrain-and-flip exactly like
+    * the IVF family (IndexStoreSpec's blue/green cases cover each).
+    */
+  def loadCurrentAnnIndex(spark: SparkSession, root: String): IvfIndex =
+    loadCurrent(spark, root)(loadAnnIndex(spark, _))
+
+  /** [[loadBm25Index]] of the current generation under `root`. */
+  def loadCurrentBm25Index(spark: SparkSession, root: String): Bm25Index =
+    loadCurrent(spark, root)(loadBm25Index(spark, _))
+
+  /** [[loadLshIndex]] of the current generation under `root`. */
+  def loadCurrentLshIndex(spark: SparkSession, root: String): LshIndex =
+    loadCurrent(spark, root)(loadLshIndex(spark, _))
+
+  /** [[loadPhashIndex]] of the current generation under `root`. */
+  def loadCurrentPhashIndex(spark: SparkSession,
+                            root: String): PhashIndex =
+    loadCurrent(spark, root)(loadPhashIndex(spark, _))
+
+  /** [[loadPqIndex]] of the current generation under `root`. */
+  def loadCurrentPqIndex(spark: SparkSession, root: String): PqIndex =
+    loadCurrent(spark, root)(loadPqIndex(spark, _))
+
+  /** [[loadIvfPqIndex]] of the current generation under `root`. */
+  def loadCurrentIvfPqIndex(spark: SparkSession,
+                            root: String): IvfPqIndex =
+    loadCurrent(spark, root)(loadIvfPqIndex(spark, _))
+
+  /** [[loadBloomIndex]] of the current generation under `root`. */
+  def loadCurrentBloomIndex(spark: SparkSession,
+                            root: String): BloomIndex =
+    loadCurrent(spark, root)(loadBloomIndex(spark, _))
+
+  /** GENERATION-AWARE pruned serving — [[IvfIndex.servePrunedStore]]
+    * bound to a [[publishIndex]] ROOT: every micro-batch re-resolves
+    * [[currentIndexGeneration]] and serves from it, so a retrain +
+    * publish flips a LIVE serving fleet on its next batch with no
+    * restart — the read half of the blue/green seam (the write half
+    * is [[publishIndex]]). Each batch resolves exactly once (no
+    * mixed-generation batch by construction); per-generation
+    * artifacts re-pull only when the generation flips. `onBatch`
+    * receives (generation, hits). Delegates to
+    * [[graft.streaming.EmbStreams.ivfServeCurrent]]; IndexStoreSpec's
+    * blue/green stream case proves the mid-stream flip.
+    */
+  def serveCurrentAnnIndex(queries: Dataset[EmbStreams.EmbQuery],
+                           root: String, nprobe: Int = 2, k: Int = 3)
+                          (onBatch: (Int, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    EmbStreams.ivfServeCurrent(queries, root, nprobe, k)(onBatch)
 
   /** Drop published generations older than the newest `keep` under a
     * [[publishIndex]] root — the old-blue cleanup once the new
@@ -2042,11 +2165,17 @@ object Graft {
     * bucket — and [[screen]] prunes its scan to the batch's buckets'
     * files instead of banding the whole hash table per call
     * (`probeBuckets` = the store's modulus; None/0 = live-built or
-    * v1 — screens band `hashes` in-plan, unpruned).
+    * v1 — screens band `hashes` in-plan, unpruned). `pbBloom` is the
+    * store's band-key Bloom sketch ((w, word) frame, bit size) —
+    * [[screen]] probes the batch's (band, chunk) keys against it
+    * FIRST, so a definitely-novel media batch never touches the
+    * stored tables at all (sound: a Bloom has no false negatives; FPs
+    * only cost probes, never change a verdict).
     */
   final case class PhashIndex private[api] (
       hashes: DataFrame, storedBands: Option[DataFrame] = None,
-      probeBuckets: Int = 0) {
+      probeBuckets: Int = 0,
+      pbBloom: Option[(DataFrame, Int)] = None) {
 
     /** Near-dup verdicts for arriving hashes vs the STORED corpus:
       * the batch's banded hashes BROADCAST into the stored band
@@ -2066,7 +2195,7 @@ object Graft {
       storedBands match {
         case Some(bands) if probeBuckets > 0 =>
           MultimodalQueries.phashScreenBands(bands, incoming,
-            maxHamming, bucketCap, probeBuckets)
+            maxHamming, bucketCap, probeBuckets, pbBloom)
         case _ =>
           MultimodalQueries.phashScreenStored(hashes, incoming,
             maxHamming, bucketCap)
@@ -2124,7 +2253,8 @@ object Graft {
     PhashIndex(IndexStore.loadPhash(spark, dir)
       .select(col("vec_id").as("media_id"), col("lo"), col("hi")),
       bands.map(_._1.withColumnRenamed("vec_id", "media_id")),
-      bands.fold(0)(_._2))
+      bands.fold(0)(_._2),
+      IndexStore.loadPhashPbBloom(spark, dir))
   }
 
   /** Per-frame perceptual hashes of opaque video payloads, decoded

@@ -1531,29 +1531,49 @@ object DedupQueries {
     *
     * Output: (doc_id [arriving], stored_id, est_jaccard), unsorted.
     */
-  /** ENFORCE the screens' documented size contract, opt-in via
-    * `spark.graft.maxScreenBatchRows`: the incoming batch BROADCASTS
-    * to every executor, so an oversized batch must fail LOUDLY at a
+  /** The screens' size-contract defaults — DEFAULT-ON since round 13
+    * (the round-12 opt-in left default-config users with no loud
+    * fence between them and an opaque broadcast failure or a driver
+    * OOM). Both are generous for real micro-batches and overridable
+    * per session; both clamp below Int.MaxValue so a huge override
+    * degrades to the largest enforceable bound instead of an integer
+    * overflow turning the guard into a confusing limit() failure.
+    */
+  private[graft] val MaxScreenBatchRowsDefault = 1000000L
+  private[graft] val MaxScreenCandidatesDefault = 1000000L
+
+  private def boundedConf(spark: SparkSession, key: String,
+                          default: Long): Int = {
+    val v = spark.conf.getOption(key).map(_.toLong).getOrElse(default)
+    require(v >= 1, s"$key must be >= 1, got $v")
+    math.min(v, Int.MaxValue.toLong - 1).toInt
+  }
+
+  /** ENFORCE the screens' documented batch-size contract
+    * (`spark.graft.maxScreenBatchRows`, default
+    * [[MaxScreenBatchRowsDefault]]): the incoming batch BROADCASTS to
+    * every executor, so an oversized batch must fail LOUDLY at a
     * named boundary — this check — rather than deep in Spark's
     * broadcast machinery (whose 8 GB/512M-row ceilings surface as
-    * opaque executor errors). Unset (the default) costs nothing; set,
-    * it costs one early-stopping count of the batch. The streaming
-    * surfaces bound batches naturally; set this when batch sizing is
-    * outside your control.
+    * opaque executor errors). Costs one early-stopping count of the
+    * batch per screen; the streaming surfaces bound batches
+    * naturally, so the fence exists for batch sizing outside the
+    * caller's control.
     */
   private[graft] def enforceScreenBatchContract(batch: DataFrame,
-                                                what: String): Unit =
-    batch.sparkSession.conf.getOption("spark.graft.maxScreenBatchRows")
-      .map(_.toLong).foreach { max =>
-        if (batch.limit((max + 1).toInt).count() > max)
-          throw new IllegalStateException(
-            s"$what batch exceeds spark.graft.maxScreenBatchRows=$max: " +
-              "the incoming side of a screen BROADCASTS to every " +
-              "executor by the size contract — an oversized batch " +
-              "would fail at the broadcast (or OOM) instead; split " +
-              "the input into bounded micro-batches (the streaming " +
-              "surfaces do this naturally)")
-      }
+                                                what: String): Unit = {
+    val max = boundedConf(batch.sparkSession,
+      "spark.graft.maxScreenBatchRows", MaxScreenBatchRowsDefault)
+    if (batch.limit(max + 1).count() > max)
+      throw new IllegalStateException(
+        s"$what batch exceeds spark.graft.maxScreenBatchRows=$max: " +
+          "the incoming side of a screen BROADCASTS to every " +
+          "executor by the size contract — an oversized batch " +
+          "would fail at the broadcast (or OOM) instead; split " +
+          "the input into bounded micro-batches (the streaming " +
+          "surfaces do this naturally), or raise the conf if your " +
+          "executors can hold a bigger broadcast")
+  }
 
   private[graft] def lshScreenOf(storedSigs: DataFrame,
                                  storedBands: DataFrame,
@@ -1625,11 +1645,30 @@ object DedupQueries {
         val prunedBands =
           if (bbs.isEmpty) storedBands.filter(lit(false))
           else storedBands.filter(col("bb").isInCollection(bbs))
+        // GUARDED pull: the candidate set is O(batch band keys ×
+        // stored-bucket population) — bounded on every healthy store,
+        // but a hot bucket (millions of near-identical stored docs)
+        // would otherwise materialize on the driver as an OOM. The
+        // limit bounds what the driver ever holds (one pass — not a
+        // count-then-collect), and overflow fails at a NAMED boundary
+        // that says which lever to pull.
+        val spark = storedSigs.sparkSession
+        val maxCand = boundedConf(spark,
+          "spark.graft.maxScreenCandidates", MaxScreenCandidatesDefault)
         val pulled = candOf(prunedBands)
           .withColumn("sb", pmod(hash(col("stored_id")),
             lit(probeBuckets)))
+          .limit(maxCand + 1)
           .collect()
-        val spark = storedSigs.sparkSession
+        if (pulled.length > maxCand)
+          throw new IllegalStateException(
+            s"lsh screen: candidate set exceeds " +
+              s"spark.graft.maxScreenCandidates=$maxCand — a stored " +
+              "hot bucket is fanning out against this batch. Set " +
+              "bucketCap to exclude oversized buckets from candidate " +
+              "generation (boilerplate mega-buckets are exact dedup's " +
+              "job), raise the conf if the driver can hold more, or " +
+              "compact away hyper-duplicated ids first.")
         import spark.implicits._
         val localCand = pulled.map(r => (r.getLong(0), r.getLong(1)))
           .toSeq.toDF("new_id", "stored_id")

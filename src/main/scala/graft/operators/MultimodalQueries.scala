@@ -724,14 +724,32 @@ object MultimodalQueries {
                                       incoming: DataFrame,
                                       maxHamming: Int = 4,
                                       bucketCap: Option[Long] = None,
-                                      nBuckets: Int = 16): DataFrame = {
+                                      nBuckets: Int = 16,
+                                      pbBloom: Option[(DataFrame, Int)] =
+                                        None): DataFrame = {
     graft.operators.DedupQueries
       .enforceScreenBatchContract(incoming, "phash screen")
-    val in = phashBanded(incoming)
+    val inAll = phashBanded(incoming)
       .select(col("media_id").as("ma"), col("lo").as("alo"),
         col("hi").as("ahi"), col("bucket.band").as("band"),
         col("bucket.chunk").as("chunk"))
       .localCheckpoint(eager = false)
+    // BLOOM PREFILTER (stored sketch over the index's (band, chunk)
+    // keys — the LSH bkbloom mirrored onto media): a key the sketch
+    // rejects provably matches NO stored bucket, so its band row
+    // drops BEFORE any store I/O — a definitely-novel media batch
+    // derives an EMPTY pb set and the stored scan folds away
+    // entirely. FPs only add probes; verdicts unchanged.
+    val in = pbBloom.fold(inAll) { case (words, mBits) =>
+      val keyed = inAll.withColumn("h",
+        concat_ws(":", col("band"), col("chunk")))
+      val keep = graft.operators.DedupQueries.BloomSketch.probe(
+          keyed.select(col("ma").as("doc_id"), col("h")).distinct(),
+          words, mBits)
+        .filter(col("bloom_hit"))
+        .select(col("doc_id").as("ma"), col("h"))
+      keyed.join(broadcast(keep), Seq("ma", "h")).drop("h")
+    }
     val pbs = in
       .select((col("band") * nBuckets + pmod(col("chunk"),
         lit(nBuckets.toLong))).cast("int").as("pb"))

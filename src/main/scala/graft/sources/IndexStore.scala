@@ -74,13 +74,36 @@ object IndexStore {
                             n_buckets: Long = 0L)
 
   /** The save-time probe-bucket modulus: `spark.graft.probeBuckets`
-    * (default 16; 0 disables bucketing). More buckets = finer probe
-    * pruning but more partition directories — at 100 TB raise it to
-    * O(cluster parallelism); the tests' corpora stay at the default.
+    * overrides when set (0 disables bucketing); UNSET — the default —
+    * the modulus is AUTO-SIZED from the probed table's row count
+    * ([[autoProbeBuckets]]), so a 100 TB save gets 100 TB pruning
+    * granularity without hand-tuning, exactly like d13's bloomBits
+    * scaling. `probedRows` is by-name: a conf override never pays the
+    * count. The chosen modulus rides in the manifest (probers MUST
+    * replay it), so readers and appenders are independent of how it
+    * was picked.
     */
-  private def probeBuckets(spark: SparkSession): Int =
+  private def probeBucketsFor(spark: SparkSession,
+                              probedRows: => Long): Int =
     spark.conf.getOption("spark.graft.probeBuckets")
-      .map(_.toInt).getOrElse(16)
+      .map(_.toInt).getOrElse(autoProbeBuckets(probedRows))
+
+  /** Bucket-count rule: one bucket per ~256k probed-table rows,
+    * rounded UP to a power of two, clamped to [16, 4096]. The floor
+    * keeps small stores at the long-tested granularity (every corpus
+    * under ~4M band/posting rows sizes to 16 — all test fixtures);
+    * the pow2 keeps `pmod(hash(k), n)` uniform under doubling; the
+    * cap bounds partition-directory count (4096 dirs is well inside
+    * every object store's listing comfort zone, and at that size
+    * each bucket is its own multi-file directory anyway).
+    */
+  private[sources] def autoProbeBuckets(rows: Long): Int = {
+    val target = 262144L
+    val raw = math.max(1L, (rows + target - 1) / target)
+    val pow = java.lang.Long.highestOneBit(raw)
+    val up = if (pow == raw) raw else pow * 2
+    math.min(4096L, math.max(16L, up)).toInt
+  }
 
   /** One audit row per lifecycle op — the append-epoch log a
     * production store reads to answer "what happened to this index
@@ -108,9 +131,19 @@ object IndexStore {
     * holder leaves the lock behind — clear it explicitly with
     * [[breakLock]] ([[graft.api.Graft.breakIndexLock]]); nothing
     * auto-expires, because a slow writer is indistinguishable from a
-    * dead one without coordination. Readers never take the lock.
+    * dead one without coordination — but it IS distinguishable with
+    * one: while the op runs, a daemon HEARTBEAT thread refreshes the
+    * lock file's mtime every `spark.graft.lockHeartbeatMs` (default
+    * 10 s), so a crashed holder's lock goes mtime-stale within one
+    * interval while a slow-but-alive writer's never does.
+    * [[lockInfo]]/[[describe]] surface (holder, heartbeat age, stale
+    * suspicion); the operator decides and [[breakLock]] stays the
+    * explicit action — no unfenced TTL ever auto-breaks a lock (the
+    * ARCHITECTURE.md lock-lease analysis: auto-expiry without
+    * generation fencing re-admits the two-writer interleaving).
+    * Readers never take the lock.
     */
-  private def withWriteLock[T](spark: SparkSession, dir: String)
+  private[sources] def withWriteLock[T](spark: SparkSession, dir: String)
                               (body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(s"$dir/.write.lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -138,7 +171,29 @@ object IndexStore {
           .getRuntimeMXBean.getName + " @ " + System.currentTimeMillis())
           .getBytes("UTF-8"))
       } finally out.close()
-      body
+      // HEARTBEAT: refresh the lock's mtime while the op runs, so
+      // liveness is observable from the filesystem alone (lockInfo).
+      // Daemon + interrupt-on-finally: the thread can never outlive
+      // the op, and a setTimes failure (e.g. an operator broke the
+      // lock out from under a live writer) just ends the heartbeat —
+      // the op itself is unaffected.
+      val hbMs = spark.conf.getOption("spark.graft.lockHeartbeatMs")
+        .map(_.toLong).getOrElse(10000L)
+      val hb = new Thread(() => {
+        try {
+          while (!Thread.currentThread().isInterrupted) {
+            Thread.sleep(hbMs)
+            fs.setTimes(lock, System.currentTimeMillis(), -1)
+          }
+        } catch { case _: Throwable => () }
+      }, s"graft-lock-heartbeat")
+      hb.setDaemon(true)
+      hb.start()
+      try body
+      finally {
+        hb.interrupt()
+        hb.join(2000)
+      }
     } finally fs.delete(lock, false)
   }
 
@@ -163,6 +218,44 @@ object IndexStore {
     val lock = new org.apache.hadoop.fs.Path(s"$dir/.write.lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(lock, false)
+  }
+
+  /** The store's write lock, OBSERVED: (holder string as written at
+    * acquire — pid@host + acquire millis, heartbeat age millis —
+    * now minus the lock file's last heartbeat mtime, stale suspect —
+    * age beyond `spark.graft.lockStaleAfterMs`, default 60 s = six
+    * missed default heartbeats). None when the store is unlocked (or
+    * the lock vanished mid-read — a release, which IS unlocked).
+    * This is the detection half of the lock-lease decision: a live
+    * writer heartbeats its mtime, so `stale_suspect = true` means the
+    * holder has missed enough beats to presume it dead — the operator
+    * confirms (the holder string names pid@host) and [[breakLock]]s
+    * explicitly. Nothing here auto-breaks anything.
+    */
+  def lockInfo(spark: SparkSession, dir: String)
+      : Option[(String, Long, Boolean)] = {
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/.write.lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      if (!fs.exists(lock)) None
+      else {
+        val st = fs.getFileStatus(lock)
+        val holder =
+          try {
+            val in = fs.open(lock)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          } catch { case _: Exception => "unknown" }
+        val age =
+          math.max(0L, System.currentTimeMillis() - st.getModificationTime)
+        val staleAfter = spark.conf
+          .getOption("spark.graft.lockStaleAfterMs")
+          .map(_.toLong).getOrElse(60000L)
+        Some((holder, age, age > staleAfter))
+      }
+    } catch {
+      case _: java.io.FileNotFoundException => None
+    }
   }
 
   private def writeManifest(spark: SparkSession, dir: String, kind: String,
@@ -638,6 +731,21 @@ object IndexStore {
             .write.mode(SaveMode.Overwrite)
             .partitionBy("pb").parquet(tmp.toString)
           swapInto(fs, tmp, live)
+          // the band-key Bloom is a pure function of the band table —
+          // REBUILD from the compacted rows (the only way a Bloom can
+          // "forget" tombstoned keys), exactly the lsh bkbloom rule
+          val mBits = spark.read.parquet(s"$dir/manifest").collect()(0)
+            .getAs[Long]("m_bits").toInt
+          if (mBits > 0) {
+            val bl = new org.apache.hadoop.fs.Path(s"$dir/pbbloom")
+            val bt = new org.apache.hadoop.fs.Path(s"$dir/pbbloom.compact")
+            fs.delete(bt, true)
+            pbkeySketchOf(spark.read.parquet(s"$dir/bands")
+                .select(col("band"), col("chunk")), mBits)
+              .coalesce(1)
+              .write.mode(SaveMode.Overwrite).parquet(bt.toString)
+            swapInto(fs, bt, bl)
+          }
         }
         "hashes"
       case "bm25" =>
@@ -856,6 +964,23 @@ object IndexStore {
         }
       case "phash" =>
         moveTable("hashes"); moveTable("bands"); moveTable("tombstones")
+        // the band-key Bloom FOLDS (bit_or — idempotent, so a
+        // crash-resume re-fold is harmless); equal bit sizes are
+        // guaranteed by validateCompat's m_bits check
+        val srcPb = new org.apache.hadoop.fs.Path(s"$srcDir/pbbloom")
+        val pbFs = srcPb.getFileSystem(hconf)
+        if (pbFs.exists(srcPb) &&
+            pbFs.exists(new org.apache.hadoop.fs.Path(s"$dstDir/pbbloom"))) {
+          val folded = spark.read.parquet(s"$dstDir/pbbloom")
+            .unionByName(spark.read.parquet(s"$srcDir/pbbloom"))
+            .groupBy(col("w")).agg(expr("bit_or(word)").as("word"))
+          val live = new org.apache.hadoop.fs.Path(s"$dstDir/pbbloom")
+          val tmp = new org.apache.hadoop.fs.Path(s"$dstDir/pbbloom.compact")
+          pbFs.delete(tmp, true)
+          folded.coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          swapInto(pbFs, tmp, live)
+        }
       case "bm25" =>
         // postings/doclen move by rename; df is an AGGREGATE, so it
         // FOLDS (union + sum through a temp swap). Folding is not
@@ -1079,27 +1204,49 @@ object IndexStore {
     if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
     withWriteLock(spark, root) {
       val build = new org.apache.hadoop.fs.Path(buildDir)
-      require(fs.exists(build), s"publish: $buildDir does not exist")
-      require(fs.exists(new org.apache.hadoop.fs.Path(build, "manifest")),
-        s"publish: $buildDir holds no manifest — not a saved index")
-      val gens = generationsOf(fs, rootPath)
-      // resume path: the build dir IS an unpublished generation (a
-      // crash after the rename, before the marker) — just stamp it
-      val resumed = gens.find { case (_, p, _) =>
-        org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(p)
-          .toString ==
-          org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
-            build).toString
-      }
-      val (gen, dst) = resumed match {
-        case Some((n, p, _)) => (n, p)
-        case None =>
-          val next = (gens.map(_._1) :+ 0).max + 1
-          val dst = new org.apache.hadoop.fs.Path(rootPath, s"g-$next")
-          require(fs.rename(build, dst),
-            s"publish: rename $buildDir -> $dst failed (same filesystem required)")
-          (next, dst)
-      }
+      val (gen, dst) =
+        if (!fs.exists(build)) {
+          // RESUME after a crash between the rename and the marker,
+          // retried with the ORIGINAL buildDir (now renamed away): a
+          // sole unpublished generation under root can only be that
+          // crashed publish's rename target — stamp it. Anything else
+          // (none, or several) is ambiguous; fail naming the
+          // candidates so the operator can re-publish the right
+          // g-<n> explicitly.
+          generationsOf(fs, rootPath).filterNot(_._3) match {
+            case Seq((n, p, _)) => (n, p)
+            case Seq() => throw new IllegalArgumentException(
+              s"publish: $buildDir does not exist and $root holds no " +
+                "unpublished generation to resume")
+            case many => throw new IllegalStateException(
+              s"publish: $buildDir does not exist; $root holds " +
+                s"${many.length} unpublished generations (" +
+                many.map(g => s"g-${g._1}").mkString(", ") +
+                ") — re-publish the one you built by its root/g-<n> path")
+          }
+        } else {
+          require(
+            fs.exists(new org.apache.hadoop.fs.Path(build, "manifest")),
+            s"publish: $buildDir holds no manifest — not a saved index")
+          val gens = generationsOf(fs, rootPath)
+          // resume path: the build dir IS an unpublished generation (a
+          // crash after the rename, before the marker) — just stamp it
+          val resumed = gens.find { case (_, p, _) =>
+            org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(p)
+              .toString ==
+              org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+                build).toString
+          }
+          resumed match {
+            case Some((n, p, _)) => (n, p)
+            case None =>
+              val next = (gens.map(_._1) :+ 0).max + 1
+              val dst = new org.apache.hadoop.fs.Path(rootPath, s"g-$next")
+              require(fs.rename(build, dst),
+                s"publish: rename $buildDir -> $dst failed (same filesystem required)")
+              (next, dst)
+          }
+        }
       val marker = new org.apache.hadoop.fs.Path(dst, "_PUBLISHED")
       if (!fs.exists(marker)) fs.create(marker, false).close()
       gen
@@ -1160,10 +1307,17 @@ object IndexStore {
   }
 
   /** Introspection: one row per stored table — (kind, version, table,
-    * n_rows, n_files, bytes). Row counts are footer-metadata reads;
-    * file/byte counts are a filesystem walk. The operational answer
-    * to "how big is this index and does it need a [[compact]]" (many
-    * files per row ⇒ yes). Facade: [[graft.api.Graft.describeIndex]].
+    * n_rows, n_files, bytes, holder, heartbeat_age_ms, stale_suspect).
+    * Row counts are footer-metadata reads; file/byte counts are a
+    * filesystem walk. The operational answer to "how big is this
+    * index and does it need a [[compact]]" (many files per row ⇒
+    * yes). When another writer HOLDS the store's lock, one extra
+    * `_write_lock` row carries [[lockInfo]]'s observability columns —
+    * `stale_suspect = true` flags a holder that stopped
+    * heartbeating (presumed crashed; confirm, then [[breakLock]]);
+    * the three columns are null on every table row and the row is
+    * absent on an unlocked store. Facade:
+    * [[graft.api.Graft.describeIndex]].
     */
   def describe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1176,12 +1330,14 @@ object IndexStore {
       case "ivfpq" => Seq("codes", "centroids", "codebooks")
       case "lsh" => Seq("sigs", "bands", "params", "bkbloom")
       case "bm25" => Seq("postings", "doclen", "df")
-      case "phash" => Seq("hashes", "bands")
+      case "phash" => Seq("hashes", "bands", "pbbloom")
       case "bloom" => Seq("words")
       case other => throw new IllegalStateException(
         s"$dir/manifest: unknown kind '$other'")
     }) ++ Seq("tombstones", "epochs")
     val hconf = spark.sparkContext.hadoopConfiguration
+    val none = (None: Option[String], None: Option[Long],
+      None: Option[Boolean])
     val rows = tables.flatMap { t =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
       val fs = p.getFileSystem(hconf)
@@ -1189,10 +1345,15 @@ object IndexStore {
       else {
         val sum = fs.getContentSummary(p)
         Some((kind, version, t, diskRows(spark, s"$dir/$t"),
-          sum.getFileCount, sum.getLength))
+          sum.getFileCount, sum.getLength, none._1, none._2, none._3))
       }
     }
-    rows.toDF("kind", "version", "table", "n_rows", "n_files", "bytes")
+    val lockRow = lockInfo(spark, dir).map { case (holder, age, stale) =>
+      (kind, version, "_write_lock", 0L, 1L, 0L,
+        Some(holder), Some(age), Some(stale))
+    }
+    (rows ++ lockRow).toDF("kind", "version", "table", "n_rows",
+      "n_files", "bytes", "holder", "heartbeat_age_ms", "stale_suspect")
   }
 
   // ------------------------------------------------------------------
@@ -1218,6 +1379,23 @@ object IndexStore {
         (col("b.band") * nb + pmod(col("b.chunk"), lit(nb.toLong)))
           .cast("int").as("pb"))
 
+  /** The pHash store's BAND-KEY Bloom sketch — the LSH `bkbloom`
+    * mirrored onto media: a Bloom over every stored (band, chunk)
+    * key, probed by an incoming batch's band keys BEFORE any stored
+    * file is touched. A key the sketch rejects provably matches NO
+    * stored bucket (no false negatives), so a batch of novel media
+    * costs its own banding plus a broadcast sketch probe and reads
+    * ZERO stored files; false positives only add probes — verdicts
+    * are unchanged by construction (ProbePruningSpec pins it).
+    * Rebuilt from the band rows on [[compact]] (pure function),
+    * bit_or-folded on append/merge; the bit size rides in the
+    * manifest's `m_bits` (0 = pre-sketch store, no sketch to probe).
+    */
+  private def pbkeySketchOf(bands: DataFrame, mBits: Int): DataFrame =
+    graft.operators.DedupQueries.BloomSketch.sketchOf(
+      bands.select(concat_ws(":", col("band"), col("chunk")).as("h")),
+      mBits)
+
   /** Layout: `hashes/` = (vec_id, lo, hi) — the canonical 64-bit
     * aHash table, 16 bytes a media object; decode happens ONCE at
     * build/append (hashing is a pure function of the payload).
@@ -1225,19 +1403,34 @@ object IndexStore {
     * partitioned by `pb` — so a screen prunes its scan to the batch's
     * buckets' files instead of banding the whole hash table per
     * micro-batch; `bands/` is a pure function of `hashes/` (5 rows ×
-    * 24 B per object), rebuilt rather than healed on [[compact]].
+    * 24 B per object), rebuilt rather than healed on [[compact]] —
+    * plus `pbbloom/` = the [[pbkeySketchOf]] band-key Bloom, the
+    * zero-I/O prefilter for definitely-novel batches.
     */
   def savePhash(dir: String, hashes: DataFrame): Unit = {
     val spark = hashes.sparkSession
-    val nb = probeBuckets(spark)
     withWriteLock(spark, dir) {
+      // hashes land FIRST, then everything derived reads the WRITTEN
+      // table — the auto-sizing count is a footer-metadata read and
+      // the band projection never re-runs the caller's decode plan
       hashes.select(col("vec_id"), col("lo"), col("hi"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/hashes")
-      if (nb > 0)
-        phashBandRows(hashes, nb)
+      val stored = spark.read.parquet(s"$dir/hashes")
+        .select(col("vec_id"), col("lo"), col("hi"))
+      val nb = probeBucketsFor(spark, diskRows(spark, s"$dir/hashes") * 5)
+      val bloomBits =
+        if (nb > 0) graft.operators.DedupQueries.BloomSketch.mBitsOf(spark)
+        else 0
+      if (nb > 0) {
+        val bands = phashBandRows(stored, nb)
+        bands
           .write.mode(SaveMode.Overwrite)
           .partitionBy("pb").parquet(s"$dir/bands")
-      writeManifest(spark, dir, "phash", 0L, nb.toLong)
+        pbkeySketchOf(spark.read.parquet(s"$dir/bands"), bloomBits)
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/pbbloom")
+      }
+      writeManifest(spark, dir, "phash", bloomBits.toLong, nb.toLong)
       recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/hashes"))
     }
   }
@@ -1245,20 +1438,41 @@ object IndexStore {
   /** DURABLE append for the pHash layout — one parquet append of the
     * arrivals' hashes (plus their band rows on a bucketed store,
     * landing only under their buckets' dirs); the stored rows are
-    * never rewritten. Bucket modulus follows the STORED layout.
+    * never rewritten. Bucket modulus follows the STORED layout. The
+    * band-key Bloom folds FIRST (the appendLsh ordering: a crash
+    * after the fold leaves an over-approximating sketch — FP-only
+    * cost — whereas folding last could strand stored rows the sketch
+    * rejects, silently losing their true near-dups).
     */
   def appendPhash(dir: String, hashesNew: DataFrame): Unit = {
     val spark = hashesNew.sparkSession
-    val nb = readManifest(spark, dir, "phash").n_buckets.toInt
+    val man = readManifest(spark, dir, "phash")
+    val nb = man.n_buckets.toInt
+    val mBits = man.m_bits.toInt
     withWriteLock(spark, dir) {
       val before = diskRows(spark, s"$dir/hashes")
+      val bandsNew =
+        if (nb > 0)
+          Some(phashBandRows(hashesNew.select(col("vec_id"), col("lo"),
+            col("hi")), nb).localCheckpoint(eager = false))
+        else None
+      bandsNew.filter(_ => mBits > 0).foreach { bn =>
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val folded = spark.read.parquet(s"$dir/pbbloom")
+          .unionByName(pbkeySketchOf(bn, mBits))
+          .groupBy(col("w")).agg(expr("bit_or(word)").as("word"))
+        val live = new org.apache.hadoop.fs.Path(s"$dir/pbbloom")
+        val fs = live.getFileSystem(hconf)
+        val tmp = new org.apache.hadoop.fs.Path(s"$dir/pbbloom.compact")
+        fs.delete(tmp, true)
+        folded.coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        swapInto(fs, tmp, live)
+      }
       hashesNew.select(col("vec_id"), col("lo"), col("hi"))
         .write.mode(SaveMode.Append).parquet(s"$dir/hashes")
-      if (nb > 0)
-        phashBandRows(hashesNew.select(col("vec_id"), col("lo"),
-            col("hi")), nb)
-          .write.mode(SaveMode.Append)
-          .partitionBy("pb").parquet(s"$dir/bands")
+      bandsNew.foreach(_.write.mode(SaveMode.Append)
+        .partitionBy("pb").parquet(s"$dir/bands"))
       recordEpoch(spark, dir, "append",
         diskRows(spark, s"$dir/hashes") - before)
     }
@@ -1284,6 +1498,22 @@ object IndexStore {
       spark.read.parquet(s"$dir/bands")
         .select(col("vec_id"), col("lo"), col("hi"), col("band"),
           col("chunk"), col("pb").cast("int"))), nb))
+  }
+
+  /** The stored pHash band-key Bloom — ((w, word) frame, bit size);
+    * None for pre-sketch stores (manifest `m_bits` = 0). Like the LSH
+    * sketch it may over-approximate after deletes (Blooms cannot
+    * forget) — SAFE: extra probes, never a lost verdict; [[compact]]
+    * rebuilds it exactly.
+    */
+  def loadPhashPbBloom(spark: SparkSession, dir: String)
+      : Option[(DataFrame, Int)] = {
+    val mBits = readManifest(spark, dir, "phash").m_bits.toInt
+    val p = new org.apache.hadoop.fs.Path(s"$dir/pbbloom")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mBits <= 0 || !fs.exists(p)) None
+    else Some((spark.read.parquet(p.toString)
+      .select(col("w"), col("word")), mBits))
   }
 
   // ------------------------------------------------------------------
@@ -1325,7 +1555,9 @@ object IndexStore {
   def saveBm25(dir: String, postings: DataFrame, doclen: DataFrame,
                df: DataFrame, denormDl: Boolean = false): Unit = {
     val spark = postings.sparkSession
-    val nb = probeBuckets(spark)
+    // auto-sizing counts the probed table (one extra pass, once per
+    // build); a conf override skips the count entirely
+    val nb = probeBucketsFor(spark, postings.count())
     withWriteLock(spark, dir) {
       val p0 =
         if (!denormDl) postings.select(col("vec_id"), col("tok"), col("tf"))
@@ -1518,7 +1750,11 @@ object IndexStore {
               rowsPerBand: Int): Unit = {
     val spark = sigs.sparkSession
     import spark.implicits._
-    val nb = probeBuckets(spark)
+    // auto-sizing estimates the band-table rows (sigs × bands per
+    // sig — exact, banding emits one row per band) with one extra
+    // signature pass, once per build; a conf override skips it
+    val nb = probeBucketsFor(spark,
+      sigs.count() * math.max(1L, numHashes.toLong / rowsPerBand))
     val bloomBits = graft.operators.DedupQueries.BloomSketch.mBitsOf(spark)
     withWriteLock(spark, dir) {
       if (nb > 0)
@@ -1562,6 +1798,28 @@ object IndexStore {
     val nb = readManifest(spark, dir, "lsh").n_buckets.toInt
     withWriteLock(spark, dir) {
       val before = diskRows(spark, s"$dir/sigs")
+      // fold the new band keys into the bkey Bloom FIRST (bit_or — the
+      // mergeable-sketch semantics; idempotent under replay). Ordering
+      // is soundness: a crash AFTER the fold but before the row
+      // appends leaves an over-approximating sketch (keys folded, rows
+      // never landed) — safe by the FP-only-cost invariant — whereas
+      // the reverse order's crash window left stored band rows the
+      // sketch rejects, silently skipping their true near-dups on
+      // every later screen. Stores saved before the sketch existed
+      // simply have none to maintain.
+      bkbloomBitsOf(spark, dir).foreach { mBits =>
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val folded = spark.read.parquet(s"$dir/bkbloom")
+          .unionByName(bkeySketchOf(bandsNew, mBits))
+          .groupBy(col("w")).agg(expr("bit_or(word)").as("word"))
+        val live = new org.apache.hadoop.fs.Path(s"$dir/bkbloom")
+        val fs = live.getFileSystem(hconf)
+        val tmp = new org.apache.hadoop.fs.Path(s"$dir/bkbloom.compact")
+        fs.delete(tmp, true)
+        folded.coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        swapInto(fs, tmp, live)
+      }
       if (nb > 0)
         lshWithSb(sigsNew, nb)
           .write.mode(SaveMode.Append)
@@ -1577,22 +1835,6 @@ object IndexStore {
         bandsNew.select(col("vec_id"), col("bkey"), col("band"))
           .write.mode(SaveMode.Append)
           .partitionBy("band").parquet(s"$dir/bands")
-      // fold the new band keys into the bkey Bloom (bit_or — the
-      // mergeable-sketch semantics; idempotent under replay). Stores
-      // saved before the sketch existed simply have none to maintain.
-      bkbloomBitsOf(spark, dir).foreach { mBits =>
-        val hconf = spark.sparkContext.hadoopConfiguration
-        val folded = spark.read.parquet(s"$dir/bkbloom")
-          .unionByName(bkeySketchOf(bandsNew, mBits))
-          .groupBy(col("w")).agg(expr("bit_or(word)").as("word"))
-        val live = new org.apache.hadoop.fs.Path(s"$dir/bkbloom")
-        val fs = live.getFileSystem(hconf)
-        val tmp = new org.apache.hadoop.fs.Path(s"$dir/bkbloom.compact")
-        fs.delete(tmp, true)
-        folded.coalesce(1)
-          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        swapInto(fs, tmp, live)
-      }
       recordEpoch(spark, dir, "append",
         diskRows(spark, s"$dir/sigs") - before)
     }

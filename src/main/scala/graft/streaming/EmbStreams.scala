@@ -218,6 +218,75 @@ object EmbStreams {
       }
       .start()
 
+  /** GENERATION-AWARE pruned serving — [[ivfServePruned]] bound to a
+    * blue/green [[graft.sources.IndexStore.publishGeneration]] ROOT
+    * instead of one frozen directory: every micro-batch re-resolves
+    * the CURRENT generation (one filesystem listing — cheap at any
+    * scale) and serves from it, so a retrain + publish flips a LIVE
+    * serving fleet on its very next batch with no restart — the read
+    * half of the blue/green seam. Each batch resolves exactly ONCE,
+    * so no batch can mix generations by construction; the per-
+    * generation artifacts (centroid literals, the eager tombstone
+    * snapshot — [[graft.api.Graft.IvfIndex.servePrunedStore]]'s
+    * semantics) are cached and re-pulled only when the generation
+    * number changes, so steady-state batches cost exactly what the
+    * fixed-directory path costs plus the listing. `onBatch` receives
+    * (generation, hits). Vacuum old generations only after the
+    * stream has flipped past them ([[graft.sources.IndexStore
+    * .vacuumGenerations]]'s standard caveat).
+    */
+  def ivfServeCurrent(queries: Dataset[EmbQuery], root: String,
+                      nprobe: Int = 2, k: Int = 3)
+                     (onBatch: (Int, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // generation cache — foreachBatch bodies run sequentially on the
+    // stream's microbatch thread, so plain state is safe
+    var cached: Option[(Int, String, Seq[(Int, Array[Float])],
+      Option[DataFrame])] = None
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[EmbQuery], _: Long) =>
+        val spark = batch.sparkSession
+        val (gen, dir) =
+          graft.sources.IndexStore.currentGeneration(spark, root)
+            .getOrElse(throw new IllegalStateException(
+              s"$root holds no published index generation"))
+        if (!cached.exists(_._1 == gen)) {
+          // open the generation through the store loader (kind check +
+          // tombstone-masking contract), pull the tiny centroid table
+          // and the tombstone snapshot once per generation
+          val (_, centroidsDf) =
+            graft.sources.IndexStore.loadIvf(spark, dir)
+          val cents = centroidsDf.collect()
+            .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+          val snap = graft.sources.IndexStore.tombstones(spark, dir)
+            .map { t =>
+              import spark.implicits._
+              t.select(col("vec_id").cast("long")).as[Long]
+                .collect().toSeq.toDF("vec_id")
+            }
+          cached = Some((gen, dir, cents, snap))
+        }
+        val (g, d, cents, snap) = cached.get
+        val probes = probeProjection(batch.toDF(), cents, nprobe).cache()
+        try {
+          val cells = probes.select(col("cell")).distinct()
+            .collect().map(_.getInt(0))
+          if (cells.nonEmpty) {
+            val scanned = spark.read.parquet(s"$d/assigned")
+              .where(col("cell").isin(cells.map(Integer.valueOf): _*))
+              .select(col("vec_id"), col("embedding"), col("cell"))
+            val corpus = snap.fold(scanned)(t => scanned.join(
+              broadcast(t.select(col("vec_id"))), Seq("vec_id"),
+              "left_anti"))
+            onBatch(g, graft.operators.SimilarityQueries
+              .probeAndRank(corpus, probes, k))
+          }
+        } finally probes.unpersist()
+      }
+      .start()
+  }
+
   final case class EmbArrival(vec_id: Long, ts: Timestamp,
                               embedding: Seq[Float])
 
@@ -326,6 +395,33 @@ object EmbStreams {
     * are unaffected; no deployed pre-change streams exist in this
     * repo's test surface.
     */
+  /** RETENTION for the commit markers — without it, `_graft_commits/`
+    * accrues one empty file per micro-batch forever (a year of 10 s
+    * triggers ≈ 3M files). Only RECENT markers matter for replay
+    * idempotency: after a restart, Spark redelivers at most the last
+    * un-committed batch(es) from the checkpoint's own offset log —
+    * batch ids far in the past can never be redelivered, so their
+    * markers are dead weight. Keep the newest
+    * `spark.graft.commitMarkerKeep` (default 20 — orders of magnitude
+    * above any real redelivery window; 0 disables the sweep). One
+    * ≤ keep+1-entry directory listing per batch at steady state.
+    */
+  private[graft] def sweepMarkers(spark: org.apache.spark.sql.SparkSession,
+                                  cp: String, batchId: Long): Unit = {
+    val keep = spark.conf.getOption("spark.graft.commitMarkerKeep")
+      .map(_.toLong).getOrElse(20L)
+    if (keep > 0) {
+      val dir = new org.apache.hadoop.fs.Path(s"$cp/_graft_commits")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir))
+        fs.listStatus(dir).foreach { s =>
+          s.getPath.getName.stripPrefix("batch-").toLongOption
+            .filter(_ <= batchId - keep)
+            .foreach(_ => fs.delete(s.getPath, false))
+        }
+    }
+  }
+
   private[graft] def durableIngest[T](arrivals: Dataset[T],
                                       checkpointDir: Option[String])
                                      (append: Dataset[T] => Unit)
@@ -351,6 +447,7 @@ object EmbStreams {
               append(batch)
               fs.create(marker, true).close()
             }
+            sweepMarkers(spark, cp, batchId)
         }
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()

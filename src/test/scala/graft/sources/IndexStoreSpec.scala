@@ -837,4 +837,271 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact(Graft.loadAnnIndex(spark, s"$root/main").search(queries))
       == exact(idx.append(arr1.unionByName(arr2)).search(queries)))
   }
+
+  test("write-lock observability: a live writer heartbeats, a crashed holder goes stale in describe, breakLock stays the explicit remedy") {
+    val d = tmp()
+    Graft.annIndex(emb).save(d)
+    // unlocked: no lock info, no _write_lock row, null obs columns
+    assert(Graft.indexLockInfo(spark, d).isEmpty)
+    val desc = Graft.describeIndex(spark, d)
+    assert(desc.filter(col("table") === "_write_lock").count() == 0)
+    assert(desc.filter(col("holder").isNotNull).count() == 0)
+    spark.conf.set("spark.graft.lockHeartbeatMs", "50")
+    spark.conf.set("spark.graft.lockStaleAfterMs", "400")
+    try {
+      // LIVE holder: raw age would be ~900 ms > the 400 ms threshold,
+      // but the heartbeat keeps the observed age under it — a slow
+      // writer is distinguishable from a dead one
+      IndexStore.withWriteLock(spark, d) {
+        Thread.sleep(900)
+        val (holder, age, stale) = IndexStore.lockInfo(spark, d).get
+        assert(holder.contains("@"))
+        assert(age <= 400 && !stale,
+          s"live heartbeating holder read as stale (age=$age)")
+      }
+      assert(IndexStore.lockInfo(spark, d).isEmpty) // released
+      // CRASHED holder: a lock file nobody heartbeats, mtime in the
+      // past — describe surfaces it as stale with the holder named
+      val lock = new java.io.File(s"$d/.write.lock")
+      Files.write(lock.toPath, "12345@deadhost @ 0".getBytes("UTF-8"))
+      assert(lock.setLastModified(System.currentTimeMillis() - 100000))
+      val row = Graft.describeIndex(spark, d)
+        .filter(col("table") === "_write_lock").collect()
+      assert(row.length == 1)
+      assert(row(0).getAs[Boolean]("stale_suspect"))
+      assert(row(0).getAs[String]("holder").contains("deadhost"))
+      assert(row(0).getAs[Long]("heartbeat_age_ms") > 400)
+      // detection never auto-breaks: a mutator still fails loudly on
+      // the stale lock until the operator breaks it explicitly
+      val e = intercept[IllegalStateException] {
+        Graft.deleteFromIndex(spark, d, emb.select(col("vec_id")).limit(1))
+      }
+      assert(e.getMessage.contains("deadhost"))
+      assert(Graft.breakIndexLock(spark, d))
+      assert(Graft.indexLockInfo(spark, d).isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.lockHeartbeatMs")
+      spark.conf.unset("spark.graft.lockStaleAfterMs")
+    }
+  }
+
+  test("publish crash recovery: retrying with the vanished buildDir resumes the sole unpublished generation; ambiguity fails naming candidates") {
+    val root = tmp() + "/gens"
+    val b1 = tmp()
+    Graft.annIndex(emb).save(b1)
+    assert(Graft.publishIndex(spark, root, b1) == 1)
+    // crash window: build renamed to g-2, marker never stamped —
+    // retrying with the ORIGINAL (now vanished) path resumes it
+    val b2 = tmp()
+    Graft.annIndex(emb.filter(col("vec_id") % 2 === 0)).save(b2)
+    assert(new java.io.File(b2).renameTo(new java.io.File(s"$root/g-2")))
+    assert(Graft.publishIndex(spark, root, b2) == 2)
+    assert(Graft.currentIndexGeneration(spark, root).map(_._1) == Some(2))
+    // nothing to resume → loud failure
+    intercept[IllegalArgumentException] {
+      Graft.publishIndex(spark, root, tmp() + "/never-existed")
+    }
+    // SEVERAL unpublished generations → ambiguous; the failure names
+    // them so the operator re-publishes the right root/g-<n> path
+    val b3 = tmp(); Graft.annIndex(emb).save(b3)
+    val b4 = tmp(); Graft.annIndex(emb).save(b4)
+    assert(new java.io.File(b3).renameTo(new java.io.File(s"$root/g-3")))
+    assert(new java.io.File(b4).renameTo(new java.io.File(s"$root/g-4")))
+    val e = intercept[IllegalStateException] {
+      Graft.publishIndex(spark, root, b3)
+    }
+    assert(e.getMessage.contains("g-3") && e.getMessage.contains("g-4"))
+    // explicit re-publish by generation path still completes each
+    assert(Graft.publishIndex(spark, root, s"$root/g-3") == 3)
+    assert(Graft.publishIndex(spark, root, s"$root/g-4") == 4)
+  }
+
+  test("loadCurrent* resolves every store kind through a publish root; unpublished roots fail loudly") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def published(build: String => Unit): String = {
+      val root = tmp() + "/root"; val b = tmp()
+      build(b)
+      Graft.publishIndex(spark, root, b)
+      root
+    }
+    val q7 = docs.filter(col("doc_id") === 7)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val rB = published(Graft.bm25Index(docs).save(_))
+    assert(Graft.loadCurrentBm25Index(spark, rB).searchText(q7).count() > 0)
+    val rL = published(Graft.lshIndex(docs.filter(col("doc_id") % 3 =!= 0))
+      .save(_))
+    assert(Graft.loadCurrentLshIndex(spark, rL)
+      .screen(docs.filter(col("doc_id") === 0)).count() > 0)
+    val media = spark.range(0, 100).toDF("media_id")
+      .withColumn("lo", expr(
+        "xxhash64(media_id div 2) & 4294967295 ^ (media_id % 2)"))
+      .withColumn("hi", expr("xxhash64(media_id div 2 + 999) & 4294967295"))
+    val rP = published(Graft.phashIndex(
+      media.filter(col("media_id") % 2 === 1)).save(_))
+    assert(Graft.loadCurrentPhashIndex(spark, rP)
+      .screen(media.filter(col("media_id") % 2 === 0)).count() > 0)
+    val rQ = published(Graft.pqIndex(emb).save(_))
+    assert(Graft.loadCurrentPqIndex(spark, rQ).search(queries).count() > 0)
+    val rIQ = published(Graft.ivfPqIndex(emb).save(_))
+    assert(Graft.loadCurrentIvfPqIndex(spark, rIQ)
+      .search(queries).count() > 0)
+    val rBl = published(Graft.bloomSketch(Graft.segmentHashes(docs)).save(_))
+    assert(Graft.loadCurrentBloomIndex(spark, rBl).words.count() > 0)
+    intercept[IllegalStateException] {
+      Graft.loadCurrentBm25Index(spark, tmp() + "/nothing-published")
+    }
+  }
+
+  test("generation-aware serving stream: a mid-stream publish flips the served generation on the next batch, no restart, no mixed batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp() + "/serve-root"
+    // two DISJOINT corpora — a hit's parity proves which generation
+    // served it
+    val corpusA = emb.filter(col("vec_id") % 2 === 0)
+    val corpusB = emb.filter(col("vec_id") % 2 === 1)
+    val bA = tmp(); Graft.annIndex(corpusA).save(bA)
+    assert(Graft.publishIndex(spark, root, bA) == 1)
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 09:00:00")
+    val qvecs = emb.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").collect()
+      .map(r => graft.streaming.EmbStreams.EmbQuery(r.getLong(0), ts,
+        r.getSeq[Float](1)))
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.EmbStreams.EmbQuery]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Seq[Long])]
+    val q = Graft.serveCurrentAnnIndex(stream.toDS(), root) {
+      (gen, hits) =>
+        got += ((gen, hits.select(col("neighbor_id")).collect()
+          .map(_.getLong(0)).toSeq))
+    }
+    try {
+      stream.addData(qvecs.toSeq)
+      q.processAllAvailable()
+      assert(got.map(_._1).toSeq == Seq(1))
+      assert(got(0)._2.nonEmpty && got(0)._2.forall(_ % 2 == 0),
+        "generation 1 must serve corpus A only")
+      // retrain + publish WHILE the stream runs — the very next batch
+      // serves generation 2, with no stream restart
+      val bB = tmp(); Graft.annIndex(corpusB).save(bB)
+      assert(Graft.publishIndex(spark, root, bB) == 2)
+      stream.addData(qvecs.toSeq)
+      q.processAllAvailable()
+      assert(got.map(_._1).toSeq == Seq(1, 2))
+      assert(got(1)._2.nonEmpty && got(1)._2.forall(_ % 2 == 1),
+        "generation 2 must serve corpus B only — no mixed batch")
+    } finally q.stop()
+  }
+
+  test("hybridServeCurrent: republishing the lexical store flips the fused ranking mid-stream; batches match the batch fusion of their generation pair") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val lexRoot = tmp() + "/lex"; val denRoot = tmp() + "/den"
+    val bL1 = tmp()
+    Graft.bm25Index(docs.filter(col("doc_id") % 2 === 0)).save(bL1)
+    assert(Graft.publishIndex(spark, lexRoot, bL1) == 1)
+    val bD = tmp(); Graft.annIndex(emb).save(bD)
+    assert(Graft.publishIndex(spark, denRoot, bD) == 1)
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 09:00:00")
+    val hq = docs.filter(col("doc_id") < 3)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .collect().map(r => graft.api.Graft.HybridQuery(
+        r.getAs[Long]("doc_id"), ts, r.getAs[String]("text"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    assert(hq.length == 3)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.api.Graft.HybridQuery]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[((Int, Int), Seq[Seq[Any]])]
+    val q = Graft.hybridServeCurrent(lexRoot, denRoot, stream.toDS()) {
+      (gens, hits) =>
+        got += ((gens, hits.orderBy(col("query_id"), col("rank"))
+          .collect().toSeq.map(_.toSeq)))
+    }
+    try {
+      stream.addData(hq.toSeq)
+      q.processAllAvailable()
+      assert(got.map(_._1).toSeq == Seq((1, 1)))
+      // republish the LEXICAL side over the full corpus mid-stream
+      val bL2 = tmp(); Graft.bm25Index(docs).save(bL2)
+      assert(Graft.publishIndex(spark, lexRoot, bL2) == 2)
+      stream.addData(hq.toSeq)
+      q.processAllAvailable()
+      assert(got.map(_._1).toSeq == Seq((1, 1), (2, 1)))
+    } finally q.stop()
+    // each batch equals the BATCH fusion through its generation pair
+    val qdf = spark.createDataFrame(hq.toSeq.map(h =>
+        (h.query_id, h.text, h.embedding)))
+      .toDF("query_id", "text", "embedding")
+      .select(col("query_id"), col("text"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val den = Graft.loadCurrentAnnIndex(spark, denRoot)
+    val lex1 = Graft.loadBm25Index(spark,
+      IndexStore.currentGeneration(spark, lexRoot).map(_._2).get
+        .replace("g-2", "g-1"))
+    val lex2 = Graft.loadCurrentBm25Index(spark, lexRoot)
+    def fused(lex: graft.api.Graft.Bm25Index): Seq[Seq[Any]] =
+      Graft.hybridSearch(lex, den, qdf)
+        .orderBy(col("query_id"), col("rank"))
+        .collect().toSeq.map(_.toSeq)
+    assert(got(0)._2 == fused(lex1))
+    assert(got(1)._2 == fused(lex2))
+    assert(got(0)._2 != got(1)._2,
+      "the republished lexical store must change the fused ranking")
+  }
+
+  test("commit-marker retention: old markers sweep away; replay idempotency holds on the surviving window") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.graft.commitMarkerKeep", "2")
+    try {
+      val snapshot = emb.filter(col("vec_id") % 5 =!= 0)
+      val arrivals = emb.filter(col("vec_id") % 5 === 0)
+        .select("vec_id", "embedding").collect()
+        .map(r => graft.streaming.EmbStreams.EmbArrival(r.getLong(0),
+          java.sql.Timestamp.valueOf("2026-01-01 09:00:00"),
+          r.getSeq[Float](1)))
+      val chunks = arrivals.grouped(
+        math.max(1, arrivals.length / 4)).toSeq.take(4)
+      assert(chunks.length == 4)
+      val idx = Graft.annIndex(snapshot)
+      val d = tmp()
+      idx.save(d)
+      val cp = Files.createTempDirectory("graft-sweep-cp").toString
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.EmbStreams.EmbArrival]
+      val q = idx.appendStreamDurable(stream.toDS(), d, Some(cp))
+      chunks.foreach { c =>
+        stream.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      // 4 batches (ids 0..3), keep 2: only the newest two survive
+      // (the local FS keeps .crc sidecars next to live markers; they
+      // delete with their marker — only the batch-N files matter)
+      val markers = new java.io.File(s"$cp/_graft_commits")
+        .listFiles().map(_.getName).filter(_.startsWith("batch-")).toSet
+      assert(markers == Set("batch-2", "batch-3"),
+        s"unexpected markers after sweep: $markers")
+      // idempotency is about the RECENT window — the next batch id a
+      // restart could redeliver is still skippable after the sweep
+      val before = spark.read.parquet(s"$d/assigned").count()
+      Files.createFile(java.nio.file.Paths.get(
+        s"$cp/_graft_commits/batch-4"))
+      val q2 = idx.appendStreamDurable(stream.toDS(), d, Some(cp))
+      stream.addData(chunks.head.toSeq)
+      q2.processAllAvailable()
+      q2.stop()
+      assert(spark.read.parquet(s"$d/assigned").count() == before,
+        "a marked batch id was re-appended after the sweep")
+    } finally spark.conf.unset("spark.graft.commitMarkerKeep")
+  }
 }

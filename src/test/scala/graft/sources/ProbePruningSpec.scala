@@ -345,6 +345,123 @@ class ProbePruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.maxScreenBatchRows")
   }
 
+  test("DEFAULT-config fences: an oversized batch and a hot-bucket candidate blow-up fail loudly at named boundaries") {
+    // the round-13 contract: these fences hold with NOTHING set — a
+    // default-config user meets a named IllegalStateException, never
+    // an opaque broadcast error or a driver OOM
+    assert(spark.conf.getOption("spark.graft.maxScreenBatchRows").isEmpty)
+    assert(spark.conf.getOption("spark.graft.maxScreenCandidates").isEmpty)
+    val stored = docs.filter(col("doc_id") % 3 =!= 0)
+    val d = tmp()
+    Graft.lshIndex(stored).save(d)
+    val loaded = Graft.loadLshIndex(spark, d)
+    // batch fence: 1,000,001 rows trips the default before any store
+    // I/O (the count early-stops; the text column is never computed)
+    val huge = spark.range(0, 1000001)
+      .select(col("id").as("doc_id"),
+        concat(lit("w"), col("id")).as("text"))
+    val e = intercept[IllegalStateException] { loaded.screen(huge) }
+    assert(e.getMessage.contains("maxScreenBatchRows"),
+      s"wrong failure: ${e.getMessage}")
+    // candidate fence: a hyper-duplicated store × a duplicated batch —
+    // 1050 stored copies × 1000 arriving copies share every band
+    // bucket, so the candidate set (1.05M pairs) exceeds the 1M
+    // default; the pruned screen's driver pull fails at the named
+    // boundary, with bucketCap named as the remedy
+    val text = (0 until 12).map(i => s"dup$i").mkString(" ")
+    val hotStored = spark.range(0, 1050)
+      .select(col("id").as("doc_id"), lit(text).as("text"))
+    val hotBatch = spark.range(5000, 6000)
+      .select(col("id").as("doc_id"), lit(text).as("text"))
+    val dh = tmp()
+    Graft.lshIndex(hotStored).save(dh)
+    val lh = Graft.loadLshIndex(spark, dh)
+    val e2 = intercept[IllegalStateException] { lh.screen(hotBatch) }
+    assert(e2.getMessage.contains("maxScreenCandidates") &&
+      e2.getMessage.contains("bucketCap"),
+      s"wrong failure: ${e2.getMessage}")
+    // the named remedy works: capping the hot bucket bounds the pull
+    assert(lh.screen(hotBatch, bucketCap = Some(100)).count() == 0)
+  }
+
+  /** Deterministic media whose 5 pHash band chunks all fall in
+    * [off, off+1024) — two different `off` values share NO (band,
+    * chunk) key, so one range's batch is provably novel to the
+    * other's store (the Bloom-rejection fixture). Chunks assemble
+    * into (lo, hi) by inverting the band layout (band2 straddles the
+    * words; band4 is 12-bit, so off+1024 must stay < 4096).
+    */
+  private def mediaOf(n: Int, off: Int, idOff: Long): DataFrame = {
+    val cs = (0 until 5).map(i =>
+      (lit(off) + pmod(expr(s"xxhash64(id * 31 + $i)"), lit(1024L)))
+        .as(s"c$i"))
+    spark.range(0, n)
+      .select((col("id") + idOff).as("media_id") +: cs: _*)
+      .select(col("media_id"),
+        (col("c0") + col("c1") * 8192 +
+          (col("c2") % 64) * 67108864L).as("lo"),
+        (expr("c2 div 64") + col("c3") * 128 +
+          col("c4") * 1048576L).as("hi"))
+  }
+
+  test("pHash pbbloom: a definitely-novel media batch reads NO stored files; verdicts unchanged across append and compact") {
+    val stored = mediaOf(120, 0, 0L)
+    val d = tmp()
+    Graft.phashIndex(stored).save(d)
+    assert(new java.io.File(s"$d/pbbloom").exists())
+    val loaded = Graft.loadPhashIndex(spark, d)
+    assert(loaded.pbBloom.isDefined)
+    // a batch from a disjoint chunk range: every (band, chunk) key is
+    // Bloom-rejected, the pb probe set is empty, and the screen plan
+    // reads NEITHER stored table — zero store I/O for novel media
+    val novel = mediaOf(40, 1024, 10000L)
+    val out = loaded.screen(novel)
+    assert(out.count() == 0)
+    assert(scansOf(out, "bands").isEmpty && scansOf(out, "hashes").isEmpty,
+      "a fully-rejected media batch must not scan the stored tables")
+    // appendDurable folds the arrivals' keys FIRST (soundness order):
+    // the appended media re-screen against themselves afterwards, and
+    // the sketch-in-path screen equals the sketch-free live screen
+    val app = loaded.appendDurable(d, novel)
+    assert(app.pbBloom.isDefined)
+    val self = sorted(app.screen(novel))
+    assert(self.nonEmpty)
+    assert(self == sorted(
+      Graft.phashIndex(stored.unionByName(novel)).screen(novel)))
+    // compact REBUILDS the sketch from the compacted bands; verdicts
+    // hold through it and a still-novel range still reads nothing
+    Graft.compactIndex(spark, d)
+    val after = Graft.loadPhashIndex(spark, d)
+    assert(after.pbBloom.isDefined)
+    assert(sorted(after.screen(novel)) == self)
+    val novel2 = mediaOf(30, 2048, 20000L)
+    val out2 = after.screen(novel2)
+    assert(out2.count() == 0)
+    assert(scansOf(out2, "bands").isEmpty &&
+      scansOf(out2, "hashes").isEmpty)
+  }
+
+  test("probe-bucket auto-sizing: conf unset derives the modulus from the probed table's size; small stores keep the floor") {
+    assert(spark.conf.getOption("spark.graft.probeBuckets").isEmpty)
+    // the rule: ~256k probed rows per bucket, pow2, clamped [16, 4096]
+    assert(IndexStore.autoProbeBuckets(0L) == 16)
+    assert(IndexStore.autoProbeBuckets(262144L * 16) == 16)
+    assert(IndexStore.autoProbeBuckets(262144L * 16 + 1) == 32)
+    assert(IndexStore.autoProbeBuckets(262144L * 100) == 128)
+    assert(IndexStore.autoProbeBuckets(Long.MaxValue / 4) == 4096)
+    // a small corpus saved with conf UNSET lands at the floor — the
+    // exact granularity every pre-round-13 fixture was tested at
+    val d = tmp()
+    Graft.bm25Index(docs).save(d)
+    val man = spark.read.parquet(s"$d/manifest").collect()(0)
+    assert(man.getAs[Long]("n_buckets") == 16L)
+    assert(Graft.loadBm25Index(spark, d).probeBuckets == 16)
+    val dL = tmp()
+    Graft.lshIndex(docs).save(dL)
+    assert(spark.read.parquet(s"$dL/manifest").collect()(0)
+      .getAs[Long]("n_buckets") == 16L)
+  }
+
   test("merge refuses stores with different probe-bucket moduli") {
     val dA = tmp(); val dB = tmp()
     spark.conf.set("spark.graft.probeBuckets", "16")
