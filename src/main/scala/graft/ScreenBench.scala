@@ -17,9 +17,12 @@ import graft.api.Graft
   * base dir, xN = the [[ScaleBench.replicate]] replica corpus), per
   * layout (`full` = unbucketed, probeBuckets 0 — the pre-round-12
   * layout; `pruned` = probe-bucketed with the modulus SCALED TO THE
-  * CORPUS, nb = 64·scale, the production sizing that keeps bucket
+  * CORPUS, nb = 64·scale, the hand-tuned sizing that keeps bucket
   * sizes constant — exactly how ScaleBench already scales d13's
-  * bloomBits): build + save + COMPACT the store (one file per
+  * bloomBits; `auto` — round 13 — leaves the conf unset so the
+  * save-time auto-sizer derives the modulus, proving the pruning
+  * ratios hold with NO hand-tuning): build + save + COMPACT the
+  * store (one file per
   * partition dir — the maintained serving state), open ONE handle,
   * then time a FIXED SMALL BATCH's screen (min of 3). The batch is
   * pinned to the same replica-0 ids at every scale, so cells compare
@@ -131,19 +134,37 @@ object ScreenBench {
         .withColumn("hi", expr(
           "xxhash64(media_id div 2 + 999) & 4294967295"))
 
+    // total on-disk size of a saved store — the WRITE side of a layout
+    // choice (e49's denormalized dl repeats doclen per posting row; the
+    // honest trade is read-bytes-saved vs store-bytes-grown, so every
+    // cell records both)
+    def storeMb(dir: String): Double = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength / 1e6
+    }
+    // the modulus a store was actually written with (manifest-recorded;
+    // the `auto` cells report what the auto-sizer picked)
+    def storedNb(dir: String): Long =
+      spark.read.parquet(s"$dir/manifest")
+        .select(col("n_buckets")).head().getLong(0)
+
     val scales = Seq(("x1", baseDir, 1), (s"x$copies", workDir, copies))
     val cells = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[String, String]]
     def record(cell: String, point: String, secs: Double,
-               io: (Long, Long)): Unit = {
+               io: (Long, Long), storeDir: String): Unit = {
       val (files, bytes) = io
       val mb = bytes / 1e6
+      val smb = storeMb(storeDir)
+      val nb = storedNb(storeDir)
       cells.getOrElseUpdate(cell,
         scala.collection.mutable.LinkedHashMap.empty[String, String])
         .update(point,
-          f"""{"s":$secs%.3f,"files":$files,"mb":$mb%.1f}""")
+          f"""{"s":$secs%.3f,"files":$files,"mb":$mb%.1f,"store_mb":$smb%.1f,"nb":$nb}""")
       System.err.println(
-        f"[screenbench] $cell $point = $secs%.3f s, $files files, $mb%.1f MB")
+        f"[screenbench] $cell $point = $secs%.3f s, $files files, " +
+          f"$mb%.1f MB read, store $smb%.1f MB, nb=$nb")
     }
 
     // warmup
@@ -152,11 +173,18 @@ object ScreenBench {
     // the pruned modulus scales with the corpus (constant bucket
     // sizes — the production sizing), capped at 1024 to keep the
     // local-fs partition-dir count sane (a real object store raises
-    // the cap, not the design)
+    // the cap, not the design); `auto` leaves the conf UNSET so the
+    // save-time auto-sizer picks the modulus from the probed table's
+    // row count — the round-13 no-hand-tuning evidence (the cell's
+    // `nb` field records what it chose at each scale)
     for ((label, dir, scale) <- scales;
-         (mode, nb) <- Seq(("full", 0),
-           ("pruned", math.min(64 * scale, 1024)))) {
-      spark.conf.set("spark.graft.probeBuckets", nb.toString)
+         (mode, nb) <- Seq(("full", Some(0)),
+           ("pruned", Some(math.min(64 * scale, 1024))),
+           ("auto", None))) {
+      nb match {
+        case Some(n) => spark.conf.set("spark.graft.probeBuckets", n.toString)
+        case None => spark.conf.unset("spark.graft.probeBuckets")
+      }
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
       val stored = docs.filter(col("doc_id") % 3 =!= 0)
@@ -175,7 +203,7 @@ object ScreenBench {
       Graft.compactIndex(spark, dL)
       val lsh = Graft.loadLshIndex(spark, dL)
       record("d19_screen", s"${label}_$mode",
-        timeMin3(lsh.screen(batch)), storeIO(dL)(lsh.screen(batch)))
+        timeMin3(lsh.screen(batch)), storeIO(dL)(lsh.screen(batch)), dL)
       if (mode == "pruned") {
         // the Bloom-prefilter floor: every band key of a synthetic
         // batch is rejected by the stored sketch -> no store I/O
@@ -185,7 +213,7 @@ object ScreenBench {
           (0 until 12).map(t => s"novelzz${i}q$t").mkString(" ")))
           .toDF("doc_id", "text").localCheckpoint()
         record("d19_screen_novel", s"${label}_$mode",
-          timeMin3(lsh.screen(novel)), storeIO(dL)(lsh.screen(novel)))
+          timeMin3(lsh.screen(novel)), storeIO(dL)(lsh.screen(novel)), dL)
       }
 
       // ---- e48/e49: BM25 search ----
@@ -199,15 +227,17 @@ object ScreenBench {
           expr("array_join(slice(split(text, ' '), 1, 8), ' ')")
             .as("text")).localCheckpoint()
       record("e48_search", s"${label}_$mode",
-        timeMin3(bm.searchText(q)), storeIO(dB)(bm.searchText(q)))
+        timeMin3(bm.searchText(q)), storeIO(dB)(bm.searchText(q)), dB)
       if (mode == "pruned") {
-        // denormalized layout: same search, no doclen join in the plan
+        // denormalized layout: same search, no doclen join in the plan;
+        // the cell pair's store_mb fields ARE the write-amplification
+        // trade (dl repeated per posting vs one doclen table)
         val dD = tmp("screenbench_bm25dn")
         Graft.bm25Index(docs).save(dD, denormDl = true)
         Graft.compactIndex(spark, dD)
         val bmd = Graft.loadBm25Index(spark, dD)
         record("e49_search_denorm", s"${label}_$mode",
-          timeMin3(bmd.searchText(q)), storeIO(dD)(bmd.searchText(q)))
+          timeMin3(bmd.searchText(q)), storeIO(dD)(bmd.searchText(q)), dD)
       }
 
       // ---- mm10: pHash screen ----
@@ -219,7 +249,7 @@ object ScreenBench {
       val mBatch = media.filter(col("media_id") % 2 === 0 &&
         col("media_id") < 6).localCheckpoint()
       record("mm10_screen", s"${label}_$mode",
-        timeMin3(ph.screen(mBatch)), storeIO(dP)(ph.screen(mBatch)))
+        timeMin3(ph.screen(mBatch)), storeIO(dP)(ph.screen(mBatch)), dP)
       spark.conf.unset("spark.graft.probeBuckets")
     }
 
@@ -228,7 +258,7 @@ object ScreenBench {
         .mkString("{", ",", "}")
       s""""$cell":$inner"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"screen$copies","base":"$baseDir","nb_full":0,"nb_pruned_per_scale":64,"cells":$qs}""")
+    println(s"""{"metric":"screen$copies","base":"$baseDir","nb_full":0,"nb_pruned_per_scale":64,"nb_auto":"manifest-recorded per cell","cells":$qs}""")
     spark.stop()
   }
 }

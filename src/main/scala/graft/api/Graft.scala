@@ -600,6 +600,22 @@ object Graft {
     Bm25Index(postings, doclen, df, nBuckets)
   }
 
+  /** MIGRATE a saved BM25 store between the normalized and
+    * denormalized-dl layouts in place — for stores built before e49's
+    * measurement settled the serving trade (denormalized: ~half the
+    * pruned search read, no doclen join in the plan; the cost is one
+    * long per posting row on disk — PARITY's round-13 store_mb cells
+    * quantify both sides). Appends after the rewrite follow the new
+    * layout automatically (the stored postings schema IS the layout
+    * flag). Crash-safe (temp + rename swap), idempotent when already
+    * in the target layout, lock-held, epoch-recorded; search results
+    * are bit-identical across the rewrite (Bm25IndexSpec proves it,
+    * tombstones included).
+    */
+  def rewriteBm25Layout(spark: SparkSession, dir: String,
+                        denormDl: Boolean): Unit =
+    IndexStore.rewriteBm25Layout(spark, dir, denormDl)
+
   /** HYBRID retrieval over the two PERSISTED index halves — e22's
     * reciprocal-rank fusion (Cormack et al. 2009) with the scans
     * replaced by the stores, exactly the deployment e22's scaladoc
@@ -710,6 +726,47 @@ object Graft {
           batch.toDF().select(col("query_id"), col("text"),
             col("embedding").cast("array<float>").as("embedding")),
           k, fetch, probes))
+      }
+      .start()
+  }
+
+  /** GENERATION-AWARE LSH screening — [[LshIndex.screenStream]] bound
+    * to a [[publishIndex]] root instead of a frozen handle: every
+    * micro-batch re-resolves [[currentIndexGeneration]] and screens
+    * against the current one, so retraining the dedup index (new
+    * banding, re-thresholded, rebuilt corpus) and publishing flips a
+    * live screening fleet on its next batch with no restart. The LSH
+    * store is the kind a training-data pipeline retrains most — this
+    * is its read half of the blue/green seam ([[serveCurrentAnnIndex]]
+    * and [[hybridServeCurrent]] are the dense and fused siblings).
+    * The handle (including its band-key Bloom and pruning modulus)
+    * reloads only when the generation number changes; each batch
+    * resolves once, so no batch mixes generations. `onBatch` receives
+    * (generation, verdicts). Note this surface SCREENS only — an
+    * ingest loop that also appends survivors should keep writing to a
+    * build directory and republish ([[lshIngestStreamDurable]] binds
+    * to one fixed store for exactly that reason).
+    */
+  def lshScreenStreamCurrent(root: String,
+                             incoming: Dataset[graft.streaming.DocStreams.Doc],
+                             bucketCap: Option[Int] = None)
+                            (onBatch: (Int, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // foreachBatch bodies run sequentially on the stream's microbatch
+    // thread, so plain closure state is safe
+    var cached: Option[(Int, LshIndex)] = None
+    incoming.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch {
+        (batch: Dataset[graft.streaming.DocStreams.Doc], _: Long) =>
+          val spark = batch.sparkSession
+          val (gen, dir) = currentIndexGeneration(spark, root)
+            .getOrElse(throw new IllegalStateException(
+              s"$root holds no published index generation"))
+          if (!cached.exists(_._1 == gen))
+            cached = Some((gen, loadLshIndex(spark, dir)))
+          onBatch(gen, cached.get._2.screen(
+            batch.toDF().select(col("doc_id"), col("text")), bucketCap))
       }
       .start()
   }

@@ -930,7 +930,8 @@ object IndexStore {
           .columns.contains("dl")
         require(denorm(dstDir) == denorm(srcDir),
           s"cannot merge: one of $dstDir / $srcDir is a denormalized " +
-            "(dl-on-postings) bm25 store and the other is not")
+            "(dl-on-postings) bm25 store and the other is not — " +
+            "rewriteBm25Layout migrates either side in place")
       case "bloom" | "phash" => ()
       case other => throw new IllegalStateException(
         s"$dstDir/manifest: unknown kind '$other'")
@@ -1660,6 +1661,59 @@ object IndexStore {
         .write.mode(SaveMode.Append).parquet(s"$dir/doclen")
       recordEpoch(spark, dir, "append",
         diskRows(spark, s"$dir/doclen") - before)
+    }
+  }
+
+  /** REWRITE a saved BM25 store between the normalized and
+    * denormalized-dl layouts IN PLACE — the migration path for a
+    * store built before the e49 measurement settled the serving
+    * trade (denormalized halves the pruned search read and deletes
+    * the doclen join; the write side grows by one long per posting
+    * row — see PARITY's round-13 store_mb cells). Only the postings
+    * table rewrites: `doclen` stays (it is the append commit point,
+    * the epoch row-count source, and the normalized layout's scoring
+    * side), `df` and the manifest are untouched, and the bucket
+    * modulus is preserved, so loaded handles and probers are
+    * oblivious to WHEN a store migrated. Tombstoned rows rewrite
+    * as-is (ids don't change, so the tombstone table keeps masking
+    * them). Crash-safe by the standard temp-dir + [[swapInto]]
+    * protocol: a crash leaves either the old layout live or the
+    * aside `.old` copy restorable by [[vacuum]]'s restore pass —
+    * never a half-rewritten table. Already-in-target-layout calls
+    * are no-ops (idempotent under retry). One `rewrite` epoch row
+    * records the op.
+    */
+  def rewriteBm25Layout(spark: SparkSession, dir: String,
+                        denormDl: Boolean): Unit = {
+    val man = readManifest(spark, dir, "bm25")
+    val nb = man.n_buckets.toInt
+    withWriteLock(spark, dir) {
+      val raw = spark.read.parquet(s"$dir/postings")
+      if (raw.columns.contains("dl") != denormDl) {
+        val base = raw.select(col("vec_id"), col("tok"), col("tf"))
+        // RAW doclen (unmasked): tombstoned postings rows keep their
+        // dl so the rewrite is a pure layout change, not a compact
+        val p0 =
+          if (!denormDl) base
+          else base.join(
+            spark.read.parquet(s"$dir/doclen")
+              .select(col("vec_id"), col("dl")), Seq("vec_id"))
+        val pCols = Seq("vec_id", "tok", "tf") ++
+          (if (denormDl) Seq("dl") else Nil)
+        val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = new org.apache.hadoop.fs.Path(s"$dir/postings.compact")
+        fs.delete(tmp, true)
+        if (nb > 0)
+          bm25WithTb(p0, nb, pCols)
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("tb").parquet(tmp.toString)
+        else p0.select(pCols.map(col): _*)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        swapInto(fs, tmp, live)
+        recordEpoch(spark, dir, "rewrite",
+          diskRows(spark, s"$dir/doclen"))
+      }
     }
   }
 

@@ -231,4 +231,59 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.toSet == got.toSet,
       "streamed hybrid serving diverged from the batch fusion")
   }
+
+  test("rewriteBm25Layout migrates layouts in place: search identical through tombstones, appends follow the stored layout, idempotent") {
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val delIds = half1.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("vec_id"))
+
+    // normalized store with live tombstones — the layout rewrite must
+    // be invisible to search even with masked rows in play
+    val d = tmp()
+    Graft.bm25Index(half1).save(d)
+    Graft.deleteFromIndex(spark, d, delIds)
+    val expect = exact(Graft.loadBm25Index(spark, d).searchText(queries))
+    assert(expect.nonEmpty)
+    assert(!spark.read.parquet(s"$d/postings").columns.contains("dl"))
+
+    Graft.rewriteBm25Layout(spark, d, denormDl = true)
+    assert(spark.read.parquet(s"$d/postings").columns.contains("dl"),
+      "denormalized postings must carry dl")
+    assert(exact(Graft.loadBm25Index(spark, d).searchText(queries))
+      == expect, "search must be bit-identical across the rewrite")
+
+    // idempotent: already-in-target-layout calls record nothing
+    val nEpochs = Graft.indexEpochs(spark, d).count()
+    Graft.rewriteBm25Layout(spark, d, denormDl = true)
+    assert(Graft.indexEpochs(spark, d).count() == nEpochs,
+      "a no-op rewrite must not add an epoch")
+
+    // appends after the rewrite follow the STORED layout (denorm) —
+    // the whole sequence equals the same sequence on a
+    // denorm-from-birth store
+    Graft.loadBm25Index(spark, d).appendDurable(d, half2)
+    assert(spark.read.parquet(s"$d/postings")
+      .filter(col("dl").isNull).count() == 0,
+      "appended postings rows must carry dl too")
+    val d2 = tmp()
+    Graft.bm25Index(half1).save(d2, denormDl = true)
+    Graft.deleteFromIndex(spark, d2, delIds)
+    Graft.loadBm25Index(spark, d2).appendDurable(d2, half2)
+    val expectAll = exact(Graft.loadBm25Index(spark, d2)
+      .searchText(queries))
+    assert(exact(Graft.loadBm25Index(spark, d).searchText(queries))
+      == expectAll,
+      "rewrite + append must equal the denorm-from-birth sequence")
+
+    // and back: normalized again, same results, dl gone
+    Graft.rewriteBm25Layout(spark, d, denormDl = false)
+    assert(!spark.read.parquet(s"$d/postings").columns.contains("dl"))
+    assert(exact(Graft.loadBm25Index(spark, d).searchText(queries))
+      == expectAll, "the reverse rewrite must also preserve search")
+    val ops = Graft.indexEpochs(spark, d).select(col("op"))
+      .collect().map(_.getString(0)).toSeq
+    assert(ops.count(_ == "rewrite") == 2,
+      s"expected exactly two rewrite epochs, got $ops")
+  }
 }

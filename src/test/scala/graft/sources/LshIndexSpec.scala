@@ -337,4 +337,50 @@ class LshIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     assert(hits.toSet == uncapped)
   }
+
+  test("lshScreenStreamCurrent: a mid-stream publish flips the screening generation on the next batch, no restart, no mixed batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp() + "/lsh-root"
+    // two generations over the SAME texts under DISJOINT id ranges —
+    // a verdict's stored_id range proves which generation screened it
+    val b1 = tmp(); Graft.lshIndex(stored).save(b1)
+    assert(Graft.publishIndex(spark, root, b1) == 1)
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 09:00:00")
+    val batch = incoming.select(col("doc_id"), col("text")).collect()
+      .map(r => graft.streaming.DocStreams.Doc(r.getLong(0), ts,
+        r.getString(1)))
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.DocStreams.Doc]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Set[(Long, Long, Double)])]
+    val q = Graft.lshScreenStreamCurrent(root, stream.toDS()) {
+      (gen, v) => got += ((gen, verdicts(v)))
+    }
+    try {
+      stream.addData(batch.toSeq)
+      q.processAllAvailable()
+      assert(got.map(_._1).toSeq == Seq(1))
+      assert(got(0)._2.nonEmpty &&
+        got(0)._2.forall(_._2 < 1000000L),
+        "generation 1 must screen against the original ids only")
+      // retrain (same corpus, shifted ids) + publish WHILE the stream
+      // runs — the very next batch screens against generation 2
+      val b2 = tmp()
+      Graft.lshIndex(stored.withColumn("doc_id",
+        col("doc_id") + 1000000L)).save(b2)
+      assert(Graft.publishIndex(spark, root, b2) == 2)
+      stream.addData(batch.toSeq)
+      q.processAllAvailable()
+      assert(got.map(_._1).toSeq == Seq(1, 2))
+      assert(got(1)._2.nonEmpty &&
+        got(1)._2.forall(_._2 >= 1000000L),
+        "generation 2 must screen against the shifted ids only — " +
+          "no mixed batch")
+      // same texts ⇒ the verdict sets match modulo the id shift
+      assert(got(1)._2.map(v => (v._1, v._2 - 1000000L, v._3))
+        == got(0)._2)
+    } finally q.stop()
+  }
 }
