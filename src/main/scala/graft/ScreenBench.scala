@@ -42,6 +42,10 @@ object ScreenBench {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = if (args.length > 2) args(2).toInt else 10
     val workDir = if (args.length > 1) args(1) else s"/tmp/graft_scale$copies"
+    // optional 4th arg: comma-set of modes to run (default all) —
+    // re-measuring one mode skips the other modes' store builds
+    val modeSet = if (args.length > 3) args(3).split(",").toSet
+                  else Set("full", "pruned", "auto")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -180,7 +184,7 @@ object ScreenBench {
     for ((label, dir, scale) <- scales;
          (mode, nb) <- Seq(("full", Some(0)),
            ("pruned", Some(math.min(64 * scale, 1024))),
-           ("auto", None))) {
+           ("auto", None)) if modeSet.contains(mode)) {
       nb match {
         case Some(n) => spark.conf.set("spark.graft.probeBuckets", n.toString)
         case None => spark.conf.unset("spark.graft.probeBuckets")

@@ -771,6 +771,47 @@ object Graft {
       .start()
   }
 
+  /** GENERATION-AWARE media screening — the pHash sibling of
+    * [[lshScreenStreamCurrent]]: arriving images decode + hash per
+    * micro-batch (the exact gated aHash, pixels never leave the
+    * batch's partitions) and screen against the CURRENT generation
+    * under a [[publishIndex]] root, so rebuilding the media index
+    * and publishing flips a live screening fleet on its next batch
+    * with no restart. The handle (pruned bands, band-key Bloom,
+    * modulus) reloads only on a generation flip; each batch resolves
+    * once — no mixed-generation batch. `onBatch` receives
+    * (generation, verdicts (ma, mb, hamming)).
+    */
+  def phashScreenStreamCurrent(root: String,
+                               media: Dataset[graft.streaming.MediaStreams.Media],
+                               maxHamming: Int = 4,
+                               bucketCap: Option[Long] = None)
+                              (onBatch: (Int, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // foreachBatch bodies run sequentially on the stream's microbatch
+    // thread, so plain closure state is safe
+    var cached: Option[(Int, PhashIndex)] = None
+    media.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch {
+        (batch: Dataset[graft.streaming.MediaStreams.Media], _: Long) =>
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val (gen, dir) = currentIndexGeneration(spark, root)
+            .getOrElse(throw new IllegalStateException(
+              s"$root holds no published index generation"))
+          if (!cached.exists(_._1 == gen))
+            cached = Some((gen, loadPhashIndex(spark, dir)))
+          val hashed = batch.mapPartitions(_.map { m =>
+            val (lo, hi) =
+              graft.operators.MultimodalQueries.aHash(m.payload)
+            (m.media_id, lo, hi)
+          }).toDF("media_id", "lo", "hi")
+          onBatch(gen, cached.get._2.screen(hashed, maxHamming, bucketCap))
+      }
+      .start()
+  }
+
   /** The DEDUP-AT-INGEST PIPELINE as one stream — screen ∘ append
     * composed per micro-batch against the saved LSH index at `dir`:
     * each batch (1) screens against the index AS OF that batch (the

@@ -1761,11 +1761,43 @@ object DedupQueries {
          |ORDER BY doc_id, stored_id""".stripMargin
     })
 
+  /** Blue/green publish gate for the DEDUP kind — d19's screen run
+    * THROUGH the generation pointer: publish a stale index (one third
+    * of the stored corpus) as generation 1, the full stored corpus as
+    * generation 2, then screen via [[graft.api.Graft
+    * .loadCurrentLshIndex]]. Oracle: d19's closed-form replay
+    * verbatim — the publish seam (renames + markers + the listing
+    * resolve) must be invisible to the verdicts, and the stale
+    * generation 1 must NOT leak into them (its missing stored docs
+    * would drop pairs, failing the row compare).
+    */
+  val d20LshPublishedScreen = QueryDef(
+    "d20_lsh_published_screen",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_d20_root").toString + "/gens"
+      val b1 = java.nio.file.Files
+        .createTempDirectory("graft_d20_b1").toString + "/idx"
+      graft.api.Graft.lshIndex(docs.filter(col("doc_id") % 3 === 1))
+        .save(b1)
+      graft.api.Graft.publishIndex(s, root, b1)
+      val b2 = java.nio.file.Files
+        .createTempDirectory("graft_d20_b2").toString + "/idx"
+      graft.api.Graft.lshIndex(docs.filter(col("doc_id") % 3 =!= 0))
+        .save(b2)
+      graft.api.Graft.publishIndex(s, root, b2)
+      graft.api.Graft.loadCurrentLshIndex(s, root)
+        .screen(docs.filter(col("doc_id") % 3 === 0))
+        .orderBy(col("doc_id"), col("stored_id"))
+    },
+    d19LshIndexScreen.oracle)
+
   def all: Seq[QueryDef] = Seq(
     d01ExactDedup, d02NormalizedDedup, d03NgramJaccard, d04MinHashLsh,
     d05SimHash, d06DedupClusters, d07KeepList, d08JaccardCapped,
     d09MinHashCapped, d10SegmentDedup, d11IntraDocDedup, d12SubstringDedup,
     d13BloomIncremental, d14SourceOverlap, d15CrossDecontamination,
     d16QualityKeeper, d17SemanticDecontamination, d18ClustersCapped,
-    d19LshIndexScreen)
+    d19LshIndexScreen, d20LshPublishedScreen)
 }

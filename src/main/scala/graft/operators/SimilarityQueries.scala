@@ -2722,6 +2722,60 @@ object SimilarityQueries {
     },
     e47IvfRetrain.oracle)
 
+  /** Blue/green publish gate for the LEXICAL kind — e50's seam on the
+    * BM25 store: publish a stale index (the even half of the corpus)
+    * as generation 1, the full corpus as generation 2, then search
+    * THROUGH the resolved current generation
+    * ([[graft.api.Graft.loadCurrentBm25Index]]). Oracle: e48's text
+    * verbatim — the publish must be invisible to the ranking, and the
+    * stale generation 1 must NOT leak (its missing documents and
+    * halved dfs would shift the scores, failing the hash compare).
+    */
+  val e51Bm25PublishedSearch = QueryDef(
+    "e51_bm25_published_search",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_e51_root").toString + "/gens"
+      val b1 = java.nio.file.Files
+        .createTempDirectory("graft_e51_b1").toString + "/idx"
+      graft.api.Graft.bm25Index(docs.filter(col("doc_id") % 2 === 0))
+        .save(b1)
+      graft.api.Graft.publishIndex(s, root, b1)
+      val b2 = java.nio.file.Files
+        .createTempDirectory("graft_e51_b2").toString + "/idx"
+      graft.api.Graft.bm25Index(docs).save(b2)
+      graft.api.Graft.publishIndex(s, root, b2)
+      graft.api.Graft.loadCurrentBm25Index(s, root)
+        .searchText(docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text")), k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+    },
+    e48Bm25Store.oracle)
+
+  /** Layout-migration gate — [[graft.api.Graft.rewriteBm25Layout]]
+    * replayed in the oracle surface: save the default normalized
+    * layout, migrate IN PLACE to denormalized-dl, reopen, search.
+    * Oracle: e48's text verbatim — a layout rewrite that changed any
+    * score or rank would fail the hash compare (e49 already pins
+    * denorm-at-save; this pins the migration path, which rewrites
+    * stored rows rather than re-deriving them from source text).
+    */
+  val e52Bm25RewriteSearch = QueryDef(
+    "e52_bm25_rewrite_search",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_e52_bm25rw").toString
+      graft.api.Graft.bm25Index(docs).save(dir)
+      graft.api.Graft.rewriteBm25Layout(s, dir, denormDl = true)
+      graft.api.Graft.loadBm25Index(s, dir)
+        .searchText(docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text")), k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+    },
+    e48Bm25Store.oracle)
+
   /** FILTERED search for the compressed family — e24's contract on
     * the PQ index: the code table stays as built; `keepIds` restricts
     * candidates via a semi-join BEFORE ADC ranking, so a metadata
@@ -3265,5 +3319,6 @@ object SimilarityQueries {
     e38RerankSweep, e39FilteredPq, e40FilteredIvfPq, e41FilteredPqRecall,
     e42FilteredIvfPqRecall, e43IvfPqRerank, e44RecallIvfPqRerank,
     e45IndexDelete, e46DeleteCompact, e47IvfRetrain, e48Bm25Store,
-    e49Bm25DenormSearch, e50PublishedRetrainSearch)
+    e49Bm25DenormSearch, e50PublishedRetrainSearch,
+    e51Bm25PublishedSearch, e52Bm25RewriteSearch)
 }

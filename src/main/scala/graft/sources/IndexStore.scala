@@ -88,17 +88,25 @@ object IndexStore {
     spark.conf.getOption("spark.graft.probeBuckets")
       .map(_.toInt).getOrElse(autoProbeBuckets(probedRows))
 
-  /** Bucket-count rule: one bucket per ~256k probed-table rows,
-    * rounded UP to a power of two, clamped to [16, 4096]. The floor
-    * keeps small stores at the long-tested granularity (every corpus
-    * under ~4M band/posting rows sizes to 16 — all test fixtures);
-    * the pow2 keeps `pmod(hash(k), n)` uniform under doubling; the
-    * cap bounds partition-directory count (4096 dirs is well inside
-    * every object store's listing comfort zone, and at that size
-    * each bucket is its own multi-file directory anyway).
+  /** Bucket-count rule: one bucket per ~32k probed-table rows,
+    * rounded UP to a power of two, clamped to [16, 4096]. The target
+    * is set by the SERVING economics, not storage: a screen reads
+    * ≈ (batch's probe keys) × (rows per bucket), so the win over an
+    * unbucketed scan is ~corpus/(keys × bucket width) — a modulus
+    * near the batch's key count (a 2-doc LSH batch probes 32 band
+    * keys) prunes nothing. 32k rows/bucket keeps the x100
+    * ScreenBench read within ~2× of the hand-tuned modulus
+    * (PARITY's round-13 auto cells) while the floor keeps small
+    * stores at the long-tested granularity (every corpus under
+    * ~512k band/posting rows sizes to 16 — all test fixtures); the
+    * pow2 keeps `pmod(hash(k), n)` uniform under doubling; the cap
+    * bounds partition-directory count (4096 dirs is well inside
+    * every object store's listing comfort zone — past it, probed
+    * FRACTION keeps falling as batches stay fixed while the corpus
+    * grows, so the cap costs bucket width only).
     */
   private[sources] def autoProbeBuckets(rows: Long): Int = {
-    val target = 262144L
+    val target = 32768L
     val raw = math.max(1L, (rows + target - 1) / target)
     val pow = java.lang.Long.highestOneBit(raw)
     val up = if (pow == raw) raw else pow * 2

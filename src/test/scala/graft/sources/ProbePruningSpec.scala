@@ -443,11 +443,14 @@ class ProbePruningSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("probe-bucket auto-sizing: conf unset derives the modulus from the probed table's size; small stores keep the floor") {
     assert(spark.conf.getOption("spark.graft.probeBuckets").isEmpty)
-    // the rule: ~256k probed rows per bucket, pow2, clamped [16, 4096]
+    // the rule: ~32k probed rows per bucket (serving-driven — the
+    // modulus must sit well above a batch's probe-key count or the
+    // pruning degenerates; see autoProbeBuckets's scaladoc), pow2,
+    // clamped [16, 4096]
     assert(IndexStore.autoProbeBuckets(0L) == 16)
-    assert(IndexStore.autoProbeBuckets(262144L * 16) == 16)
-    assert(IndexStore.autoProbeBuckets(262144L * 16 + 1) == 32)
-    assert(IndexStore.autoProbeBuckets(262144L * 100) == 128)
+    assert(IndexStore.autoProbeBuckets(32768L * 16) == 16)
+    assert(IndexStore.autoProbeBuckets(32768L * 16 + 1) == 32)
+    assert(IndexStore.autoProbeBuckets(32768L * 100) == 128)
     assert(IndexStore.autoProbeBuckets(Long.MaxValue / 4) == 4096)
     // a small corpus saved with conf UNSET lands at the floor — the
     // exact granularity every pre-round-13 fixture was tested at

@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
 import MediaStreams.Media
+import graft.api.Graft
 
 /** At-ingest image dedup must equal the batch mm07 gate: streaming the
   * odd-id half of the corpus against an index of the even-id half, the
@@ -172,5 +173,61 @@ class MediaStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"onlyStream=${(flagged.toSet -- expected).take(5)} " +
           s"onlyBatch=${(expected -- flagged).take(5)}")
     } finally index.unpersist()
+  }
+
+  test("phashScreenStreamCurrent: a mid-stream publish flips the media screening generation, no restart, no mixed batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val ts = Timestamp.valueOf("2026-01-01 09:00:00")
+    def tmp(): String = java.nio.file.Files
+      .createTempDirectory("graft-phash-current").toString
+    val root = tmp() + "/media-root"
+
+    // two generations over the SAME stored hashes under DISJOINT id
+    // ranges — a verdict's mb range proves which generation screened
+    val storedHashes = graft.operators.MultimodalQueries
+      .phashed(spark, d).filter($"media_id" % 2 === 0).cache()
+    try {
+      val b1 = tmp(); Graft.phashIndex(storedHashes).save(b1)
+      assert(Graft.publishIndex(spark, root, b1) == 1)
+
+      val arriving = spark.read.parquet(s"$d/documents.parquet")
+        .select($"doc_id").as[Long].collect().filter(_ % 2 != 0)
+        .map(id => Media(id, ts,
+          graft.operators.MultimodalQueries.syntheticPng(id)))
+      val stream = MemoryStream[Media]
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Set[(Long, Long, Long)])]
+      val q = Graft.phashScreenStreamCurrent(root, stream.toDS()) {
+        (gen, hits) =>
+          got += ((gen, hits.collect().map(r => (r.getAs[Long]("ma"),
+            r.getAs[Long]("mb"), r.getAs[Long]("hamming"))).toSet))
+      }
+      try {
+        stream.addData(arriving.toSeq)
+        q.processAllAvailable()
+        assert(got.map(_._1).toSeq == Seq(1))
+        assert(got(0)._2.nonEmpty && got(0)._2.forall(_._2 < 1000000L),
+          "generation 1 must screen against the original ids only")
+        // rebuild (same hashes, shifted ids) + publish mid-stream —
+        // the very next batch screens against generation 2
+        val b2 = tmp()
+        Graft.phashIndex(storedHashes.withColumn("media_id",
+          $"media_id" + 1000000L)).save(b2)
+        assert(Graft.publishIndex(spark, root, b2) == 2)
+        stream.addData(arriving.toSeq)
+        q.processAllAvailable()
+        assert(got.map(_._1).toSeq == Seq(1, 2))
+        assert(got(1)._2.nonEmpty &&
+          got(1)._2.forall(_._2 >= 1000000L),
+          "generation 2 must screen against the shifted ids only — " +
+            "no mixed batch")
+        // same hashes ⇒ the verdict sets match modulo the id shift
+        assert(got(1)._2.map(v => (v._1, v._2 - 1000000L, v._3))
+          == got(0)._2)
+      } finally q.stop()
+    } finally storedHashes.unpersist()
   }
 }
