@@ -218,7 +218,13 @@ object ScaleBench {
       // marker create per generation, so the cell must track e47's
       // curve with a constant metadata tail (the 100 TB property of
       // the pointer flip)
-      "e50_published_retrain_search")
+      "e50_published_retrain_search",
+      // e52: the layout migration - e48's build + ONE postings
+      // rewrite (read + dl join + tb-partitioned rewrite + swap) +
+      // the search; the rewrite is one extra write-bound pass over
+      // the postings, so the cell should sit between e48 and ~2x
+      // its curve (the one-time migration cost on record)
+      "e52_bm25_rewrite_search")
 
   /** Offset between replica id ranges — far above any real id in the
     * test tables, so replica ids never collide.
