@@ -272,6 +272,46 @@ object Graft {
     DedupQueries.BloomSketch.probe(segmentHashes(batch), sketch.words,
       sketch.mBits)
 
+  /** GENERATION-AWARE Bloom screening — [[bloomScreen]] bound to a
+    * [[publishIndex]] root: every micro-batch re-resolves
+    * [[currentIndexGeneration]] and probes the current sketch, so
+    * rebuilding the corpus sketch (e.g. after a retention sweep
+    * shrank the corpus — a bit_or sketch can only grow, rebuilds are
+    * how it forgets) and publishing flips a live screening fleet on
+    * its next batch with no restart. Completes the generation-aware
+    * read side across all four screening kinds
+    * ([[serveCurrentAnnIndex]], [[lshScreenStreamCurrent]],
+    * [[phashScreenStreamCurrent]] are the siblings; a flipped
+    * sketch's own `mBits` rides with it, so a generation that
+    * changed modulus probes correctly by construction). The sketch
+    * reloads only when the generation number changes; each batch
+    * resolves once — no mixed-generation batch. `onBatch` receives
+    * (generation, (doc_id, h, bloom_hit) verdicts).
+    */
+  def bloomScreenStreamCurrent(root: String,
+                               incoming: Dataset[graft.streaming.DocStreams.Doc])
+                              (onBatch: (Int, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // foreachBatch bodies run sequentially on the stream's microbatch
+    // thread, so plain closure state is safe
+    var cached: Option[(Int, BloomIndex)] = None
+    incoming.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch {
+        (batch: Dataset[graft.streaming.DocStreams.Doc], _: Long) =>
+          val spark = batch.sparkSession
+          val (gen, dir) = currentIndexGeneration(spark, root)
+            .getOrElse(throw new IllegalStateException(
+              s"$root holds no published index generation"))
+          if (!cached.exists(_._1 == gen))
+            cached = Some((gen, loadBloomIndex(spark, dir)))
+          onBatch(gen, bloomScreen(
+            batch.toDF().select(col("doc_id"), col("text")),
+            cached.get._2))
+      }
+      .start()
+  }
+
   /** Build the DURABLE LSH dedup index — the dedup family's analogue
     * of [[annIndex]]: MinHash signatures (the d09 md5-derived,
     * DuckDB-replayable protocol) + the threshold-derived band-bucket

@@ -232,6 +232,54 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streamed hybrid serving diverged from the batch fusion")
   }
 
+  test("bloomScreenStreamCurrent: a mid-stream publish flips the probed sketch generation, no restart, no mixed batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 =!= 0)
+    val root = tmp() + "/bloom-root"
+    val b1 = tmp()
+    Graft.bloomSketch(Graft.segmentHashes(even)).save(b1)
+    assert(Graft.publishIndex(spark, root, b1) == 1)
+
+    // the probe batch IS the generation-1 corpus: a Bloom has no
+    // false negatives, so gen 1 must hit on EVERY segment; gen 2
+    // (built from the disjoint odd half) cannot — any all-true batch
+    // would mean the old sketch leaked
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 09:00:00")
+    val batch = even.limit(50).select(col("doc_id"), col("text"))
+      .collect().map(r => graft.streaming.DocStreams.Doc(
+        r.getLong(0), ts, r.getString(1)))
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.DocStreams.Doc]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long)] // (gen, n probes, n hits)
+    val q = Graft.bloomScreenStreamCurrent(root, stream.toDS()) {
+      (gen, v) =>
+        val rows = v.select(col("bloom_hit")).collect().map(_.getBoolean(0))
+        got += ((gen, rows.length.toLong, rows.count(identity).toLong))
+    }
+    try {
+      stream.addData(batch.toSeq)
+      q.processAllAvailable()
+      assert(got.map(_._1).toSeq == Seq(1))
+      assert(got(0)._2 > 0 && got(0)._3 == got(0)._2,
+        "generation 1 must hit every segment of its own corpus " +
+          "(a Bloom has no false negatives)")
+      val b2 = tmp()
+      Graft.bloomSketch(Graft.segmentHashes(odd)).save(b2)
+      assert(Graft.publishIndex(spark, root, b2) == 2)
+      stream.addData(batch.toSeq)
+      q.processAllAvailable()
+      assert(got.map(_._1).toSeq == Seq(1, 2))
+      assert(got(1)._2 == got(0)._2 && got(1)._3 < got(1)._2,
+        s"generation 2 (disjoint corpus) must miss some segments — " +
+          s"got ${got(1)._3}/${got(1)._2} hits; all-true means the " +
+          "old generation leaked")
+    } finally q.stop()
+  }
+
   test("rewriteBm25Layout migrates layouts in place: search identical through tombstones, appends follow the stored layout, idempotent") {
     val half1 = docs.filter(col("doc_id") % 2 === 0)
     val half2 = docs.filter(col("doc_id") % 2 =!= 0)
