@@ -1661,6 +1661,18 @@ object Graft {
       : org.apache.spark.sql.streaming.StreamingQuery =
     EmbStreams.ivfServeCurrent(queries, root, nprobe, k)(onBatch)
 
+  /** Introspect a [[publishIndex]] root — one row per generation:
+    * (generation, kind, published, current, bytes, n_files). The
+    * blue/green sibling of [[describeIndex]]: which generation
+    * serves, whether an unpublished directory is pending (a crashed
+    * publish to resume or an abandoned build to delete), and how
+    * much disk the old blues hold — the [[vacuumIndexGenerations]]
+    * signal. Filesystem metadata only, no data reads.
+    */
+  def describeIndexGenerations(spark: SparkSession,
+                               root: String): DataFrame =
+    IndexStore.describeGenerations(spark, root)
+
   /** Drop published generations older than the newest `keep` under a
     * [[publishIndex]] root — the old-blue cleanup once the new
     * generation proves out (stop readers still on the old one first).

@@ -1290,6 +1290,40 @@ object IndexStore {
       .sortBy(_._1).lastOption.map { case (n, p, _) => (n, p.toString) }
   }
 
+  /** Introspect a [[publishGeneration]] root — one row per
+    * generation: (generation, kind, published, current, bytes,
+    * n_files). The blue/green operational answers in one frame:
+    * which generation serves ("current" = the highest PUBLISHED
+    * one — exactly [[currentGeneration]]'s resolve), what an
+    * unpublished directory is (a crashed publish to resume, or an
+    * abandoned build to delete), and how much disk the old blues
+    * hold (the [[vacuumGenerations]] signal). Bytes/files are a
+    * filesystem walk per generation, no data reads; `kind` comes
+    * from each generation's one-row manifest (null if unreadable —
+    * surfaced rather than thrown, since a half-written build dir is
+    * precisely what an operator needs to SEE). Empty frame when the
+    * root holds no generations.
+    */
+  def describeGenerations(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = if (!fs.exists(rootPath)) Seq.empty
+               else generationsOf(fs, rootPath).sortBy(_._1)
+    val current = gens.filter(_._3).map(_._1).sorted.lastOption
+    gens.map { case (n, p, published) =>
+      val sum = fs.getContentSummary(p)
+      val kind =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(p, "manifest"))) None
+        else scala.util.Try(
+          spark.read.parquet(s"$p/manifest").select(col("kind"))
+            .head().getString(0)).toOption
+      (n, kind, published, current.contains(n),
+        sum.getLength, sum.getFileCount)
+    }.toDF("generation", "kind", "published", "current",
+      "bytes", "n_files")
+  }
+
   /** Drop PUBLISHED generations older than the newest `keep` — the
     * old-blue cleanup after a green generation proves out. Refuses
     * `keep < 1` (never deletes the current generation) and never

@@ -953,6 +953,39 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("describeIndexGenerations: per-generation kind/published/current/bytes; unpublished builds surface, vacuum reflects") {
+    val root = tmp() + "/desc-root"
+    assert(Graft.describeIndexGenerations(spark, root).count() == 0)
+    val b1 = tmp(); Graft.annIndex(emb).save(b1)
+    assert(Graft.publishIndex(spark, root, b1) == 1)
+    val b2 = tmp(); Graft.annIndex(emb).save(b2)
+    assert(Graft.publishIndex(spark, root, b2) == 2)
+    // a crashed publish's residue: the rename landed (g-3), the
+    // marker did not — must surface as unpublished and NOT current
+    val b3 = tmp() + "/idx"; Graft.annIndex(emb).save(b3)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(b3),
+      new org.apache.hadoop.fs.Path(s"$root/g-3")))
+    val rows = Graft.describeIndexGenerations(spark, root)
+      .orderBy(col("generation")).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(rows.forall(_.getString(1) == "ivf"))
+    assert(rows.map(_.getBoolean(2)).toSeq == Seq(true, true, false),
+      "g-3 has no _PUBLISHED marker")
+    assert(rows.map(_.getBoolean(3)).toSeq == Seq(false, true, false),
+      "current = the highest PUBLISHED generation, not the highest dir")
+    assert(rows.forall(r => r.getLong(4) > 0 && r.getLong(5) > 0))
+    // the loader agrees with the frame's `current` column
+    assert(Graft.currentIndexGeneration(spark, root).map(_._1)
+      .contains(2))
+    // vacuum drops the old blue; the pending g-3 is untouched
+    assert(Graft.vacuumIndexGenerations(spark, root) == 1)
+    assert(Graft.describeIndexGenerations(spark, root)
+      .orderBy(col("generation")).collect().map(_.getInt(0)).toSeq
+      == Seq(2, 3))
+  }
+
   test("generation-aware serving stream: a mid-stream publish flips the served generation on the next batch, no restart, no mixed batch") {
     val spark2 = spark
     import spark2.implicits._
