@@ -113,6 +113,37 @@ object IndexStore {
     math.min(4096L, math.max(16L, up)).toInt
   }
 
+  /** The band-key Bloom's SAVE-TIME bit size: `spark.graft.bloomBits`
+    * overrides when set (the shared d13 knob — by-name `keys` is
+    * never evaluated then); unset, ~16 bits per expected distinct
+    * band key, rounded up to a power of two, clamped to
+    * [2^20, 2^28]. At 16 bits/key with the sketch's 3 probe seeds
+    * the fill ratio is 1−e^(−3/16) ≈ 17% → FP ≈ 0.5%, so a novel
+    * batch's zero-I/O property survives corpus growth instead of
+    * decaying with a fixed default (round-13 fill audit: the x100
+    * store's 2^20-bit default sat at 50% fill / 12.5% FP). The 2^28
+    * cap bounds the sketch at 32 MB — still cheaply broadcast;
+    * beyond ~17M distinct keys the fill rises and the prefilter
+    * degrades GRACEFULLY toward pass-through (FP-only cost, never a
+    * missed verdict), with probe-time file pruning remaining the
+    * mega-scale mechanism. The chosen size rides in `params`
+    * (probers and append-folds always use the STORED size, so the
+    * rule only ever applies at save).
+    */
+  private[sources] def storeBloomBits(spark: SparkSession,
+                                      keys: => Long): Int =
+    spark.conf.getOption("spark.graft.bloomBits").map { v =>
+      val m = v.toInt
+      require(m > 0 && m % 32 == 0,
+        s"spark.graft.bloomBits must be a positive multiple of 32, got $m")
+      m
+    }.getOrElse {
+      val want = math.max(1L, keys) * 16L
+      val pow = java.lang.Long.highestOneBit(want)
+      val up = if (pow == want) want else pow * 2
+      math.min(1L << 28, math.max(1L << 20, up)).toInt
+    }
+
   /** One audit row per lifecycle op — the append-epoch log a
     * production store reads to answer "what happened to this index
     * and when": (seq, op, n_rows, ts_millis). `n_rows` is counted
@@ -1460,9 +1491,12 @@ object IndexStore {
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/hashes")
       val stored = spark.read.parquet(s"$dir/hashes")
         .select(col("vec_id"), col("lo"), col("hi"))
-      val nb = probeBucketsFor(spark, diskRows(spark, s"$dir/hashes") * 5)
+      // 5 band rows per hash — the same estimate sizes the bucket
+      // modulus AND the band-key Bloom (see [[storeBloomBits]])
+      val estKeys = diskRows(spark, s"$dir/hashes") * 5
+      val nb = probeBucketsFor(spark, estKeys)
       val bloomBits =
-        if (nb > 0) graft.operators.DedupQueries.BloomSketch.mBitsOf(spark)
+        if (nb > 0) storeBloomBits(spark, estKeys)
         else 0
       if (nb > 0) {
         val bands = phashBandRows(stored, nb)
@@ -1848,10 +1882,16 @@ object IndexStore {
     import spark.implicits._
     // auto-sizing estimates the band-table rows (sigs × bands per
     // sig — exact, banding emits one row per band) with one extra
-    // signature pass, once per build; a conf override skips it
-    val nb = probeBucketsFor(spark,
-      sigs.count() * math.max(1L, numHashes.toLong / rowsPerBand))
-    val bloomBits = graft.operators.DedupQueries.BloomSketch.mBitsOf(spark)
+    // signature pass, once per build; a conf override skips it.
+    // The SAME estimate sizes the band-key Bloom: the stored sketch's
+    // usefulness is its fill ratio, which only the save-time key
+    // count can anchor (the round-13 ScreenBench fill audit: the
+    // x100 store's conf-default 2^20-bit sketch sat at 50% fill /
+    // 12.5% FP — one more order of magnitude and the prefilter is
+    // pure pass-through).
+    val estKeys = sigs.count() * math.max(1L, numHashes.toLong / rowsPerBand)
+    val nb = probeBucketsFor(spark, estKeys)
+    val bloomBits = storeBloomBits(spark, estKeys)
     withWriteLock(spark, dir) {
       if (nb > 0)
         lshWithSb(sigs, nb)

@@ -463,6 +463,23 @@ class ProbePruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     Graft.lshIndex(docs).save(dL)
     assert(spark.read.parquet(s"$dL/manifest").collect()(0)
       .getAs[Long]("n_buckets") == 16L)
+
+    // the band-key Bloom sizes from the SAME save-time estimate:
+    // ~16 bits/key, pow2, clamped [2^20, 2^28]; conf override wins
+    assert(spark.conf.getOption("spark.graft.bloomBits").isEmpty)
+    assert(IndexStore.storeBloomBits(spark, 0L) == (1 << 20))
+    assert(IndexStore.storeBloomBits(spark, 65536L) == (1 << 20))
+    assert(IndexStore.storeBloomBits(spark, 65537L) == (1 << 21))
+    assert(IndexStore.storeBloomBits(spark, 17000000L) == (1 << 28))
+    assert(IndexStore.storeBloomBits(spark, Long.MaxValue / 32) == (1 << 28))
+    spark.conf.set("spark.graft.bloomBits", "64")
+    try assert(IndexStore.storeBloomBits(spark,
+      sys.error("conf override must not evaluate the count")) == 64)
+    finally spark.conf.unset("spark.graft.bloomBits")
+    // the small fixture store landed at the floor (the long-tested
+    // 2^20 default), recorded in params for probers and append-folds
+    assert(spark.read.parquet(s"$dL/params").collect()(0)
+      .getAs[Int]("bkbloom_bits") == (1 << 20))
   }
 
   test("merge refuses stores with different probe-bucket moduli") {
