@@ -1590,7 +1590,9 @@ object IndexStore {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (mBits <= 0 || !fs.exists(p)) None
     else Some((spark.read.parquet(p.toString)
-      .select(col("w"), col("word")), mBits))
+      .select(col("w"), col("word"))
+      // once-per-handle materialization, as loadLsh's bkbloom
+      .localCheckpoint(eager = false), mBits))
   }
 
   // ------------------------------------------------------------------
@@ -2024,8 +2026,13 @@ object IndexStore {
     val bands = maskTombstones(spark, dir,
       spark.read.parquet(s"$dir/bands").select(bandCols: _*))
     val bloom = bkbloomBitsOf(spark, dir).map { mBits =>
+      // lazy localCheckpoint: an auto-sized sketch can reach 32 MB,
+      // and serving loops probe it EVERY batch — materialize once
+      // per handle instead of re-reading parquet per screen
+      // (ContextCleaner frees the blocks when the handle dies)
       (spark.read.parquet(s"$dir/bkbloom")
-        .select(col("w"), col("word")), mBits)
+        .select(col("w"), col("word"))
+        .localCheckpoint(eager = false), mBits)
     }
     (sigs, bands, p._1, p._2, p._3, nb, bloom)
   }
