@@ -1492,8 +1492,9 @@ object IndexStore {
       val stored = spark.read.parquet(s"$dir/hashes")
         .select(col("vec_id"), col("lo"), col("hi"))
       // 5 band rows per hash — the same estimate sizes the bucket
-      // modulus AND the band-key Bloom (see [[storeBloomBits]])
-      val estKeys = diskRows(spark, s"$dir/hashes") * 5
+      // modulus AND the band-key Bloom (see [[storeBloomBits]]);
+      // lazy so a double conf override never pays the footer read
+      lazy val estKeys = diskRows(spark, s"$dir/hashes") * 5
       val nb = probeBucketsFor(spark, estKeys)
       val bloomBits =
         if (nb > 0) storeBloomBits(spark, estKeys)
@@ -1891,7 +1892,8 @@ object IndexStore {
     // x100 store's conf-default 2^20-bit sketch sat at 50% fill /
     // 12.5% FP — one more order of magnitude and the prefilter is
     // pure pass-through).
-    val estKeys = sigs.count() * math.max(1L, numHashes.toLong / rowsPerBand)
+    lazy val estKeys =
+      sigs.count() * math.max(1L, numHashes.toLong / rowsPerBand)
     val nb = probeBucketsFor(spark, estKeys)
     val bloomBits = storeBloomBits(spark, estKeys)
     withWriteLock(spark, dir) {
