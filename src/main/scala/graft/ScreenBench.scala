@@ -208,7 +208,7 @@ object ScreenBench {
       val lsh = Graft.loadLshIndex(spark, dL)
       record("d19_screen", s"${label}_$mode",
         timeMin3(lsh.screen(batch)), storeIO(dL)(lsh.screen(batch)), dL)
-      if (mode == "pruned") {
+      if (mode != "full") {
         // the Bloom-prefilter floor: every band key of a synthetic
         // batch is rejected by the stored sketch -> no store I/O
         // beyond the broadcast sketch itself
