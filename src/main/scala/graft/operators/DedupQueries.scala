@@ -1078,19 +1078,44 @@ object DedupQueries {
       * [[graft.api.Graft.bloomScreen]] facade path; the d13 gate
       * exact-verifies the hit minority on top of this.
       */
+    /** Probe verdicts per (doc_id, h): hit iff EVERY seed position's
+      * bit is set. The BATCH side broadcasts (≤ 3 distinct positions
+      * per probed key — always the small side); the word table only
+      * ever SCANS. Broadcasting the sketch side was right at the
+      * 128 KB conf default and wrong for the round-13 auto-sized
+      * store sketches (up to 2^28 bits = a ~50 MB broadcast per
+      * screen — the ScreenBench wall regression that forced this
+      * flip). Sparse word tables (only non-zero words stored) are
+      * handled by counting: a position whose word row is absent
+      * matches nothing, so got < need ⇒ miss — exactly the old
+      * left-join-null ⇒ false semantics.
+      */
     def probe(batchSegs: DataFrame, sketch: DataFrame,
-              mBits: Int = mBitsDefault): DataFrame =
-      batchSegs
+              mBits: Int = mBitsDefault): DataFrame = {
+      // distinct: two seeds landing on one position must count once
+      // in BOTH `need` and `got`; lazy localCheckpoint so the md5
+      // position derivation runs once for the two consumers
+      val pos = batchSegs
         .select(col("doc_id"), col("h"),
           explode(array(seeds.map(k => expr(posExpr(k, mBits))): _*))
             .as("pos"))
         .withColumn("w", (col("pos") / 32).cast("int"))
         .withColumn("mask", expr(
           "shiftleft(cast(1 as bigint), cast(pos % 32 as int))"))
-        .join(broadcast(sketch), Seq("w"), "left")
+        .select(col("doc_id"), col("h"), col("w"), col("mask"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      val need = pos.groupBy(col("doc_id"), col("h"))
+        .agg(count(lit(1)).as("need"))
+      val got = sketch.join(broadcast(pos), Seq("w"))
+        .where(expr("(word & mask) = mask"))
         .groupBy(col("doc_id"), col("h"))
-        .agg(expr("bool_and(coalesce((word & mask) = mask, false))")
-          .as("bloom_hit"))
+        .agg(count(lit(1)).as("got"))
+      need.join(got, Seq("doc_id", "h"), "left")
+        .select(col("doc_id"), col("h"),
+          coalesce(col("got") === col("need"), lit(false))
+            .as("bloom_hit"))
+    }
   }
 
   val d13BloomIncremental: QueryDef = {
