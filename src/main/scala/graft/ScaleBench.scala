@@ -208,11 +208,12 @@ object ScaleBench {
       // the source table; the rerank tail is CONSTANT in corpus size,
       // so the cell should track the composite build/search curve
       "e43_ivfpq_rerank",
-      // e49: e48 with the denormalized-dl layout - the build adds one
-      // doc-keyed join at save; the search loses the doclen join;
-      // expected to track e48's write-bound curve (the serving-side
-      // I/O win is ScreenBench's subject, not this end-to-end cell)
-      "e49_bm25_denorm_search",
+      // e49: e48 with the NORMALIZED (non-default since the round-14
+      // denormDl flip) layout - the build drops the save-time dl
+      // join; the search adds the doclen join; expected to track
+      // e48's write-bound curve (the serving-side I/O delta is
+      // ScreenBench's subject, not this end-to-end cell)
+      "e49_bm25_normalized_search",
       // e50: the blue/green composite - e47's build + retrain + search
       // plus two publishes; the publish overhead is ONE rename + ONE
       // marker create per generation, so the cell must track e47's

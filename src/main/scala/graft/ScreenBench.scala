@@ -152,12 +152,25 @@ object ScreenBench {
     def storedNb(dir: String): Long =
       spark.read.parquet(s"$dir/manifest")
         .select(col("n_buckets")).head().getLong(0)
+    // data files in the store AS SAVED (captured before the compact
+    // that collapses them) — the round-14 bucket-aligned-write proof:
+    // files ≈ partition dirs, not upstream tasks × dirs
+    def partFiles(dir: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext)
+        if (it.next().getPath.getName.startsWith("part-")) n += 1
+      n
+    }
 
     val scales = Seq(("x1", baseDir, 1), (s"x$copies", workDir, copies))
     val cells = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[String, String]]
     def record(cell: String, point: String, secs: Double,
-               io: (Long, Long), storeDir: String): Unit = {
+               io: (Long, Long), storeDir: String,
+               saveFiles: Long = -1L): Unit = {
       val (files, bytes) = io
       val mb = bytes / 1e6
       val smb = storeMb(storeDir)
@@ -165,10 +178,11 @@ object ScreenBench {
       cells.getOrElseUpdate(cell,
         scala.collection.mutable.LinkedHashMap.empty[String, String])
         .update(point,
-          f"""{"s":$secs%.3f,"files":$files,"mb":$mb%.1f,"store_mb":$smb%.1f,"nb":$nb}""")
+          f"""{"s":$secs%.3f,"files":$files,"mb":$mb%.1f,"store_mb":$smb%.1f,"nb":$nb,"save_files":$saveFiles}""")
       System.err.println(
         f"[screenbench] $cell $point = $secs%.3f s, $files files, " +
-          f"$mb%.1f MB read, store $smb%.1f MB, nb=$nb")
+          f"$mb%.1f MB read, store $smb%.1f MB, nb=$nb, " +
+          f"save_files=$saveFiles")
     }
 
     // warmup
@@ -204,10 +218,12 @@ object ScreenBench {
       // ---- d19: LSH screen ----
       val dL = tmp("screenbench_lsh")
       Graft.lshIndex(stored).save(dL)
+      val lshSaveFiles = partFiles(dL)
       Graft.compactIndex(spark, dL)
       val lsh = Graft.loadLshIndex(spark, dL)
       record("d19_screen", s"${label}_$mode",
-        timeMin3(lsh.screen(batch)), storeIO(dL)(lsh.screen(batch)), dL)
+        timeMin3(lsh.screen(batch)), storeIO(dL)(lsh.screen(batch)), dL,
+        lshSaveFiles)
       if (mode != "full") {
         // the Bloom-prefilter floor: every band key of a synthetic
         // batch is rejected by the stored sketch -> no store I/O
@@ -223,6 +239,7 @@ object ScreenBench {
       // ---- e48/e49: BM25 search ----
       val dB = tmp("screenbench_bm25")
       Graft.bm25Index(docs).save(dB)
+      val bmSaveFiles = partFiles(dB)
       Graft.compactIndex(spark, dB)
       val bm = Graft.loadBm25Index(spark, dB)
       // one short query (8 terms) — <= 8 of the nb token buckets
@@ -231,29 +248,34 @@ object ScreenBench {
           expr("array_join(slice(split(text, ' '), 1, 8), ' ')")
             .as("text")).localCheckpoint()
       record("e48_search", s"${label}_$mode",
-        timeMin3(bm.searchText(q)), storeIO(dB)(bm.searchText(q)), dB)
+        timeMin3(bm.searchText(q)), storeIO(dB)(bm.searchText(q)), dB,
+        bmSaveFiles)
       if (mode == "pruned") {
         // denormalized layout: same search, no doclen join in the plan;
         // the cell pair's store_mb fields ARE the write-amplification
         // trade (dl repeated per posting vs one doclen table)
         val dD = tmp("screenbench_bm25dn")
         Graft.bm25Index(docs).save(dD, denormDl = true)
+        val dnSaveFiles = partFiles(dD)
         Graft.compactIndex(spark, dD)
         val bmd = Graft.loadBm25Index(spark, dD)
         record("e49_search_denorm", s"${label}_$mode",
-          timeMin3(bmd.searchText(q)), storeIO(dD)(bmd.searchText(q)), dD)
+          timeMin3(bmd.searchText(q)), storeIO(dD)(bmd.searchText(q)), dD,
+          dnSaveFiles)
       }
 
       // ---- mm10: pHash screen ----
       val media = mediaOf(dir)
       val dP = tmp("screenbench_phash")
       Graft.phashIndex(media.filter(col("media_id") % 2 === 1)).save(dP)
+      val phSaveFiles = partFiles(dP)
       Graft.compactIndex(spark, dP)
       val ph = Graft.loadPhashIndex(spark, dP)
       val mBatch = media.filter(col("media_id") % 2 === 0 &&
         col("media_id") < 6).localCheckpoint()
       record("mm10_screen", s"${label}_$mode",
-        timeMin3(ph.screen(mBatch)), storeIO(dP)(ph.screen(mBatch)), dP)
+        timeMin3(ph.screen(mBatch)), storeIO(dP)(ph.screen(mBatch)), dP,
+        phSaveFiles)
       spark.conf.unset("spark.graft.probeBuckets")
     }
 

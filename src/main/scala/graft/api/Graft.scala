@@ -619,12 +619,15 @@ object Graft {
     }
 
     /** Persist to `dir` ([[graft.sources.IndexStore]] layout).
-      * `denormDl = true` carries each doc's length on its postings
-      * rows so a loaded handle's search needs NO doclen join — see
-      * [[graft.sources.IndexStore.saveBm25]] for the crash-commit
-      * trade that keeps normalized the default.
+      * `denormDl = true` (the DEFAULT — serving-optimized: each doc's
+      * length rides on its postings rows, so a loaded handle's search
+      * needs NO doclen join) vs `false` (write-optimized: doclen is
+      * the append commit point — pick it for non-idempotent
+      * write-heavy ingest). See [[graft.sources.IndexStore.saveBm25]]
+      * for the full trade; [[Graft.rewriteBm25Layout]] migrates a
+      * saved store either way in place.
       */
-    def save(dir: String, denormDl: Boolean = false): Unit =
+    def save(dir: String, denormDl: Boolean = true): Unit =
       IndexStore.saveBm25(dir, postings, doclen, df, denormDl)
   }
 
@@ -1363,12 +1366,11 @@ object Graft {
         : org.apache.spark.sql.streaming.StreamingQuery = {
       val spark = centroids.sparkSession
       // eager snapshot: a LocalRelation of the tombstone ids — immune
-      // to the tombstones/ dir being deleted by a concurrent compact
-      val snapshot = IndexStore.tombstones(spark, storeDir).map { t =>
-        import spark.implicits._
-        t.select(col("vec_id").cast("long")).as[Long]
-          .collect().toSeq.toDF("vec_id")
-      }
+      // to the tombstones/ dir being deleted by a concurrent compact;
+      // FENCED against spark.graft.maxTombstoneSnapshot (an
+      // uncompacted delete-heavy store fails at a named boundary
+      // pointing at compactIndex, not as a driver OOM)
+      val snapshot = IndexStore.tombstoneSnapshot(spark, storeDir)
       EmbStreams.ivfServePruned(queries, s"$storeDir/assigned",
         pulledCentroids, nprobe, k, snapshot)(onBatch)
     }

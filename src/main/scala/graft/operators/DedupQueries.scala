@@ -1079,17 +1079,26 @@ object DedupQueries {
       * exact-verifies the hit minority on top of this.
       */
     /** Probe verdicts per (doc_id, h): hit iff EVERY seed position's
-      * bit is set. The BATCH side broadcasts (≤ 3 distinct positions
-      * per probed key — always the small side); the word table only
-      * ever SCANS. Broadcasting the sketch side was right at the
-      * 128 KB conf default and wrong for the round-13 auto-sized
-      * store sketches (up to 2^28 bits = a ~50 MB broadcast per
-      * screen — the ScreenBench wall regression that forced this
-      * flip). Sparse word tables (only non-zero words stored) are
+      * bit is set. The broadcast side is picked by the ONE size known
+      * exactly at plan time — the sketch holds ≤ mBits/32 word rows,
+      * so a small sketch (≤ 2^24 bits ≈ 512k rows / a few MB,
+      * covering the 2^20 conf default and every small store)
+      * broadcasts as it always did. Past that the plan carries NO
+      * hint and AQE picks the build side from the RUNTIME sizes:
+      * neither side is statically safe to force — the round-13
+      * auto-sized store sketches reach 2^28 bits (~50 MB — the
+      * ScreenBench wall regression that first flipped the hint), and
+      * the batch side is only small on the SCREEN paths (≤ 3 distinct
+      * positions per key, batch fenced at 1M keys); on d13-style
+      * incremental ingest the probed batch is a corpus-scale fraction
+      * whose position table can reach hundreds of MB, where a forced
+      * batch broadcast OOMs exactly like the forced sketch broadcast
+      * did. Sparse word tables (only non-zero words stored) are
       * handled by counting: a position whose word row is absent
       * matches nothing, so got < need ⇒ miss — exactly the old
       * left-join-null ⇒ false semantics.
       */
+    val broadcastableSketchBits: Int = 1 << 24
     def probe(batchSegs: DataFrame, sketch: DataFrame,
               mBits: Int = mBitsDefault): DataFrame = {
       // distinct: two seeds landing on one position must count once
@@ -1107,7 +1116,9 @@ object DedupQueries {
         .localCheckpoint(eager = false)
       val need = pos.groupBy(col("doc_id"), col("h"))
         .agg(count(lit(1)).as("need"))
-      val got = sketch.join(broadcast(pos), Seq("w"))
+      val got = (if (mBits <= broadcastableSketchBits)
+          pos.join(broadcast(sketch), Seq("w"))
+        else pos.join(sketch, Seq("w")))
         .where(expr("(word & mask) = mask"))
         .groupBy(col("doc_id"), col("h"))
         .agg(count(lit(1)).as("got"))
@@ -1116,6 +1127,38 @@ object DedupQueries {
           coalesce(col("got") === col("need"), lit(false))
             .as("bloom_hit"))
     }
+  }
+
+  /** The d13 report tail — exact-verify ONLY the bloom-hit minority
+    * against the live corpus segments, then the per-doc counts frame.
+    * Shared by d13 (live sketch) and d21 (the same sketch through a
+    * save → publish → loadCurrent seam), so the two gates can only
+    * differ by where the sketch came from.
+    */
+  private def bloomScreenReport(probes: DataFrame,
+                                corpusSegs: DataFrame): DataFrame = {
+    val verified = probes.filter(col("bloom_hit"))
+      .join(corpusSegs.withColumn("in_corpus", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"), col("h"),
+        coalesce(col("in_corpus"), lit(false)).as("confirmed"))
+    probes
+      .join(verified.select(col("doc_id"), col("h"), col("confirmed")),
+        Seq("doc_id", "h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_distinct_segments"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(when(col("confirmed") === true, 1L).otherwise(0L))
+          .as("n_confirmed_dups"),
+        sum(when(col("confirmed") === false, 1L).otherwise(0L))
+          .as("n_false_positives"))
+      .withColumn("dup_frac",
+        round(col("n_confirmed_dups") /
+          col("n_distinct_segments").cast("double"), 4))
+      .select(col("doc_id"), col("n_distinct_segments"),
+        col("n_bloom_hits"), col("n_confirmed_dups"),
+        col("n_false_positives"), col("dup_frac"))
+      .orderBy(col("doc_id"))
   }
 
   val d13BloomIncremental: QueryDef = {
@@ -1131,31 +1174,9 @@ object DedupQueries {
         val sketch = sketchOf(corpusSegs, mBits)
         val batchSegs = segmentHashesOf(docs.filter(col("doc_id") % 5 === 4))
         // probe: 3 rows per segment against the broadcast word table
-        // (shared with the Graft.bloomScreen facade)
-        val probes = probe(batchSegs, sketch, mBits)
-        // exact verify ONLY the bloom-hit minority
-        val verified = probes.filter(col("bloom_hit"))
-          .join(corpusSegs.withColumn("in_corpus", lit(true)), Seq("h"), "left")
-          .select(col("doc_id"), col("h"),
-            coalesce(col("in_corpus"), lit(false)).as("confirmed"))
-        probes
-          .join(verified.select(col("doc_id"), col("h"), col("confirmed")),
-            Seq("doc_id", "h"), "left")
-          .groupBy(col("doc_id"))
-          .agg(
-            count(lit(1)).as("n_distinct_segments"),
-            sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
-            sum(when(col("confirmed") === true, 1L).otherwise(0L))
-              .as("n_confirmed_dups"),
-            sum(when(col("confirmed") === false, 1L).otherwise(0L))
-              .as("n_false_positives"))
-          .withColumn("dup_frac",
-            round(col("n_confirmed_dups") /
-              col("n_distinct_segments").cast("double"), 4))
-          .select(col("doc_id"), col("n_distinct_segments"),
-            col("n_bloom_hits"), col("n_confirmed_dups"),
-            col("n_false_positives"), col("dup_frac"))
-          .orderBy(col("doc_id"))
+        // (shared with the Graft.bloomScreen facade); exact verify
+        // only the bloom-hit minority (the shared report tail)
+        bloomScreenReport(probe(batchSegs, sketch, mBits), corpusSegs)
       },
       Some(s"""WITH base AS (
              |  SELECT doc_id, string_split(text, ' ') AS toks,
@@ -1818,11 +1839,58 @@ object DedupQueries {
     },
     d19LshIndexScreen.oracle)
 
+  /** Blue/green publish gate for the BLOOM kind — d13's incremental
+    * screen run THROUGH the generation pointer, completing the
+    * publish-flip oracle coverage across all four screening kinds
+    * (d20 = LSH, e50 = IVF, e51 = BM25, this = the exact-segment
+    * sketch — the kind whose "forget" path IS rebuild + publish,
+    * since a bit_or sketch can only grow). Publish a stale sketch
+    * (half the stored corpus) as generation 1, d13's full corpus
+    * sketch as generation 2, then probe via [[graft.api.Graft
+    * .loadCurrentBloomIndex]] + [[graft.api.Graft.bloomScreen]] and
+    * report through the shared [[bloomScreenReport]] tail. Oracle:
+    * d13's text verbatim — the save → publish → loadCurrent seam must
+    * be invisible to every count (a sketch is bit-exact under the
+    * parquet round-trip), and the stale generation 1 must NOT leak
+    * (its missing segments would flip bloom_hit verdicts, failing the
+    * hash compare).
+    */
+  val d21BloomPublishedScreen: QueryDef = {
+    import BloomSketch._
+    QueryDef(
+      "d21_bloom_published_screen",
+      (s, d) => {
+        val mBits = mBitsOf(s)
+        val docs = Tables.documents(s, d)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_d21_root").toString + "/gens"
+        val corpusSegs = segmentHashesOf(docs.filter(col("doc_id") % 5 < 4))
+          .select("h").distinct()
+        val b1 = java.nio.file.Files
+          .createTempDirectory("graft_d21_b1").toString + "/idx"
+        graft.api.Graft.bloomSketch(
+          segmentHashesOf(docs.filter(col("doc_id") % 5 < 2)), mBits)
+          .save(b1)
+        graft.api.Graft.publishIndex(s, root, b1)
+        val b2 = java.nio.file.Files
+          .createTempDirectory("graft_d21_b2").toString + "/idx"
+        graft.api.Graft.bloomSketch(
+          segmentHashesOf(docs.filter(col("doc_id") % 5 < 4)), mBits)
+          .save(b2)
+        graft.api.Graft.publishIndex(s, root, b2)
+        val probes = graft.api.Graft.bloomScreen(
+          docs.filter(col("doc_id") % 5 === 4),
+          graft.api.Graft.loadCurrentBloomIndex(s, root))
+        bloomScreenReport(probes, corpusSegs)
+      },
+      d13BloomIncremental.oracle)
+  }
+
   def all: Seq[QueryDef] = Seq(
     d01ExactDedup, d02NormalizedDedup, d03NgramJaccard, d04MinHashLsh,
     d05SimHash, d06DedupClusters, d07KeepList, d08JaccardCapped,
     d09MinHashCapped, d10SegmentDedup, d11IntraDocDedup, d12SubstringDedup,
     d13BloomIncremental, d14SourceOverlap, d15CrossDecontamination,
     d16QualityKeeper, d17SemanticDecontamination, d18ClustersCapped,
-    d19LshIndexScreen, d20LshPublishedScreen)
+    d19LshIndexScreen, d20LshPublishedScreen, d21BloomPublishedScreen)
 }

@@ -1421,9 +1421,42 @@ object MultimodalQueries {
            |WHERE bit_count(xor(i.lo, st.lo)) + bit_count(xor(i.hi, st.hi)) <= 4
            |ORDER BY ma, mb""".stripMargin))
 
+  /** Blue/green publish gate for the MEDIA kind — mm10's screen run
+    * THROUGH the generation pointer (the d20/e51 seam on the pHash
+    * store): publish a stale index (one third of the stored media) as
+    * generation 1, the full stored corpus as generation 2, then
+    * screen via [[graft.api.Graft.loadCurrentPhashIndex]]. Oracle:
+    * mm10's hash-synthesis + exact-Hamming text verbatim — the
+    * publish seam (renames + markers + the listing resolve) must be
+    * invisible to the verdicts, and the stale generation 1 must NOT
+    * leak (its missing stored media would drop near-dup pairs,
+    * failing the row compare).
+    */
+  val mm11PhashPublishedScreen = QueryDef(
+    "mm11_phash_published_screen",
+    (s, d) => {
+      val hashed = phashed(s, d).localCheckpoint()
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mm11_root").toString + "/gens"
+      val b1 = java.nio.file.Files
+        .createTempDirectory("graft_mm11_b1").toString + "/idx"
+      graft.api.Graft.phashIndex(
+        hashed.filter(col("media_id") % 3 === 1)).save(b1)
+      graft.api.Graft.publishIndex(s, root, b1)
+      val b2 = java.nio.file.Files
+        .createTempDirectory("graft_mm11_b2").toString + "/idx"
+      graft.api.Graft.phashIndex(
+        hashed.filter(col("media_id") % 3 =!= 0)).save(b2)
+      graft.api.Graft.publishIndex(s, root, b2)
+      graft.api.Graft.loadCurrentPhashIndex(s, root)
+        .screen(hashed.filter(col("media_id") % 3 === 0))
+        .orderBy(col("ma"), col("mb"))
+    },
+    mm10PhashIndexScreen.oracle)
+
   def all: Seq[QueryDef] = Seq(mm01MediaTable, mm02DecodeFeatures,
     mm03FrameSample, mm04AudioFeatures, mm05ResizeFeatures,
     mm06ShotBoundaries, mm07PerceptualHashDedup, mm08AudioFpDedup,
     mm09VideoNearDup, mm08AudioFpCount, mm09VideoCount,
-    mm10PhashIndexScreen)
+    mm10PhashIndexScreen, mm11PhashPublishedScreen)
 }

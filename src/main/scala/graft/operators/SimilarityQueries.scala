@@ -2669,21 +2669,24 @@ object SimilarityQueries {
          |  FROM bm)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
-  /** Denormalized BM25 store gate — e48 with `denormDl = true`: the
-    * postings rows carry each document's length, so the loaded
-    * handle's search plan has NO candidates↔doclen join (doclen is
-    * touched only by the one-row stats aggregate — ProbePruningSpec
-    * pins the plan shape; this gate pins the SCORES cross-engine:
-    * same oracle text as e48, because denormalization must be
-    * invisible to the ranking).
+  /** NORMALIZED BM25 store gate — e48 with `denormDl = false`. Since
+    * the round-14 default flip (the PARITY round-13 store_mb data
+    * settled denormalized-dl as the save default), e48's default save
+    * covers the denormalized layout and THIS gate pins the conf-
+    * selected write-optimized NORMALIZED one: postings carry no `dl`,
+    * search joins `doclen` (the append commit point), and the layout
+    * must be invisible to the ranking — same oracle text as e48.
+    * (Pre-flip this gate was `e49_bm25_denorm_search`, pinning the
+    * then-non-default denorm side; the two gates swapped roles with
+    * the default.)
     */
-  val e49Bm25DenormSearch = QueryDef(
-    "e49_bm25_denorm_search",
+  val e49Bm25NormalizedSearch = QueryDef(
+    "e49_bm25_normalized_search",
     (s, d) => {
       val docs = Tables.documents(s, d)
       val dir = java.nio.file.Files
-        .createTempDirectory("graft_e49_bm25dn").toString
-      graft.api.Graft.bm25Index(docs).save(dir, denormDl = true)
+        .createTempDirectory("graft_e49_bm25n").toString
+      graft.api.Graft.bm25Index(docs).save(dir, denormDl = false)
       graft.api.Graft.loadBm25Index(s, dir)
         .searchText(docs.filter(col("doc_id") < 5)
           .select(col("doc_id").as("query_id"), col("text")), k = 5)
@@ -2754,12 +2757,14 @@ object SimilarityQueries {
     e48Bm25Store.oracle)
 
   /** Layout-migration gate — [[graft.api.Graft.rewriteBm25Layout]]
-    * replayed in the oracle surface: save the default normalized
-    * layout, migrate IN PLACE to denormalized-dl, reopen, search.
-    * Oracle: e48's text verbatim — a layout rewrite that changed any
-    * score or rank would fail the hash compare (e49 already pins
-    * denorm-at-save; this pins the migration path, which rewrites
-    * stored rows rather than re-deriving them from source text).
+    * replayed in the oracle surface: save the (now conf-selected)
+    * NORMALIZED layout explicitly, migrate IN PLACE to
+    * denormalized-dl — exactly the upgrade path a pre-flip store
+    * takes — reopen, search. Oracle: e48's text verbatim — a layout
+    * rewrite that changed any score or rank would fail the hash
+    * compare (e48's default save pins denorm-at-save; this pins the
+    * migration path, which rewrites stored rows rather than
+    * re-deriving them from source text).
     */
   val e52Bm25RewriteSearch = QueryDef(
     "e52_bm25_rewrite_search",
@@ -2767,7 +2772,7 @@ object SimilarityQueries {
       val docs = Tables.documents(s, d)
       val dir = java.nio.file.Files
         .createTempDirectory("graft_e52_bm25rw").toString
-      graft.api.Graft.bm25Index(docs).save(dir)
+      graft.api.Graft.bm25Index(docs).save(dir, denormDl = false)
       graft.api.Graft.rewriteBm25Layout(s, dir, denormDl = true)
       graft.api.Graft.loadBm25Index(s, dir)
         .searchText(docs.filter(col("doc_id") < 5)
@@ -3319,6 +3324,6 @@ object SimilarityQueries {
     e38RerankSweep, e39FilteredPq, e40FilteredIvfPq, e41FilteredPqRecall,
     e42FilteredIvfPqRecall, e43IvfPqRerank, e44RecallIvfPqRerank,
     e45IndexDelete, e46DeleteCompact, e47IvfRetrain, e48Bm25Store,
-    e49Bm25DenormSearch, e50PublishedRetrainSearch,
+    e49Bm25NormalizedSearch, e50PublishedRetrainSearch,
     e51Bm25PublishedSearch, e52Bm25RewriteSearch)
 }

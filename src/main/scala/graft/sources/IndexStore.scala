@@ -113,6 +113,54 @@ object IndexStore {
     math.min(4096L, math.max(16L, up)).toInt
   }
 
+  /** Align a table's SHUFFLE partitioning to its bucket dirs before a
+    * `partitionBy` write, so the written file count is ≈ buckets, not
+    * upstream-tasks × buckets. Without it every upstream task writes
+    * one file into EVERY bucket dir it holds rows for — at 100 TB
+    * scale (thousands of tasks × up to 4096 buckets) that is millions
+    * of files per save, and it was a measured cost at bench scale too
+    * (the e48 ×100 save went 23 s flat → 58 s bucketed purely on
+    * small-files overhead — PARITY §round-13 #4). [[compact]] and
+    * [[rewriteBm25Layout]] always shuffled this way; this applies the
+    * same rule to the save/append paths.
+    *
+    * Hash-partitioning on the bucket column(s) puts each bucket
+    * wholly in one task → ONE file per bucket. That caps a file at
+    * (table rows / buckets), which past the 4096-bucket clamp grows
+    * with the corpus — so when `estRows` is known (saves compute it
+    * for auto-sizing anyway) a WRITE SALT splits each bucket into
+    * k = ⌈rows/bucket / `spark.graft.storeRowsPerFile`⌉ files
+    * (default 4M rows ≈ 100–200 MB of postings/band rows; clamped to
+    * ≤ 256), keyed on `hash(saltCol)` so the split is uniform and
+    * deterministic. `estRows = 0` (appends — micro-batch-sized by
+    * contract, and one file per touched bucket is exactly the append
+    * ideal) keeps k = 1.
+    */
+  private def bucketAligned(df: DataFrame, partCols: Seq[String],
+                            saltCol: String, estRows: Long = 0L,
+                            nb: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val perFile = spark.conf.getOption("spark.graft.storeRowsPerFile")
+      .map(_.toLong).getOrElse(4000000L)
+    require(perFile >= 1,
+      s"spark.graft.storeRowsPerFile must be >= 1, got $perFile")
+    val k =
+      if (estRows <= 0L || nb <= 0) 1L
+      else math.min(256L, math.max(1L,
+        (estRows / nb + perFile - 1) / perFile))
+    if (k <= 1) df.repartition(partCols.map(col): _*)
+    else
+      // pin the shuffle width to buckets × k: files split only when
+      // (bucket, salt) pairs land in DIFFERENT tasks, and an
+      // unpinned repartition lets AQE coalesce small shuffles back
+      // into few tasks, silently disabling the salt. Capped so a
+      // mega-save degrades to fewer, larger files rather than an
+      // absurd task count.
+      df.repartition(
+        math.min(nb.toLong * k, 1L << 18).toInt,
+        partCols.map(col) :+ pmod(hash(col(saltCol)), lit(k.toInt)): _*)
+  }
+
   /** The band-key Bloom's SAVE-TIME bit size: `spark.graft.bloomBits`
     * overrides when set (the shared d13 knob — by-name `keys` is
     * never evaluated then); unset, ~16 bits per expected distinct
@@ -432,6 +480,45 @@ object IndexStore {
     else None
   }
 
+  /** An EAGER LOCAL snapshot of the live tombstone ids — the pull the
+    * serving streams take once per handle/generation so a concurrent
+    * [[compact]] that applies-and-clears the tombstone files
+    * mid-stream cannot fail later micro-batches. The collect is
+    * FENCED (`limit(max+1)`, one pass — never count-then-collect)
+    * against `spark.graft.maxTombstoneSnapshot` (default 10M ids ≈
+    * 80 MB on the driver — generous, because tombstones are small BY
+    * CONTRACT: [[compact]] applies and clears them). A store whose
+    * operator deletes aggressively while deferring compaction
+    * otherwise materializes an unbounded set on the driver PER
+    * handle/generation — the same failure class the screens' round-13
+    * candidate fence closed, failed here at the same kind of named
+    * boundary instead of an OOM.
+    */
+  def tombstoneSnapshot(spark: SparkSession, dir: String)
+      : Option[DataFrame] =
+    tombstones(spark, dir).map { t =>
+      import spark.implicits._
+      val max = {
+        val v = spark.conf.getOption("spark.graft.maxTombstoneSnapshot")
+          .map(_.toLong).getOrElse(10000000L)
+        require(v >= 1,
+          s"spark.graft.maxTombstoneSnapshot must be >= 1, got $v")
+        math.min(v, Int.MaxValue.toLong - 1).toInt
+      }
+      val pulled = t.select(col("vec_id").cast("long")).as[Long]
+        .limit(max + 1).collect()
+      if (pulled.length > max)
+        throw new IllegalStateException(
+          s"$dir: tombstone set exceeds " +
+            s"spark.graft.maxTombstoneSnapshot=$max — serving snapshots " +
+            "pull the live tombstone ids to the driver once per " +
+            "handle/generation, which is bounded only while deletes " +
+            "are compacted away. Run Graft.compactIndex to apply and " +
+            "clear the tombstones (the intended lifecycle), or raise " +
+            "the conf if the driver can hold more.")
+      pulled.toSeq.toDF("vec_id")
+    }
+
   /** Anti-join the tombstone set out of a loaded big table — a
     * BROADCAST anti-join (tombstones are small by contract until the
     * next compact applies them), so masking costs one in-row hash
@@ -485,7 +572,11 @@ object IndexStore {
               centroids: DataFrame): Unit = {
     val spark = assigned.sparkSession
     withWriteLock(spark, dir) {
-      assigned.select(col("vec_id"), col("embedding"), col("cell"))
+      // shuffle-align to the cell dirs: one file per cell, not one per
+      // upstream task per cell ([[bucketAligned]]; [[compact]] always
+      // wrote this shape — saves now match it)
+      bucketAligned(assigned.select(col("vec_id"), col("embedding"),
+          col("cell")), Seq("cell"), "vec_id")
         .write.mode(SaveMode.Overwrite)
         .partitionBy("cell").parquet(s"$dir/assigned")
       centroids.select(col("cell"), col("centroid"))
@@ -509,7 +600,11 @@ object IndexStore {
     readManifest(spark, dir, "ivf")
     withWriteLock(spark, dir) {
       val before = diskRows(spark, s"$dir/assigned")
-      assignedArrivals.select(col("vec_id"), col("embedding"), col("cell"))
+      // one file per TOUCHED cell per append (bucketAligned, k = 1) —
+      // a micro-batch otherwise multiplies its task count into every
+      // cell dir it touches
+      bucketAligned(assignedArrivals.select(col("vec_id"),
+          col("embedding"), col("cell")), Seq("cell"), "vec_id")
         .write.mode(SaveMode.Append)
         .partitionBy("cell").parquet(s"$dir/assigned")
       recordEpoch(spark, dir, "append",
@@ -605,9 +700,10 @@ object IndexStore {
     val spark = codes.sparkSession
     val m = codebooks.length
     withWriteLock(spark, dir) {
-      codes.select(Seq(col("vec_id"), col("cell")) ++
+      bucketAligned(codes.select(Seq(col("vec_id"), col("cell")) ++
           (0 until m).map(mi => col(s"code_$mi")) ++
-          (0 until m).map(mi => col(s"recon2_$mi")): _*)
+          (0 until m).map(mi => col(s"recon2_$mi")): _*),
+          Seq("cell"), "vec_id")
         .write.mode(SaveMode.Overwrite)
         .partitionBy("cell").parquet(s"$dir/codes")
       centroids.select(col("cell"), col("centroid"))
@@ -630,9 +726,10 @@ object IndexStore {
     val m = readCodebooks(spark, dir).length
     withWriteLock(spark, dir) {
       val before = diskRows(spark, s"$dir/codes")
-      codesArrivals.select(Seq(col("vec_id"), col("cell")) ++
+      bucketAligned(codesArrivals.select(Seq(col("vec_id"), col("cell")) ++
           (0 until m).map(mi => col(s"code_$mi")) ++
-          (0 until m).map(mi => col(s"recon2_$mi")): _*)
+          (0 until m).map(mi => col(s"recon2_$mi")): _*),
+          Seq("cell"), "vec_id")
         .write.mode(SaveMode.Append)
         .partitionBy("cell").parquet(s"$dir/codes")
       recordEpoch(spark, dir, "append",
@@ -1045,7 +1142,8 @@ object IndexStore {
           val tmp = new org.apache.hadoop.fs.Path(s"$dstDir/df.compact")
           fs.delete(tmp, true)
           if (nb > 0)
-            bm25WithTb(folded, nb, Seq("tok", "df"))
+            bucketAligned(bm25WithTb(folded, nb, Seq("tok", "df")),
+                Seq("tb"), "tok")
               .write.mode(SaveMode.Overwrite)
               .partitionBy("tb").parquet(tmp.toString)
           else folded.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -1323,17 +1421,26 @@ object IndexStore {
 
   /** Introspect a [[publishGeneration]] root — one row per
     * generation: (generation, kind, published, current, bytes,
-    * n_files). The blue/green operational answers in one frame:
-    * which generation serves ("current" = the highest PUBLISHED
-    * one — exactly [[currentGeneration]]'s resolve), what an
-    * unpublished directory is (a crashed publish to resume, or an
-    * abandoned build to delete), and how much disk the old blues
-    * hold (the [[vacuumGenerations]] signal). Bytes/files are a
-    * filesystem walk per generation, no data reads; `kind` comes
-    * from each generation's one-row manifest (null if unreadable —
-    * surfaced rather than thrown, since a half-written build dir is
-    * precisely what an operator needs to SEE). Empty frame when the
-    * root holds no generations.
+    * n_files, holder, heartbeat_age_ms, stale_suspect). The
+    * blue/green operational answers in one frame: which generation
+    * serves ("current" = the highest PUBLISHED one — exactly
+    * [[currentGeneration]]'s resolve), what an unpublished directory
+    * is (a crashed publish to resume, or an abandoned build to
+    * delete), how much disk the old blues hold (the
+    * [[vacuumGenerations]] signal), and — via [[lockInfo]]'s three
+    * columns, null on unlocked generations — whether a generation is
+    * MID-WRITE and whether its writer is still heartbeating
+    * (`stale_suspect = true` on an unpublished generation means the
+    * build presumably crashed; on a published one, a stuck
+    * append/compact). Triage is one call. Bytes/files are a
+    * filesystem walk per generation; `kind` comes from each
+    * generation's one-row manifest — read in ONE batched parquet job
+    * across all generations (manifest rows are data reads, small as
+    * they are; per-generation reads are the fallback when the batch
+    * read fails, and a generation with no/unreadable manifest shows
+    * kind = null rather than throwing, since a half-written build dir
+    * is precisely what an operator needs to SEE). Empty frame when
+    * the root holds no generations.
     */
   def describeGenerations(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
@@ -1342,17 +1449,47 @@ object IndexStore {
     val gens = if (!fs.exists(rootPath)) Seq.empty
                else generationsOf(fs, rootPath).sortBy(_._1)
     val current = gens.filter(_._3).map(_._1).sorted.lastOption
+    val withManifest = gens.filter { case (_, p, _) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "manifest"))
+    }
+    // one spark job for ALL generations' kinds; input_file_name maps
+    // each manifest row back to its g-<n> dir
+    val kinds: Map[Int, String] = {
+      val genOfPath = withManifest.map { case (n, p, _) =>
+        org.apache.hadoop.fs.Path
+          .getPathWithoutSchemeAndAuthority(p).toString -> n
+      }.toMap
+      def genOf(file: String): Option[Int] = {
+        val noScheme = org.apache.hadoop.fs.Path
+          .getPathWithoutSchemeAndAuthority(
+            new org.apache.hadoop.fs.Path(file)).toString
+        genOfPath.collectFirst {
+          case (dir, n) if noScheme.startsWith(dir + "/") => n
+        }
+      }
+      if (withManifest.isEmpty) Map.empty
+      else scala.util.Try {
+        spark.read.parquet(withManifest.map(g => s"${g._2}/manifest"): _*)
+          .select(col("kind"), input_file_name().as("f"))
+          .collect()
+          .flatMap(r => genOf(r.getString(1)).map(_ -> r.getString(0)))
+          .toMap
+      }.getOrElse {
+        // fallback: per-generation reads, unreadable ⇒ absent (null)
+        withManifest.flatMap { case (n, p, _) =>
+          scala.util.Try(spark.read.parquet(s"$p/manifest")
+            .select(col("kind")).head().getString(0)).toOption.map(n -> _)
+        }.toMap
+      }
+    }
     gens.map { case (n, p, published) =>
       val sum = fs.getContentSummary(p)
-      val kind =
-        if (!fs.exists(new org.apache.hadoop.fs.Path(p, "manifest"))) None
-        else scala.util.Try(
-          spark.read.parquet(s"$p/manifest").select(col("kind"))
-            .head().getString(0)).toOption
-      (n, kind, published, current.contains(n),
-        sum.getLength, sum.getFileCount)
+      val lock = lockInfo(spark, p.toString)
+      (n, kinds.get(n), published, current.contains(n),
+        sum.getLength, sum.getFileCount,
+        lock.map(_._1), lock.map(_._2), lock.map(_._3))
     }.toDF("generation", "kind", "published", "current",
-      "bytes", "n_files")
+      "bytes", "n_files", "holder", "heartbeat_age_ms", "stale_suspect")
   }
 
   /** Drop PUBLISHED generations older than the newest `keep` — the
@@ -1360,21 +1497,49 @@ object IndexStore {
     * `keep < 1` (never deletes the current generation) and never
     * touches UNPUBLISHED directories (a crash-before-marker build is
     * completed by re-publishing it, not vacuumed — delete it
-    * explicitly if abandoned). Serving readers that resolved an old
-    * generation before the vacuum lose their files — stop or restart
-    * them first, the standard table-maintenance caveat. Returns the
-    * number of generations removed.
+    * explicitly if abandoned). A MINIMUM-AGE GRACE WINDOW
+    * (`spark.graft.vacuumGenerationGraceMs`, default 1 h; the
+    * ContentAddressedStore sweep-grace pattern) additionally refuses
+    * to delete any generation whose NEWER sibling was published more
+    * recently than the window: the generation-aware serving streams
+    * re-resolve the current generation once per micro-batch, so a
+    * vacuum racing a fleet's flip could otherwise delete the old blue
+    * while a straggler batch is still scanning it. The age that
+    * matters is the SUCCESSOR's publish time (a generation is safe to
+    * drop only once everything has had time to flip PAST it), read
+    * from the successor's `_PUBLISHED` marker mtime. Set the conf to
+    * 0 to restore unconditional semantics (e.g. in a drained
+    * maintenance window). Serving readers stopped before the vacuum
+    * are safe regardless — the window is for the ones still running.
+    * Returns the number of generations removed.
     */
   def vacuumGenerations(spark: SparkSession, root: String,
                         keep: Int = 1): Int = {
     require(keep >= 1, s"vacuumGenerations: keep must be >= 1, got $keep")
+    val graceMs = spark.conf
+      .getOption("spark.graft.vacuumGenerationGraceMs")
+      .map(_.toLong).getOrElse(3600000L)
+    require(graceMs >= 0,
+      s"spark.graft.vacuumGenerationGraceMs must be >= 0, got $graceMs")
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return 0
     withWriteLock(spark, root) {
       val published = generationsOf(fs, rootPath).filter(_._3)
         .sortBy(_._1)
-      val drop = published.dropRight(keep)
+      def publishedAt(p: org.apache.hadoop.fs.Path): Long =
+        try fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(p, "_PUBLISHED"))
+          .getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      val now = System.currentTimeMillis()
+      val drop = published.dropRight(keep).zipWithIndex.filter {
+        case (_, i) =>
+          // successor = the next published generation (always exists —
+          // dropRight(keep >= 1) guarantees at least one newer)
+          val succ = published(i + 1)._2
+          now - publishedAt(succ) >= graceMs
+      }.map(_._1)
       drop.foreach { case (_, p, _) => fs.delete(p, true) }
       drop.length
     }
@@ -1501,7 +1666,9 @@ object IndexStore {
         else 0
       if (nb > 0) {
         val bands = phashBandRows(stored, nb)
-        bands
+        // files ≈ buckets (× write salt), not tasks × buckets — the
+        // estKeys already in hand sizes the salt ([[bucketAligned]])
+        bucketAligned(bands, Seq("pb"), "vec_id", estKeys, nb)
           .write.mode(SaveMode.Overwrite)
           .partitionBy("pb").parquet(s"$dir/bands")
         pbkeySketchOf(spark.read.parquet(s"$dir/bands"), bloomBits)
@@ -1549,7 +1716,8 @@ object IndexStore {
       }
       hashesNew.select(col("vec_id"), col("lo"), col("hi"))
         .write.mode(SaveMode.Append).parquet(s"$dir/hashes")
-      bandsNew.foreach(_.write.mode(SaveMode.Append)
+      bandsNew.foreach(bn => bucketAligned(bn, Seq("pb"), "vec_id")
+        .write.mode(SaveMode.Append)
         .partitionBy("pb").parquet(s"$dir/bands"))
       recordEpoch(spark, dir, "append",
         diskRows(spark, s"$dir/hashes") - before)
@@ -1621,23 +1789,33 @@ object IndexStore {
     * from the compacted postings, which heals both delete staleness
     * and any crashed-append drift.
     *
-    * `denormDl = true` ADDITIONALLY carries each document's length
-    * `dl` on its postings rows (one doc-keyed join at save time) so
-    * search needs NO doclen join at all — the candidates↔doclen
-    * shuffle disappears from the serving plan. The trade: a crash
+    * `denormDl = true` — THE DEFAULT since the round-13 measurement
+    * settled the trade (PARITY: +15% disk buys a 1.85× smaller
+    * per-query read and a join-free serving plan) — ADDITIONALLY
+    * carries each document's length `dl` on its postings rows (one
+    * doc-keyed join at save time) so search needs NO doclen join at
+    * all: the candidates↔doclen shuffle disappears from the serving
+    * plan. The trade, unchanged and still documented: a crash
     * mid-append can leave a batch's documents PARTIALLY scoreable
     * (some postings rows landed, each self-sufficient), whereas the
-    * default normalized layout keeps `doclen` as the commit point
-    * (unscoreable until the batch fully lands). Pick denormalized for
-    * read-heavy serving where idempotent-replay ingest (checkpointed
-    * streams) already guards the append path; default otherwise.
+    * normalized layout keeps `doclen` as the commit point
+    * (unscoreable until the batch fully lands). Pass
+    * `denormDl = false` for write-heavy stores whose ingest is not
+    * idempotent-replay guarded (checkpointed streams are); existing
+    * stores migrate either way IN PLACE with [[rewriteBm25Layout]]
+    * (gate e52).
     */
   def saveBm25(dir: String, postings: DataFrame, doclen: DataFrame,
-               df: DataFrame, denormDl: Boolean = false): Unit = {
+               df: DataFrame, denormDl: Boolean = true): Unit = {
     val spark = postings.sparkSession
     // auto-sizing counts the probed table (one extra pass, once per
-    // build); a conf override skips the count entirely
-    val nb = probeBucketsFor(spark, postings.count())
+    // build); a conf override skips the count entirely — and then
+    // also skips the write salt, keeping the no-count contract
+    val confNb = spark.conf.getOption("spark.graft.probeBuckets")
+      .map(_.toInt)
+    lazy val pRows = postings.count()
+    val nb = confNb.getOrElse(autoProbeBuckets(pRows))
+    val estRows = if (confNb.isEmpty) pRows else 0L
     withWriteLock(spark, dir) {
       val p0 =
         if (!denormDl) postings.select(col("vec_id"), col("tok"), col("tf"))
@@ -1648,10 +1826,16 @@ object IndexStore {
       val pCols = Seq("vec_id", "tok", "tf") ++
         (if (denormDl) Seq("dl") else Nil)
       if (nb > 0) {
-        bm25WithTb(p0, nb, pCols)
+        // shuffle-align to the bucket dirs — files ≈ buckets (× write
+        // salt from the row count already in hand), not tasks ×
+        // buckets ([[bucketAligned]]; the measured e48 ×100 save
+        // regression was exactly this amplification)
+        bucketAligned(bm25WithTb(p0, nb, pCols), Seq("tb"), "vec_id",
+            estRows, nb)
           .write.mode(SaveMode.Overwrite)
           .partitionBy("tb").parquet(s"$dir/postings")
-        bm25WithTb(df, nb, Seq("tok", "df"))
+        bucketAligned(bm25WithTb(df, nb, Seq("tok", "df")), Seq("tb"),
+            "tok")
           .write.mode(SaveMode.Overwrite)
           .partitionBy("tb").parquet(s"$dir/df")
       } else {
@@ -1716,7 +1900,8 @@ object IndexStore {
       val pCols = Seq("vec_id", "tok", "tf") ++
         (if (denormDl) Seq("dl") else Nil)
       if (nb > 0)
-        bm25WithTb(p0, nb, pCols)
+        // one file per TOUCHED bucket per append (bucketAligned, k=1)
+        bucketAligned(bm25WithTb(p0, nb, pCols), Seq("tb"), "vec_id")
           .write.mode(SaveMode.Append)
           .partitionBy("tb").parquet(s"$dir/postings")
       else p0.select(pCols.map(col): _*)
@@ -1731,7 +1916,8 @@ object IndexStore {
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/df.compact")
       fs.delete(tmp, true)
       if (nb > 0)
-        bm25WithTb(folded, nb, Seq("tok", "df"))
+        bucketAligned(bm25WithTb(folded, nb, Seq("tok", "df")),
+            Seq("tb"), "tok")
           .write.mode(SaveMode.Overwrite)
           .partitionBy("tb").parquet(tmp.toString)
       else folded.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -1764,19 +1950,33 @@ object IndexStore {
     */
   def rewriteBm25Layout(spark: SparkSession, dir: String,
                         denormDl: Boolean): Unit = {
-    val man = readManifest(spark, dir, "bm25")
-    val nb = man.n_buckets.toInt
     withWriteLock(spark, dir) {
+      // manifest read INSIDE the lock, like every other lifecycle op —
+      // n_buckets is immutable for a store's lifetime, but reading
+      // state under the lock keeps the kind check race-free too
+      val man = readManifest(spark, dir, "bm25")
+      val nb = man.n_buckets.toInt
       val raw = spark.read.parquet(s"$dir/postings")
       if (raw.columns.contains("dl") != denormDl) {
         val base = raw.select(col("vec_id"), col("tok"), col("tf"))
         // RAW doclen (unmasked): tombstoned postings rows keep their
-        // dl so the rewrite is a pure layout change, not a compact
+        // dl so the rewrite is a pure layout change, not a compact.
+        // LEFT join + per-row raise_error on a missing dl: a postings
+        // row whose vec_id has no doclen row is a crashed append's
+        // orphan (doclen is the commit point) — surfaced LOUDLY here
+        // rather than silently compacted away by an inner join, which
+        // would make the denorm direction lossy while the reverse
+        // preserves such rows. Remedy is in the message.
         val p0 =
           if (!denormDl) base
           else base.join(
-            spark.read.parquet(s"$dir/doclen")
-              .select(col("vec_id"), col("dl")), Seq("vec_id"))
+              spark.read.parquet(s"$dir/doclen")
+                .select(col("vec_id"), col("dl")), Seq("vec_id"), "left")
+            .withColumn("dl", coalesce(col("dl"), raise_error(concat(
+              lit("rewriteBm25Layout: postings row for vec_id="),
+              col("vec_id"),
+              lit(" has no doclen row — a crashed append left orphaned" +
+                " postings. delete that id + compact, then rewrite.")))))
         val pCols = Seq("vec_id", "tok", "tf") ++
           (if (denormDl) Seq("dl") else Nil)
         val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
@@ -1784,7 +1984,8 @@ object IndexStore {
         val tmp = new org.apache.hadoop.fs.Path(s"$dir/postings.compact")
         fs.delete(tmp, true)
         if (nb > 0)
-          bm25WithTb(p0, nb, pCols)
+          bucketAligned(bm25WithTb(p0, nb, pCols), Seq("tb"), "vec_id",
+              diskRows(spark, s"$dir/postings"), nb)
             .write.mode(SaveMode.Overwrite)
             .partitionBy("tb").parquet(tmp.toString)
         else p0.select(pCols.map(col): _*)
@@ -1892,20 +2093,33 @@ object IndexStore {
     // x100 store's conf-default 2^20-bit sketch sat at 50% fill /
     // 12.5% FP — one more order of magnitude and the prefilter is
     // pure pass-through).
+    lazy val nSigs = sigs.count()
     lazy val estKeys =
-      sigs.count() * math.max(1L, numHashes.toLong / rowsPerBand)
-    val nb = probeBucketsFor(spark, estKeys)
+      nSigs * math.max(1L, numHashes.toLong / rowsPerBand)
+    val confNb = spark.conf.getOption("spark.graft.probeBuckets")
+      .map(_.toInt)
+    val nb = confNb.getOrElse(autoProbeBuckets(estKeys))
     val bloomBits = storeBloomBits(spark, estKeys)
+    // the write salt reuses the auto-sizing estimate; under a conf
+    // override (which skips the count) saves stay salt-free
+    val (estSig, estBand) =
+      if (confNb.isEmpty) (nSigs, estKeys) else (0L, 0L)
     withWriteLock(spark, dir) {
       if (nb > 0)
-        lshWithSb(sigs, nb)
+        // shuffle-align to the bucket dirs — files ≈ buckets (× write
+        // salt), not tasks × buckets ([[bucketAligned]])
+        bucketAligned(lshWithSb(sigs, nb), Seq("sb"), "vec_id",
+            estSig, nb)
           .write.mode(SaveMode.Overwrite)
           .partitionBy("sb").parquet(s"$dir/sigs")
       else
         sigs.select(col("vec_id"), col("sig"))
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/sigs")
       if (nb > 0)
-        lshWithBb(bands, nb)
+        // partition dirs = bands × buckets, so the salt's rows-per-dir
+        // estimate divides by both
+        bucketAligned(lshWithBb(bands, nb), Seq("band", "bb"), "vec_id",
+            estBand, nb * math.max(1, numHashes / rowsPerBand))
           .write.mode(SaveMode.Overwrite)
           .partitionBy("band", "bb").parquet(s"$dir/bands")
       else
@@ -1961,14 +2175,16 @@ object IndexStore {
         swapInto(fs, tmp, live)
       }
       if (nb > 0)
-        lshWithSb(sigsNew, nb)
+        // one file per TOUCHED bucket per append (bucketAligned, k=1)
+        bucketAligned(lshWithSb(sigsNew, nb), Seq("sb"), "vec_id")
           .write.mode(SaveMode.Append)
           .partitionBy("sb").parquet(s"$dir/sigs")
       else
         sigsNew.select(col("vec_id"), col("sig"))
           .write.mode(SaveMode.Append).parquet(s"$dir/sigs")
       if (nb > 0)
-        lshWithBb(bandsNew, nb)
+        bucketAligned(lshWithBb(bandsNew, nb), Seq("band", "bb"),
+            "vec_id")
           .write.mode(SaveMode.Append)
           .partitionBy("band", "bb").parquet(s"$dir/bands")
       else

@@ -259,12 +259,10 @@ object EmbStreams {
             graft.sources.IndexStore.loadIvf(spark, dir)
           val cents = centroidsDf.collect()
             .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
-          val snap = graft.sources.IndexStore.tombstones(spark, dir)
-            .map { t =>
-              import spark.implicits._
-              t.select(col("vec_id").cast("long")).as[Long]
-                .collect().toSeq.toDF("vec_id")
-            }
+          // fenced against spark.graft.maxTombstoneSnapshot — see
+          // [[graft.sources.IndexStore.tombstoneSnapshot]]
+          val snap = graft.sources.IndexStore
+            .tombstoneSnapshot(spark, dir)
           cached = Some((gen, dir, cents, snap))
         }
         val (g, d, cents, snap) = cached.get

@@ -286,10 +286,11 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val delIds = half1.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("vec_id"))
 
-    // normalized store with live tombstones — the layout rewrite must
-    // be invisible to search even with masked rows in play
+    // normalized store (explicit since the round-14 denorm default
+    // flip) with live tombstones — the layout rewrite must be
+    // invisible to search even with masked rows in play
     val d = tmp()
-    Graft.bm25Index(half1).save(d)
+    Graft.bm25Index(half1).save(d, denormDl = false)
     Graft.deleteFromIndex(spark, d, delIds)
     val expect = exact(Graft.loadBm25Index(spark, d).searchText(queries))
     assert(expect.nonEmpty)

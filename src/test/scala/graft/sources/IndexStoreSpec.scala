@@ -367,7 +367,23 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Graft.publishIndex(spark, root, s"$root/g-3") == 3)
     assert(Graft.currentIndexGeneration(spark, root).map(_._1)
       == Some(3))
-    // old blue cleans away; current survives; keep < 1 refused
+    // GRACE WINDOW (round 14): an immediate vacuum refuses to delete
+    // a generation whose successor was JUST published — a serving
+    // fleet re-resolves per micro-batch and may still be flipping
+    // past the old blue (spark.graft.vacuumGenerationGraceMs,
+    // default 1 h)
+    assert(Graft.vacuumIndexGenerations(spark, root) == 0,
+      "a just-published flip must shield its predecessor")
+    assert(new java.io.File(s"$root/g-1").exists())
+    // age the successors' publish markers past the window — now the
+    // old blues clean away; current survives; keep < 1 refused
+    val fsRoot = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(2, 3).foreach { g =>
+      fsRoot.setTimes(
+        new org.apache.hadoop.fs.Path(s"$root/g-$g/_PUBLISHED"),
+        System.currentTimeMillis() - 7200000L, -1)
+    }
     assert(Graft.vacuumIndexGenerations(spark, root) == 2)
     assert(!new java.io.File(s"$root/g-1").exists())
     assert(Graft.currentIndexGeneration(spark, root).map(_._1)
@@ -979,7 +995,10 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the loader agrees with the frame's `current` column
     assert(Graft.currentIndexGeneration(spark, root).map(_._1)
       .contains(2))
-    // vacuum drops the old blue; the pending g-3 is untouched
+    // vacuum drops the old blue once its successor's publish has aged
+    // past the grace window; the pending g-3 is untouched
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/g-2/_PUBLISHED"),
+      System.currentTimeMillis() - 7200000L, -1)
     assert(Graft.vacuumIndexGenerations(spark, root) == 1)
     assert(Graft.describeIndexGenerations(spark, root)
       .orderBy(col("generation")).collect().map(_.getInt(0)).toSeq
@@ -1136,5 +1155,102 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.read.parquet(s"$d/assigned").count() == before,
         "a marked batch id was re-appended after the sweep")
     } finally spark.conf.unset("spark.graft.commitMarkerKeep")
+  }
+
+  test("tombstone snapshot fence: an over-threshold tombstone set fails at a named boundary under DEFAULT conf, naming compactIndex") {
+    // a healthy store's snapshot stays a bounded local frame
+    val d = tmp()
+    Graft.annIndex(emb).save(d)
+    Graft.deleteFromIndex(spark, d,
+      emb.filter(col("vec_id") % 11 === 3).select(col("vec_id")))
+    val small = IndexStore.tombstoneSnapshot(spark, d)
+    assert(small.isDefined)
+    assert(small.get.count() ==
+      emb.filter(col("vec_id") % 11 === 3).count())
+    // an operator that deletes aggressively while deferring compaction
+    // crosses the DEFAULT 10M fence — the failure is a named boundary
+    // pointing at the conf and at compactIndex, not a driver OOM
+    val dBig = tmp()
+    Graft.annIndex(emb).save(dBig)
+    Graft.deleteFromIndex(spark, dBig,
+      spark.range(10000001L).select(col("id").as("vec_id")))
+    val ex = intercept[IllegalStateException] {
+      IndexStore.tombstoneSnapshot(spark, dBig)
+    }
+    assert(ex.getMessage.contains("maxTombstoneSnapshot"))
+    assert(ex.getMessage.contains("compactIndex"))
+    // the conf is the lever both ways: raised, the same store snapshots
+    spark.conf.set("spark.graft.maxTombstoneSnapshot", "20000000")
+    try assert(IndexStore.tombstoneSnapshot(spark, dBig)
+      .get.count() == 10000001L)
+    finally spark.conf.unset("spark.graft.maxTombstoneSnapshot")
+  }
+
+  test("describeIndexGenerations: a mid-write generation surfaces its writer's lock (holder, heartbeat age, stale suspicion)") {
+    val root = tmp() + "/lock-root"
+    val b1 = tmp(); Graft.annIndex(emb).save(b1)
+    assert(Graft.publishIndex(spark, root, b1) == 1)
+    val b2 = tmp(); Graft.annIndex(emb).save(b2)
+    assert(Graft.publishIndex(spark, root, b2) == 2)
+    // simulate a writer mid-op on the OLD generation (a late append
+    // holding its lock) exactly as withWriteLock creates it
+    val lock = new org.apache.hadoop.fs.Path(s"$root/g-1/.write.lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lock, false)
+    out.write("42@somehost @ 123".getBytes("UTF-8")); out.close()
+    try {
+      val rows = Graft.describeIndexGenerations(spark, root)
+        .orderBy(col("generation")).collect()
+      assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+      val (g1, g2) = (rows(0), rows(1))
+      assert(g1.getAs[String]("holder") == "42@somehost @ 123")
+      assert(g1.getAs[Long]("heartbeat_age_ms") >= 0L)
+      assert(!g1.getAs[Boolean]("stale_suspect"),
+        "a freshly-touched lock is not yet stale")
+      assert(g2.isNullAt(g2.fieldIndex("holder")),
+        "unlocked generations carry null lock columns")
+      // kinds still resolve through the one batched manifest read
+      assert(rows.forall(_.getAs[String]("kind") == "ivf"))
+      // a holder that stops heartbeating goes stale in the frame —
+      // the blue/green triage signal, one call
+      fs.setTimes(lock, System.currentTimeMillis() - 120000L, -1)
+      val g1b = Graft.describeIndexGenerations(spark, root)
+        .filter(col("generation") === 1).collect()(0)
+      assert(g1b.getAs[Boolean]("stale_suspect"))
+    } finally fs.delete(lock, false)
+  }
+
+  test("bucketed store writes are shuffle-aligned: files per bucket dir = 1 at save, and the rows-per-file salt splits big buckets without changing results") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val qs = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+    def filesPerBucket(table: String): Seq[Int] =
+      new java.io.File(table).listFiles().filter(_.isDirectory)
+        .map(_.listFiles().count(_.getName.startsWith("part-"))).toSeq
+    // many upstream tasks must still land ONE file per bucket dir —
+    // the files ≈ buckets (not tasks × buckets) contract
+    val d = tmp()
+    Graft.bm25Index(docs.repartition(4)).save(d)
+    val perBucket = filesPerBucket(s"$d/postings")
+    assert(perBucket.nonEmpty && perBucket.forall(_ == 1),
+      s"expected one postings file per tb dir, got $perBucket")
+    assert(filesPerBucket(s"$d/df").forall(_ == 1))
+    val dLsh = tmp()
+    Graft.lshIndex(docs.repartition(4)).save(dLsh)
+    assert(filesPerBucket(s"$dLsh/sigs").forall(_ == 1),
+      "lsh sigs must land one file per sb dir")
+    // past the rows-per-file target a write salt splits a bucket into
+    // k files (the 100 TB file-size bound); results are unchanged
+    val expect = Graft.loadBm25Index(spark, d).searchText(qs)
+      .collect().toSeq.map(_.toSeq)
+    spark.conf.set("spark.graft.storeRowsPerFile", "10")
+    val d2 = tmp()
+    try Graft.bm25Index(docs.repartition(4)).save(d2)
+    finally spark.conf.unset("spark.graft.storeRowsPerFile")
+    assert(filesPerBucket(s"$d2/postings").exists(_ > 1),
+      "the salt must engage when rows/bucket exceed the target")
+    assert(Graft.loadBm25Index(spark, d2).searchText(qs)
+      .collect().toSeq.map(_.toSeq) == expect)
   }
 }

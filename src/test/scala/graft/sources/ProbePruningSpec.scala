@@ -222,7 +222,9 @@ class ProbePruningSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("denormalized BM25 store: search skips the doclen join (one stats-only doclen scan) and ranks identically") {
     val dNorm = tmp(); val dDen = tmp()
-    Graft.bm25Index(docs).save(dNorm)
+    // normalized is the conf-selected side since the round-14 default
+    // flip; denorm is the default (asserted equal to explicit below)
+    Graft.bm25Index(docs).save(dNorm, denormDl = false)
     Graft.bm25Index(docs).save(dDen, denormDl = true)
     val q = docs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("query_id"), col("text"))
