@@ -808,11 +808,21 @@ object IndexStore {
         if (applyTombstones) tomb.fold(raw)(t =>
           raw.join(broadcast(t), Seq("vec_id"), "left_anti"))
         else raw
-      if (pc.nonEmpty)
-        df.repartition(pc.map(col): _*)
+      if (pc.nonEmpty) {
+        // same write alignment as the save paths, salt included: one
+        // file per partition dir by default, split past
+        // spark.graft.storeRowsPerFile so a hot bucket compacts into
+        // k bounded files instead of one unbounded one. Row count is
+        // footer-metadata; dir count one listing-backed distinct over
+        // the partition columns (no data bytes read). Every
+        // pc-partitioned table carries vec_id (the salt key).
+        val rows = diskRows(spark, src.toString)
+        val nDirs = raw.select(pc.map(col): _*).distinct().count()
+        bucketAligned(df, pc, "vec_id", rows,
+            math.max(1L, nDirs).toInt)
           .write.mode(SaveMode.Overwrite)
           .partitionBy(pc: _*).parquet(tmp.toString)
-      else {
+      } else {
         val targetBytes = spark.conf
           .getOption("spark.graft.compactTargetBytes")
           .map(_.toLong).getOrElse(128L * 1024 * 1024)
@@ -861,9 +871,11 @@ object IndexStore {
           val fs = live.getFileSystem(hconf)
           val tmp = new org.apache.hadoop.fs.Path(s"$dir/bands.compact")
           fs.delete(tmp, true)
-          phashBandRows(spark.read.parquet(s"$dir/hashes")
-              .select(col("vec_id"), col("lo"), col("hi")), nBuckets)
-            .repartition(col("pb"))
+          bucketAligned(
+              phashBandRows(spark.read.parquet(s"$dir/hashes")
+                .select(col("vec_id"), col("lo"), col("hi")), nBuckets),
+              Seq("pb"), "vec_id",
+              diskRows(spark, s"$dir/hashes") * 5, nBuckets * 5)
             .write.mode(SaveMode.Overwrite)
             .partitionBy("pb").parquet(tmp.toString)
           swapInto(fs, tmp, live)

@@ -484,6 +484,44 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"d13 must broadcast the sketch word table:\n$p")
   }
 
+  test("Bloom probe picks its broadcast side by sketch size: a small sketch is hinted, a big one leaves the build side to runtime sizing") {
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val corpus = DedupQueries.BloomSketch.segmentHashesOf(
+      docs.filter(col("doc_id") % 2 === 0)).select("h").distinct()
+    // batch = ALL docs' segments: half the segments are corpus members
+    // (must hit — a Bloom has no false negatives), half are not
+    val batch = DedupQueries.BloomSketch.segmentHashesOf(docs)
+    // at/below the broadcastable threshold the sketch side carries the
+    // explicit hint — with auto-broadcast DISABLED in this suite, the
+    // BroadcastHashJoin below can only come from the hint
+    val mSmall = 1 << 20
+    val small = DedupQueries.BloomSketch.probe(batch,
+      DedupQueries.BloomSketch.sketchOf(corpus, mSmall), mSmall)
+    assert(small.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "a small sketch must broadcast explicitly")
+    // past it, NO forced side: neither a 50 MB sketch broadcast (the
+    // round-13 screen wall regression) nor an unbounded batch-side
+    // broadcast (the d13 corpus-fraction batch OOM) — under disabled
+    // auto-broadcast that means no broadcast join at all; under AQE
+    // (production) the runtime sizes pick the build side
+    val mBig = 1 << 25
+    val bigSketch = DedupQueries.BloomSketch.sketchOf(corpus, mBig)
+    val big = DedupQueries.BloomSketch.probe(batch, bigSketch, mBig)
+    assert(!big.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "an over-threshold sketch probe must not force a broadcast side")
+    // and the unhinted path's verdicts stay sound: member segments can
+    // NEVER miss (no false negatives at any modulus or join strategy)
+    val members = corpus.collect().map(_.getString(0)).toSet
+    val verdicts = big.collect()
+      .map(r => (r.getString(1), r.getBoolean(2)))
+    assert(verdicts.nonEmpty && verdicts.exists(v => members(v._1)))
+    assert(verdicts.filter(v => members(v._1)).forall(_._2),
+      "a member segment missed — the unhinted probe lost soundness")
+  }
+
   test("d13 under AQE computes the shared probe aggregate once (stage reuse)") {
     // the probe aggregate feeds both the verify filter and the final
     // per-doc rollup; statically that subtree appears twice, and the

@@ -1252,5 +1252,20 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the salt must engage when rows/bucket exceed the target")
     assert(Graft.loadBm25Index(spark, d2).searchText(qs)
       .collect().toSeq.map(_.toSeq) == expect)
+    // compact under the DEFAULT target collapses the salted store back
+    // to one file per bucket; under a tiny target it keeps hot buckets
+    // split — either way reads are bit-identical
+    Graft.compactIndex(spark, d2)
+    assert(filesPerBucket(s"$d2/postings").forall(_ == 1),
+      "default compact = one file per bucket dir")
+    assert(Graft.loadBm25Index(spark, d2).searchText(qs)
+      .collect().toSeq.map(_.toSeq) == expect)
+    spark.conf.set("spark.graft.storeRowsPerFile", "10")
+    try Graft.compactIndex(spark, d2)
+    finally spark.conf.unset("spark.graft.storeRowsPerFile")
+    assert(filesPerBucket(s"$d2/postings").exists(_ > 1),
+      "compact must honor the rows-per-file bound too")
+    assert(Graft.loadBm25Index(spark, d2).searchText(qs)
+      .collect().toSeq.map(_.toSeq) == expect)
   }
 }
