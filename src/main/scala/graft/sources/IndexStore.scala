@@ -568,6 +568,16 @@ object IndexStore {
   // IVF
   // ------------------------------------------------------------------
 
+  /** Writes land bucket-aligned (one file per cell — see
+    * [[bucketAligned]]); the rows-per-file SALT stays off here because
+    * engaging it would cost a full count of the assigned table, which
+    * the IVF save (unlike the text stores) has no other reason to pay.
+    * File-size governance at mega-scale is therefore: size the cell
+    * count to the corpus when training (the operator's lever — a
+    * 16-cell index over 10^10 vectors is mis-sized regardless of file
+    * layout), or run [[compact]] after the save — its rewrite knows
+    * the on-disk row count for free and salts accordingly.
+    */
   def saveIvf(dir: String, assigned: DataFrame,
               centroids: DataFrame): Unit = {
     val spark = assigned.sparkSession
