@@ -328,7 +328,15 @@ object Graft {
   def lshIndex(docs: DataFrame, threshold: Double = 0.8): LshIndex = {
     val numHashes = 64
     val rowsPerBand = DedupQueries.derivedRowsPerBand(threshold, numHashes)
+    // lazily checkpoint the signatures — the bm25Build pattern: a save
+    // consumes them FOUR ways (the auto-sizing count, the sigs write,
+    // the band write, the band-key sketch) and signing (md5 per
+    // shingle × 64 mins) dominates the build, so without the blocks
+    // the corpus would re-sign per consumer (measured: the x100 save
+    // spent ~60% of its wall re-running the signing pipeline). Blocks
+    // die with the handle via the ContextCleaner.
     val sigs = DedupQueries.lshSignatures(docs, numHashes)
+      .localCheckpoint(eager = false)
     LshIndex(sigs, DedupQueries.lshBandRows(sigs, rowsPerBand, numHashes),
       threshold, numHashes, rowsPerBand)
   }
