@@ -1267,5 +1267,18 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       "compact must honor the rows-per-file bound too")
     assert(Graft.loadBm25Index(spark, d2).searchText(qs)
       .collect().toSeq.map(_.toSeq) == expect)
+    // APPENDS stay k = 1: a many-task micro-batch adds at most ONE
+    // file per touched bucket dir (the append ideal — compaction owns
+    // long-horizon file counts)
+    val d3 = tmp()
+    Graft.bm25Index(docs.filter(col("doc_id") % 2 === 0)).save(d3)
+    val before = filesPerBucket(s"$d3/postings")
+    Graft.loadBm25Index(spark, d3)
+      .appendDurable(d3, docs.filter(col("doc_id") % 2 =!= 0)
+        .repartition(4))
+    val after = filesPerBucket(s"$d3/postings")
+    assert(after.sum <= before.sum + after.length,
+      s"an append added more than one file to some bucket dir: " +
+        s"$before -> $after")
   }
 }
