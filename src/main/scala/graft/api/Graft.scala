@@ -1672,12 +1672,18 @@ object Graft {
     EmbStreams.ivfServeCurrent(queries, root, nprobe, k)(onBatch)
 
   /** Introspect a [[publishIndex]] root — one row per generation:
-    * (generation, kind, published, current, bytes, n_files). The
-    * blue/green sibling of [[describeIndex]]: which generation
-    * serves, whether an unpublished directory is pending (a crashed
-    * publish to resume or an abandoned build to delete), and how
-    * much disk the old blues hold — the [[vacuumIndexGenerations]]
-    * signal. Filesystem metadata only, no data reads.
+    * (generation, kind, published, current, bytes, n_files, holder,
+    * heartbeat_age_ms, stale_suspect). The blue/green sibling of
+    * [[describeIndex]]: which generation serves, whether an
+    * unpublished directory is pending (a crashed publish to resume or
+    * an abandoned build to delete), how much disk the old blues
+    * hold — the [[vacuumIndexGenerations]] signal — and, via the last
+    * three columns (null on unlocked generations), whether a
+    * generation is MID-WRITE and its writer still heartbeating
+    * (`stale_suspect = true` on an unpublished generation means the
+    * build presumably crashed). Triage is one call. Mostly filesystem
+    * metadata; each generation's `kind` is its one-row manifest, read
+    * in ONE batched parquet job across all generations.
     */
   def describeIndexGenerations(spark: SparkSession,
                                root: String): DataFrame =
@@ -1686,8 +1692,14 @@ object Graft {
   /** Drop published generations older than the newest `keep` under a
     * [[publishIndex]] root — the old-blue cleanup once the new
     * generation proves out (stop readers still on the old one first).
-    * Unpublished build dirs are never touched. Returns the number
-    * removed.
+    * Unpublished build dirs are never touched, and a GRACE WINDOW
+    * (`spark.graft.vacuumGenerationGraceMs`, default 1 h) refuses to
+    * delete a generation whose successor was published more recently
+    * than the window — the generation-aware serving streams re-resolve
+    * per micro-batch, so a vacuum racing a fleet's flip could
+    * otherwise delete the blue a straggler batch is still scanning
+    * (set 0 in a drained maintenance window for unconditional
+    * semantics). Returns the number removed.
     */
   def vacuumIndexGenerations(spark: SparkSession, root: String,
                              keep: Int = 1): Int =
