@@ -503,6 +503,21 @@ object Graft {
       postings: DataFrame, doclen: DataFrame, df: DataFrame,
       probeBuckets: Int = 0) {
 
+    /** (N, avgdl) pulled ONCE per handle — corpus constants under the
+      * handle's immutability ([[append]]/[[delete]] return NEW handles
+      * via copy, so each re-derives its own). Without this every
+      * search re-aggregated the doc-count-sized doclen table for two
+      * scalars — a billion-row scan per query batch at 100 TB. Types
+      * match the in-plan aggregate (long count, double avg) so scores
+      * are bit-identical; an empty corpus yields (0, 0.0) and an empty
+      * ranking downstream.
+      */
+    private lazy val corpusStats: (Long, Double) = {
+      val r = doclen.agg(count(lit(1)).as("n"), avg(col("dl")).as("a"))
+        .collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+    }
+
     /** BM25 top-`k` per query. `queries`: (query_id Long, text
       * String); query-side term frequency is ignored (the e22
       * convention — each distinct query term scores once). Output:
@@ -537,7 +552,8 @@ object Graft {
         } else (postings, df)
       SimilarityQueries.bm25Rank(p, doclen, d, terms, k, k1, b,
           excludeSelf = false,
-          dlOnPostings = postings.columns.contains("dl"))
+          dlOnPostings = postings.columns.contains("dl"),
+          corpusStats = Some(corpusStats))
         .select(col("query_id"), col("r_bm25").cast("long").as("rank"),
           col("did").as("doc_id"), col("s_bm25"))
         .orderBy(col("query_id"), col("rank"))

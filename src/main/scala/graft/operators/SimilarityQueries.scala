@@ -1854,8 +1854,24 @@ object SimilarityQueries {
                               k: Int, k1: Double = 1.2,
                               b: Double = 0.75,
                               excludeSelf: Boolean = false,
-                              dlOnPostings: Boolean = false): DataFrame = {
-    val stats = doclen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+                              dlOnPostings: Boolean = false,
+                              corpusStats: Option[(Long, Double)] = None)
+      : DataFrame = {
+    // (N, avgdl) are corpus CONSTANTS per handle — a serving loop that
+    // recomputed them per search would scan the doc-count-sized doclen
+    // table once per query batch for two scalars (billions of rows at
+    // 100 TB). Callers that search repeatedly (the Bm25Index handle)
+    // pull them ONCE and pass literals; the types match the in-plan
+    // aggregate exactly (count → long, avg → double), so scores are
+    // bit-identical either way.
+    val stats = corpusStats match {
+      case Some((n, avgdl)) =>
+        val spark = doclen.sparkSession
+        import spark.implicits._
+        Seq((n, avgdl)).toDF("n", "avgdl")
+      case None =>
+        doclen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    }
     val qterms = broadcast(terms.select(col("query_id").as("qid"),
         col("tok")))
       .join(dfTable, Seq("tok"))
@@ -1869,8 +1885,9 @@ object SimilarityQueries {
       else scored0)
     // dlOnPostings: a denormalized store carries each doc's length on
     // its postings rows, so the candidates↔doclen shuffle join
-    // disappears from the search plan (doclen is touched only by the
-    // tiny broadcast stats aggregate above)
+    // disappears from the search plan — and with handle-cached
+    // corpusStats the plan reads doclen ZERO times (ProbePruningSpec
+    // pins both counts)
     val scored = (if (dlOnPostings) scoredQ
       else scoredQ
         .join(doclen.withColumnRenamed("vec_id", "did"), Seq("did")))

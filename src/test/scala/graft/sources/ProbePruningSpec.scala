@@ -220,7 +220,7 @@ class ProbePruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.probeBuckets")
   }
 
-  test("denormalized BM25 store: search skips the doclen join (one stats-only doclen scan) and ranks identically") {
+  test("denormalized BM25 store: search touches doclen ZERO times (stats are handle-cached) and ranks identically") {
     val dNorm = tmp(); val dDen = tmp()
     // normalized is the conf-selected side since the round-14 default
     // flip; denorm is the default (asserted equal to explicit below)
@@ -232,10 +232,12 @@ class ProbePruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     val den = Graft.loadBm25Index(spark, dDen).searchText(q)
     assert(sorted(den) == sorted(norm))
     den.collect(); norm.collect()
-    // the normalized plan joins doclen for dl (stats scan + join scan);
-    // the denormalized plan touches doclen ONLY for the tiny stats agg
-    assert(scansOf(norm, "doclen").size == 2)
-    assert(scansOf(den, "doclen").size == 1)
+    // (N, avgdl) are pulled ONCE per handle (round 14), so the search
+    // plan's only doclen touch is the normalized layout's dl join; the
+    // denormalized plan reads doclen NOT AT ALL — per-query serving
+    // I/O is postings + df buckets only
+    assert(scansOf(norm, "doclen").size == 1)
+    assert(scansOf(den, "doclen").isEmpty)
     // appends follow the stored layout: the appended store still
     // carries dl on postings and still skips the join
     val d2 = tmp()
@@ -246,7 +248,7 @@ class ProbePruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out2 = appended.searchText(q)
     assert(sorted(out2) == sorted(norm))
     out2.collect()
-    assert(scansOf(out2, "doclen").size == 1)
+    assert(scansOf(out2, "doclen").isEmpty)
   }
 
   test("a version-1 (unbucketed, 3-column manifest) LSH store still loads and screens, unpruned") {
