@@ -139,9 +139,9 @@ object ScreenBench {
           "xxhash64(media_id div 2 + 999) & 4294967295"))
 
     // total on-disk size of a saved store — the WRITE side of a layout
-    // choice (e49's denormalized dl repeats doclen per posting row; the
-    // honest trade is read-bytes-saved vs store-bytes-grown, so every
-    // cell records both)
+    // choice (the default denormalized dl repeats doclen per posting
+    // row; the honest trade is read-bytes-saved vs store-bytes-grown,
+    // so every cell records both)
     def storeMb(dir: String): Double = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -251,15 +251,17 @@ object ScreenBench {
         timeMin3(bm.searchText(q)), storeIO(dB)(bm.searchText(q)), dB,
         bmSaveFiles)
       if (mode == "pruned") {
-        // denormalized layout: same search, no doclen join in the plan;
-        // the cell pair's store_mb fields ARE the write-amplification
-        // trade (dl repeated per posting vs one doclen table)
-        val dD = tmp("screenbench_bm25dn")
-        Graft.bm25Index(docs).save(dD, denormDl = true)
+        // NORMALIZED layout (the conf-selected side since the round-14
+        // denormDl default flip — the main e48 cell now measures the
+        // denorm default): same search plus the dl join; the cell
+        // pair's store_mb fields ARE the write-amplification trade
+        // (dl repeated per posting vs one doclen table)
+        val dD = tmp("screenbench_bm25n")
+        Graft.bm25Index(docs).save(dD, denormDl = false)
         val dnSaveFiles = partFiles(dD)
         Graft.compactIndex(spark, dD)
         val bmd = Graft.loadBm25Index(spark, dD)
-        record("e49_search_denorm", s"${label}_$mode",
+        record("e49_search_normalized", s"${label}_$mode",
           timeMin3(bmd.searchText(q)), storeIO(dD)(bmd.searchText(q)), dD,
           dnSaveFiles)
       }
