@@ -436,6 +436,28 @@ object IndexStore {
     fs.delete(old, true)
   }
 
+  /** Restore pass for a PER-BUCKET swap that crashed mid-protocol
+    * (appendBm25's partial df fold): `<table>.oldparts/` holds the
+    * renamed-aside partition dirs; any aside bucket MISSING from the
+    * live table is the one the crash caught between its two renames —
+    * move it back (the old rows are the only copy). Aside buckets
+    * whose live sibling exists are post-swap debris — drop them.
+    * Idempotent; no-op when no aside dir exists. Run by the next
+    * append on the same store and by [[vacuum]].
+    */
+  private def restoreOldParts(fs: org.apache.hadoop.fs.FileSystem,
+                              live: org.apache.hadoop.fs.Path): Unit = {
+    val aside = new org.apache.hadoop.fs.Path(live.toString + ".oldparts")
+    if (!fs.exists(aside)) return
+    fs.listStatus(aside).filter(_.isDirectory).foreach { b =>
+      val lp = new org.apache.hadoop.fs.Path(live, b.getPath.getName)
+      if (!fs.exists(lp))
+        require(fs.rename(b.getPath, lp),
+          s"restore ${b.getPath} -> $lp failed; recover manually")
+    }
+    fs.delete(aside, true)
+  }
+
   // ------------------------------------------------------------------
   // Tombstones (deletes)
   // ------------------------------------------------------------------
@@ -1319,6 +1341,12 @@ object IndexStore {
           touched += 1
         }
       }
+      // per-bucket aside dirs (a partial df fold's crash residue):
+      // restore any bucket missing from the live table, drop the rest
+      dirs.filter(_.getName.endsWith(".oldparts")).foreach { p =>
+        restoreOldParts(fs, liveOf(p, ".oldparts"))
+        touched += 1
+      }
       // debris pass: whatever remains has a live sibling — safe to drop
       fs.listStatus(root).filter(s => s.isDirectory && {
         val n = s.getPath.getName
@@ -1875,10 +1903,15 @@ object IndexStore {
 
   /** DURABLE append for the BM25 layout, ordered so `doclen` is the
     * COMMIT POINT: postings append first, the document-frequency
-    * table folds second (vocab-sized union + sum through a temp
-    * swap), doc lengths land last — scoring inner-joins `doclen`, so
-    * a crash mid-append leaves the batch's documents UNSCOREABLE
-    * rather than partially scored. Recovery from a crashed append:
+    * table folds second, doc lengths land last — scoring inner-joins
+    * `doclen`, so a crash mid-append leaves the batch's documents
+    * UNSCOREABLE rather than partially scored. On a bucketed layout
+    * the df fold is PARTIAL: only the batch's tokens' buckets are
+    * read, folded, and swapped (per-bucket, materialize-first, aside
+    * dirs under `df.oldparts/` restorable by the next append or
+    * [[vacuum]]), so append cost is O(batch vocab), not O(corpus
+    * vocab); the flat layout keeps the whole-table union + sum
+    * through a temp swap. Recovery from a crashed append either way:
     * tombstone the batch's ids ([[delete]]), [[compact]] (which also
     * recomputes `df` from the surviving postings), then re-append.
     *
@@ -1929,21 +1962,63 @@ object IndexStore {
       else p0.select(pCols.map(col): _*)
         .write.mode(SaveMode.Append).parquet(s"$dir/postings")
       val hconf = spark.sparkContext.hadoopConfiguration
-      val folded = spark.read.parquet(s"$dir/df")
-        .select(col("tok"), col("df"))
-        .unionByName(dfNew.select(col("tok"), col("df")))
-        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
       val live = new org.apache.hadoop.fs.Path(s"$dir/df")
       val fs = live.getFileSystem(hconf)
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/df.compact")
       fs.delete(tmp, true)
-      if (nb > 0)
-        bucketAligned(bm25WithTb(folded, nb, Seq("tok", "df")),
+      if (nb > 0) {
+        // PARTIAL fold on the bucketed layout: only the BATCH's
+        // tokens' buckets can change (each token lives wholly in one
+        // `tb` dir), so the fold reads and rewrites just those — an
+        // append costs O(batch vocab), not O(corpus vocab). The
+        // bucket-literal pull is ≤ nb ints. Per-bucket swaps follow
+        // [[swapInto]]'s materialize-first order with the aside dirs
+        // OUTSIDE the table (`df.oldparts/` — an aside INSIDE it
+        // would poison hive partition discovery); a crash mid-swap
+        // strands at most one bucket there, and BOTH the next append
+        // (below) and [[vacuum]]'s oldparts pass restore it. A crash
+        // between buckets leaves df mixed folded/unfolded — the
+        // documented idf-staleness class, healed by [[compact]]'s
+        // full df recompute, and the crashed-append recovery recipe
+        // (tombstone + compact + re-append) is unchanged.
+        restoreOldParts(fs, live)
+        val tbs = dfNew
+          .select(pmod(hash(col("tok")), lit(nb)).as("tb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val touchedDf = spark.read.parquet(live.toString)
+          .filter(col("tb").isInCollection(tbs))
+          .select(col("tok"), col("df"))
+          .unionByName(dfNew.select(col("tok"), col("df")))
+          .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+        bucketAligned(bm25WithTb(touchedDf, nb, Seq("tok", "df")),
             Seq("tb"), "tok")
           .write.mode(SaveMode.Overwrite)
           .partitionBy("tb").parquet(tmp.toString)
-      else folded.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      swapInto(fs, tmp, live)
+        val aside = new org.apache.hadoop.fs.Path(s"$dir/df.oldparts")
+        fs.mkdirs(aside)
+        tbs.foreach { b =>
+          val tp = new org.apache.hadoop.fs.Path(tmp, s"tb=$b")
+          if (fs.exists(tp)) {
+            val lp = new org.apache.hadoop.fs.Path(live, s"tb=$b")
+            if (fs.exists(lp))
+              require(fs.rename(lp,
+                new org.apache.hadoop.fs.Path(aside, s"tb=$b")),
+                s"appendBm25: rename $lp aside failed")
+            require(fs.rename(tp, lp),
+              s"appendBm25: rename $tp -> $lp failed; the old rows " +
+                s"are intact under $aside — run vacuum to restore")
+          }
+        }
+        fs.delete(aside, true)
+        fs.delete(tmp, true)
+      } else {
+        val folded = spark.read.parquet(live.toString)
+          .select(col("tok"), col("df"))
+          .unionByName(dfNew.select(col("tok"), col("df")))
+          .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+        folded.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        swapInto(fs, tmp, live)
+      }
       doclenNew.select(col("vec_id"), col("dl"))
         .write.mode(SaveMode.Append).parquet(s"$dir/doclen")
       recordEpoch(spark, dir, "append",

@@ -72,6 +72,74 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).count()
     assert(dfDups == 0, "df must fold to one row per term")
+    // and the PARTIAL fold's contents equal the built-all-at-once df
+    // exactly — the per-bucket swap is an optimization, not a new
+    // aggregation
+    val foldedDf = spark.read.parquet(s"$d/df")
+      .select(col("tok"), col("df")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val wholeDf = Graft.bm25Index(docs).df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(foldedDf == wholeDf,
+      "partial-folded df diverged from the whole build's df")
+  }
+
+  test("partial df fold: an append rewrites ONLY the batch tokens' buckets; a stranded aside bucket restores on the next append") {
+    // a batch with ONE novel token touches exactly one tb bucket —
+    // every other bucket's files must be byte-identical (same names,
+    // same mtimes)
+    val spark2 = spark
+    import spark2.implicits._
+    val d = tmp()
+    Graft.bm25Index(docs).save(d)
+    val nb = spark.read.parquet(s"$d/manifest")
+      .select(col("n_buckets")).head().getLong(0).toInt
+    assert(nb > 0)
+    def bucketFiles(): Map[String, Seq[String]] =
+      new java.io.File(s"$d/df").listFiles().filter(_.isDirectory)
+        .map(p => p.getName -> p.listFiles()
+          .map(f => s"${f.getName}@${f.lastModified}").toSeq.sorted)
+        .toMap
+    val before = bucketFiles()
+    val novel = Seq((900000L, "zzznoveltokenzzz")).toDF("doc_id", "text")
+    Graft.loadBm25Index(spark, d).appendDurable(d, novel)
+    val after = bucketFiles()
+    val novelTb = spark.range(1).select(
+      pmod(hash(lit("zzznoveltokenzzz")), lit(nb)).as("tb"))
+      .head().getInt(0)
+    val changed = after.keySet.filter(k =>
+      before.get(k) != after.get(k))
+    assert(changed == Set(s"tb=$novelTb"),
+      s"expected only tb=$novelTb to change, got $changed " +
+        s"(of ${after.size} buckets)")
+    // crash simulation: strand one bucket aside (the state a crash
+    // between the two per-bucket renames leaves) — the next append
+    // restores it before folding, and search sees every token again.
+    // Expectation = the same corpus built from scratch (the second
+    // novel doc changes N, hence every idf, so ranks must compare
+    // against the post-append corpus, not the pre-append one).
+    val novel2 = Seq((900001L, "zzzothertokenzzz")).toDF("doc_id", "text")
+    val expect = exact(Graft.bm25Index(
+        docs.select(col("doc_id"), col("text"))
+          .unionByName(novel).unionByName(novel2))
+      .searchText(queries))
+    val strand = before.keySet.head
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$d/df.oldparts"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$d/df/$strand"),
+      new org.apache.hadoop.fs.Path(s"$d/df.oldparts/$strand")))
+    Graft.loadBm25Index(spark, d).appendDurable(d, novel2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d/df.oldparts")),
+      "the aside dir must be consumed by the restore pass")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$d/df/$strand")),
+      "the stranded bucket must be restored")
+    assert(exact(Graft.loadBm25Index(spark, d).searchText(queries))
+      == expect, "restore + novel-token appends must not change ranks")
+    // vacuum also handles the residue (idempotent on a healthy store)
+    Graft.vacuumIndex(spark, d)
+    assert(exact(Graft.loadBm25Index(spark, d).searchText(queries))
+      == expect)
   }
 
   test("delete excludes docs immediately; idf heals at compact (Lucene semantics)") {
