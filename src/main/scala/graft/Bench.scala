@@ -59,6 +59,43 @@ object Bench {
       s.split(" ")(0).toDouble
     } catch { case _: Throwable => -1.0 }
 
+  /** The box-level contention threshold: a run is contended when the
+    * 1-minute load exceeds 15% of the cpus the bench will use. The
+    * pre-round-15 rule (`load > cpus`) let a load-9.65 box on 32
+    * cpus record as clean — ~30% of the machine busy, min-of-5
+    * helpless when all five runs are early — and polluted the r14
+    * round-over-round signal with +10–40% on untouched queries.
+    * 0.15 × cpus (4.8 on the 32-cpu box) flags that regime while
+    * leaving the background hum of a merely-alive machine (load ≲ 1)
+    * unflagged. Load-sample failures (-1) never flag.
+    */
+  private[graft] def contendedAt(load: Double, cpus: Int): Boolean =
+    load > 0.15 * cpus
+
+  /** Bounded calm-down: poll the load until it drops under the
+    * [[contendedAt]] threshold or `maxWaitMs` elapses, logging each
+    * wait — so a bench started while the harness's own sbt is
+    * finishing DELAYS into a clean measurement instead of recording
+    * a polluted one. Returns the final load sample. Injectable
+    * clock/sleep/load for the spec.
+    */
+  private[graft] def waitForCalm(loadFn: () => Double, cpus: Int,
+                                 maxWaitMs: Long, pollMs: Long,
+                                 sleepFn: Long => Unit = Thread.sleep,
+                                 log: String => Unit =
+                                   System.err.println): Double = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var load = loadFn()
+    while (contendedAt(load, cpus) &&
+        System.currentTimeMillis() < deadline) {
+      log(f"[bench] 1m load $load%.2f > ${0.15 * cpus}%.2f " +
+        f"(0.15 x $cpus cpus) — waiting for the box to calm")
+      sleepFn(pollMs)
+      load = loadFn()
+    }
+    load
+  }
+
   private def jnum(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
 
@@ -96,10 +133,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val startLoad = loadAvg1m()
-    if (startLoad > cpus.toDouble)
-      System.err.println(f"[bench] WARNING: 1m load $startLoad%.1f exceeds " +
-        s"$cpus cpus — timings will be contended, rerun on an idle machine")
+    // delay (bounded) rather than record polluted: the common cause of
+    // a loaded start is the harness's own build finishing — worth
+    // waiting out; SPARK_GRAFT_BENCH_WAIT_MS=0 disables the wait
+    val maxWaitMs = sys.env.get("SPARK_GRAFT_BENCH_WAIT_MS")
+      .map(_.toLong).getOrElse(240000L)
+    val startLoad = waitForCalm(() => loadAvg1m(), cpus.toInt,
+      maxWaitMs, 10000L)
+    if (contendedAt(startLoad, cpus.toInt))
+      System.err.println(f"[bench] WARNING: 1m load $startLoad%.1f still " +
+        f"above 0.15 x $cpus cpus after the bounded wait — this record " +
+        "will carry contended:true; rerun on an idle machine")
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -158,8 +202,9 @@ object Bench {
     val results = headline.map(n => n -> measure(n))
     val endLoad = loadAvg1m()
     val anyContended =
-      results.exists(_._2.contended) || startLoad > cpus.toDouble ||
-        endLoad > cpus.toDouble
+      results.exists(_._2.contended) ||
+        contendedAt(startLoad, cpus.toInt) ||
+        contendedAt(endLoad, cpus.toInt)
     val qs = results.map { case (k, r) => "\"" + k + "\":" + jnum(r.min) }
       .mkString("{", ",", "}")
     // String.format Locale.ROOT everywhere: the f-interpolator honors the
@@ -195,7 +240,10 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     System.err.println(fullJson)
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","runs":$nRuns,"agg":"min","contended":$anyContended,"queries":$qs,"sf":"$sfDir"}""")
+    // load_1m/load_end ride the compact stdout line too, so the
+    // driver/judge can see the run's contention context without the
+    // diagnostics file
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","runs":$nRuns,"agg":"min","contended":$anyContended,"load_1m":$startLoad,"load_end":$endLoad,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -250,6 +250,40 @@ object ScreenBench {
       record("e48_search", s"${label}_$mode",
         timeMin3(bm.searchText(q)), storeIO(dB)(bm.searchText(q)), dB,
         bmSaveFiles)
+      // ---- e48_append: the partial df fold priced directly ----
+      // a FIXED batch (~10% of the x1 corpus, novel ids, replica-0
+      // vocabulary) appends into the stored corpus at every scale:
+      // on the bucketed layouts the fold reads/rewrites only the
+      // batch tokens' buckets, so the wall and the bytes READ must
+      // stay ~flat as the store grows N× — the O(batch vocab) claim
+      // measured, not asserted. The cell includes the DEFAULT-ON
+      // requireNewIds check (one narrow doclen id-column scan — its
+      // cost at x100 is exactly what PARITY needs on record). The
+      // `full` mode's whole-table fold prices what the partial fold
+      // replaced. save_files field = files the append ADDED.
+      locally {
+        val batchOf: Long => DataFrame = off =>
+          Tables.documents(spark, baseDir)
+            .select(col("doc_id"), col("text"))
+            .filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(off))
+            .localCheckpoint()
+        val filesBefore = partFiles(dB)
+        // offsets sit ABOVE every replica id range (idStride × copies
+        // tops out at 1e9) so the default id-contract check passes
+        val walls = Seq(2000000000L, 2100000000L).map { off =>
+          val batch = batchOf(off)
+          val t0 = System.nanoTime()
+          Graft.loadBm25Index(spark, dB).appendDurable(dB, batch)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val io = storeIO(dB)(
+          { Graft.loadBm25Index(spark, dB)
+              .appendDurable(dB, batchOf(2200000000L))
+            spark.emptyDataFrame })
+        record("e48_append", s"${label}_$mode", walls.min, io, dB,
+          partFiles(dB) - filesBefore)
+      }
       if (mode == "pruned") {
         // NORMALIZED layout (the conf-selected side since the round-14
         // denormDl default flip — the main e48 cell now measures the

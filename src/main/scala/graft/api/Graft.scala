@@ -501,21 +501,34 @@ object Graft {
     */
   final case class Bm25Index private[api] (
       postings: DataFrame, doclen: DataFrame, df: DataFrame,
-      probeBuckets: Int = 0) {
+      probeBuckets: Int = 0,
+      private[api] val statsSeed: Option[() => (Long, Long)] = None) {
 
     /** (N, avgdl) pulled ONCE per handle — corpus constants under the
-      * handle's immutability ([[append]]/[[delete]] return NEW handles
-      * via copy, so each re-derives its own). Without this every
-      * search re-aggregated the doc-count-sized doclen table for two
-      * scalars — a billion-row scan per query batch at 100 TB. Types
-      * match the in-plan aggregate (long count, double avg) so scores
-      * are bit-identical; an empty corpus yields (0, 0.0) and an empty
-      * ranking downstream.
+      * handle's immutability. Without this every search re-aggregated
+      * the doc-count-sized doclen table for two scalars — a
+      * billion-row scan per query batch at 100 TB. A handle LOADED
+      * from a store seeds them from the persisted stats table
+      * (`statsSeed` — so the append→reopen→first-search cycle never
+      * scans doclen either, round 15); a live [[append]] FOLDS the
+      * seed (+batch docs, +batch Σdl — batch-sized); live-built,
+      * pre-stats-table, and tombstone-masked handles fall back to the
+      * doclen aggregate. Both paths are bit-identical: doc lengths
+      * are integers, so the double sum `avg` accumulates is exact
+      * (< 2^53) and equals `Σdl.toDouble / N`. Pinned at first search
+      * for the handle's lifetime — reopen after an external
+      * append/compact to the same directory (the documented
+      * reopen-after-maintenance caveat). An empty corpus yields
+      * (0, 0.0) and an empty ranking downstream.
       */
-    private lazy val corpusStats: (Long, Double) = {
-      val r = doclen.agg(count(lit(1)).as("n"), avg(col("dl")).as("a"))
-        .collect()(0)
-      (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+    private lazy val corpusStats: (Long, Double) = statsSeed match {
+      case Some(f) =>
+        val (n, s) = f()
+        (n, if (n == 0L) 0.0 else s.toDouble / n)
+      case None =>
+        val r = doclen.agg(count(lit(1)).as("n"), avg(col("dl")).as("a"))
+          .collect()(0)
+        (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
     }
 
     /** BM25 top-`k` per query. `queries`: (query_id Long, text
@@ -530,6 +543,13 @@ object Graft {
       * df scans at the file level — search I/O is O(query terms'
       * buckets), not O(index). `queries` is a QUERY BATCH by size
       * contract (its idf-annotated terms broadcast).
+      *
+      * The corpus stats (N, avgdl) are PINNED at the handle's first
+      * search (seeded from the store's stats table on a loaded
+      * handle) — a handle held across an external append/compact to
+      * the same directory scores freshly-listed postings against the
+      * pinned stats; reopen after maintenance (the documented
+      * caveat).
       */
     def searchText(queries: DataFrame, k: Int = 5, k1: Double = 1.2,
                    b: Double = 0.75): DataFrame = {
@@ -560,7 +580,16 @@ object Graft {
     }
 
     /** Add NEW documents to the LIVE handle: postings/doclen union;
-      * the df AGGREGATE merges by union + sum.
+      * the df AGGREGATE merges by union + sum. A LOADED handle's
+      * layout is PRESERVED (round 15 — previously the union dropped
+      * it, silently reverting a pruned handle to full-scan, join-in-
+      * plan screening, a 10–80× serving-I/O cliff): the batch's rows
+      * derive `tb` with the store's own expression and modulus, carry
+      * `dl` when the store is denormalized, and the handle's
+      * (N, avgdl) seed FOLDS (+batch docs, +batch Σdl — batch-sized,
+      * evaluated lazily at the new handle's first search), so the
+      * appended handle still file-prunes, still skips the doclen
+      * join, and still never aggregates the corpus.
       *
       * ID CONTRACT: `docs` must carry doc_ids DISJOINT from the
       * indexed corpus — the df sum is exact only when no document is
@@ -568,33 +597,54 @@ object Graft {
       * double-counts its postings rows and df contribution (skewing
       * idf until a [[Graft.compactIndex]] recomputes df on the
       * durable path; the live handle has no heal). Same contract as
-      * [[appendDurable]]/[[appendStreamDurable]] — pass
-      * `requireNewIds = true` there to enforce it.
+      * [[appendDurable]]/[[appendStreamDurable]], which enforce it by
+      * default (`requireNewIds = true`).
       */
     def append(docs: DataFrame): Bm25Index = {
       val (p2, dl2, df2) = SimilarityQueries.bm25Build(docs)
-      // a loaded handle's frames may carry store-layout columns
-      // (tb buckets, denormalized dl) — the live union drops them and
-      // reverts to unpruned, normalized screening; appendDurable
-      // keeps the stored layout
-      Bm25Index(postings.drop("tb", "dl").unionByName(p2),
-        doclen.unionByName(dl2),
-        df.drop("tb").unionByName(df2).groupBy(col("tok"))
-          .agg(sum(col("df")).as("df")))
+      val denorm = postings.columns.contains("dl")
+      val bucketed = probeBuckets > 0 && postings.columns.contains("tb")
+      val p2d =
+        if (denorm)
+          p2.join(dl2.select(col("vec_id"), col("dl")), Seq("vec_id"))
+        else p2
+      val p2s =
+        if (bucketed)
+          p2d.withColumn("tb",
+            pmod(hash(col("tok")), lit(probeBuckets)))
+        else p2d
+      val dfNew0 = df.drop("tb").unionByName(df2).groupBy(col("tok"))
+        .agg(sum(col("df")).as("df"))
+      val dfNew =
+        if (bucketed && df.columns.contains("tb"))
+          dfNew0.withColumn("tb",
+            pmod(hash(col("tok")), lit(probeBuckets)))
+        else dfNew0
+      val foldedSeed = statsSeed.map(f => () => {
+        val (n, s) = f()
+        val r = dl2.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+          .collect()(0)
+        (n + r.getLong(0), s + (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      })
+      Bm25Index(postings.unionByName(p2s), doclen.unionByName(dl2),
+        dfNew, if (bucketed) probeBuckets else 0, foldedSeed)
     }
 
     /** [[append]] made DURABLE — postings/doclen parquet-append, the
-      * df table folds through a temp swap, and `doclen` lands LAST as
-      * the commit point (scoring inner-joins it, so a crashed append
-      * leaves the batch unscoreable, not half-scored — see
-      * [[graft.sources.IndexStore.appendBm25]] for the recovery
-      * recipe). Then reopen. [[append]]'s disjoint-id contract
-      * applies — `requireNewIds = true` enforces it with one
-      * broadcast semi-join of the batch ids (fails loudly on overlap
-      * instead of silently double-counting df).
+      * df table folds through a temp swap (partial — only the batch
+      * tokens' buckets — on a bucketed store), `doclen` lands as the
+      * commit point, and the persisted corpus stats fold (+batch
+      * docs, +batch Σdl), so the reopened handle's first search is
+      * seeded without any corpus scan. [[append]]'s disjoint-id
+      * contract is enforced BY DEFAULT (`requireNewIds = true` — one
+      * broadcast semi-join of the batch ids; fails loudly on overlap
+      * instead of silently double-counting df); pass `false` only for
+      * provably-disjoint producers. Crash recovery:
+      * [[Graft.repairIndex]], or see
+      * [[graft.sources.IndexStore.appendBm25]].
       */
     def appendDurable(dir: String, docs: DataFrame,
-                      requireNewIds: Boolean = false): Bm25Index = {
+                      requireNewIds: Boolean = true): Bm25Index = {
       val (p2, dl2, df2) = SimilarityQueries.bm25Build(docs)
       IndexStore.appendBm25(dir, p2, dl2, df2, requireNewIds)
       loadBm25Index(docs.sparkSession, dir)
@@ -604,15 +654,17 @@ object Graft {
       * arriving documents builds its postings/doclen/df slice with
       * the shared kernel and appends INTO the saved layout
       * (checkpoint-scoped marker idempotency; doclen stays the
-      * per-batch commit point). [[append]]'s disjoint-id contract
-      * applies per batch — `requireNewIds = true` fails a batch that
-      * re-delivers an already-indexed doc_id instead of silently
-      * double-counting its df.
+      * per-batch commit point). [[append]]'s disjoint-id contract is
+      * enforced per batch BY DEFAULT — `requireNewIds = true` fails a
+      * batch that re-delivers an already-indexed doc_id instead of
+      * silently double-counting its df (replayed BATCHES are skipped
+      * by the checkpoint markers before the check, so replays cost
+      * nothing); pass `false` only for provably-disjoint producers.
       */
     def appendStreamDurable(arrivals: Dataset[graft.streaming.DocStreams.Doc],
                             dir: String,
                             checkpointDir: Option[String] = None,
-                            requireNewIds: Boolean = false)
+                            requireNewIds: Boolean = true)
         : org.apache.spark.sql.streaming.StreamingQuery =
       EmbStreams.durableIngest(arrivals, checkpointDir) { batch =>
         val (p2, dl2, df2) = SimilarityQueries.bm25Build(
@@ -630,8 +682,12 @@ object Graft {
       */
     def delete(ids: DataFrame): Bm25Index = {
       val t = broadcast(ids.select(col("vec_id")))
+      // the stats seed is DROPPED: N/avgdl must exclude deleted docs
+      // immediately (they no longer normalize lengths), which only
+      // the masked aggregate knows — the new handle re-derives them
       copy(postings = postings.join(t, Seq("vec_id"), "left_anti"),
-        doclen = doclen.join(t, Seq("vec_id"), "left_anti"))
+        doclen = doclen.join(t, Seq("vec_id"), "left_anti"),
+        statsSeed = None)
     }
 
     /** Export a SHARD over `docs` — foldable by [[mergeIndex]]
@@ -660,11 +716,15 @@ object Graft {
     * deletes after the next compact (the documented Lucene
     * semantics). A bucketed store's handle prunes its searches to
     * the query terms' buckets' files; a denormalized store's handle
-    * searches without the doclen join.
+    * searches without the doclen join; and the handle's (N, avgdl)
+    * seed from the store's persisted stats table (absent stats or
+    * live tombstones fall back to the doclen aggregate), so serving
+    * on the default layout reads doclen ZERO times.
     */
   def loadBm25Index(spark: SparkSession, dir: String): Bm25Index = {
-    val (postings, doclen, df, nBuckets) = IndexStore.loadBm25(spark, dir)
-    Bm25Index(postings, doclen, df, nBuckets)
+    val (postings, doclen, df, nBuckets, seed) =
+      IndexStore.loadBm25(spark, dir)
+    Bm25Index(postings, doclen, df, nBuckets, seed.map(t => () => t))
   }
 
   /** MIGRATE a saved BM25 store between the normalized and
@@ -1536,9 +1596,32 @@ object Graft {
     * `spark.graft.lockStaleAfterMs`, default 60 s) flags a presumed-
     * crashed holder — confirm via the named pid@host, then
     * [[breakIndexLock]]. See [[indexLockInfo]] for the lock alone.
+    * `deep = true` adds integrity rows (for bm25:
+    * `_orphan_postings_ids`, the crashed-append signature
+    * [[repairIndex]] heals) at the cost of one vec_id semi-join.
     */
-  def describeIndex(spark: SparkSession, dir: String): DataFrame =
-    IndexStore.describe(spark, dir)
+  def describeIndex(spark: SparkSession, dir: String,
+                    deep: Boolean = false): DataFrame =
+    IndexStore.describe(spark, dir, deep)
+
+  /** FSCK + heal a saved index directory — the crashed-append
+    * recovery recipes as ONE operation: runs [[vacuumIndex]]'s
+    * restore/debris sweep, and on a bm25 store additionally
+    * (1) completes an interrupted partial df fold (pending
+    * `df.fold.intent` ⇒ df recomputes from the postings),
+    * (2) removes orphaned postings rows (vec_ids with no doclen row —
+    * the partial landing of an append that crashed before its
+    * commit point; on the denormalized layout those rows are
+    * silently scoreable until healed), recomputing df afterwards, and
+    * (3) revalidates the persisted corpus stats against the doclen
+    * aggregate. Returns one (issue, n, action) row per finding —
+    * empty on a healthy store; records a `repair` epoch when
+    * anything was healed. Safe to run any time; after it, a clean
+    * re-append of the crashed batch passes the default
+    * `requireNewIds` check.
+    */
+  def repairIndex(spark: SparkSession, dir: String): DataFrame =
+    IndexStore.repair(spark, dir)
 
   /** The store's write lock, observed — (holder pid@host + acquire
     * millis, heartbeat age millis, stale suspect); None when

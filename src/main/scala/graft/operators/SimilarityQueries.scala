@@ -2798,6 +2798,42 @@ object SimilarityQueries {
     },
     e48Bm25Store.oracle)
 
+  /** Crash-REPAIR gate — [[graft.api.Graft.repairIndex]] must restore
+    * the exact never-crashed ranking: save the store, inject the
+    * crashed-append signature (a duplicate of doc 0's text whose
+    * postings landed — store layout, dl and tb included — but whose
+    * doclen commit never did; on the denormalized default layout
+    * those orphaned rows REALLY score, the silent-corruption case),
+    * repair, reopen, search. Oracle: e48's text verbatim — any
+    * surviving orphan row, any df or stats drift the heal leaves
+    * behind shifts a score and fails the hash compare.
+    */
+  val e53Bm25RepairSearch = QueryDef(
+    "e53_bm25_repair_search",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_e53_bm25rp").toString
+      graft.api.Graft.bm25Index(docs).save(dir)
+      val nb = s.read.parquet(s"$dir/manifest")
+        .select(col("n_buckets")).head().getLong(0).toInt
+      val doc0 = docs.filter(col("doc_id") === 0)
+        .select(col("text")).head().getString(0)
+      val crashed = graft.api.Graft.bm25Index(
+        Seq((900000000L, doc0)).toDF("doc_id", "text"))
+      crashed.postings.join(crashed.doclen, Seq("vec_id"))
+        .select(col("vec_id"), col("tok"), col("tf"), col("dl"),
+          pmod(hash(col("tok")), lit(nb)).as("tb"))
+        .write.mode("append").partitionBy("tb").parquet(s"$dir/postings")
+      graft.api.Graft.repairIndex(s, dir)
+      graft.api.Graft.loadBm25Index(s, dir)
+        .searchText(docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text")), k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+    },
+    e48Bm25Store.oracle)
+
   /** FILTERED search for the compressed family — e24's contract on
     * the PQ index: the code table stays as built; `keepIds` restricts
     * candidates via a semi-join BEFORE ADC ranking, so a metadata
@@ -3342,5 +3378,5 @@ object SimilarityQueries {
     e42FilteredIvfPqRecall, e43IvfPqRerank, e44RecallIvfPqRerank,
     e45IndexDelete, e46DeleteCompact, e47IvfRetrain, e48Bm25Store,
     e49Bm25NormalizedSearch, e50PublishedRetrainSearch,
-    e51Bm25PublishedSearch, e52Bm25RewriteSearch)
+    e51Bm25PublishedSearch, e52Bm25RewriteSearch, e53Bm25RepairSearch)
 }

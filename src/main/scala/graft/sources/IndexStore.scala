@@ -933,20 +933,17 @@ object IndexStore {
         swap("doclen", Nil, applyTombstones = true)
         // recompute df FROM the compacted postings — heals the
         // documented delete staleness (Lucene's merge semantics) and
-        // any crashed-append drift in one pass
-        val dfNew = spark.read.parquet(s"$dir/postings")
-          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        val live = new org.apache.hadoop.fs.Path(s"$dir/df")
-        val fs = live.getFileSystem(hconf)
-        val tmp = new org.apache.hadoop.fs.Path(s"$dir/df.compact")
-        fs.delete(tmp, true)
-        if (nBuckets > 0)
-          bm25WithTb(dfNew, nBuckets, Seq("tok", "df"))
-            .repartition(col("tb"))
-            .write.mode(SaveMode.Overwrite)
-            .partitionBy("tb").parquet(tmp.toString)
-        else dfNew.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        swapInto(fs, tmp, live)
+        // any crashed-append drift in one pass; a pending fold intent
+        // (a crash mid-partial-fold) is healed by the same recompute,
+        // so clear it too
+        recomputeBm25Df(spark, dir, nBuckets)
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+        fs.delete(bm25FoldIntent(dir), false)
+        // corpus stats recompute from the compacted doclen — deletes
+        // are now applied, so (N, Σdl) reflect the surviving corpus
+        val (n, sumDl) = doclenStatsOf(
+          spark.read.parquet(s"$dir/doclen"))
+        writeBm25Stats(spark, dir, n, sumDl)
         "doclen"
       case "bloom" =>
         swap("words", Nil); "words"
@@ -1194,6 +1191,14 @@ object IndexStore {
           swapInto(fs, tmp, live)
           fs.delete(srcDf, true)
         }
+        // corpus stats: RECOMPUTE from the merged doclen (one narrow
+        // single-column scan — crash-resume idempotent, where a fold
+        // of the two stats rows could double-count on a resumed
+        // merge); the shard's stats table dies with its directory
+        val (mn, ms) = doclenStatsOf(
+          spark.read.parquet(s"$dstDir/doclen")
+            .select(col("vec_id"), col("dl")))
+        writeBm25Stats(spark, dstDir, mn, ms)
       case "bloom" =>
         // mergeable-sketch semantics: bit_or fold, not a file move —
         // materialize the union FULLY into a temp dir before touching
@@ -1316,45 +1321,149 @@ object IndexStore {
     */
   def vacuum(spark: SparkSession, dir: String): Int =
     withWriteLock(spark, dir) {
-      val root = new org.apache.hadoop.fs.Path(dir)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def liveOf(p: org.apache.hadoop.fs.Path, suffix: String) =
-        new org.apache.hadoop.fs.Path(root,
-          p.getName.stripSuffix(suffix))
-      val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      // restore pass: .old first (the pre-rewrite original), then a
-      // .compact that is the only copy left
-      var touched = 0
-      dirs.filter(_.getName.endsWith(".old")).foreach { p =>
-        val live = liveOf(p, ".old")
-        if (!fs.exists(live)) {
-          require(fs.rename(p, live),
-            s"vacuum: restore $p -> $live failed; recover manually")
-          touched += 1
-        }
-      }
-      dirs.filter(_.getName.endsWith(".compact")).foreach { p =>
-        val live = liveOf(p, ".compact")
-        if (!fs.exists(live)) {
-          require(fs.rename(p, live),
-            s"vacuum: restore $p -> $live failed; recover manually")
-          touched += 1
-        }
-      }
-      // per-bucket aside dirs (a partial df fold's crash residue):
-      // restore any bucket missing from the live table, drop the rest
-      dirs.filter(_.getName.endsWith(".oldparts")).foreach { p =>
-        restoreOldParts(fs, liveOf(p, ".oldparts"))
-        touched += 1
-      }
-      // debris pass: whatever remains has a live sibling — safe to drop
-      fs.listStatus(root).filter(s => s.isDirectory && {
-        val n = s.getPath.getName
-        n.endsWith(".compact") || n.endsWith(".old")
-      }).foreach { s => fs.delete(s.getPath, true); touched += 1 }
+      val touched = debrisSweep(spark, dir)
       if (touched > 0)
         recordEpoch(spark, dir, "vacuum", touched.toLong)
       touched
+    }
+
+  /** [[vacuum]]'s restore + debris body, lock-free so [[repair]] can
+    * run it under its own write lock (the lock is not reentrant).
+    */
+  private def debrisSweep(spark: SparkSession, dir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def liveOf(p: org.apache.hadoop.fs.Path, suffix: String) =
+      new org.apache.hadoop.fs.Path(root,
+        p.getName.stripSuffix(suffix))
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+    // restore pass: .old first (the pre-rewrite original), then a
+    // .compact that is the only copy left
+    var touched = 0
+    dirs.filter(_.getName.endsWith(".old")).foreach { p =>
+      val live = liveOf(p, ".old")
+      if (!fs.exists(live)) {
+        require(fs.rename(p, live),
+          s"vacuum: restore $p -> $live failed; recover manually")
+        touched += 1
+      }
+    }
+    dirs.filter(_.getName.endsWith(".compact")).foreach { p =>
+      val live = liveOf(p, ".compact")
+      if (!fs.exists(live)) {
+        require(fs.rename(p, live),
+          s"vacuum: restore $p -> $live failed; recover manually")
+        touched += 1
+      }
+    }
+    // per-bucket aside dirs (a partial df fold's crash residue):
+    // restore any bucket missing from the live table, drop the rest
+    dirs.filter(_.getName.endsWith(".oldparts")).foreach { p =>
+      restoreOldParts(fs, liveOf(p, ".oldparts"))
+      touched += 1
+    }
+    // debris pass: whatever remains has a live sibling — safe to drop
+    fs.listStatus(root).filter(s => s.isDirectory && {
+      val n = s.getPath.getName
+      n.endsWith(".compact") || n.endsWith(".old")
+    }).foreach { s => fs.delete(s.getPath, true); touched += 1 }
+    touched
+  }
+
+  /** FSCK + heal for a saved index directory — ONE call that turns
+    * the crashed-append recovery recipes into an operation. Always
+    * runs [[vacuum]]'s restore/debris sweep (without needing a
+    * separate call); on a `bm25` store it additionally:
+    *
+    *  1. completes an interrupted partial df fold — a pending
+    *     `df.fold.intent` means df may be MIXED folded/unfolded
+    *     across buckets, so df recomputes from the postings
+    *     ([[recomputeBm25Df]]) and the intent lifts;
+    *  2. detects and REMOVES orphaned postings rows — vec_ids with
+    *     no doclen row, the signature of an append that crashed
+    *     between the postings append and the doclen commit point
+    *     (on the denormalized layout such rows are silently
+    *     SCOREABLE, which is why detection matters); the postings
+    *     rewrite through the standard temp + [[swapInto]] protocol,
+    *     df recomputes from the healed table;
+    *  3. revalidates the persisted corpus stats against the doclen
+    *     aggregate and rewrites them on any mismatch (the
+    *     crash-between-doclen-and-stats window).
+    *
+    * Returns the report: one (issue, n, action) row per finding —
+    * empty on a healthy store. Records a `repair` epoch when
+    * anything was healed. Cost: the orphan check is one
+    * distinct-ids semi-join (vec_id columns only); the heals rewrite
+    * only what a [[compact]] would. Facade:
+    * [[graft.api.Graft.repairIndex]].
+    */
+  def repair(spark: SparkSession, dir: String): DataFrame =
+    withWriteLock(spark, dir) {
+      import spark.implicits._
+      val kind = manifestKind(spark, dir)
+      val report = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, String)]
+      val swept = debrisSweep(spark, dir)
+      if (swept > 0)
+        report += (("debris_dirs", swept.toLong, "restored_or_removed"))
+      if (kind == "bm25") {
+        val nb = {
+          val m = spark.read.parquet(s"$dir/manifest")
+          if (m.columns.contains("n_buckets"))
+            m.collect()(0).getAs[Long]("n_buckets").toInt
+          else 0
+        }
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val intent = bm25FoldIntent(dir)
+        val intentPending = fs.exists(intent)
+        if (intentPending)
+          report += (("df_fold_interrupted", 1L, "df_recomputed"))
+        // orphaned postings: ids with postings rows but no doclen row
+        // (doclen is the append commit point, so these are a crashed
+        // batch's partial landing) — REMOVE them so the denormalized
+        // layout stops scoring them and a clean re-append is legal
+        val orphanIds = spark.read.parquet(s"$dir/postings")
+          .select(col("vec_id")).distinct()
+          .join(spark.read.parquet(s"$dir/doclen").select(col("vec_id")),
+            Seq("vec_id"), "left_anti")
+        val nOrphans = orphanIds.count()
+        if (nOrphans > 0) {
+          val raw = spark.read.parquet(s"$dir/postings")
+          val pCols = Seq("vec_id", "tok", "tf") ++
+            (if (raw.columns.contains("dl")) Seq("dl") else Nil)
+          val healed = raw.join(
+            spark.read.parquet(s"$dir/doclen").select(col("vec_id")),
+            Seq("vec_id"), "left_semi")
+          val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
+          val tmp = new org.apache.hadoop.fs.Path(s"$dir/postings.compact")
+          fs.delete(tmp, true)
+          if (nb > 0)
+            bucketAligned(bm25WithTb(healed, nb, pCols), Seq("tb"),
+                "vec_id", diskRows(spark, s"$dir/postings"), nb)
+              .write.mode(SaveMode.Overwrite)
+              .partitionBy("tb").parquet(tmp.toString)
+          else healed.select(pCols.map(col): _*)
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          swapInto(fs, tmp, live)
+          report += (("orphaned_postings_ids", nOrphans, "removed"))
+        }
+        if (intentPending || nOrphans > 0) {
+          recomputeBm25Df(spark, dir, nb)
+          fs.delete(intent, false)
+        }
+        // stats revalidation: ground truth is the doclen aggregate
+        val (n, sumDl) = doclenStatsOf(
+          spark.read.parquet(s"$dir/doclen")
+            .select(col("vec_id"), col("dl")))
+        if (!readBm25Stats(spark, dir).contains((n, sumDl))) {
+          writeBm25Stats(spark, dir, n, sumDl)
+          report += (("corpus_stats_stale", 1L, "recomputed"))
+        }
+      }
+      if (report.nonEmpty)
+        recordEpoch(spark, dir, "repair", report.map(_._2).sum)
+      report.toSeq.toDF("issue", "n", "action")
     }
 
   // ------------------------------------------------------------------
@@ -1583,13 +1692,23 @@ object IndexStore {
           .getModificationTime
         catch { case _: java.io.FileNotFoundException => Long.MaxValue }
       val now = System.currentTimeMillis()
-      val drop = published.dropRight(keep).zipWithIndex.filter {
-        case (_, i) =>
+      val (dropPairs, graced) = published.dropRight(keep).zipWithIndex
+        .partition { case (_, i) =>
           // successor = the next published generation (always exists —
           // dropRight(keep >= 1) guarantees at least one newer)
           val succ = published(i + 1)._2
           now - publishedAt(succ) >= graceMs
-      }.map(_._1)
+        }
+      val drop = dropPairs.map(_._1)
+      // say WHY nothing (or less than expected) was deleted — an
+      // operator vacuuming right after a flip otherwise can't tell
+      // "nothing to vacuum" from "still inside the grace window"
+      if (graced.nonEmpty)
+        System.err.println(s"[graft] vacuumGenerations($root): " +
+          s"${graced.length} candidate generation(s) skipped — their " +
+          s"successor published under ${graceMs} ms ago " +
+          "(spark.graft.vacuumGenerationGraceMs); re-run after the " +
+          "grace window")
       drop.foreach { case (_, p, _) => fs.delete(p, true) }
       drop.length
     }
@@ -1605,10 +1724,15 @@ object IndexStore {
     * `stale_suspect = true` flags a holder that stopped
     * heartbeating (presumed crashed; confirm, then [[breakLock]]);
     * the three columns are null on every table row and the row is
-    * absent on an unlocked store. Facade:
-    * [[graft.api.Graft.describeIndex]].
+    * absent on an unlocked store. `deep = true` adds integrity rows a
+    * metadata walk can't see — for `bm25`, `_orphan_postings_ids`
+    * (n_rows = distinct vec_ids with postings but no doclen row, the
+    * crashed-append signature [[repair]] heals) — at the cost of one
+    * vec_id-column semi-join over the store; the default stays
+    * metadata-speed. Facade: [[graft.api.Graft.describeIndex]].
     */
-  def describe(spark: SparkSession, dir: String): DataFrame = {
+  def describe(spark: SparkSession, dir: String,
+               deep: Boolean = false): DataFrame = {
     import spark.implicits._
     val man = spark.read.parquet(s"$dir/manifest").collect()(0)
     val kind = man.getAs[String]("kind")
@@ -1618,7 +1742,7 @@ object IndexStore {
       case "pq" => Seq("codes", "codebooks", "corpus")
       case "ivfpq" => Seq("codes", "centroids", "codebooks")
       case "lsh" => Seq("sigs", "bands", "params", "bkbloom")
-      case "bm25" => Seq("postings", "doclen", "df")
+      case "bm25" => Seq("postings", "doclen", "df", "stats")
       case "phash" => Seq("hashes", "bands", "pbbloom")
       case "bloom" => Seq("words")
       case other => throw new IllegalStateException(
@@ -1641,8 +1765,19 @@ object IndexStore {
       (kind, version, "_write_lock", 0L, 1L, 0L,
         Some(holder), Some(age), Some(stale))
     }
-    (rows ++ lockRow).toDF("kind", "version", "table", "n_rows",
-      "n_files", "bytes", "holder", "heartbeat_age_ms", "stale_suspect")
+    val deepRows =
+      if (deep && kind == "bm25") {
+        val orphans = spark.read.parquet(s"$dir/postings")
+          .select(col("vec_id")).distinct()
+          .join(spark.read.parquet(s"$dir/doclen").select(col("vec_id")),
+            Seq("vec_id"), "left_anti")
+          .count()
+        Seq((kind, version, "_orphan_postings_ids", orphans, 0L, 0L,
+          none._1, none._2, none._3))
+      } else Nil
+    (rows ++ deepRows ++ lockRow).toDF("kind", "version", "table",
+      "n_rows", "n_files", "bytes", "holder", "heartbeat_age_ms",
+      "stale_suspect")
   }
 
   // ------------------------------------------------------------------
@@ -1717,8 +1852,11 @@ object IndexStore {
       if (nb > 0) {
         val bands = phashBandRows(stored, nb)
         // files ≈ buckets (× write salt), not tasks × buckets — the
-        // estKeys already in hand sizes the salt ([[bucketAligned]])
-        bucketAligned(bands, Seq("pb"), "vec_id", estKeys, nb)
+        // estKeys already in hand sizes the salt ([[bucketAligned]]).
+        // The pb dir count is nb × 5 (band rides in the partition
+        // value), so the salt divides by the TRUE dir count — the
+        // compact path's `nBuckets * 5` rule, matched here
+        bucketAligned(bands, Seq("pb"), "vec_id", estKeys, nb * 5)
           .write.mode(SaveMode.Overwrite)
           .partitionBy("pb").parquet(s"$dir/bands")
         pbkeySketchOf(spark.read.parquet(s"$dir/bands"), bloomBits)
@@ -1828,6 +1966,91 @@ object IndexStore {
     df.select(cols.map(col) :+
       pmod(hash(col("tok")), lit(nb)).as("tb"): _*)
 
+  /** Persist the BM25 corpus stats — one row (n_docs, sum_dl) — via
+    * the standard temp + [[swapInto]] protocol. The two scalars are
+    * FOLDABLE (append adds the batch's count/Σdl; compact recomputes
+    * from the surviving doclen), so a reopened handle seeds its
+    * (N, avgdl) from this table instead of re-aggregating the
+    * doc-count-sized doclen — the round-14 serving win, extended to
+    * the append→reopen cycle (a billion-row scan per append batch at
+    * 100 TB otherwise). `sum_dl` is the EXACT long Σdl: doc lengths
+    * are integers, so `sum_dl.toDouble / n_docs` is bit-identical to
+    * the in-plan `avg(dl)` (double sums of integers are exact below
+    * 2^53 — ~2.5e13 tokens at 100 TB of text, three orders under it).
+    */
+  private def writeBm25Stats(spark: SparkSession, dir: String,
+                             n: Long, sumDl: Long): Unit = {
+    import spark.implicits._
+    val live = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/stats.compact")
+    fs.delete(tmp, true)
+    Seq((n, sumDl)).toDF("n_docs", "sum_dl").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    swapInto(fs, tmp, live)
+  }
+
+  /** (n_docs, Σdl) from the stats table; None when absent (a store
+    * saved before the stats table existed — loaders fall back to the
+    * doclen aggregate, appends upgrade it in place).
+    */
+  private[sources] def readBm25Stats(spark: SparkSession, dir: String)
+      : Option[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(p.toString).collect()(0)
+      Some((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl")))
+    }
+  }
+
+  /** The exact (count, Σdl) aggregate over a doclen frame — the stats
+    * table's ground truth (save seeds it, compact/repair recompute it,
+    * appends fold the same aggregate of the batch into it).
+    */
+  private def doclenStatsOf(doclen: DataFrame): (Long, Long) = {
+    val r = doclen.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+      .collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** The partial df fold's INTENT marker: written before the
+    * per-bucket swap loop, removed after the last swap commits. A
+    * crash inside the loop leaves df MIXED (the batch's df landed in
+    * some buckets, not others) with the marker behind — the NEXT
+    * append and [[repair]] see it and recompute df from the postings
+    * (the one table the fold derives from) instead of folding onto a
+    * possibly-inconsistent base. Without the marker the mixed state
+    * was silent until an operator noticed idf drift.
+    */
+  private def bm25FoldIntent(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dir/df.fold.intent")
+
+  /** Recompute the df table FROM the live postings — [[compact]]'s df
+    * logic scoped to df (one map-side-combinable count per term, one
+    * bucket-aligned rewrite, one [[swapInto]]). Heals a mixed partial
+    * fold and any crashed-append df drift in one pass; shared by
+    * [[compact]], by an [[appendBm25]] that finds a pending fold
+    * intent, and by [[repair]].
+    */
+  private def recomputeBm25Df(spark: SparkSession, dir: String,
+                              nb: Int): Unit = {
+    val dfNew = spark.read.parquet(s"$dir/postings")
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val live = new org.apache.hadoop.fs.Path(s"$dir/df")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/df.compact")
+    fs.delete(tmp, true)
+    if (nb > 0)
+      bucketAligned(bm25WithTb(dfNew, nb, Seq("tok", "df")),
+          Seq("tb"), "tok")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("tb").parquet(tmp.toString)
+    else dfNew.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    swapInto(fs, tmp, live)
+  }
+
   /** Layout: `postings/` = (vec_id, tok, tf) PARTITIONED BY
     * `tb = pmod(hash(tok), n_buckets)` (query terms derive their
     * buckets with the same expression, so a search scans only the
@@ -1896,8 +2119,23 @@ object IndexStore {
       }
       doclen.select(col("vec_id"), col("dl"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclen")
+      // corpus stats (N, Σdl) persist WITH the store — loaded handles
+      // seed (N, avgdl) from this one-row table instead of
+      // re-aggregating doclen; appends fold it, compact recomputes it
+      val (n, sumDl) = doclenStatsOf(
+        spark.read.parquet(s"$dir/doclen"))
+      writeBm25Stats(spark, dir, n, sumDl)
       writeManifest(spark, dir, "bm25", 0L, nb.toLong)
-      recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/doclen"))
+      recordEpoch(spark, dir, "save", n)
+      if (denormDl)
+        // the denorm default changed append crash semantics (a batch
+        // can be PARTIALLY scoreable mid-crash vs the normalized
+        // layout's all-or-nothing doclen commit point) — say so once
+        // per save so non-idempotent ingest pipelines notice
+        System.err.println(s"[graft] saveBm25($dir): denormalized-dl " +
+          "layout (the serving-optimized default) — a crash " +
+          "mid-append leaves that batch partially scoreable; pass " +
+          "denormDl = false for non-idempotent write-heavy ingest")
     }
   }
 
@@ -1909,25 +2147,35 @@ object IndexStore {
     * the df fold is PARTIAL: only the batch's tokens' buckets are
     * read, folded, and swapped (per-bucket, materialize-first, aside
     * dirs under `df.oldparts/` restorable by the next append or
-    * [[vacuum]]), so append cost is O(batch vocab), not O(corpus
-    * vocab); the flat layout keeps the whole-table union + sum
-    * through a temp swap. Recovery from a crashed append either way:
-    * tombstone the batch's ids ([[delete]]), [[compact]] (which also
-    * recomputes `df` from the surviving postings), then re-append.
+    * [[vacuum]], the whole loop bracketed by a `df.fold.intent`
+    * marker so an interrupted fold is DETECTED and healed — see
+    * [[bm25FoldIntent]]), so append cost is O(batch vocab), not
+    * O(corpus vocab); the flat layout keeps the whole-table union +
+    * sum through a temp swap. The persisted corpus stats fold too
+    * (+batch docs, +batch Σdl — [[writeBm25Stats]]). Recovery from a
+    * crashed append: [[repair]] (removes the batch's orphaned
+    * postings rows and recomputes df + stats), or the manual recipe —
+    * tombstone the batch's ids ([[delete]]), [[compact]], re-append.
     *
     * ID CONTRACT: the batch's `vec_id`s must be DISJOINT from the
     * stored corpus — the df fold sums per-term counts, which is exact
     * only when no document is counted twice; re-appending an
-    * already-indexed id silently double-counts its postings rows AND
-    * its df contribution (skewing idf until the next [[compact]]
-    * recomputes df). Set `requireNewIds = true` to enforce the
-    * contract with one broadcast semi-join of the batch's ids against
-    * the stored `doclen` (batch-sized work — the stored table never
-    * shuffles) and fail loudly on overlap instead.
+    * already-indexed id double-counts its postings rows AND its df
+    * contribution (skewing idf until the next [[compact]] recomputes
+    * df). The contract is enforced BY DEFAULT (`requireNewIds =
+    * true`, the round-13 default-on discipline: the default-conf
+    * failure mode must be a loud named error, never silent idf
+    * corruption): one broadcast semi-join of the batch's ids against
+    * the stored `doclen` — batch-sized shuffle work; the stored side
+    * pays one narrow single-column scan, never a shuffle (measured at
+    * ScreenBench ×100 in PARITY). Pass `requireNewIds = false` as the
+    * documented opt-out for provably-disjoint producers (a
+    * checkpointed stream's replay markers already skip re-delivered
+    * BATCHES before this call, so the default costs replays nothing).
     */
   def appendBm25(dir: String, postingsNew: DataFrame,
                  doclenNew: DataFrame, dfNew: DataFrame,
-                 requireNewIds: Boolean = false): Unit = {
+                 requireNewIds: Boolean = true): Unit = {
     val spark = postingsNew.sparkSession
     val nb = readManifest(spark, dir, "bm25").n_buckets.toInt
     // follow the STORED layout: bucket modulus from the manifest,
@@ -1936,15 +2184,45 @@ object IndexStore {
       .columns.contains("dl")
     withWriteLock(spark, dir) {
       if (requireNewIds) {
-        val dup = spark.read.parquet(s"$dir/doclen")
-          .join(broadcast(doclenNew.select(col("vec_id"))),
-            Seq("vec_id"), "left_semi")
-          .limit(5).select(col("vec_id")).collect().map(_.getLong(0))
-        require(dup.isEmpty,
-          s"appendBm25: batch re-appends already-indexed doc ids " +
-            s"(${dup.mkString(", ")}${if (dup.length == 5) ", …" else ""})" +
-            " — the df fold would double-count them; delete + compact " +
-            "first, or append only new documents")
+        // any overlap necessarily lies inside the batch's id RANGE, so
+        // the stored side is pre-filtered to [min, max] of the batch —
+        // a pushed predicate parquet's row-group min/max stats prune,
+        // which makes the check near-free for the common
+        // monotonically-increasing-id producer (zero row groups read)
+        // and never worse than one narrow id-column scan otherwise
+        val rng = doclenNew.agg(min(col("vec_id")).as("lo"),
+          max(col("vec_id")).as("hi")).collect()(0)
+        if (!rng.isNullAt(0)) {
+          val dup = spark.read.parquet(s"$dir/doclen")
+            .filter(col("vec_id").between(rng.getLong(0), rng.getLong(1)))
+            .join(broadcast(doclenNew.select(col("vec_id"))),
+              Seq("vec_id"), "left_semi")
+            .limit(5).select(col("vec_id")).collect().map(_.getLong(0))
+          require(dup.isEmpty,
+            s"appendBm25: batch re-appends already-indexed doc ids " +
+              s"(${dup.mkString(", ")}${if (dup.length == 5) ", …" else ""})" +
+              " — the df fold would double-count them; delete + compact " +
+              "first, or append only new documents")
+        }
+      }
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val live = new org.apache.hadoop.fs.Path(s"$dir/df")
+      val fs = live.getFileSystem(hconf)
+      // crash recovery BEFORE this batch touches anything: restore any
+      // bucket a crashed fold stranded aside ([[restoreOldParts]]),
+      // then — if that fold's INTENT marker is still behind — df may
+      // be MIXED folded/unfolded across buckets (the crash hit between
+      // per-bucket swaps); recompute it from the postings (the table
+      // the fold derives from) so this batch folds onto a consistent
+      // base instead of baking the inconsistency in
+      restoreOldParts(fs, live)
+      val intent = bm25FoldIntent(dir)
+      if (fs.exists(intent)) {
+        System.err.println(s"[graft] appendBm25($dir): pending fold " +
+          "intent found (a previous append crashed mid-fold) — " +
+          "recomputing df from the postings before this append")
+        recomputeBm25Df(spark, dir, nb)
+        fs.delete(intent, false)
       }
       val before = diskRows(spark, s"$dir/doclen")
       val p0 =
@@ -1961,9 +2239,6 @@ object IndexStore {
           .partitionBy("tb").parquet(s"$dir/postings")
       else p0.select(pCols.map(col): _*)
         .write.mode(SaveMode.Append).parquet(s"$dir/postings")
-      val hconf = spark.sparkContext.hadoopConfiguration
-      val live = new org.apache.hadoop.fs.Path(s"$dir/df")
-      val fs = live.getFileSystem(hconf)
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/df.compact")
       fs.delete(tmp, true)
       if (nb > 0) {
@@ -1976,12 +2251,14 @@ object IndexStore {
         // OUTSIDE the table (`df.oldparts/` — an aside INSIDE it
         // would poison hive partition discovery); a crash mid-swap
         // strands at most one bucket there, and BOTH the next append
-        // (below) and [[vacuum]]'s oldparts pass restore it. A crash
-        // between buckets leaves df mixed folded/unfolded — the
-        // documented idf-staleness class, healed by [[compact]]'s
-        // full df recompute, and the crashed-append recovery recipe
-        // (tombstone + compact + re-append) is unchanged.
-        restoreOldParts(fs, live)
+        // (above) and [[vacuum]]'s oldparts pass restore it. A crash
+        // between buckets leaves df mixed folded/unfolded — DETECTED
+        // now: the fold intent written below outlives the crash, and
+        // the next append / [[repair]] recomputes df from the
+        // postings instead of folding onto the mixed base. The
+        // crashed-append recovery recipe for the BATCH (tombstone +
+        // compact + re-append, or [[repair]]'s orphan heal) is
+        // unchanged.
         val tbs = dfNew
           .select(pmod(hash(col("tok")), lit(nb)).as("tb"))
           .distinct().collect().map(_.getInt(0)).toSeq
@@ -1994,6 +2271,10 @@ object IndexStore {
             Seq("tb"), "tok")
           .write.mode(SaveMode.Overwrite)
           .partitionBy("tb").parquet(tmp.toString)
+        // INTENT marker brackets the swap loop (merge's .merge.intent
+        // pattern): present ⇒ the fold may have committed in some
+        // buckets and not others
+        fs.create(intent, true).close()
         val aside = new org.apache.hadoop.fs.Path(s"$dir/df.oldparts")
         fs.mkdirs(aside)
         tbs.foreach { b =>
@@ -2009,8 +2290,12 @@ object IndexStore {
                 s"are intact under $aside — run vacuum to restore")
           }
         }
+        // every touched bucket swapped — the fold is complete; the
+        // asides and temp are debris, the intent lifts LAST (a crash
+        // before this line only costs one redundant df recompute)
         fs.delete(aside, true)
         fs.delete(tmp, true)
+        fs.delete(intent, false)
       } else {
         val folded = spark.read.parquet(live.toString)
           .select(col("tok"), col("df"))
@@ -2021,6 +2306,25 @@ object IndexStore {
       }
       doclenNew.select(col("vec_id"), col("dl"))
         .write.mode(SaveMode.Append).parquet(s"$dir/doclen")
+      // fold the persisted corpus stats: +batch docs, +batch Σdl —
+      // batch-sized work, so the append→reopen→search cycle never
+      // re-aggregates the corpus-sized doclen. A store saved before
+      // the stats table existed upgrades here (one full doclen
+      // aggregate, once). Crash window: a crash between the doclen
+      // append and this fold leaves stats one batch stale — scoring
+      // uses slightly-old (N, avgdl) until [[repair]] or [[compact]]
+      // recomputes them (the same bounded-staleness class as df).
+      val (bn, bs) = doclenStatsOf(
+        doclenNew.select(col("vec_id"), col("dl")))
+      readBm25Stats(spark, dir) match {
+        case Some((n0, s0)) =>
+          writeBm25Stats(spark, dir, n0 + bn, s0 + bs)
+        case None =>
+          val (n, s) = doclenStatsOf(
+            spark.read.parquet(s"$dir/doclen")
+              .select(col("vec_id"), col("dl")))
+          writeBm25Stats(spark, dir, n, s)
+      }
       recordEpoch(spark, dir, "append",
         diskRows(spark, s"$dir/doclen") - before)
     }
@@ -2094,7 +2398,7 @@ object IndexStore {
     }
   }
 
-  /** (postings, doclen, df, nBuckets). Tombstoned documents
+  /** (postings, doclen, df, nBuckets, statsSeed). Tombstoned documents
     * ([[delete]]) are anti-joined out of postings and doclen, so they
     * can neither be candidates nor influence length normalization;
     * `df` still counts them until the next [[compact]] recomputes
@@ -2104,9 +2408,18 @@ object IndexStore {
     * `tb` partition column (search filters on the query terms'
     * literal buckets → file-level pruning); a denormalized store's
     * postings keep their `dl` column (search skips the doclen join).
+    *
+    * `statsSeed` = the persisted (n_docs, Σdl) when the store has a
+    * stats table AND no live tombstones — the handle's (N, avgdl)
+    * come from it, so a reopened handle's first search never
+    * re-aggregates the doc-count-sized doclen. With tombstones in
+    * play the seed is withheld (N must exclude masked docs, which
+    * only the masked aggregate knows — deletes are rare and the next
+    * [[compact]] both applies them and recomputes the stats); absent
+    * (a pre-stats store) the loader likewise falls back.
     */
   def loadBm25(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, Int) = {
+      : (DataFrame, DataFrame, DataFrame, Int, Option[(Long, Long)]) = {
     val man = readManifest(spark, dir, "bm25")
     val nb = man.n_buckets.toInt
     val raw = spark.read.parquet(s"$dir/postings")
@@ -2120,7 +2433,11 @@ object IndexStore {
     val dfCols = Seq(col("tok"), col("df")) ++
       (if (nb > 0) Seq(col("tb").cast("int")) else Nil)
     val df = spark.read.parquet(s"$dir/df").select(dfCols: _*)
-    (postings, doclen, df, nb)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seed =
+      if (fs.exists(tombPath)) None else readBm25Stats(spark, dir)
+    (postings, doclen, df, nb, seed)
   }
 
   // ------------------------------------------------------------------

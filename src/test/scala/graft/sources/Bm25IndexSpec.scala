@@ -173,7 +173,7 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-compact BM25 must equal the never-inserted build exactly")
     val tables = Graft.describeIndex(spark, d).select(col("table"))
       .collect().map(_.getString(0)).toSet
-    assert(tables == Set("postings", "doclen", "df", "epochs"))
+    assert(tables == Set("postings", "doclen", "df", "stats", "epochs"))
   }
 
   test("shard + merge equals the append path (df folds across shards)") {
@@ -346,6 +346,144 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"got ${got(1)._3}/${got(1)._2} hits; all-true means the " +
           "old generation leaked")
     } finally q.stop()
+  }
+
+  test("corpus stats persist and fold exactly: save seeds, append adds the batch, compact recomputes post-delete") {
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    def statsOf(d: String): (Long, Long) = {
+      val r = spark.read.parquet(s"$d/stats").collect()(0)
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl"))
+    }
+    def truthOf(d: String): (Long, Long) = {
+      val r = spark.read.parquet(s"$d/doclen")
+        .agg(count(lit(1)), sum(col("dl"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val d = tmp()
+    Graft.bm25Index(half1).save(d)
+    assert(statsOf(d) == truthOf(d), "save must seed the stats table")
+    // append FOLDS (+batch docs, +batch Σdl) — never re-aggregates
+    Graft.loadBm25Index(spark, d).appendDurable(d, half2)
+    assert(statsOf(d) == truthOf(d), "append must fold the batch in")
+    // a live tombstone WITHHOLDS the seed (N must exclude masked
+    // docs): the loaded handle still ranks exactly like a
+    // never-inserted build of the survivors
+    val delIds = half2.select(col("doc_id").as("vec_id"))
+    Graft.deleteFromIndex(spark, d, delIds)
+    // the live equivalent: same full df (idf stays stale until
+    // compact — Lucene semantics), masked postings/doclen, masked N
+    assert(exact(Graft.loadBm25Index(spark, d).searchText(queries))
+      == exact(Graft.bm25Index(docs).delete(delIds).searchText(queries)),
+      "tombstoned store must fall back to the masked aggregate")
+    // compact applies the tombstones AND recomputes the stats
+    Graft.compactIndex(spark, d)
+    assert(statsOf(d) == truthOf(d),
+      "compact must recompute stats from the surviving doclen")
+    assert(exact(Graft.loadBm25Index(spark, d).searchText(queries))
+      == exact(Graft.bm25Index(half1).searchText(queries)))
+  }
+
+  test("repairIndex heals a crashed append: orphaned postings detected (describeIndex deep), removed, ranking restored, clean re-append legal") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = tmp()
+    Graft.bm25Index(docs).save(d) // denorm default — orphans scoreable
+    val expect = exact(Graft.loadBm25Index(spark, d).searchText(queries))
+    val nb = spark.read.parquet(s"$d/manifest")
+      .select(col("n_buckets")).head().getLong(0).toInt
+    // simulate the crashed-append signature: the batch's postings
+    // landed (store layout: dl + tb) but doclen (the commit point)
+    // never did. The batch reuses doc 0's text, so its rows join the
+    // live df table and REALLY score — the silent corruption the
+    // denormalized layout risks
+    val doc0 = docs.filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+    val crashed = Seq((900000L, doc0)).toDF("doc_id", "text")
+    val b = Graft.bm25Index(crashed)
+    b.postings.join(b.doclen, Seq("vec_id"))
+      .select(col("vec_id"), col("tok"), col("tf"), col("dl"),
+        pmod(hash(col("tok")), lit(nb)).as("tb"))
+      .write.mode("append").partitionBy("tb").parquet(s"$d/postings")
+    // the corruption is LIVE: the orphan outranks real docs for its
+    // own text (it is a verbatim copy of doc 0)
+    val hits = Graft.loadBm25Index(spark, d).searchText(queries)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(hits.contains(900000L),
+      "fixture must make the orphan actually surface in results")
+    // detection: deep describe names the count (the default describe
+    // stays metadata-speed)
+    val deep = Graft.describeIndex(spark, d, deep = true)
+    assert(deep.filter(col("table") === "_orphan_postings_ids")
+      .select(col("n_rows")).head().getLong(0) == 1L)
+    // heal: one call — orphan rows removed, df recomputed, ranking
+    // restored EXACTLY
+    val rep = Graft.repairIndex(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rep.get("orphaned_postings_ids").contains(1L), s"report: $rep")
+    assert(exact(Graft.loadBm25Index(spark, d).searchText(queries))
+      == expect, "repair must restore the exact pre-crash ranking")
+    assert(Graft.describeIndex(spark, d, deep = true)
+      .filter(col("table") === "_orphan_postings_ids")
+      .select(col("n_rows")).head().getLong(0) == 0L)
+    // and the DEFAULT id-contract check now passes a clean re-append
+    // of the same batch (pre-repair its postings debris was indexed)
+    Graft.loadBm25Index(spark, d).appendDurable(d, crashed)
+    assert(Graft.loadBm25Index(spark, d).searchText(queries)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .contains(900000L))
+    // a healthy store repairs to an EMPTY report (idempotent)
+    val d2 = tmp()
+    Graft.bm25Index(docs).save(d2)
+    assert(Graft.repairIndex(spark, d2).count() == 0L)
+  }
+
+  test("an interrupted partial df fold is detected by its intent marker and healed by repairIndex AND by the next append") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = tmp()
+    Graft.bm25Index(docs).save(d)
+    val expect = exact(Graft.loadBm25Index(spark, d).searchText(queries))
+    val cleanDf = spark.read.parquet(s"$d/df")
+      .select(col("tok"), col("df")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def corruptOneBucket(): Unit = {
+      // a MIXED fold: one bucket's df rows double (as if the batch's
+      // fold committed there and nowhere else), intent left behind
+      val tb0 = spark.read.parquet(s"$d/df").select(col("tb"))
+        .head().getAs[Int]("tb")
+      spark.read.parquet(s"$d/df").filter(col("tb") === tb0)
+        .select(col("tok"), col("df"))
+        .write.mode("append").parquet(s"$d/df/tb=$tb0")
+      fs.create(new org.apache.hadoop.fs.Path(s"$d/df.fold.intent"),
+        true).close()
+      // sanity: df really is corrupt now
+      assert(spark.read.parquet(s"$d/df").count() > cleanDf.size)
+    }
+    corruptOneBucket()
+    // heal path 1: repairIndex recomputes df from the postings
+    val rep = Graft.repairIndex(spark, d)
+      .collect().map(_.getString(0)).toSet
+    assert(rep.contains("df_fold_interrupted"), s"report: $rep")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d/df.fold.intent")))
+    assert(spark.read.parquet(s"$d/df").select(col("tok"), col("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      == cleanDf, "repair must recompute df exactly")
+    assert(exact(Graft.loadBm25Index(spark, d).searchText(queries))
+      == expect)
+    // heal path 2: the NEXT append sees the pending intent and
+    // recomputes BEFORE folding its own batch — the result equals a
+    // build that never crashed
+    corruptOneBucket()
+    val novel = Seq((900001L, "zzfoldhealtokenzz")).toDF("doc_id", "text")
+    Graft.loadBm25Index(spark, d).appendDurable(d, novel)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d/df.fold.intent")))
+    assert(exact(Graft.loadBm25Index(spark, d).searchText(queries))
+      == exact(Graft.bm25Index(docs.select(col("doc_id"), col("text"))
+        .unionByName(novel)).searchText(queries)),
+      "append-after-crash must fold onto a recomputed, consistent df")
   }
 
   test("rewriteBm25Layout migrates layouts in place: search identical through tombstones, appends follow the stored layout, idempotent") {

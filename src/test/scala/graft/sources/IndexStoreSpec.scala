@@ -306,7 +306,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact(Graft.loadAnnIndex(spark, d).search(queries)) == before)
   }
 
-  test("appendBm25 requireNewIds: a batch re-appending an indexed doc id fails loudly") {
+  test("appendBm25 requireNewIds is DEFAULT-ON: a batch re-appending an indexed doc id fails loudly under default conf") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val d = tmp()
@@ -314,14 +314,24 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val idx = Graft.loadBm25Index(spark, d)
     val overlapping = docs.filter(col("doc_id") % 3 === 0)
       .unionByName(docs.filter(col("doc_id") === 1)) // 1 is indexed
+    // the round-13 discipline, extended here in round 15: the
+    // DEFAULT-conf failure mode is a loud named error (no flag set,
+    // no argument passed), never silent idf corruption
     val e = intercept[IllegalArgumentException] {
-      idx.appendDurable(d, overlapping, requireNewIds = true)
+      idx.appendDurable(d, overlapping)
     }
     assert(e.getMessage.contains("double-count"))
-    // disjoint batch passes with the check on, and scores equal the
-    // unchecked path
-    val clean = idx.appendDurable(d, docs.filter(col("doc_id") % 3 === 0),
-      requireNewIds = true)
+    // the documented opt-out still exists for provably-disjoint
+    // producers — the same overlapping batch is ACCEPTED (and df
+    // silently double-counts, the documented trade) with it off
+    val d2 = tmp()
+    Graft.bm25Index(docs.filter(col("doc_id") % 3 =!= 0)).save(d2)
+    Graft.loadBm25Index(spark, d2)
+      .appendDurable(d2, docs.filter(col("doc_id") === 1),
+        requireNewIds = false)
+    // disjoint batch passes with the default check on, and scores
+    // equal the build-all-at-once index
+    val clean = idx.appendDurable(d, docs.filter(col("doc_id") % 3 === 0))
     val q = docs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("query_id"), col("text"))
     assert(exact(clean.searchText(q)) ==
