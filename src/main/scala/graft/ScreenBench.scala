@@ -251,22 +251,26 @@ object ScreenBench {
         timeMin3(bm.searchText(q)), storeIO(dB)(bm.searchText(q)), dB,
         bmSaveFiles)
       // ---- e48_append: the partial df fold priced directly ----
-      // a FIXED batch (~10% of the x1 corpus, novel ids, replica-0
-      // vocabulary) appends into the stored corpus at every scale:
-      // on the bucketed layouts the fold reads/rewrites only the
-      // batch tokens' buckets, so the wall and the bytes READ must
-      // stay ~flat as the store grows N× — the O(batch vocab) claim
-      // measured, not asserted. The cell includes the DEFAULT-ON
-      // requireNewIds check (one narrow doclen id-column scan — its
-      // cost at x100 is exactly what PARITY needs on record). The
-      // `full` mode's whole-table fold prices what the partial fold
-      // replaced. save_files field = files the append ADDED.
+      // a FIXED SMALL batch (50 docs × 8 tokens of replica-0
+      // vocabulary, novel ids — a production micro-batch's shape:
+      // its vocab is TINY next to the corpus vocab) appends into the
+      // stored corpus at every scale: on the bucketed layouts the
+      // fold reads/rewrites only the batch tokens' buckets, so the
+      // wall and the bytes READ must stay ~flat as the store grows
+      // N× — the O(batch vocab) claim measured, not asserted. The
+      // cell includes the DEFAULT-ON requireNewIds check (a
+      // range-pruned doclen id scan — its cost at x100 is exactly
+      // what PARITY needs on record). The `full` mode's whole-table
+      // fold prices what the partial fold replaced. save_files =
+      // files the append ADDED.
       locally {
         val batchOf: Long => DataFrame = off =>
           Tables.documents(spark, baseDir)
             .select(col("doc_id"), col("text"))
-            .filter(col("doc_id") % 10 === 0)
-            .withColumn("doc_id", col("doc_id") + lit(off))
+            .filter(col("doc_id") % 100 === 0)
+            .select(col("doc_id") + lit(off) as "doc_id",
+              expr("array_join(slice(split(text, ' '), 1, 8), ' ')")
+                .as("text"))
             .localCheckpoint()
         val filesBefore = partFiles(dB)
         // offsets sit ABOVE every replica id range (idStride × copies

@@ -1614,7 +1614,11 @@ object Graft {
     * commit point; on the denormalized layout those rows are
     * silently scoreable until healed), recomputing df afterwards, and
     * (3) revalidates the persisted corpus stats against the doclen
-    * aggregate. Returns one (issue, n, action) row per finding —
+    * aggregate. On an lsh/phash store it checks per-document band
+    * coverage (a crash between the primary and band appends strands
+    * documents that silently stop being screen candidates) and
+    * rebuilds the band table + key sketch from the primary.
+    * Returns one (issue, n, action) row per finding —
     * empty on a healthy store; records a `repair` epoch when
     * anything was healed. Safe to run any time; after it, a clean
     * re-append of the crashed batch passes the default

@@ -1390,6 +1390,13 @@ object IndexStore {
     *     aggregate and rewrites them on any mismatch (the
     *     crash-between-doclen-and-stats window).
     *
+    * On an `lsh` / `phash` store it checks every primary row's BAND
+    * COVERAGE (the appends write sigs/hashes first, so a crash before
+    * the band append strands documents that silently stop being
+    * screen candidates — a missed-near-dup class) and heals by
+    * rebuilding the band table and its key sketch from the primary
+    * (bands are a pure function of it — no data loss).
+    *
     * Returns the report: one (issue, n, action) row per finding —
     * empty on a healthy store. Records a `repair` epoch when
     * anything was healed. Cost: the orphan check is one
@@ -1459,6 +1466,92 @@ object IndexStore {
         if (!readBm25Stats(spark, dir).contains((n, sumDl))) {
           writeBm25Stats(spark, dir, n, sumDl)
           report += (("corpus_stats_stale", 1L, "recomputed"))
+        }
+      }
+      // LSH / pHash: the band table is DERIVED (a pure function of
+      // the primary table — sigs / hashes), and the append ordering
+      // writes the primary first, so a crash between the two appends
+      // leaves primary rows with missing (or, under a mid-job-commit
+      // crash, partial) band coverage: those documents silently stop
+      // being CANDIDATES on every later screen — a missed-near-dup
+      // class, worse than the FP-only sketch drift the fold-first
+      // ordering already bounds. Detection: per-id band-row counts
+      // against the layout's exact fan-out (nBands per id). Heal:
+      // rebuild the band table wholesale from the primary (compact's
+      // bands-are-derived rule) and the band-key sketch from the
+      // rebuilt rows — no data loss, unlike the bm25 orphan case
+      // (there the PRIMARY rows were the partial landing).
+      if (kind == "lsh" || kind == "phash") {
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bandsPath = new org.apache.hadoop.fs.Path(s"$dir/bands")
+        if (fs.exists(bandsPath)) {
+          val man = readManifest(spark, dir, kind)
+          val nb = man.n_buckets.toInt
+          val (primary, nBands) =
+            if (kind == "lsh") {
+              val p = spark.read.parquet(s"$dir/params").collect()(0)
+              ("sigs", math.max(1,
+                p.getAs[Int]("num_hashes") / p.getAs[Int]("rows_per_band")))
+            } else ("hashes", 5)
+          val primIds = spark.read.parquet(s"$dir/$primary")
+            .select(col("vec_id")).distinct()
+            .withColumn("has_primary", lit(1))
+          val bandN = spark.read.parquet(s"$dir/bands")
+            .groupBy(col("vec_id")).agg(count(lit(1)).as("n_band"))
+          val nBad = primIds.join(bandN, Seq("vec_id"), "full_outer")
+            .filter(col("has_primary").isNull ||
+              col("n_band").isNull || col("n_band") =!= nBands)
+            .count()
+          if (nBad > 0) {
+            val newBands =
+              if (kind == "lsh") {
+                val p = spark.read.parquet(s"$dir/params").collect()(0)
+                val rows = graft.operators.DedupQueries.lshBandRows(
+                  spark.read.parquet(s"$dir/sigs")
+                    .select(col("vec_id"), col("sig")),
+                  p.getAs[Int]("rows_per_band"),
+                  p.getAs[Int]("num_hashes"))
+                if (nb > 0) lshWithBb(rows, nb)
+                else rows.select(col("vec_id"), col("bkey"), col("band"))
+              } else
+                phashBandRows(spark.read.parquet(s"$dir/hashes")
+                  .select(col("vec_id"), col("lo"), col("hi")), nb)
+            val partCols =
+              if (kind == "phash") Seq("pb")
+              else if (nb > 0) Seq("band", "bb") else Seq("band")
+            val tmp = new org.apache.hadoop.fs.Path(s"$dir/bands.compact")
+            fs.delete(tmp, true)
+            bucketAligned(newBands, partCols, "vec_id",
+                diskRows(spark, s"$dir/$primary") * nBands,
+                math.max(1, nBands * math.max(1, nb)))
+              .write.mode(SaveMode.Overwrite)
+              .partitionBy(partCols: _*).parquet(tmp.toString)
+            swapInto(fs, tmp, bandsPath)
+            // the band-key sketch is a pure function of the band
+            // table — rebuild it from the healed rows (compact's rule)
+            if (kind == "lsh") bkbloomBitsOf(spark, dir).foreach { mBits =>
+              val bl = new org.apache.hadoop.fs.Path(s"$dir/bkbloom")
+              val bt = new org.apache.hadoop.fs.Path(s"$dir/bkbloom.compact")
+              fs.delete(bt, true)
+              bkeySketchOf(spark.read.parquet(s"$dir/bands")
+                  .select(col("bkey")), mBits)
+                .coalesce(1)
+                .write.mode(SaveMode.Overwrite).parquet(bt.toString)
+              swapInto(fs, bt, bl)
+            } else if (man.m_bits > 0) {
+              val bl = new org.apache.hadoop.fs.Path(s"$dir/pbbloom")
+              val bt = new org.apache.hadoop.fs.Path(s"$dir/pbbloom.compact")
+              fs.delete(bt, true)
+              pbkeySketchOf(spark.read.parquet(s"$dir/bands")
+                  .select(col("band"), col("chunk")), man.m_bits.toInt)
+                .coalesce(1)
+                .write.mode(SaveMode.Overwrite).parquet(bt.toString)
+              swapInto(fs, bt, bl)
+            }
+            report += (("band_coverage_inconsistent_ids", nBad,
+              s"bands_rebuilt_from_$primary"))
+          }
         }
       }
       if (report.nonEmpty)

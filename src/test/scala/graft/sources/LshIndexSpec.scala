@@ -383,4 +383,71 @@ class LshIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         == got(0)._2)
     } finally q.stop()
   }
+
+  test("repairIndex rebuilds LSH band coverage after a crashed append: stranded docs become candidates again, verdicts exact") {
+    val d = tmp()
+    Graft.lshIndex(stored).save(d)
+    val expect = verdicts(Graft.loadLshIndex(spark, d).screen(incoming))
+    assert(expect.nonEmpty)
+    // crash signature: sigs landed, bands didn't — drop one whole
+    // band's dirs (every stored doc now has 15 of 16 band rows; a
+    // candidate whose only matching band was the dropped one would
+    // silently stop screening)
+    val bandDirs = new java.io.File(s"$d/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName == "band=3")
+    assert(bandDirs.length == 1)
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete()
+    }
+    rmRf(bandDirs(0))
+    val rep = Graft.repairIndex(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rep.contains("band_coverage_inconsistent_ids") &&
+      rep("band_coverage_inconsistent_ids") > 0L, s"report: $rep")
+    assert(verdicts(Graft.loadLshIndex(spark, d).screen(incoming))
+      == expect, "rebuilt bands must restore the exact verdicts")
+    // healthy after the heal: a second repair reports nothing
+    assert(Graft.repairIndex(spark, d).count() == 0L)
+  }
+
+  test("repairIndex rebuilds pHash band coverage after a crashed append") {
+    val spark2 = spark
+    import spark2.implicits._
+    spark.conf.set("spark.graft.probeBuckets", "16")
+    try {
+      val media = spark.range(0, 120).toDF("media_id")
+        .withColumn("lo", expr(
+          "xxhash64(media_id div 2) & 4294967295 ^ (media_id % 2)"))
+        .withColumn("hi", expr(
+          "xxhash64(media_id div 2 + 999) & 4294967295"))
+        .select(col("media_id"), col("lo"), col("hi"))
+      val storedM = media.filter(col("media_id") % 2 === 1)
+      val batch = media.filter(col("media_id") % 2 === 0 &&
+        col("media_id") < 8)
+      val d = tmp()
+      Graft.phashIndex(storedM).save(d)
+      val loadedBefore = Graft.loadPhashIndex(spark, d)
+      val expect = loadedBefore.screen(batch).collect()
+        .map(_.toSeq).toSet
+      assert(expect.nonEmpty)
+      // strand: remove several pb dirs — the stored near-dups lose
+      // band rows and (for the dropped chunks) stop being candidates
+      val dropped = new java.io.File(s"$d/bands").listFiles()
+        .filter(_.isDirectory).take(12)
+      def rmRf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmRf)
+        f.delete()
+      }
+      dropped.foreach(rmRf)
+      val rep = Graft.repairIndex(spark, d)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(rep.contains("band_coverage_inconsistent_ids") &&
+        rep("band_coverage_inconsistent_ids") > 0L, s"report: $rep")
+      assert(Graft.loadPhashIndex(spark, d).screen(batch).collect()
+        .map(_.toSeq).toSet == expect,
+        "rebuilt pb bands must restore the exact screen verdicts")
+      assert(Graft.repairIndex(spark, d).count() == 0L)
+    } finally spark.conf.unset("spark.graft.probeBuckets")
+  }
 }
