@@ -1370,6 +1370,39 @@ object IndexStore {
     touched
   }
 
+  /** (primary table name, exact band-row fan-out per id) for the
+    * band-deriving kinds — lsh bands come from the banding params,
+    * phash always emits 5 chunk rows per hash.
+    */
+  private def bandLayoutOf(spark: SparkSession, dir: String,
+                           kind: String): (String, Int) =
+    if (kind == "lsh") {
+      val p = spark.read.parquet(s"$dir/params").collect()(0)
+      ("sigs", math.max(1,
+        p.getAs[Int]("num_hashes") / p.getAs[Int]("rows_per_band")))
+    } else ("hashes", 5)
+
+  /** Count of ids whose band coverage is INCONSISTENT with the
+    * layout's exact fan-out — primary rows with missing/partial band
+    * rows (the crashed-append strand: those docs silently stop being
+    * screen candidates) or band rows with no primary. One
+    * map-side-combinable count per table; shared by
+    * [[describe]]`(deep = true)` and [[repair]].
+    */
+  private def bandCoverageBadIds(spark: SparkSession, dir: String,
+                                 kind: String): Long = {
+    val (primary, nBands) = bandLayoutOf(spark, dir, kind)
+    val primIds = spark.read.parquet(s"$dir/$primary")
+      .select(col("vec_id")).distinct()
+      .withColumn("has_primary", lit(1))
+    val bandN = spark.read.parquet(s"$dir/bands")
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_band"))
+    primIds.join(bandN, Seq("vec_id"), "full_outer")
+      .filter(col("has_primary").isNull ||
+        col("n_band").isNull || col("n_band") =!= nBands)
+      .count()
+  }
+
   /** FSCK + heal for a saved index directory — ONE call that turns
     * the crashed-append recovery recipes into an operation. Always
     * runs [[vacuum]]'s restore/debris sweep (without needing a
@@ -1488,21 +1521,8 @@ object IndexStore {
         if (fs.exists(bandsPath)) {
           val man = readManifest(spark, dir, kind)
           val nb = man.n_buckets.toInt
-          val (primary, nBands) =
-            if (kind == "lsh") {
-              val p = spark.read.parquet(s"$dir/params").collect()(0)
-              ("sigs", math.max(1,
-                p.getAs[Int]("num_hashes") / p.getAs[Int]("rows_per_band")))
-            } else ("hashes", 5)
-          val primIds = spark.read.parquet(s"$dir/$primary")
-            .select(col("vec_id")).distinct()
-            .withColumn("has_primary", lit(1))
-          val bandN = spark.read.parquet(s"$dir/bands")
-            .groupBy(col("vec_id")).agg(count(lit(1)).as("n_band"))
-          val nBad = primIds.join(bandN, Seq("vec_id"), "full_outer")
-            .filter(col("has_primary").isNull ||
-              col("n_band").isNull || col("n_band") =!= nBands)
-            .count()
+          val (primary, nBands) = bandLayoutOf(spark, dir, kind)
+          val nBad = bandCoverageBadIds(spark, dir, kind)
           if (nBad > 0) {
             val newBands =
               if (kind == "lsh") {
@@ -1819,9 +1839,11 @@ object IndexStore {
     * the three columns are null on every table row and the row is
     * absent on an unlocked store. `deep = true` adds integrity rows a
     * metadata walk can't see — for `bm25`, `_orphan_postings_ids`
-    * (n_rows = distinct vec_ids with postings but no doclen row, the
-    * crashed-append signature [[repair]] heals) — at the cost of one
-    * vec_id-column semi-join over the store; the default stays
+    * (distinct vec_ids with postings but no doclen row); for
+    * `lsh`/`phash`, `_band_coverage_inconsistent_ids` (ids whose
+    * band-row count misses the layout's exact fan-out) — each the
+    * crashed-append signature [[repair]] heals, at the cost of one
+    * vec_id-column pass over the store; the default stays
     * metadata-speed. Facade: [[graft.api.Graft.describeIndex]].
     */
   def describe(spark: SparkSession, dir: String,
@@ -1866,6 +1888,13 @@ object IndexStore {
             Seq("vec_id"), "left_anti")
           .count()
         Seq((kind, version, "_orphan_postings_ids", orphans, 0L, 0L,
+          none._1, none._2, none._3))
+      } else if (deep && (kind == "lsh" || kind == "phash") && {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/bands")
+          p.getFileSystem(hconf).exists(p)
+        }) {
+        Seq((kind, version, "_band_coverage_inconsistent_ids",
+          bandCoverageBadIds(spark, dir, kind), 0L, 0L,
           none._1, none._2, none._3))
       } else Nil
     (rows ++ deepRows ++ lockRow).toDF("kind", "version", "table",
@@ -2108,6 +2137,35 @@ object IndexStore {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
+  /** Whether the stored postings carry the denormalized `dl` column —
+    * read from ONE leaf file's footer instead of opening the table
+    * (whose partition discovery lists every bucket dir: an O(nb)
+    * listing per append, measured as a real share of the x100 append
+    * wall). The layout flag is uniform across the table by
+    * construction (save/append/rewrite all write every row the same
+    * way), so one footer is authoritative.
+    */
+  private def postingsHasDl(spark: SparkSession, dir: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def firstFile(p: org.apache.hadoop.fs.Path, depth: Int)
+        : Option[org.apache.hadoop.fs.Path] = {
+      val st = fs.listStatus(p).sortBy(_.getPath.getName.toString)
+      st.collectFirst {
+        case s if s.isFile && s.getPath.getName.startsWith("part-") =>
+          s.getPath
+      }.orElse(if (depth <= 0) None
+        else st.filter(_.isDirectory).iterator
+          .flatMap(d => firstFile(d.getPath, depth - 1)).nextOption())
+    }
+    firstFile(root, 2) match {
+      case Some(f) =>
+        spark.read.parquet(f.toString).schema.fieldNames.contains("dl")
+      case None => // empty table — fall back to the full-table schema
+        spark.read.parquet(root.toString).columns.contains("dl")
+    }
+  }
+
   /** The partial df fold's INTENT marker: written before the
     * per-bucket swap loop, removed after the last swap commits. A
     * crash inside the loop leaves df MIXED (the batch's df landed in
@@ -2272,9 +2330,9 @@ object IndexStore {
     val spark = postingsNew.sparkSession
     val nb = readManifest(spark, dir, "bm25").n_buckets.toInt
     // follow the STORED layout: bucket modulus from the manifest,
-    // denormalized dl iff the stored postings carry it
-    val denormDl = spark.read.parquet(s"$dir/postings")
-      .columns.contains("dl")
+    // denormalized dl iff the stored postings carry it (one-footer
+    // probe — a full-table read here pays an O(nb) dir listing)
+    val denormDl = postingsHasDl(spark, dir)
     withWriteLock(spark, dir) {
       if (requireNewIds) {
         // any overlap necessarily lies inside the batch's id RANGE, so
@@ -2317,7 +2375,12 @@ object IndexStore {
         recomputeBm25Df(spark, dir, nb)
         fs.delete(intent, false)
       }
-      val before = diskRows(spark, s"$dir/doclen")
+      // batch stats up front: ONE batch-sized aggregate supplies the
+      // epoch delta (bn — the rows the append lands; no
+      // before/after footer-count pair over the stored doclen) and
+      // the stats fold below
+      val (bn, bs) = doclenStatsOf(
+        doclenNew.select(col("vec_id"), col("dl")))
       val p0 =
         if (!denormDl)
           postingsNew.select(col("vec_id"), col("tok"), col("tf"))
@@ -2355,9 +2418,18 @@ object IndexStore {
         val tbs = dfNew
           .select(pmod(hash(col("tok")), lit(nb)).as("tb"))
           .distinct().collect().map(_.getInt(0)).toSeq
-        val touchedDf = spark.read.parquet(live.toString)
-          .filter(col("tb").isInCollection(tbs))
-          .select(col("tok"), col("df"))
+        // list ONLY the touched buckets' dirs (opening the whole
+        // table pays an O(nb) partition discovery per append); a
+        // touched bucket with no dir yet holds only novel tokens
+        val existing = tbs.filter(b =>
+          fs.exists(new org.apache.hadoop.fs.Path(live, s"tb=$b")))
+        val storedTouched =
+          if (existing.isEmpty)
+            dfNew.select(col("tok"), col("df")).filter(lit(false))
+          else spark.read.option("basePath", live.toString)
+            .parquet(existing.map(b => s"$live/tb=$b"): _*)
+            .select(col("tok"), col("df"))
+        val touchedDf = storedTouched
           .unionByName(dfNew.select(col("tok"), col("df")))
           .groupBy(col("tok")).agg(sum(col("df")).as("df"))
         bucketAligned(bm25WithTb(touchedDf, nb, Seq("tok", "df")),
@@ -2407,8 +2479,6 @@ object IndexStore {
       // append and this fold leaves stats one batch stale — scoring
       // uses slightly-old (N, avgdl) until [[repair]] or [[compact]]
       // recomputes them (the same bounded-staleness class as df).
-      val (bn, bs) = doclenStatsOf(
-        doclenNew.select(col("vec_id"), col("dl")))
       readBm25Stats(spark, dir) match {
         case Some((n0, s0)) =>
           writeBm25Stats(spark, dir, n0 + bn, s0 + bs)
@@ -2418,8 +2488,7 @@ object IndexStore {
               .select(col("vec_id"), col("dl")))
           writeBm25Stats(spark, dir, n, s)
       }
-      recordEpoch(spark, dir, "append",
-        diskRows(spark, s"$dir/doclen") - before)
+      recordEpoch(spark, dir, "append", bn)
     }
   }
 

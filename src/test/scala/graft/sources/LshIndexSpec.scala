@@ -401,6 +401,11 @@ class LshIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       f.delete()
     }
     rmRf(bandDirs(0))
+    // detection surfaces in deep describe too (the bm25 orphan row's
+    // sibling), before any heal
+    assert(Graft.describeIndex(spark, d, deep = true)
+      .filter(col("table") === "_band_coverage_inconsistent_ids")
+      .select(col("n_rows")).head().getLong(0) > 0L)
     val rep = Graft.repairIndex(spark, d)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(rep.contains("band_coverage_inconsistent_ids") &&
