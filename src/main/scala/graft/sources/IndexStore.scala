@@ -1109,6 +1109,17 @@ object IndexStore {
           s"cannot merge: one of $dstDir / $srcDir is a denormalized " +
             "(dl-on-postings) bm25 store and the other is not — " +
             "rewriteBm25Layout migrates either side in place")
+        // a pending df fold means that side's df may be MIXED
+        // folded/unfolded — merging would fold the other side's df
+        // onto the inconsistent base and bake the drift in; the heal
+        // must run first (it recomputes df from the postings)
+        Seq(dstDir, srcDir).foreach { d =>
+          val ip = bm25FoldIntent(d)
+          require(!ip.getFileSystem(hconf).exists(ip),
+            s"cannot merge: $d has an unfinished df fold " +
+              "(df.fold.intent — a crashed append) and its df may be " +
+              s"inconsistent; run Graft.repairIndex on $d first")
+        }
       case "bloom" | "phash" => ()
       case other => throw new IllegalStateException(
         s"$dstDir/manifest: unknown kind '$other'")

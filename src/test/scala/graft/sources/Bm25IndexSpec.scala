@@ -190,6 +190,34 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       == exact(Graft.bm25Index(docs).searchText(queries)))
   }
 
+  test("mergeIndex refuses a side with a pending df fold; repairIndex unblocks it") {
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val root = tmp()
+    val idx = Graft.bm25Index(half1)
+    idx.save(s"$root/main")
+    idx.shard(s"$root/s1", half2)
+    // a crashed fold's intent on the DESTINATION: merging would fold
+    // the shard's df onto a possibly-mixed base — refused loudly
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/main/df.fold.intent"),
+      true).close()
+    val e = intercept[IllegalArgumentException] {
+      Graft.mergeIndex(spark, s"$root/main", s"$root/s1")
+    }
+    assert(e.getMessage.contains("repairIndex"), e.getMessage)
+    assert(new java.io.File(s"$root/s1").exists(),
+      "a refused merge must leave the shard untouched")
+    // the named remedy unblocks: repair clears the intent, the merge
+    // then equals the never-crashed path exactly
+    Graft.repairIndex(spark, s"$root/main")
+    Graft.mergeIndex(spark, s"$root/main", s"$root/s1")
+    assert(exact(Graft.loadBm25Index(spark, s"$root/main")
+      .searchText(queries))
+      == exact(Graft.bm25Index(docs).searchText(queries)))
+  }
+
   test("streaming durable ingest (BM25 + Bloom) equals the batch append path") {
     val spark2 = spark
     import spark2.implicits._
