@@ -385,6 +385,22 @@ object IndexStore {
     if (fs.exists(p)) spark.read.parquet(path).count() else 0L
   }
 
+  /** Attach a row-count observation to a frame about to be WRITTEN —
+    * the epoch row count then comes from the write job itself
+    * (exact on the committed write, zero extra pass, zero listings)
+    * instead of a before/after [[diskRows]] pair over the stored
+    * table: two O(#files) footer-count jobs per append, a measured
+    * share of the per-append wall on a bucketed store (round-15
+    * append profiling — the same fixed cost the bm25 append shed).
+    * The returned thunk BLOCKS until the write's metrics arrive, so
+    * call it only after the write action returns.
+    */
+  private def observedCount(df: DataFrame): (DataFrame, () => Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    (df.observe(obs, count(lit(1)).as("n")),
+      () => obs.get("n").asInstanceOf[Long])
+  }
+
   private def recordEpoch(spark: SparkSession, dir: String, op: String,
                           nRows: Long): Unit = {
     import spark.implicits._
@@ -607,15 +623,16 @@ object IndexStore {
       // shuffle-align to the cell dirs: one file per cell, not one per
       // upstream task per cell ([[bucketAligned]]; [[compact]] always
       // wrote this shape — saves now match it)
-      bucketAligned(assigned.select(col("vec_id"), col("embedding"),
-          col("cell")), Seq("cell"), "vec_id")
+      val (aObs, aN) = observedCount(assigned.select(col("vec_id"),
+        col("embedding"), col("cell")))
+      bucketAligned(aObs, Seq("cell"), "vec_id")
         .write.mode(SaveMode.Overwrite)
         .partitionBy("cell").parquet(s"$dir/assigned")
       centroids.select(col("cell"), col("centroid"))
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
       writeManifest(spark, dir, "ivf")
-      recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/assigned"))
+      recordEpoch(spark, dir, "save", aN())
     }
   }
 
@@ -631,16 +648,15 @@ object IndexStore {
     val spark = assignedArrivals.sparkSession
     readManifest(spark, dir, "ivf")
     withWriteLock(spark, dir) {
-      val before = diskRows(spark, s"$dir/assigned")
       // one file per TOUCHED cell per append (bucketAligned, k = 1) —
       // a micro-batch otherwise multiplies its task count into every
       // cell dir it touches
-      bucketAligned(assignedArrivals.select(col("vec_id"),
-          col("embedding"), col("cell")), Seq("cell"), "vec_id")
+      val (aObs, aN) = observedCount(assignedArrivals.select(
+        col("vec_id"), col("embedding"), col("cell")))
+      bucketAligned(aObs, Seq("cell"), "vec_id")
         .write.mode(SaveMode.Append)
         .partitionBy("cell").parquet(s"$dir/assigned")
-      recordEpoch(spark, dir, "append",
-        diskRows(spark, s"$dir/assigned") - before)
+      recordEpoch(spark, dir, "append", aN())
     }
   }
 
@@ -670,13 +686,14 @@ object IndexStore {
     val spark = codes.sparkSession
     val m = codebooks.length
     withWriteLock(spark, dir) {
-      codes.select(col("vec_id") +: (0 until m).map(mi => col(s"code_$mi")): _*)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
+      val (cObs, cN) = observedCount(codes.select(
+        col("vec_id") +: (0 until m).map(mi => col(s"code_$mi")): _*))
+      cObs.write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
       corpus.select(col("vec_id"), col("embedding"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/corpus")
       writeCodebooks(spark, dir, codebooks)
       writeManifest(spark, dir, "pq")
-      recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/codes"))
+      recordEpoch(spark, dir, "save", cN())
     }
   }
 
@@ -693,14 +710,12 @@ object IndexStore {
     readManifest(spark, dir, "pq")
     val m = readCodebooks(spark, dir).length
     withWriteLock(spark, dir) {
-      val before = diskRows(spark, s"$dir/codes")
       corpusArrivals.select(col("vec_id"), col("embedding"))
         .write.mode(SaveMode.Append).parquet(s"$dir/corpus")
-      codesArrivals
-        .select(col("vec_id") +: (0 until m).map(mi => col(s"code_$mi")): _*)
-        .write.mode(SaveMode.Append).parquet(s"$dir/codes")
-      recordEpoch(spark, dir, "append",
-        diskRows(spark, s"$dir/codes") - before)
+      val (cObs, cN) = observedCount(codesArrivals
+        .select(col("vec_id") +: (0 until m).map(mi => col(s"code_$mi")): _*))
+      cObs.write.mode(SaveMode.Append).parquet(s"$dir/codes")
+      recordEpoch(spark, dir, "append", cN())
     }
   }
 
@@ -732,10 +747,11 @@ object IndexStore {
     val spark = codes.sparkSession
     val m = codebooks.length
     withWriteLock(spark, dir) {
-      bucketAligned(codes.select(Seq(col("vec_id"), col("cell")) ++
+      val (cObs, cN) = observedCount(
+        codes.select(Seq(col("vec_id"), col("cell")) ++
           (0 until m).map(mi => col(s"code_$mi")) ++
-          (0 until m).map(mi => col(s"recon2_$mi")): _*),
-          Seq("cell"), "vec_id")
+          (0 until m).map(mi => col(s"recon2_$mi")): _*))
+      bucketAligned(cObs, Seq("cell"), "vec_id")
         .write.mode(SaveMode.Overwrite)
         .partitionBy("cell").parquet(s"$dir/codes")
       centroids.select(col("cell"), col("centroid"))
@@ -743,7 +759,7 @@ object IndexStore {
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
       writeCodebooks(spark, dir, codebooks)
       writeManifest(spark, dir, "ivfpq")
-      recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/codes"))
+      recordEpoch(spark, dir, "save", cN())
     }
   }
 
@@ -757,15 +773,14 @@ object IndexStore {
     readManifest(spark, dir, "ivfpq")
     val m = readCodebooks(spark, dir).length
     withWriteLock(spark, dir) {
-      val before = diskRows(spark, s"$dir/codes")
-      bucketAligned(codesArrivals.select(Seq(col("vec_id"), col("cell")) ++
+      val (cObs, cN) = observedCount(
+        codesArrivals.select(Seq(col("vec_id"), col("cell")) ++
           (0 until m).map(mi => col(s"code_$mi")) ++
-          (0 until m).map(mi => col(s"recon2_$mi")): _*),
-          Seq("cell"), "vec_id")
+          (0 until m).map(mi => col(s"recon2_$mi")): _*))
+      bucketAligned(cObs, Seq("cell"), "vec_id")
         .write.mode(SaveMode.Append)
         .partitionBy("cell").parquet(s"$dir/codes")
-      recordEpoch(spark, dir, "append",
-        diskRows(spark, s"$dir/codes") - before)
+      recordEpoch(spark, dir, "append", cN())
     }
   }
 
@@ -1968,16 +1983,17 @@ object IndexStore {
     val spark = hashes.sparkSession
     withWriteLock(spark, dir) {
       // hashes land FIRST, then everything derived reads the WRITTEN
-      // table — the auto-sizing count is a footer-metadata read and
-      // the band projection never re-runs the caller's decode plan
-      hashes.select(col("vec_id"), col("lo"), col("hi"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/hashes")
+      // table — the row count rides the write itself and the band
+      // projection never re-runs the caller's decode plan
+      val (hObs, hN) = observedCount(
+        hashes.select(col("vec_id"), col("lo"), col("hi")))
+      hObs.write.mode(SaveMode.Overwrite).parquet(s"$dir/hashes")
       val stored = spark.read.parquet(s"$dir/hashes")
         .select(col("vec_id"), col("lo"), col("hi"))
       // 5 band rows per hash — the same estimate sizes the bucket
       // modulus AND the band-key Bloom (see [[storeBloomBits]]);
-      // lazy so a double conf override never pays the footer read
-      lazy val estKeys = diskRows(spark, s"$dir/hashes") * 5
+      // lazy so a double conf override never reads the metric
+      lazy val estKeys = hN() * 5
       val nb = probeBucketsFor(spark, estKeys)
       val bloomBits =
         if (nb > 0) storeBloomBits(spark, estKeys)
@@ -1997,7 +2013,7 @@ object IndexStore {
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/pbbloom")
       }
       writeManifest(spark, dir, "phash", bloomBits.toLong, nb.toLong)
-      recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/hashes"))
+      recordEpoch(spark, dir, "save", hN())
     }
   }
 
@@ -2016,7 +2032,6 @@ object IndexStore {
     val nb = man.n_buckets.toInt
     val mBits = man.m_bits.toInt
     withWriteLock(spark, dir) {
-      val before = diskRows(spark, s"$dir/hashes")
       val bandsNew =
         if (nb > 0)
           Some(phashBandRows(hashesNew.select(col("vec_id"), col("lo"),
@@ -2035,13 +2050,13 @@ object IndexStore {
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         swapInto(fs, tmp, live)
       }
-      hashesNew.select(col("vec_id"), col("lo"), col("hi"))
-        .write.mode(SaveMode.Append).parquet(s"$dir/hashes")
+      val (hObs, hN) = observedCount(
+        hashesNew.select(col("vec_id"), col("lo"), col("hi")))
+      hObs.write.mode(SaveMode.Append).parquet(s"$dir/hashes")
       bandsNew.foreach(bn => bucketAligned(bn, Seq("pb"), "vec_id")
         .write.mode(SaveMode.Append)
         .partitionBy("pb").parquet(s"$dir/bands"))
-      recordEpoch(spark, dir, "append",
-        diskRows(spark, s"$dir/hashes") - before)
+      recordEpoch(spark, dir, "append", hN())
     }
   }
 
@@ -2279,13 +2294,20 @@ object IndexStore {
         df.select(col("tok"), col("df"))
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/df")
       }
-      doclen.select(col("vec_id"), col("dl"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclen")
       // corpus stats (N, Σdl) persist WITH the store — loaded handles
       // seed (N, avgdl) from this one-row table instead of
-      // re-aggregating doclen; appends fold it, compact recomputes it
-      val (n, sumDl) = doclenStatsOf(
-        spark.read.parquet(s"$dir/doclen"))
+      // re-aggregating doclen; appends fold it, compact recomputes
+      // it. The two scalars ride the doclen WRITE itself (observed
+      // metrics — no second pass over the written table)
+      val obs = org.apache.spark.sql.Observation()
+      doclen.select(col("vec_id"), col("dl"))
+        .observe(obs, count(lit(1)).as("n"), sum(col("dl")).as("s"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclen")
+      val n = obs.get("n").asInstanceOf[Long]
+      val sumDl = obs.get("s") match {
+        case l: java.lang.Long => l.longValue
+        case _ => 0L // empty corpus: sum is null
+      }
       writeBm25Stats(spark, dir, n, sumDl)
       writeManifest(spark, dir, "bm25", 0L, nb.toLong)
       recordEpoch(spark, dir, "save", n)
@@ -2386,12 +2408,6 @@ object IndexStore {
         recomputeBm25Df(spark, dir, nb)
         fs.delete(intent, false)
       }
-      // batch stats up front: ONE batch-sized aggregate supplies the
-      // epoch delta (bn — the rows the append lands; no
-      // before/after footer-count pair over the stored doclen) and
-      // the stats fold below
-      val (bn, bs) = doclenStatsOf(
-        doclenNew.select(col("vec_id"), col("dl")))
       val p0 =
         if (!denormDl)
           postingsNew.select(col("vec_id"), col("tok"), col("tf"))
@@ -2480,8 +2496,19 @@ object IndexStore {
         folded.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         swapInto(fs, tmp, live)
       }
+      // the batch's (count, Σdl) ride the doclen append itself
+      // (observed metrics — no separate batch aggregate, no
+      // before/after footer counts): bn is both the epoch delta and
+      // the stats-fold increment
+      val obs = org.apache.spark.sql.Observation()
       doclenNew.select(col("vec_id"), col("dl"))
+        .observe(obs, count(lit(1)).as("n"), sum(col("dl")).as("s"))
         .write.mode(SaveMode.Append).parquet(s"$dir/doclen")
+      val bn = obs.get("n").asInstanceOf[Long]
+      val bs = obs.get("s") match {
+        case l: java.lang.Long => l.longValue
+        case _ => 0L // empty batch: sum is null
+      }
       // fold the persisted corpus stats: +batch docs, +batch Σdl —
       // batch-sized work, so the append→reopen→search cycle never
       // re-aggregates the corpus-sized doclen. A store saved before
@@ -2692,15 +2719,16 @@ object IndexStore {
     val (estSig, estBand) =
       if (confNb.isEmpty) (nSigs, estKeys) else (0L, 0L)
     withWriteLock(spark, dir) {
+      val (sObs, sN) = observedCount(sigs)
       if (nb > 0)
         // shuffle-align to the bucket dirs — files ≈ buckets (× write
         // salt), not tasks × buckets ([[bucketAligned]])
-        bucketAligned(lshWithSb(sigs, nb), Seq("sb"), "vec_id",
+        bucketAligned(lshWithSb(sObs, nb), Seq("sb"), "vec_id",
             estSig, nb)
           .write.mode(SaveMode.Overwrite)
           .partitionBy("sb").parquet(s"$dir/sigs")
       else
-        sigs.select(col("vec_id"), col("sig"))
+        sObs.select(col("vec_id"), col("sig"))
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/sigs")
       if (nb > 0)
         // partition dirs = bands × buckets, so the salt's rows-per-dir
@@ -2720,7 +2748,7 @@ object IndexStore {
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
       writeManifest(spark, dir, "lsh", rowsPerBand.toLong, nb.toLong)
-      recordEpoch(spark, dir, "save", diskRows(spark, s"$dir/sigs"))
+      recordEpoch(spark, dir, "save", sN())
     }
   }
 
@@ -2738,7 +2766,6 @@ object IndexStore {
     val spark = sigsNew.sparkSession
     val nb = readManifest(spark, dir, "lsh").n_buckets.toInt
     withWriteLock(spark, dir) {
-      val before = diskRows(spark, s"$dir/sigs")
       // fold the new band keys into the bkey Bloom FIRST (bit_or — the
       // mergeable-sketch semantics; idempotent under replay). Ordering
       // is soundness: a crash AFTER the fold but before the row
@@ -2761,13 +2788,14 @@ object IndexStore {
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         swapInto(fs, tmp, live)
       }
+      val (sObs, sN) = observedCount(sigsNew)
       if (nb > 0)
         // one file per TOUCHED bucket per append (bucketAligned, k=1)
-        bucketAligned(lshWithSb(sigsNew, nb), Seq("sb"), "vec_id")
+        bucketAligned(lshWithSb(sObs, nb), Seq("sb"), "vec_id")
           .write.mode(SaveMode.Append)
           .partitionBy("sb").parquet(s"$dir/sigs")
       else
-        sigsNew.select(col("vec_id"), col("sig"))
+        sObs.select(col("vec_id"), col("sig"))
           .write.mode(SaveMode.Append).parquet(s"$dir/sigs")
       if (nb > 0)
         bucketAligned(lshWithBb(bandsNew, nb), Seq("band", "bb"),
@@ -2778,8 +2806,7 @@ object IndexStore {
         bandsNew.select(col("vec_id"), col("bkey"), col("band"))
           .write.mode(SaveMode.Append)
           .partitionBy("band").parquet(s"$dir/bands")
-      recordEpoch(spark, dir, "append",
-        diskRows(spark, s"$dir/sigs") - before)
+      recordEpoch(spark, dir, "append", sN())
     }
   }
 
