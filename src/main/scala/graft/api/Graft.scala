@@ -497,7 +497,11 @@ object Graft {
     * query terms' buckets' files (0 = live-built or v1 — unpruned).
     * A handle loaded from a DENORMALIZED store ([[save]]'s
     * `denormDl`) additionally carries `dl` on its postings rows, and
-    * search skips the candidates↔doclen join entirely.
+    * search skips the candidates↔doclen join entirely. `statsSeed`
+    * supplies (n_docs, Σdl) without touching doclen — set from the
+    * store's persisted stats table on load, FOLDED by [[append]],
+    * dropped by [[delete]] (N must exclude masked docs); None falls
+    * back to the doclen aggregate.
     */
   final case class Bm25Index private[api] (
       postings: DataFrame, doclen: DataFrame, df: DataFrame,
