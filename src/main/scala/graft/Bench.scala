@@ -72,9 +72,22 @@ object Bench {
   private[graft] def contendedAt(load: Double, cpus: Int): Boolean =
     load > 0.15 * cpus
 
+  /** The calm-down WAIT watermark — deliberately LOWER than the
+    * [[contendedAt]] flag threshold (two tiers, round 16): BENCH_r15
+    * started at load 4.54 on 32 cpus — 94% of the 4.8 flag line, so
+    * the guard neither waited nor flagged, and the record carried
+    * ~10% box drift anyway. Waiting is cheap and flagging is not, so
+    * the guard waits (bounded) down to a genuinely calm 0.05 × cpus
+    * (1.6 on the 32-cpu box) while only FLAGGING records that start
+    * past 0.15 × cpus.
+    */
+  private[graft] def calmAt(load: Double, cpus: Int): Boolean =
+    load <= 0.05 * cpus
+
   /** Bounded calm-down: poll the load until it drops under the
-    * [[contendedAt]] threshold or `maxWaitMs` elapses, logging each
-    * wait — so a bench started while the harness's own sbt is
+    * [[calmAt]] WAIT watermark (not merely under the [[contendedAt]]
+    * flag threshold — see [[calmAt]]) or `maxWaitMs` elapses, logging
+    * each wait — so a bench started while the harness's own sbt is
     * finishing DELAYS into a clean measurement instead of recording
     * a polluted one. Returns the final load sample. Injectable
     * clock/sleep/load for the spec.
@@ -86,10 +99,11 @@ object Bench {
                                    System.err.println): Double = {
     val deadline = System.currentTimeMillis() + maxWaitMs
     var load = loadFn()
-    while (contendedAt(load, cpus) &&
+    while (load >= 0 && !calmAt(load, cpus) &&
         System.currentTimeMillis() < deadline) {
-      log(f"[bench] 1m load $load%.2f > ${0.15 * cpus}%.2f " +
-        f"(0.15 x $cpus cpus) — waiting for the box to calm")
+      log(f"[bench] 1m load $load%.2f > ${0.05 * cpus}%.2f " +
+        f"(0.05 x $cpus cpus wait watermark) — waiting for the box " +
+        "to calm")
       sleepFn(pollMs)
       load = loadFn()
     }

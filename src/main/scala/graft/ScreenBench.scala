@@ -262,7 +262,9 @@ object ScreenBench {
       // range-pruned doclen id scan — its cost at x100 is exactly
       // what PARITY needs on record). The `full` mode's whole-table
       // fold prices what the partial fold replaced. save_files =
-      // files the append ADDED.
+      // files ONE append added (snapshotted around exactly the
+      // storeIO run — the r15 cell diffed across all three appends
+      // and recorded ~3x a single append's footprint; ADVICE r15).
       locally {
         val batchOf: Long => DataFrame = off =>
           Tables.documents(spark, baseDir)
@@ -272,7 +274,6 @@ object ScreenBench {
               expr("array_join(slice(split(text, ' '), 1, 8), ' ')")
                 .as("text"))
             .localCheckpoint()
-        val filesBefore = partFiles(dB)
         // offsets sit ABOVE every replica id range (idStride × copies
         // tops out at 1e9) so the default id-contract check passes
         val walls = Seq(2000000000L, 2100000000L).map { off =>
@@ -281,6 +282,7 @@ object ScreenBench {
           Graft.loadBm25Index(spark, dB).appendDurable(dB, batch)
           (System.nanoTime() - t0) / 1e9
         }
+        val filesBefore = partFiles(dB)
         val io = storeIO(dB)(
           { Graft.loadBm25Index(spark, dB)
               .appendDurable(dB, batchOf(2200000000L))

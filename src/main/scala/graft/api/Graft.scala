@@ -498,10 +498,11 @@ object Graft {
     * A handle loaded from a DENORMALIZED store ([[save]]'s
     * `denormDl`) additionally carries `dl` on its postings rows, and
     * search skips the candidates↔doclen join entirely. `statsSeed`
-    * supplies (n_docs, Σdl) without touching doclen — set from the
-    * store's persisted stats table on load, FOLDED by [[append]],
-    * dropped by [[delete]] (N must exclude masked docs); None falls
-    * back to the doclen aggregate.
+    * supplies (n_docs, Σdl) without touching doclen at search time —
+    * set from the store's persisted stats table on load, FOLDED
+    * positively by [[append]] and negatively by [[delete]] (the
+    * deleted batch's (count, Σdl) subtract — computed at delete time,
+    * id-pruned); None falls back to the doclen aggregate.
     */
   final case class Bm25Index private[api] (
       postings: DataFrame, doclen: DataFrame, df: DataFrame,
@@ -514,10 +515,12 @@ object Graft {
       * billion-row scan per query batch at 100 TB. A handle LOADED
       * from a store seeds them from the persisted stats table
       * (`statsSeed` — so the append→reopen→first-search cycle never
-      * scans doclen either, round 15); a live [[append]] FOLDS the
-      * seed (+batch docs, +batch Σdl — batch-sized); live-built,
-      * pre-stats-table, and tombstone-masked handles fall back to the
-      * doclen aggregate. Both paths are bit-identical: doc lengths
+      * scans doclen either, round 15 — and the stats stay live-only
+      * through deletes, so neither does the delete→reopen cycle,
+      * round 16); a live [[append]] FOLDS the seed (+batch docs,
+      * +batch Σdl — batch-sized) and a live [[delete]] folds it
+      * negatively; live-built and pre-stats-table handles fall back
+      * to the doclen aggregate. Both paths are bit-identical: doc lengths
       * are integers, so the double sum `avg` accumulates is exact
       * (< 2^53) and equals `Σdl.toDouble / N`. Pinned at first search
       * for the handle's lifetime — reopen after an external
@@ -686,12 +689,35 @@ object Graft {
       */
     def delete(ids: DataFrame): Bm25Index = {
       val t = broadcast(ids.select(col("vec_id")))
-      // the stats seed is DROPPED: N/avgdl must exclude deleted docs
-      // immediately (they no longer normalize lengths), which only
-      // the masked aggregate knows — the new handle re-derives them
+      // the stats seed FOLDS NEGATIVELY: N/avgdl must exclude deleted
+      // docs immediately (they no longer normalize lengths), and the
+      // deleted batch's (count, Σdl) is exactly what the seed loses.
+      // The aggregate runs EAGERLY HERE — an ids-range-pruned
+      // semi-join against THIS handle's doclen (already excluding any
+      // prior deletes, so a double delete subtracts zero), batch-sized
+      // work at delete time — so the new handle's first search still
+      // scans doclen ZERO times (ProbePruningSpec pins it). Round 15
+      // dropped the seed here, paying the masked O(corpus)
+      // re-aggregate the round's own append work had just eliminated.
+      val folded = statsSeed.map { f =>
+        val rng = ids.agg(min(col("vec_id").cast("long")).as("lo"),
+          max(col("vec_id").cast("long")).as("hi")).collect()(0)
+        val (dn, ds) =
+          if (rng.isNullAt(0)) (0L, 0L)
+          else {
+            val r = doclen
+              .filter(col("vec_id").between(rng.getLong(0),
+                rng.getLong(1)))
+              .join(t, Seq("vec_id"), "left_semi")
+              .agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+              .collect()(0)
+            (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+          }
+        () => { val (n, s) = f(); (n - dn, s - ds) }
+      }
       copy(postings = postings.join(t, Seq("vec_id"), "left_anti"),
         doclen = doclen.join(t, Seq("vec_id"), "left_anti"),
-        statsSeed = None)
+        statsSeed = folded)
     }
 
     /** Export a SHARD over `docs` — foldable by [[mergeIndex]]
@@ -721,14 +747,16 @@ object Graft {
     * semantics). A bucketed store's handle prunes its searches to
     * the query terms' buckets' files; a denormalized store's handle
     * searches without the doclen join; and the handle's (N, avgdl)
-    * seed from the store's persisted stats table (absent stats or
-    * live tombstones fall back to the doclen aggregate), so serving
-    * on the default layout reads doclen ZERO times.
+    * seed from the store's persisted stats table — pending tombstones
+    * included, because [[deleteFromIndex]] folds the stats negatively
+    * at delete time (a pre-stats store falls back to the doclen
+    * aggregate) — so serving on the default layout reads doclen ZERO
+    * times.
     */
   def loadBm25Index(spark: SparkSession, dir: String): Bm25Index = {
     val (postings, doclen, df, nBuckets, seed) =
       IndexStore.loadBm25(spark, dir)
-    Bm25Index(postings, doclen, df, nBuckets, seed.map(t => () => t))
+    Bm25Index(postings, doclen, df, nBuckets, seed)
   }
 
   /** MIGRATE a saved BM25 store between the normalized and
@@ -1600,9 +1628,16 @@ object Graft {
     * `spark.graft.lockStaleAfterMs`, default 60 s) flags a presumed-
     * crashed holder — confirm via the named pid@host, then
     * [[breakIndexLock]]. See [[indexLockInfo]] for the lock alone.
-    * `deep = true` adds integrity rows (for bm25:
-    * `_orphan_postings_ids`, the crashed-append signature
-    * [[repairIndex]] heals) at the cost of one vec_id semi-join.
+    * `deep = true` adds READ-ONLY integrity rows — every invariant
+    * [[repairIndex]] heals is observable here first, per kind: bm25
+    * `_orphan_postings_ids` / `_corpus_stats_stale` /
+    * `_df_fold_intent_pending`; lsh/phash
+    * `_band_coverage_inconsistent_ids` / `_duplicate_primary_ids`;
+    * pq `_codes_missing_ids` / `_duplicate_corpus_ids` /
+    * `_duplicate_codes_ids`; ivfpq `_duplicate_codes_ids` — at the
+    * cost of id-column aggregates (an operator can fsck a fleet
+    * uniformly without mutating a byte; see ARCHITECTURE's
+    * kind → checks → heals table).
     */
   def describeIndex(spark: SparkSession, dir: String,
                     deep: Boolean = false): DataFrame =
@@ -1617,11 +1652,17 @@ object Graft {
     * the partial landing of an append that crashed before its
     * commit point; on the denormalized layout those rows are
     * silently scoreable until healed), recomputing df afterwards, and
-    * (3) revalidates the persisted corpus stats against the doclen
-    * aggregate. On an lsh/phash store it checks per-document band
-    * coverage (a crash between the primary and band appends strands
-    * documents that silently stop being screen candidates) and
-    * rebuilds the band table + key sketch from the primary.
+    * (3) revalidates the persisted corpus stats against the MASKED
+    * doclen aggregate. On an lsh/phash store it checks per-document
+    * band coverage (a crash between the primary and band appends
+    * strands documents that silently stop being screen candidates)
+    * and rebuilds the band table + key sketch from the primary,
+    * deduping a replayed primary first. On a pq store it re-encodes
+    * corpus rows stranded without code rows (the corpus-first append
+    * ordering's crash window — inert vectors that silently vanish
+    * from every ADC shortlist) from the frozen codebooks; on pq and
+    * ivfpq it dedups duplicate ids a `requireNewIds = false`
+    * producer's blind retry can leave.
     * Returns one (issue, n, action) row per finding —
     * empty on a healthy store; records a `repair` epoch when
     * anything was healed. Safe to run any time; after it, a clean
@@ -1958,12 +1999,18 @@ object Graft {
       * handle's FROZEN codebooks (the exact gated kernel) and append
       * their codes + raw vectors INTO the saved layout at `dir`, then
       * reopen the store — a restarted JVM's `loadPqIndex(dir)` serves
-      * the appended corpus. Gate: `e33_durable_append`.
+      * the appended corpus. The disjoint-id contract is enforced BY
+      * DEFAULT (`requireNewIds = true` — duplicates fan out through
+      * the shortlist and the rerank fetch; a crashed append's remedy
+      * is [[Graft.repairIndex]], which re-encodes stranded corpus
+      * rows, NOT a blind retry); pass `false` only for
+      * provably-disjoint producers. Gate: `e33_durable_append`.
       */
-    def appendDurable(dir: String, newVecs: DataFrame): PqIndex = {
+    def appendDurable(dir: String, newVecs: DataFrame,
+                      requireNewIds: Boolean = true): PqIndex = {
       IndexStore.appendPq(dir,
         SimilarityQueries.pqEncode(newVecs, codebooks),
-        newVecs.select(col("vec_id"), col("embedding")))
+        newVecs.select(col("vec_id"), col("embedding")), requireNewIds)
       loadPqIndex(newVecs.sparkSession, dir)
     }
 
@@ -2202,12 +2249,18 @@ object Graft {
       * for the composite family): encode the arrivals against the
       * frozen coarse centroids + residual codebooks (the exact gated
       * kernel) and append the code rows INTO the saved
-      * cell-partitioned layout at `dir`, then reopen the store.
+      * cell-partitioned layout at `dir`, then reopen the store. The
+      * disjoint-id contract is enforced BY DEFAULT
+      * (`requireNewIds = true` — a blind retry of a "failed" attempt
+      * that actually committed would duplicate search candidates);
+      * pass `false` only for provably-disjoint producers.
       * Gate: `e33_durable_append`.
       */
-    def appendDurable(dir: String, newVecs: DataFrame): IvfPqIndex = {
+    def appendDurable(dir: String, newVecs: DataFrame,
+                      requireNewIds: Boolean = true): IvfPqIndex = {
       IndexStore.appendIvfPq(dir,
-        SimilarityQueries.ivfPqEncode(newVecs, centroids, codebooks))
+        SimilarityQueries.ivfPqEncode(newVecs, centroids, codebooks),
+        requireNewIds)
       loadIvfPqIndex(newVecs.sparkSession, dir)
     }
 

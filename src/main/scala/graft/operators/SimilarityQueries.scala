@@ -2834,6 +2834,33 @@ object SimilarityQueries {
     },
     e48Bm25Store.oracle)
 
+  /** Crash-REPAIR gate for the COMPRESSED family — e53's pattern on
+    * the PQ store: save the snapshot store, inject `appendPq`'s exact
+    * crash signature (the arrivals' raw vectors land in `corpus/`,
+    * their code rows never do — stranded vectors silently absent from
+    * every ADC shortlist, the missed-result class), repair (which
+    * re-encodes the stragglers from the frozen codebooks — a pure
+    * function, so healed ≡ a never-crashed [[e33DurableAppend]]),
+    * reopen, search. Oracle: e27/e33's byte-identical SQL — any
+    * vector the heal leaves stranded, duplicates, or encodes
+    * differently shifts a rank and fails the hash compare.
+    */
+  val e54PqRepairSearch = QueryDef(
+    "e54_pq_repair_search",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_e54_pqrp").toString
+      graft.api.Graft.pqIndex(e.filter(col("vec_id") % 7 =!= 0)).save(dir)
+      e.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .write.mode("append").parquet(s"$dir/corpus")
+      graft.api.Graft.repairIndex(s, dir)
+      graft.api.Graft.loadPqIndex(s, dir)
+        .search(e.filter(col("vec_id") < 5), k = 3)
+    },
+    Some(pqSql(topM = 3, trainPred = Some("vec_id % 7 <> 0"))))
+
   /** FILTERED search for the compressed family — e24's contract on
     * the PQ index: the code table stays as built; `keepIds` restricts
     * candidates via a semi-join BEFORE ADC ranking, so a metadata
@@ -3378,5 +3405,6 @@ object SimilarityQueries {
     e42FilteredIvfPqRecall, e43IvfPqRerank, e44RecallIvfPqRerank,
     e45IndexDelete, e46DeleteCompact, e47IvfRetrain, e48Bm25Store,
     e49Bm25NormalizedSearch, e50PublishedRetrainSearch,
-    e51Bm25PublishedSearch, e52Bm25RewriteSearch, e53Bm25RepairSearch)
+    e51Bm25PublishedSearch, e52Bm25RewriteSearch, e53Bm25RepairSearch,
+    e54PqRepairSearch)
 }

@@ -114,16 +114,31 @@ private[prov] object MetaParquet {
 
   /** Append `rows` as one parquet file inside `dir` (created if needed;
     * typically a `table/execution_id=<id>` partition directory). The
-    * file lands via temp + atomic rename, so a crash mid-close never
-    * leaves a torn file for readers to trip on.
+    * file lands via temp + atomic rename, and the temp name is
+    * DOT-PREFIXED — the part readers actually rely on: Spark's file
+    * index (and DuckDB's `*.parquet` glob) hides `.`/`_`-prefixed
+    * names but NOT a visible name with an `.inprogress` SUFFIX, so
+    * the pre-round-16 `part-…parquet.inprogress` temp was a torn,
+    * reader-visible parquet file whenever a crash hit mid-close
+    * (found by the round-16 prov audit — the exact hidden-vs-visible
+    * staging rule [[ElementSideWriter]] already followed with its
+    * `_element_staging/` root). Any dot-prefixed debris an earlier
+    * crash left in THIS directory sweeps here first — safe because a
+    * partition directory belongs to one execution (ids are unique),
+    * and within a driver the meta appends are sequential.
     */
   def append(conf: Configuration, dir: String,
              fields: Seq[(String, FT)], rows: Seq[Seq[Any]]): Unit = {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
     fs.mkdirs(d)
+    fs.listStatus(d).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".part-meta-") && n.endsWith(".inprogress"))
+        fs.delete(st.getPath, false)
+    }
     val name = s"part-meta-${ProvIds.newId()}.parquet"
-    val tmp = new Path(d, name + ".inprogress")
+    val tmp = new Path(d, "." + name + ".inprogress")
     val fin = new Path(d, name)
     val w = new Builder(HadoopOutputFile.fromPath(tmp, conf), fields)
       .withConf(conf)

@@ -318,15 +318,42 @@ final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
   }
 
   /** JSON graph `{nodes, links}` as a string — the machine format behind
-    * [[exportJson]] and the live server's `/api/graph` endpoint.
+    * [[exportJson]] and the live server's `/api/graph` endpoint. A
+    * DRIVER-side materialization of the full element graph by design
+    * (parity with the reference's exportFile), so it is FENCED at a
+    * named boundary (`spark.graft.maxExportGraphRows`, default 1M rows
+    * per pull, `limit(max+1)` one-pass — never count-then-collect):
+    * capture over a large corpus otherwise OOMs the driver here with
+    * no warning — the round-13 bounded-pull discipline applied by the
+    * round-16 prov audit. The remedies are in the error text.
     */
   def jsonGraph(executionId: String): String = {
-    val nodes = elements(executionId)
+    val max = {
+      val v = spark.conf.getOption("spark.graft.maxExportGraphRows")
+        .map(_.toLong).getOrElse(1000000L)
+      require(v >= 1,
+        s"spark.graft.maxExportGraphRows must be >= 1, got $v")
+      math.min(v, Int.MaxValue.toLong - 1).toInt
+    }
+    def fenced(df: DataFrame, what: String)
+        : Array[org.apache.spark.sql.Row] = {
+      val pulled = df.limit(max + 1).collect()
+      if (pulled.length > max)
+        throw new IllegalStateException(
+          s"execution $executionId: $what exceeds " +
+            s"spark.graft.maxExportGraphRows=$max — the JSON graph " +
+            "export materializes the full element graph on the " +
+            "driver. Use exportHtml's capped lens, query the tables " +
+            "relationally (ProvenanceQueries / relational provenance), " +
+            "or raise the conf if the driver can hold more.")
+      pulled
+    }
+    val nodes = fenced(elements(executionId)
       .select(col("element_id").as("id"), col("task_id").as("group"),
-              to_json(col("values")).as("label")).collect()
+              to_json(col("values")).as("label")), "element count")
       .map(r => s"""{"id":${jstr(r.getString(0))},"group":${jstr(r.getString(1))},"label":${jstr(r.getString(2))}}""")
-    val links = elementDependencies(executionId)
-      .select(col("source"), col("target")).collect()
+    val links = fenced(elementDependencies(executionId)
+      .select(col("source"), col("target")), "element-dependency count")
       .map(r => s"""{"source":${jstr(r.getString(0))},"target":${jstr(r.getString(1))}}""")
     s"""{"nodes":[${nodes.mkString(",")}],"links":[${links.mkString(",")}]}"""
   }
@@ -381,13 +408,24 @@ final class ProvenanceQueries(spark: SparkSession, storeDir: String) {
       .select(col("element_id"), col("task_id"), to_json(col("values")))
       .orderBy(col("task_id"), col("element_id"))
       .limit(maxElements).collect()
-    val kept = elRows.map(_.getString(0)).toSet
     val elNodes = elRows.map { r =>
       s"""{"id":${jstr(r.getString(0))},"group":${jstr(r.getString(1))},"label":${jstr(r.getString(2))}}"""
     }
+    // the kept-node filter runs IN SPARK (two broadcast semi-joins
+    // against the ≤ maxElements kept ids) so the edge pull is bounded
+    // by the page's own cap — the pre-round-16 code collected the
+    // FULL edge set and filtered driver-side, the exact unbounded
+    // pull the element cap exists to prevent (round-16 prov audit)
+    val keptDf = {
+      import spark.implicits._
+      elRows.map(_.getString(0)).toSeq.toDF("kept_id")
+    }
     val elLinks = elementDependencies(executionId)
+      .join(broadcast(keptDf.select(col("kept_id").as("source"))),
+        Seq("source"), "left_semi")
+      .join(broadcast(keptDf.select(col("kept_id").as("target"))),
+        Seq("target"), "left_semi")
       .select(col("source"), col("target")).collect()
-      .filter(r => kept(r.getString(0)) && kept(r.getString(1)))
       .map(r => s"""{"source":${jstr(r.getString(0))},"target":${jstr(r.getString(1))}}""")
     val total = elements(executionId).count()
     ProvenanceHtml.page(

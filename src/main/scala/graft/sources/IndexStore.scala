@@ -395,6 +395,24 @@ object IndexStore {
     * The returned thunk BLOCKS until the write's metrics arrive, so
     * call it only after the write action returns.
     */
+  /** Whether this session's observed-metrics accumulators are EXACT
+    * row counts: task SPECULATION re-runs slow tasks, and a task that
+    * succeeds more than once updates an `Observation`'s accumulators
+    * once per successful attempt — the committed FILES stay exact
+    * (the commit protocol admits one attempt) but the observed
+    * (count, sum) can over-count. Common on production clusters,
+    * never on the single-box bench — so every SCORING-bearing
+    * observe (the BM25 corpus stats, whose skew silently shifts
+    * every score on a seeded handle) falls back to a disk- or
+    * batch-backed aggregate when speculation is on. Epoch row counts
+    * read through [[observedCount]] keep the observe either way:
+    * they are audit telemetry, not scoring state, and a rare
+    * speculative over-count there is visible, not silently baked
+    * into results.
+    */
+  private[sources] def observesExact(spark: SparkSession): Boolean =
+    !spark.sparkContext.getConf.getBoolean("spark.speculation", false)
+
   private def observedCount(df: DataFrame): (DataFrame, () => Long) = {
     val obs = org.apache.spark.sql.Observation()
     (df.observe(obs, count(lit(1)).as("n")),
@@ -500,10 +518,47 @@ object IndexStore {
       s"$dir holds a Bloom sketch: entries share bits, so deletion " +
         "requires a rebuild, not a tombstone")
     withWriteLock(spark, dir) {
+      val distinctIds = ids
+        .select(col("vec_id").cast("long").as("vec_id")).distinct()
+      // bm25 keeps its persisted corpus stats LIVE-ONLY (the
+      // [[writeBm25Stats]] invariant): fold them NEGATIVELY with the
+      // newly-tombstoned docs' (count, Σdl) — computed HERE, once, at
+      // delete time (an id-pruned batch-sized pull), so every later
+      // reopen seeds (N, avgdl) straight from the stats table instead
+      // of re-aggregating the masked doclen per handle — the exact
+      // O(corpus)-scan class round 15 removed from the append cycle.
+      // Already-tombstoned ids are excluded (a double delete must not
+      // subtract twice); ids with no doclen row contribute 0. A
+      // pre-round-16 stats row (live_only = false) with tombstones
+      // already pending can't fold — it recomputes from the masked
+      // aggregate below instead (one narrow scan, once — the upgrade).
+      val bm25Fold: Option[(Long, Long)] =
+        if (kind != "bm25") None
+        else readBm25Stats(spark, dir).map { case (n0, s0, live) =>
+          val pre = tombstones(spark, dir)
+          if (live || pre.isEmpty) {
+            val newIds = pre.fold(distinctIds)(t =>
+              distinctIds.join(broadcast(t), Seq("vec_id"), "left_anti"))
+            val (dn, ds) = doclenStatsOfIds(spark, dir, newIds)
+            (n0 - dn, s0 - ds)
+          } else (-1L, -1L) // sentinel: masked recompute after append
+        }
       val before = diskRows(spark, s"$dir/tombstones")
-      ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      distinctIds
         .coalesce(1)
         .write.mode(SaveMode.Append).parquet(s"$dir/tombstones")
+      // stats write AFTER the tombstone append (the mask is the
+      // user-visible contract; a crash between the two leaves stats
+      // overstating by this batch — the same bounded-staleness class
+      // as appendBm25's doclen→stats window, surfaced by
+      // describe(deep)'s _corpus_stats_stale row and healed by
+      // [[repair]]/[[compact]])
+      bm25Fold.foreach {
+        case (-1L, -1L) =>
+          val (n, s) = maskedDoclenStats(spark, dir)
+          writeBm25Stats(spark, dir, n, s)
+        case (n, s) => writeBm25Stats(spark, dir, n, s)
+      }
       recordEpoch(spark, dir, "delete",
         diskRows(spark, s"$dir/tombstones") - before)
     }
@@ -697,19 +752,65 @@ object IndexStore {
     }
   }
 
+  /** The PQ/IVF-PQ families' DEFAULT-ON append id contract (the
+    * round-13 default-on discipline, extended from [[appendBm25]] in
+    * round 16): the batch's `vec_id`s must be DISJOINT from `table` —
+    * re-appending an already-present id leaves duplicate rows that
+    * every downstream join fans out through (duplicate shortlist
+    * candidates, duplicate rerank fetch rows). Enforcement is the
+    * bm25 check verbatim: the stored side pre-filters to the batch's
+    * [min, max] id range (pushed to parquet row-group stats — near
+    * free for monotone-id producers), then one broadcast semi-join.
+    */
+  private def requireDisjointIds(spark: SparkSession, dir: String,
+                                 table: String, batchIds: DataFrame,
+                                 op: String): Unit = {
+    val rng = batchIds.agg(min(col("vec_id")).as("lo"),
+      max(col("vec_id")).as("hi")).collect()(0)
+    if (!rng.isNullAt(0)) {
+      val dup = spark.read.parquet(s"$dir/$table")
+        .select(col("vec_id"))
+        .filter(col("vec_id").between(rng.getLong(0), rng.getLong(1)))
+        .join(broadcast(batchIds.select(col("vec_id"))),
+          Seq("vec_id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(dup.isEmpty,
+        s"$op: batch re-appends already-indexed vec_ids " +
+          s"(${dup.mkString(", ")}${if (dup.length == 5) ", …" else ""})" +
+          s" — duplicates in $table fan out through every downstream " +
+          "join. If a crashed append left this store partial, run " +
+          "Graft.repairIndex (it re-encodes stranded rows and dedups) " +
+          "instead of re-appending; pass requireNewIds = false only " +
+          "for provably-disjoint producers")
+    }
+  }
+
   /** DURABLE append for the PQ layout: encoded arrival codes append to
     * `codes/`, their raw vectors to `corpus/` (the rerank fetch side).
     * Two independent parquet appends — on a failure between them the
-    * corpus may briefly lead the codes (rerank fetches by shortlist
-    * vec_id, so an orphan corpus row is unreachable until its code
-    * lands; re-running the append is the remedy). Kind-checked first.
+    * corpus may briefly lead the codes: an orphan corpus row is INERT
+    * (never ADC-shortlisted — rerank fetches by shortlist vec_id), a
+    * crash may never produce a state that READS as healthy, so
+    * `describe(deep)` counts `_codes_missing_ids` and [[repair]]
+    * heals by re-encoding the stranded rows from (corpus, codebooks)
+    * — a pure function, like the lsh band rebuild. Do NOT re-run the
+    * append as the remedy: the corpus rows already landed, so a retry
+    * fails the DEFAULT-ON disjoint-id check
+    * ([[requireDisjointIds]] — `requireNewIds = false` is the
+    * documented opt-out for provably-disjoint producers, e.g.
+    * checkpointed streams whose replay markers already skip
+    * re-delivered batches). Kind-checked first.
     */
   def appendPq(dir: String, codesArrivals: DataFrame,
-               corpusArrivals: DataFrame): Unit = {
+               corpusArrivals: DataFrame,
+               requireNewIds: Boolean = true): Unit = {
     val spark = codesArrivals.sparkSession
     readManifest(spark, dir, "pq")
     val m = readCodebooks(spark, dir).length
     withWriteLock(spark, dir) {
+      if (requireNewIds)
+        requireDisjointIds(spark, dir, "corpus",
+          corpusArrivals.select(col("vec_id")), "appendPq")
       corpusArrivals.select(col("vec_id"), col("embedding"))
         .write.mode(SaveMode.Append).parquet(s"$dir/corpus")
       val (cObs, cN) = observedCount(codesArrivals
@@ -766,13 +867,23 @@ object IndexStore {
   /** DURABLE append for the IVF-PQ layout: encoded arrival rows
     * (cell + codes + reconstruction norms) append into the
     * cell-partitioned code table — files land only in the touched
-    * cells' directories. Kind-checked first.
+    * cells' directories. ONE table, so there is no inter-table crash
+    * window; the residual hazard is a blind RETRY re-appending rows a
+    * "failed" attempt actually committed (duplicate code ids →
+    * duplicate search candidates), refused by the DEFAULT-ON
+    * disjoint-id check ([[requireDisjointIds]]); [[repair]] dedups if
+    * one slipped through a `requireNewIds = false` producer.
+    * Kind-checked first.
     */
-  def appendIvfPq(dir: String, codesArrivals: DataFrame): Unit = {
+  def appendIvfPq(dir: String, codesArrivals: DataFrame,
+                  requireNewIds: Boolean = true): Unit = {
     val spark = codesArrivals.sparkSession
     readManifest(spark, dir, "ivfpq")
     val m = readCodebooks(spark, dir).length
     withWriteLock(spark, dir) {
+      if (requireNewIds)
+        requireDisjointIds(spark, dir, "codes",
+          codesArrivals.select(col("vec_id")), "appendIvfPq")
       val (cObs, cN) = observedCount(
         codesArrivals.select(Seq(col("vec_id"), col("cell")) ++
           (0 until m).map(mi => col(s"code_$mi")) ++
@@ -1217,13 +1328,13 @@ object IndexStore {
           swapInto(fs, tmp, live)
           fs.delete(srcDf, true)
         }
-        // corpus stats: RECOMPUTE from the merged doclen (one narrow
-        // single-column scan — crash-resume idempotent, where a fold
-        // of the two stats rows could double-count on a resumed
-        // merge); the shard's stats table dies with its directory
-        val (mn, ms) = doclenStatsOf(
-          spark.read.parquet(s"$dstDir/doclen")
-            .select(col("vec_id"), col("dl")))
+        // corpus stats: RECOMPUTE from the merged doclen, MASKED by
+        // the merged tombstone set (the [[writeBm25Stats]] live-only
+        // invariant — tombstones moved across above). One narrow
+        // two-column scan — crash-resume idempotent, where a fold of
+        // the two stats rows could double-count on a resumed merge;
+        // the shard's stats table dies with its directory
+        val (mn, ms) = maskedDoclenStats(spark, dstDir)
         writeBm25Stats(spark, dstDir, mn, ms)
       case "bloom" =>
         // mergeable-sketch semantics: bit_or fold, not a file move —
@@ -1408,24 +1519,65 @@ object IndexStore {
         p.getAs[Int]("num_hashes") / p.getAs[Int]("rows_per_band")))
     } else ("hashes", 5)
 
+  /** Count of ids with MORE than one row in a vec_id-keyed table —
+    * the replayed-append residue (a retry after a crash re-appends
+    * rows the first attempt already landed). One map-side-combinable
+    * count; shared by [[describe]]`(deep = true)` and [[repair]].
+    */
+  private def duplicateIdCount(table: DataFrame): Long =
+    table.groupBy(col("vec_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+
+  /** Rewrite a vec_id-keyed table keeping ONE row per id — the heal
+    * for the replayed-append residue ([[duplicateIdCount]]; replayed
+    * rows are byte-identical derivations of the same input, so
+    * keeping any one is exact). The standard temp + [[swapInto]]
+    * protocol; `partCols` filter to those actually present, so one
+    * helper rewrites a flat pq corpus, a cell-partitioned ivfpq code
+    * table, or a bucketed lsh sig table following its stored layout.
+    */
+  private def dedupIdsRewrite(spark: SparkSession, dir: String,
+                              table: String,
+                              partCols: Seq[String]): Unit = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/$table")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/$table.compact")
+    fs.delete(tmp, true)
+    val raw = spark.read.parquet(src.toString)
+    val pc = partCols.filter(raw.columns.contains)
+    val dd = raw.dropDuplicates("vec_id")
+    if (pc.nonEmpty)
+      bucketAligned(dd, pc, "vec_id")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(pc: _*).parquet(tmp.toString)
+    else dd.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    swapInto(fs, tmp, src)
+  }
+
   /** Count of ids whose band coverage is INCONSISTENT with the
     * layout's exact fan-out — primary rows with missing/partial band
     * rows (the crashed-append strand: those docs silently stop being
-    * screen candidates) or band rows with no primary. One
+    * screen candidates) or band rows with no primary. The expected
+    * fan-out scales by the id's PRIMARY row count (bands are a pure
+    * per-row function of the primary, so a duplicated primary id
+    * legitimately carries nBands × its duplicates — duplication is
+    * its own defect, counted by [[duplicateIdCount]] and healed by
+    * [[repair]]'s primary dedup; conflating it here made a
+    * consistently-duplicated store re-flag coverage on every run and
+    * the healthy-repairs-to-empty invariant never converge). One
     * map-side-combinable count per table; shared by
     * [[describe]]`(deep = true)` and [[repair]].
     */
   private def bandCoverageBadIds(spark: SparkSession, dir: String,
                                  kind: String): Long = {
     val (primary, nBands) = bandLayoutOf(spark, dir, kind)
-    val primIds = spark.read.parquet(s"$dir/$primary")
-      .select(col("vec_id")).distinct()
-      .withColumn("has_primary", lit(1))
+    val primN = spark.read.parquet(s"$dir/$primary")
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_prim"))
     val bandN = spark.read.parquet(s"$dir/bands")
       .groupBy(col("vec_id")).agg(count(lit(1)).as("n_band"))
-    primIds.join(bandN, Seq("vec_id"), "full_outer")
-      .filter(col("has_primary").isNull ||
-        col("n_band").isNull || col("n_band") =!= nBands)
+    primN.join(bandN, Seq("vec_id"), "full_outer")
+      .filter(col("n_prim").isNull ||
+        col("n_band").isNull || col("n_band") =!= col("n_prim") * nBands)
       .count()
   }
 
@@ -1449,12 +1601,23 @@ object IndexStore {
     *     aggregate and rewrites them on any mismatch (the
     *     crash-between-doclen-and-stats window).
     *
+    * On a `pq` store it detects corpus ids MISSING FROM CODES (the
+    * corpus-first append ordering's crash strand: inert vectors that
+    * silently vanish from every ADC shortlist) and heals by
+    * re-encoding exactly those rows from (corpus, codebooks) — a pure
+    * function, so healed ≡ never-crashed; on `pq` and `ivfpq` it also
+    * detects DUPLICATE ids (the blind-retry residue a
+    * `requireNewIds = false` producer can leave) and dedups the
+    * affected table in place.
+    *
     * On an `lsh` / `phash` store it checks every primary row's BAND
     * COVERAGE (the appends write sigs/hashes first, so a crash before
     * the band append strands documents that silently stop being
     * screen candidates — a missed-near-dup class) and heals by
     * rebuilding the band table and its key sketch from the primary
-    * (bands are a pure function of it — no data loss).
+    * (bands are a pure function of it — no data loss); a duplicated
+    * primary id dedups first, so the rebuild derives from the healed
+    * table and a healthy store repairs to an EMPTY report.
     *
     * Returns the report: one (issue, n, action) row per finding —
     * empty on a healthy store. Records a `repair` epoch when
@@ -1518,13 +1681,68 @@ object IndexStore {
           recomputeBm25Df(spark, dir, nb)
           fs.delete(intent, false)
         }
-        // stats revalidation: ground truth is the doclen aggregate
-        val (n, sumDl) = doclenStatsOf(
-          spark.read.parquet(s"$dir/doclen")
-            .select(col("vec_id"), col("dl")))
-        if (!readBm25Stats(spark, dir).contains((n, sumDl))) {
+        // stats revalidation: ground truth is the MASKED doclen
+        // aggregate (the live-only invariant). A value-correct row
+        // that still carries the pre-round-16 schema (live_only
+        // absent) upgrades too when tombstones are pending — its
+        // value only HAPPENS to match and the flag is what loaders
+        // trust.
+        val (n, sumDl) = maskedDoclenStats(spark, dir)
+        val tombPending = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$dir/tombstones"))
+        if (!readBm25Stats(spark, dir).exists(t =>
+            t._1 == n && t._2 == sumDl && (t._3 || !tombPending))) {
           writeBm25Stats(spark, dir, n, sumDl)
           report += (("corpus_stats_stale", 1L, "recomputed"))
+        }
+      }
+      // PQ / IVF-PQ: the compressed families' two crash classes
+      // (round 16 — the bm25/lsh discipline extended to the last
+      // store kinds with a window). (1) pq's `appendPq` writes corpus
+      // FIRST, codes second — a crash between the appends strands
+      // corpus rows with no code row: INERT vectors that silently
+      // vanish from every ADC shortlist (the missed-result class).
+      // Codes are a PURE FUNCTION of (corpus, codebooks) — heal by
+      // re-encoding exactly the stranded ids through the same
+      // [[graft.operators.SimilarityQueries.pqEncode]] kernel every
+      // build and append uses, so healed ≡ never-crashed
+      // bit-for-bit. (2) duplicate ids — the blind-retry residue a
+      // `requireNewIds = false` producer can leave (the default-on
+      // check refuses it otherwise): dedup the table in place
+      // (replayed rows are byte-identical re-encodes of the same
+      // vector, so keeping any one is exact).
+      if (kind == "pq" || kind == "ivfpq") {
+        val dupCodes = duplicateIdCount(
+          spark.read.parquet(s"$dir/codes").select(col("vec_id")))
+        if (dupCodes > 0) {
+          dedupIdsRewrite(spark, dir, "codes", Seq("cell"))
+          report += (("duplicate_codes_ids", dupCodes, "codes_deduped"))
+        }
+        if (kind == "pq") {
+          val dupCorpus = duplicateIdCount(
+            spark.read.parquet(s"$dir/corpus").select(col("vec_id")))
+          if (dupCorpus > 0) {
+            dedupIdsRewrite(spark, dir, "corpus", Nil)
+            report += (("duplicate_corpus_ids", dupCorpus,
+              "corpus_deduped"))
+          }
+          val strandedIds = spark.read.parquet(s"$dir/corpus")
+            .select(col("vec_id")).distinct()
+            .join(spark.read.parquet(s"$dir/codes").select(col("vec_id")),
+              Seq("vec_id"), "left_anti")
+          val nMissing = strandedIds.count()
+          if (nMissing > 0) {
+            val codebooks = readCodebooks(spark, dir)
+            graft.operators.SimilarityQueries.pqEncode(
+                spark.read.parquet(s"$dir/corpus")
+                  .select(col("vec_id"), col("embedding"))
+                  .join(broadcast(strandedIds), Seq("vec_id"),
+                    "left_semi"),
+                codebooks)
+              .write.mode(SaveMode.Append).parquet(s"$dir/codes")
+            report += (("codes_missing_ids", nMissing,
+              "codes_reencoded_from_corpus"))
+          }
         }
       }
       // LSH / pHash: the band table is DERIVED (a pure function of
@@ -1535,11 +1753,17 @@ object IndexStore {
       // being CANDIDATES on every later screen — a missed-near-dup
       // class, worse than the FP-only sketch drift the fold-first
       // ordering already bounds. Detection: per-id band-row counts
-      // against the layout's exact fan-out (nBands per id). Heal:
-      // rebuild the band table wholesale from the primary (compact's
-      // bands-are-derived rule) and the band-key sketch from the
-      // rebuilt rows — no data loss, unlike the bm25 orphan case
-      // (there the PRIMARY rows were the partial landing).
+      // against the layout's exact fan-out (nBands per primary row —
+      // see [[bandCoverageBadIds]]). Heal: rebuild the band table
+      // wholesale from the primary (compact's bands-are-derived rule)
+      // and the band-key sketch from the rebuilt rows — no data loss,
+      // unlike the bm25 orphan case (there the PRIMARY rows were the
+      // partial landing). A duplicated PRIMARY id (a blind retry
+      // under the durable-ingest path's marker gap) dedups FIRST, so
+      // the band rebuild derives from the healed primary and a
+      // healthy store repairs to an empty report on the next run
+      // (ADVICE r15: the pre-r16 coverage check re-flagged a
+      // consistently-duplicated store forever).
       if (kind == "lsh" || kind == "phash") {
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1548,6 +1772,13 @@ object IndexStore {
           val man = readManifest(spark, dir, kind)
           val nb = man.n_buckets.toInt
           val (primary, nBands) = bandLayoutOf(spark, dir, kind)
+          val dupPrim = duplicateIdCount(
+            spark.read.parquet(s"$dir/$primary").select(col("vec_id")))
+          if (dupPrim > 0) {
+            dedupIdsRewrite(spark, dir, primary, Seq("sb"))
+            report += (("duplicate_primary_ids", dupPrim,
+              s"${primary}_deduped"))
+          }
           val nBad = bandCoverageBadIds(spark, dir, kind)
           if (nBad > 0) {
             val newBands =
@@ -1913,15 +2144,63 @@ object IndexStore {
           .join(spark.read.parquet(s"$dir/doclen").select(col("vec_id")),
             Seq("vec_id"), "left_anti")
           .count()
-        Seq((kind, version, "_orphan_postings_ids", orphans, 0L, 0L,
-          none._1, none._2, none._3))
+        // stats drift (a crash in the doclen→stats or
+        // tombstone→stats window) is otherwise detectable only by
+        // the op that also heals it — surface it READ-ONLY here: the
+        // persisted row vs the live-only ground truth (the masked
+        // doclen aggregate; a value-correct pre-round-16 row with
+        // tombstones pending counts as stale too, because loaders
+        // trust the flag, not luck)
+        val statsStale = readBm25Stats(spark, dir) match {
+          case None => 0L // absent = documented fallback, not drift
+          case Some((n, s, live)) =>
+            val (gn, gs) = maskedDoclenStats(spark, dir)
+            val tombPending = new org.apache.hadoop.fs.Path(
+              s"$dir/tombstones").getFileSystem(hconf)
+              .exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones"))
+            if (n == gn && s == gs && (live || !tombPending)) 0L else 1L
+        }
+        val intentPending =
+          if (bm25FoldIntent(dir).getFileSystem(hconf)
+              .exists(bm25FoldIntent(dir))) 1L else 0L
+        Seq(
+          (kind, version, "_orphan_postings_ids", orphans, 0L, 0L,
+            none._1, none._2, none._3),
+          (kind, version, "_corpus_stats_stale", statsStale, 0L, 0L,
+            none._1, none._2, none._3),
+          (kind, version, "_df_fold_intent_pending", intentPending,
+            0L, 0L, none._1, none._2, none._3))
       } else if (deep && (kind == "lsh" || kind == "phash") && {
           val p = new org.apache.hadoop.fs.Path(s"$dir/bands")
           p.getFileSystem(hconf).exists(p)
         }) {
-        Seq((kind, version, "_band_coverage_inconsistent_ids",
-          bandCoverageBadIds(spark, dir, kind), 0L, 0L,
-          none._1, none._2, none._3))
+        Seq(
+          (kind, version, "_band_coverage_inconsistent_ids",
+            bandCoverageBadIds(spark, dir, kind), 0L, 0L,
+            none._1, none._2, none._3),
+          (kind, version, "_duplicate_primary_ids",
+            duplicateIdCount(spark.read.parquet(
+              s"$dir/${bandLayoutOf(spark, dir, kind)._1}")), 0L, 0L,
+            none._1, none._2, none._3))
+      } else if (deep && kind == "pq") {
+        val missing = spark.read.parquet(s"$dir/corpus")
+          .select(col("vec_id")).distinct()
+          .join(spark.read.parquet(s"$dir/codes").select(col("vec_id")),
+            Seq("vec_id"), "left_anti")
+          .count()
+        Seq(
+          (kind, version, "_codes_missing_ids", missing, 0L, 0L,
+            none._1, none._2, none._3),
+          (kind, version, "_duplicate_corpus_ids",
+            duplicateIdCount(spark.read.parquet(s"$dir/corpus")),
+            0L, 0L, none._1, none._2, none._3),
+          (kind, version, "_duplicate_codes_ids",
+            duplicateIdCount(spark.read.parquet(s"$dir/codes")),
+            0L, 0L, none._1, none._2, none._3))
+      } else if (deep && kind == "ivfpq") {
+        Seq((kind, version, "_duplicate_codes_ids",
+          duplicateIdCount(spark.read.parquet(s"$dir/codes")),
+          0L, 0L, none._1, none._2, none._3))
       } else Nil
     (rows ++ deepRows ++ lockRow).toDF("kind", "version", "table",
       "n_rows", "n_files", "bytes", "holder", "heartbeat_age_ms",
@@ -2116,15 +2395,22 @@ object IndexStore {
 
   /** Persist the BM25 corpus stats — one row (n_docs, sum_dl) — via
     * the standard temp + [[swapInto]] protocol. The two scalars are
-    * FOLDABLE (append adds the batch's count/Σdl; compact recomputes
-    * from the surviving doclen), so a reopened handle seeds its
-    * (N, avgdl) from this table instead of re-aggregating the
-    * doc-count-sized doclen — the round-14 serving win, extended to
-    * the append→reopen cycle (a billion-row scan per append batch at
-    * 100 TB otherwise). `sum_dl` is the EXACT long Σdl: doc lengths
-    * are integers, so `sum_dl.toDouble / n_docs` is bit-identical to
-    * the in-plan `avg(dl)` (double sums of integers are exact below
-    * 2^53 — ~2.5e13 tokens at 100 TB of text, three orders under it).
+    * FOLDABLE (append adds the batch's count/Σdl, [[delete]] subtracts
+    * the newly-tombstoned docs'; compact recomputes from the surviving
+    * doclen), so a reopened handle seeds its (N, avgdl) from this
+    * table instead of re-aggregating the doc-count-sized doclen — the
+    * round-14 serving win, extended to the append→reopen cycle in
+    * round 15 and the delete→reopen cycle in round 16 (a billion-row
+    * scan per lifecycle op at 100 TB otherwise). The INVARIANT every
+    * writer upholds: the row equals the aggregate of the LIVE (i.e.
+    * tombstone-masked) doclen. `live_only = true` marks a row written
+    * under that invariant — a pre-round-16 row lacks the column, and
+    * its value includes any then-tombstoned docs, so loaders must
+    * subtract them ([[loadBm25]]'s lazy fallback fold). `sum_dl` is
+    * the EXACT long Σdl: doc lengths are integers, so
+    * `sum_dl.toDouble / n_docs` is bit-identical to the in-plan
+    * `avg(dl)` (double sums of integers are exact below 2^53 —
+    * ~2.5e13 tokens at 100 TB of text, three orders under it).
     */
   private def writeBm25Stats(spark: SparkSession, dir: String,
                              n: Long, sumDl: Long): Unit = {
@@ -2133,23 +2419,29 @@ object IndexStore {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/stats.compact")
     fs.delete(tmp, true)
-    Seq((n, sumDl)).toDF("n_docs", "sum_dl").coalesce(1)
+    Seq((n, sumDl, true)).toDF("n_docs", "sum_dl", "live_only")
+      .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     swapInto(fs, tmp, live)
   }
 
-  /** (n_docs, Σdl) from the stats table; None when absent (a store
-    * saved before the stats table existed — loaders fall back to the
-    * doclen aggregate, appends upgrade it in place).
+  /** (n_docs, Σdl, live_only) from the stats table; None when absent
+    * (a store saved before the stats table existed — loaders fall
+    * back to the doclen aggregate, appends upgrade it in place).
+    * `live_only = false` marks a pre-round-16 row whose value counts
+    * then-tombstoned docs (see [[writeBm25Stats]]).
     */
   private[sources] def readBm25Stats(spark: SparkSession, dir: String)
-      : Option[(Long, Long)] = {
+      : Option[(Long, Long, Boolean)] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/stats")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val r = spark.read.parquet(p.toString).collect()(0)
-      Some((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl")))
+      val df = spark.read.parquet(p.toString)
+      val hasFlag = df.columns.contains("live_only")
+      val r = df.collect()(0)
+      Some((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl"),
+        hasFlag && r.getAs[Boolean]("live_only")))
     }
   }
 
@@ -2161,6 +2453,38 @@ object IndexStore {
     val r = doclen.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
       .collect()(0)
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** The stats invariant's ground truth: (count, Σdl) over the LIVE
+    * (tombstone-masked) doclen — what [[writeBm25Stats]]'s row must
+    * equal. One narrow two-column scan; shared by [[repair]],
+    * [[merge]], [[describe]]`(deep)` and the pre-round-16 upgrade
+    * paths.
+    */
+  private def maskedDoclenStats(spark: SparkSession, dir: String)
+      : (Long, Long) =
+    doclenStatsOf(maskTombstones(spark, dir,
+      spark.read.parquet(s"$dir/doclen")
+        .select(col("vec_id"), col("dl"))))
+
+  /** (count, Σdl) of the doclen rows whose `vec_id` is in `ids` — the
+    * NEGATIVE fold's increment ([[delete]] subtracts it, a loaded
+    * handle's fallback seed subtracts the tombstone set's). Id-pruned:
+    * the stored side pre-filters to the batch's [min, max] id range (a
+    * pushed predicate parquet row-group stats prune), then a broadcast
+    * semi-join — ids-batch-sized work, never an unpruned corpus scan.
+    */
+  private def doclenStatsOfIds(spark: SparkSession, dir: String,
+                               ids: DataFrame): (Long, Long) = {
+    val rng = ids.agg(min(col("vec_id")).as("lo"),
+      max(col("vec_id")).as("hi")).collect()(0)
+    if (rng.isNullAt(0)) (0L, 0L)
+    else doclenStatsOf(
+      spark.read.parquet(s"$dir/doclen")
+        .filter(col("vec_id").between(rng.getLong(0), rng.getLong(1)))
+        .join(broadcast(ids.select(col("vec_id"))),
+          Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("dl")))
   }
 
   /** Whether the stored postings carry the denormalized `dl` column —
@@ -2294,20 +2618,40 @@ object IndexStore {
         df.select(col("tok"), col("df"))
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/df")
       }
+      // a full save is a FRESH store: clear any tombstone table the
+      // overwritten store left behind — lingering tombstones would
+      // silently mask same-id docs of the NEW corpus and break the
+      // stats table's live-only invariant
+      val tombP = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      val tombFs = tombP.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (tombFs.exists(tombP)) tombFs.delete(tombP, true)
       // corpus stats (N, Σdl) persist WITH the store — loaded handles
       // seed (N, avgdl) from this one-row table instead of
       // re-aggregating doclen; appends fold it, compact recomputes
       // it. The two scalars ride the doclen WRITE itself (observed
-      // metrics — no second pass over the written table)
-      val obs = org.apache.spark.sql.Observation()
-      doclen.select(col("vec_id"), col("dl"))
-        .observe(obs, count(lit(1)).as("n"), sum(col("dl")).as("s"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclen")
-      val n = obs.get("n").asInstanceOf[Long]
-      val sumDl = obs.get("s") match {
-        case l: java.lang.Long => l.longValue
-        case _ => 0L // empty corpus: sum is null
-      }
+      // metrics — no second pass over the written table) — UNLESS
+      // speculation is on, where an observe can over-count
+      // ([[observesExact]]): then one narrow post-write scan of the
+      // committed table is the exact source.
+      val specSafe = observesExact(spark)
+      val (n, sumDl) =
+        if (specSafe) {
+          val obs = org.apache.spark.sql.Observation()
+          doclen.select(col("vec_id"), col("dl"))
+            .observe(obs, count(lit(1)).as("n"), sum(col("dl")).as("s"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclen")
+          (obs.get("n").asInstanceOf[Long],
+            obs.get("s") match {
+              case l: java.lang.Long => l.longValue
+              case _ => 0L // empty corpus: sum is null
+            })
+        } else {
+          doclen.select(col("vec_id"), col("dl"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclen")
+          doclenStatsOf(spark.read.parquet(s"$dir/doclen")
+            .select(col("vec_id"), col("dl")))
+        }
       writeBm25Stats(spark, dir, n, sumDl)
       writeManifest(spark, dir, "bm25", 0L, nb.toLong)
       recordEpoch(spark, dir, "save", n)
@@ -2499,31 +2843,45 @@ object IndexStore {
       // the batch's (count, Σdl) ride the doclen append itself
       // (observed metrics — no separate batch aggregate, no
       // before/after footer counts): bn is both the epoch delta and
-      // the stats-fold increment
-      val obs = org.apache.spark.sql.Observation()
-      doclenNew.select(col("vec_id"), col("dl"))
-        .observe(obs, count(lit(1)).as("n"), sum(col("dl")).as("s"))
-        .write.mode(SaveMode.Append).parquet(s"$dir/doclen")
-      val bn = obs.get("n").asInstanceOf[Long]
-      val bs = obs.get("s") match {
-        case l: java.lang.Long => l.longValue
-        case _ => 0L // empty batch: sum is null
-      }
+      // the stats-fold increment. With speculation on the observe
+      // can over-count ([[observesExact]]) — a skewed fold silently
+      // shifts every score on the seeded handle until compact/repair
+      // — so the fallback re-aggregates the BATCH (batch-sized; the
+      // batch plan is already evaluated multiple times per append).
+      val specSafe = observesExact(spark)
+      val (bn, bs) =
+        if (specSafe) {
+          val obs = org.apache.spark.sql.Observation()
+          doclenNew.select(col("vec_id"), col("dl"))
+            .observe(obs, count(lit(1)).as("n"), sum(col("dl")).as("s"))
+            .write.mode(SaveMode.Append).parquet(s"$dir/doclen")
+          (obs.get("n").asInstanceOf[Long],
+            obs.get("s") match {
+              case l: java.lang.Long => l.longValue
+              case _ => 0L // empty batch: sum is null
+            })
+        } else {
+          doclenNew.select(col("vec_id"), col("dl"))
+            .write.mode(SaveMode.Append).parquet(s"$dir/doclen")
+          doclenStatsOf(doclenNew.select(col("vec_id"), col("dl")))
+        }
       // fold the persisted corpus stats: +batch docs, +batch Σdl —
       // batch-sized work, so the append→reopen→search cycle never
       // re-aggregates the corpus-sized doclen. A store saved before
-      // the stats table existed upgrades here (one full doclen
-      // aggregate, once). Crash window: a crash between the doclen
-      // append and this fold leaves stats one batch stale — scoring
-      // uses slightly-old (N, avgdl) until [[repair]] or [[compact]]
-      // recomputes them (the same bounded-staleness class as df).
+      // the stats table existed — or one whose pre-round-16 stats
+      // row (live_only = false) can't fold because tombstones are
+      // pending — upgrades here (one masked doclen aggregate, once).
+      // Crash window: a crash between the doclen append and this
+      // fold leaves stats one batch stale — scoring uses slightly-old
+      // (N, avgdl) until [[repair]] or [[compact]] recomputes them
+      // (the same bounded-staleness class as df; describe(deep)'s
+      // _corpus_stats_stale row surfaces it without mutating).
       readBm25Stats(spark, dir) match {
-        case Some((n0, s0)) =>
+        case Some((n0, s0, live)) if live || !fs.exists(
+            new org.apache.hadoop.fs.Path(s"$dir/tombstones")) =>
           writeBm25Stats(spark, dir, n0 + bn, s0 + bs)
-        case None =>
-          val (n, s) = doclenStatsOf(
-            spark.read.parquet(s"$dir/doclen")
-              .select(col("vec_id"), col("dl")))
+        case _ =>
+          val (n, s) = maskedDoclenStats(spark, dir)
           writeBm25Stats(spark, dir, n, s)
       }
       recordEpoch(spark, dir, "append", bn)
@@ -2609,17 +2967,24 @@ object IndexStore {
     * literal buckets → file-level pruning); a denormalized store's
     * postings keep their `dl` column (search skips the doclen join).
     *
-    * `statsSeed` = the persisted (n_docs, Σdl) when the store has a
-    * stats table AND no live tombstones — the handle's (N, avgdl)
-    * come from it, so a reopened handle's first search never
-    * re-aggregates the doc-count-sized doclen. With tombstones in
-    * play the seed is withheld (N must exclude masked docs, which
-    * only the masked aggregate knows — deletes are rare and the next
-    * [[compact]] both applies them and recomputes the stats); absent
-    * (a pre-stats store) the loader likewise falls back.
+    * `statsSeed` = the persisted (n_docs, Σdl) thunk when the store
+    * has a stats table — the handle's (N, avgdl) come from it, so a
+    * reopened handle's first search never re-aggregates the
+    * doc-count-sized doclen, tombstones INCLUDED: [[delete]] folds
+    * the stats negatively at delete time (the live-only invariant,
+    * round 16), so a pending tombstone set no longer costs a masked
+    * O(corpus) re-aggregate per reopen. The one exception is a
+    * pre-round-16 stats row (no `live_only` flag) with tombstones
+    * pending — its value counts the then-tombstoned docs, so the
+    * seed LAZILY subtracts the tombstone set's (count, Σdl) at first
+    * search (a tombstone-sized, id-pruned semi-join — still never an
+    * unpruned corpus scan; any append/compact/repair upgrades the
+    * row in place). Absent (a pre-stats store) the loader falls back
+    * to the masked doclen aggregate.
     */
   def loadBm25(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, Int, Option[(Long, Long)]) = {
+      : (DataFrame, DataFrame, DataFrame, Int,
+         Option[() => (Long, Long)]) = {
     val man = readManifest(spark, dir, "bm25")
     val nb = man.n_buckets.toInt
     val raw = spark.read.parquet(s"$dir/postings")
@@ -2635,8 +3000,20 @@ object IndexStore {
     val df = spark.read.parquet(s"$dir/df").select(dfCols: _*)
     val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val seed =
-      if (fs.exists(tombPath)) None else readBm25Stats(spark, dir)
+    val seed: Option[() => (Long, Long)] =
+      readBm25Stats(spark, dir).map {
+        case (n, s, live) if live || !fs.exists(tombPath) =>
+          () => (n, s)
+        case (n, s, _) =>
+          // pre-round-16 row + pending tombstones: subtract the
+          // tombstone set's (count, Σdl) lazily at first search
+          () => {
+            val t = spark.read.parquet(tombPath.toString)
+              .select(col("vec_id"))
+            val (dn, ds) = doclenStatsOfIds(spark, dir, t)
+            (n - dn, s - ds)
+          }
+      }
     (postings, doclen, df, nb, seed)
   }
 

@@ -141,4 +141,29 @@ class ProvenanceServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(get(port, "/api/file/no-such-exec/el/x")._1 == 404)
     } finally server.stop()
   }
+
+  test("jsonGraph is FENCED: an over-threshold element graph fails loudly at the named conf under default-style enforcement (round-16 audit)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val store = Files.createTempDirectory("provfence").toString
+    val s = ProvSession.create(spark, "fence-app", store)
+    s.parallelize(Seq(1, 2, 3, 4)).map(_ * 2).collect()
+    s.close()
+    val q = new ProvenanceQueries(spark, store)
+    // under the default fence (1M) the export succeeds
+    assert(q.jsonGraph(s.executionId).contains("\"nodes\""))
+    // past the fence it fails LOUDLY naming the conf and the remedies
+    spark.conf.set("spark.graft.maxExportGraphRows", "3")
+    try {
+      val e = intercept[IllegalStateException] {
+        q.jsonGraph(s.executionId)
+      }
+      assert(e.getMessage.contains("maxExportGraphRows") &&
+        e.getMessage.contains("exportHtml"))
+    } finally spark.conf.unset("spark.graft.maxExportGraphRows")
+    // the capped HTML lens stays available at any scale — and its
+    // edge pull is bounded by the page's own cap (the fixed pull)
+    assert(q.htmlPage(s.executionId, maxElements = 2)
+      .contains("<!DOCTYPE html>"))
+  }
 }

@@ -394,16 +394,29 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // append FOLDS (+batch docs, +batch Σdl) — never re-aggregates
     Graft.loadBm25Index(spark, d).appendDurable(d, half2)
     assert(statsOf(d) == truthOf(d), "append must fold the batch in")
-    // a live tombstone WITHHOLDS the seed (N must exclude masked
-    // docs): the loaded handle still ranks exactly like a
-    // never-inserted build of the survivors
+    // delete folds the stats NEGATIVELY (round 16): the persisted row
+    // drops the tombstoned docs' (count, Σdl) at delete time, so it
+    // equals the MASKED aggregate — and a double delete of the same
+    // ids subtracts nothing more
     val delIds = half2.select(col("doc_id").as("vec_id"))
     Graft.deleteFromIndex(spark, d, delIds)
+    def maskedTruthOf(d: String): (Long, Long) = {
+      val t = spark.read.parquet(s"$d/tombstones").select(col("vec_id"))
+      val r = spark.read.parquet(s"$d/doclen")
+        .join(t, Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)), sum(col("dl"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(statsOf(d) == maskedTruthOf(d),
+      "delete must fold the tombstoned docs out of the stats")
+    Graft.deleteFromIndex(spark, d, delIds)
+    assert(statsOf(d) == maskedTruthOf(d),
+      "a double delete must not subtract twice")
     // the live equivalent: same full df (idf stays stale until
     // compact — Lucene semantics), masked postings/doclen, masked N
     assert(exact(Graft.loadBm25Index(spark, d).searchText(queries))
       == exact(Graft.bm25Index(docs).delete(delIds).searchText(queries)),
-      "tombstoned store must fall back to the masked aggregate")
+      "tombstoned store must score with the masked (N, avgdl)")
     // compact applies the tombstones AND recomputes the stats
     Graft.compactIndex(spark, d)
     assert(statsOf(d) == truthOf(d),

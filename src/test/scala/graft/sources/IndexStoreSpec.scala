@@ -1291,4 +1291,144 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"an append added more than one file to some bucket dir: " +
         s"$before -> $after")
   }
+
+  private def deepRow(d: String, row: String): Long =
+    Graft.describeIndex(spark, d, deep = true)
+      .filter(col("table") === row).collect()(0).getAs[Long]("n_rows")
+
+  test("PQ crash contract: a corpus-without-codes strand is detected, a blind retry is refused, repair re-encodes ≡ never-crashed, and converges") {
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val arrivals = emb.filter(col("vec_id") % 2 =!= 0)
+      .localCheckpoint()
+    val nArr = arrivals.count()
+    // the never-crashed reference: save the even half, append the odd
+    // half COMPLETELY through the same frozen codebooks
+    val dRef = tmp()
+    Graft.pqIndex(base).save(dRef)
+    val ref = Graft.loadPqIndex(spark, dRef).appendDurable(dRef, arrivals)
+    // the crash: appendPq writes corpus FIRST, codes second — inject
+    // exactly its first half (the arrivals' raw vectors land, their
+    // code rows never do): stranded vectors are INERT — absent from
+    // every ADC shortlist — which must READ as unhealthy, not vanish
+    val d = tmp()
+    Graft.pqIndex(base).save(d)
+    arrivals.select(col("vec_id"), col("embedding"))
+      .write.mode("append").parquet(s"$d/corpus")
+    assert(deepRow(d, "_codes_missing_ids") == nArr,
+      "describe(deep) must count the stranded corpus ids")
+    // a blind retry (the pre-r16 documented remedy) is REFUSED by the
+    // default-on id check — it would duplicate the landed corpus rows
+    val e = intercept[IllegalArgumentException] {
+      Graft.loadPqIndex(spark, d).appendDurable(d, arrivals)
+    }
+    assert(e.getMessage.contains("repairIndex"))
+    // repair re-encodes the stragglers from (corpus, codebooks) — a
+    // pure function, so healed ≡ the never-crashed append bit-for-bit
+    val report = Graft.repairIndex(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(report.get("codes_missing_ids").contains(nArr))
+    val healed = Graft.loadPqIndex(spark, d)
+    assert(exact(healed.search(queries)) == exact(ref.search(queries)))
+    assert(exact(healed.rerank(queries)) == exact(ref.rerank(queries)))
+    // healthy store: deep rows zero, second repair = empty report
+    assert(deepRow(d, "_codes_missing_ids") == 0L)
+    assert(deepRow(d, "_duplicate_corpus_ids") == 0L)
+    assert(Graft.repairIndex(spark, d).collect().isEmpty,
+      "a healed store must repair to an empty report")
+  }
+
+  test("PQ/IVF-PQ: a replayed append under the opt-out leaves duplicates that describe counts and repair dedups back to the clean ranking") {
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val arrivals = emb.filter(col("vec_id") % 2 =!= 0)
+      .localCheckpoint()
+    val nArr = arrivals.count()
+    // ivfpq: single-table append — the hazard is a blind retry of a
+    // "failed" attempt that actually committed
+    val dRef = tmp()
+    Graft.ivfPqIndex(base).save(dRef)
+    val ref = Graft.loadIvfPqIndex(spark, dRef)
+      .appendDurable(dRef, arrivals)
+    val d = tmp()
+    Graft.ivfPqIndex(base).save(d)
+    val once = Graft.loadIvfPqIndex(spark, d).appendDurable(d, arrivals)
+    // the retry is refused by default…
+    intercept[IllegalArgumentException] {
+      once.appendDurable(d, arrivals)
+    }
+    // …but an opt-out producer can still replay; describe counts it
+    once.appendDurable(d, arrivals, requireNewIds = false)
+    assert(deepRow(d, "_duplicate_codes_ids") == nArr)
+    val report = Graft.repairIndex(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(report.get("duplicate_codes_ids").contains(nArr))
+    assert(exact(Graft.loadIvfPqIndex(spark, d).search(queries))
+      == exact(ref.search(queries)))
+    assert(deepRow(d, "_duplicate_codes_ids") == 0L)
+    assert(Graft.repairIndex(spark, d).collect().isEmpty)
+    // pq: the same replay duplicates codes AND corpus; one repair
+    // dedups both and the rerank fetch stops fanning out
+    val dP = tmp(); val dPRef = tmp()
+    Graft.pqIndex(base).save(dPRef)
+    val pRef = Graft.loadPqIndex(spark, dPRef)
+      .appendDurable(dPRef, arrivals)
+    Graft.pqIndex(base).save(dP)
+    val pOnce = Graft.loadPqIndex(spark, dP).appendDurable(dP, arrivals)
+    pOnce.appendDurable(dP, arrivals, requireNewIds = false)
+    assert(deepRow(dP, "_duplicate_codes_ids") == nArr)
+    assert(deepRow(dP, "_duplicate_corpus_ids") == nArr)
+    val pReport = Graft.repairIndex(spark, dP).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(pReport.get("duplicate_codes_ids").contains(nArr))
+    assert(pReport.get("duplicate_corpus_ids").contains(nArr))
+    val pHealed = Graft.loadPqIndex(spark, dP)
+    assert(exact(pHealed.search(queries)) == exact(pRef.search(queries)))
+    assert(exact(pHealed.rerank(queries)) == exact(pRef.rerank(queries)))
+    assert(Graft.repairIndex(spark, dP).collect().isEmpty)
+  }
+
+  test("LSH: a consistently-duplicated primary converges — repair dedups and rebuilds, a second repair reports empty (ADVICE r15)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val stored = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") === 0).localCheckpoint()
+    val d = tmp()
+    Graft.lshIndex(stored).save(d)
+    val cleanVerdicts = exact(Graft.loadLshIndex(spark, d).screen(batch))
+    // a replayed append without markers duplicates BOTH tables
+    // CONSISTENTLY (bands are a pure per-row function of sigs): the
+    // pre-r16 coverage check compared n_band against a fixed nBands
+    // and flagged such ids on EVERY run — repair rewrote the band
+    // table forever without converging
+    val dupIds = stored.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("vec_id"))
+    def replay(table: String, partCols: Seq[String]): Unit = {
+      val rows = spark.read.parquet(s"$d/$table")
+        .join(dupIds, Seq("vec_id"), "left_semi").localCheckpoint()
+      val pc = partCols.filter(rows.columns.contains)
+      if (pc.nonEmpty)
+        rows.write.mode("append").partitionBy(pc: _*)
+          .parquet(s"$d/$table")
+      else rows.write.mode("append").parquet(s"$d/$table")
+    }
+    replay("sigs", Seq("sb"))
+    replay("bands", Seq("band", "bb"))
+    val nDup = dupIds.count()
+    assert(deepRow(d, "_duplicate_primary_ids") == nDup)
+    // consistent duplication is NOT a coverage inconsistency (n_band
+    // scales with the primary row count) — the two defects are
+    // separately named
+    assert(deepRow(d, "_band_coverage_inconsistent_ids") == 0L)
+    val report = Graft.repairIndex(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(report.get("duplicate_primary_ids").contains(nDup))
+    // after the primary dedup the duplicated bands ARE inconsistent
+    // with the healed primary — the same run rebuilds them
+    assert(report.contains("band_coverage_inconsistent_ids"))
+    assert(exact(Graft.loadLshIndex(spark, d).screen(batch))
+      == cleanVerdicts, "healed verdicts must equal pre-replay")
+    assert(deepRow(d, "_duplicate_primary_ids") == 0L)
+    assert(deepRow(d, "_band_coverage_inconsistent_ids") == 0L)
+    assert(Graft.repairIndex(spark, d).collect().isEmpty,
+      "the healthy-repairs-to-empty invariant must converge")
+  }
 }

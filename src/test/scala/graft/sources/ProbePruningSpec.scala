@@ -300,6 +300,52 @@ class ProbePruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.probeBuckets")
   }
 
+  test("deletes keep the stats seed: zero doclen scans on a reopened tombstoned handle AND on a live-deleted handle's first search") {
+    val q = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val delIds = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("vec_id"))
+    // the never-deleted-docs equivalent ranking (full df, masked
+    // postings/doclen, masked N — Lucene's delete semantics)
+    val expect = sorted(Graft.bm25Index(docs).delete(delIds)
+      .searchText(q))
+    // (a) REOPENED with pending tombstones: deleteFromIndex folded
+    // the store's stats negatively at delete time, so the reopened
+    // handle seeds (N, avgdl) from the stats table — round 15 seeded
+    // appends but withheld the seed whenever tombstones existed,
+    // re-aggregating the masked doclen on every reopen between
+    // delete and compact (the exact O(corpus) class it had just
+    // closed for appends)
+    val d = tmp()
+    Graft.bm25Index(docs).save(d)
+    Graft.deleteFromIndex(spark, d, delIds)
+    val reopened = Graft.loadBm25Index(spark, d)
+    val (out, plans) = capturingPlans {
+      val o = reopened.searchText(q)
+      o.collect()
+      o
+    }
+    assert(sorted(out) == expect)
+    assert(plans.flatMap(scansIn(_, "doclen")).isEmpty,
+      "a reopened tombstoned handle's first search must not scan " +
+        "doclen in ANY action (delete must fold the stats table)")
+    // (b) LIVE delete on a loaded handle: the seed folds negatively
+    // (the aggregate runs at delete time), so the deleted handle's
+    // first search still never scans doclen
+    val d2 = tmp()
+    Graft.bm25Index(docs).save(d2)
+    val deleted = Graft.loadBm25Index(spark, d2).delete(delIds)
+    val (out2, plans2) = capturingPlans {
+      val o = deleted.searchText(q)
+      o.collect()
+      o
+    }
+    assert(sorted(out2) == expect)
+    assert(plans2.flatMap(scansIn(_, "doclen")).isEmpty,
+      "a live-deleted handle's first search must not scan doclen in " +
+        "ANY action (delete must fold the seed, not drop it)")
+  }
+
   test("a version-1 (unbucketed, 3-column manifest) LSH store still loads and screens, unpruned") {
     import spark.implicits._
     spark.conf.set("spark.graft.probeBuckets", "0") // flat v1-style tables
