@@ -21,6 +21,38 @@ import graft.Tables
   */
 object MultimodalQueries {
 
+  /** The id column every media pipeline synthesizes payloads from,
+    * spread across ALL cores first: payload synthesis + codec decode
+    * are the expensive per-row work of this family, and a narrow scan
+    * (one small parquet file at bench scale, one unsplittable input
+    * generally) would pin that work to a handful of tasks while the
+    * rest of the machine idles (guide §2.6). The repartition moves
+    * 8-byte ids — never payloads or pixels — so its cost is negligible
+    * at any scale (the §8 rule: shuffle keys, move heavy bytes once),
+    * and decode parallelism stops being an accident of input splits.
+    * Round-16 profile: mm06 ran 2.7 s of decode task time on 4 of 32
+    * cores (wall 2.9 s) before; ~0.8 s wall after.
+    */
+  private def mediaIds(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
+  }
+
+  /** ImageIO's stream cache defaults to DISK-backed
+    * (`FileCacheImageInput/OutputStream`): every encode/decode creates
+    * a temp file under a synchronized cache-dir check, which
+    * serializes concurrent codec tasks on one machine — with 32 decode
+    * tasks in flight the codec work waits on temp-file creation, not
+    * pixels. All payloads here are in-memory byte arrays, so the
+    * memory-backed stream is strictly better; evaluated once per JVM
+    * (referenced from every encode/decode entry point).
+    */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic test image for `media_id`: W×H TYPE_INT_RGB with
     * channel values r=(id+3x+5y)%256, g=(2id+7x+11y)%256,
     * b=(3id+13x+17y)%256 — closed-form, so expected decode stats are
@@ -29,6 +61,7 @@ object MultimodalQueries {
     * opaque.
     */
   private[graft] def syntheticPng(id: Long): Array[Byte] = {
+    imageIoNoDiskCache
     val w = 8 + (id % 24).toInt
     val h = 8 + ((id * 7) % 24).toInt
     val img = new java.awt.image.BufferedImage(
@@ -87,12 +120,12 @@ object MultimodalQueries {
     (s, d) => {
       val spark = s
       import spark.implicits._
-      val media = Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
+      val media = mediaIds(s, d)
         .mapPartitions(_.map(id => (id, syntheticPng(id))))
         .toDF("media_id", "payload")
         .as[(Long, Array[Byte])]
       media.mapPartitions { batch =>
+        imageIoNoDiskCache
         batch.map { case (id, payload) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(payload))
@@ -148,6 +181,7 @@ object MultimodalQueries {
     * pure SQL.
     */
   private[graft] def syntheticGif(id: Long): Array[Byte] = {
+    imageIoNoDiskCache
     val k = (2 + id % 3).toInt
     val w = 6 + (id % 10).toInt
     val h = 6 + ((id * 3) % 10).toInt
@@ -200,12 +234,12 @@ object MultimodalQueries {
     (s, d) => {
       val spark = s
       import spark.implicits._
-      val media = Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
+      val media = mediaIds(s, d)
         .mapPartitions(_.map(id => (id, syntheticGif(id))))
         .toDF("media_id", "payload")
         .as[(Long, Array[Byte])]
       media.mapPartitions { batch =>
+        imageIoNoDiskCache
         batch.flatMap { case (id, payload) =>
           val reader =
             javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
@@ -299,12 +333,12 @@ object MultimodalQueries {
     (s, d) => {
       val spark = s
       import spark.implicits._
-      val media = Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
+      val media = mediaIds(s, d)
         .mapPartitions(_.map(id => (id, syntheticWav(id))))
         .toDF("media_id", "payload")
         .as[(Long, Array[Byte])]
       media.mapPartitions { batch =>
+        imageIoNoDiskCache
         batch.map { case (id, payload) =>
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(payload))
@@ -361,12 +395,12 @@ object MultimodalQueries {
     (s, d) => {
       val spark = s
       import spark.implicits._
-      val media = Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
+      val media = mediaIds(s, d)
         .mapPartitions(_.map(id => (id, syntheticPng(id))))
         .toDF("media_id", "payload")
         .as[(Long, Array[Byte])]
       media.mapPartitions { batch =>
+        imageIoNoDiskCache
         batch.map { case (id, payload) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(payload))
@@ -434,12 +468,12 @@ object MultimodalQueries {
     (s, d) => {
       val spark = s
       import spark.implicits._
-      val media = Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
+      val media = mediaIds(s, d)
         .mapPartitions(_.map(id => (id, syntheticGif(id))))
         .toDF("media_id", "payload")
         .as[(Long, Array[Byte])]
       media.mapPartitions { batch =>
+        imageIoNoDiskCache
         batch.flatMap { case (id, payload) =>
           val reader =
             javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
@@ -540,6 +574,7 @@ object MultimodalQueries {
     * construction.
     */
   private[graft] def aHash(payload: Array[Byte]): (Long, Long) = {
+    imageIoNoDiskCache
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
     val w = img.getWidth
@@ -595,8 +630,7 @@ object MultimodalQueries {
   private[graft] def phashed(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    hashImages(Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    hashImages(mediaIds(s, d)
       .mapPartitions(_.map(id => (id, syntheticPng(id)))))
   }
 
@@ -937,8 +971,7 @@ object MultimodalQueries {
       val spark = s
       import spark.implicits._
       val fps = graft.api.Graft.audioFingerprint(
-        Tables.documents(s, d)
-          .select(col("doc_id")).as[Long]
+        mediaIds(s, d)
           .mapPartitions(_.map(id => (id, syntheticWav(id)))))
         .localCheckpoint()
       // same hot-bucket lever (and conf) as mm07: on a hyper-duplicated
@@ -1036,6 +1069,7 @@ object MultimodalQueries {
     */
   private[graft] def videoFrameHashesOf(payload: Array[Byte])
       : Seq[(Long, Long, Long, Long)] = {
+    imageIoNoDiskCache
     val reader =
       javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
     val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -1194,8 +1228,7 @@ object MultimodalQueries {
       val spark = s
       import spark.implicits._
       val frames = graft.api.Graft.videoFrameHashes(
-        Tables.documents(s, d)
-          .select(col("doc_id")).as[Long]
+        mediaIds(s, d)
           .mapPartitions(_.map(id => (id, syntheticGif(id)))))
         .localCheckpoint()
       graft.api.Graft.videoNearDups(frames,
@@ -1333,8 +1366,7 @@ object MultimodalQueries {
       val spark = s
       import spark.implicits._
       val fps = graft.api.Graft.audioFingerprint(
-        Tables.documents(s, d)
-          .select(col("doc_id")).as[Long]
+        mediaIds(s, d)
           .mapPartitions(_.map(id => (id, syntheticWav(id)))))
         .localCheckpoint()
       graft.api.Graft.audioNearDupCount(fps,
@@ -1351,8 +1383,7 @@ object MultimodalQueries {
       val spark = s
       import spark.implicits._
       val frames = graft.api.Graft.videoFrameHashes(
-        Tables.documents(s, d)
-          .select(col("doc_id")).as[Long]
+        mediaIds(s, d)
           .mapPartitions(_.map(id => (id, syntheticGif(id)))))
         .localCheckpoint()
       graft.api.Graft.videoNearDupCount(frames,
