@@ -906,10 +906,19 @@ object DedupQueries {
             explode(expr(s"sequence(1, n - ${W - 1})")).as("s"))
           .select(col("doc_id"), col("s"),
             expr(s"md5(concat_ws(' ', slice(toks, s, $W)))").as("h"))
-        val flagged = grams.groupBy("h")
-          .agg(countDistinct("doc_id").as("nd"))
-          .filter(col("nd") >= 2).select("h")
-        val perDoc = grams.join(flagged, "h")
+        // "gram occurs in >= 2 distinct docs" ⟺ min(doc_id) ≠
+        // max(doc_id) within the gram's hash group — ONE window pass
+        // over grams shuffled once on h, where the groupBy(h) +
+        // join-back shape shuffled the gram table twice AND recomputed
+        // the explode+md5 subtree per consumer (guide §2.4; round-16
+        // profile: 36 MB shuffled, 2.3 s task time — the heaviest
+        // dedup cell after the capped LSH). Flagged set is identical.
+        val wGram = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h"))
+        val perDoc = grams
+          .withColumn("mn", min(col("doc_id")).over(wGram))
+          .withColumn("mx", max(col("doc_id")).over(wGram))
+          .filter(col("mn") =!= col("mx"))
           .groupBy("doc_id")
           .agg(sort_array(collect_list(col("s"))).as("starts"))
         toks.join(perDoc, Seq("doc_id"), "left")

@@ -98,7 +98,7 @@ object SimilarityQueries {
     * q_emb); output sorted (query_id, rank).
     */
   private[graft] def knnOf(corpus: DataFrame, queries: DataFrame,
-                           k: Int): DataFrame = {
+                           k: Int, ordered: Boolean = true): DataFrame = {
     val scored = corpus.alias("b").join(broadcast(queries.alias("a")),
         col("a.query_id") =!= col("b.vec_id"))
       .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"),
@@ -106,11 +106,14 @@ object SimilarityQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    val top = scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cos"))
-      .orderBy(col("query_id"), col("rank"))
+    // `ordered = false` for INTERNAL consumers (shortlist feeds, recall
+    // joins) that destroy order anyway: a global orderBy is a range
+    // exchange plus its sampling job — pure waste below a join/collect
+    if (ordered) top.orderBy(col("query_id"), col("rank")) else top
   }
 
   val e01KnnBruteForce = QueryDef(
@@ -3287,56 +3290,89 @@ object SimilarityQueries {
                                  k: Int = 5, fetch: Int = 10,
                                  relWeight: Double = 0.7,
                                  divWeight: Double = 0.3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val cands = knnOf(corpus,
         queries.select(col("vec_id").as("query_id"),
-          col("embedding").as("q_emb")), fetch)
+          col("embedding").as("q_emb")), fetch, ordered = false)
       .select(col("query_id"), col("neighbor_id").as("cand"),
         col("cos").as("rel"))
-    // candidate embeddings: broadcast the tiny shortlist into the
-    // corpus scan (never shuffle the corpus), then pairwise sims over
-    // the bounded fetch×Q frame; localCheckpoint because the self-join
-    // references it twice and the greedy loop reuses it k−1 times
-    val withEmb = corpus.select(col("vec_id").as("cand"), col("embedding"))
-      .join(broadcast(cands.select(col("query_id"), col("cand"))), Seq("cand"))
-      .localCheckpoint()
-    val pairs = withEmb.alias("x").join(withEmb.alias("y"),
-        col("x.query_id") === col("y.query_id") &&
-          col("x.cand") =!= col("y.cand"))
-      .select(col("x.query_id").as("query_id"), col("x.cand").as("a"),
-        col("y.cand").as("b"),
-        round(cosine_similarity(col("x.embedding"), col("y.embedding")), 6)
-          .as("sim"))
-      .localCheckpoint()
-    val wPick = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-    var sel = cands
-      .withColumn("rn", row_number().over(
-        wPick.orderBy(col("rel").desc, col("cand"))))
-      .filter(col("rn") === 1)
-      .select(col("query_id"), lit(1L).as("pick"),
-        col("cand").as("cand_id"), col("rel").as("mmr_score"))
-      .localCheckpoint()
-    for (i <- 2 to k) {
-      val maxsim = pairs
-        .join(sel.select(col("query_id"), col("cand_id").as("b")),
-          Seq("query_id", "b"))
-        .groupBy(col("query_id"), col("a"))
-        .agg(max(col("sim")).as("maxsim"))
-        .withColumnRenamed("a", "cand")
-      val picked = cands
-        .join(sel.select(col("query_id"), col("cand_id").as("cand")),
-          Seq("query_id", "cand"), "left_anti")
-        .join(maxsim, Seq("query_id", "cand"))
-        .withColumn("s",
-          col("rel") * lit(relWeight) - col("maxsim") * lit(divWeight))
-        .withColumn("rn", row_number().over(
-          wPick.orderBy(col("s").desc, col("cand"))))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), lit(i.toLong).as("pick"),
-          col("cand").as("cand_id"), round(col("s"), 6).as("mmr_score"))
-      sel = sel.unionByName(picked).localCheckpoint()
+    // BOUNDED driver pull — fetch × |queries| rows by construction,
+    // the exact frame the previous implementation already collected
+    // via broadcast(). Fenced (the tombstone-snapshot pattern): fail
+    // loudly past the conf rather than silently grow the driver.
+    val maxRows = math.min(Int.MaxValue - 1L,
+      spark.conf.getOption("spark.graft.maxMmrDriverRows")
+        .map(_.toLong).getOrElse(4000000L)).toInt
+    val candRows = cands.limit(maxRows + 1).collect()
+    require(candRows.length <= maxRows,
+      s"mmrRerank: shortlist exceeds spark.graft.maxMmrDriverRows=" +
+        s"$maxRows rows (fetch x |queries|) — the greedy re-rank holds " +
+        "the shortlist on the driver; lower fetch / batch the queries, " +
+        "or raise the conf if the driver can hold more")
+    val shortlist = candRows.map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2)))
+    // candidate embeddings: broadcast the tiny shortlist id set into
+    // ONE corpus scan (the corpus is never shuffled or rescanned —
+    // e16's fetch pattern), pull the fetch×Q embedding rows
+    val idsDf = shortlist.toSeq.map { case (q, c, _) => (q, c) }
+      .toDF("query_id", "cand")
+    val emb: Map[(Long, Long), Array[Float]] =
+      corpus.select(col("vec_id").as("cand"), col("embedding"))
+        .join(broadcast(idsDf), Seq("cand"))
+        .select(col("query_id"), col("cand"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          r.getSeq[Float](2).toArray).toMap
+
+    // Driver-side replicas of the two gated kernels, bit-for-bit:
+    // the sequential double-precision loop of
+    // [[graft.functions.CosineSimilarity]] (same op order, same
+    // float→double casts) and Spark's round(x, 6) (HALF_UP over
+    // BigDecimal.valueOf — Round's DoubleType path).
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    sel
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+    // The greedy selection itself is SEQUENTIAL over a driver-bounded
+    // frame — running it as k−1 cluster jobs over ≤ fetch×Q-row frames
+    // (the previous shape: 49 scheduler round-trips at k=5) buys no
+    // parallelism at any scale; the corpus-sized stages above stay
+    // distributed. Semantics unchanged: rel and pairwise sims
+    // 6dp-rounded before scoring, explicit double weights, ties to the
+    // lower candidate id, score = rel·w_r − max(sim to picked)·w_d.
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+    shortlist.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (q, cs0) =>
+      val cs = cs0.map { case (_, c, rel) => (c, rel) }
+      val sims = scala.collection.mutable.HashMap[(Long, Long), Double]()
+      for ((a, _) <- cs; (b, _) <- cs if a != b)
+        sims((a, b)) = r6(cosD(emb((q, a)), emb((q, b))))
+      if (cs.nonEmpty) {
+        val first = cs.minBy { case (c, rel) => (-rel, c) }
+        var picked = List(first._1)
+        out += ((q, 1L, first._1, first._2))
+        for (i <- 2 to k) {
+          val remaining = cs.filter { case (c, _) => !picked.contains(c) }
+          if (remaining.nonEmpty) {
+            val best = remaining.map { case (c, rel) =>
+              val maxsim = picked.map(b => sims((c, b))).max
+              (c, rel * relWeight - maxsim * divWeight)
+            }.minBy { case (c, s) => (-s, c) }
+            out += ((q, i.toLong, best._1, r6(best._2)))
+            picked = picked :+ best._1
+          }
+        }
+      }
+    }
+    out.toSeq.toDF("query_id", "pick", "cand_id", "mmr_score")
   }
 
   val e23MmrRerank = QueryDef(

@@ -345,13 +345,21 @@ object IndexStore {
     }
   }
 
+  private val manifestSchema =
+    """message manifest {
+      |  required binary kind (UTF8);
+      |  required int32 version;
+      |  required int64 m_bits;
+      |  required int64 n_buckets;
+      |}""".stripMargin
+
   private def writeManifest(spark: SparkSession, dir: String, kind: String,
-                            mBits: Long = 0L, nBuckets: Long = 0L): Unit = {
-    import spark.implicits._
-    Seq(Manifest(kind, Version, mBits, nBuckets)).toDF()
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
-  }
+                            mBits: Long = 0L, nBuckets: Long = 0L): Unit =
+    tinyWrite(spark, s"$dir/manifest", tinySchema(manifestSchema),
+      Seq(g => {
+        g.add("kind", kind); g.add("version", Version)
+        g.add("m_bits", mBits); g.add("n_buckets", nBuckets)
+      }))
 
   /** Read + validate the manifest: wrong `kind` or unknown `version`
     * fails loudly with the path in the message. Version-1 manifests
@@ -360,12 +368,12 @@ object IndexStore {
     */
   private def readManifest(spark: SparkSession, dir: String,
                            expectKind: String): Manifest = {
-    val df = spark.read.parquet(s"$dir/manifest")
-    val hasBuckets = df.columns.contains("n_buckets")
-    val r = df.collect() match {
-      case Array(row) => Manifest(row.getAs[String]("kind"),
-        row.getAs[Int]("version"), row.getAs[Long]("m_bits"),
-        if (hasBuckets) row.getAs[Long]("n_buckets") else 0L)
+    val r = tinyRead(spark, s"$dir/manifest") match {
+      case Seq(g) => Manifest(g.getString("kind", 0),
+        g.getInteger("version", 0), g.getLong("m_bits", 0),
+        if (g.getType.containsField("n_buckets"))
+          g.getLong("n_buckets", 0)
+        else 0L)
       case rows => throw new IllegalStateException(
         s"$dir/manifest: expected exactly 1 row, found ${rows.length}")
     }
@@ -419,24 +427,33 @@ object IndexStore {
       () => obs.get("n").asInstanceOf[Long])
   }
 
+  private val epochSchema =
+    """message epoch {
+      |  required int32 seq;
+      |  required binary op (UTF8);
+      |  required int64 n_rows;
+      |  required int64 ts_millis;
+      |}""".stripMargin
+
   private def recordEpoch(spark: SparkSession, dir: String, op: String,
                           nRows: Long): Unit = {
-    import spark.implicits._
     val path = s"$dir/epochs"
     val prev = new org.apache.hadoop.fs.Path(path)
     val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next =
       if (fs.exists(prev))
-        spark.read.parquet(path).agg(max(col("seq"))).collect()(0)
-          .getInt(0) + 1
+        tinyRead(spark, path).map(_.getInteger("seq", 0)).max + 1
       else 1
-    Seq(Epoch(next, op, nRows, System.currentTimeMillis()))
-      .toDF().coalesce(1)
-      .write.mode(SaveMode.Append).parquet(path)
+    tinyWrite(spark, path, tinySchema(epochSchema),
+      Seq(g => {
+        g.add("seq", next); g.add("op", op)
+        g.add("n_rows", nRows)
+        g.add("ts_millis", System.currentTimeMillis())
+      }), append = true)
   }
 
   private def manifestKind(spark: SparkSession, dir: String): String =
-    spark.read.parquet(s"$dir/manifest").collect()(0).getAs[String]("kind")
+    tinyRead(spark, s"$dir/manifest").head.getString("kind", 0)
 
   /** Crash-safe replacement of the live table at `live` with the
     * FULLY MATERIALIZED rewrite at `tmp` — the swap step every
@@ -491,6 +508,93 @@ object IndexStore {
     }
     fs.delete(aside, true)
   }
+
+  // ------------------------------------------------------------------
+  // Tiny control tables: direct parquet I/O
+  // ------------------------------------------------------------------
+
+  /** The store's control tables (manifest, codebooks, epochs, stats,
+    * lsh params) hold one to a few dozen rows, yet reading or writing
+    * one through a Spark job costs a full scheduler round-trip — task
+    * launch, commit protocol, listener traffic — per table. A
+    * lifecycle op touches several (round-16 profile: the e30
+    * save→load→search cell ran 22 jobs for 0.76 s of task time; 5–6
+    * of them were control-table I/O). These helpers read and write
+    * the SAME parquet files (spark.read.parquet reads them
+    * unchanged — all specs and `describe`/`epochs` keep their Spark
+    * readers) directly through parquet-hadoop on the driver, which is
+    * where one-row data belongs (guide §5: the cluster is for data
+    * tables). Overwrites go through a temp dir + [[swapInto]], which
+    * is STRICTLY safer than the Spark `SaveMode.Overwrite`
+    * (delete-then-write) they replace.
+    */
+  private def tinyWrite(spark: SparkSession, dirPath: String,
+                        schema: org.apache.parquet.schema.MessageType,
+                        rows: Seq[org.apache.parquet.example.data.Group => Unit],
+                        append: Boolean = false): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = dir.getFileSystem(conf)
+    val target =
+      if (append) dir
+      else new org.apache.hadoop.fs.Path(dirPath + ".compact")
+    if (!append) fs.delete(target, true)
+    fs.mkdirs(target)
+    // nanos-unique file name: appends accumulate one file per call
+    val file = new org.apache.hadoop.fs.Path(target,
+      f"part-${System.nanoTime()}%020d.parquet")
+    val factory =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(file, conf))
+      .withConf(conf)
+      .withType(schema)
+      .build()
+    try rows.foreach { fill =>
+      val g = factory.newGroup()
+      fill(g)
+      writer.write(g)
+    } finally writer.close()
+    if (!append) swapInto(fs, target, dir)
+  }
+
+  /** All rows of a tiny control table, as parquet example Groups —
+    * schema-driven (reads whatever the file carries), so it reads
+    * Spark-written control tables from older stores and spec fixtures
+    * identically to [[tinyWrite]]'s own files.
+    */
+  private def tinyRead(spark: SparkSession, dirPath: String)
+      : Seq[org.apache.parquet.example.data.Group] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = dir.getFileSystem(conf)
+    val files = fs.listStatus(dir).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+        n.endsWith(".parquet")
+    }.sortBy(_.getPath.getName)
+    val out =
+      scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.parquet.example.data.Group]
+    files.foreach { st =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          st.getPath)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out += g
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.toSeq
+  }
+
+  private def tinySchema(ddl: String): org.apache.parquet.schema.MessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(ddl)
 
   // ------------------------------------------------------------------
   // Tombstones (deletes)
@@ -632,28 +736,46 @@ object IndexStore {
       .select(col("seq"), col("op"), col("n_rows"), col("ts_millis"))
       .orderBy(col("seq"))
 
+  private val codebooksSchema =
+    """message codebooks {
+      |  required int32 mi;
+      |  required int32 ci;
+      |  required group vals (LIST) {
+      |    repeated group list {
+      |      required double element;
+      |    }
+      |  }
+      |}""".stripMargin
+
   private def writeCodebooks(spark: SparkSession, dir: String,
                              cbs: Array[Array[Array[Double]]]): Unit = {
-    import spark.implicits._
     val rows = for {
       mi <- cbs.indices
       ci <- cbs(mi).indices
-    } yield (mi, ci, cbs(mi)(ci).toSeq)
-    rows.toDF("mi", "ci", "vals")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/codebooks")
+    } yield (g: org.apache.parquet.example.data.Group) => {
+      g.add("mi", mi); g.add("ci", ci)
+      val list = g.addGroup("vals")
+      cbs(mi)(ci).foreach(v => list.addGroup("list").add("element", v))
+      ()
+    }
+    tinyWrite(spark, s"$dir/codebooks", tinySchema(codebooksSchema), rows)
   }
 
   private def readCodebooks(spark: SparkSession, dir: String)
       : Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(s"$dir/codebooks")
-      .select(col("mi"), col("ci"), col("vals")).collect()
-    val m = rows.map(_.getInt(0)).max + 1
-    val k = rows.map(_.getInt(1)).max + 1
-    val cbs = Array.ofDim[Array[Double]](m, k)
-    rows.foreach { r =>
-      cbs(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    // schema-driven list access ("vals"/"list"/"element" is both this
+    // writer's layout and Spark's standard 3-level parquet list)
+    val rows = tinyRead(spark, s"$dir/codebooks").map { g =>
+      val list = g.getGroup("vals", 0)
+      val n = list.getFieldRepetitionCount("list")
+      (g.getInteger("mi", 0), g.getInteger("ci", 0),
+        Array.tabulate(n)(i =>
+          list.getGroup("list", i).getDouble("element", 0)))
     }
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val cbs = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { case (mi, ci, vals) => cbs(mi)(ci) = vals }
     cbs.map(_.toArray)
   }
 
@@ -945,9 +1067,9 @@ object IndexStore {
     // no-op, so re-running compact converges.
     val tomb = tombstones(spark, dir)
     val nBuckets = {
-      val m = spark.read.parquet(s"$dir/manifest")
-      if (m.columns.contains("n_buckets"))
-        m.collect()(0).getAs[Long]("n_buckets").toInt
+      val m = tinyRead(spark, s"$dir/manifest").head
+      if (m.getType.containsField("n_buckets"))
+        m.getLong("n_buckets", 0).toInt
       else 0
     }
     // partition columns follow the STORED layout: the requested cols
@@ -1040,8 +1162,8 @@ object IndexStore {
           // the band-key Bloom is a pure function of the band table —
           // REBUILD from the compacted rows (the only way a Bloom can
           // "forget" tombstoned keys), exactly the lsh bkbloom rule
-          val mBits = spark.read.parquet(s"$dir/manifest").collect()(0)
-            .getAs[Long]("m_bits").toInt
+          val mBits = tinyRead(spark, s"$dir/manifest").head
+            .getLong("m_bits", 0).toInt
           if (mBits > 0) {
             val bl = new org.apache.hadoop.fs.Path(s"$dir/pbbloom")
             val bt = new org.apache.hadoop.fs.Path(s"$dir/pbbloom.compact")
@@ -1122,12 +1244,12 @@ object IndexStore {
   def merge(spark: SparkSession, dstDir: String, srcDir: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     def manifestOf(dir: String): Manifest = {
-      val df = spark.read.parquet(s"$dir/manifest")
-      val hasBuckets = df.columns.contains("n_buckets")
-      df.collect() match {
-        case Array(row) => Manifest(row.getAs[String]("kind"),
-          row.getAs[Int]("version"), row.getAs[Long]("m_bits"),
-          if (hasBuckets) row.getAs[Long]("n_buckets") else 0L)
+      tinyRead(spark, s"$dir/manifest") match {
+        case Seq(g) => Manifest(g.getString("kind", 0),
+          g.getInteger("version", 0), g.getLong("m_bits", 0),
+          if (g.getType.containsField("n_buckets"))
+            g.getLong("n_buckets", 0)
+          else 0L)
         case rows => throw new IllegalStateException(
           s"$dir/manifest: expected exactly 1 row, found ${rows.length}")
       }
@@ -1209,10 +1331,9 @@ object IndexStore {
       * leaves no pending-merge state behind.
       */
     def requireSameParams(): Unit = {
-      def pulled(dir: String) = spark.read.parquet(s"$dir/params")
-        .select(col("threshold"), col("num_hashes"), col("rows_per_band"))
-        .collect().map(r => (r.getDouble(0), r.getInt(1), r.getInt(2)))
-        .toSeq
+      def pulled(dir: String) = tinyRead(spark, s"$dir/params")
+        .map(g => (g.getDouble("threshold", 0),
+          g.getInteger("num_hashes", 0), g.getInteger("rows_per_band", 0)))
       require(pulled(dstDir) == pulled(srcDir),
         s"$srcDir was banded with different LSH parameters than $dstDir " +
           "— merging would mix incompatible bucket spaces")
@@ -1514,9 +1635,9 @@ object IndexStore {
   private def bandLayoutOf(spark: SparkSession, dir: String,
                            kind: String): (String, Int) =
     if (kind == "lsh") {
-      val p = spark.read.parquet(s"$dir/params").collect()(0)
+      val p = tinyRead(spark, s"$dir/params").head
       ("sigs", math.max(1,
-        p.getAs[Int]("num_hashes") / p.getAs[Int]("rows_per_band")))
+        p.getInteger("num_hashes", 0) / p.getInteger("rows_per_band", 0)))
     } else ("hashes", 5)
 
   /** Count of ids with MORE than one row in a vec_id-keyed table —
@@ -1637,9 +1758,9 @@ object IndexStore {
         report += (("debris_dirs", swept.toLong, "restored_or_removed"))
       if (kind == "bm25") {
         val nb = {
-          val m = spark.read.parquet(s"$dir/manifest")
-          if (m.columns.contains("n_buckets"))
-            m.collect()(0).getAs[Long]("n_buckets").toInt
+          val m = tinyRead(spark, s"$dir/manifest").head
+          if (m.getType.containsField("n_buckets"))
+            m.getLong("n_buckets", 0).toInt
           else 0
         }
         val fs = new org.apache.hadoop.fs.Path(dir)
@@ -1783,12 +1904,12 @@ object IndexStore {
           if (nBad > 0) {
             val newBands =
               if (kind == "lsh") {
-                val p = spark.read.parquet(s"$dir/params").collect()(0)
+                val p = tinyRead(spark, s"$dir/params").head
                 val rows = graft.operators.DedupQueries.lshBandRows(
                   spark.read.parquet(s"$dir/sigs")
                     .select(col("vec_id"), col("sig")),
-                  p.getAs[Int]("rows_per_band"),
-                  p.getAs[Int]("num_hashes"))
+                  p.getInteger("rows_per_band", 0),
+                  p.getInteger("num_hashes", 0))
                 if (nb > 0) lshWithBb(rows, nb)
                 else rows.select(col("vec_id"), col("bkey"), col("band"))
               } else
@@ -2106,9 +2227,9 @@ object IndexStore {
   def describe(spark: SparkSession, dir: String,
                deep: Boolean = false): DataFrame = {
     import spark.implicits._
-    val man = spark.read.parquet(s"$dir/manifest").collect()(0)
-    val kind = man.getAs[String]("kind")
-    val version = man.getAs[Int]("version")
+    val man = tinyRead(spark, s"$dir/manifest").head
+    val kind = man.getString("kind", 0)
+    val version = man.getInteger("version", 0)
     val tables = (kind match {
       case "ivf" => Seq("assigned", "centroids")
       case "pq" => Seq("codes", "codebooks", "corpus")
@@ -2412,18 +2533,20 @@ object IndexStore {
     * `avg(dl)` (double sums of integers are exact below 2^53 —
     * ~2.5e13 tokens at 100 TB of text, three orders under it).
     */
+  private val bm25StatsSchema =
+    """message stats {
+      |  required int64 n_docs;
+      |  required int64 sum_dl;
+      |  required boolean live_only;
+      |}""".stripMargin
+
   private def writeBm25Stats(spark: SparkSession, dir: String,
-                             n: Long, sumDl: Long): Unit = {
-    import spark.implicits._
-    val live = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/stats.compact")
-    fs.delete(tmp, true)
-    Seq((n, sumDl, true)).toDF("n_docs", "sum_dl", "live_only")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    swapInto(fs, tmp, live)
-  }
+                             n: Long, sumDl: Long): Unit =
+    tinyWrite(spark, s"$dir/stats", tinySchema(bm25StatsSchema),
+      Seq(g => {
+        g.add("n_docs", n); g.add("sum_dl", sumDl)
+        g.add("live_only", true)
+      }))
 
   /** (n_docs, Σdl, live_only) from the stats table; None when absent
     * (a store saved before the stats table existed — loaders fall
@@ -2437,11 +2560,10 @@ object IndexStore {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val df = spark.read.parquet(p.toString)
-      val hasFlag = df.columns.contains("live_only")
-      val r = df.collect()(0)
-      Some((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl"),
-        hasFlag && r.getAs[Boolean]("live_only")))
+      val g = tinyRead(spark, p.toString).head
+      Some((g.getLong("n_docs", 0), g.getLong("sum_dl", 0),
+        g.getType.containsField("live_only") &&
+          g.getBoolean("live_only", 0)))
     }
   }
 
@@ -3120,10 +3242,12 @@ object IndexStore {
           .partitionBy("band").parquet(s"$dir/bands")
       bkeySketchOf(bands, bloomBits).coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/bkbloom")
-      Seq((threshold, numHashes, rowsPerBand, bloomBits))
-        .toDF("threshold", "num_hashes", "rows_per_band", "bkbloom_bits")
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
+      tinyWrite(spark, s"$dir/params", tinySchema(lshParamsSchema),
+        Seq(g => {
+          g.add("threshold", threshold); g.add("num_hashes", numHashes)
+          g.add("rows_per_band", rowsPerBand)
+          g.add("bkbloom_bits", bloomBits)
+        }))
       writeManifest(spark, dir, "lsh", rowsPerBand.toLong, nb.toLong)
       recordEpoch(spark, dir, "save", sN())
     }
@@ -3190,11 +3314,19 @@ object IndexStore {
   /** The stored band-key Bloom's bit size, None for pre-sketch stores
     * (params rows without the `bkbloom_bits` column).
     */
+  private val lshParamsSchema =
+    """message params {
+      |  required double threshold;
+      |  required int32 num_hashes;
+      |  required int32 rows_per_band;
+      |  required int32 bkbloom_bits;
+      |}""".stripMargin
+
   private def bkbloomBitsOf(spark: SparkSession,
                             dir: String): Option[Int] = {
-    val p = spark.read.parquet(s"$dir/params")
-    if (!p.columns.contains("bkbloom_bits")) None
-    else Some(p.collect()(0).getAs[Int]("bkbloom_bits"))
+    val g = tinyRead(spark, s"$dir/params").head
+    if (!g.getType.containsField("bkbloom_bits")) None
+    else Some(g.getInteger("bkbloom_bits", 0))
   }
 
   /** (sigs, bands, threshold, numHashes, rowsPerBand, nBuckets,
@@ -3216,9 +3348,9 @@ object IndexStore {
       : (DataFrame, DataFrame, Double, Int, Int, Int,
          Option[(DataFrame, Int)]) = {
     val man = readManifest(spark, dir, "lsh")
-    val p = spark.read.parquet(s"$dir/params").collect() match {
-      case Array(row) => (row.getAs[Double]("threshold"),
-        row.getAs[Int]("num_hashes"), row.getAs[Int]("rows_per_band"))
+    val p = tinyRead(spark, s"$dir/params") match {
+      case Seq(g) => (g.getDouble("threshold", 0),
+        g.getInteger("num_hashes", 0), g.getInteger("rows_per_band", 0))
       case rows => throw new IllegalStateException(
         s"$dir/params: expected exactly 1 row, found ${rows.length}")
     }
