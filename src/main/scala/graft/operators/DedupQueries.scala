@@ -19,7 +19,11 @@ object DedupQueries {
     * signatures; MinHashArraySpec reuses it). Guarded for <3-token docs.
     */
   private[graft] def shingleArrays(s: SparkSession, d: String): DataFrame =
-    shingleArraysOf(Tables.documents(s, d))
+    // shingling + downstream signature hashing are the compute-heavy
+    // per-row work of this family — don't inherit a narrow scan's
+    // parallelism (QueryDef.scaleOut: no-op when the scan already has
+    // more splits than cores)
+    shingleArraysOf(QueryDef.scaleOut(Tables.documents(s, d)))
 
   /** [[shingleArrays]] over an arbitrary documents frame (`key`, text)
     * — shared with the streaming verify step so stream and batch agree
@@ -950,7 +954,8 @@ object DedupQueries {
     val W = 5
     QueryDef(
       "d12_substring_dedup",
-      (s, d) => graft.api.Graft.substringDedup(Tables.documents(s, d))
+      (s, d) => graft.api.Graft.substringDedup(
+        QueryDef.scaleOut(Tables.documents(s, d)))
         .orderBy(col("doc_id")),
       Some(s"""WITH toks AS (
              |  SELECT doc_id, string_split(text, ' ') AS toks,

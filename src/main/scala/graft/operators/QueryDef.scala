@@ -23,6 +23,26 @@ object QueryDef {
     */
   def sqlTable(name: String): String = name
 
+  /** Spread a compute-heavy derivation's LEAF-SCAN input across all
+    * cores when the scan is narrower than the machine (guide §2.6 —
+    * idle capacity; round-16 profile: d09's 64-hash MinHash signatures
+    * and d12's per-position md5 grams ran 2–3 s of task time on the 4
+    * partitions one small parquet file splits into, while 28 cores
+    * idled). SCALE-ADAPTIVE by construction, not a local[32] constant:
+    * the partition count is derived from the input — a production scan
+    * with more splits than cores returns unchanged (zero cost at
+    * 100 TB, where the repartition would be a full-corpus shuffle);
+    * only a scan too narrow to feed the machine is widened, and what
+    * shuffles then is by definition small. Call ONLY on leaf scans
+    * (`Tables.*` reads + narrow projections): `rdd.getNumPartitions`
+    * on a plan with exchanges would force AQE stage materialization.
+    */
+  private[graft] def scaleOut(base: DataFrame): DataFrame = {
+    val target = base.sparkSession.sparkContext.defaultParallelism
+    if (base.rdd.getNumPartitions >= target) base
+    else base.repartition(target)
+  }
+
   /** Opt-in guard for the documented QUADRATIC baselines (d03 exact
     * n-gram Jaccard, e02 all-pairs cosine): their scaladoc forbids them
     * on the scale path, but nothing used to stop a composition from

@@ -680,7 +680,8 @@ object TextAnalysisQueries {
 
   val t15C4Filter = QueryDef(
     "t15_c4_filter",
-    (s, d) => graft.api.Graft.c4Filter(Tables.documents(s, d))
+    (s, d) => graft.api.Graft.c4Filter(
+      QueryDef.scaleOut(Tables.documents(s, d)))
       .orderBy(col("doc_id")),
     Some("""WITH uni AS (
            |  SELECT doc_id, max(c) / (max(n) * 1.0) AS top_uni FROM (
