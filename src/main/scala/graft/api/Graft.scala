@@ -1970,7 +1970,8 @@ object Graft {
     def rerank(queries: DataFrame, fetch: Int = 10, k: Int = 3)
         : DataFrame = {
       val q = renamed(queries)
-      val shortlist = SimilarityQueries.pqAdcRank(codes, codebooks, q, fetch)
+      val shortlist = SimilarityQueries
+        .pqAdcRank(codes, codebooks, q, fetch, ordered = false)
         .select(col("query_id"), col("vec_id"))
       SimilarityQueries.pqRerankStage(corpus, shortlist, q, k)
     }
@@ -2166,7 +2167,7 @@ object Graft {
       val q = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))
       val shortlist = SimilarityQueries.ivfPqSearch(
-          codes, centroids, codebooks, q, probes, fetch)
+          codes, centroids, codebooks, q, probes, fetch, ordered = false)
         .select(col("query_id"), col("vec_id"))
       SimilarityQueries.pqRerankStage(
         corpus.select(col("vec_id"), col("embedding")), shortlist, q, k)

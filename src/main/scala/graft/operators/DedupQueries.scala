@@ -1127,19 +1127,22 @@ object DedupQueries {
           "shiftleft(cast(1 as bigint), cast(pos % 32 as int))"))
         .select(col("doc_id"), col("h"), col("w"), col("mask"))
         .distinct()
-        .localCheckpoint(eager = false)
-      val need = pos.groupBy(col("doc_id"), col("h"))
-        .agg(count(lit(1)).as("need"))
-      val got = (if (mBits <= broadcastableSketchBits)
-          pos.join(broadcast(sketch), Seq("w"))
-        else pos.join(sketch, Seq("w")))
-        .where(expr("(word & mask) = mask"))
+      // ONE aggregation over a LEFT join: `need` counts the key's
+      // distinct positions, `got` the subset whose bit is set (an
+      // absent word row ⇒ null word ⇒ not counted — the sparse-table
+      // semantics). The previous shape aggregated need and got
+      // separately and joined them back — two extra shuffles of the
+      // position table per probe (guide §2.4), and the lazy
+      // localCheckpoint that deduplicated the two consumers goes with
+      // them.
+      (if (mBits <= broadcastableSketchBits)
+          pos.join(broadcast(sketch), Seq("w"), "left")
+        else pos.join(sketch, Seq("w"), "left"))
         .groupBy(col("doc_id"), col("h"))
-        .agg(count(lit(1)).as("got"))
-      need.join(got, Seq("doc_id", "h"), "left")
+        .agg(count(lit(1)).as("need"),
+          count(when(expr("(word & mask) = mask"), 1)).as("got"))
         .select(col("doc_id"), col("h"),
-          coalesce(col("got") === col("need"), lit(false))
-            .as("bloom_hit"))
+          (col("got") === col("need")).as("bloom_hit"))
     }
   }
 

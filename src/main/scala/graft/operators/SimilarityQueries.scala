@@ -786,7 +786,8 @@ object SimilarityQueries {
 
   private[graft] def pqAdcRank(encoded: DataFrame,
                                codebooks: Array[Array[Array[Double]]],
-                               queries: DataFrame, topM: Int): DataFrame = {
+                               queries: DataFrame, topM: Int,
+                               ordered: Boolean = true): DataFrame = {
     val m = codebooks.length
     val luts = pqLuts(queries, codebooks)
     val withTables = encoded.join(broadcast(luts))
@@ -794,12 +795,15 @@ object SimilarityQueries {
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("approx_ip").desc, col("vec_id"))
-    withTables
+    val top = withTables
       .withColumn("rnk", row_number().over(wRank).cast("long"))
       .filter(col("rnk") <= topM)
       .select(col("query_id"), col("rnk"), col("vec_id"),
         round(col("approx_ip"), 6).as("approx_ip"))
-      .orderBy(col("query_id"), col("rnk"))
+    // `ordered = false` for shortlist feeds consumed by a join (e16's
+    // rerank): the global sort is a range exchange + sampling job no
+    // downstream operator keeps
+    if (ordered) top.orderBy(col("query_id"), col("rnk")) else top
   }
 
   /** Exact-cosine re-rank of an ADC shortlist (the e16 two-stage shape):
@@ -1558,7 +1562,8 @@ object SimilarityQueries {
   private[graft] def ivfPqSearch(encoded: DataFrame, centroids: DataFrame,
                                  codebooks: Array[Array[Array[Double]]],
                                  queries: DataFrame,
-                                 probes: Int, k: Int): DataFrame = {
+                                 probes: Int, k: Int,
+                                 ordered: Boolean = true): DataFrame = {
     val m = codebooks.length
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -1593,12 +1598,14 @@ object SimilarityQueries {
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("vec_id"))
-    withTables
+    val top = withTables
       .withColumn("rnk", row_number().over(wRank).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id"),
         round(col("approx_cos"), 6).as("approx_cos"))
-      .orderBy(col("query_id"), col("rnk"))
+    // `ordered = false` for shortlist feeds consumed by a join (e43's
+    // rerank) — the global sort dies under the join anyway
+    if (ordered) top.orderBy(col("query_id"), col("rnk")) else top
   }
 
   val e18AnnIvfPq = QueryDef(
