@@ -678,14 +678,20 @@ object SimilarityQueries {
     slice(c, mi * pqSubDim + 1, pqSubDim)
   private def pqCentroidLit(c: Array[Double]): Column =
     array(c.map(v => lit(v.toFloat)): _*).cast("array<float>")
-  private def pqL2(a: Column, cent: Array[Double]): Column =
-    aggregate(zip_with(a, pqCentroidLit(cent), (x, y) => {
-      val diff = x.cast("double") - y.cast("double"); diff * diff
-    }), lit(0.0), (acc, v) => acc + v)
-  private def pqDot(a: Column, cent: Array[Double]): Column =
-    aggregate(zip_with(a, pqCentroidLit(cent),
-      (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Native codegen'd subspace kernels ([[graft.functions.PqSubL2]] /
+    * [[PqSubDot]]): the HOF `aggregate(zip_with(slice(...)))` forms
+    * evaluated interpreted per row (lambda + sliced temp array per
+    * call, 16 calls per encoded row); the native expressions run one
+    * compiled loop each, read the full array at an offset (no slice
+    * temp), and keep the plan tree one node per kernel. Bit-identical
+    * accumulation (left fold from 0.0 over float-rounded centroid
+    * components) — PqKernelsSpec pins native ≡ HOF on every shape,
+    * and the 22 PQ-family oracle gates pin the pipelines end-to-end.
+    */
+  private def pqL2(a: Column, off: Int, cent: Array[Double]): Column =
+    graft.functions.PqKernels.pq_sub_l2(a, off, cent)
+  private def pqDot(a: Column, off: Int, cent: Array[Double]): Column =
+    graft.functions.PqKernels.pq_sub_dot(a, off, cent)
 
   /** Train the 4-subspace × 16-dim PQ codebooks on a (vec_id,
     * embedding) corpus frame: deterministic every-125th init + 2
@@ -722,7 +728,7 @@ object SimilarityQueries {
       for (_ <- 1 to iters) {
         val perSub = (0 until m).map { mi =>
           val dists = array(cbs(mi).map(c =>
-            pqL2(pqSubCol(col(vecCol), mi), c)): _*)
+            pqL2(col(vecCol), mi * pqSubDim, c)): _*)
           val cell = (array_position(dists, array_min(dists)) - 1).cast("int")
           e.select(lit(mi).as("mi"), cell.as("cell"), col(vecCol).as("v"))
         }.reduce(_ unionByName _)
@@ -751,7 +757,7 @@ object SimilarityQueries {
                               vecCol: String = "embedding"): DataFrame =
     corpus.select(Seq(col("vec_id")) ++ codebooks.indices.map { mi =>
       val dists = array(codebooks(mi).map(c =>
-        pqL2(pqSubCol(col(vecCol), mi), c)): _*)
+        pqL2(col(vecCol), mi * pqSubDim, c)): _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
         .as(s"code_$mi")
     }: _*)
@@ -774,7 +780,7 @@ object SimilarityQueries {
       : DataFrame =
     queries.select(Seq(col("query_id")) ++ codebooks.indices.map { mi =>
       array(codebooks(mi).map(c =>
-        pqDot(pqSubCol(col("q_emb"), mi), c)): _*).as(s"ip_$mi")
+        pqDot(col("q_emb"), mi * pqSubDim, c)): _*).as(s"ip_$mi")
     }: _*)
 
   /** The ADC score over joined LUT + code columns — the left-assoc
@@ -1491,7 +1497,7 @@ object SimilarityQueries {
         for (_ <- 1 to iters) {
           val perSub = (0 until m).map { mi =>
             val dists = array(cbs(mi).map(c =>
-              pqL2(pqSubCol(col("res"), mi), c)): _*)
+              pqL2(col("res"), mi * pqSubDim, c)): _*)
             val cell = (array_position(dists, array_min(dists)) - 1).cast("int")
             ares.select(lit(mi).as("mi"), cell.as("pk"), col("res"))
           }.reduce(_ unionByName _)
@@ -1535,7 +1541,7 @@ object SimilarityQueries {
       .select(Seq(col("vec_id"), col("cell")) ++
         (0 until m).map { mi =>
           val dists = array(codebooks(mi).map(c =>
-            pqL2(pqSubCol(col("res"), mi), c)): _*)
+            pqL2(col("res"), mi * pqSubDim, c)): _*)
           (array_position(dists, array_min(dists)) - 1).cast("int")
             .as(s"code_$mi")
         } :+ col("centroid"): _*)
@@ -1587,7 +1593,7 @@ object SimilarityQueries {
       .select(Seq(col("query_id"), col("vec_id"), col("qc"), col("qn2")) ++
         (0 until m).map { mi =>
           array(codebooks(mi).map(c =>
-            pqDot(pqSubCol(col("qres"), mi), c)): _*).as(s"ip_$mi")
+            pqDot(col("qres"), mi * pqSubDim, c)): _*).as(s"ip_$mi")
         } ++ (0 until m).map(mi => col(s"code_$mi")) ++
         (0 until m).map(mi => col(s"recon2_$mi")): _*)
       .withColumn("approx_cos",
