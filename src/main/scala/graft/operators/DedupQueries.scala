@@ -363,7 +363,8 @@ object DedupQueries {
 
   val d04MinHashLsh = QueryDef(
     "d04_minhash_lsh",
-    (s, d) => graft.api.Graft.minhashDedup(Tables.documents(s, d))
+    (s, d) => graft.api.Graft.minhashDedup(
+        QueryDef.scaleOut(Tables.documents(s, d)))
       .orderBy(col("da"), col("db")),
     // candidates are verified with EXACT Jaccard, and 16×4 banding has
     // ~1-10⁻⁶ recall at J≥0.8 on 64 hashes — so the output equals the

@@ -928,7 +928,7 @@ object SimilarityQueries {
     // behind Graft.pqIndex) so the DuckDB gate re-certifies the public
     // PQ path every round — the annIndex/e05 pattern
     (s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = QueryDef.scaleOut(Tables.embeddings(s, d))
       graft.api.Graft.pqIndex(e).search(e.filter(col("vec_id") < 5), k = 3)
     },
     Some(pqSql(topM = 3)))
@@ -1228,7 +1228,7 @@ object SimilarityQueries {
     // routed through Graft.pqIndex(...).rerank — the facade's two-stage
     // path IS the gate path, so the oracle certifies it every round
     (s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = QueryDef.scaleOut(Tables.embeddings(s, d))
       graft.api.Graft.pqIndex(e)
         .rerank(e.filter(col("vec_id") < 5), fetch = 10, k = 3)
     },
@@ -1923,7 +1923,7 @@ object SimilarityQueries {
   val e22HybridRrf = QueryDef(
     "e22_hybrid_rrf",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = QueryDef.scaleOut(Tables.documents(s, d))
       // the scale-critical lexical shape lives in the shared kernels
       // (see bm25Rank's scaladoc): idf folds into the broadcast
       // query-term side FIRST, postings meet exactly one token-keyed
