@@ -34,6 +34,21 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       case _: ShuffleExchangeExec => 1
     }.sum
 
+  /** Shuffles excluding the round-robin exchange QueryDef.scaleOut
+    * inserts when a LEAF SCAN is narrower than the machine (round 16):
+    * that exchange is partition-count-conditional — absent by
+    * construction at production scale, where the scan has more splits
+    * than cores — so the SEMANTIC shuffle count is what a scale claim
+    * pins. Keyed exchanges (hash/range) still count.
+    */
+  private def countSemanticShuffles(
+      df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec
+          if !s.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => 1
+    }.sum
+
   test("connected components shortcut converges in O(log n) rounds on a chain") {
     val spark2 = spark
     import spark2.implicits._
@@ -128,8 +143,10 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"d11 must shuffle only for the output sort:\n${d11.queryExecution.executedPlan}")
     // t15: since the round-4 rewrite the top-unigram rule evaluates
     // per-row too, so the whole filter is one projection + the sort
+    // (plus, at bench scale only, scaleOut's narrow-scan widening —
+    // excluded by countSemanticShuffles, absent at production scale)
     val t15 = TextAnalysisQueries.t15C4Filter.fn(spark, d)
-    assert(countShuffles(t15) == 1,
+    assert(countSemanticShuffles(t15) == 1,
       s"t15 must shuffle only for the output sort:\n${t15.queryExecution.executedPlan}")
     // t19: the CMS aggregate must partial-aggregate (map-side combine) —
     // the property that makes it one tiny buffer per partition at 100 TB
