@@ -1253,19 +1253,34 @@ object Graft {
     * broadcast) + the cell-assigned corpus. Cache
     * [[IvfIndex.assigned]] if you will issue repeated searches.
     *
+    * TRAINS EAGERLY (round 17): the centroid aggregate is pulled
+    * driver-side ONCE here (one bounded job, ≤ #cells × 64 floats —
+    * the pattern e06/[[ivfPqIndex]] already use), so `assigned` and
+    * every later [[IvfIndex.append]]/probe is a PURE PROJECTION over
+    * centroid literals instead of a corpus × #cells broadcast join
+    * feeding a per-vec_id window shuffle — at 100 TB the assignment
+    * pass moves zero bytes between executors.
+    *
     * Input: (vec_id Long, embedding Array[Float], label Int).
     * Gate: `e05_ann_ivf` (routes through [[IvfIndex.search]]).
     */
   def annIndex(corpus: DataFrame): IvfIndex = {
     val centroids = SimilarityQueries.labelCentroids(corpus)
-    IvfIndex(SimilarityQueries.assignCells(corpus, centroids), centroids)
+    val pulled = SimilarityQueries.pullCentroids(centroids)
+    IvfIndex(SimilarityQueries.assignCellsPulled(corpus, pulled),
+      centroids, Some(pulled))
   }
 
   /** A built IVF index: `assigned` = (vec_id, embedding, cell) corpus,
-    * `centroids` = (cell, centroid) tiny table.
+    * `centroids` = (cell, centroid) tiny table. `pulledSeed` carries
+    * the driver-pulled centroid tuple when the builder already paid
+    * the pull ([[annIndex]]); a handle without it (e.g.
+    * [[loadAnnIndex]]) pulls lazily on first use — once per handle.
     */
-  final case class IvfIndex private[api] (assigned: DataFrame,
-                                          centroids: DataFrame) {
+  final case class IvfIndex private[api] (
+      assigned: DataFrame, centroids: DataFrame,
+      private[api] val pulledSeed: Option[Seq[(Int, Array[Float])]] =
+        None) {
     /** Probe the `probes` nearest cells per query, exact-cosine rank
       * within them, top-`k` per query. Queries: (vec_id, embedding).
       * Output: (query_id, rank, neighbor_id, cos) sorted.
@@ -1286,7 +1301,8 @@ object Graft {
       */
     def append(newVecs: DataFrame): IvfIndex =
       IvfIndex(assigned.unionByName(
-        SimilarityQueries.assignCells(newVecs, centroids)), centroids)
+        SimilarityQueries.assignCellsPulled(newVecs, pulledCentroids)),
+        centroids, Some(pulledCentroids))
 
     /** [[append]] made DURABLE: assign the arrivals with this handle's
       * (frozen) centroids — the exact gated kernel — and write them
@@ -1303,7 +1319,7 @@ object Graft {
       */
     def appendDurable(dir: String, newVecs: DataFrame): IvfIndex = {
       IndexStore.appendIvf(dir,
-        SimilarityQueries.assignCells(newVecs, centroids))
+        SimilarityQueries.assignCellsPulled(newVecs, pulledCentroids))
       loadAnnIndex(newVecs.sparkSession, dir)
     }
 
@@ -1319,7 +1335,8 @@ object Graft {
       */
     def shard(dir: String, vecs: DataFrame): Unit =
       IndexStore.saveIvf(dir,
-        SimilarityQueries.assignCells(vecs, centroids), centroids)
+        SimilarityQueries.assignCellsPulled(vecs, pulledCentroids),
+        centroids)
 
     /** Cell-occupancy drift report — the RE-TRAIN TRIGGER [[append]]'s
       * doc points at: assign a non-empty arrival `sample` (vec_id,
@@ -1334,7 +1351,8 @@ object Graft {
       * Gate: `e28_index_drift`.
       */
     def drift(sample: DataFrame): DataFrame =
-      SimilarityQueries.cellDrift(assigned, centroids, sample)
+      SimilarityQueries.cellDrift(assigned, centroids, sample,
+        Some(pulledCentroids))
 
     /** DRIFT-TRIGGERED RETRAIN — closes the monitor → action loop the
       * drift reports (e28/e31/e32/e34) point at: compute [[drift]] of
@@ -1368,7 +1386,8 @@ object Graft {
       else {
         val relabeled = assigned
           .select(col("vec_id"), col("embedding"), col("cell"))
-          .unionByName(SimilarityQueries.assignCells(arrivals, centroids))
+          .unionByName(
+            SimilarityQueries.assignCellsPulled(arrivals, pulledCentroids))
           .withColumnRenamed("cell", "label")
         annIndex(relabeled)
       }
@@ -1403,19 +1422,8 @@ object Graft {
       SimilarityQueries.probeAndRank(filtered, probed(queries, probes), k)
     }
 
-    private def probed(queries: DataFrame, probes: Int): DataFrame = {
-      val wProbe = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cs").desc, col("cell"))
-      queries
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-        .join(broadcast(centroids))
-        .withColumn("cs", graft.functions.GraftFunctions
-          .cosine_similarity(col("q_emb"), col("centroid")))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= probes)
-        .select(col("query_id"), col("q_emb"), col("cell"))
-    }
+    private def probed(queries: DataFrame, probes: Int): DataFrame =
+      SimilarityQueries.probedPulled(queries, pulledCentroids, probes)
 
     /** Persist to `dir` ([[graft.sources.IndexStore]] layout): the
       * assigned corpus lands PARTITIONED BY cell — the exact hive
@@ -1429,12 +1437,13 @@ object Graft {
       IndexStore.saveIvf(dir, assigned, centroids)
 
     /** The tiny centroid table pulled driver-side ONCE per handle —
-      * the bounded (≤ #cells × 64 floats) pull the streaming serving
-      * surfaces need for their literal-centroid probe projections.
+      * the bounded (≤ #cells × 64 floats) pull that makes assignment,
+      * probing and streaming serving pure projections over centroid
+      * literals. Seeded by [[annIndex]] (which already paid the pull);
+      * a loaded handle pulls lazily on first use.
       */
     private lazy val pulledCentroids: Seq[(Int, Array[Float])] =
-      centroids.collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+      pulledSeed.getOrElse(SimilarityQueries.pullCentroids(centroids))
 
     /** Serve an unbounded query stream against this index — delegates
       * to [[graft.streaming.EmbStreams.ivfServe]] with the handle's
@@ -2123,18 +2132,22 @@ object Graft {
     * decomposition: e19.
     */
   def ivfPqIndex(corpus: DataFrame): IvfPqIndex = {
-    val (encoded, centroids, codebooks) =
+    val (encoded, centroids, codebooks, pulled) =
       SimilarityQueries.ivfPqTrainEncode(corpus)
-    IvfPqIndex(encoded, centroids, codebooks)
+    IvfPqIndex(encoded, centroids, codebooks, Some(pulled))
   }
 
   /** A built IVF-PQ index: `codes` = (vec_id, cell, code_0..code_3,
     * recon2_0..recon2_3), `centroids` = the tiny coarse table, plus the
-    * trained residual `codebooks`.
+    * trained residual `codebooks`. `pulledSeed` carries the
+    * driver-pulled coarse centroids when the builder already paid the
+    * pull; a loaded handle pulls lazily on first use.
     */
   final case class IvfPqIndex private[api] (
       codes: DataFrame, centroids: DataFrame,
-      codebooks: Array[Array[Array[Double]]]) {
+      codebooks: Array[Array[Array[Double]]],
+      private[api] val pulledSeed: Option[Seq[(Int, Array[Float])]] =
+        None) {
 
     /** Probe the `probes` nearest cells per query, ADC-score their
       * candidates by (q·c + Σ q_m·r̂_m) / (‖q‖·‖c + r̂‖), top-`k` per
@@ -2146,7 +2159,8 @@ object Graft {
         : DataFrame =
       SimilarityQueries.ivfPqSearch(codes, centroids, codebooks,
         queries.select(col("vec_id").as("query_id"),
-          col("embedding").as("q_emb")), probes, k)
+          col("embedding").as("q_emb")), probes, k,
+        pulled = Some(pulledCentroids))
 
     /** Two-stage composite search — [[PqIndex.rerank]]'s contract for
       * the IVF-PQ family: probe + ADC shortlist of `fetch` candidates
@@ -2167,7 +2181,8 @@ object Graft {
       val q = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))
       val shortlist = SimilarityQueries.ivfPqSearch(
-          codes, centroids, codebooks, q, probes, fetch, ordered = false)
+          codes, centroids, codebooks, q, probes, fetch, ordered = false,
+          pulled = Some(pulledCentroids))
         .select(col("query_id"), col("vec_id"))
       SimilarityQueries.pqRerankStage(
         corpus.select(col("vec_id"), col("embedding")), shortlist, q, k)
@@ -2200,8 +2215,9 @@ object Graft {
       else {
         val union = corpus.select(col("vec_id"), col("embedding"))
           .unionByName(arrivals.select(col("vec_id"), col("embedding")))
-        ivfPqIndex(SimilarityQueries.assignCells(union, centroids)
-          .withColumnRenamed("cell", "label"))
+        ivfPqIndex(
+          SimilarityQueries.assignCellsPulled(union, pulledCentroids)
+            .withColumnRenamed("cell", "label"))
       }
     }
 
@@ -2228,7 +2244,8 @@ object Graft {
           "left_semi"),
         centroids, codebooks,
         queries.select(col("vec_id").as("query_id"),
-          col("embedding").as("q_emb")), probes, k)
+          col("embedding").as("q_emb")), probes, k,
+        pulled = Some(pulledCentroids))
 
     /** Append NEW vectors WITHOUT retraining — [[IvfIndex.append]]'s
       * contract for the composite family: coarse centroids AND
@@ -2243,8 +2260,9 @@ object Graft {
       */
     def append(newVecs: DataFrame): IvfPqIndex =
       IvfPqIndex(codes.unionByName(
-        SimilarityQueries.ivfPqEncode(newVecs, centroids, codebooks)),
-        centroids, codebooks)
+        SimilarityQueries.ivfPqEncode(newVecs, centroids, codebooks,
+          Some(pulledCentroids))),
+        centroids, codebooks, Some(pulledCentroids))
 
     /** [[append]] made DURABLE ([[IvfIndex.appendDurable]]'s contract
       * for the composite family): encode the arrivals against the
@@ -2260,7 +2278,8 @@ object Graft {
     def appendDurable(dir: String, newVecs: DataFrame,
                       requireNewIds: Boolean = true): IvfPqIndex = {
       IndexStore.appendIvfPq(dir,
-        SimilarityQueries.ivfPqEncode(newVecs, centroids, codebooks),
+        SimilarityQueries.ivfPqEncode(newVecs, centroids, codebooks,
+          Some(pulledCentroids)),
         requireNewIds)
       loadIvfPqIndex(newVecs.sparkSession, dir)
     }
@@ -2287,7 +2306,8 @@ object Graft {
       */
     def shard(dir: String, vecs: DataFrame): Unit =
       IndexStore.saveIvfPq(dir,
-        SimilarityQueries.ivfPqEncode(vecs, centroids, codebooks),
+        SimilarityQueries.ivfPqEncode(vecs, centroids, codebooks,
+          Some(pulledCentroids)),
         centroids, codebooks)
 
     /** Persist to `dir` ([[graft.sources.IndexStore]] layout): the
@@ -2326,7 +2346,8 @@ object Graft {
       * Gate: `e32_ivfpq_drift`.
       */
     def drift(sample: DataFrame): DataFrame =
-      SimilarityQueries.cellDrift(codes, centroids, sample)
+      SimilarityQueries.cellDrift(codes, centroids, sample,
+        Some(pulledCentroids))
 
     /** The composite family's SECOND drift axis ([[drift]] watches
       * coarse cell balance; this watches RESIDUAL code usage): encode
@@ -2343,18 +2364,20 @@ object Graft {
     def residualDrift(sample: DataFrame): DataFrame =
       SimilarityQueries.pqCodeDriftFromCounts(codes, codebooks,
         SimilarityQueries.pqCodeUnpivot(
-          SimilarityQueries.ivfPqEncode(sample, centroids, codebooks),
+          SimilarityQueries.ivfPqEncode(sample, centroids, codebooks,
+            Some(pulledCentroids)),
           codebooks.length)
           .groupBy(col("m"), col("code"))
           .agg(count(lit(1)).as("n_new")))
 
     /** The tiny coarse-centroid table pulled driver-side ONCE per
       * handle ([[IvfIndex]]'s bounded pull, ≤ #cells × 64 floats) —
-      * what the streaming monitor's literal-centroid argmax needs.
+      * what assignment/probe projections and the streaming monitor's
+      * literal-centroid argmax need. Seeded by [[ivfPqIndex]] (which
+      * already paid the pull); a loaded handle pulls lazily once.
       */
     private lazy val pulledCentroids: Seq[(Int, Array[Float])] =
-      centroids.collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+      pulledSeed.getOrElse(SimilarityQueries.pullCentroids(centroids))
 
     /** [[drift]] AT INGEST — the coarse-cell monitor through the
       * handle: the stored composite code table already carries each

@@ -37,8 +37,13 @@ object MultimodalQueries {
       : org.apache.spark.sql.Dataset[Long] = {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, d).select(col("doc_id"))
-      .repartition(s.sparkContext.defaultParallelism).as[Long]
+    // conditional like QueryDef.scaleOut (round 17): only widen a scan
+    // NARROWER than the machine — an input already wider than the
+    // core count passes through untouched (no narrowing exchange, the
+    // no-op-at-production-scale property the scaleOut comment
+    // establishes for the same pattern)
+    QueryDef.scaleOut(Tables.documents(s, d).select(col("doc_id")))
+      .as[Long]
   }
 
   /** ImageIO's stream cache defaults to DISK-backed

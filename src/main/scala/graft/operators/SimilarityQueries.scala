@@ -78,7 +78,18 @@ object SimilarityQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    assigned.alias("b").join(broadcast(probes.alias("a")),
+    // the probes side is LAZILY checkpointed (tiny: queries × nprobe
+    // rows, materialized inside the consuming job) so its plan is
+    // OPAQUE to dynamic partition pruning: with a selective literal
+    // probe side (round 17's projection probes) DPP otherwise injects
+    // an IN-subquery filter on the cell-partitioned side and pushes a
+    // clone into non-scan union branches (a loaded store + appended
+    // arrivals), where Spark 4.1 never prepares the InSubqueryExec —
+    // "dynamicpruning#N has not finished" at execution. No plan in
+    // this repo ever benefited from DPP here (r16 plans carry zero
+    // dynamicpruning nodes), so opacity costs nothing at any scale.
+    val probesCk = probes.localCheckpoint(eager = false)
+    assigned.alias("b").join(broadcast(probesCk.alias("a")),
         col("a.cell") === col("b.cell") && col("a.query_id") =!= col("b.vec_id"))
       .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"),
         cosine_similarity(col("a.q_emb"), col("b.embedding")).as("cos"))
@@ -278,6 +289,14 @@ object SimilarityQueries {
 
   /** Every vector assigned to its nearest centroid cell (centroids
     * broadcast; ties → lowest cell). One pass over the corpus.
+    *
+    * SCALE NOTE (round 17): this DataFrame-joined form pays a
+    * corpus × #cells row blow-up plus an Exchange + Window per call —
+    * the per-vec_id argmax shuffles the whole corpus. Every handle
+    * that already holds the driver-pulled centroid tuple (bounded:
+    * ≤ #cells × 64 floats) assigns through [[assignCellsPulled]]
+    * instead — a pure projection, zero exchanges. This form remains
+    * for one-shot callers that have only the lazy centroid frame.
     */
   private[graft] def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
     val wAssign = org.apache.spark.sql.expressions.Window
@@ -288,6 +307,86 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** The tiny (cell, centroid) table pulled driver-side ONCE — the
+    * bounded (≤ #cells × 64 floats) pull that turns [[assignCells]]
+    * into the pure projection [[assignCellsPulled]]. Sorted by cell so
+    * downstream literal argmaxes are order-deterministic.
+    */
+  private[graft] def pullCentroids(centroids: DataFrame)
+      : Seq[(Int, Array[Float])] =
+    centroids.select(col("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).toSeq
+
+  /** The pulled centroids as a LOCAL (cell, centroid) frame — the
+    * broadcast side of residual/centroid joins when the caller already
+    * paid the driver pull: a LocalRelation instead of re-running the
+    * centroid aggregation subtree inside every consuming job. Values
+    * are the collected floats verbatim, so joins against it are
+    * bit-identical to joins against the lazy centroid frame.
+    */
+  private[graft] def centroidsLocal(spark: SparkSession,
+      pulled: Seq[(Int, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    pulled.map { case (c, arr) => (c, arr.toSeq) }.toDF("cell", "centroid")
+  }
+
+  /** Stateless in-row cell argmax over driver-pulled centroid LITERALS
+    * — bit-for-bit [[assignCells]]' pick (cosine DESC, ties → LOWEST
+    * cell: the last element of the ascending struct sort is the max
+    * (cs, −cell) pair). One shared definition with the streaming
+    * monitors ([[graft.streaming.EmbStreams]] delegates here), so
+    * batch and stream assignment cannot drift; EmbStreamsSpec pins
+    * this column ≡ the windowed kernel row-for-row.
+    */
+  private[graft] def cellArgmaxCol(pulled: Seq[(Int, Array[Float])],
+                                   emb: Column): Column = {
+    val cellStructs = pulled.map { case (cell, c) =>
+      struct(
+        cosine_similarity(emb,
+          array(c.map(v => lit(v)): _*).cast("array<float>")).as("cs"),
+        lit(-cell).as("negcell"),
+        lit(cell).as("cell"))
+    }
+    element_at(array_sort(array(cellStructs: _*)), -1).getField("cell")
+  }
+
+  /** [[assignCells]] as a PURE PROJECTION over driver-pulled centroid
+    * literals — no broadcast join, no corpus × #cells row blow-up, no
+    * per-vec_id Exchange + Window: the argmax happens in-row, so a
+    * 100 TB corpus is assigned in one map pass with ZERO shuffles.
+    * Identical output to [[assignCells]] by [[cellArgmaxCol]]'s
+    * tie-break contract (the oracle gates + EmbStreamsSpec pin it).
+    */
+  private[graft] def assignCellsPulled(e: DataFrame,
+      pulled: Seq[(Int, Array[Float])]): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      cellArgmaxCol(pulled, col("embedding")).as("cell"))
+
+  /** The top-`probes` cells per query over pulled centroid literals —
+    * the probe window ([[graft.api.Graft.IvfIndex]]'s `probed`) as a
+    * projection: descending (cs, ties → lowest cell) = the reversed
+    * ascending struct sort on (cs, −cell), sliced to `probes` — the
+    * e06 probe shape with the e05 tie-break. Output: (query_id, q_emb,
+    * cell), one row per probed cell. Queries: (vec_id, embedding).
+    */
+  private[graft] def probedPulled(queries: DataFrame,
+      pulled: Seq[(Int, Array[Float])], probes: Int): DataFrame = {
+    val probeCos = pulled.map { case (cell, c) =>
+      struct(
+        cosine_similarity(col("q_emb"),
+          array(c.map(v => lit(v)): _*).cast("array<float>")).as("cs"),
+        lit(-cell).as("negcell"),
+        lit(cell).as("cell"))
+    }
+    queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("query_id"), col("q_emb"),
+        explode(slice(reverse(array_sort(array(probeCos: _*))), 1, probes))
+          .as("p"))
+      .select(col("query_id"), col("q_emb"), col("p.cell").as("cell"))
   }
 
   /** The e05 IVF index as a servable artifact: the cell-assigned corpus
@@ -302,11 +401,8 @@ object SimilarityQueries {
   private[graft] def ivfIndex(s: SparkSession, d: String)
       : (DataFrame, Seq[(Int, Array[Float])]) = {
     val e = Tables.embeddings(s, d)
-    val centroids = labelCentroids(e)
-    val assigned = assignCells(e, centroids)
-    val pulled = centroids.collect().map(r =>
-      r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
-    (assigned, pulled)
+    val pulled = pullCentroids(labelCentroids(e))
+    (assignCellsPulled(e, pulled), pulled)
   }
 
   /** Oracle mirror of [[labelCentroids]] + the assign step — shared CTE
@@ -536,7 +632,10 @@ object SimilarityQueries {
       (Option(assignedMemo.get(key)), assignedGenOf(key)))
     cached.getOrElse {
       val e = Tables.embeddings(s, d)
-      val a = assignCells(e, labelCentroids(e)).localCheckpoint()
+      // pull-once + projection (round 17): one bounded centroid-agg
+      // job, then the checkpointed assignment pass is shuffle-free
+      val a = assignCellsPulled(e, pullCentroids(labelCentroids(e)))
+        .localCheckpoint()
       putAssignedIfCurrent(s, d, startGen, a)
       a
     }
@@ -928,8 +1027,13 @@ object SimilarityQueries {
     // behind Graft.pqIndex) so the DuckDB gate re-certifies the public
     // PQ path every round — the annIndex/e05 pattern
     (s, d) => {
-      val e = QueryDef.scaleOut(Tables.embeddings(s, d))
-      graft.api.Graft.pqIndex(e).search(e.filter(col("vec_id") < 5), k = 3)
+      // scaleOut scoped to the COMPUTE branch (train + encode): the
+      // query batch reads the raw scan — widening a frame that ends
+      // under a BroadcastExchange is pure overhead (round-17 fix of
+      // the r16 misplacement)
+      val raw = Tables.embeddings(s, d)
+      val e = QueryDef.scaleOut(raw)
+      graft.api.Graft.pqIndex(e).search(raw.filter(col("vec_id") < 5), k = 3)
     },
     Some(pqSql(topM = 3)))
 
@@ -1228,9 +1332,12 @@ object SimilarityQueries {
     // routed through Graft.pqIndex(...).rerank — the facade's two-stage
     // path IS the gate path, so the oracle certifies it every round
     (s, d) => {
-      val e = QueryDef.scaleOut(Tables.embeddings(s, d))
+      // scaleOut scoped to the compute branch — the e09 note; the
+      // query batch (broadcast side of the rerank fetch) reads raw
+      val raw = Tables.embeddings(s, d)
+      val e = QueryDef.scaleOut(raw)
       graft.api.Graft.pqIndex(e)
-        .rerank(e.filter(col("vec_id") < 5), fetch = 10, k = 3)
+        .rerank(raw.filter(col("vec_id") < 5), fetch = 10, k = 3)
     },
     Some(
       s"""WITH pq_full AS (${pqSql(topM = 10)}),
@@ -1448,8 +1555,10 @@ object SimilarityQueries {
     * cross-engine (float − float in double, cast back to float).
     */
   private def ivfPqResOf(vec: Column): Column =
-    zip_with(vec, col("centroid"), (x, y) =>
-      (x.cast("double") - y.cast("double")).cast("float"))
+    // native codegen'd residual (one compiled loop per row) — replaces
+    // the interpreted zip_with((x.double − y.double).float) HOF;
+    // IvfPqKernelsSpec pins native ≡ HOF bit-for-bit incl. null edges
+    graft.functions.PqKernels.arr_float_sub(vec, col("centroid"))
 
   /** Train + encode the IVF-PQ composite on a (vec_id, embedding,
     * label) corpus frame: coarse label centroids (e05's), per-subspace
@@ -1466,20 +1575,34 @@ object SimilarityQueries {
     * training (over the snapshot) and encoding (over anything,
     * including e29's appended arrivals).
     */
-  private def ivfPqResiduals(vecs: DataFrame,
-                             centroids: DataFrame): DataFrame =
-    assignCells(vecs, centroids)
-      .join(broadcast(centroids), Seq("cell"))
+  private def ivfPqResiduals(vecs: DataFrame, centroids: DataFrame,
+                             pulled: Option[Seq[(Int, Array[Float])]] =
+                               None): DataFrame = {
+    // with the driver-pulled centroids in hand the assignment is a
+    // pure projection and the centroid join's broadcast side is a
+    // LocalRelation — the consuming job re-runs neither the corpus ×
+    // #cells window shuffle nor the centroid aggregation subtree
+    val assigned = pulled.fold(assignCells(vecs, centroids))(
+      p => assignCellsPulled(vecs, p))
+    val centFrame = pulled.fold(centroids)(
+      p => centroidsLocal(vecs.sparkSession, p))
+    assigned
+      .join(broadcast(centFrame), Seq("cell"))
       .select(col("vec_id"), col("cell"),
         ivfPqResOf(col("embedding")).as("res"))
+  }
 
   private[graft] def ivfPqTrainEncode(corpus: DataFrame)
-      : (DataFrame, DataFrame, Array[Array[Array[Double]]]) = {
+      : (DataFrame, DataFrame, Array[Array[Array[Double]]],
+         Seq[(Int, Array[Float])]) = {
     val m = 4
     val iters = 2
     val centroids = labelCentroids(corpus)
+    // one bounded pull (≤ #cells × 64 floats) up front; training,
+    // encoding and the handle's searches all project against it
+    val pulled = pullCentroids(centroids)
 
-    val ares = ivfPqResiduals(corpus, centroids).cache()
+    val ares = ivfPqResiduals(corpus, centroids, Some(pulled)).cache()
 
     // per-subspace Lloyd on residuals — the e09 recipe, trained on
     // `res`; the cache serves init + iters bounded pulls, released
@@ -1517,7 +1640,8 @@ object SimilarityQueries {
         cbs
       } finally ares.unpersist()
 
-    (ivfPqEncode(corpus, centroids, codebooks), centroids, codebooks)
+    (ivfPqEncode(corpus, centroids, codebooks, Some(pulled)), centroids,
+      codebooks, pulled)
   }
 
   /** Encode vectors against FROZEN coarse centroids + residual
@@ -1531,13 +1655,15 @@ object SimilarityQueries {
     * cannot drift from build-time encoding.
     */
   private[graft] def ivfPqEncode(vecs: DataFrame, centroids: DataFrame,
-                                 codebooks: Array[Array[Array[Double]]])
+                                 codebooks: Array[Array[Array[Double]]],
+                                 pulled: Option[Seq[(Int, Array[Float])]] =
+                                   None)
       : DataFrame = {
     val m = codebooks.length
-    val ares = ivfPqResiduals(vecs, centroids)
-    val cbArrs = (0 until m).map(mi =>
-      array(codebooks(mi).map(pqCentroidLit): _*))
-    ares.join(broadcast(centroids), Seq("cell"))
+    val ares = ivfPqResiduals(vecs, centroids, pulled)
+    val centFrame = pulled.fold(centroids)(
+      p => centroidsLocal(vecs.sparkSession, p))
+    ares.join(broadcast(centFrame), Seq("cell"))
       .select(Seq(col("vec_id"), col("cell")) ++
         (0 until m).map { mi =>
           val dists = array(codebooks(mi).map(c =>
@@ -1548,11 +1674,13 @@ object SimilarityQueries {
       .select(Seq(col("vec_id"), col("cell")) ++
         (0 until m).map(mi => col(s"code_$mi")) ++
         (0 until m).map { mi =>
-          aggregate(zip_with(pqSubCol(col("centroid"), mi),
-            element_at(cbArrs(mi), col(s"code_$mi") + 1),
-            (c, r) => {
-              val v = c.cast("double") + r.cast("double"); v * v
-            }), lit(0.0), (acc, v) => acc + v).as(s"recon2_$mi")
+          // native codegen'd ‖c + r̂‖² with the per-row code picking
+          // the codebook row (dynamic-index shape) — replaces the
+          // interpreted aggregate(zip_with(slice, element_at)) chain;
+          // IvfPqKernelsSpec pins native ≡ HOF bit-for-bit
+          graft.functions.PqKernels.pq_recon_norm(col("centroid"),
+            col(s"code_$mi"), mi * pqSubDim, codebooks(mi))
+            .as(s"recon2_$mi")
         }: _*)
   }
 
@@ -1569,23 +1697,30 @@ object SimilarityQueries {
                                  codebooks: Array[Array[Array[Double]]],
                                  queries: DataFrame,
                                  probes: Int, k: Int,
-                                 ordered: Boolean = true): DataFrame = {
+                                 ordered: Boolean = true,
+                                 pulled: Option[Seq[(Int, Array[Float])]] =
+                                   None): DataFrame = {
     val m = codebooks.length
+    // with the handle's pulled centroids the probe's broadcast side is
+    // a LocalRelation — the search job never re-runs the centroid
+    // aggregation subtree (values are the collected floats verbatim)
+    val centFrame = pulled.fold(centroids)(
+      p => centroidsLocal(queries.sparkSession, p))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("cell"))
     val probed = queries
-      .join(broadcast(centroids))
+      .join(broadcast(centFrame))
       .withColumn("cs", cosine_similarity(col("q_emb"), col("centroid")))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= probes)
       .select(col("query_id"), col("cell"),
-        aggregate(zip_with(col("q_emb"), col("centroid"),
-          (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v).as("qc"),
-        aggregate(transform(col("q_emb"),
-          x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, v) => acc + v).as("qn2"),
+        // native dot kernels (qn2 = dot(q, q): identical term order
+        // and fold to the aggregate(transform(x²)) it replaces)
+        graft.functions.PqKernels.arr_float_dot(col("q_emb"),
+          col("centroid")).as("qc"),
+        graft.functions.PqKernels.arr_float_dot(col("q_emb"),
+          col("q_emb")).as("qn2"),
         ivfPqResOf(col("q_emb")).as("qres"))
 
     val withTables = encoded.join(broadcast(probed), Seq("cell"))
@@ -1923,7 +2058,11 @@ object SimilarityQueries {
   val e22HybridRrf = QueryDef(
     "e22_hybrid_rrf",
     (s, d) => {
-      val docs = QueryDef.scaleOut(Tables.documents(s, d))
+      // scaleOut scoped to the compute branch (tokenize feeds
+      // bm25Build); the dense side's doc-id semi-join reads the raw
+      // scan — widening a broadcast-side frame is pure overhead
+      val docsRaw = Tables.documents(s, d)
+      val docs = QueryDef.scaleOut(docsRaw)
       // the scale-critical lexical shape lives in the shared kernels
       // (see bm25Rank's scaladoc): idf folds into the broadcast
       // query-term side FIRST, postings meet exactly one token-keyed
@@ -1937,7 +2076,8 @@ object SimilarityQueries {
           excludeSelf = true)
         .select(col("query_id").as("qid"), col("did"), col("r_bm25"))
       val emb = Tables.embeddings(s, d)
-        .join(docs.select(col("doc_id")), col("vec_id") === col("doc_id"))
+        .join(docsRaw.select(col("doc_id")),
+          col("vec_id") === col("doc_id"))
         .select(col("vec_id"), col("embedding"))
       val qv = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
@@ -2167,9 +2307,12 @@ object SimilarityQueries {
     * undefined).
     */
   private[graft] def cellDrift(assigned: DataFrame, centroids: DataFrame,
-                               sample: DataFrame): DataFrame =
+                               sample: DataFrame,
+                               pulled: Option[Seq[(Int, Array[Float])]] =
+                                 None): DataFrame =
     cellDriftFromCounts(assigned, centroids.select(col("cell")),
-      assignCells(sample, centroids)
+      pulled.fold(assignCells(sample, centroids))(
+          p => assignCellsPulled(sample, p))
         .groupBy(col("cell")).agg(count(lit(1)).as("n_new")))
 
   /** [[cellDrift]] with the sample's per-cell counts already in hand —
@@ -3314,9 +3457,15 @@ object SimilarityQueries {
     // the exact frame the previous implementation already collected
     // via broadcast(). Fenced (the tombstone-snapshot pattern): fail
     // loudly past the conf rather than silently grow the driver.
+    // default fence 500k rows (round 17, was 4M): each shortlist row
+    // later carries a 64-float embedding in a driver-side Map — ~300+
+    // bytes with boxing/Map overhead — so 500k rows is ~150–300 MB,
+    // inside a stock 1–4 GB driver heap, where 4M rows (multiple GB)
+    // could OOM the driver BEFORE the fence fired. Raise the conf only
+    // with driver memory to match.
     val maxRows = math.min(Int.MaxValue - 1L,
       spark.conf.getOption("spark.graft.maxMmrDriverRows")
-        .map(_.toLong).getOrElse(4000000L)).toInt
+        .map(_.toLong).getOrElse(500000L)).toInt
     val candRows = cands.limit(maxRows + 1).collect()
     require(candRows.length <= maxRows,
       s"mmrRerank: shortlist exceeds spark.graft.maxMmrDriverRows=" +

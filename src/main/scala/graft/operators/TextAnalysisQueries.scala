@@ -451,7 +451,17 @@ object TextAnalysisQueries {
       val docs = docsRaw
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      val parted = docs.repartitionByRange(32, col("doc_id"))
+      // partition count DERIVED from the input (QueryDef.scaleOut's
+      // rule — round 17): a narrow bench-scale scan widens to the
+      // machine, a 100 TB scan keeps its own split count instead of
+      // funneling the corpus through a hard-coded 32 range partitions.
+      // The packed result is partition-count-INVARIANT by construction
+      // (per-partition prefix sums + the broadcast offset join), so
+      // the gate hash cannot move with the machine.
+      val nParts = math.max(
+        docsRaw.sparkSession.sparkContext.defaultParallelism,
+        docs.rdd.getNumPartitions)
+      val parted = docs.repartitionByRange(nParts, col("doc_id"))
         .withColumn("pid", spark_partition_id())
       val wLocal = org.apache.spark.sql.expressions.Window
         .partitionBy(col("pid")).orderBy(col("doc_id"))

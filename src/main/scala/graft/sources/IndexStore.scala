@@ -540,9 +540,18 @@ object IndexStore {
       else new org.apache.hadoop.fs.Path(dirPath + ".compact")
     if (!append) fs.delete(target, true)
     fs.mkdirs(target)
-    // nanos-unique file name: appends accumulate one file per call
+    // nanos-unique file name: appends accumulate one file per call.
+    // APPEND CRASH SAFETY (round 17): the file is written under a
+    // dot-prefixed in-progress name — every reader (tinyRead,
+    // spark.read.parquet) excludes dot files — and renamed into its
+    // final .parquet name only after writer.close(), restoring the
+    // atomic-visibility guarantee of the commit protocol this path
+    // replaced. A crash mid-write leaves only invisible debris, never
+    // a truncated live file that would poison all future reads of the
+    // table. (Overwrites get the same guarantee from swapInto below.)
+    val base = f"part-${System.nanoTime()}%020d.parquet"
     val file = new org.apache.hadoop.fs.Path(target,
-      f"part-${System.nanoTime()}%020d.parquet")
+      if (append) s".$base.inprogress" else base)
     val factory =
       new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
     val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -556,6 +565,11 @@ object IndexStore {
       fill(g)
       writer.write(g)
     } finally writer.close()
+    if (append) {
+      val committed = new org.apache.hadoop.fs.Path(target, base)
+      require(fs.rename(file, committed),
+        s"tinyWrite append commit: rename $file -> $committed failed")
+    }
     if (!append) swapInto(fs, target, dir)
   }
 

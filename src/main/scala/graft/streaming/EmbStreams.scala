@@ -303,14 +303,19 @@ object EmbStreams {
     */
   def ivfAppend(arrivals: Dataset[EmbArrival], centroids: DataFrame)
                (onBatch: DataFrame => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // bounded pull ONCE at stream start (≤ #cells × 64 floats): every
+    // micro-batch then assigns by pure projection — no broadcast join,
+    // no per-batch window shuffle, no re-run of the centroid subtree
+    val pulled = graft.operators.SimilarityQueries.pullCentroids(centroids)
     arrivals.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[EmbArrival], _: Long) =>
-        onBatch(graft.operators.SimilarityQueries.assignCells(
-          batch.toDF(), centroids))
+        onBatch(graft.operators.SimilarityQueries.assignCellsPulled(
+          batch.toDF(), pulled))
       }
       .start()
+  }
 
   /** [[ivfAppend]] writing INTO the saved [[graft.sources.IndexStore]]
     * layout — streaming ingest made durable: each micro-batch is
@@ -334,12 +339,15 @@ object EmbStreams {
   def ivfAppendDurable(arrivals: Dataset[EmbArrival],
                        centroids: DataFrame, dir: String,
                        checkpointDir: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the ivfAppend pull-once pattern (see above)
+    val pulled = graft.operators.SimilarityQueries.pullCentroids(centroids)
     durableIngest(arrivals, checkpointDir) { batch =>
       graft.sources.IndexStore.appendIvf(dir,
-        graft.operators.SimilarityQueries.assignCells(
-          batch.toDF(), centroids))
+        graft.operators.SimilarityQueries.assignCellsPulled(
+          batch.toDF(), pulled))
     }
+  }
 
   /** [[ivfAppendDurable]]'s contract for the compressed family: each
     * micro-batch encodes against the FROZEN codebooks (the gated
@@ -368,14 +376,18 @@ object EmbStreams {
                          codebooks: Array[Array[Array[Double]]],
                          dir: String,
                          checkpointDir: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the ivfAppend pull-once pattern: per-batch encode is then a pure
+    // projection (no per-batch window shuffle / centroid-subtree rerun)
+    val pulled = graft.operators.SimilarityQueries.pullCentroids(centroids)
     durableIngest(arrivals, checkpointDir) { batch =>
       graft.sources.IndexStore.appendIvfPq(dir,
         graft.operators.SimilarityQueries.ivfPqEncode(
           batch.toDF().select(col("vec_id"),
             col("embedding").cast("array<float>").as("embedding")),
-          centroids, codebooks))
+          centroids, codebooks, Some(pulled)))
     }
+  }
 
   /** Shared durable-ingest foreachBatch shell: append under the
     * store's single-writer lock, with per-batch-id marker idempotency
@@ -475,16 +487,9 @@ object EmbStreams {
     * [[driftMonitorWindowed]].
     */
   private def cellArgmax(centroids: Seq[(Int, Array[Float])])
-      : org.apache.spark.sql.Column = {
-    val cellStructs = centroids.map { case (cell, c) =>
-      struct(
-        cosine_similarity(col("embedding"),
-          array(c.map(v => lit(v)): _*).cast("array<float>")).as("cs"),
-        lit(-cell).as("negcell"),
-        lit(cell).as("cell"))
-    }
-    element_at(array_sort(array(cellStructs: _*)), -1).getField("cell")
-  }
+      : org.apache.spark.sql.Column =
+    graft.operators.SimilarityQueries.cellArgmaxCol(centroids,
+      col("embedding"))
 
   /** `checkpointDir`: pass a durable location to make the monitor
     * RESTARTABLE — the running per-cell counts live in Spark's state
@@ -725,6 +730,8 @@ object EmbStreams {
                                (onReport: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val running = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    // the ivfAppend pull-once pattern (see ivfPqAppendDurable)
+    val pulled = graft.operators.SimilarityQueries.pullCentroids(centroids)
     arrivals.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[EmbArrival], _: Long) =>
@@ -735,7 +742,7 @@ object EmbStreams {
             graft.operators.SimilarityQueries.ivfPqEncode(
               batch.toDF().select(col("vec_id"),
                 col("embedding").cast("array<float>").as("embedding")),
-              centroids, codebooks),
+              centroids, codebooks, Some(pulled)),
             codebooks.length)
           .groupBy(col("m"), col("code")).agg(count(lit(1)).as("n"))
           .collect()
@@ -779,7 +786,10 @@ object EmbStreams {
                  codebooks: Array[Array[Array[Double]]],
                  nprobe: Int = 2, k: Int = 3)
                 (onBatch: DataFrame => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the serving pull-once pattern: the per-batch probe's broadcast
+    // side is a LocalRelation of the frozen centroids
+    val pulled = graft.operators.SimilarityQueries.pullCentroids(centroids)
     queries.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[EmbQuery], _: Long) =>
@@ -787,7 +797,8 @@ object EmbStreams {
           codes, centroids, codebooks,
           batch.toDF().select(col("query_id"),
             col("embedding").cast("array<float>").as("q_emb")),
-          nprobe, k))
+          nprobe, k, pulled = Some(pulled)))
       }
       .start()
+  }
 }
