@@ -1239,6 +1239,13 @@ object Graft {
     * fetch×#queries rows. Pass both weights explicitly (deriving
     * `1 − λ` in code gives 0.30000000000000004-style drift).
     *
+    * EXECUTES EAGERLY: the shortlist (fetch × #queries rows, fenced by
+    * `spark.graft.maxMmrDriverRows`, default 500k) and its embeddings
+    * are collected and the greedy selection runs on the DRIVER at call
+    * time — two jobs run before this method returns, errors surface
+    * here, and the returned frame is a SNAPSHOT of the inputs as of
+    * the call (not re-derived on later actions).
+    *
     * Inputs: corpus and queries both (vec_id Long, embedding
     * Array[Float]). Output: (query_id, pick 1..k, cand_id, mmr_score),
     * unsorted. Gate: `e23_mmr_rerank`.

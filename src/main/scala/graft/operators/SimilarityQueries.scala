@@ -1979,6 +1979,17 @@ object SimilarityQueries {
     // checkpointed so the three artifacts share its blocks instead of
     // re-tokenizing the corpus per artifact (blocks die with the
     // handle via the ContextCleaner)
+    // MEASURED AND REJECTED (round 17, the "fold df out of the tf
+    // shuffle" idea): keying the tf exchange by tok alone
+    // (`.repartition(col("tok"))` before the groupBy, so the df
+    // aggregation could reuse the partitioning exchange-free) forces
+    // the (vec_id, tok) aggregate into complete mode — the RAW token
+    // stream crosses the exchange with NO map-side partial
+    // aggregation. e22 regressed 1.23 → 1.50 s at sf0.1, and at
+    // 100 TB the trade is strictly worse (tokens ≫ postings by the
+    // average tf). The present shape shuffles partially-aggregated
+    // (vec_id, tok, tf) once; df's second exchange then carries only
+    // per-map-partition (tok, partial-count) rows — near-free.
     val postings = docs.select(col("doc_id").as("vec_id"),
         explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("vec_id"), col("tok"))
